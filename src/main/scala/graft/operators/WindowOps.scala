@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** The reference's window-style feature operators, vectorized.
+  *
+  * In svoe these are all row-at-a-time stateful folds over a streamz
+  * graph (`streamz.accumulate`, SURVEY.md §2.4) — the reference's own
+  * perf notes mark that model as its bottleneck. Here each becomes a
+  * native window/group aggregation: whole-stage-codegen'd, partial-agg
+  * (map-side combine) where grouped, shuffled once on the key.
+  *
+  * Determinism convention: event time is an epoch-micros Long. Ordering
+  * uses `orderKey(tsUs, id) = tsUs*1000 + id%1000` — a total order even
+  * when two events share a microsecond, and exactly reproducible in the
+  * DuckDB oracle (pure integer arithmetic). Range frames are expressed
+  * in the same units (1 us = 1000 key units), so frame membership is
+  * identical across engines.
+  */
+object WindowOps {
+
+  /** Total-order key: epoch micros * 1000 + id mod 1000. */
+  def orderKey(tsUs: Column, id: Column): Column =
+    tsUs * lit(1000L) + pmod(id, lit(1000L))
+
+  /** Sliding lookback window `(okey - lookbackUs, okey]` in order-key
+    * units, per `by` keys (svoe `stream_utils.py:31-39` lookback deque).
+    */
+  def sliding(by: Seq[Column], okey: Column, lookbackUs: Long): WindowSpec =
+    Window
+      .partitionBy(by: _*)
+      .orderBy(okey.asc)
+      .rangeBetween(-lookbackUs * 1000L, 0L)
+
+  /** Epoch-aligned tumbling bucket start in micros (svoe
+    * `common/time/utils.py:40-51`). Integer floor-div: ts must be >= 0.
+    */
+  def bucket(tsUs: Column, widthUs: Long): Column =
+    (tsUs.cast("long") / lit(widthUs)).cast("long") * lit(widthUs)
+
+  /** OHLCV per tumbling window (svoe `ohlcv_fd.py:28-101`): open/high/
+    * low/close, volume = sum(amount), vwap = sum(p*a)/sum(a), count.
+    * Open/close are min_by/max_by on the total order key — deterministic
+    * and fully map-side-combinable (no window sort at all).
+    */
+  def ohlcv(
+      df: DataFrame,
+      tsUs: Column,
+      okey: Column,
+      price: Column,
+      amount: Column,
+      widthUs: Long,
+      keys: Seq[Column]): DataFrame =
+    df.groupBy((keys :+ bucket(tsUs, widthUs).as("bucket_us")): _*)
+      .agg(
+        min_by(price, okey).as("open"),
+        max(price).as("high"),
+        min(price).as("low"),
+        max_by(price, okey).as("close"),
+        sum(amount).as("volume"),
+        (sum(price * amount) / sum(amount)).as("vwap"),
+        count(lit(1)).as("num_trades"))
+
+  /** Sliding-window population stddev (svoe `volatility_stddev_fd.py`,
+    * A2). The reference recomputes np.std per event over a deque; the
+    * window frame computes the identical quantity incrementally.
+    */
+  def volatility(value: Column, by: Seq[Column], okey: Column,
+      lookbackUs: Long): Column =
+    stddev_pop(value).over(sliding(by, okey, lookbackUs))
+
+  /** Trade volume imbalance 2(buy-sell)/(buy+sell) of notional over a
+    * sliding lookback (svoe `trade_volume_imb_fd.py:30-117`, A3).
+    */
+  def tvi(notional: Column, isBuy: Column, by: Seq[Column], okey: Column,
+      lookbackUs: Long): Column = {
+    val w = sliding(by, okey, lookbackUs)
+    val buy = sum(when(isBuy, notional).otherwise(lit(0.0))).over(w)
+    val sell = sum(when(!isBuy, notional).otherwise(lit(0.0))).over(w)
+    when(buy + sell =!= lit(0.0), lit(2.0) * (buy - sell) / (buy + sell))
+  }
+
+  /** TVI over buy/sell notional columns already split (the common
+    * trades-table shape: `side ∈ {BUY, SELL}`). */
+  def tviSided(buyNotional: Column, sellNotional: Column): Column =
+    when(buyNotional + sellNotional =!= lit(0.0),
+      lit(2.0) * (buyNotional - sellNotional) / (buyNotional + sellNotional))
+
+  /** Relative diff (last-first)/first over a sliding lookback (svoe
+    * `transforms/diff/diff.py:14-64`, A5). With a total order key,
+    * last_value over the range frame is the current row's value.
+    */
+  def relDiff(value: Column, by: Seq[Column], okey: Column,
+      lookbackUs: Long): Column = {
+    val w = sliding(by, okey, lookbackUs)
+    val first = first_value(value).over(w)
+    (value - first) / first
+  }
+
+  /** Bucket sampling: one row per (keys, bucket): the latest value (A6,
+    * svoe `trade_volume_imb_fd.py:103-117` bucket variant — chosen as
+    * the canonical semantics; the elapsed-time variant is path-dependent
+    * and lives in the stateful ops, see SURVEY.md §7).
+    */
+  def sampleBucket(
+      df: DataFrame,
+      tsUs: Column,
+      okey: Column,
+      value: Column,
+      widthUs: Long,
+      keys: Seq[Column]): DataFrame =
+    df.groupBy((keys :+ bucket(tsUs, widthUs).as("bucket_us")): _*)
+      .agg(
+        max_by(value, okey).as("last_value"),
+        count(lit(1)).as("n_events"))
+
+  /** Uniform downsample: every nth row in okey order per key (P8, svoe
+    * `df_utils.py:168-169`).
+    */
+  def downsample(df: DataFrame, by: Seq[Column], okey: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(by: _*).orderBy(okey.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(pmod(col("__rn") - 1, lit(n)) === 0)
+      .drop("__rn")
+  }
+
+  /** Snapshot-delimited session id (SURVEY.md §2.5): running count of
+    * delimiter rows in okey order per key — each group spans from one
+    * delimiter (inclusive) to the next.
+    */
+  def delimitedGroupId(isDelimiter: Column, by: Seq[Column], okey: Column): Column = {
+    val w = Window.partitionBy(by: _*).orderBy(okey.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sum(when(isDelimiter, 1L).otherwise(0L)).over(w)
+  }
+}

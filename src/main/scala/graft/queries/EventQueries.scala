@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AsofJoin, WindowOps}
+
+/** The reference's feature-operator inventory (SURVEY.md §2.2–2.6)
+  * exercised over the `events` table, which stands in for the trades/
+  * ticker stream (FIXTURES.md §4): `user_id` plays the instrument key,
+  * `value` the price/notional, `event_type` the side/channel.
+  *
+  * All event-time math is exact integer epoch-micros (`ts div 1000` of
+  * the raw epoch-nanos Long == DuckDB `epoch_us(ts)`); ordering uses the
+  * total order key `ts_us*1000 + event_id % 1000` so window frames and
+  * arg_min/arg_max winners are identical across engines.
+  */
+object EventQueries {
+
+  private val H   = 3600000000L           // 1h in us
+  private val D   = 24 * H                // 24h in us
+  private val M10 = 600000000L            // 10m in us
+  // Slice bounds (events span Jan 2024): Jan 10 / Jan 20 midnight UTC.
+  private val T10 = 1704844800000000L
+  private val T20 = 1705708800000000L
+
+  private val OKEY = "(epoch_us(ts)*1000 + event_id % 1000)"
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+
+  private def okey: Column = WindowOps.orderKey(col("ts_us"), col("event_id"))
+
+  /** Exact cents column: integer-valued double, order-independent sums. */
+  private def cents(c: Column): Column = round(c * 100)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // P9 time-range slice — filter pushed to the parquet scan (bounds
+    // are on the raw INT64 ns column, so row groups prune on stats).
+    "ev_time_slice" -> QueryDef(
+      s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         |FROM events
+         |WHERE epoch_us(ts) >= $T10 AND epoch_us(ts) < $T20""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit(T10 * 1000L) && col("ts") < lit(T20 * 1000L))
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+    },
+
+    // P8 uniform downsample: every 10th row per event_type in total order.
+    "ev_downsample" -> QueryDef(
+      s"""SELECT event_id, event_type, value FROM (
+         |  SELECT event_id, event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY $OKEY) AS rn
+         |  FROM events) t
+         |WHERE (rn - 1) % 10 = 0""".stripMargin) { (s, dir) =>
+      WindowOps.downsample(ev(s, dir), Seq(col("event_type")), okey, 10)
+        .select("event_id", "event_type", "value")
+    },
+
+    // A1 OHLCV per tumbling 1h bucket per event_type. open/close via
+    // arg_min/arg_max on the total order key — a pure hash aggregation
+    // (map-side combinable), no window sort.
+    "ev_ohlcv_1h" -> QueryDef(
+      s"""SELECT event_type,
+         |  (epoch_us(ts) // ${H}) * ${H} AS bucket_us,
+         |  arg_min(value, $OKEY) AS open,
+         |  max(value) AS high,
+         |  min(value) AS low,
+         |  arg_max(value, $OKEY) AS close,
+         |  sum(round(value*100))/100 AS volume,
+         |  (sum(round(value*100)*round(value*100))/sum(round(value*100)))/100 AS vwap,
+         |  count(*) AS num_trades
+         |FROM events
+         |GROUP BY event_type, bucket_us""".stripMargin) { (s, dir) =>
+      val vc = cents(col("value"))
+      ev(s, dir)
+        .groupBy(col("event_type"), WindowOps.bucket(col("ts_us"), H).as("bucket_us"))
+        .agg(
+          min_by(col("value"), okey).as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max_by(col("value"), okey).as("close"),
+          (sum(vc) / 100).as("volume"),
+          (sum(vc * vc) / sum(vc) / 100).as("vwap"),
+          count(lit(1)).as("num_trades"))
+    },
+
+    // A2 sliding-window population stddev (volatility) per event_type,
+    // 24h lookback, evaluated per event — native range frame, no
+    // per-event recompute loop.
+    "ev_volatility_24h" -> QueryDef(
+      s"""SELECT event_id, event_type,
+         |  round(stddev_pop(value) OVER (
+         |    PARTITION BY event_type ORDER BY $OKEY
+         |    RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW), 4) AS volatility
+         |FROM events""".stripMargin) { (s, dir) =>
+      ev(s, dir).select(col("event_id"), col("event_type"),
+        round(WindowOps.volatility(col("value"), Seq(col("event_type")), okey, D), 4)
+          .as("volatility"))
+    },
+
+    // A3 trade-volume imbalance per user over 24h lookback: buy =
+    // 'purchase' notional, sell = 'view' notional, exact cents sums so
+    // no rounding is needed at all.
+    "ev_tvi_24h" -> QueryDef(
+      s"""SELECT event_id, user_id,
+         |  2*(b - sl)/NULLIF(b + sl, 0) AS tvi
+         |FROM (
+         |  SELECT event_id, user_id,
+         |    sum(CASE WHEN event_type='purchase' THEN round(value*100) ELSE 0 END) OVER w AS b,
+         |    sum(CASE WHEN event_type='view' THEN round(value*100) ELSE 0 END) OVER w AS sl
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $OKEY
+         |    RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW)) t""".stripMargin) { (s, dir) =>
+      val w = WindowOps.sliding(Seq(col("user_id")), okey, D)
+      val b = sum(when(col("event_type") === "purchase", cents(col("value")))
+        .otherwise(lit(0.0))).over(w)
+      val sl = sum(when(col("event_type") === "view", cents(col("value")))
+        .otherwise(lit(0.0))).over(w)
+      ev(s, dir).select(col("event_id"), col("user_id"),
+        WindowOps.tviSided(b, sl).as("tvi"))
+    },
+
+    // A5 relative diff (value vs first value in 24h lookback) per user.
+    // Pure value arithmetic on picked rows — exact, no rounding.
+    "ev_diff_24h" -> QueryDef(
+      s"""SELECT event_id, user_id,
+         |  (value - first_value(value) OVER w) / first_value(value) OVER w AS rel_diff
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY $OKEY
+         |  RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      ev(s, dir).select(col("event_id"), col("user_id"),
+        WindowOps.relDiff(col("value"), Seq(col("user_id")), okey, D).as("rel_diff"))
+    },
+
+    // A6 bucket sampling: latest value + event count per (event_type,
+    // 10-minute bucket) — hash agg, no window.
+    "ev_sample_10m" -> QueryDef(
+      s"""SELECT event_type,
+         |  (epoch_us(ts) // ${M10}) * ${M10} AS bucket_us,
+         |  arg_max(value, $OKEY) AS last_value,
+         |  count(*) AS n_events
+         |FROM events
+         |GROUP BY event_type, bucket_us""".stripMargin) { (s, dir) =>
+      WindowOps.sampleBucket(ev(s, dir), col("ts_us"), okey, col("value"), M10,
+        Seq(col("event_type")))
+    },
+
+    // §2.5 snapshot-delimited sessionization: running count of 'signup'
+    // delimiters per user forms the session id; then per-session agg.
+    "ev_session_groups" -> QueryDef(
+      s"""SELECT user_id, session_id, count(*) AS n_events,
+         |  sum(round(value*100))/100 AS sum_value
+         |FROM (
+         |  SELECT user_id, value,
+         |    sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY user_id ORDER BY $OKEY
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM events) t
+         |GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .withColumn("session_id",
+          WindowOps.delimitedGroupId(col("event_type") === "signup",
+            Seq(col("user_id")), okey))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(cents(col("value"))) / 100).as("sum_value"))
+    },
+
+    // J1 backward as-of join: each purchase gets the latest preceding
+    // 'view' of the same user (inclusive at equal ts). One shuffle on
+    // user_id via the union+window plan (AsofJoin scaladoc).
+    "ev_asof_join" -> QueryDef(
+      s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+         |  v.value AS view_value, v.event_id AS view_event_id
+         |FROM (SELECT * FROM events WHERE event_type='purchase') p
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+         |  ON p.user_id = v.user_id AND epoch_us(p.ts) >= epoch_us(v.ts)""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"),
+          col("value"), col("event_id").as("vid"))
+      AsofJoin.asofJoin(purchases, views, "ts_us", Seq("user_id"),
+          rightPrefix = "view", rightTieBreak = Some("vid"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("view_value"), col("view_vid").as("view_event_id"))
+    },
+
+    // J3 lookahead label shift: per user, the latest value at ts + 6h,
+    // trailing 6h of each user's range truncated (no complete future).
+    "ev_lookahead_label" -> QueryDef(
+      s"""WITH b AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
+         |SELECT event_id, user_id, ts_us, value,
+         |  (SELECT l.value FROM b l
+         |   WHERE l.user_id = b.user_id AND l.ts_us <= b.ts_us + ${6 * H}
+         |   ORDER BY l.ts_us DESC, l.event_id DESC LIMIT 1) AS label_value
+         |FROM b
+         |WHERE ts_us <= (SELECT max(m.ts_us) FROM b m WHERE m.user_id = b.user_id)
+         |  - ${6 * H}""".stripMargin) { (s, dir) =>
+      val base = ev(s, dir).select("user_id", "event_id", "ts_us", "value")
+      AsofJoin.lookaheadShift(base, "ts_us", 6 * H, Seq("user_id"),
+          labelPrefix = "label", tieBreak = Some("event_id"))
+        .select("event_id", "user_id", "ts_us", "value", "label_value")
+    },
+
+    // U1 union-all of overlapping slices + exact dedup + agg.
+    "ev_union_distinct" -> QueryDef(
+      s"""SELECT event_type, count(*) AS n, sum(round(value*100))/100 AS sum_value
+         |FROM (SELECT DISTINCT * FROM (
+         |  SELECT event_id, event_type, value FROM events WHERE epoch_us(ts) < $T20
+         |  UNION ALL
+         |  SELECT event_id, event_type, value FROM events WHERE epoch_us(ts) >= $T10)) t
+         |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val a = e.filter(col("ts_us") < T20).select("event_id", "event_type", "value")
+      val b = e.filter(col("ts_us") >= T10).select("event_id", "event_type", "value")
+      a.unionByName(b).dropDuplicates()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100).as("sum_value"))
+    },
+
+    // J4 keyed equi-join (v2 keyed stream join, batch form): purchases
+    // paired with same-user signups.
+    "ev_keyed_join" -> QueryDef(
+      """SELECT p.user_id AS user_id, count(*) AS n_pairs,
+        |  sum(round(p.value*100))/100 AS sum_purchase
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type='signup') sg
+        |  ON p.user_id = sg.user_id
+        |GROUP BY p.user_id""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"))
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"))
+      p.join(sg, col("user_id") === col("s_user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(cents(col("value"))) / 100).as("sum_purchase"))
+    })
+}

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local differential harness mimicking the driver's correctness gate:
+run graft.Verify to dump each query's result + oracle_sql.json, then run
+every oracle in DuckDB over the same parquet tables and compare
+column-sorted, row-sorted values exactly.
+
+Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+(Verify must have been run first: sbt "runMain graft.Verify <sfDir> <outDir>")
+"""
+import duckdb, glob, json, math, os, sys
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name, got: pd.DataFrame, exp: pd.DataFrame) -> list:
+    errs = []
+    if sorted(got.columns) != sorted(exp.columns):
+        return [f"columns differ: spark={sorted(got.columns)} oracle={sorted(exp.columns)}"]
+    if len(got) != len(exp):
+        errs.append(f"row count: spark={len(got)} oracle={len(exp)}")
+        return errs
+    g, e = normalize(got), normalize(exp)
+    for c in g.columns:
+        gv, ev = g[c].values, e[c].values
+        if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
+            gv = gv.astype(float)
+            ev = ev.astype(float)
+            neq = ~((gv == ev) | (np.isnan(gv) & np.isnan(ev)))
+            if neq.any():
+                i = int(np.argmax(neq))
+                md = np.nanmax(np.abs(np.nan_to_num(gv) - np.nan_to_num(ev)))
+                errs.append(
+                    f"col {c}: {int(neq.sum())}/{len(gv)} cells differ, "
+                    f"maxdiff={md:.3e}, first@{i}: spark={gv[i]!r} oracle={ev[i]!r}")
+        else:
+            neq = gv.astype(str) != ev.astype(str)
+            if neq.any():
+                i = int(np.argmax(neq))
+                errs.append(
+                    f"col {c}: {int(neq.sum())}/{len(gv)} cells differ, "
+                    f"first@{i}: spark={gv[i]!r} oracle={ev[i]!r}")
+    return errs
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = n_skip = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        res_dir = f"{outdir}/{name}"
+        if not glob.glob(f"{res_dir}/*.parquet"):
+            print(f"[MISS] {name}: no spark output at {res_dir}")
+            n_bad += 1
+            continue
+        got = pd.read_parquet(res_dir)
+        try:
+            exp = con.execute(sql).df()
+        except Exception as ex:
+            print(f"[ORACLE-ERR] {name}: {ex}")
+            n_bad += 1
+            continue
+        errs = compare(name, got, exp)
+        if errs:
+            print(f"[FAIL] {name} ({len(got)} rows)")
+            for e in errs:
+                print(f"    {e}")
+            n_bad += 1
+        else:
+            print(f"[ OK ] {name} ({len(got)} rows)")
+            n_ok += 1
+    # queries without oracle: rows-only
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            n = len(pd.read_parquet(d)) if glob.glob(f"{d}/*.parquet") else -1
+            print(f"[ROWS] {name}: {n} rows (no oracle)")
+            n_skip += 1
+    print(f"== {n_ok} ok, {n_bad} bad, {n_skip} rows-only ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
