@@ -16,7 +16,7 @@ import graft.sources.SyntheticSine
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    RelationalQueries.defs ++ EventQueries.defs
+    RelationalQueries.defs ++ EventQueries.defs ++ DocQueries.defs
 
   /** Flagship query (reference README quick-start, SURVEY.md §7 stage 4):
     * synthetic sine mid-price → sliding volatility → point-in-time join →

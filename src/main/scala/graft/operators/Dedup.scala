@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash groupBy), word-n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale ladder (100 TB):
+  *   - exact dedup: one shuffle on the content key — use a digest
+  *     (`sha2`/`xxhash64`) as the group key so the shuffle carries 8-64
+  *     bytes per row, not the document body;
+  *   - pairwise n-gram Jaccard: exact but quadratic in the worst case —
+  *     use only to verify candidates;
+  *   - MinHash+LSH: the scale path — O(n) signatures, candidate pairs
+  *     only where a band collides, then exact/estimated verification.
+  *   - SimHash: 64-bit signature, candidates via 16-bit chunk bands
+  *     (hamming<=k guarantee by pigeonhole with 4 chunks, k<=3 exact;
+  *     wider k caught probabilistically).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of lowercase `text` split on single
+    * spaces (deterministic, oracle-parity tokenization). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = split(lower(text), " ")
+    array_distinct(transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+  }
+
+  /** Exact dedup keep-list: one row per distinct text with the minimal
+    * id as the keeper. Shuffles only (digest, id, n_copies). */
+  def exactDedup(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(text)
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("text")
+
+  /** Exploded (id, shingle) pairs, shingles distinct per doc. */
+  def explodeShingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), wordShingles(text, n).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** Exact pairwise n-gram Jaccard >= threshold via shingle equi-join.
+    * Quadratic on hot shingles — at scale restrict to LSH candidates. */
+  def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = explodeShingles(df, text, id, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val pairs = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val j = pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
+      .withColumn("jaccard", col("inter") / (col("sa") + col("sb") - col("inter")))
+    j.filter(col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash signatures: `perms` min-hashes over 3-gram shingles, one
+    * aggregation pass (doc_id, mh0..mh{perms-1}). */
+  def minhashSignatures(df: DataFrame, text: Column, id: Column,
+      perms: Int, shingleN: Int = 3): DataFrame = {
+    val sh = explodeShingles(df, text, id, shingleN)
+    val aggs = (0 until perms).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from MinHash signatures: `bands` bands of
+    * `rows = perms/bands` hashes; docs sharing any band hash become a
+    * candidate; similarity is estimated as the matching-hash fraction.
+    */
+  def minhashLshPairs(signatures: DataFrame, perms: Int, bands: Int,
+      estThreshold: Double): DataFrame = {
+    val rows = perms / bands
+    require(bands * rows == perms, "perms must divide into bands")
+    val bandCols = (0 until bands).map { bidx =>
+      struct(lit(bidx).as("bidx"),
+        xxhash64((bidx * rows until (bidx + 1) * rows).map(i => col(s"mh$i")): _*)
+          .as("bhash"))
+    }
+    val exploded = signatures
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bhash").as("bhash"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val cand = a.join(b, col("a.bidx") === col("b.bidx") &&
+        col("a.bhash") === col("b.bhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val simCols = (0 until perms)
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(signatures.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(signatures.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (simCols.cast("double") / perms).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** 64-bit SimHash over word hashes: bit b is 1 iff the sum of
+    * (+1/-1) votes of that bit across word hashes is positive. */
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val words = df.select(id.as("doc_id"), explode(split(lower(text), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val sums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val bits = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    words.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bits.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist via
+    * 16-bit chunk banding (exact for maxDist <= 3 by pigeonhole). */
+  def simhashPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("cidx"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cval"))
+    }
+    val exploded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(chunks: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

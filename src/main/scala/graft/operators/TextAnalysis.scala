@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (marker-word heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs),
+  * deterministic and oracle-parity-exact (integer counts + fixed-shape
+  * double arithmetic).
+  */
+object TextAnalysis {
+
+  /** Lowercased single-space word split (the parity tokenization). */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** Count of words from a fixed marker list. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(markers.map(lit): _*)))
+
+  val EnMarkers = Seq("the", "and", "of", "is", "a")
+  val DeMarkers = Seq("der", "und", "die", "das", "ist")
+  val FrMarkers = Seq("le", "la", "et", "les", "est")
+  val EsMarkers = Seq("el", "los", "las", "es", "y")
+
+  /** Language-ID by marker-word counts with fixed precedence
+    * en > de > fr > es (deterministic ties). On natural text the marker
+    * lists separate languages; on the synthetic English-vocab testdata
+    * this mostly predicts 'en' — the correctness criterion is engine
+    * parity, not accuracy (see SURVEY beyond-reference ops).
+    */
+  def langId(cEn: Column, cDe: Column, cFr: Column, cEs: Column): Column =
+    when(cEn >= cDe && cEn >= cFr && cEn >= cEs, "en")
+      .when(cDe >= cFr && cDe >= cEs, "de")
+      .when(cFr >= cEs, "fr")
+      .otherwise("es")
+
+  /** BPE-ish pre-tokenizer count: runs of letters, runs of digits, or a
+    * single other non-space char. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Punctuation (non-alphanumeric-non-space) char count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[^a-z0-9 ]"), lit(0)))
+
+  val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Quality score in [0,1]: length saturation + cleanliness +
+    * stopword saturation. Int/int divisions and a fixed expression
+    * shape keep it bit-identical across engines. */
+  def qualityScore(nWords: Column, nPunct: Column, nChars: Column,
+      nStop: Column): Column =
+    lit(0.4) * least(lit(1.0), nWords / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - nPunct / nChars) +
+      lit(0.3) * least(lit(1.0), lit(4.0) * nStop / nWords)
+
+  /** Polynomial rolling-hash fingerprint mod 1e9+7 over character
+    * codes, seeded with the first char (matches DuckDB `list_reduce`
+    * semantics, which folds from the first element). */
+  def fingerprint(text: Column): Column = {
+    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
+    aggregate(
+      slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
+      element_at(codes, 1),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+  }
+}

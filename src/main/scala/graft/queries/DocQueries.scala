@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis => TA}
+
+/** LLM-training-data operators over the `documents` table: dedup
+  * (exact / n-gram Jaccard / MinHash-LSH / SimHash), text analysis
+  * (language-ID, quality, tokens, fingerprint). MinHash/SimHash use
+  * Spark's xxhash64, which DuckDB lacks → rows-only driver check; their
+  * semantics are covered by ScalaTest against the exact-Jaccard oracle.
+  */
+object DocQueries {
+
+  private val inList = (ws: Seq[String]) => ws.map(w => s"'$w'").mkString(", ")
+  private val SPLIT = "string_split(lower(text), ' ')"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup keep-list: group by content, keep min id. At scale
+    // the group key is a digest so the shuffle stays narrow.
+    "doc_dedup_exact" -> QueryDef(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  min(n_chars) AS n_chars
+        |FROM documents GROUP BY text""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          min(col("n_chars")).as("n_chars"))
+        .drop("text")
+    },
+
+    // Near-dup detection: exact word-trigram Jaccard >= 0.8 over a
+    // shingle equi-join (the verification-grade path; LSH below is the
+    // scale path that feeds it candidates).
+    "doc_ngram_jaccard" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter/(sa.sz + sb.sz - inter) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE inter/(sa.sz + sb.sz - inter) >= 0.8""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("text"),
+        col("doc_id"), 3, 0.8)
+    },
+
+    // MinHash (32 perms) + LSH (8 bands x 4): candidate pairs with
+    // estimated similarity >= 0.7. xxhash64-based → rows-only check.
+    "doc_minhash_lsh" -> QueryDef.noOracle { (s, dir) =>
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, dir),
+        col("text"), col("doc_id"), perms = 32)
+      Dedup.minhashLshPairs(sigs, perms = 32, bands = 8, estThreshold = 0.7)
+    },
+
+    // SimHash near-dups: hamming <= 6 over 16-bit chunk bands.
+    "doc_simhash" -> QueryDef.noOracle { (s, dir) =>
+      val sigs = Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))
+      Dedup.simhashPairs(sigs, maxDist = 6)
+    },
+
+    // Language-ID heuristic: marker-word counts, fixed precedence.
+    "doc_langid" -> QueryDef(
+      s"""SELECT doc_id, c_en, c_de, c_fr, c_es,
+         |  CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+         |       WHEN c_fr >= c_es THEN 'fr'
+         |       ELSE 'es' END AS predicted,
+         |  lang AS actual
+         |FROM (SELECT doc_id, lang,
+         |  len(list_filter($SPLIT, w -> w IN (${inList(TA.EnMarkers)}))) AS c_en,
+         |  len(list_filter($SPLIT, w -> w IN (${inList(TA.DeMarkers)}))) AS c_de,
+         |  len(list_filter($SPLIT, w -> w IN (${inList(TA.FrMarkers)}))) AS c_fr,
+         |  len(list_filter($SPLIT, w -> w IN (${inList(TA.EsMarkers)}))) AS c_es
+         |  FROM documents) t""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TA.markerCount(col("text"), TA.EnMarkers).as("c_en"),
+          TA.markerCount(col("text"), TA.DeMarkers).as("c_de"),
+          TA.markerCount(col("text"), TA.FrMarkers).as("c_fr"),
+          TA.markerCount(col("text"), TA.EsMarkers).as("c_es"),
+          col("lang").as("actual"))
+        .withColumn("predicted",
+          TA.langId(col("c_en"), col("c_de"), col("c_fr"), col("c_es")))
+        .select("doc_id", "c_en", "c_de", "c_fr", "c_es", "predicted", "actual")
+    },
+
+    // Quality scoring: saturating length/cleanliness/stopword mix.
+    "doc_quality" -> QueryDef(
+      s"""SELECT doc_id, n_chars, n_words, n_punct, n_stop,
+         |  0.4 * least(1.0, n_words/100.0)
+         |  + 0.3 * (1.0 - n_punct/n_chars)
+         |  + 0.3 * least(1.0, 4.0*n_stop/n_words) AS quality
+         |FROM (SELECT doc_id, n_chars,
+         |  len($SPLIT) AS n_words,
+         |  len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+         |  len(list_filter($SPLIT, w -> w IN (${inList(TA.Stopwords)}))) AS n_stop
+         |  FROM documents) t""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          TA.wordCount(col("text")).as("n_words"),
+          TA.punctCount(col("text")).as("n_punct"),
+          TA.markerCount(col("text"), TA.Stopwords).as("n_stop"))
+        .withColumn("quality",
+          TA.qualityScore(col("n_words"), col("n_punct"), col("n_chars"),
+            col("n_stop")))
+    },
+
+    // Token counting: BPE-ish pre-tokenizer regex.
+    "doc_token_count" -> QueryDef(
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
+        |  len(string_split(lower(text), ' ')) AS n_words,
+        |  n_chars/len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    AS chars_per_token
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.wordCount(col("text")).as("n_words"),
+          (col("n_chars") / TA.tokenCount(col("text"))).as("chars_per_token"))
+    },
+
+    // Rolling-hash document fingerprint (mod 1e9+7 polynomial).
+    "doc_fingerprint" -> QueryDef(
+      """SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ''),
+        |    c -> CAST(unicode(c) AS BIGINT)),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS fp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+    })
+}
