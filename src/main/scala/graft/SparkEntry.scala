@@ -16,7 +16,8 @@ import graft.sources.SyntheticSine
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    RelationalQueries.defs ++ EventQueries.defs ++ DocQueries.defs
+    RelationalQueries.defs ++ EventQueries.defs ++ DocQueries.defs ++
+      EmbeddingQueries.defs ++ StatefulQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query (reference README quick-start, SURVEY.md §7 stage 4):
     * synthetic sine mid-price → sliding volatility → point-in-time join →

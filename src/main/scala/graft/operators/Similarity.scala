@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Paths:
+  *   - brute-force cosine top-k: exact baseline. Queries are broadcast;
+  *     the corpus is scanned once, scored with codegen'd higher-order
+  *     functions, and ranked per query. At 100 TB the corpus scan
+  *     parallelizes perfectly (no shuffle until the tiny top-k agg).
+  *   - LSH (sign-random-projection) bucketing: each vector hashes to a
+  *     `bits`-bit signature; candidates share the query's bucket,
+  *     reranked exactly. Sub-linear probe cost at scale.
+  *
+  * All math is double precision, left-to-right folds — bit-compatible
+  * with the DuckDB oracle's `list_dot_product` on `DOUBLE[]`.
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two array<numeric> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k cosine neighbors for each query row (small query set,
+    * broadcast) against the corpus. Output: q_id, neighbor_id, cos_sim,
+    * rnk (1-based). Excludes self-matches. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+    val scored = corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"),
+        col("rnk"))
+  }
+
+  /** Deterministic ±1 sign-random-projection hyperplanes (seeded). */
+  private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** `bits`-bit SRP-LSH bucket id for an embedding column. */
+  def lshBucket(emb: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(bits, dim, seed)
+    planes.zipWithIndex.map { case (p, j) =>
+      val proj = dot(emb, typedlit(p.toSeq))
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** ANN top-k via multi-table SRP-LSH: `tables` independent `bits`-bit
+    * signatures; a corpus row is a candidate if it shares any table's
+    * bucket with the query, then candidates are reranked by exact
+    * cosine. Recall/probe-cost is tuned by (bits, tables): clustered
+    * real-world embeddings probe sub-linearly; on near-orthogonal data
+    * (like the synthetic testdata, top-cos ~0.35) the same structure
+    * degrades gracefully toward a larger candidate set. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int,
+      dim: Int, tables: Int = 24, seed: Long = 42L): DataFrame = {
+    def bucketCols(emb: Column): Column = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(emb, bits, dim, seed + t).as("bkt"))
+    }: _*)
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"), explode(bucketCols(col("embedding"))).as("h"))
+      .select(col("vec_id"), col("embedding"),
+        col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
+    val qb = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(bucketCols(col("embedding"))).as("h"))
+      .select(col("q_id"), col("qe"), col("h.tbl").as("qtbl"), col("h.bkt").as("qbkt"))
+    val cand = bucketed.join(broadcast(qb),
+        col("tbl") === col("qtbl") && col("bkt") === col("qbkt"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("qe"), col("embedding"))
+      .dropDuplicates("q_id", "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"),
+        col("rnk"))
+  }
+}

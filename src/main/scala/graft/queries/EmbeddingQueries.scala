@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity search over the `embeddings` table (`array<float>` 64-d).
+  * Brute-force cosine top-k has a DuckDB oracle (`list_dot_product` on
+  * DOUBLE[] folds left-to-right like our `aggregate`); the LSH path is
+  * rows-only with recall covered by SimilaritySpec.
+  */
+object EmbeddingQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "emb_cosine_topk" -> QueryDef(
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10)
+        |SELECT q_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
+        |  SELECT q_id, vec_id AS neighbor_id,
+        |    list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+        |       * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cos,
+        |    row_number() OVER (
+        |      PARTITION BY q_id
+        |      ORDER BY list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+        |         * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) DESC,
+        |        vec_id ASC) AS rnk
+        |  FROM q CROSS JOIN embeddings
+        |  WHERE vec_id != q_id) t
+        |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    },
+
+    "emb_lsh_topk" -> QueryDef.noOracle { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5,
+        bits = 6, dim = 64)
+    })
+}
