@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch entry-point smoke: mirrors the driver's rows>0 check. */
+/** Scratch: plan inspection + entry smoke (driver checks rows>0). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -12,9 +12,15 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.entry(spark)
-    df.show(5, false)
-    println("entry rows=" + df.count())
+    val dir = "/root/testdata/sf0.001"
+    for (q <- args) {
+      println(s"========== $q ==========")
+      SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
+    if (args.isEmpty) {
+      val df = SparkEntry.entry(spark)
+      println("entry rows=" + df.count())
+    }
     spark.stop()
   }
 }

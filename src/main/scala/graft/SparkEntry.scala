@@ -25,21 +25,27 @@ object SparkEntry {
     * external data; driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.core._
+    import graft.core.BuiltinDefs._
     val t0 = 1704067200000000L // 2024-01-01T00:00:00Z in epoch micros
     val hour = 3600L * 1000000L
     val src = SyntheticSine(spark, t0, t0 + hour, 1000000L)
-    val okey = WindowOps.orderKey(col("ts_us"), col("seq"))
+      .select(col("ts_us"), col("seq"), col("mid_price"))
 
-    val base = src.select(col("ts_us"), col("seq"), col("mid_price"))
-    val vol = src.select(col("ts_us"),
-      WindowOps.volatility(col("mid_price"), Nil, okey, 60L * 1000000L)
-        .as("volatility"))
+    // Declarative forest (the engine's front door): shared sine source,
+    // volatility feature, 5s-lookahead label, point-in-time join root —
+    // the reference README quick-start config, as a Feature tree.
+    val sine = Feature(SourceDef("sine"))
+    val vol = Feature(VolatilityDef,
+      Map("ts" -> "ts_us", "seq" -> "seq", "value" -> "mid_price",
+        "lookback_us" -> "60000000"), Seq(sine))
+    val labeled = Feature(LookaheadLabelDef,
+      Map("ts" -> "ts_us", "delta_us" -> "5000000", "tie" -> "seq"), Seq(sine))
+    val root = Feature(PitJoinDef,
+      Map("ts" -> "ts_us", "names" -> "volatility"),
+      Seq(labeled, vol))
 
-    // Label first (reference tasks.py:242-252 column order), then align
-    // the volatility feature on the labeled frame's timestamps.
-    val labeled = AsofJoin.lookaheadShift(
-      base, "ts_us", 5L * 1000000L, Nil, "label", tieBreak = Some("seq"))
-    AsofJoin.pointInTimeJoin(labeled, Seq(("volatility", vol)), "ts_us")
+    Forest.build(Seq(root), Map("sine" -> src))(root)
       .select(col("ts_us"), col("label_mid_price"), col("mid_price"),
         col("volatility_volatility").as("volatility"))
   }

@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The engine's declarative core, replacing the reference's
+  * `FeatureDefinition`/`Feature`/task-graph triad (svoe
+  * `feature_definition.py`, `feature_tree.py`, `builder.py`) with one
+  * abstraction: a named transform over named dependency frames. The
+  * "physical plan" is just the composed lazy DataFrame — Catalyst
+  * plans it; there is no hand-rolled scheduler, object cache, or block
+  * plumbing to port.
+  */
+trait FeatureDef {
+  def name: String
+
+  /** Build this feature's frame from its dependencies' frames.
+    * Called once per distinct (params, deps) instance — batch and
+    * streaming inputs both work (Kappa parity). */
+  def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame
+}
+
+/** A parameterized feature-tree node. `key` is a deterministic content
+  * hash of (definition, params, dep keys) — the identity used for
+  * shared-subtree dedup and feature-store memoization (svoe
+  * `feature_tree.py:76-89`). */
+final case class Feature(
+    defn: FeatureDef,
+    params: Map[String, String] = Map.empty,
+    deps: Seq[Feature] = Nil) {
+
+  lazy val key: String = {
+    val canonical = new StringBuilder(defn.name)
+    params.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      canonical.append('|').append(k).append('=').append(v)
+    }
+    deps.foreach(d => canonical.append('#').append(d.key))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canonical.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+}
+
+/** A leaf bound to an externally-supplied source frame. */
+final case class SourceDef(name: String) extends FeatureDef {
+  override def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    throw new IllegalStateException(s"source $name must be bound via Forest.build")
+}
+
+object Forest {
+
+  /** Materialize a feature forest into one frame per requested root.
+    *
+    * Shared subtrees (equal content key) are built once (svoe
+    * `feature_tree.py:176-179` dedup); any node consumed by more than
+    * one parent is `.persist()`ed — the same refcount analysis the
+    * reference implements with its Ray object cache
+    * (`tasks.py:32-51`), expressed as a cache hint Catalyst honors.
+    */
+  def build(
+      roots: Seq[Feature],
+      sources: Map[String, DataFrame],
+      persistShared: Boolean = true): Map[Feature, DataFrame] = {
+    val fanout = scala.collection.mutable.Map.empty[String, Int]
+    def countFanout(f: Feature): Unit = {
+      fanout(f.key) = fanout.getOrElse(f.key, 0) + 1
+      if (fanout(f.key) == 1) f.deps.foreach(countFanout)
+    }
+    roots.foreach(countFanout)
+
+    val built = scala.collection.mutable.Map.empty[String, DataFrame]
+    def buildNode(f: Feature): DataFrame = built.getOrElseUpdate(f.key, {
+      val df = f.defn match {
+        case SourceDef(n) =>
+          sources.getOrElse(n,
+            throw new IllegalArgumentException(s"unbound source: $n"))
+        case d => d.transform(f.deps.map(buildNode), f.params)
+      }
+      if (persistShared && fanout(f.key) > 1 && !f.defn.isInstanceOf[SourceDef])
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      else df
+    })
+    roots.map(r => r -> buildNode(r)).toMap
+  }
+}

@@ -41,20 +41,51 @@ object Dedup {
       .filter(size(col("sh")) >= 1)
       .select(col("doc_id"), explode(col("sh")).as("s"))
 
-  /** Exact pairwise n-gram Jaccard >= threshold via shingle equi-join.
-    * Quadratic on hot shingles — at scale restrict to LSH candidates. */
+  /** Exact pairwise n-gram Jaccard >= threshold, prefix-filtered
+    * (AllPairs/PPJoin): under any global token order, two sets with
+    * Jaccard >= t share a token within each one's first
+    * `|A| - ceil(t|A|) + 1` tokens — so only those prefix tokens join.
+    * Ordering tokens by ascending document frequency makes the prefixes
+    * the RARE tokens, collapsing the join fanout that makes the naive
+    * shingle join quadratic on hot shingles. Candidates then get an
+    * exact intersection via `array_intersect` on the full (sorted,
+    * deduped) shingle-id sets. Same results as the naive join — the
+    * filter is lossless — at a fraction of the shuffle.
+    *
+    * Shingles are 64-bit ids (collision odds ~n_shingles^2/2^64).
+    * Threshold prefix length uses exact integer arithmetic
+    * (ceil(t*sz) = floorDiv(num*sz + den-1, den) for t = num/den).
+    */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, thresholdFrac: (Int, Int) = (4, 5)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (num, den) = thresholdFrac
+    require(num.toDouble / den == threshold, "thresholdFrac must equal threshold")
+
     val sh = explodeShingles(df, text, id, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val pairs = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    val j = pairs
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val tokDf = sh.groupBy("s").agg(count(lit(1)).as("tok_df"))
+
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("tok_df").asc, col("s").asc)
+    val prefix = sh.join(tokDf, "s")
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // L = sz - ceil(t*sz) + 1
+      .filter(col("rn") <= col("sz") - floor((col("sz") * num + den - 1) / den) + 1)
+      .select("doc_id", "s")
+
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("s")).as("toks"), count(lit(1)).as("sz"))
+    val j = cand
+      .join(sets.select(col("doc_id").as("a_id"), col("toks").as("ta"), col("sz").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("toks").as("tb"), col("sz").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard", col("inter") / (col("sa") + col("sb") - col("inter")))
     j.filter(col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
   }

@@ -40,7 +40,7 @@ object L2Book {
   def relSpread(bids: Column, asks: Column): Column = {
     val b = try_element_at(bids, lit(1)).getField("price")
     val a = try_element_at(asks, lit(1)).getField("price")
-    fabs(a - b) * 2 / (a + b)
+    org.apache.spark.sql.functions.when(a + b =!= lit(0.0), fabs(a - b) * 2 / (a + b))
   }
 
   case class Update(instrument: String, ts_us: Long, seq: Long,

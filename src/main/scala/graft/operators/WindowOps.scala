@@ -60,7 +60,7 @@ object WindowOps {
         min(price).as("low"),
         max_by(price, okey).as("close"),
         sum(amount).as("volume"),
-        (sum(price * amount) / sum(amount)).as("vwap"),
+        when(sum(amount) =!= lit(0.0), sum(price * amount) / sum(amount)).as("vwap"),
         count(lit(1)).as("num_trades"))
 
   /** Sliding-window population stddev (svoe `volatility_stddev_fd.py`,
@@ -96,7 +96,7 @@ object WindowOps {
       lookbackUs: Long): Column = {
     val w = sliding(by, okey, lookbackUs)
     val first = first_value(value).over(w)
-    (value - first) / first
+    when(first =!= lit(0.0), (value - first) / first)
   }
 
   /** Bucket sampling: one row per (keys, bucket): the latest value (A6,

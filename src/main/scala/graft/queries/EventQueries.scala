@@ -70,7 +70,8 @@ object EventQueries {
          |  min(value) AS low,
          |  arg_max(value, $OKEY) AS close,
          |  sum(round(value*100))/100 AS volume,
-         |  (sum(round(value*100)*round(value*100))/sum(round(value*100)))/100 AS vwap,
+         |  (sum(round(value*100)*round(value*100))
+         |    / NULLIF(sum(round(value*100)), 0))/100 AS vwap,
          |  count(*) AS num_trades
          |FROM events
          |GROUP BY event_type, bucket_us""".stripMargin) { (s, dir) =>
@@ -83,7 +84,7 @@ object EventQueries {
           min("value").as("low"),
           max_by(col("value"), okey).as("close"),
           (sum(vc) / 100).as("volume"),
-          (sum(vc * vc) / sum(vc) / 100).as("vwap"),
+          when(sum(vc) =!= 0, sum(vc * vc) / sum(vc) / 100).as("vwap"),
           count(lit(1)).as("num_trades"))
     },
 
@@ -127,7 +128,8 @@ object EventQueries {
     // Pure value arithmetic on picked rows — exact, no rounding.
     "ev_diff_24h" -> QueryDef(
       s"""SELECT event_id, user_id,
-         |  (value - first_value(value) OVER w) / first_value(value) OVER w AS rel_diff
+         |  (value - first_value(value) OVER w)
+         |    / NULLIF(first_value(value) OVER w, 0) AS rel_diff
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY $OKEY
          |  RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Block storage + catalog (SURVEY.md §1.3, K1/S3): replaces the
+  * reference's gzip-parquet blocks + SQLAlchemy index with a
+  * day-partitioned parquet table per (definition, key) and a small
+  * parquet metadata table.
+  *
+  * - Writes are content-hash idempotent (reference `tasks.py:208-215`):
+  *   an order-independent xxhash64 digest of the frame skips duplicate
+  *   stores.
+  *  - Range scans push `day` down as partition pruning and the exact ts
+  *   bounds down to row-group stats — the reference's SQL-index block
+  *   discovery becomes a free Catalyst feature.
+  *
+  * At cluster scale the metadata table would live in a transactional
+  * table format; the interface here is the engine-facing contract.
+  */
+class BlockCatalog(spark: SparkSession, root: String) {
+
+  private def dataPath(definition: String, key: String) = s"$root/$definition/$key/data"
+  private def metaPath = s"$root/_meta"
+
+  /** Order-independent content hash of a frame: decimal sum of row
+    * hashes (wrap-free under ANSI; duplicate-multiset-sensitive,
+    * unlike XOR). */
+  def contentHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.map(col)
+    val h = df
+      .select(xxhash64(cols: _*).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        .as("h"))
+      .agg(sum(col("h"))).collect()(0)
+    if (h.isNullAt(0)) "empty" else h.getDecimal(0).toBigInteger.toString(16)
+  }
+
+  def meta: DataFrame =
+    try spark.read.parquet(metaPath)
+    catch { case _: Exception => spark.emptyDataFrame }
+
+  private def hashExists(definition: String, key: String, hash: String): Boolean = {
+    val m = meta
+    m.columns.contains("hash") && !m
+      .filter(col("definition") === definition && col("key") === key &&
+        col("hash") === hash)
+      .isEmpty
+  }
+
+  /** Store a ts-ordered frame as day-partitioned parquet + one metadata
+    * row; skipped (false) when the identical content is already
+    * cataloged. `tsUs` must be an epoch-micros Long column name. */
+  def write(df: DataFrame, definition: String, key: String, tsUs: String): Boolean = {
+    val hash = contentHash(df)
+    if (hashExists(definition, key, hash)) return false
+    val withDay = df.withColumn("day",
+      date_format(timestamp_micros(col(tsUs)), "yyyy-MM-dd"))
+    withDay.write.mode("append").partitionBy("day").parquet(dataPath(definition, key))
+    val stats = df.agg(min(col(tsUs)).as("start_ts"), max(col(tsUs)).as("end_ts"),
+      count(lit(1)).as("num_rows")).collect()(0)
+    import spark.implicits._
+    Seq((definition, key, stats.getLong(0), stats.getLong(1), stats.getLong(2), hash))
+      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash")
+      .write.mode("append").parquet(metaPath)
+    true
+  }
+
+  /** Range scan: partition pruning on day + exact ts bounds. */
+  def scan(definition: String, key: String, startUs: Long, endUs: Long,
+      tsUs: String = "ts_us"): DataFrame =
+    spark.read.parquet(dataPath(definition, key))
+      .filter(col("day") >= date_format(timestamp_micros(lit(startUs)), "yyyy-MM-dd")
+        && col("day") <= date_format(timestamp_micros(lit(endUs)), "yyyy-MM-dd"))
+      .filter(col(tsUs) >= startUs && col(tsUs) <= endUs)
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.operators.L2Book
+import graft.operators.L2Book.{Snapshot, Update}
+
+/** Kappa parity (SURVEY.md §2.9): the same `DataFrame => DataFrame`
+  * transform runs over `spark.read` (batch replay) and
+  * `spark.readStream` (live) — Structured Streaming's unified API is
+  * exactly the reference's online/offline split, minus its hand-rolled
+  * runtime. Watermarks give strictly more than the reference's
+  * "input must be ts-sorted" assumption.
+  */
+object Streaming {
+
+  /** The events table's schema as read with nanosAsLong. */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source replaying the events parquet (S6 stand-in: the
+    * live WebSocket feed is out of scope in a zero-egress env). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource takes a directory; the glob filter narrows it to
+    // the events table (other tables in the sf dir have other schemas).
+    spark.readStream
+      .schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  /** A transform usable identically in batch and streaming: tumbling
+    * 1h windowed aggregates per event_type with a 2h watermark. */
+  def windowedAgg(df: DataFrame): DataFrame =
+    df.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "2 hours")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100)).as("value_cents"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  /** Streaming L2 book: the batch `BookState` fold inside
+    * `flatMapGroupsWithState` — per-instrument state survives across
+    * micro-batches (checkpointable), events sorted within each batch
+    * (cross-batch order = source order, the reference's own contract).
+    */
+  def l2BookStream(updates: Dataset[Update], depth: Int): Dataset[Snapshot] = {
+    import updates.sparkSession.implicits._
+    implicit val stateEnc = org.apache.spark.sql.Encoders.kryo[L2Book.BookState]
+    updates
+      .groupByKey(_.instrument)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (instrument: String, rows: Iterator[Update],
+         state: GroupState[L2Book.BookState]) => {
+          val book = state.getOption.getOrElse(new L2Book.BookState)
+          val sorted = rows.toArray.sortBy(u => (u.ts_us, u.seq))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+          var i = 0
+          while (i < sorted.length) {
+            val ts = sorted(i).ts_us
+            while (i < sorted.length && sorted(i).ts_us == ts) {
+              book.apply(sorted(i)); i += 1
+            }
+            val (b, a) = book.top(depth)
+            out += Snapshot(instrument, ts, b, a)
+          }
+          state.update(book)
+          out.iterator
+        })
+  }
+}

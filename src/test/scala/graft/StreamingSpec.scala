@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.L2Book
+import graft.operators.L2Book.{Update => U}
+import graft.streaming.Streaming
+
+/** Batch ≡ stream parity (SURVEY.md §2.9 Kappa contract): the same
+  * transform over `read` and `readStream` of the same data must agree.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowed agg: batch and streaming replay produce identical rows") {
+    val batch = Streaming.windowedAgg(Tables.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+
+    val q = Streaming.windowedAgg(Streaming.eventsStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("parity_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful L2 book stream: state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[U]
+    val q = Streaming.l2BookStream(input.toDS(), depth = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("book_out")
+      .start()
+    try {
+      // batch 1: snapshot
+      input.addData(
+        U("X", 1, 0, "SNAPSHOT", "bid", 100.0, 5.0),
+        U("X", 1, 1, "SNAPSHOT", "ask", 101.0, 3.0))
+      q.processAllAvailable()
+      // batch 2: mutation — must see batch 1's book from state
+      input.addData(U("X", 2, 2, "ADD", "bid", 100.0, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("book_out").as[L2Book.Snapshot]
+        .collect().sortBy(_.ts_us)
+      assert(out.length == 2)
+      assert(out(1).bids == Seq(L2Book.Level(100.0, 6.0)))
+      assert(out(1).asks == Seq(L2Book.Level(101.0, 3.0)))
+    } finally q.stop()
+  }
+}
