@@ -29,7 +29,10 @@ object SparkEntry {
     import graft.core.BuiltinDefs._
     val t0 = 1704067200000000L // 2024-01-01T00:00:00Z in epoch micros
     val hour = 3600L * 1000000L
-    val src = SyntheticSine(spark, t0, t0 + hour, 1000000L)
+    // freq = 0.05 Hz (20s period): the reference fixture's freq=5 with
+    // 1s sampling aliases to a constant (sin(10 pi k) = 0) — a real
+    // oscillation makes the volatility/label/backtest path meaningful.
+    val src = SyntheticSine(spark, t0, t0 + hour, 1000000L, freq = 0.05)
       .select(col("ts_us"), col("seq"), col("mid_price"))
 
     // Declarative forest (the engine's front door): shared sine source,

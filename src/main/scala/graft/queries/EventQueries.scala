@@ -226,6 +226,35 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100).as("sum_value"))
     },
 
+    // P4 preprocess: rows grouped into nested per-bucket `orders`
+    // arrays (collect_list(struct) + sort_array), then re-exploded flat
+    // so the grouping+ordering round trip is oracle-checkable.
+    "ev_preprocess_nested" -> QueryDef(
+      s"""SELECT user_id, bucket_us,
+         |  row_number() OVER (PARTITION BY user_id, bucket_us
+         |    ORDER BY ts_us, value) - 1 AS pos,
+         |  ts_us, value
+         |FROM (SELECT user_id, (epoch_us(ts) // ${H}) * ${H} AS bucket_us,
+         |  epoch_us(ts) AS ts_us, value FROM events) t""".stripMargin) { (s, dir) =>
+      val grouped = graft.operators.Preprocess.groupNested(
+        ev(s, dir).withColumn("bucket_us", WindowOps.bucket(col("ts_us"), H)),
+        Seq(col("user_id"), col("bucket_us")),
+        Seq(col("ts_us"), col("value")))
+      grouped.select(col("user_id"), col("bucket_us"),
+          posexplode(col("orders")).as(Seq("pos", "o")))
+        .select(col("user_id"), col("bucket_us"), col("pos"),
+          col("o.ts_us").as("ts_us"), col("o.value").as("value"))
+    },
+
+    // A6 elapsed-time throttle (stateful variant): emit only rows >= 6h
+    // after the previously emitted row per user. Path-dependent fold →
+    // rows-only check; semantics covered by PreprocessSpec.
+    "ev_throttle_elapsed" -> QueryDef.noOracle { (s, dir) =>
+      graft.operators.Preprocess.throttleElapsed(
+        ev(s, dir).select("event_id", "user_id", "ts_us", "value"),
+        "ts_us", 6 * H, Seq("user_id"), seq = Some("event_id"))
+    },
+
     // J4 keyed equi-join (v2 keyed stream join, batch form): purchases
     // paired with same-user signups.
     "ev_keyed_join" -> QueryDef(

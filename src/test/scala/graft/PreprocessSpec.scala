@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Preprocess
+
+class PreprocessSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("groupNested: equal-key rows collapse into one sorted orders array") {
+    val df = Seq(
+      (1L, "SNAPSHOT", "bid", 100.0, 5.0),
+      (1L, "SNAPSHOT", "ask", 101.0, 3.0),
+      (2L, "ADD", "bid", 100.0, 1.0)
+    ).toDF("ts_us", "update_type", "side", "price", "size")
+    val out = Preprocess.groupNested(df,
+      Seq(col("ts_us"), col("update_type")),
+      Seq(col("side"), col("price"), col("size")))
+      .orderBy("ts_us").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(out(0).fieldIndex("n_orders")) == 2)
+    val orders = out(0).getSeq[org.apache.spark.sql.Row](out(0).fieldIndex("orders"))
+    assert(orders.map(_.getString(0)) == Seq("ask", "bid")) // sorted
+  }
+
+  test("throttleElapsed: emits first row then only rows >= window later") {
+    val df = Seq(
+      ("u", 0L, 1), ("u", 50L, 2), ("u", 100L, 3), ("u", 149L, 4),
+      ("u", 260L, 5), ("v", 10L, 6), ("v", 20L, 7)
+    ).toDF("k", "ts_us", "id")
+    val out = Preprocess.throttleElapsed(df, "ts_us", 100L, Seq("k"), Some("id"))
+      .orderBy("k", "ts_us").collect().map(_.getInt(2))
+    // u: 0 emit, 50 skip, 100 emit, 149 skip, 260 emit; v: 10 emit, 20 skip
+    assert(out.toSeq == Seq(1, 3, 5, 6))
+  }
+
+  test("tsViolationsBySeq detects out-of-order timestamps") {
+    val ok = Seq(("k", 1L, 1L), ("k", 2L, 2L)).toDF("k", "seq", "ts")
+    val bad = Seq(("k", 1L, 5L), ("k", 2L, 3L)).toDF("k", "seq", "ts")
+    assert(Preprocess.tsViolationsBySeq(ok, col("ts"), col("seq"), Seq(col("k"))) == 0)
+    assert(Preprocess.tsViolationsBySeq(bad, col("ts"), col("seq"), Seq(col("k"))) == 1)
+  }
+
+  test("TimeUtils duration grammar") {
+    import graft.time.TimeUtils._
+    assert(parseMicros("1m") == 60000000L)
+    assert(parseMicros("125ms") == 125000L)
+    assert(parseMicros("24h") == 86400000000L)
+    assert(parseMicros("2d") == 2 * 86400000000L)
+    assertThrows[IllegalArgumentException](parseMicros("5x"))
+    assert(bucketStartUs(3601000000L, 3600000000L) == 3600000000L)
+  }
+}
