@@ -91,11 +91,24 @@ object Dedup {
   }
 
   /** MinHash signatures: `perms` min-hashes over 3-gram shingles, one
-    * aggregation pass (doc_id, mh0..mh{perms-1}). */
+    * aggregation pass (doc_id, mh0..mh{perms-1}). One string hash per
+    * shingle; permutations are a seeded affine universal family
+    * `(a_i*h + b_i) mod (2^31-1)` on the 31-bit-masked hash — products
+    * stay under 2^62 (no ANSI overflow) and the multiplicative mixing
+    * keeps permutations effectively independent (a purely additive
+    * `h1 + i*h2` family correlates minimizers across i — lower-envelope
+    * effect — and measurably hurts recall). */
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
       perms: Int, shingleN: Int = 3): DataFrame = {
+    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val rnd = new java.util.Random(42)
+    val coeffs = Array.fill(perms)(
+      (1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))
     val sh = explodeShingles(df, text, id, shingleN)
-    val aggs = (0 until perms).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+      .withColumn("h", xxhash64(col("s")).bitwiseAND(lit(0x7FFFFFFFL)))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
+    }.toSeq
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 

@@ -52,12 +52,13 @@ object DocQueries {
         col("doc_id"), 3, 0.8)
     },
 
-    // MinHash (32 perms) + LSH (8 bands x 4): candidate pairs with
-    // estimated similarity >= 0.7. xxhash64-based → rows-only check.
+    // MinHash (32 perms) + LSH (16 bands x 2): candidate pairs with
+    // estimated similarity >= 0.6 (~3 sigma below a true j=0.8 with 32
+    // perms). xxhash64-based → rows-only check.
     "doc_minhash_lsh" -> QueryDef.noOracle { (s, dir) =>
       val sigs = Dedup.minhashSignatures(Tables.documents(s, dir),
         col("text"), col("doc_id"), perms = 32)
-      Dedup.minhashLshPairs(sigs, perms = 32, bands = 8, estThreshold = 0.7)
+      Dedup.minhashLshPairs(sigs, perms = 32, bands = 16, estThreshold = 0.6)
     },
 
     // SimHash near-dups: hamming <= 6 over 16-bit chunk bands.

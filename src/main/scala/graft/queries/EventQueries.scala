@@ -255,6 +255,25 @@ object EventQueries {
         "ts_us", 6 * H, Seq("user_id"), seq = Some("event_id"))
     },
 
+    // §2.8 json: extract the catalog-style JSON blob column.
+    "ev_json_extract" -> QueryDef(
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n, sum(round(value*100))/100 AS sum_value
+        |FROM events GROUP BY k_mod""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .withColumn("k_mod", get_json_object(col("props"), "$.k").cast("long") % 10)
+        .groupBy("k_mod")
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100).as("sum_value"))
+    },
+
+    // Distinct aggregation (beyond-reference engine surface).
+    "ev_distinct_users" -> QueryDef(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+    },
+
     // J4 keyed equi-join (v2 keyed stream join, batch form): purchases
     // paired with same-user signups.
     "ev_keyed_join" -> QueryDef(

@@ -119,6 +119,18 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     },
 
+    // Hierarchical aggregation (grouping sets surface; absent in the
+    // reference, free in the engine).
+    "q_rollup" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    },
+
     // Left-semi / left-anti joins (EXISTS / NOT EXISTS).
     "q_semi_anti" -> QueryDef(
       """SELECT c_mktsegment, 'with_orders' AS kind, count(*) AS n

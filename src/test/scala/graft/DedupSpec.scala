@@ -23,7 +23,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash LSH recalls every exact-jaccard>=0.8 pair") {
     val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 32)
-    val lsh = Dedup.minhashLshPairs(sigs, 32, 8, 0.7)
+    val lsh = Dedup.minhashLshPairs(sigs, 32, 16, 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val missed = exactPairs -- lsh
     assert(missed.isEmpty, s"LSH missed: $missed")
