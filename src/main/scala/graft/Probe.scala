@@ -20,6 +20,21 @@ object Probe {
     if (args.isEmpty) {
       val df = SparkEntry.entry(spark)
       println("entry rows=" + df.count())
+      // config front-door smoke: JSON config -> Forest -> FeatureLabelSet
+      val json =
+        """{"ts": "ts_us", "tie": "seq",
+          | "features": [{"name": "volatility", "definition": "volatility",
+          |   "deps": ["sine"], "params": {"value": "mid_price", "lookback": "1m"}}],
+          | "label": {"source": "sine", "lookahead": "5s"}}""".stripMargin
+      val src = graft.sources.SyntheticSine(spark, 1704067200000000L,
+        1704067200000000L + 3600000000L, 1000000L, freq = 0.05)
+        .select(org.apache.spark.sql.functions.col("ts_us"),
+          org.apache.spark.sql.functions.col("seq"),
+          org.apache.spark.sql.functions.col("mid_price"))
+      val cfgDf = graft.core.ConfigParser.buildPlan(
+        graft.core.ConfigParser.parse(json), Map("sine" -> src))
+      println("config plan rows=" + cfgDf.count() +
+        " cols=" + cfgDf.columns.mkString(","))
     }
     spark.stop()
   }

@@ -1,0 +1,103 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.DataFrame
+import graft.time.TimeUtils
+import scala.jdk.CollectionConverters._
+
+/** Declarative-config front door (svoe `featurizer/config.py:11-30` +
+  * `feature_tree.py:92-153`): a JSON config names parameterized
+  * features, their dependency wiring, the label feature and lookahead;
+  * the planner builds the Feature forest (content-key dedup included)
+  * and returns the FeatureLabelSet frame. JSON is the YAML-subset the
+  * reference uses; parsing is Jackson (ships with Spark).
+  *
+  * {{{
+  * {"ts": "ts_us", "tie": "seq",
+  *  "features": [
+  *    {"name": "vol", "definition": "volatility", "deps": ["sine"],
+  *     "params": {"value": "mid_price", "lookback": "1m"}}],
+  *  "label": {"source": "sine", "lookahead": "5s"}}
+  * }}}
+  */
+object ConfigParser {
+
+  final case class FeatureSpec(name: String, definition: String,
+      deps: Seq[String], params: Map[String, String])
+
+  final case class GraftConfig(ts: String, tie: Option[String],
+      features: Seq[FeatureSpec], labelSource: Option[String],
+      lookaheadUs: Option[Long])
+
+  /** Definition registry; user definitions can be added here. */
+  val registry: Map[String, FeatureDef] = Map(
+    "volatility" -> BuiltinDefs.VolatilityDef,
+    "ohlcv" -> BuiltinDefs.OhlcvDef,
+    "lookahead_label" -> BuiltinDefs.LookaheadLabelDef,
+    "pit_join" -> BuiltinDefs.PitJoinDef)
+
+  def parse(json: String): GraftConfig = {
+    val root = new ObjectMapper().readTree(json)
+    def str(n: JsonNode, f: String): Option[String] =
+      Option(n.get(f)).map(_.asText())
+    val features = Option(root.get("features")).toSeq
+      .flatMap(_.elements().asScala)
+      .map { f =>
+        FeatureSpec(
+          name = f.get("name").asText(),
+          definition = f.get("definition").asText(),
+          deps = Option(f.get("deps")).toSeq
+            .flatMap(_.elements().asScala).map(_.asText()),
+          params = Option(f.get("params")).map(p =>
+            p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty))
+      }
+    val label = Option(root.get("label"))
+    GraftConfig(
+      ts = str(root, "ts").getOrElse("ts_us"),
+      tie = str(root, "tie"),
+      features = features,
+      labelSource = label.flatMap(str(_, "source")),
+      lookaheadUs = label.flatMap(str(_, "lookahead")).map(TimeUtils.parseMicros))
+  }
+
+  /** Config → Feature forest → FeatureLabelSet frame. Duration-valued
+    * params (`lookback`, `window`) accept the reference's duration
+    * grammar and are normalized to micros. */
+  def buildPlan(cfg: GraftConfig, sources: Map[String, DataFrame]): DataFrame = {
+    val common = Map("ts" -> cfg.ts) ++ cfg.tie.map("seq" -> _) ++ cfg.tie.map("tie" -> _)
+
+    def normalize(params: Map[String, String]): Map[String, String] =
+      params.map {
+        case ("lookback", v) => "lookback_us" -> TimeUtils.parseMicros(v).toString
+        case ("window", v) => "window_us" -> TimeUtils.parseMicros(v).toString
+        case kv => kv
+      }
+
+    val nodes = scala.collection.mutable.Map.empty[String, Feature]
+    sources.keys.foreach(s => nodes(s) = Feature(SourceDef(s)))
+    cfg.features.foreach { spec =>
+      val deps = spec.deps.map(d => nodes.getOrElse(d,
+        throw new IllegalArgumentException(s"unknown dep '$d' of '${spec.name}'")))
+      val defn = registry.getOrElse(spec.definition,
+        throw new IllegalArgumentException(s"unknown definition '${spec.definition}'"))
+      nodes(spec.name) = Feature(defn, common ++ normalize(spec.params), deps)
+    }
+
+    val featureNodes = cfg.features.map(f => f.name -> nodes(f.name))
+    val root = cfg.labelSource match {
+      case Some(src) =>
+        val labeled = Feature(BuiltinDefs.LookaheadLabelDef,
+          common + ("delta_us" -> cfg.lookaheadUs.getOrElse(
+            throw new IllegalArgumentException("label requires lookahead")).toString),
+          Seq(nodes(src)))
+        Feature(BuiltinDefs.PitJoinDef,
+          Map("ts" -> cfg.ts, "names" -> featureNodes.map(_._1).mkString(",")),
+          labeled +: featureNodes.map(_._2))
+      case None =>
+        require(featureNodes.nonEmpty, "config needs features or a label")
+        featureNodes.last._2
+    }
+    Forest.build(Seq(root), sources)(root)
+  }
+}
