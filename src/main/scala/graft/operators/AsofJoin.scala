@@ -103,6 +103,89 @@ object AsofJoin {
     filled.filter(col(SIDE) === 1).select(outCols: _*)
   }
 
+  /** Keyless (global) backward as-of join at scale: instead of one
+    * global window partition, range-partition the tagged union on ts,
+    * fill within each partition in one `mapPartitions` pass, and seed
+    * each partition with a driver-side prefix-scan "carry" (the latest
+    * right row of any earlier partition — at most `numPartitions` rows
+    * ever reach the driver). Two jobs over a persisted exchange, O(n)
+    * work, no single-node sort. Results are identical to
+    * `asofJoin(..., by = Nil)`.
+    */
+  def asofJoinRangePartitioned(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      rightPrefix: String = "",
+      numPartitions: Int = 32,
+      rightTieBreak: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = left.sparkSession
+    val leftCols = left.columns.toSeq
+    val rightVals = right.columns.filterNot(_ == tsCol).toSeq
+    val tie = "__asof_tie"
+    val tieCol = rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L))
+
+    val lTag = left.select(col(tsCol).as(TS), lit(Long.MaxValue).as(tie),
+      struct(leftCols.map(col): _*).as("__lrow"), lit(1).as(SIDE))
+    val rTag = right.select(col(tsCol).as(TS), tieCol.as(tie),
+      struct(rightVals.map(col): _*).as("__f0"), lit(0).as(SIDE))
+    val u = lTag.unionByName(rTag, allowMissingColumns = true)
+      .repartitionByRange(numPartitions, col(TS), col(SIDE), col(tie))
+      .sortWithinPartitions(col(TS).asc, col(SIDE).asc, col(tie).asc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val schema = u.schema
+    val tsI = schema.fieldIndex(TS)
+    val sideI = schema.fieldIndex(SIDE)
+    val lrowI = schema.fieldIndex("__lrow")
+    val f0I = schema.fieldIndex("__f0")
+
+    // job 1: last right struct per partition -> prefix carry per pid.
+    val lasts = u.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var last: Row = null
+      it.foreach(r => if (r.getInt(sideI) == 0 && !r.isNullAt(f0I))
+        last = r.getStruct(f0I))
+      Iterator.single(pid -> last)
+    }.collect().sortBy(_._1)
+    val carry = new Array[Row](lasts.length + 1)
+    lasts.foreach { case (pid, l) =>
+      carry(pid + 1) = if (l != null) l else carry(pid)
+      if (carry(pid + 1) == null) carry(pid + 1) = carry(pid)
+    }
+    val carryB = spark.sparkContext.broadcast(carry)
+
+    // job 2: in-partition fill seeded with the carry.
+    val rightStruct = schema(f0I).dataType.asInstanceOf[StructType]
+    val p = if (rightPrefix.isEmpty) "" else s"${rightPrefix}_"
+    val outSchema = StructType(
+      left.schema.fields ++ rightStruct.fields.map(f =>
+        StructField(s"$p${f.name}", f.dataType, nullable = true)))
+    val nRight = rightStruct.fields.length
+    val filled = u.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var last: Row = carryB.value(pid)
+      it.flatMap { r =>
+        if (r.getInt(sideI) == 0) {
+          if (!r.isNullAt(f0I)) last = r.getStruct(f0I)
+          None
+        } else {
+          val l = r.getStruct(lrowI)
+          val vals = new Array[Any](l.length + nRight)
+          var i = 0
+          while (i < l.length) { vals(i) = l.get(i); i += 1 }
+          var j = 0
+          while (j < nRight) {
+            vals(l.length + j) = if (last == null) null else last.get(j)
+            j += 1
+          }
+          Some(Row.fromSeq(vals.toIndexedSeq))
+        }
+      }
+    }
+    spark.createDataFrame(filled, outSchema)
+  }
+
   /** Lookahead label shift (svoe `blocks.py:182-202` `lookahead_shift`):
     * for each row, the value columns at `ts + deltaUs` (latest row with
     * ts' <= ts + delta, i.e. backward as-of at the shifted probe), with

@@ -62,4 +62,27 @@ class AsofJoinSpec extends AnyFunSuite {
     val out = AsofJoin.asofJoin(l, r, "ts_us").collect()
     assert(out(0).getString(out(0).fieldIndex("rv")) == "hit")
   }
+
+  test("range-partitioned global as-of == single-window global as-of") {
+    // Deterministic pseudo-random interleaving; 8 range partitions force
+    // carries across many boundaries (incl. partitions with no right
+    // rows at the head).
+    val leftTs = (0 until 500).map(i => (i * 7L + 3) % 1000)
+    val rightTs = (0 until 300).map(i => (i * 13L + 1) % 1000)
+    val l = leftTs.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      .toDF("ts_us", "lid")
+    val r = rightTs.zipWithIndex.map { case (t, i) => (t, i.toLong, t * 2.0) }
+      .toDF("ts_us", "rid", "rv")
+
+    val viaWindow = AsofJoin
+      .asofJoin(l, r, "ts_us", rightPrefix = "r", rightTieBreak = Some("rid"))
+    val viaRange = AsofJoin
+      .asofJoinRangePartitioned(l, r, "ts_us", rightPrefix = "r",
+        numPartitions = 8, rightTieBreak = Some("rid"))
+    assert(viaWindow.columns.toSeq == viaRange.columns.toSeq)
+    val w = viaWindow.orderBy("ts_us", "lid").collect().map(_.toSeq).toSeq
+    val g = viaRange.orderBy("ts_us", "lid").collect().map(_.toSeq).toSeq
+    assert(g == w)
+    assert(g.nonEmpty)
+  }
 }

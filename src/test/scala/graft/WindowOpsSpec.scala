@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.WindowOps
+
+/** Golden semantics for the window feature operators (svoe A1/A3/A6
+  * fixtures, FIXTURES.md §2). */
+class WindowOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  // (ts_us, id, price, amount): two 10us buckets
+  private def trades = Seq(
+    (0L, 1L, 10.0, 1.0), (3L, 2L, 12.0, 2.0), (9L, 3L, 8.0, 1.0),
+    (10L, 4L, 20.0, 1.0), (15L, 5L, 18.0, 3.0)
+  ).toDF("ts_us", "id", "price", "amount")
+
+  private val okey = WindowOps.orderKey(col("ts_us"), col("id"))
+
+  test("OHLCV golden: open/high/low/close/volume/vwap per bucket") {
+    val out = WindowOps.ohlcv(trades, col("ts_us"), okey, col("price"),
+        col("amount"), 10L, Nil)
+      .orderBy("bucket_us").collect()
+    assert(out.length == 2)
+    val b0 = out(0)
+    assert(b0.getLong(b0.fieldIndex("bucket_us")) == 0L)
+    assert(b0.getDouble(b0.fieldIndex("open")) == 10.0)
+    assert(b0.getDouble(b0.fieldIndex("high")) == 12.0)
+    assert(b0.getDouble(b0.fieldIndex("low")) == 8.0)
+    assert(b0.getDouble(b0.fieldIndex("close")) == 8.0)
+    assert(b0.getDouble(b0.fieldIndex("volume")) == 4.0)
+    // vwap = (10*1 + 12*2 + 8*1) / 4 = 42/4
+    assert(b0.getDouble(b0.fieldIndex("vwap")) == 10.5)
+    assert(b0.getLong(b0.fieldIndex("num_trades")) == 3L)
+    val b1 = out(1)
+    assert(b1.getDouble(b1.fieldIndex("open")) == 20.0)
+    assert(b1.getDouble(b1.fieldIndex("close")) == 18.0)
+  }
+
+  test("TVI golden: sided notional imbalance over lookback") {
+    // buys: 100 notional at t=0; sells: 50 at t=5 -> tvi = 2*50/150
+    val df = Seq((0L, 1L, true, 100.0), (5L, 2L, false, 50.0))
+      .toDF("ts_us", "id", "is_buy", "notional")
+    val ok = WindowOps.orderKey(col("ts_us"), col("id"))
+    val out = df.select(WindowOps.tvi(col("notional"), col("is_buy"),
+        Nil, ok, 10L).as("tvi"))
+      .orderBy("tvi").collect()
+    assert(out(1).getDouble(0) == 2.0) // first event: only buys -> 2(b-0)/b
+    assert(math.abs(out(0).getDouble(0) - 2.0 * 50 / 150) < 1e-15)
+  }
+
+  test("downsample keeps every nth in order; delimited groups count") {
+    val df = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("ts_us", "id")
+    val ok = WindowOps.orderKey(col("ts_us"), col("id"))
+    val kept = WindowOps.downsample(df, Nil, ok, 3)
+      .orderBy("ts_us").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 4L, 7L, 10L))
+
+    val ev = Seq((1L, "S"), (2L, "x"), (3L, "S"), (4L, "x"))
+      .toDF("ts_us", "t")
+    val gid = ev.withColumn("g", WindowOps.delimitedGroupId(col("t") === "S",
+        Nil, col("ts_us")))
+      .orderBy("ts_us").collect().map(_.getLong(2))
+    assert(gid.toSeq == Seq(1L, 1L, 2L, 2L))
+  }
+}
