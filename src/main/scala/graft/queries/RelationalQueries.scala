@@ -119,6 +119,27 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     },
 
+    // Multi-predicate scan + global agg (TPC-H Q6 shape): every filter
+    // pushed to the parquet scan; no shuffle beyond the 1-row agg.
+    "q6_revenue_delta" -> QueryDef(
+      """SELECT sum(round(l_extendedprice*l_discount*10000))/10000 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |  AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= expr("timestamp_ntz'1999-01-01 00:00:00'")
+          && col("l_shipdate") < expr("timestamp_ntz'2000-01-01 00:00:00'")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(
+          (sum(round(col("l_extendedprice") * col("l_discount") * 10000)) / 10000)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // Hierarchical aggregation (grouping sets surface; absent in the
     // reference, free in the engine).
     "q_rollup" -> QueryDef(

@@ -48,6 +48,31 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("bucket_us"),
         col("event_type"), col("n"), col("value_cents"))
 
+  case class FeatureEvent(key: String, ts_us: Long, feature: String, value: Double)
+  case class CombinedEvent(key: String, ts_us: Long, values: Map[String, Double])
+
+  /** J6 combine_latest (svoe `feature_stream_graph.py:112-119`): one
+    * output event per input carrying the latest value of every feature
+    * seen so far for the key — last-value-per-feature state in
+    * `flatMapGroupsWithState` (checkpointable), replacing streamz's
+    * in-process combine_latest node. Batch equivalent: the PIT join.
+    */
+  def combineLatest(ds: Dataset[FeatureEvent]): Dataset[CombinedEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[FeatureEvent],
+         state: GroupState[Map[String, Double]]) => {
+          var m = state.getOption.getOrElse(Map.empty[String, Double])
+          val out = rows.toArray.sortBy(r => (r.ts_us, r.feature)).map { r =>
+            m = m + (r.feature -> r.value)
+            CombinedEvent(key, r.ts_us, m)
+          }
+          state.update(m)
+          out.iterator
+        })
+  }
+
   /** Streaming L2 book: the batch `BookState` fold inside
     * `flatMapGroupsWithState` — per-instrument state survives across
     * micro-batches (checkpointable), events sorted within each batch

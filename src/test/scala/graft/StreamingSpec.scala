@@ -29,6 +29,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("combine_latest: each event carries latest value of every feature") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{CombinedEvent, FeatureEvent}
+    val input = MemoryStream[FeatureEvent]
+    val q = Streaming.combineLatest(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cl_out")
+      .start()
+    try {
+      input.addData(
+        FeatureEvent("BTC", 1, "mid", 100.0),
+        FeatureEvent("BTC", 2, "vol", 0.5))
+      q.processAllAvailable()
+      input.addData(FeatureEvent("BTC", 3, "mid", 101.0))
+      q.processAllAvailable()
+      val out = spark.table("cl_out").as[CombinedEvent]
+        .collect().sortBy(_.ts_us)
+      assert(out.map(_.values) sameElements Array(
+        Map("mid" -> 100.0),
+        Map("mid" -> 100.0, "vol" -> 0.5),
+        Map("mid" -> 101.0, "vol" -> 0.5))) // state crossed the batch
+    } finally q.stop()
+  }
+
   test("stateful L2 book stream: state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
