@@ -20,18 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right dot product of two array<numeric> columns. */
+  /** Left-to-right dot product of two array<numeric> columns
+    * (higher-order-function formulation; works on any session). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Same fold via the codegen'd native expression (graft_dot) —
+    * identical arithmetic/order, tight primitive loop instead of
+    * per-element lambda frames. Requires VectorExpressions.register
+    * on the session (the top-k entry points below do this). */
+  def nativeDot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_product(a, b)
+
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    nativeDot(a, b) / (sqrt(nativeDot(a, a)) * sqrt(nativeDot(b, b)))
 
   /** Exact top-k cosine neighbors for each query row (small query set,
     * broadcast) against the corpus. Output: q_id, neighbor_id, cos_sim,
     * rnk (1-based). Excludes self-matches. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("qe")))
     val scored = corpus.crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
@@ -69,6 +78,7 @@ object Similarity {
     * degrades gracefully toward a larger candidate set. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int,
       dim: Int, tables: Int = 24, seed: Long = 42L): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
     def bucketCols(emb: Column): Column = array((0 until tables).map { t =>
       struct(lit(t).as("tbl"), lshBucket(emb, bits, dim, seed + t).as("bkt"))
     }: _*)
