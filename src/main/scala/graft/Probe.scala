@@ -35,6 +35,25 @@ object Probe {
         graft.core.ConfigParser.parse(json), Map("sine" -> src))
       println("config plan rows=" + cfgDf.count() +
         " cols=" + cfgDf.columns.mkString(","))
+      // feature-store memoization smoke: 2nd build served from catalog
+      locally {
+        import spark.implicits._
+        import graft.core._
+        var calls = 0
+        object CountDef extends FeatureDef {
+          val name = "probe_count"
+          def transform(deps: Seq[org.apache.spark.sql.DataFrame],
+              params: Map[String, String]) = { calls += 1; deps.head }
+        }
+        val root = java.nio.file.Files.createTempDirectory("probe_memo").toString
+        val cat = new graft.sources.BlockCatalog(spark, root)
+        val srcF = Feature(SourceDef("s"))
+        val feat = Feature(CountDef, Map.empty, Seq(srcF))
+        val data = Seq((1704067200000000L, 1.0)).toDF("ts_us", "v")
+        val r1 = Forest.buildMemoized(Seq(feat), Map("s" -> data), cat)(feat).count()
+        val r2 = Forest.buildMemoized(Seq(feat), Map("s" -> data), cat)(feat).count()
+        println(s"memo rows=$r1/$r2 transform_calls=$calls (expect 1)")
+      }
     }
     spark.stop()
   }

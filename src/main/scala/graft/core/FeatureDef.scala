@@ -82,4 +82,42 @@ object Forest {
     })
     roots.map(r => r -> buildNode(r)).toMap
   }
+
+  /** Feature-store memoization (svoe `builder.py:83-97,129-150`,
+    * SURVEY §4.1 "materialized-feature reuse"): before computing a
+    * node, consult the BlockCatalog under (definition = defn name,
+    * key = the node's content key); on a hit the subplan becomes a
+    * catalog scan, on a miss the computed frame is stored for the next
+    * run. Identity is the content key — exact, no ±0.15s interval fuzz
+    * (the reference needed it only because of its float timestamps).
+    *
+    * `tsUs` names the epoch-micros column every materialized feature
+    * frame carries (used for day partitioning + range scans).
+    */
+  def buildMemoized(
+      roots: Seq[Feature],
+      sources: Map[String, DataFrame],
+      catalog: graft.sources.BlockCatalog,
+      tsUs: String = "ts_us"): Map[Feature, DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val built = scala.collection.mutable.Map.empty[String, DataFrame]
+    def buildNode(f: Feature): DataFrame = built.getOrElseUpdate(f.key, {
+      f.defn match {
+        case SourceDef(n) =>
+          sources.getOrElse(n,
+            throw new IllegalArgumentException(s"unbound source: $n"))
+        case d =>
+          val cached = catalog.meta
+          val hit = cached.columns.contains("key") && !cached
+            .filter(col("definition") === d.name && col("key") === f.key)
+            .isEmpty
+          if (!hit) {
+            val df = d.transform(f.deps.map(buildNode), f.params)
+            catalog.write(df, d.name, f.key, tsUs)
+          }
+          catalog.scanAll(d.name, f.key).drop("day")
+      }
+    })
+    roots.map(r => r -> buildNode(r)).toMap
+  }
 }

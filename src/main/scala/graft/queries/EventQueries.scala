@@ -255,6 +255,40 @@ object EventQueries {
         "ts_us", 6 * H, Seq("user_id"), seq = Some("event_id"))
     },
 
+    // Session windows by inactivity gap (gaps-and-islands; the
+    // reference has no session windows — beyond-reference surface).
+    // New session when > 24h elapsed since the user's previous event.
+    "ev_sessions_gap" -> QueryDef(
+      s"""SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts_us) AS start_us, max(ts_us) AS end_us
+         |FROM (
+         |  SELECT user_id, ts_us,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY okey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM (
+         |    SELECT user_id, ts_us, okey,
+         |      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY okey)
+         |        IS NULL THEN 1
+         |      WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY okey)
+         |        > ${D} THEN 1 ELSE 0 END AS is_new
+         |    FROM (SELECT user_id, epoch_us(ts) AS ts_us, $OKEY AS okey
+         |          FROM events) t0) t1) t2
+         |GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("okey"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("okey", okey)
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > D, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    },
+
     // §2.8 json: extract the catalog-style JSON blob column.
     "ev_json_extract" -> QueryDef(
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

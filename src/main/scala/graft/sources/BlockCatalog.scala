@@ -65,6 +65,10 @@ class BlockCatalog(spark: SparkSession, root: String) {
     true
   }
 
+  /** Full scan of a (definition, key) table. */
+  def scanAll(definition: String, key: String): DataFrame =
+    spark.read.parquet(dataPath(definition, key))
+
   /** Range scan: partition pruning on day + exact ts bounds. */
   def scan(definition: String, key: String, startUs: Long, endUs: Long,
       tsUs: String = "ts_us"): DataFrame =

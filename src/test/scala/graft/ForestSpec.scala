@@ -41,6 +41,30 @@ class ForestSpec extends AnyFunSuite {
     assert(CountingDef.calls == 3)
   }
 
+  test("feature-store memoization: second build loads, doesn't recompute") {
+    CountingDef.calls = 0
+    val root = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    val cat = new graft.sources.BlockCatalog(spark, root)
+    val src = Feature(SourceDef("s"))
+    val feat = Feature(CountingDef, Map("p" -> "1"), Seq(src))
+    val df = Seq((1704067200000000L, 2.0), (1704067201000000L, 3.0))
+      .toDF("ts_us", "v")
+
+    val first = Forest.buildMemoized(Seq(feat), Map("s" -> df), cat)(feat)
+    assert(first.count() == 2)
+    assert(CountingDef.calls == 1)
+
+    val second = Forest.buildMemoized(Seq(feat), Map("s" -> df), cat)(feat)
+    assert(second.count() == 2)
+    assert(CountingDef.calls == 1) // served from the catalog, not recomputed
+    assert(second.columns.sorted.toSeq == first.columns.sorted.toSeq)
+
+    // a different param => different content key => fresh compute
+    val feat2 = Feature(CountingDef, Map("p" -> "2"), Seq(src))
+    Forest.buildMemoized(Seq(feat2), Map("s" -> df), cat)
+    assert(CountingDef.calls == 2)
+  }
+
   test("unbound source fails clearly") {
     val r = Feature(SourceDef("nope"))
     val e = intercept[IllegalArgumentException] {
