@@ -20,13 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of lowercase `text` split on single
-    * spaces (deterministic, oracle-parity tokenization). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = split(lower(text), " ")
+  /** Distinct word n-gram shingles over an already-materialized words
+    * array column. IMPORTANT: pass a column REFERENCE (projected in a
+    * prior select), not the `split(...)` expression itself — inlining
+    * the split into the lambda makes Catalyst re-evaluate it per
+    * element (O(len^2) per doc; measured 10x slowdown on the shingle
+    * explode at sf0.1). */
+  def wordShinglesFrom(ws: Column, n: Int): Column =
     array_distinct(transform(sequence(lit(0), size(ws) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
-  }
+
+  /** Distinct word n-gram shingles of lowercase `text` split on single
+    * spaces (deterministic, oracle-parity tokenization). */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFrom(split(lower(text), " "), n)
 
   /** Exact dedup keep-list: one row per distinct text with the minimal
     * id as the keeper. Shuffles only (digest, id, n_copies). */
@@ -35,11 +42,32 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("text")
 
-  /** Exploded (id, shingle) pairs, shingles distinct per doc. */
-  def explodeShingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
-    df.select(id.as("doc_id"), wordShingles(text, n).as("sh"))
-      .filter(size(col("sh")) >= 1)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+  /** Exploded (id, shingle) pairs, shingles distinct per doc.
+    *
+    * Typed flatMap, not a higher-order-function expression: Catalyst's
+    * CollapseProject inlines a projected `split(...)` into transform
+    * lambdas (13 copies in the optimized plan), re-splitting the text
+    * per element — O(words^2) per doc, measured ~10x slower than this
+    * one-pass JVM tokenization. Same tokenization as the SQL oracle:
+    * lowercase, single-space split keeping empties. */
+  def explodeShingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (did, t) =>
+        val ws = t.split(" ", -1)
+        if (ws.length < n) Iterator.empty
+        else {
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          ws.iterator.sliding(n).withPartial(false)
+            .map(_.mkString(" "))
+            .filter(seen.add)
+            .map(s => (did, s))
+        }
+      }
+      .toDF("doc_id", "s")
+  }
 
   /** Exact pairwise n-gram Jaccard >= threshold, prefix-filtered
     * (AllPairs/PPJoin): under any global token order, two sets with
@@ -72,11 +100,15 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       // L = sz - ceil(t*sz) + 1
       .filter(col("rn") <= col("sz") - floor((col("sz") * num + den - 1) / den) + 1)
-      .select("doc_id", "s")
+      .select("doc_id", "s", "sz")
 
+    // Length filter (also lossless): jaccard >= num/den forces
+    // den*|A| >= num*|B| and vice versa (set sizes within a t factor).
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * den >= col("b.sz") * num &&
+          col("b.sz") * den >= col("a.sz") * num)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
 

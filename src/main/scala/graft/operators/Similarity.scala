@@ -60,11 +60,12 @@ object Similarity {
     Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** `bits`-bit SRP-LSH bucket id for an embedding column. */
+  /** `bits`-bit SRP-LSH bucket id for an embedding column (requires
+    * VectorExpressions.register on the session — lshTopK does it). */
   def lshBucket(emb: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(bits, dim, seed)
     planes.zipWithIndex.map { case (p, j) =>
-      val proj = dot(emb, typedlit(p.toSeq))
+      val proj = nativeDot(emb, typedlit(p.toSeq))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
   }
