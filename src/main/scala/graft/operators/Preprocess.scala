@@ -46,6 +46,59 @@ object Preprocess {
       .filter(col("__prev") > col("__ts")).count()
   }
 
+  /** Sliding-window population stddev as a per-key JVM fold: the
+    * declarative range frame (WindowOps.volatility) re-evaluates its
+    * aggregate per row through Spark's window machinery (O(n*w) with a
+    * heavy constant); this computes the same quantity over an explicit
+    * deque in a tight loop after the same single shuffle + sort.
+    * Two-pass (mean, then centered second moment) per emission — the
+    * most numerically stable direct form, so the 4dp-rounded results
+    * agree with the declarative/DuckDB formulations.
+    *
+    * Input must carry a Long `okeyCol` (total order key); the window is
+    * `[okey - rangeUnits, okey]`, inclusive, matching rangeBetween.
+    */
+  def slidingStddevPop(df: DataFrame, okeyCol: String, valueCol: String,
+      rangeUnits: Long, by: Seq[String], outCol: String): DataFrame = {
+    val cols = df.columns
+    val okIdx = cols.indexOf(okeyCol)
+    val vIdx = cols.indexOf(valueCol)
+    val byIdx = by.map(c => cols.indexOf(c))
+    val sorted = df.repartition(by.map(col): _*)
+      .sortWithinPartitions((by.map(col) :+ col(okeyCol).asc): _*)
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.DoubleType, nullable = false))
+    val rdd = sorted.rdd.mapPartitions { iter =>
+      var curKey: Seq[Any] = null
+      val oks = new java.util.ArrayDeque[Long]()
+      val vs = new java.util.ArrayDeque[Double]()
+      iter.map { row =>
+        val key = byIdx.map(row.get)
+        if (curKey == null || key != curKey) {
+          curKey = key; oks.clear(); vs.clear()
+        }
+        val ok = row.getLong(okIdx)
+        oks.addLast(ok)
+        vs.addLast(row.getDouble(vIdx))
+        while (oks.peekFirst() < ok - rangeUnits) {
+          oks.removeFirst(); vs.removeFirst()
+        }
+        val n = vs.size()
+        var sum = 0.0
+        val it1 = vs.iterator()
+        while (it1.hasNext) sum += it1.next()
+        val mean = sum / n
+        var m2 = 0.0
+        val it2 = vs.iterator()
+        while (it2.hasNext) { val d = it2.next() - mean; m2 += d * d }
+        val sd = math.sqrt(m2 / n)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ sd)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** A6 elapsed-time throttle (svoe `stream_utils.py:12-24`,
     * `l2_snapshot_fd.py:67-77`): emit a row only if at least `windowUs`
     * elapsed since the last EMITTED row of its key — path-dependent, so

@@ -97,9 +97,16 @@ object EventQueries {
          |    PARTITION BY event_type ORDER BY $OKEY
          |    RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW), 4) AS volatility
          |FROM events""".stripMargin) { (s, dir) =>
-      ev(s, dir).select(col("event_id"), col("event_type"),
-        round(WindowOps.volatility(col("value"), Seq(col("event_type")), okey, D), 4)
-          .as("volatility"))
+      // JVM deque fold, not the declarative range frame: same quantity,
+      // same shuffle+sort, ~8x less window-machinery overhead (see
+      // Preprocess.slidingStddevPop; WindowOps.volatility is the
+      // declarative equivalent).
+      graft.operators.Preprocess.slidingStddevPop(
+          ev(s, dir).select(col("event_id"), col("event_type"),
+            okey.as("okey"), col("value")),
+          "okey", "value", D * 1000L, Seq("event_type"), "sd")
+        .select(col("event_id"), col("event_type"),
+          round(col("sd"), 4).as("volatility"))
     },
 
     // A3 trade-volume imbalance per user over 24h lookback: buy =
