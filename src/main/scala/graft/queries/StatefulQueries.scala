@@ -12,7 +12,72 @@ import graft.operators.L2Book
   */
 object StatefulQueries {
 
+  private val H = 3600000000L
+
   val defs: Map[String, QueryDef] = Map(
+
+    // A4 with a DuckDB oracle: restricted to SET/SNAPSHOT updates the
+    // book fold is SQL-expressible (per level: last write <= T, alive
+    // iff written at/after the last SNAPSHOT <= T). The Spark side runs
+    // the REAL state machine (L2Book.replay) — so the stateful operator
+    // itself is hash-checked against a declarative reconstruction.
+    "l2_book_oracle" -> QueryDef(
+      s"""WITH u AS (
+         |  SELECT event_type AS instrument, epoch_us(ts) AS ts_us,
+         |    event_id AS seq,
+         |    CASE WHEN event_id % 50 = 0 THEN 'SNAPSHOT' ELSE 'SET' END AS update_type,
+         |    CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+         |    round(value) AS price,
+         |    1.0 + event_id % 5 AS size,
+         |    epoch_us(ts)*1000 + event_id % 1000 AS okey
+         |  FROM events),
+         |em AS (
+         |  SELECT instrument, (ts_us // ${H}) * ${H} AS bucket_us,
+         |    max(ts_us) AS t_end
+         |  FROM u GROUP BY 1, 2),
+         |lvl AS (
+         |  SELECT e.instrument, e.bucket_us, u.side, u.price,
+         |    arg_max(u.size, u.okey) AS size,
+         |    max(u.okey) AS last_okey
+         |  FROM em e JOIN u ON u.instrument = e.instrument AND u.ts_us <= e.t_end
+         |  GROUP BY 1, 2, 3, 4),
+         |snap AS (
+         |  SELECT e.instrument, e.bucket_us, max(u.ts_us) AS snap_ts
+         |  FROM em e JOIN u ON u.instrument = e.instrument
+         |    AND u.ts_us <= e.t_end AND u.update_type = 'SNAPSHOT'
+         |  GROUP BY 1, 2),
+         |alive AS (
+         |  SELECT l.instrument, l.bucket_us, l.side, l.price, l.size
+         |  FROM lvl l LEFT JOIN snap s
+         |    ON s.instrument = l.instrument AND s.bucket_us = l.bucket_us
+         |  WHERE l.last_okey >= coalesce(s.snap_ts, 0) * 1000)
+         |SELECT instrument, bucket_us, side, rnk, price, size FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY instrument, bucket_us, side
+         |    ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS rnk
+         |  FROM alive) t
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val updates = graft.Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(
+          col("event_type").as("instrument"),
+          col("ts_us"),
+          col("event_id").as("seq"),
+          when(col("event_id") % 50 === 0, "SNAPSHOT").otherwise("SET")
+            .as("update_type"),
+          when(col("event_id") % 2 === 0, "bid").otherwise("ask").as("side"),
+          round(col("value")).as("price"),
+          (lit(1.0) + col("event_id") % 5).as("size"))
+      val snaps = L2Book.replay(updates, depth = 5, samplingUs = Some(H)).toDF()
+        .withColumn("bucket_us", (col("ts_us") / H).cast("long") * H)
+      def sideRows(arr: String, side: String) =
+        snaps.select(col("instrument"), col("bucket_us"),
+            posexplode(col(arr)).as(Seq("pos", "lvl")))
+          .select(col("instrument"), col("bucket_us"), lit(side).as("side"),
+            (col("pos") + 1).as("rnk"),
+            col("lvl.price").as("price"), col("lvl.size").as("size"))
+      sideRows("bids", "bid").unionByName(sideRows("asks", "ask"))
+    },
 
     // A4 order-book replay + P6 mid-price + P7 spread, sampled hourly.
     "l2_book_replay" -> QueryDef.noOracle { (s, dir) =>
