@@ -178,17 +178,55 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word hashes: bit b is 1 iff the sum of
-    * (+1/-1) votes of that bit across word hashes is positive. */
+    * (+1/-1) votes of that bit across word hashes is positive.
+    * Votes accumulate per doc in a typed mapGroups pass (64 int
+    * counters in a tight loop) — the 64-conditional-aggregate
+    * formulation spends most of its time in expression evaluation. */
   def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val words = df.select(id.as("doc_id"), explode(split(lower(text), " ")).as("w"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"),
+        split(lower(text), " ").as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    val sums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val bits = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    words.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), bits.as("simhash"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (did, rows) =>
+        val votes = new Array[Int](64)
+        rows.foreach { case (_, _, h) =>
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+        (did, sig)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Embedding-cosine near-dup pairs (the embedding leg of the dedup
+    * family): all pairs with cosine >= threshold. Brute-force here
+    * (exact, oracle-checkable); at scale feed candidates from
+    * Similarity.lshTopK buckets instead of the cross join. */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, emb: Column,
+      threshold: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    // Norms precomputed once per row: sqrt(dot(v,v)) is the identical
+    // double whether computed per row or per pair, so this is a pure
+    // 3x saving with unchanged (oracle-equal) results.
+    val withNorm = df.select(id.cast("long").as("id"), emb.as("e"),
+      sqrt(Similarity.nativeDot(emb, emb)).as("nrm"))
+    val a = withNorm.select(col("id").as("a_id"), col("e").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos",
+        Similarity.nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist via

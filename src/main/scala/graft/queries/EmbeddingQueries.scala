@@ -38,5 +38,20 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5,
         bits = 6, dim = 64)
+    },
+
+    // Embedding-cosine near-dup pairs (dedup family, exact brute force;
+    // the synthetic corpus is near-orthogonal so the threshold sits at
+    // its top-similarity range).
+    "emb_cosine_dups" -> QueryDef(
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+        |LATERAL (SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos) c
+        |WHERE cos >= 0.35""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.embeddingNearDupPairs(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"), 0.35)
     })
 }
