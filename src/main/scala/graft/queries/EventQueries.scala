@@ -307,6 +307,22 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100).as("sum_value"))
     },
 
+    // Exact interpolated percentiles (beyond-reference engine surface;
+    // rounded 4dp — the two engines interpolate with different but
+    // equivalent expression shapes).
+    "ev_value_quantiles" -> QueryDef(
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      ev(s, dir).groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+    },
+
     // Distinct aggregation (beyond-reference engine surface).
     "ev_distinct_users" -> QueryDef(
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
