@@ -13,6 +13,14 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
+    if (args.sameElements(Array("sql"))) {
+      Graft.register(spark, dir)
+      spark.sql(
+        """SELECT l_returnflag, round(sum(round(l_extendedprice*100))/100, 2) AS rev
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin).show()
+      spark.sql("SELECT graft_dot(embedding, embedding) AS sq FROM embeddings LIMIT 2").show()
+      spark.stop(); return
+    }
     for (q <- args) {
       println(s"========== $q ==========")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
