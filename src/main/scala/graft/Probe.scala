@@ -21,6 +21,33 @@ object Probe {
       spark.sql("SELECT graft_dot(embedding, embedding) AS sq FROM embeddings LIMIT 2").show()
       spark.stop(); return
     }
+    if (args.sameElements(Array("sdparity"))) {
+      // end-to-end: file-driven streaming sliding stddev == batch fold
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val src = graft.streaming.Streaming.eventsStream(spark, dir)
+        .select(col("event_type").as("key"),
+          (expr("ts div 1000") * 1000 + pmod(col("event_id"), lit(1000))).as("okey"),
+          col("value"))
+        .as[graft.streaming.Streaming.ValueEvent]
+      val q = graft.streaming.Streaming.slidingStddevStream(src, 86400000000000L)
+        .writeStream.outputMode("append").format("memory").queryName("sdp").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("sdp")
+        .select("key", "okey", "stddev").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Preprocess.slidingStddevPop(
+          Tables.events(spark, dir)
+            .select(col("event_type").as("key"),
+              (expr("ts div 1000") * 1000 + pmod(col("event_id"), lit(1000))).as("okey"),
+              col("value")),
+          "okey", "value", 86400000000000L, Seq("key"), "stddev")
+        .select("key", "okey", "stddev").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      println(s"sdparity: streamed=${streamed.size} batch=${batch.size} " +
+        s"equal=${streamed == batch}")
+      spark.stop(); return
+    }
     for (q <- args) {
       println(s"========== $q ==========")
       SparkEntry.queries(q)(spark, dir).explain("formatted")

@@ -20,21 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles over an already-materialized words
-    * array column. IMPORTANT: pass a column REFERENCE (projected in a
-    * prior select), not the `split(...)` expression itself — inlining
-    * the split into the lambda makes Catalyst re-evaluate it per
-    * element (O(len^2) per doc; measured 10x slowdown on the shingle
-    * explode at sf0.1). */
-  def wordShinglesFrom(ws: Column, n: Int): Column =
-    array_distinct(transform(sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
-
-  /** Distinct word n-gram shingles of lowercase `text` split on single
-    * spaces (deterministic, oracle-parity tokenization). */
-  def wordShingles(text: Column, n: Int): Column =
-    wordShinglesFrom(split(lower(text), " "), n)
-
   /** Exact dedup keep-list: one row per distinct text with the minimal
     * id as the keeper. Shuffles only (digest, id, n_copies). */
   def exactDedup(df: DataFrame, text: Column, id: Column): DataFrame =

@@ -73,6 +73,45 @@ object Streaming {
         })
   }
 
+  case class ValueEvent(key: String, okey: Long, value: Double)
+  case class StddevEvent(key: String, okey: Long, value: Double, stddev: Double)
+
+  /** Streaming twin of the sliding-window volatility fold
+    * (Preprocess.slidingStddevPop): the per-key deque lives in
+    * `flatMapGroupsWithState`, so the lookback window spans micro-batch
+    * boundaries. Same emission per event, same two-pass stddev — the
+    * batch≡stream parity pair for A2 (the reference's Kappa promise for
+    * its sliding features). Window = [okey - rangeUnits, okey].
+    */
+  def slidingStddevStream(ds: Dataset[ValueEvent], rangeUnits: Long)
+      : Dataset[StddevEvent] = {
+    import ds.sparkSession.implicits._
+    // state as a plain array: kryo round-trips collection types loosely
+    // (ArrayDeque came back as ArrayBuffer), arrays are stable.
+    implicit val stateEnc =
+      org.apache.spark.sql.Encoders.kryo[Array[(Long, Double)]]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[ValueEvent],
+         state: GroupState[Array[(Long, Double)]]) => {
+          val dq = scala.collection.mutable.ArrayDeque.empty[(Long, Double)]
+          state.getOption.foreach(arr => dq.appendAll(arr))
+          val out = rows.toArray.sortBy(_.okey).map { ev =>
+            dq.append((ev.okey, ev.value))
+            while (dq.head._1 < ev.okey - rangeUnits) dq.removeHead()
+            val n = dq.length
+            var sum = 0.0
+            dq.foreach(sum += _._2)
+            val mean = sum / n
+            var m2 = 0.0
+            dq.foreach { case (_, v) => val d = v - mean; m2 += d * d }
+            StddevEvent(ev.key, ev.okey, ev.value, math.sqrt(m2 / n))
+          }
+          state.update(dq.toArray)
+          out.iterator
+        })
+  }
+
   /** Streaming L2 book: the batch `BookState` fold inside
     * `flatMapGroupsWithState` — per-instrument state survives across
     * micro-batches (checkpointable), events sorted within each batch

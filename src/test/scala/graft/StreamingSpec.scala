@@ -54,6 +54,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding stddev: streaming (cross-batch state) == batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{StddevEvent, ValueEvent}
+    import org.apache.spark.sql.functions.col
+
+    val events = (1 to 40).map(i =>
+      ValueEvent(if (i % 2 == 0) "A" else "B", i * 10L, (i * 37 % 11) + 0.5))
+
+    // batch reference over the same data
+    val batch = graft.operators.Preprocess.slidingStddevPop(
+        events.toDF(), "okey", "value", 100L, Seq("key"), "stddev")
+      .select("key", "okey", "stddev")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val input = MemoryStream[ValueEvent]
+    val q = Streaming.slidingStddevStream(input.toDS(), 100L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sd_out")
+      .start()
+    try {
+      // 3 micro-batches: windows must span the boundaries
+      input.addData(events.take(15): _*); q.processAllAvailable()
+      input.addData(events.slice(15, 30): _*); q.processAllAvailable()
+      input.addData(events.drop(30): _*); q.processAllAvailable()
+      val streamed = spark.table("sd_out").as[StddevEvent].collect()
+        .map(e => (e.key, e.okey) -> e.stddev).toMap
+      assert(streamed.size == events.size)
+      assert(streamed == batch) // bit-exact: same fold, same order
+    } finally q.stop()
+  }
+
   test("stateful L2 book stream: state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
