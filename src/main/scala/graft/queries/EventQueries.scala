@@ -307,6 +307,26 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100).as("sum_value"))
     },
 
+    // Ranking/analytic window functions (§2.5: absent by name in the
+    // reference, free in the engine): per-user lag delta + value rank.
+    "ev_lag_rank" -> QueryDef(
+      s"""SELECT event_id, user_id,
+         |  value - lag(value) OVER w AS delta_prev,
+         |  lead(event_id) OVER w AS next_event,
+         |  rank() OVER (PARTITION BY user_id ORDER BY round(value*100) DESC,
+         |    event_id ASC) AS value_rank
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY $OKEY)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(okey)
+      val wr = Window.partitionBy(col("user_id"))
+        .orderBy(cents(col("value")).desc, col("event_id").asc)
+      ev(s, dir).select(col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        rank().over(wr).as("value_rank"))
+    },
+
     // Exact interpolated percentiles (beyond-reference engine surface;
     // rounded 4dp — the two engines interpolate with different but
     // equivalent expression shapes).
