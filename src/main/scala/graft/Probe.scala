@@ -21,6 +21,30 @@ object Probe {
       spark.sql("SELECT graft_dot(embedding, embedding) AS sq FROM embeddings LIMIT 2").show()
       spark.stop(); return
     }
+    if (args.sameElements(Array("ingest"))) {
+      // end-to-end ingest drive: csv -> normalize -> blocks -> catalog -> scan
+      import org.apache.spark.sql.types._
+      val csvDir = java.nio.file.Files.createTempDirectory("probe_csv").toString
+      val day0 = 1704067200000000L
+      val rows = (0 until 300).map(i =>
+        s"${day0 + i * 500000L},${if (i % 2 == 0) "BUY" else "SELL"},1.5,${100 + i % 9},g$i")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$csvDir/raw.csv"),
+        "ts_us,taker_side,base_amount,price,guid\n" + rows.mkString("\n"))
+      val schema = StructType(Seq(
+        StructField("ts_us", LongType), StructField("taker_side", StringType),
+        StructField("base_amount", DoubleType), StructField("price", DoubleType),
+        StructField("guid", StringType)))
+      val cat = new graft.sources.BlockCatalog(spark,
+        java.nio.file.Files.createTempDirectory("probe_cat").toString)
+      val rep = graft.sources.Ingest.ingestCsv(spark, s"$csvDir/raw.csv", schema,
+        df => df.withColumnRenamed("taker_side", "side"),
+        cat, "trades", "BTC", "ts_us", rowsPerBlock = 64L)
+      val back = cat.scan("trades", "BTC", day0, day0 + 300L * 500000L).count()
+      println(s"ingest: rows=${rep.rows} stored=${rep.stored} scanned=$back " +
+        s"meta=${cat.meta.count()}")
+      spark.stop(); return
+    }
     if (args.sameElements(Array("sdparity"))) {
       // end-to-end: file-driven streaming sliding stddev == batch fold
       import spark.implicits._
