@@ -70,6 +70,31 @@ object Probe {
         .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
       println(s"sdparity: streamed=${streamed.size} batch=${batch.size} " +
         s"equal=${streamed == batch}")
+      // TVI twin over the same replayed file stream
+      val tviSrc = graft.streaming.Streaming.eventsStream(spark, dir)
+        .select(col("user_id").cast("string").as("key"),
+          (expr("ts div 1000") * 1000 + pmod(col("event_id"), lit(1000))).as("okey"),
+          round(col("value") * 100).as("notional"),
+          (col("event_type") === "purchase").as("isBuy"))
+        .as[graft.streaming.Streaming.SidedEvent]
+      val q2 = graft.streaming.Streaming.slidingTviStream(tviSrc, 86400000000000L)
+        .writeStream.outputMode("append").format("memory").queryName("tvp").start()
+      q2.processAllAvailable(); q2.stop()
+      val st = spark.table("tvp").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+      val bt = Tables.events(spark, dir)
+        .select(col("user_id").cast("string").as("key"),
+          (expr("ts div 1000") * 1000 + pmod(col("event_id"), lit(1000))).as("okey"),
+          graft.operators.WindowOps.tvi(round(col("value") * 100),
+            col("event_type") === "purchase",
+            Seq(col("user_id").cast("string")),
+            (expr("ts div 1000") * 1000 + pmod(col("event_id"), lit(1000))),
+            86400000000L).as("tvi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+      println(s"tviparity: streamed=${st.size} batch=${bt.size} equal=${st == bt}")
       spark.stop(); return
     }
     for (q <- args) {

@@ -112,6 +112,38 @@ object Streaming {
         })
   }
 
+  case class SidedEvent(key: String, okey: Long, notional: Double, isBuy: Boolean)
+  case class TviEvent(key: String, okey: Long, tvi: Option[Double])
+
+  /** Streaming twin of the TVI sliding fold (WindowOps.tvi, A3):
+    * per-key lookback deque of sided notionals in
+    * flatMapGroupsWithState, emitting 2(b-s)/(b+s) per event; None when
+    * no buy/sell notional is in the window. */
+  def slidingTviStream(ds: Dataset[SidedEvent], rangeUnits: Long)
+      : Dataset[TviEvent] = {
+    import ds.sparkSession.implicits._
+    implicit val stateEnc =
+      org.apache.spark.sql.Encoders.kryo[Array[(Long, Double, Boolean)]]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[SidedEvent],
+         state: GroupState[Array[(Long, Double, Boolean)]]) => {
+          val dq = scala.collection.mutable.ArrayDeque.empty[(Long, Double, Boolean)]
+          state.getOption.foreach(arr => dq.appendAll(arr))
+          val out = rows.toArray.sortBy(_.okey).map { ev =>
+            dq.append((ev.okey, ev.notional, ev.isBuy))
+            while (dq.head._1 < ev.okey - rangeUnits) dq.removeHead()
+            var b = 0.0
+            var s = 0.0
+            dq.foreach { case (_, n, buy) => if (buy) b += n else s += n }
+            val tvi = if (b + s == 0.0) None else Some(2.0 * (b - s) / (b + s))
+            TviEvent(ev.key, ev.okey, tvi)
+          }
+          state.update(dq.toArray)
+          out.iterator
+        })
+  }
+
   /** Streaming L2 book: the batch `BookState` fold inside
     * `flatMapGroupsWithState` — per-instrument state survives across
     * micro-batches (checkpointable), events sorted within each batch

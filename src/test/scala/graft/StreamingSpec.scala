@@ -86,6 +86,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding TVI: streaming (cross-batch state) == batch window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{SidedEvent, TviEvent}
+    import org.apache.spark.sql.functions.col
+    import graft.operators.WindowOps
+
+    // integer notionals -> exact sums -> exact cross-impl equality.
+    // okey in WindowOps' us*1000 units: lookback 100us = 100000 units.
+    val events = (1 to 30).map(i =>
+      SidedEvent("K", i * 10000L, (i % 7 + 1).toDouble, i % 3 == 0))
+
+    val batch = events.toDF()
+      .select(col("key"), col("okey"),
+        WindowOps.tvi(col("notional"), col("isBuy"), Seq(col("key")),
+          col("okey"), 100L).as("tvi"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    val input = MemoryStream[SidedEvent]
+    val q = Streaming.slidingTviStream(input.toDS(), 100000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tvi_out").start()
+    try {
+      input.addData(events.take(13): _*); q.processAllAvailable()
+      input.addData(events.drop(13): _*); q.processAllAvailable()
+      val streamed = spark.table("tvi_out").as[TviEvent].collect()
+        .map(e => e.okey -> e.tvi).toMap
+      assert(streamed.size == events.size)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful L2 book stream: state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
