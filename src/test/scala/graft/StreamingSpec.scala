@@ -86,6 +86,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode windowed agg: windows close on watermark advance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = input.toDF().toDF("event_ts", "event_type", "value")
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    try {
+      input.addData((ts(5), "a", 1.0), (ts(20), "a", 2.0))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed the window end
+      assert(spark.table("wm_out").count() == 0)
+      // an event 2h later closes the first hour's window
+      input.addData((ts(135), "a", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(rows(0).fieldIndex("n")) == 2L)
+    } finally q.stop()
+  }
+
   test("sliding TVI: streaming (cross-batch state) == batch window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
