@@ -18,13 +18,18 @@ object TrainSplit {
     df.columns.filterNot(c => c.startsWith(prefix) || c == tsCol).toSeq
 
   /** Split at the exact `trainFrac` quantile of the ts column:
-    * train = rows strictly before the threshold ts, test = the rest.
-    * Deterministic (exact ordered rank, not approxQuantile). */
+    * train = rows with ts <= the k-th smallest ts (ties at the
+    * threshold all land in train — leakage-safe direction), test = the
+    * rest. Deterministic (exact ordered rank, not approxQuantile).
+    * The rank path uses `limit`, bounded to Int range — beyond ~2B rows
+    * compute the threshold via an ordered window rank instead. */
   def timeSplit(df: DataFrame, tsCol: String, trainFrac: Double)
       : (DataFrame, DataFrame) = {
     require(trainFrac > 0 && trainFrac < 1, "trainFrac in (0,1)")
     val n = df.count()
     val k = math.max(1L, (n * trainFrac).toLong)
+    require(k <= Int.MaxValue,
+      s"timeSplit rank $k exceeds Int range; use a window-rank threshold")
     val threshold = df.select(col(tsCol)).orderBy(col(tsCol).asc)
       .limit(k.toInt).agg(org.apache.spark.sql.functions.max(col(tsCol)))
       .collect()(0).getLong(0)

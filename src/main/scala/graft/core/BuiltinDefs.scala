@@ -20,12 +20,19 @@ object BuiltinDefs {
   private def byNames(params: Map[String, String]): Seq[String] =
     params.get("by").toSeq.flatMap(_.split(',').filter(_.nonEmpty))
 
+  /** Total-order key: the `seq` tiebreak defaults to `ts` itself when a
+    * config omits it (ties then resolve arbitrarily-but-deterministically
+    * only if ts is unique — supply `tie` for duplicate timestamps). */
+  private def okeyOf(params: Map[String, String]): Column =
+    WindowOps.orderKey(col(params("ts")),
+      col(params.getOrElse("seq", params("ts"))))
+
   /** A2: sliding population stddev of `value` over `lookback_us`. */
   object VolatilityDef extends FeatureDef {
     val name = "volatility"
     def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame = {
       val df = deps.head
-      val okey = WindowOps.orderKey(col(params("ts")), col(params("seq")))
+      val okey = okeyOf(params)
       df.select((byCols(params) :+ col(params("ts")) :+
         WindowOps.volatility(col(params("value")), byCols(params), okey,
           params("lookback_us").toLong).as("volatility")): _*)
@@ -37,7 +44,7 @@ object BuiltinDefs {
     val name = "ohlcv"
     def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame = {
       val df = deps.head
-      val okey = WindowOps.orderKey(col(params("ts")), col(params("seq")))
+      val okey = okeyOf(params)
       WindowOps.ohlcv(df, col(params("ts")), okey, col(params("price")),
         col(params("amount")), params("window_us").toLong, byCols(params))
     }

@@ -96,7 +96,10 @@ object ConfigParser {
           labeled +: featureNodes.map(_._2))
       case None =>
         require(featureNodes.nonEmpty, "config needs features or a label")
-        featureNodes.last._2
+        require(featureNodes.size == 1,
+          "config without a label must declare exactly one feature; to " +
+            "combine several, add a label block (the PIT join aligns them)")
+        featureNodes.head._2
     }
     Forest.build(Seq(root), sources)(root)
   }

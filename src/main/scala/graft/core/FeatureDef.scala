@@ -93,13 +93,32 @@ object Forest {
     *
     * `tsUs` names the epoch-micros column every materialized feature
     * frame carries (used for day partitioning + range scans).
+    *
+    * IMPORTANT: a `SourceDef` leaf's content key covers only its NAME —
+    * the cache cannot see the source data itself. When the data behind
+    * a source name can change between runs, pass a `sourceVersions`
+    * token (e.g. an ingest batch id or the source's content hash); it
+    * is mixed into every memoization key, so new data gets a fresh
+    * compute instead of a stale cache hit.
     */
   def buildMemoized(
       roots: Seq[Feature],
       sources: Map[String, DataFrame],
       catalog: graft.sources.BlockCatalog,
-      tsUs: String = "ts_us"): Map[Feature, DataFrame] = {
+      tsUs: String = "ts_us",
+      sourceVersions: Map[String, String] = Map.empty): Map[Feature, DataFrame] = {
     import org.apache.spark.sql.functions.col
+    val versionSuffix =
+      if (sourceVersions.isEmpty) ""
+      else sourceVersions.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("@", ",", "")
+    def memoKey(f: Feature): String =
+      if (versionSuffix.isEmpty) f.key
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest((f.key + versionSuffix).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      }
     val built = scala.collection.mutable.Map.empty[String, DataFrame]
     def buildNode(f: Feature): DataFrame = built.getOrElseUpdate(f.key, {
       f.defn match {
@@ -107,15 +126,16 @@ object Forest {
           sources.getOrElse(n,
             throw new IllegalArgumentException(s"unbound source: $n"))
         case d =>
+          val mk = memoKey(f)
           val cached = catalog.meta
           val hit = cached.columns.contains("key") && !cached
-            .filter(col("definition") === d.name && col("key") === f.key)
+            .filter(col("definition") === d.name && col("key") === mk)
             .isEmpty
           if (!hit) {
             val df = d.transform(f.deps.map(buildNode), f.params)
-            catalog.write(df, d.name, f.key, tsUs)
+            catalog.write(df, d.name, mk, tsUs)
           }
-          catalog.scanAll(d.name, f.key).drop("day")
+          catalog.scanAll(d.name, mk).drop("day")
       }
     })
     roots.map(r => r -> buildNode(r)).toMap

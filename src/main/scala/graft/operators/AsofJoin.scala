@@ -61,6 +61,17 @@ object AsofJoin {
       by: Seq[String] = Nil,
       rightTieBreak: Option[String] = None): DataFrame = {
     val labelCols = label.columns.toSeq
+    // un-prefixed features must not collide with label columns (a dup
+    // column name would poison every downstream reference)
+    features.foreach { case (name, fdf) =>
+      if (name.isEmpty) {
+        val overlap = fdf.columns.filterNot(c => c == tsCol || by.contains(c))
+          .toSet.intersect(labelCols.toSet)
+        require(overlap.isEmpty,
+          s"asof join without a prefix would duplicate columns $overlap — " +
+            "pass a feature name/rightPrefix or rename them")
+      }
+    }
     val tie = "__asof_tie"
 
     val lTag = label.select(

@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup keep-list: one row per distinct text with the minimal
-    * id as the keeper. Shuffles only (digest, id, n_copies). */
+    * id as the keeper. The group key here is the content itself (exact
+    * semantics); at 100 TB pre-hash to a digest column first so the
+    * shuffle carries 8-64 B/row instead of the document body. */
   def exactDedup(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.groupBy(text)
+    df.groupBy(text.as("__dedup_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
-      .drop("text")
+      .drop("__dedup_key")
 
   /** Exploded (id, shingle) pairs, shingles distinct per doc.
     *

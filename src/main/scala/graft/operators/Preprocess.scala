@@ -26,19 +26,10 @@ object Preprocess {
       .agg(sort_array(collect_list(struct(orderFields: _*))).as("orders"),
         count(lit(1)).as("n_orders"))
 
-  /** True iff `ts` is non-decreasing per key ordering (O2): returns the
-    * violating row count (0 = sorted). Distributed — no collect. */
-  def tsViolations(df: DataFrame, ts: Column, by: Seq[Column]): Long = {
-    val w = Window.partitionBy(by: _*).orderBy(ts.asc)
-    // orderBy(ts) makes lag(ts) <= ts by construction; instead order by
-    // the physical order surrogate: require an explicit sequence column
-    // in `by`-free usage. Here we check ts against the seq order.
-    df.select(ts.as("__ts"), lag(ts, 1).over(w).as("__prev"))
-      .filter(col("__prev") > col("__ts")).count()
-  }
-
-  /** O2 against an explicit sequence order: violations of "ts is
-    * non-decreasing when traversed in `seq` order per key". */
+  /** O2 sortedness QA: violations of "ts is non-decreasing when
+    * traversed in `seq` order per key" (svoe `df_utils.py:93-94`).
+    * The order MUST come from an independent sequence column — ordering
+    * the window by ts itself would make the check vacuously pass. */
   def tsViolationsBySeq(df: DataFrame, ts: Column, seq: Column,
       by: Seq[Column]): Long = {
     val w = Window.partitionBy(by: _*).orderBy(seq.asc)

@@ -49,13 +49,21 @@ class BlockCatalog(spark: SparkSession, root: String) {
 
   /** Store a ts-ordered frame as day-partitioned parquet + one metadata
     * row; skipped (false) when the identical content is already
-    * cataloged. `tsUs` must be an epoch-micros Long column name. */
+    * cataloged. `tsUs` must be an epoch-micros Long column name.
+    *
+    * Crash-safe idempotency: the data lands under the deterministic
+    * partition dir `block=<contentHash>` with overwrite mode, and the
+    * meta row is appended only afterwards. A retry after a crash
+    * between the two writes overwrites the same block dir (no
+    * duplication) and then records the meta row; a retry after both
+    * simply hits the hash check. */
   def write(df: DataFrame, definition: String, key: String, tsUs: String): Boolean = {
     val hash = contentHash(df)
     if (hashExists(definition, key, hash)) return false
     val withDay = df.withColumn("day",
       date_format(timestamp_micros(col(tsUs)), "yyyy-MM-dd"))
-    withDay.write.mode("append").partitionBy("day").parquet(dataPath(definition, key))
+    withDay.write.mode("overwrite").partitionBy("day")
+      .parquet(s"${dataPath(definition, key)}/block=$hash")
     val stats = df.agg(min(col(tsUs)).as("start_ts"), max(col(tsUs)).as("end_ts"),
       count(lit(1)).as("num_rows")).collect()(0)
     import spark.implicits._
@@ -67,7 +75,7 @@ class BlockCatalog(spark: SparkSession, root: String) {
 
   /** Full scan of a (definition, key) table. */
   def scanAll(definition: String, key: String): DataFrame =
-    spark.read.parquet(dataPath(definition, key))
+    spark.read.parquet(dataPath(definition, key)).drop("block")
 
   /** Range scan: partition pruning on day + exact ts bounds. */
   def scan(definition: String, key: String, startUs: Long, endUs: Long,
@@ -76,4 +84,5 @@ class BlockCatalog(spark: SparkSession, root: String) {
       .filter(col("day") >= date_format(timestamp_micros(lit(startUs)), "yyyy-MM-dd")
         && col("day") <= date_format(timestamp_micros(lit(endUs)), "yyyy-MM-dd"))
       .filter(col(tsUs) >= startUs && col(tsUs) <= endUs)
+      .drop("block")
 }

@@ -50,22 +50,27 @@ object Ingest {
       tsUs: String,
       rowsPerBlock: Long): Report = {
     val spark = raw.sparkSession
+    // one parse of the raw input: count, content hash, range sampling,
+    // the write itself, and the stats agg all reuse the cached frame
     val normalized = normalize(raw)
-    val n = normalized.count()
-    val parts = math.max(1L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
-    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", rowsPerBlock.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val blocks = normalized
-        .repartitionByRange(parts, col(tsUs))
-        .sortWithinPartitions(col(tsUs))
-      val stored = catalog.write(blocks, definition, key, tsUs)
-      Report(n, stored)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
-        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      val n = normalized.count()
+      val parts = math.max(1L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
+      val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", rowsPerBlock.toString)
+      try {
+        val blocks = normalized
+          .repartitionByRange(parts, col(tsUs))
+          .sortWithinPartitions(col(tsUs))
+        val stored = catalog.write(blocks, definition, key, tsUs)
+        Report(n, stored)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+          case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        }
       }
-    }
+    } finally normalized.unpersist()
   }
 }

@@ -82,6 +82,12 @@ object Streaming {
     * boundaries. Same emission per event, same two-pass stddev — the
     * batch≡stream parity pair for A2 (the reference's Kappa promise for
     * its sliding features). Window = [okey - rangeUnits, okey].
+    *
+    * Ordering contract (same as l2BookStream and the reference §2.9):
+    * events must arrive in okey order ACROSS micro-batches per key
+    * (within a batch they are sorted here). A late event older than the
+    * deque head would silently widen the window — front a watermarked
+    * source or drop late rows upstream when the source can reorder.
     */
   def slidingStddevStream(ds: Dataset[ValueEvent], rangeUnits: Long)
       : Dataset[StddevEvent] = {

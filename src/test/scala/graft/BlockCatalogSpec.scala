@@ -34,4 +34,24 @@ class BlockCatalogSpec extends AnyFunSuite {
     assert(cat.write(df.withColumn("v", col("v") * 2), "trades", "BTC", "ts_us"))
     assert(cat.meta.count() == 2)
   }
+
+  test("crash between data and meta writes: replay does not duplicate rows") {
+    val root = Files.createTempDirectory("graft_crash").toString
+    val cat = new BlockCatalog(spark, root)
+    val df = (0 until 50).map(i => (day0 + i * 1000000L, i.toDouble))
+      .toDF("ts_us", "v")
+    assert(cat.write(df, "feat", "K", "ts_us"))
+    val before = cat.scanAll("feat", "K").count()
+
+    // simulate a crash that lost the meta append but kept the data
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$root/_meta")).deleteRecursively()
+    assert(cat.meta.columns.isEmpty || cat.meta.count() == 0)
+
+    // at-least-once replay of the same content: block dir is overwritten
+    // (deterministic block=<hash> path), meta re-recorded once
+    assert(cat.write(df, "feat", "K", "ts_us"))
+    assert(cat.scanAll("feat", "K").count() == before)
+    assert(cat.meta.count() == 1)
+  }
 }
