@@ -86,7 +86,7 @@ object AsofJoin {
       }
       df.select(
         (by.map(col) :+ col(tsCol).as(TS) :+ tieCol.as(tie) :+
-          struct(valCols.map(col): _*).as(s"__f$i") :+ lit(0).as(SIDE)): _*)
+          struct(valCols.toIndexedSeq.map(col): _*).as(s"__f$i") :+ lit(0).as(SIDE)): _*)
     }
 
     val unioned = fTags.foldLeft(lTag)((a, b) =>
@@ -219,10 +219,10 @@ object AsofJoin {
     val tieCol = tieBreak.map(t => col(t).cast("long")).getOrElse(lit(0L))
     val lTag = probes.select(
       (by.map(col) :+ col(TS) :+ lit(Long.MaxValue).as(tie) :+
-        struct(df.columns.map(col): _*).as("__lrow") :+ lit(1).as(SIDE)): _*)
+        struct(df.columns.toIndexedSeq.map(col): _*).as("__lrow") :+ lit(1).as(SIDE)): _*)
     val rTag = base.select(
       (by.map(col) :+ col(TS) :+ tieCol.as(tie) :+
-        struct(valCols.map(col): _*).as("__f0") :+ lit(0).as(SIDE)): _*)
+        struct(valCols.toIndexedSeq.map(col): _*).as("__f0") :+ lit(0).as(SIDE)): _*)
     val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
     val w = Window
       .partitionBy(by.map(col): _*)

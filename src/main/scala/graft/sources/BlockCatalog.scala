@@ -29,7 +29,7 @@ class BlockCatalog(spark: SparkSession, root: String) {
   def contentHash(df: DataFrame): String = {
     val cols = df.columns.sorted.map(col)
     val h = df
-      .select(xxhash64(cols: _*).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      .select(xxhash64(cols.toIndexedSeq: _*).cast(org.apache.spark.sql.types.DecimalType(38, 0))
         .as("h"))
       .agg(sum(col("h"))).collect()(0)
     if (h.isNullAt(0)) "empty" else h.getDecimal(0).toBigInteger.toString(16)
