@@ -35,10 +35,16 @@ final case class Feature(
       canonical.append('|').append(k).append('=').append(v)
     }
     deps.foreach(d => canonical.append('#').append(d.key))
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(canonical.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
+    Feature.digest16(canonical.toString)
   }
+}
+
+object Feature {
+  /** 16-hex-char MD5 digest — the one content-key hash everywhere. */
+  def digest16(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
 }
 
 /** A leaf bound to an externally-supplied source frame. */
@@ -114,11 +120,7 @@ object Forest {
         .mkString("@", ",", "")
     def memoKey(f: Feature): String =
       if (versionSuffix.isEmpty) f.key
-      else {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest((f.key + versionSuffix).getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(16)
-      }
+      else Feature.digest16(f.key + versionSuffix)
     val built = scala.collection.mutable.Map.empty[String, DataFrame]
     def buildNode(f: Feature): DataFrame = built.getOrElseUpdate(f.key, {
       f.defn match {

@@ -23,15 +23,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // only the element types both eval paths actually read — admitting
+    // int/long arrays here would CCE (interpreted) or read with the
+    // wrong stride (codegen)
     def ok(t: DataType) = t match {
-      case ArrayType(et: NumericType, _) => true
+      case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_product needs numeric arrays, got ${left.dataType} / ${right.dataType}")
+        s"graft_dot needs array<float|double> inputs, got " +
+          s"${left.dataType} / ${right.dataType} (cast integer arrays first)")
   }
 
   override def dataType: DataType = DoubleType

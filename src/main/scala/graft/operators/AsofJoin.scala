@@ -61,17 +61,17 @@ object AsofJoin {
       by: Seq[String] = Nil,
       rightTieBreak: Option[String] = None): DataFrame = {
     val labelCols = label.columns.toSeq
-    // un-prefixed features must not collide with label columns (a dup
-    // column name would poison every downstream reference)
-    features.foreach { case (name, fdf) =>
-      if (name.isEmpty) {
-        val overlap = fdf.columns.filterNot(c => c == tsCol || by.contains(c))
-          .toSet.intersect(labelCols.toSet)
-        require(overlap.isEmpty,
-          s"asof join without a prefix would duplicate columns $overlap — " +
-            "pass a feature name/rightPrefix or rename them")
-      }
+    // the output schema must have unique column names (label cols +
+    // each feature's prefixed value cols) — a silent duplicate would
+    // poison every downstream reference
+    val outNames = labelCols ++ features.flatMap { case (name, fdf) =>
+      val p = if (name.isEmpty) "" else s"${name}_"
+      fdf.columns.filterNot(c => c == tsCol || by.contains(c)).map(p + _)
     }
+    val dups = outNames.groupBy(identity).collect { case (c, xs) if xs.size > 1 => c }
+    require(dups.isEmpty,
+      s"asof join output would duplicate columns $dups — " +
+        "use distinct feature names/prefixes or rename the inputs")
     val tie = "__asof_tie"
 
     val lTag = label.select(
@@ -135,6 +135,11 @@ object AsofJoin {
     val spark = left.sparkSession
     val leftCols = left.columns.toSeq
     val rightVals = right.columns.filterNot(_ == tsCol).toSeq
+    if (rightPrefix.isEmpty) {
+      val overlap = rightVals.toSet.intersect(leftCols.toSet)
+      require(overlap.isEmpty,
+        s"global asof join without a prefix would duplicate columns $overlap")
+    }
     val tie = "__asof_tie"
     val tieCol = rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L))
 

@@ -72,10 +72,16 @@ object Dedup {
     * (ceil(t*sz) = floorDiv(num*sz + den-1, den) for t = num/den).
     */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
-      threshold: Double, thresholdFrac: (Int, Int) = (4, 5)): DataFrame = {
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (num, den) = thresholdFrac
-    require(num.toDouble / den == threshold, "thresholdFrac must equal threshold")
+    // exact rational form of the threshold for the integer prefix-length
+    // arithmetic (0.8 -> 4/5, 0.75 -> 3/4, ...)
+    val bd = BigDecimal(threshold)
+    require(bd > 0 && bd < 1 && bd.scale <= 6, s"threshold $threshold not in (0,1)")
+    val den0 = BigInt(10).pow(bd.scale).toInt
+    val num0 = (bd * den0).toIntExact
+    val g = BigInt(num0).gcd(BigInt(den0)).toInt
+    val (num, den) = (num0 / g, den0 / g)
 
     val sh = explodeShingles(df, text, id, n)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))

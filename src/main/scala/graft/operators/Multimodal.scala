@@ -71,17 +71,19 @@ object Multimodal {
   def sampleFrames(ds: Dataset[MediaRow], nFrames: Int, frameLen: Int)
       : Dataset[Frame] = {
     import ds.sparkSession.implicits._
-    ds.flatMap { r =>
-      val len = r.payload.length
-      if (len < frameLen) Iterator.empty
-      else (0 until nFrames).iterator.map { i =>
-        val start =
-          if (nFrames == 1) 0
-          else (i.toLong * (len - frameLen) / (nFrames - 1)).toInt
-        val bytes = java.util.Arrays.copyOfRange(r.payload, start, start + frameLen)
-        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-          .map("%02x".format(_)).mkString
-        Frame(r.id, i, md5)
+    ds.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5") // one per partition
+      rows.flatMap { r =>
+        val len = r.payload.length
+        if (len < frameLen) Iterator.empty
+        else (0 until nFrames).iterator.map { i =>
+          val start =
+            if (nFrames == 1) 0
+            else (i.toLong * (len - frameLen) / (nFrames - 1)).toInt
+          md.reset()
+          md.update(r.payload, start, frameLen)
+          Frame(r.id, i, md.digest().map("%02x".format(_)).mkString)
+        }
       }
     }
   }

@@ -60,31 +60,50 @@ object Preprocess {
     val schema = sorted.schema
       .add(org.apache.spark.sql.types.StructField(outCol,
         org.apache.spark.sql.types.DoubleType, nullable = false))
+    // RANGE frames include PEER rows (equal order key): process each
+    // equal-okey run as one group — every row of the run sees the whole
+    // run in its window, exactly like the SQL frame.
     val rdd = sorted.rdd.mapPartitions { iter =>
-      var curKey: Seq[Any] = null
-      val oks = new java.util.ArrayDeque[Long]()
-      val vs = new java.util.ArrayDeque[Double]()
-      iter.map { row =>
-        val key = byIdx.map(row.get)
-        if (curKey == null || key != curKey) {
-          curKey = key; oks.clear(); vs.clear()
+      val it = iter.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        private var curKey: Seq[Any] = null
+        private val oks = new java.util.ArrayDeque[Long]()
+        private val vs = new java.util.ArrayDeque[Double]()
+        private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+
+        override def hasNext: Boolean = pending.hasNext || it.hasNext
+
+        override def next(): org.apache.spark.sql.Row = {
+          if (!pending.hasNext) {
+            val key = byIdx.map(it.head.get)
+            if (curKey == null || key != curKey) {
+              curKey = key; oks.clear(); vs.clear()
+            }
+            val ok = it.head.getLong(okIdx)
+            val run = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            while (it.hasNext && it.head.getLong(okIdx) == ok &&
+                byIdx.map(it.head.get) == key) {
+              val r = it.next()
+              oks.addLast(ok); vs.addLast(r.getDouble(vIdx))
+              run += r
+            }
+            while (oks.peekFirst() < ok - rangeUnits) {
+              oks.removeFirst(); vs.removeFirst()
+            }
+            val n = vs.size()
+            var sum = 0.0
+            val it1 = vs.iterator()
+            while (it1.hasNext) sum += it1.next()
+            val mean = sum / n
+            var m2 = 0.0
+            val it2 = vs.iterator()
+            while (it2.hasNext) { val d = it2.next() - mean; m2 += d * d }
+            val sd = math.sqrt(m2 / n)
+            pending = run.iterator
+              .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sd))
+          }
+          pending.next()
         }
-        val ok = row.getLong(okIdx)
-        oks.addLast(ok)
-        vs.addLast(row.getDouble(vIdx))
-        while (oks.peekFirst() < ok - rangeUnits) {
-          oks.removeFirst(); vs.removeFirst()
-        }
-        val n = vs.size()
-        var sum = 0.0
-        val it1 = vs.iterator()
-        while (it1.hasNext) sum += it1.next()
-        val mean = sum / n
-        var m2 = 0.0
-        val it2 = vs.iterator()
-        while (it2.hasNext) { val d = it2.next() - mean; m2 += d * d }
-        val sd = math.sqrt(m2 / n)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ sd)
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)

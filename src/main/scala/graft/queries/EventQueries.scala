@@ -180,23 +180,32 @@ object EventQueries {
 
     // J1 backward as-of join: each purchase gets the latest preceding
     // 'view' of the same user (inclusive at equal ts). One shuffle on
-    // user_id via the union+window plan (AsofJoin scaladoc).
+    // user_id via the union+window plan (AsofJoin scaladoc). The view
+    // side is pre-collapsed to one row per (user, microsecond) in BOTH
+    // engines: DuckDB's ASOF JOIN has no tie-break, so equal-ts right
+    // rows would otherwise be an engine-dependent coin flip.
     "ev_asof_join" -> QueryDef(
-      s"""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
-         |  v.value AS view_value, v.event_id AS view_event_id
+      s"""WITH v AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us,
+         |    arg_max(value, $OKEY) AS view_value,
+         |    max(event_id) AS view_event_id
+         |  FROM events WHERE event_type='view'
+         |  GROUP BY user_id, epoch_us(ts))
+         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+         |  v.view_value, v.view_event_id
          |FROM (SELECT * FROM events WHERE event_type='purchase') p
-         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
-         |  ON p.user_id = v.user_id AND epoch_us(p.ts) >= epoch_us(v.ts)""".stripMargin) { (s, dir) =>
+         |ASOF LEFT JOIN v
+         |  ON p.user_id = v.user_id AND epoch_us(p.ts) >= v.ts_us""".stripMargin) { (s, dir) =>
       val e = ev(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts_us", "value")
       val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts_us"),
-          col("value"), col("event_id").as("vid"))
-      AsofJoin.asofJoin(purchases, views, "ts_us", Seq("user_id"),
-          rightPrefix = "view", rightTieBreak = Some("vid"))
+        .groupBy("user_id", "ts_us")
+        .agg(max_by(col("value"), okey).as("view_value"),
+          max(col("event_id")).as("view_event_id"))
+      AsofJoin.asofJoin(purchases, views, "ts_us", Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
-          col("view_value"), col("view_vid").as("view_event_id"))
+          col("view_value"), col("view_event_id"))
     },
 
     // J3 lookahead label shift: per user, the latest value at ts + 6h,

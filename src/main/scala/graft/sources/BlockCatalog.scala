@@ -59,6 +59,7 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * simply hits the hash check. */
   def write(df: DataFrame, definition: String, key: String, tsUs: String): Boolean = {
     val hash = contentHash(df)
+    if (hash == "empty") return false // nothing to store (and min/max stats would be null)
     if (hashExists(definition, key, hash)) return false
     val withDay = df.withColumn("day",
       date_format(timestamp_micros(col(tsUs)), "yyyy-MM-dd"))

@@ -102,16 +102,29 @@ object Streaming {
          state: GroupState[Array[(Long, Double)]]) => {
           val dq = scala.collection.mutable.ArrayDeque.empty[(Long, Double)]
           state.getOption.foreach(arr => dq.appendAll(arr))
-          val out = rows.toArray.sortBy(_.okey).map { ev =>
-            dq.append((ev.okey, ev.value))
-            while (dq.head._1 < ev.okey - rangeUnits) dq.removeHead()
+          val sorted = rows.toArray.sortBy(_.okey)
+          val out = scala.collection.mutable.ArrayBuffer.empty[StddevEvent]
+          var i = 0
+          while (i < sorted.length) {
+            // equal-okey run = RANGE-frame peers: all enter the window
+            // before any of them emits
+            val ok = sorted(i).okey
+            val start = i
+            while (i < sorted.length && sorted(i).okey == ok) {
+              dq.append((ok, sorted(i).value)); i += 1
+            }
+            while (dq.head._1 < ok - rangeUnits) dq.removeHead()
             val n = dq.length
             var sum = 0.0
             dq.foreach(sum += _._2)
             val mean = sum / n
             var m2 = 0.0
             dq.foreach { case (_, v) => val d = v - mean; m2 += d * d }
-            StddevEvent(ev.key, ev.okey, ev.value, math.sqrt(m2 / n))
+            val sd = math.sqrt(m2 / n)
+            var j = start
+            while (j < i) {
+              out += StddevEvent(key, ok, sorted(j).value, sd); j += 1
+            }
           }
           state.update(dq.toArray)
           out.iterator
@@ -136,14 +149,22 @@ object Streaming {
          state: GroupState[Array[(Long, Double, Boolean)]]) => {
           val dq = scala.collection.mutable.ArrayDeque.empty[(Long, Double, Boolean)]
           state.getOption.foreach(arr => dq.appendAll(arr))
-          val out = rows.toArray.sortBy(_.okey).map { ev =>
-            dq.append((ev.okey, ev.notional, ev.isBuy))
-            while (dq.head._1 < ev.okey - rangeUnits) dq.removeHead()
+          val sorted = rows.toArray.sortBy(_.okey)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TviEvent]
+          var i = 0
+          while (i < sorted.length) {
+            val ok = sorted(i).okey
+            val start = i
+            while (i < sorted.length && sorted(i).okey == ok) {
+              dq.append((ok, sorted(i).notional, sorted(i).isBuy)); i += 1
+            }
+            while (dq.head._1 < ok - rangeUnits) dq.removeHead()
             var b = 0.0
             var s = 0.0
             dq.foreach { case (_, n, buy) => if (buy) b += n else s += n }
             val tvi = if (b + s == 0.0) None else Some(2.0 * (b - s) / (b + s))
-            TviEvent(ev.key, ev.okey, tvi)
+            var j = start
+            while (j < i) { out += TviEvent(key, ok, tvi); j += 1 }
           }
           state.update(dq.toArray)
           out.iterator
@@ -154,6 +175,11 @@ object Streaming {
     * `flatMapGroupsWithState` — per-instrument state survives across
     * micro-batches (checkpointable), events sorted within each batch
     * (cross-batch order = source order, the reference's own contract).
+    * A same-ts update run split across two micro-batches emits a
+    * partial snapshot at the first batch's end and the complete one in
+    * the next — consumers needing one-snapshot-per-ts should keep the
+    * last row per (instrument, ts_us), or the source should deliver
+    * same-ts runs atomically (as the reference's emitter does).
     */
   def l2BookStream(updates: Dataset[Update], depth: Int): Dataset[Snapshot] = {
     import updates.sparkSession.implicits._

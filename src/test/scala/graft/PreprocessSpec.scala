@@ -36,6 +36,18 @@ class PreprocessSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1, 3, 5, 6))
   }
 
+  test("slidingStddevPop: equal-okey peers share one full-run window") {
+    // RANGE-frame semantics: peers (same order key) see each other.
+    val df = Seq(("k", 100L, 10.0), ("k", 100L, 20.0), ("k", 300L, 30.0))
+      .toDF("k", "okey", "v")
+    val out = Preprocess.slidingStddevPop(df, "okey", "v", 150L, Seq("k"), "sd")
+      .orderBy("okey", "v").collect().map(_.getDouble(3))
+    // both okey=100 rows: stddev_pop({10,20}) = 5.0
+    assert(out(0) == 5.0 && out(1) == 5.0)
+    // okey=300: window (150,300] -> only itself
+    assert(out(2) == 0.0)
+  }
+
   test("tsViolationsBySeq detects out-of-order timestamps") {
     val ok = Seq(("k", 1L, 1L), ("k", 2L, 2L)).toDF("k", "seq", "ts")
     val bad = Seq(("k", 1L, 5L), ("k", 2L, 3L)).toDF("k", "seq", "ts")
