@@ -83,19 +83,26 @@ object Similarity {
     def bucketCols(emb: Column): Column = array((0 until tables).map { t =>
       struct(lit(t).as("tbl"), lshBucket(emb, bits, dim, seed + t).as("bkt"))
     }: _*)
+    // candidates are deduped as bare id pairs (narrow shuffle) and the
+    // embedding payloads re-attached only for the final rerank — the
+    // bucket join must not drag two 64-float arrays through the
+    // dropDuplicates exchange
     val bucketed = corpus
-      .select(col("vec_id"), col("embedding"), explode(bucketCols(col("embedding"))).as("h"))
-      .select(col("vec_id"), col("embedding"),
-        col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
+      .select(col("vec_id"), explode(bucketCols(col("embedding"))).as("h"))
+      .select(col("vec_id"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
     val qb = queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        explode(bucketCols(col("embedding"))).as("h"))
-      .select(col("q_id"), col("qe"), col("h.tbl").as("qtbl"), col("h.bkt").as("qbkt"))
-    val cand = bucketed.join(broadcast(qb),
+      .select(col("vec_id").as("q_id"), explode(bucketCols(col("embedding"))).as("h"))
+      .select(col("q_id"), col("h.tbl").as("qtbl"), col("h.bkt").as("qbkt"))
+    val candIds = bucketed.join(broadcast(qb),
         col("tbl") === col("qtbl") && col("bkt") === col("qbkt"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("qe"), col("embedding"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
       .dropDuplicates("q_id", "neighbor_id")
+    val cand = candIds
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"))), "q_id")
       .select(col("q_id"), col("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("q_id"))
