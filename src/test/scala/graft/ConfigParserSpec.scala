@@ -47,4 +47,32 @@ class ConfigParserSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("config without tie builds (seq defaults to ts)") {
+    val noTie =
+      """{"ts": "ts_us",
+        | "features": [{"name": "vol", "definition": "volatility",
+        |   "deps": ["sine"], "params": {"value": "mid_price", "lookback": "1m"}}]}""".stripMargin
+    val t0 = 1704067200000000L
+    val src = SyntheticSine(spark, t0, t0 + 60000000L, 1000000L, freq = 0.05)
+      .select(col("ts_us"), col("mid_price"))
+    val out = ConfigParser.buildPlan(ConfigParser.parse(noTie), Map("sine" -> src))
+    assert(out.count() == 60)
+    assert(out.columns.contains("volatility"))
+  }
+
+  test("multiple features without a label is rejected, not silently truncated") {
+    val two =
+      """{"ts": "ts_us",
+        | "features": [
+        |  {"name": "a", "definition": "volatility", "deps": ["sine"],
+        |   "params": {"value": "mid_price", "lookback": "1m"}},
+        |  {"name": "b", "definition": "volatility", "deps": ["sine"],
+        |   "params": {"value": "mid_price", "lookback": "2m"}}]}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      ConfigParser.buildPlan(ConfigParser.parse(two),
+        Map("sine" -> spark.range(1).toDF()))
+    }
+    assert(e.getMessage.contains("label"))
+  }
 }
