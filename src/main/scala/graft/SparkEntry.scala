@@ -45,7 +45,7 @@ object SparkEntry {
     val labeled = Feature(LookaheadLabelDef,
       Map("ts" -> "ts_us", "delta_us" -> "5000000", "tie" -> "seq"), Seq(sine))
     val root = Feature(PitJoinDef,
-      Map("ts" -> "ts_us", "names" -> "volatility"),
+      Map("ts" -> "ts_us", "names" -> "volatility", "tie" -> "seq"),
       Seq(labeled, vol))
 
     Forest.build(Seq(root), Map("sine" -> src))(root)

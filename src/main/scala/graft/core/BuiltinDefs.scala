@@ -27,13 +27,18 @@ object BuiltinDefs {
     WindowOps.orderKey(col(params("ts")),
       col(params.getOrElse("seq", params("ts"))))
 
-  /** A2: sliding population stddev of `value` over `lookback_us`. */
+  /** A2: sliding population stddev of `value` over `lookback_us`.
+    * The `seq` order key passes through the output so a downstream PIT
+    * join can break equal-ts ties deterministically (pandas merge_asof
+    * takes the last sorted right row; without the key, `last()` over
+    * tie=0 rows would be partition-order-dependent). */
   object VolatilityDef extends FeatureDef {
     val name = "volatility"
     def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame = {
       val df = deps.head
       val okey = okeyOf(params)
-      df.select((byCols(params) :+ col(params("ts")) :+
+      val seqCol = params.get("seq").filterNot(_ == params("ts")).map(col).toSeq
+      df.select((byCols(params) ++ (col(params("ts")) +: seqCol) :+
         WindowOps.volatility(col(params("value")), byCols(params), okey,
           params("lookback_us").toLong).as("volatility")): _*)
     }

@@ -36,6 +36,37 @@ object ConfigParser {
     "lookahead_label" -> BuiltinDefs.LookaheadLabelDef,
     "pit_join" -> BuiltinDefs.PitJoinDef)
 
+  /** Resolve a definition name: the static registry first, then a
+    * fully-qualified class name loaded reflectively from the session
+    * classpath (user jars on `--jars` work the same way) — the
+    * reference's dotted-name dynamic definition loading (svoe
+    * `featurizer/featurizer_utils/definitions_loader.py:15-128`),
+    * minus its remote-code fetch (a deployment concern, not an engine
+    * one). Accepts a Scala `object ... extends FeatureDef` (with or
+    * without the trailing '$') or a zero-arg class. */
+  def resolve(name: String): FeatureDef =
+    registry.getOrElse(name, loadByName(name))
+
+  private def loadByName(fqcn: String): FeatureDef = {
+    def instantiate(cn: String): Option[Any] =
+      try {
+        val cls = Class.forName(cn)
+        Some(
+          if (cn.endsWith("$")) cls.getField("MODULE$").get(null)
+          else cls.getDeclaredConstructor().newInstance())
+      } catch {
+        case _: ClassNotFoundException | _: NoSuchFieldException |
+            _: NoSuchMethodException => None
+      }
+    instantiate(fqcn).orElse(instantiate(fqcn + "$")) match {
+      case Some(d: FeatureDef) => d
+      case Some(other) => throw new IllegalArgumentException(
+        s"'$fqcn' loaded but ${other.getClass.getName} is not a FeatureDef")
+      case None => throw new IllegalArgumentException(
+        s"unknown definition '$fqcn' (not in registry, not loadable as a class)")
+    }
+  }
+
   def parse(json: String): GraftConfig = {
     val root = new ObjectMapper().readTree(json)
     def str(n: JsonNode, f: String): Option[String] =
@@ -79,8 +110,7 @@ object ConfigParser {
     cfg.features.foreach { spec =>
       val deps = spec.deps.map(d => nodes.getOrElse(d,
         throw new IllegalArgumentException(s"unknown dep '$d' of '${spec.name}'")))
-      val defn = registry.getOrElse(spec.definition,
-        throw new IllegalArgumentException(s"unknown definition '${spec.definition}'"))
+      val defn = resolve(spec.definition)
       nodes(spec.name) = Feature(defn, common ++ normalize(spec.params), deps)
     }
 
@@ -91,8 +121,13 @@ object ConfigParser {
           common + ("delta_us" -> cfg.lookaheadUs.getOrElse(
             throw new IllegalArgumentException("label requires lookahead")).toString),
           Seq(nodes(src)))
+        // `tie` flows into the root PIT join: feature frames that carry
+        // the order key get a deterministic equal-ts winner (pandas
+        // merge_asof last-sorted-row semantics); frames without it are
+        // unique per (by, ts) by construction (aggregations).
         Feature(BuiltinDefs.PitJoinDef,
-          Map("ts" -> cfg.ts, "names" -> featureNodes.map(_._1).mkString(",")),
+          Map("ts" -> cfg.ts, "names" -> featureNodes.map(_._1).mkString(","))
+            ++ cfg.tie.map("tie" -> _),
           labeled +: featureNodes.map(_._2))
       case None =>
         require(featureNodes.nonEmpty, "config needs features or a label")

@@ -80,9 +80,12 @@ object AsofJoin {
 
     val fTags = features.zipWithIndex.map { case ((_, df), i) =>
       val valCols = df.columns.filterNot(c => c == tsCol || by.contains(c))
+      // The tie-break applies per frame where the column exists; a
+      // frame without it must be unique per (by, ts) — e.g. already
+      // aggregated/collapsed — so equal-ts ties cannot arise there.
       val tieCol = rightTieBreak match {
-        case Some(t) => col(t).cast("long")
-        case None    => lit(0L)
+        case Some(t) if df.columns.contains(t) => col(t).cast("long")
+        case _                                 => lit(0L)
       }
       df.select(
         (by.map(col) :+ col(tsCol).as(TS) :+ tieCol.as(tie) :+

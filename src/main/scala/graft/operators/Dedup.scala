@@ -14,18 +14,22 @@ import org.apache.spark.sql.functions._
   *     use only to verify candidates;
   *   - MinHash+LSH: the scale path — O(n) signatures, candidate pairs
   *     only where a band collides, then exact/estimated verification.
-  *   - SimHash: 64-bit signature, candidates via 16-bit chunk bands
-  *     (hamming<=k guarantee by pigeonhole with 4 chunks, k<=3 exact;
-  *     wider k caught probabilistically).
+  *   - SimHash: 64-bit signature, candidates via 8-bit chunk bands
+  *     (hamming<=k exact by pigeonhole with 8 chunks for k<=7);
+  *   - embedding near-dup: brute-force cosine as the exact baseline,
+  *     SRP-LSH candidates + exact verify as the scale path.
+  * Band joins take a hot-bucket cap (capBuckets) so degenerate band
+  * values cannot generate quadratic candidate sets at scale.
   */
 object Dedup {
 
   /** Exact dedup keep-list: one row per distinct text with the minimal
-    * id as the keeper. The group key here is the content itself (exact
-    * semantics); at 100 TB pre-hash to a digest column first so the
-    * shuffle carries 8-64 B/row instead of the document body. */
+    * id as the keeper. Groups on a 256-bit digest of the content, not
+    * the content itself, so the shuffle carries 32 B/row instead of the
+    * document body (collision odds ~n^2/2^256 — nil at any corpus
+    * size); semantics identical to grouping by text. */
   def exactDedup(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.groupBy(text.as("__dedup_key"))
+    df.groupBy(sha2(text, 256).as("__dedup_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__dedup_key")
 
@@ -69,11 +73,19 @@ object Dedup {
     *
     * Shingles are 64-bit ids (collision odds ~n_shingles^2/2^64).
     * Threshold prefix length uses exact integer arithmetic
-    * (ceil(t*sz) = floorDiv(num*sz + den-1, den) for t = num/den).
+    * (ceil(t*sz) = (num*sz + den-1) div den for t = num/den, SQL
+    * integral `div` — no floating point anywhere in the bound).
+    *
+    * The hashed shingle frame and the prefix frame are persisted:
+    * the plan reads each of them from multiple branches (df counts,
+    * prefix self-join, full sets) and would otherwise re-tokenize the
+    * corpus 4x (measured: the tokenization MapPartitions dominated the
+    * round-1 plan). Cached partitions are LRU-evicted after the action.
     */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
     // exact rational form of the threshold for the integer prefix-length
     // arithmetic (0.8 -> 4/5, 0.75 -> 3/4, ...)
     val bd = BigDecimal(threshold)
@@ -85,6 +97,7 @@ object Dedup {
 
     val sh = explodeShingles(df, text, id, n)
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tokDf = sh.groupBy("s").agg(count(lit(1)).as("tok_df"))
 
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("tok_df").asc, col("s").asc)
@@ -92,8 +105,9 @@ object Dedup {
       .withColumn("rn", row_number().over(wDoc))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       // L = sz - ceil(t*sz) + 1
-      .filter(col("rn") <= col("sz") - floor((col("sz") * num + den - 1) / den) + 1)
+      .filter(col("rn") <= col("sz") - expr(s"(sz * $num + ${den - 1}) div $den") + 1)
       .select("doc_id", "s", "sz")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Length filter (also lossless): jaccard >= num/den forces
     // den*|A| >= num*|B| and vice versa (set sizes within a t factor).
@@ -140,9 +154,11 @@ object Dedup {
   /** LSH candidate pairs from MinHash signatures: `bands` bands of
     * `rows = perms/bands` hashes; docs sharing any band hash become a
     * candidate; similarity is estimated as the matching-hash fraction.
-    */
+    * `maxBucket` caps band-bucket size (hot-bucket guard, see
+    * capBuckets) — a corpus of B identical docs otherwise makes every
+    * band a B^2/2 candidate generator. */
   def minhashLshPairs(signatures: DataFrame, perms: Int, bands: Int,
-      estThreshold: Double): DataFrame = {
+      estThreshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
     val rows = perms / bands
     require(bands * rows == perms, "perms must divide into bands")
     val bandCols = (0 until bands).map { bidx =>
@@ -150,9 +166,11 @@ object Dedup {
         xxhash64((bidx * rows until (bidx + 1) * rows).map(i => col(s"mh$i")): _*)
           .as("bhash"))
     }
-    val exploded = signatures
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bhash").as("bhash"))
+    val exploded = capBuckets(
+      signatures
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bhash").as("bhash")),
+      Seq("bidx", "bhash"), maxBucket)
     val a = exploded.as("a")
     val b = exploded.as("b")
     val cand = a.join(b, col("a.bidx") === col("b.bidx") &&
@@ -172,26 +190,36 @@ object Dedup {
 
   /** 64-bit SimHash over word hashes: bit b is 1 iff the sum of
     * (+1/-1) votes of that bit across word hashes is positive.
-    * Votes accumulate per doc in a typed mapGroups pass (64 int
-    * counters in a tight loop) — the 64-conditional-aggregate
-    * formulation spends most of its time in expression evaluation. */
+    *
+    * SimHash is a per-document computation, so this is a single typed
+    * map over (doc_id, text) — split, hash, and vote in one JVM pass
+    * with ZERO shuffle (the round-1 explode+groupByKey formulation
+    * shuffled every token of the corpus just to reassemble rows that
+    * were never split across partitions; at 100 TB that shuffle is
+    * proportional to total token count for no benefit). Word hashes
+    * use catalyst's interpreted xxhash64 (seed 42) on UTF8String —
+    * bit-identical to the `xxhash64` column function, so signatures
+    * are unchanged from the round-1 implementation (DedupSpec pins). */
   def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(id.cast("long").as("doc_id"),
-        split(lower(text), " ").as("ws"))
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-      .as[(Long, String, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (did, rows) =>
+    df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+      .as[(Long, String)]
+      .map { case (did, t) =>
         val votes = new Array[Int](64)
-        rows.foreach { case (_, _, h) =>
+        val ws = t.split(" ", -1)
+        var i = 0
+        while (i < ws.length) {
+          val h = XxHash64Function.hash(UTF8String.fromString(ws(i)), StringType, 42L)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
             b += 1
           }
+          i += 1
         }
         var sig = 0L
         var b = 0
@@ -222,17 +250,29 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxDist via
-    * 16-bit chunk banding (exact for maxDist <= 3 by pigeonhole). */
-  def simhashPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
-    val chunks = (0 until 4).map { c =>
+  /** SimHash near-dup pairs with hamming distance <= maxDist via 8-bit
+    * chunk banding: two signatures within hamming distance d differ in
+    * at most d of the 8 chunks, so by pigeonhole they agree on at
+    * least one chunk whenever d <= 7 — the banding is EXACT (lossless)
+    * for maxDist <= 7, covering the suite's maxDist=6 query (the
+    * round-1 4x16-bit banding was exact only to 3 and silently
+    * probabilistic beyond). `maxBucket` is the hot-chunk guard: a
+    * degenerate chunk value shared by B docs yields B^2/2 candidates;
+    * buckets above the cap are dropped (with a logged count) rather
+    * than joined. */
+  def simhashPairs(sigs: DataFrame, maxDist: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist <= 7, s"8-chunk banding is exact only to hamming 7, got $maxDist")
+    val chunks = (0 until 8).map { c =>
       struct(lit(c).as("cidx"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cval"))
+        shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(0xFFL).as("cval"))
     }
-    val exploded = sigs.select(col("doc_id"), col("simhash"),
-        explode(array(chunks: _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"),
-        col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
+    val exploded = capBuckets(
+      sigs.select(col("doc_id"), col("simhash"),
+          explode(array(chunks: _*)).as("ch"))
+        .select(col("doc_id"), col("simhash"),
+          col("ch.cidx").as("cidx"), col("ch.cval").as("cval")),
+      Seq("cidx", "cval"), maxBucket)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
@@ -241,5 +281,78 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Hot-bucket guard for LSH band joins: drops (band, hash) buckets
+    * holding more than `maxBucket` rows before the self-join, so one
+    * degenerate band value (all-identical docs, an adversarial hash
+    * collision, a boilerplate chunk) cannot produce a quadratic
+    * candidate set. Lossy ONLY for the dropped buckets — pairs there
+    * are typically recalled via their other bands — and the dropped
+    * bucket count is logged for observability. Zero plan overhead at
+    * the default (uncapped) setting. */
+  private[graft] def capBuckets(exploded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) exploded
+    else {
+      val sizes = exploded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bsz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dropped = sizes.filter(col("__bsz") > maxBucket).count()
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"capBuckets: dropped $dropped LSH buckets holding > $maxBucket rows")
+      exploded.join(sizes.filter(col("__bsz") <= maxBucket), keys).drop("__bsz")
+    }
+
+  /** Embedding near-dup pairs via SRP-LSH candidates + exact cosine
+    * verification — the scale path for `embeddingNearDupPairs` (same
+    * output schema; equal output whenever every >=threshold pair
+    * collides in at least one table). The per-pair miss probability is
+    * (1 - p^bits)^tables with p = 1 - acos(cos)/pi: at a realistic
+    * near-dup threshold (cos 0.9, bits=8, tables=8) that is <1e-4 with
+    * n/256 expected bucket sizes; on the near-orthogonal synthetic
+    * testdata (threshold 0.35, p~0.61) exactness needs the wide
+    * bits=2/tables=32 setting, which degenerates toward all-pairs —
+    * a property of thresholding noise-level similarity, not of the
+    * operator (measured ratios in SCALE.md). Candidates are deduped
+    * as bare id pairs before the embedding payloads are re-attached. */
+  /** SRP-LSH candidate id pairs for embedding near-dup detection: rows
+    * sharing any table's bucket, deduped as bare (a_id, b_id) pairs —
+    * the narrow-shuffle candidate stage that embeddingNearDupPairsLsh
+    * feeds to exact verification (public so candidate-set size is
+    * measurable — SCALE.md reports the ratios). */
+  def lshCandidatePairs(df: DataFrame, id: Column, emb: Column,
+      bits: Int, tables: Int, dim: Int, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val bucketed = capBuckets(
+      df.select(id.cast("long").as("id"),
+          explode(Similarity.bucketStructs(emb, bits, dim, tables, seed)).as("h"))
+        .select(col("id"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt")),
+      Seq("tbl", "bkt"), maxBucket)
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  def embeddingNearDupPairsLsh(df: DataFrame, id: Column, emb: Column,
+      threshold: Double, bits: Int = 2, tables: Int = 32, dim: Int = 64,
+      seed: Long = 42L, maxBucket: Int = Int.MaxValue): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val base = df.select(id.cast("long").as("id"), emb.as("e"))
+    val candIds = lshCandidatePairs(df, id, emb, bits, tables, dim, seed, maxBucket)
+    val withNorm = base.select(col("id"), col("e"),
+      sqrt(Similarity.nativeDot(col("e"), col("e"))).as("nrm"))
+    candIds
+      .join(withNorm.select(col("id").as("a_id"), col("e").as("ea"), col("nrm").as("na")), "a_id")
+      .join(withNorm.select(col("id").as("b_id"), col("e").as("eb"), col("nrm").as("nb")), "b_id")
+      .withColumn("cos",
+        Similarity.nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
   }
 }

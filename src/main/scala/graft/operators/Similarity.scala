@@ -60,6 +60,15 @@ object Similarity {
     Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** One struct(tbl, bkt) per hash table for an embedding column —
+    * the shared bucketing used by lshTopK and the LSH-fed near-dup
+    * path (Dedup.embeddingNearDupPairsLsh). */
+  def bucketStructs(emb: Column, bits: Int, dim: Int, tables: Int,
+      seed: Long = 42L): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(emb, bits, dim, seed + t).as("bkt"))
+    }: _*)
+
   /** `bits`-bit SRP-LSH bucket id for an embedding column (requires
     * VectorExpressions.register on the session — lshTopK does it). */
   def lshBucket(emb: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
@@ -78,18 +87,19 @@ object Similarity {
     * (like the synthetic testdata, top-cos ~0.35) the same structure
     * degrades gracefully toward a larger candidate set. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int,
-      dim: Int, tables: Int = 24, seed: Long = 42L): DataFrame = {
+      dim: Int, tables: Int = 24, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
-    def bucketCols(emb: Column): Column = array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(emb, bits, dim, seed + t).as("bkt"))
-    }: _*)
+    def bucketCols(emb: Column): Column = bucketStructs(emb, bits, dim, tables, seed)
     // candidates are deduped as bare id pairs (narrow shuffle) and the
     // embedding payloads re-attached only for the final rerank — the
     // bucket join must not drag two 64-float arrays through the
     // dropDuplicates exchange
-    val bucketed = corpus
-      .select(col("vec_id"), explode(bucketCols(col("embedding"))).as("h"))
-      .select(col("vec_id"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
+    val bucketed = Dedup.capBuckets(
+      corpus
+        .select(col("vec_id"), explode(bucketCols(col("embedding"))).as("h"))
+        .select(col("vec_id"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt")),
+      Seq("tbl", "bkt"), maxBucket)
     val qb = queries
       .select(col("vec_id").as("q_id"), explode(bucketCols(col("embedding"))).as("h"))
       .select(col("q_id"), col("h.tbl").as("qtbl"), col("h.bkt").as("qbkt"))

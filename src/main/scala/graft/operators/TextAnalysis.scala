@@ -50,12 +50,15 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: length saturation + cleanliness +
     * stopword saturation. Int/int divisions and a fixed expression
-    * shape keep it bit-identical across engines. */
+    * shape keep it bit-identical across engines. Degenerate docs
+    * (zero chars or zero words) yield null, not NaN — the suite's
+    * when()/NULLIF division convention (oracle mirrors with CASE). */
   def qualityScore(nWords: Column, nPunct: Column, nChars: Column,
       nStop: Column): Column =
-    lit(0.4) * least(lit(1.0), nWords / lit(100.0)) +
-      lit(0.3) * (lit(1.0) - nPunct / nChars) +
-      lit(0.3) * least(lit(1.0), lit(4.0) * nStop / nWords)
+    when(nChars > 0 && nWords > 0,
+      lit(0.4) * least(lit(1.0), nWords / lit(100.0)) +
+        lit(0.3) * (lit(1.0) - nPunct / nChars) +
+        lit(0.3) * least(lit(1.0), lit(4.0) * nStop / nWords))
 
   /** Polynomial rolling-hash fingerprint mod 1e9+7 over character
     * codes, seeded with the first char (matches DuckDB `list_reduce`

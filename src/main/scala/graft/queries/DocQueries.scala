@@ -17,17 +17,19 @@ object DocQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
-    // Exact dedup keep-list: group by content, keep min id. At scale
-    // the group key is a digest so the shuffle stays narrow.
+    // Exact dedup keep-list: group by a sha2-256 digest of the content
+    // (identical groups; the shuffle carries 32 B keys, not document
+    // bodies). The oracle groups by text itself — same partition of
+    // rows, so identical output.
     "doc_dedup_exact" -> QueryDef(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |  min(n_chars) AS n_chars
         |FROM documents GROUP BY text""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
-        .groupBy("text")
+        .groupBy(sha2(col("text"), 256).as("__k"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
           min(col("n_chars")).as("n_chars"))
-        .drop("text")
+        .drop("__k")
     },
 
     // Near-dup detection: exact word-trigram Jaccard >= 0.8 over a
@@ -61,7 +63,8 @@ object DocQueries {
       Dedup.minhashLshPairs(sigs, perms = 32, bands = 16, estThreshold = 0.6)
     },
 
-    // SimHash near-dups: hamming <= 6 over 16-bit chunk bands.
+    // SimHash near-dups: hamming <= 6 over 8-bit chunk bands (exact
+    // candidate coverage to hamming 7 by pigeonhole).
     "doc_simhash" -> QueryDef.noOracle { (s, dir) =>
       val sigs = Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))
       Dedup.simhashPairs(sigs, maxDist = 6)
@@ -96,9 +99,11 @@ object DocQueries {
     // Quality scoring: saturating length/cleanliness/stopword mix.
     "doc_quality" -> QueryDef(
       s"""SELECT doc_id, n_chars, n_words, n_punct, n_stop,
-         |  0.4 * least(1.0, n_words/100.0)
-         |  + 0.3 * (1.0 - n_punct/n_chars)
-         |  + 0.3 * least(1.0, 4.0*n_stop/n_words) AS quality
+         |  CASE WHEN n_chars > 0 AND n_words > 0 THEN
+         |    0.4 * least(1.0, n_words/100.0)
+         |    + 0.3 * (1.0 - n_punct/n_chars)
+         |    + 0.3 * least(1.0, 4.0*n_stop/n_words)
+         |  ELSE NULL END AS quality
          |FROM (SELECT doc_id, n_chars,
          |  len($SPLIT) AS n_words,
          |  len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,

@@ -53,5 +53,24 @@ object EmbeddingQueries {
         |WHERE cos >= 0.35""".stripMargin) { (s, dir) =>
       graft.operators.Dedup.embeddingNearDupPairs(
         Tables.embeddings(s, dir), col("vec_id"), col("embedding"), 0.35)
+    },
+
+    // Same near-dup semantics via the scale path: SRP-LSH candidates +
+    // exact cosine verify, oracled against the SAME brute-force SQL —
+    // bits=2 x 32 tables makes the per-pair miss probability
+    // (1-p^2)^32 ~ 1e-7 even at the noise-level 0.35 threshold
+    // (p~0.61), so the candidate set provably covers every oracle pair
+    // on this data and the exact verify makes the outputs identical.
+    "emb_lsh_dups" -> QueryDef(
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+        |LATERAL (SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos) c
+        |WHERE cos >= 0.35""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.embeddingNearDupPairsLsh(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"), 0.35,
+        bits = 2, tables = 32, dim = 64)
     })
 }

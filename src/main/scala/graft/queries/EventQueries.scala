@@ -164,9 +164,9 @@ object EventQueries {
          |  sum(round(value*100))/100 AS sum_value
          |FROM (
          |  SELECT user_id, value,
-         |    sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) OVER (
+         |    CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) OVER (
          |      PARTITION BY user_id ORDER BY $OKEY
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM events) t
          |GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
       ev(s, dir)
@@ -279,8 +279,8 @@ object EventQueries {
          |  min(ts_us) AS start_us, max(ts_us) AS end_us
          |FROM (
          |  SELECT user_id, ts_us,
-         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY okey
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY okey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM (
          |    SELECT user_id, ts_us, okey,
          |      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY okey)

@@ -35,9 +35,13 @@ class BlockCatalog(spark: SparkSession, root: String) {
     if (h.isNullAt(0)) "empty" else h.getDecimal(0).toBigInteger.toString(16)
   }
 
+  /** The catalog table; an empty frame only when the catalog genuinely
+    * does not exist yet (missing-path AnalysisException). Transient IO /
+    * permission errors propagate — swallowing them would read as "no
+    * catalog" and trigger silent recompute+rewrite in buildMemoized. */
   def meta: DataFrame =
     try spark.read.parquet(metaPath)
-    catch { case _: Exception => spark.emptyDataFrame }
+    catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
 
   private def hashExists(definition: String, key: String, hash: String): Boolean = {
     val m = meta
@@ -86,4 +90,42 @@ class BlockCatalog(spark: SparkSession, root: String) {
         && col("day") <= date_format(timestamp_micros(lit(endUs)), "yyyy-MM-dd"))
       .filter(col(tsUs) >= startUs && col(tsUs) <= endUs)
       .drop("block")
+
+  /** Contiguous covered ranges for a (definition, key): catalog blocks
+    * sorted by start_ts merge while the inter-block gap (next start_ts
+    * minus running end_ts) is <= maxGapUs; a larger gap starts a new
+    * range. Mirrors the reference's gap rule splitting block ranges
+    * (svoe `featurizer/blocks/blocks.py:84-101`, <=1s default). The
+    * collect is catalog metadata (one row per block), not data. */
+  def coveredRanges(definition: String, key: String,
+      maxGapUs: Long = 1000000L): Seq[(Long, Long)] = {
+    val m = meta
+    if (!m.columns.contains("start_ts")) return Seq.empty
+    val blocks = m.filter(col("definition") === definition && col("key") === key)
+      .select("start_ts", "end_ts")
+      .orderBy(col("start_ts"), col("end_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    blocks.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (s, e)) =>
+      acc.lastOption match {
+        case Some((rs, re)) if s - re <= maxGapUs =>
+          acc.init :+ (rs, math.max(re, e))
+        case _ => acc :+ (s, e)
+      }
+    }
+  }
+
+  /** Gap-aware range scan: one frame per contiguous covered sub-range
+    * intersecting [startUs, endUs], so a request spanning a hole gets
+    * the hole surfaced as a range split instead of silence (the
+    * reference splits ranges at gaps; plain `scan` is the
+    * hole-oblivious variant). */
+  def scanSplitAtGaps(definition: String, key: String, startUs: Long,
+      endUs: Long, maxGapUs: Long = 1000000L,
+      tsUs: String = "ts_us"): Seq[((Long, Long), DataFrame)] =
+    coveredRanges(definition, key, maxGapUs)
+      .filter { case (s, e) => e >= startUs && s <= endUs }
+      .map { case (s, e) =>
+        val (lo, hi) = (math.max(s, startUs), math.min(e, endUs))
+        ((lo, hi), scan(definition, key, lo, hi, tsUs))
+      }
 }

@@ -10,7 +10,7 @@ package graft.time
   * precision upgrade, see SURVEY.md §7 risk register).
   */
 object TimeUtils {
-  private val Pattern = """^\s*(\d+)\s*(ms|us|s|m|h|d)\s*$""".r
+  private val Pattern = """^\s*(\d+)\s*(ms|us|s|m|h|d|w)\s*$""".r
 
   /** Parse a duration string to microseconds. */
   def parseMicros(s: String): Long = s match {
@@ -23,6 +23,7 @@ object TimeUtils {
         case "m"  => v * 60L * 1000000L
         case "h"  => v * 3600L * 1000000L
         case "d"  => v * 86400L * 1000000L
+        case "w"  => v * 604800L * 1000000L
       }
     case _ => throw new IllegalArgumentException(s"bad duration: '$s'")
   }

@@ -35,6 +35,37 @@ class BlockCatalogSpec extends AnyFunSuite {
     assert(cat.meta.count() == 2)
   }
 
+  test("gap detection: ranges split where blocks leave a hole") {
+    val root = Files.createTempDirectory("graft_gaps").toString
+    val cat = new BlockCatalog(spark, root)
+    def block(startHour: Int, hours: Int) =
+      (0 until hours).map(i => (day0 + (startHour + i) * 3600000000L, i.toDouble))
+        .toDF("ts_us", "v")
+    // blocks covering hours [0,9], [10,19] (contiguous at 1h spacing),
+    // then a 4-hour hole, then [24,29]
+    assert(cat.write(block(0, 10), "trades", "ETH", "ts_us"))
+    assert(cat.write(block(10, 10), "trades", "ETH", "ts_us"))
+    assert(cat.write(block(24, 6), "trades", "ETH", "ts_us"))
+
+    val ranges = cat.coveredRanges("trades", "ETH", maxGapUs = 3600000000L)
+    assert(ranges == Seq(
+      (day0, day0 + 19 * 3600000000L),
+      (day0 + 24 * 3600000000L, day0 + 29 * 3600000000L)))
+
+    // a request spanning the hole comes back split, with counts from
+    // both sides and nothing invented inside the hole
+    val parts = cat.scanSplitAtGaps("trades", "ETH",
+      day0 + 15 * 3600000000L, day0 + 26 * 3600000000L,
+      maxGapUs = 3600000000L)
+    assert(parts.map(_._1) == Seq(
+      (day0 + 15 * 3600000000L, day0 + 19 * 3600000000L),
+      (day0 + 24 * 3600000000L, day0 + 26 * 3600000000L)))
+    assert(parts.map(_._2.count()) == Seq(5, 3))
+
+    // tight gap rule: every block boundary is a split
+    assert(cat.coveredRanges("trades", "ETH", maxGapUs = 0L).size == 3)
+  }
+
   test("crash between data and meta writes: replay does not duplicate rows") {
     val root = Files.createTempDirectory("graft_crash").toString
     val cat = new BlockCatalog(spark, root)

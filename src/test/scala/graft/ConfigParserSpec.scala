@@ -61,6 +61,66 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(out.columns.contains("volatility"))
   }
 
+  test("dynamic definition loading: FQCN class and object forms resolve") {
+    val byClass = ConfigParser.resolve("graft.UserScaleDef")
+    assert(byClass.name == "user_scale")
+    val byObject = ConfigParser.resolve("graft.UserScaleObjDef")
+    assert(byObject.name == "user_scale_obj")
+    val byObjectDollar = ConfigParser.resolve("graft.UserScaleObjDef$")
+    assert(byObjectDollar.name == "user_scale_obj")
+    // end-to-end: a config naming the FQCN builds and runs
+    val cfgJson =
+      """{"ts": "ts_us",
+        | "features": [{"name": "s", "definition": "graft.UserScaleDef",
+        |   "deps": ["sine"], "params": {"value": "mid_price"}}]}""".stripMargin
+    val t0 = 1704067200000000L
+    val src = SyntheticSine(spark, t0, t0 + 10000000L, 1000000L, freq = 0.05)
+      .select(col("ts_us"), col("mid_price"))
+    val out = ConfigParser.buildPlan(ConfigParser.parse(cfgJson), Map("sine" -> src))
+    assert(out.columns.contains("scaled") && out.count() == 10)
+    val e = intercept[IllegalArgumentException] {
+      ConfigParser.resolve("graft.Tables") // real class, not a FeatureDef
+    }
+    assert(e.getMessage.contains("not a FeatureDef"))
+  }
+
+  test("config root PIT join breaks equal-ts feature ties via the order key") {
+    // Duplicate-microsecond feature rows: the config-built root join
+    // must pick the same (max-seq) winner as an explicit
+    // rightTieBreak — pandas merge_asof last-sorted-row semantics —
+    // not a partition-order-dependent last().
+    val spark0 = spark
+    import spark0.implicits._
+    val t0 = 1704067200000000L
+    val src = Seq(
+      (t0, 1L, 10.0), (t0, 2L, 20.0), // tie at t0
+      (t0 + 1000000L, 3L, 30.0),
+      (t0 + 2000000L, 4L, 40.0),
+      (t0 + 3000000L, 5L, 50.0))
+      .toDF("ts_us", "seq", "mid_price")
+    val cfgJson =
+      """{"ts": "ts_us", "tie": "seq",
+        | "features": [{"name": "vol", "definition": "volatility",
+        |   "deps": ["sine"], "params": {"value": "mid_price", "lookback": "2s"}}],
+        | "label": {"source": "sine", "lookahead": "1s"}}""".stripMargin
+    val fromConfig = ConfigParser.buildPlan(ConfigParser.parse(cfgJson),
+      Map("sine" -> src))
+    // hand-built equivalent with the tie-break explicit
+    val vol = graft.core.BuiltinDefs.VolatilityDef.transform(Seq(src),
+      Map("ts" -> "ts_us", "seq" -> "seq", "value" -> "mid_price",
+        "lookback_us" -> "2000000"))
+    val labeled = graft.operators.AsofJoin.lookaheadShift(src, "ts_us",
+      1000000L, Nil, "label", Some("seq"))
+    val expected = graft.operators.AsofJoin.pointInTimeJoin(labeled,
+      Seq(("vol", vol)), "ts_us", Nil, Some("seq"))
+    assert(fromConfig.orderBy("ts_us", "seq").collect().toSeq ==
+      expected.orderBy("ts_us", "seq").collect().toSeq)
+    // and the tie at t0 resolved to the seq=2 row's running volatility
+    val atT0 = fromConfig.filter(col("ts_us") === t0 && col("seq") === 1)
+      .select("vol_volatility").collect()
+    assert(atT0.nonEmpty && atT0.head.getDouble(0) == 5.0) // stddev_pop(10,20)
+  }
+
   test("multiple features without a label is rejected, not silently truncated") {
     val two =
       """{"ts": "ts_us",

@@ -45,4 +45,82 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.exactDedup(docs, col("text"), col("doc_id"))
     assert(out.count() == docs.select("text").distinct().count())
   }
+
+  test("per-row simhash matches the declarative 64-aggregate formulation") {
+    // Pins the zero-shuffle typed-map rewrite to the original
+    // explode + conditional-aggregate semantics (same xxhash64 words,
+    // same vote rule) — signature-for-signature.
+    val expl = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val voteAggs = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val declarative = expl.groupBy("doc_id")
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val typed = Dedup.simhash(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(typed == declarative)
+  }
+
+  test("hot-bucket cap bounds candidates on an all-identical corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    val same = (0L until 100L).map(i => (i, "the same boilerplate words repeated here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(same, col("text"), col("doc_id"), 32)
+    val uncapped = Dedup.minhashLshPairs(sigs, 32, 16, 0.0).count()
+    assert(uncapped == 100L * 99L / 2, s"expected all pairs, got $uncapped")
+    val capped = Dedup.minhashLshPairs(sigs, 32, 16, 0.0, maxBucket = 10).count()
+    assert(capped == 0, s"capped candidates should be 0, got $capped")
+    // simhash path: identical docs share every 8-bit chunk
+    val ssigs = Dedup.simhash(same, col("text"), col("doc_id"))
+    assert(Dedup.simhashPairs(ssigs, 6, maxBucket = 10).count() == 0)
+  }
+
+  private lazy val embs = Tables.embeddings(spark, dir)
+
+  test("LSH-fed embedding dedup equals brute force at the oracle threshold") {
+    val brute = Dedup.embeddingNearDupPairs(embs, col("vec_id"), col("embedding"), 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(embs, col("vec_id"), col("embedding"),
+        0.35, bits = 2, tables = 32, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute, s"missing=${brute -- lsh} extra=${lsh -- brute}")
+  }
+
+  test("LSH-fed embedding dedup is sub-quadratic at a realistic threshold") {
+    // The synthetic corpus has no true near-dups (max cos ~0.5), which
+    // forces the 0.35-threshold query into wide tables. This builds the
+    // realistic regime from the testdata: each vector gets a jittered
+    // copy (cos ~0.99), and at threshold 0.9 with narrow 8-bit tables
+    // the LSH path must (a) find exactly the brute-force pairs and
+    // (b) probe far fewer candidates than all-pairs.
+    val spark0 = spark
+    import spark0.implicits._
+    val base = embs.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val n = base.count()
+    val jittered = base.flatMap { case (vid, e) =>
+      val rnd = new java.util.Random(vid)
+      val copy = e.map(x => x + 0.02f * rnd.nextFloat())
+      Iterator((vid, e), (vid + 1000000L, copy))
+    }.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDupPairs(jittered, col("vec_id"), col("embedding"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.size >= n, "jittered corpus must contain seeded near-dups")
+    val lsh = Dedup.embeddingNearDupPairsLsh(jittered, col("vec_id"), col("embedding"),
+        0.9, bits = 8, tables = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute, s"missing=${brute -- lsh} extra=${lsh -- brute}")
+    val candidates = Dedup.lshCandidatePairs(jittered, col("vec_id"), col("embedding"),
+      bits = 8, tables = 8, dim = 64).count()
+    val allPairs = (2 * n) * (2 * n - 1) / 2
+    assert(candidates < allPairs / 4,
+      s"candidates $candidates not sub-quadratic vs all-pairs $allPairs")
+  }
 }
