@@ -90,12 +90,37 @@ def main():
         else:
             print(f"[ OK ] {name} ({len(got)} rows)")
             n_ok += 1
-    # queries without oracle: rows-only
+    # queries DuckDB cannot express: exact Python oracles (pyoracle.py
+    # recomputes the expected frame with bit-identical arithmetic),
+    # compared with the same rigor as the SQL oracles
+    from pyoracle import PY_ORACLES
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = os.path.basename(d.rstrip("/"))
-        if name not in oracle:
-            n = len(pd.read_parquet(d)) if glob.glob(f"{d}/*.parquet") else -1
-            print(f"[ROWS] {name}: {n} rows (no oracle)")
+        if name in oracle or (only and name not in only):
+            continue
+        if not glob.glob(f"{d}/*.parquet"):
+            print(f"[ROWS] {name}: no output (no oracle)")
+            n_skip += 1
+            continue
+        got = pd.read_parquet(d)
+        if name in PY_ORACLES:
+            try:
+                exp = PY_ORACLES[name](sfdir)
+            except FileNotFoundError as ex:
+                print(f"[ROWS] {name}: {len(got)} rows (py-oracle input missing: {ex})")
+                n_skip += 1
+                continue
+            errs = compare(name, got, exp)
+            if errs:
+                print(f"[FAIL] {name} ({len(got)} rows, py-oracle)")
+                for e in errs:
+                    print(f"    {e}")
+                n_bad += 1
+            else:
+                print(f"[ OK ] {name} ({len(got)} rows, py-oracle)")
+                n_ok += 1
+        else:
+            print(f"[ROWS] {name}: {len(got)} rows (no oracle)")
             n_skip += 1
     print(f"== {n_ok} ok, {n_bad} bad, {n_skip} rows-only ==")
     sys.exit(1 if n_bad else 0)

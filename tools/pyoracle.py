@@ -1,0 +1,395 @@
+"""Exact Python oracles for the queries DuckDB cannot express
+(xxhash64-based signatures, seeded-random LSH, path-dependent folds).
+
+Each function recomputes the query's expected frame from the parquet
+tables with bit-identical arithmetic to the Spark implementation:
+  - XXH64 (seed 42) reimplemented to match catalyst's xxhash64 (the
+    canonical little-endian algorithm; multi-column hashes fold each
+    value with the running hash as the seed);
+  - java.util.Random's 48-bit LCG for the seeded MinHash coefficients
+    and SRP hyperplanes;
+  - left-to-right double-accumulated dot products (graft_dot);
+  - Spark's round() = shortest-repr decimal HALF_UP;
+  - the throttle / order-book folds replayed row-for-row.
+
+check.py compares these exactly like the DuckDB oracles (column-sorted,
+row-sorted, cell-exact).
+"""
+import math
+import struct
+from decimal import Decimal, ROUND_HALF_UP
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------- XXH64
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _round64(acc, inp):
+    return (_rotl((acc + inp * _P2) & _M, 31) * _P1) & _M
+
+
+def _merge(acc, val):
+    acc ^= _round64(0, val)
+    return (acc * _P1 + _P4) & _M
+
+
+def _fmix(h):
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """Unsigned XXH64 of bytes (little-endian reads, canonical spec)."""
+    seed &= _M
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1, v2, v3, v4 = (seed + _P1 + _P2) & _M, (seed + _P2) & _M, seed, (seed - _P1) & _M
+        while i + 32 <= n:
+            v1 = _round64(v1, int.from_bytes(data[i:i + 8], 'little'))
+            v2 = _round64(v2, int.from_bytes(data[i + 8:i + 16], 'little'))
+            v3 = _round64(v3, int.from_bytes(data[i + 16:i + 24], 'little'))
+            v4 = _round64(v4, int.from_bytes(data[i + 24:i + 32], 'little'))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = _merge(h, v)
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        h ^= _round64(0, int.from_bytes(data[i:i + 8], 'little'))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], 'little') * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    return _fmix(h)
+
+
+def xxh64_str(s: str, seed: int = 42) -> int:
+    return xxh64(s.encode('utf-8'), seed)
+
+
+def xxh64_long(v: int, seed: int) -> int:
+    return xxh64(struct.pack('<q', v), seed)
+
+
+def to_signed(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ------------------------------------------------- java.util.Random LCG
+
+class JavaRandom:
+    def __init__(self, seed: int):
+        self._s = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def _next(self, bits: int) -> int:
+        self._s = (self._s * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        return self._s >> (48 - bits)
+
+    def next_int(self, bound: int) -> int:
+        if bound & (bound - 1) == 0:  # power of two
+            return (bound * self._next(31)) >> 31
+        while True:
+            bits = self._next(31)
+            val = bits % bound
+            if bits - val + (bound - 1) <= (1 << 31) - 1:
+                return val
+
+    def next_boolean(self) -> bool:
+        return self._next(1) != 0
+
+
+# ------------------------------------------------------------- helpers
+
+def round_half_up(x: float, scale: int) -> float:
+    """Spark round(): BigDecimal.valueOf(double) (shortest decimal
+    repr) + HALF_UP."""
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return x
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+
+def _events(sfdir: str) -> pd.DataFrame:
+    df = pd.read_parquet(f"{sfdir}/events.parquet")
+    ts = df['ts'].astype('int64')  # TIMESTAMP(NANOS) -> epoch ns
+    df = df.copy()
+    df['ts_us'] = ts // 1000
+    return df
+
+
+def _doc_words(text: str):
+    # parity tokenization: lowercase, single-space split keeping empties
+    return text.lower().split(' ')
+
+
+def _doc_shingles(text: str, n: int = 3):
+    ws = _doc_words(text)
+    if len(ws) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(ws) - n + 1):
+        s = ' '.join(ws[i:i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _dot(a, b) -> float:
+    """Left-to-right double fold (graft_dot / Similarity.dot parity)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+# --------------------------------------------------------- doc_minhash
+
+_MINHASH_P = 2147483647
+
+
+def _minhash_coeffs(perms: int):
+    rnd = JavaRandom(42)
+    out = []
+    for _ in range(perms):
+        a = 1 + rnd.next_int(2147483646)  # Int.MaxValue - 1
+        b = rnd.next_int(2147483647)      # Int.MaxValue
+        out.append((a, b))
+    return out
+
+
+def expected_doc_minhash_lsh(sfdir: str) -> pd.DataFrame:
+    perms, bands, est_threshold = 32, 16, 0.6
+    rows_per_band = perms // bands
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    coeffs = _minhash_coeffs(perms)
+    sigs = {}
+    for doc_id, text in zip(docs['doc_id'], docs['text']):
+        hs = [xxh64_str(s) & 0x7FFFFFFF for s in _doc_shingles(text)]
+        if not hs:
+            continue
+        sigs[int(doc_id)] = [min((a * h + b) % _MINHASH_P for h in hs)
+                             for a, b in coeffs]
+    buckets = {}
+    for did, sig in sigs.items():
+        for bidx in range(bands):
+            h = 42
+            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band):
+                h = xxh64_long(sig[i], h)
+            buckets.setdefault((bidx, h), []).append(did)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in cand:
+        est = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / perms
+        if est >= est_threshold:
+            out.append((a, b, est))
+    return pd.DataFrame(out, columns=['a_id', 'b_id', 'est_jaccard'])
+
+
+# ---------------------------------------------------------- doc_simhash
+
+def _simhash_sig(text: str) -> int:
+    votes = [0] * 64
+    for w in _doc_words(text):
+        h = xxh64_str(w)
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+def expected_doc_simhash(sfdir: str) -> pd.DataFrame:
+    max_dist = 6
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    sigs = [(int(d), _simhash_sig(t)) for d, t in zip(docs['doc_id'], docs['text'])]
+    sigs.sort()
+    out = []
+    # 8x8-bit banding is exact (lossless) to hamming<=7, so the expected
+    # pair set is simply ALL pairs within max_dist
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            d = bin(sigs[i][1] ^ sigs[j][1]).count('1')
+            if d <= max_dist:
+                out.append((sigs[i][0], sigs[j][0], d))
+    return pd.DataFrame(out, columns=['a_id', 'b_id', 'hamming'])
+
+
+# --------------------------------------------------------- emb_lsh_topk
+
+def _hyperplanes(bits: int, dim: int, seed: int):
+    rnd = JavaRandom(seed)
+    return [[1.0 if rnd.next_boolean() else -1.0 for _ in range(dim)]
+            for _ in range(bits)]
+
+
+def _srp_buckets(emb, bits: int, dim: int, tables: int, seed: int = 42):
+    """[(tbl, bucket)] for one embedding (Similarity.bucketStructs)."""
+    out = []
+    for t in range(tables):
+        planes = _PLANES_CACHE.setdefault((bits, dim, seed + t),
+                                          _hyperplanes(bits, dim, seed + t))
+        bkt = 0
+        for j, p in enumerate(planes):
+            if _dot(emb, p) >= 0:
+                bkt |= 1 << j
+        out.append((t, bkt))
+    return out
+
+
+_PLANES_CACHE = {}
+
+
+def expected_emb_lsh_topk(sfdir: str) -> pd.DataFrame:
+    k, bits, dim, tables = 5, 6, 64, 24
+    emb = pd.read_parquet(f"{sfdir}/embeddings.parquet")
+    ids = [int(v) for v in emb['vec_id']]
+    vecs = {int(v): e for v, e in zip(emb['vec_id'], emb['embedding'])}
+    buckets = {i: set(_srp_buckets(vecs[i], bits, dim, tables)) for i in ids}
+    norms = {i: math.sqrt(_dot(vecs[i], vecs[i])) for i in ids}
+    out = []
+    for q in sorted(i for i in ids if i < 10):
+        cands = [c for c in ids
+                 if c != q and buckets[c] & buckets[q]]
+        scored = [( _dot(vecs[q], vecs[c]) / (norms[q] * norms[c]), c)
+                  for c in cands]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (cos, c) in enumerate(scored[:k], start=1):
+            out.append((q, c, round_half_up(cos, 6), rnk))
+    return pd.DataFrame(out, columns=['q_id', 'neighbor_id', 'cos_sim', 'rnk'])
+
+
+# -------------------------------------------------- ev_throttle_elapsed
+
+def expected_ev_throttle_elapsed(sfdir: str) -> pd.DataFrame:
+    window_us = 6 * 3600000000
+    ev = _events(sfdir)[['event_id', 'user_id', 'ts_us', 'value']]
+    ev = ev.sort_values(['user_id', 'ts_us', 'event_id'], kind='mergesort')
+    out = []
+    cur_user, last_emit = None, None
+    for r in ev.itertuples(index=False):
+        if r.user_id != cur_user:
+            cur_user, last_emit = r.user_id, None
+        if last_emit is None or r.ts_us - last_emit >= window_us:
+            last_emit = r.ts_us
+            out.append(r)
+    return pd.DataFrame(out, columns=['event_id', 'user_id', 'ts_us', 'value'])
+
+
+# ------------------------------------------------------ l2_book_replay
+
+def expected_l2_book_replay(sfdir: str) -> pd.DataFrame:
+    depth, sampling_us = 5, 3600000000
+    ev = _events(sfdir)
+    upd = pd.DataFrame({
+        'instrument': ev['event_type'],
+        'ts_us': ev['ts_us'],
+        'seq': ev['event_id'],
+        'update_type': np.select(
+            [ev['event_id'] % 50 == 0, ev['event_id'] % 3 == 0,
+             ev['event_id'] % 3 == 1],
+            ['SNAPSHOT', 'ADD', 'SET'], default='SUB'),
+        'side': np.where(ev['event_id'] % 2 == 0, 'bid', 'ask'),
+        'price': [round_half_up(v, 0) for v in ev['value']],
+        'size': 1.0 + (ev['event_id'] % 5).astype('float64'),
+    }).sort_values(['instrument', 'ts_us', 'seq'], kind='mergesort')
+
+    out = []
+    cur = None
+    bids, asks, snap_ts = {}, {}, None
+
+    def apply(u):
+        nonlocal snap_ts
+        book = bids if u.side == 'bid' else asks
+        if u.update_type == 'SNAPSHOT':
+            if u.ts_us != snap_ts:
+                bids.clear(); asks.clear(); snap_ts = u.ts_us
+            if u.size > 0:
+                book[u.price] = u.size
+            else:
+                book.pop(u.price, None)
+        elif u.update_type == 'ADD':
+            snap_ts = None
+            book[u.price] = book.get(u.price, 0.0) + u.size
+        elif u.update_type == 'SET':
+            snap_ts = None
+            if u.size > 0:
+                book[u.price] = u.size
+            else:
+                book.pop(u.price, None)
+        else:  # SUB
+            snap_ts = None
+            nxt = book.get(u.price, 0.0) - u.size
+            if nxt > 0:
+                book[u.price] = nxt
+            else:
+                book.pop(u.price, None)
+
+    def emit(instrument, ts):
+        top_b = sorted(bids.items(), key=lambda kv: -kv[0])[:depth]
+        top_a = sorted(asks.items())[:depth]
+        b0 = top_b[0][0] if top_b else None
+        a0 = top_a[0][0] if top_a else None
+        mid = (b0 + a0) / 2 if b0 is not None and a0 is not None else None
+        spread = None
+        if b0 is not None and a0 is not None and a0 + b0 != 0.0:
+            spread = abs(a0 - b0) * 2 / (a0 + b0)
+        out.append((instrument, ts, len(top_b), len(top_a), mid, spread))
+
+    rows = list(upd.itertuples(index=False))
+    i, n = 0, len(rows)
+    while i < n:
+        u = rows[i]
+        if u.instrument != cur:
+            cur = u.instrument
+            bids, asks, snap_ts = {}, {}, None
+        ts = u.ts_us
+        while i < n and rows[i].instrument == cur and rows[i].ts_us == ts:
+            apply(rows[i])
+            i += 1
+        more = i < n and rows[i].instrument == cur
+        if not more or rows[i].ts_us // sampling_us != ts // sampling_us:
+            emit(cur, ts)
+    return pd.DataFrame(out, columns=['instrument', 'ts_us', 'bid_depth',
+                                      'ask_depth', 'mid_price', 'spread'])
+
+
+PY_ORACLES = {
+    'doc_minhash_lsh': expected_doc_minhash_lsh,
+    'doc_simhash': expected_doc_simhash,
+    'emb_lsh_topk': expected_emb_lsh_topk,
+    'ev_throttle_elapsed': expected_ev_throttle_elapsed,
+    'l2_book_replay': expected_l2_book_replay,
+}
