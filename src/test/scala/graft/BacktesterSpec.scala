@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.consumers.Backtester
+import graft.consumers.{Backtester, Trainer, TrainSplit}
 
 class BacktesterSpec extends AnyFunSuite {
 
@@ -30,5 +30,71 @@ class BacktesterSpec extends AnyFunSuite {
       shards = 4, initialCash = 1000.0)
     assert(results.length == 4)
     assert(results.map(_.nTrades).sum > 0)
+  }
+
+  test("fitLinear recovers exact coefficients on a linear target") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0 until 2000).map { i =>
+      val a = i * 0.1
+      val b = math.sin(i * 0.37) * 5.0
+      (a, b, 3.0 + 2.0 * a - 0.5 * b)
+    }.toDF("a", "b", "y").repartition(8)
+    val m = Trainer.fitLinear(df, Seq("a", "b"), "y")
+    assert(math.abs(m.intercept - 3.0) < 1e-6, s"intercept ${m.intercept}")
+    assert(math.abs(m.weights(0) - 2.0) < 1e-8)
+    assert(math.abs(m.weights(1) + 0.5) < 1e-8)
+    // null rows are skipped, not poisoned
+    val withNulls = df.unionByName(
+      Seq((Double.NaN, 1.0, 1.0)).toDF("a", "b", "y"))
+    val m2 = Trainer.fitLinear(withNulls, Seq("a", "b"), "y")
+    assert(math.abs(m2.weights(0) - 2.0) < 1e-8)
+  }
+
+  test("model-backed strategy drives the backtest loop (inference path)") {
+    // The flagship label is the sine a quarter period ahead — linearly
+    // orthogonal to the features, so this pins the trainer->inference
+    // WIRING (fit on the train slice, model called per event row in
+    // the loop) plus determinism and accounting, not predictive skill.
+    val fls = SparkEntry.entry(spark)
+    val (train, test) = TrainSplit.timeSplit(fls, "ts_us", 0.7)
+    val features = Seq("mid_price", "volatility")
+    val model = Trainer.fitLinear(train, features, "label_mid_price")
+    assert(model.weights.length == 2)
+
+    val strat = Trainer.modelStrategy(model, fls.columns.toSeq, features,
+      "mid_price")
+    val res = Backtester.run(test, "ts_us", "mid_price", strat,
+      initialCash = 100000.0, commissionRate = 0.001)
+    assert(res.nTrades > 0)
+    assert(res.finalEquity == res.finalCash + res.finalPosition * res.lastPrice)
+    // determinism: refit + rerun = identical model and result
+    val model2 = Trainer.fitLinear(train, features, "label_mid_price")
+    assert(model2.intercept == model.intercept &&
+      model2.weights.sameElements(model.weights))
+    val res2 = Backtester.run(test, "ts_us", "mid_price", strat,
+      initialCash = 100000.0, commissionRate = 0.001)
+    assert(res2 == res)
+  }
+
+  test("feature-matrix export: libsvm lines and parquet matrix round-trip") {
+    val fls = SparkEntry.entry(spark)
+    val features = Seq("mid_price", "volatility")
+    val dir = java.nio.file.Files.createTempDirectory("graft_matrix").toString
+
+    Trainer.exportLibsvm(fls, features, "label_mid_price", s"$dir/libsvm")
+    val lines = spark.read.text(s"$dir/libsvm").collect().map(_.getString(0))
+    val expected = fls.filter(org.apache.spark.sql.functions.col("label_mid_price").isNotNull)
+      .count()
+    assert(lines.length == expected)
+    val parts = lines.head.split(" ")
+    assert(parts.length == 3 && parts(1).startsWith("1:") && parts(2).startsWith("2:"))
+
+    Trainer.exportMatrix(fls, features, "label_mid_price", s"$dir/matrix")
+    val back = spark.read.parquet(s"$dir/matrix")
+    assert(back.columns.toSeq == Seq("label", "features"))
+    assert(back.count() == fls.count())
+    assert(back.selectExpr("size(features)").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
   }
 }
