@@ -114,6 +114,76 @@ class BlockCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** Compact runs of small blocks (reference `streaming/block_writer/
+    * memory_based_compactor.py:11-51`, which buffers frames until a
+    * memory target before storing — here as post-hoc small-file
+    * compaction, the Spark-idiomatic shape). Adjacent blocks (by
+    * start_ts) are greedily grouped until the group reaches
+    * `targetRows`; each multi-block group is rewritten as ONE block and
+    * its members dropped from the catalog + disk. Returns the number of
+    * groups compacted.
+    *
+    * Atomicity caveat (same as the class note): with a plain-parquet
+    * meta the new block lands before the old rows/dirs are removed, so
+    * a crash mid-compact can transiently double-count in `scanAll`
+    * until re-run; a transactional table format for `_meta` makes
+    * steps 2-3 one commit at cluster scale. */
+  def compactSmallBlocks(definition: String, key: String, targetRows: Long,
+      tsUs: String = "ts_us"): Int = {
+    val m = meta
+    if (!m.columns.contains("hash")) return 0
+    val blocks = m.filter(col("definition") === definition && col("key") === key)
+      .select("start_ts", "end_ts", "num_rows", "hash")
+      .orderBy(col("start_ts"), col("end_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // greedy adjacent grouping to the row target
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[(Long, Long, Long, String)]]
+    var cur = Vector.empty[(Long, Long, Long, String)]
+    var curRows = 0L
+    blocks.foreach { b =>
+      cur :+= b; curRows += b._3
+      if (curRows >= targetRows) { groups += cur; cur = Vector.empty; curRows = 0L }
+    }
+    if (cur.nonEmpty) groups += cur
+    val toCompact = groups.filter(_.size > 1)
+    if (toCompact.isEmpty) return 0
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val dropped = scala.collection.mutable.Set.empty[String]
+    val newRows = toCompact.map { grp =>
+      val combined = grp.map(b =>
+          spark.read.parquet(s"${dataPath(definition, key)}/block=${b._4}")
+            .drop("day"))
+        .reduce(_ unionByName _)
+      val hash = contentHash(combined)
+      val withDay = combined.withColumn("day",
+        date_format(timestamp_micros(col(tsUs)), "yyyy-MM-dd"))
+      withDay.write.mode("overwrite").partitionBy("day")
+        .parquet(s"${dataPath(definition, key)}/block=$hash")
+      grp.foreach(b => dropped += b._4)
+      (definition, key, grp.map(_._1).min, grp.map(_._2).max,
+        grp.map(_._3).sum, hash)
+    }
+    // rewrite meta: survivors + the compacted rows (meta is one row per
+    // block — driver-size metadata, same as coveredRanges)
+    val survivors = m.collect().filterNot(r =>
+      r.getAs[String]("definition") == definition &&
+        r.getAs[String]("key") == key && dropped.contains(r.getAs[String]("hash")))
+      .map(r => (r.getAs[String]("definition"), r.getAs[String]("key"),
+        r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"),
+        r.getAs[Long]("num_rows"), r.getAs[String]("hash")))
+    import spark.implicits._
+    (survivors ++ newRows).toSeq
+      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash")
+      .write.mode("overwrite").parquet(metaPath)
+    dropped.foreach { h =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${dataPath(definition, key)}/block=$h"), true)
+    }
+    toCompact.size
+  }
+
   /** Gap-aware range scan: one frame per contiguous covered sub-range
     * intersecting [startUs, endUs], so a request spanning a hole gets
     * the hole surfaced as a range split instead of silence (the

@@ -11,17 +11,41 @@ import graft.sources.BlockCatalog
   * trigger. Content-hash idempotency makes at-least-once micro-batch
   * delivery safe (replayed batches are skipped), replacing the
   * reference's hash-exists check at store time.
+  *
+  * `minRowsPerBlock` is the size-based compaction policy (reference
+  * `memory_based_compactor.py:11-51`, row-count proxy for its memory
+  * target): micro-batches are persisted and buffered until the target
+  * is reached, then flushed as ONE compacted block — small triggers no
+  * longer mean small files. Buffered rows not yet at the target stay
+  * in memory like the reference's compactor; on restart the
+  * checkpoint replays the unflushed micro-batches (at-least-once), and
+  * a replay producing an identical flush group is skipped by content
+  * hash. Post-hoc `BlockCatalog.compactSmallBlocks` covers blocks that
+  * already landed small.
   */
 object BlockWriter {
 
   def start(df: DataFrame, catalog: BlockCatalog, definition: String,
       key: String, tsUs: String, triggerMs: Long = 5000L,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      minRowsPerBlock: Long = 0L): StreamingQuery = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var buffered = 0L
     val base = df.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { catalog.write(batch, definition, key, tsUs); () }
+        if (!batch.isEmpty) {
+          val p = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          buffered += p.count() // materializes the persist
+          buf += p
+          if (buffered >= minRowsPerBlock) {
+            catalog.write(buf.reduce(_ unionByName _), definition, key, tsUs)
+            buf.foreach(_.unpersist())
+            buf.clear()
+            buffered = 0L
+          }
+        }
       }
     checkpoint.fold(base)(cp => base.option("checkpointLocation", cp)).start()
   }

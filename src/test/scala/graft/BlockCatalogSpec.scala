@@ -66,6 +66,30 @@ class BlockCatalogSpec extends AnyFunSuite {
     assert(cat.coveredRanges("trades", "ETH", maxGapUs = 0L).size == 3)
   }
 
+  test("compactSmallBlocks merges adjacent small blocks, preserving rows") {
+    val root = Files.createTempDirectory("graft_compact").toString
+    val cat = new BlockCatalog(spark, root)
+    def block(startHour: Int, hours: Int) =
+      (0 until hours).map(i => (day0 + (startHour + i) * 3600000000L, (startHour + i).toDouble))
+        .toDF("ts_us", "v")
+    // four 3-row blocks + one already-large block
+    (0 until 4).foreach(g => assert(cat.write(block(g * 3, 3), "t", "K", "ts_us")))
+    assert(cat.write(block(12, 10), "t", "K", "ts_us"))
+    val before = cat.scanAll("t", "K").orderBy("ts_us").collect().toSeq
+    assert(cat.meta.count() == 5)
+
+    val n = cat.compactSmallBlocks("t", "K", targetRows = 6L)
+    assert(n == 2) // (3+3), (3+3); the 10-row block stands alone
+    assert(cat.meta.count() == 3)
+    assert(cat.meta.filter(col("num_rows") < 6).count() == 0)
+    // data identical after compaction, and covered ranges unchanged
+    assert(cat.scanAll("t", "K").orderBy("ts_us").collect().toSeq == before)
+    assert(cat.coveredRanges("t", "K", maxGapUs = 3600000000L) ==
+      Seq((day0, day0 + 21 * 3600000000L)))
+    // re-running is a no-op
+    assert(cat.compactSmallBlocks("t", "K", targetRows = 6L) == 0)
+  }
+
   test("crash between data and meta writes: replay does not duplicate rows") {
     val root = Files.createTempDirectory("graft_crash").toString
     val cat = new BlockCatalog(spark, root)
