@@ -318,10 +318,21 @@ object Dedup {
     * operator (measured ratios in SCALE.md). Candidates are deduped
     * as bare id pairs before the embedding payloads are re-attached. */
   /** SRP-LSH candidate id pairs for embedding near-dup detection: rows
-    * sharing any table's bucket, deduped as bare (a_id, b_id) pairs —
-    * the narrow-shuffle candidate stage that embeddingNearDupPairsLsh
-    * feeds to exact verification (public so candidate-set size is
-    * measurable — SCALE.md reports the ratios). */
+    * sharing any table's bucket, emitted as bare (a_id, b_id) pairs —
+    * the candidate stage that embeddingNearDupPairsLsh feeds to exact
+    * verification (public so candidate-set size is measurable —
+    * SCALE.md reports the ratios).
+    *
+    * Dedup is `distinct()` over the bare id-pair multiset — the
+    * map-side partial aggregate collapses most multiplicity before the
+    * exchange, and the shuffled rows are 16 bytes. A "min matching
+    * table" formulation that avoids the dedup shuffle entirely (carry
+    * both bucket vectors through the join, filter pairs that already
+    * matched an earlier table with exists/zip_with/slice) was measured
+    * 9x SLOWER here: the higher-order lambdas allocate two sliced
+    * arrays per joined row — the CollapseProject/HOF trap again
+    * (CLAUDE.md). If the dedup exchange ever dominates at cluster
+    * scale, that filter needs a custom codegen'd Expression, not HOFs. */
   def lshCandidatePairs(df: DataFrame, id: Column, emb: Column,
       bits: Int, tables: Int, dim: Int, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
