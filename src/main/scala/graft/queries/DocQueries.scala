@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.operators.{Dedup, Sampling, TextAnalysis => TA}
 
 /** LLM-training-data operators over the `documents` table: dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash), text analysis
@@ -132,6 +132,40 @@ object DocQueries {
           TA.tokenCount(col("text")).as("n_tokens"),
           TA.wordCount(col("text")).as("n_words"),
           (col("n_chars") / TA.tokenCount(col("text"))).as("chars_per_token"))
+    },
+
+    // Deterministic content-hash sampling: ~10% of docs survive, chosen
+    // by md5 prefix (identical hex in both engines) — reproducible
+    // corpus subsetting with no RNG coordination.
+    "doc_sample_hash" -> QueryDef(
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE substr(md5(text), 1, 6) < '${Sampling.hashBound(0.1)}'""".stripMargin) {
+      (s, dir) =>
+        Sampling.hashSample(Tables.documents(s, dir), col("text"), 0.1)
+          .select("doc_id", "lang", "n_chars")
+    },
+
+    // Class-balanced deterministic sample: the 20 smallest md5 keys per
+    // language — equal per-class representation without an RNG.
+    "doc_balanced_sample" -> QueryDef(
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20""".stripMargin) { (s, dir) =>
+      Sampling.balancedSample(Tables.documents(s, dir), col("lang"),
+          col("text"), col("doc_id"), 20)
+        .select("doc_id", "lang", "rn")
+    },
+
+    // Greedy sequence packing: per language, docs in doc_id order fill
+    // 512-token bins (training-batch packing). Path-dependent fold →
+    // exact Python oracle (tools/pyoracle.py).
+    "doc_pack_greedy" -> QueryDef.noOracle { (s, dir) =>
+      val withTokens = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.packGreedy(withTokens, "n_tokens", 512L, Seq("lang"), "doc_id")
     },
 
     // Rolling-hash document fingerprint (mod 1e9+7 polynomial).

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = Tables.documents(spark, dir)
+
+  test("hash sample: deterministic, repartition-invariant, near-fraction") {
+    val s1 = Sampling.hashSample(docs, col("text"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs.repartition(7), col("text"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val n = docs.count().toDouble
+    // md5 is uniform; duplicate texts share survival, widening variance
+    assert(s1.size > 0.05 * n && s1.size < 0.5 * n,
+      s"sample ${s1.size} of $n at fraction 0.2")
+    // monotone: a smaller fraction is a subset
+    val smaller = Sampling.hashSample(docs, col("text"), 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(s1))
+  }
+
+  test("balanced sample: exactly n per group, deterministic") {
+    val out = Sampling.balancedSample(docs, col("lang"), col("text"),
+      col("doc_id"), 5)
+    val perGroup = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val groupSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    groupSizes.foreach { case (g, sz) =>
+      assert(perGroup(g) == math.min(5L, sz), s"group $g: ${perGroup(g)}")
+    }
+    val again = Sampling.balancedSample(docs.repartition(5), col("lang"),
+      col("text"), col("doc_id"), 5)
+    assert(out.orderBy("lang", "rn").collect().toSeq ==
+      again.orderBy("lang", "rn").collect().toSeq)
+  }
+
+  test("greedy packing: capacity respected, order preserved, bins dense") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      ("a", 1L, 200L), ("a", 2L, 200L), ("a", 3L, 200L), // 200+200 | 200
+      ("a", 4L, 600L),                                   // oversize: own bin
+      ("a", 5L, 100L),
+      ("b", 6L, 512L), ("b", 7L, 1L))
+      .toDF("k", "okey", "n_tokens")
+    val out = Sampling.packGreedy(rows, "n_tokens", 512L, Seq("k"), "okey")
+      .select("k", "okey", "bin", "bin_fill")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      ("a", 1L, 0L, 200L), ("a", 2L, 0L, 400L), ("a", 3L, 1L, 200L),
+      ("a", 4L, 2L, 600L), ("a", 5L, 3L, 100L),
+      ("b", 6L, 0L, 512L), ("b", 7L, 1L, 1L)))
+    // within-capacity bins never exceed capacity (only oversize rows do)
+    val over = out.filter(t => t._4 > 512L)
+    assert(over.forall(t => t._4 == 600L))
+  }
+}

@@ -386,7 +386,36 @@ def expected_l2_book_replay(sfdir: str) -> pd.DataFrame:
                                       'ask_depth', 'mid_price', 'spread'])
 
 
+# ------------------------------------------------------ doc_pack_greedy
+
+def _token_count(text: str) -> int:
+    import re
+    return len(re.findall(r'[a-z]+|[0-9]+|[^a-z0-9\s]', text.lower()))
+
+
+def expected_doc_pack_greedy(sfdir: str) -> pd.DataFrame:
+    capacity = 512
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    rows = sorted(
+        ((str(l), int(d), _token_count(t))
+         for d, l, t in zip(docs['doc_id'], docs['lang'], docs['text'])),
+        key=lambda r: (r[0], r[1]))
+    out = []
+    cur_lang, b, fill = None, 0, 0
+    for lang, doc_id, t in rows:
+        if lang != cur_lang:
+            cur_lang, b, fill = lang, 0, 0
+        if fill > 0 and fill + t > capacity:
+            b += 1
+            fill = 0
+        fill += t
+        out.append((doc_id, lang, t, b, fill))
+    return pd.DataFrame(out, columns=['doc_id', 'lang', 'n_tokens', 'bin',
+                                      'bin_fill'])
+
+
 PY_ORACLES = {
+    'doc_pack_greedy': expected_doc_pack_greedy,
     'doc_minhash_lsh': expected_doc_minhash_lsh,
     'doc_simhash': expected_doc_simhash,
     'emb_lsh_topk': expected_emb_lsh_topk,
