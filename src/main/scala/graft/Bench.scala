@@ -30,6 +30,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOne(name: String): Double = {
+      // clear persisted intermediates from the previous run BEFORE the
+      // clock: each timed query pays its own persist cost (a warm-up
+      // leftover would understate it) and cache residency stays bounded
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -113,8 +113,10 @@ object Trainer {
   /** Adapt a model to the backtest loop (reference inference loop):
     * target position = +`unit` when the model's score exceeds the
     * current price (expected up-move), else -`unit`. Feature values are
-    * read by column index in `featureCols` order; a null feature holds
-    * the previous position (no trade) via NaN-predict guard. */
+    * read by column index in `featureCols` order; a row with a null or
+    * NaN feature (or a NaN prediction) targets position 0.0 — flat, a
+    * deterministic no-signal stance (holding would need a stateful
+    * strategy; `Backtester.Strategy` is a pure row function). */
   def modelStrategy(model: Model, schema: Seq[String],
       featureCols: Seq[String], priceCol: String,
       unit: Double = 1.0): Backtester.Strategy = {
@@ -127,19 +129,25 @@ object Trainer {
       var ok = true
       var i = 0
       while (i < fIdx.length) {
-        if (r.isNullAt(fIdx(i))) ok = false else x(i) = r.getDouble(fIdx(i))
+        if (r.isNullAt(fIdx(i))) ok = false
+        else { x(i) = r.getDouble(fIdx(i)); if (x(i).isNaN) ok = false }
         i += 1
       }
       if (!ok) 0.0
-      else if (model.predict(x) > r.getDouble(pIdx)) unit
-      else -unit
+      else {
+        val pred = model.predict(x)
+        if (pred.isNaN) 0.0
+        else if (pred > r.getDouble(pIdx)) unit
+        else -unit
+      }
     }
   }
 
   /** Feature-matrix export, LibSVM text (XGBoost native input):
-    * `label idx:value ...` with 1-based indices, rows ordered by
-    * `orderCol` within each output file (one shuffle-free pass; file
-    * count = input partitions). Null/NaN rows are dropped. */
+    * `label idx:value ...` with 1-based indices, one shuffle-free pass
+    * (file count = input partitions, rows in source-partition order —
+    * sort the input first if per-file ordering matters). Null/NaN rows
+    * are dropped. */
   def exportLibsvm(df: DataFrame, featureCols: Seq[String], labelCol: String,
       path: String): Unit = {
     val line = concat_ws(" ",

@@ -71,8 +71,15 @@ object BuiltinDefs {
     val name = "pit_join"
     def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame = {
       val names = params("names").split(',').toSeq
-      AsofJoin.pointInTimeJoin(deps.head, names.zip(deps.tail), params("ts"),
-        byNames(params), params.get("tie"))
+      val joined = AsofJoin.pointInTimeJoin(deps.head, names.zip(deps.tail),
+        params("ts"), byNames(params), params.get("tie"))
+      // the tie column rode along through feature frames purely to
+      // order equal-ts rows — drop its prefixed copies from the
+      // user-facing FeatureLabelSet schema
+      params.get("tie") match {
+        case Some(t) => joined.drop(names.map(n => s"${n}_$t"): _*)
+        case None => joined
+      }
     }
   }
 }

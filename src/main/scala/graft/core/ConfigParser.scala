@@ -58,12 +58,22 @@ object ConfigParser {
         case _: ClassNotFoundException | _: NoSuchFieldException |
             _: NoSuchMethodException => None
       }
-    instantiate(fqcn).orElse(instantiate(fqcn + "$")) match {
+    // try the plain FQCN, then the '$' object form — and fall through
+    // to the object form when the plain form loads but is not a
+    // FeatureDef (a zero-arg companion class must not shadow its
+    // FeatureDef companion object)
+    instantiate(fqcn) match {
       case Some(d: FeatureDef) => d
-      case Some(other) => throw new IllegalArgumentException(
-        s"'$fqcn' loaded but ${other.getClass.getName} is not a FeatureDef")
-      case None => throw new IllegalArgumentException(
-        s"unknown definition '$fqcn' (not in registry, not loadable as a class)")
+      case plain =>
+        instantiate(fqcn + "$") match {
+          case Some(d: FeatureDef) => d
+          case dollar => plain.orElse(dollar) match {
+            case Some(other) => throw new IllegalArgumentException(
+              s"'$fqcn' loaded but ${other.getClass.getName} is not a FeatureDef")
+            case None => throw new IllegalArgumentException(
+              s"unknown definition '$fqcn' (not in registry, not loadable as a class)")
+          }
+        }
     }
   }
 

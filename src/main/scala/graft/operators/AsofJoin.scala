@@ -61,12 +61,17 @@ object AsofJoin {
       by: Seq[String] = Nil,
       rightTieBreak: Option[String] = None): DataFrame = {
     val labelCols = label.columns.toSeq
+    // the tie-break column IS emitted as a value column (provenance of
+    // the matched row, like lookaheadShift's label_<tie>); callers that
+    // consider it plumbing drop it after the join (PitJoinDef does)
+    def valColsOf(fdf: DataFrame): Array[String] =
+      fdf.columns.filterNot(c => c == tsCol || by.contains(c))
     // the output schema must have unique column names (label cols +
     // each feature's prefixed value cols) — a silent duplicate would
     // poison every downstream reference
     val outNames = labelCols ++ features.flatMap { case (name, fdf) =>
       val p = if (name.isEmpty) "" else s"${name}_"
-      fdf.columns.filterNot(c => c == tsCol || by.contains(c)).map(p + _)
+      valColsOf(fdf).map(p + _)
     }
     val dups = outNames.groupBy(identity).collect { case (c, xs) if xs.size > 1 => c }
     require(dups.isEmpty,
@@ -79,7 +84,7 @@ object AsofJoin {
         struct(labelCols.map(col): _*).as("__lrow") :+ lit(1).as(SIDE)): _*)
 
     val fTags = features.zipWithIndex.map { case ((_, df), i) =>
-      val valCols = df.columns.filterNot(c => c == tsCol || by.contains(c))
+      val valCols = valColsOf(df)
       // The tie-break applies per frame where the column exists; a
       // frame without it must be unique per (by, ts) — e.g. already
       // aggregated/collapsed — so equal-ts ties cannot arise there.
@@ -109,9 +114,8 @@ object AsofJoin {
     val outCols =
       labelCols.map(c => col("__lrow").getField(c).as(c)) ++
         features.zipWithIndex.flatMap { case ((name, fdf), i) =>
-          val valCols = fdf.columns.filterNot(c => c == tsCol || by.contains(c))
           val p = if (name.isEmpty) "" else s"${name}_"
-          valCols.map(c => col(s"__v$i").getField(c).as(s"$p$c"))
+          valColsOf(fdf).map(c => col(s"__v$i").getField(c).as(s"$p$c"))
         }
 
     filled.filter(col(SIDE) === 1).select(outCols: _*)

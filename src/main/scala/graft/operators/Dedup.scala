@@ -47,7 +47,8 @@ object Dedup {
     df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
       .as[(Long, String)]
       .flatMap { case (did, t) =>
-        val ws = t.split(" ", -1)
+        // null text: no shingles, same drop semantics as explode(null)
+        val ws = if (t == null) Array.empty[String] else t.split(" ", -1)
         if (ws.length < n) Iterator.empty
         else {
           val seen = scala.collection.mutable.HashSet.empty[String]
@@ -80,8 +81,10 @@ object Dedup {
     * the plan reads each of them from multiple branches (df counts,
     * prefix self-join, full sets) and would otherwise re-tokenize the
     * corpus 4x (measured: the tokenization MapPartitions dominated the
-    * round-1 plan). Cached partitions are LRU-evicted after the action.
-    */
+    * round-1 plan). The cached frames live until the caller drops them
+    * (`spark.catalog.clearCache()` between queries in Verify/Bench) —
+    * memory partitions LRU-evict under pressure, disk ones do not, so
+    * long-lived sessions should clear between unrelated queries. */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -208,7 +211,10 @@ object Dedup {
     import spark.implicits._
     df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
       .as[(Long, String)]
-      .map { case (did, t) =>
+      .flatMap { case (did, t) =>
+        // null text: no signature (the explode formulation's drop semantics)
+        if (t == null) Iterator.empty
+        else Iterator.single {
         val votes = new Array[Int](64)
         val ws = t.split(" ", -1)
         var i = 0
@@ -225,6 +231,7 @@ object Dedup {
         var b = 0
         while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
         (did, sig)
+        }
       }
       .toDF("doc_id", "simhash")
   }

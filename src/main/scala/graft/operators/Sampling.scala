@@ -52,7 +52,10 @@ object Sampling {
     * pipeline, as a distributed per-key fold: one shuffle on the key,
     * in-partition sort, tight scan — same execution shape as
     * throttleElapsed. Emits the input row + `bin` (0-based per key)
-    * and `bin_fill` (tokens in the bin after placing the row). */
+    * and `bin_fill` (tokens in the bin after placing the row).
+    * `tokenCol` must be a non-null Long column (fails fast otherwise).
+    * With empty `by` the packing is one global sequential fold — one
+    * partition by necessity (there is no parallel greedy packing). */
   def packGreedy(df: DataFrame, tokenCol: String, capacity: Long,
       by: Seq[String], okeyCol: String): DataFrame = {
     require(capacity > 0, "capacity must be positive")
@@ -60,7 +63,8 @@ object Sampling {
     val tokIdx = cols.indexOf(tokenCol)
     require(tokIdx >= 0, s"missing token column $tokenCol")
     val byIdx = by.map(c => cols.indexOf(c))
-    val sorted = df.repartition(by.map(col): _*)
+    val sorted = (if (by.isEmpty) df.repartition(1)
+      else df.repartition(by.map(col): _*))
       .sortWithinPartitions((by.map(col) :+ col(okeyCol).asc): _*)
     val schema = sorted.schema
       .add("bin", org.apache.spark.sql.types.LongType, nullable = false)

@@ -78,18 +78,38 @@ class BlockCatalog(spark: SparkSession, root: String) {
     true
   }
 
-  /** Full scan of a (definition, key) table. */
-  def scanAll(definition: String, key: String): DataFrame =
-    spark.read.parquet(dataPath(definition, key)).drop("block")
+  /** Block hashes the catalog currently lists for (definition, key) —
+    * the set of LIVE blocks. Scans filter on it so the meta table is
+    * the single source of truth: a data directory not (yet) in meta —
+    * a write that crashed before its meta append, or a compaction
+    * leftover — is invisible garbage, never a double-count. */
+  private def liveHashes(definition: String, key: String): Seq[String] = {
+    val m = meta
+    if (!m.columns.contains("hash")) Seq.empty
+    else m.filter(col("definition") === definition && col("key") === key)
+      .select("hash").collect().map(_.getString(0)).toSeq
+  }
 
-  /** Range scan: partition pruning on day + exact ts bounds. */
-  def scan(definition: String, key: String, startUs: Long, endUs: Long,
-      tsUs: String = "ts_us"): DataFrame =
+  /** Full scan of a (definition, key) table (meta-listed blocks only;
+    * `block` is a partition column, so the isin filter prunes
+    * directories). */
+  def scanAll(definition: String, key: String): DataFrame = {
+    val hs = liveHashes(definition, key)
     spark.read.parquet(dataPath(definition, key))
+      .filter(col("block").isin(hs: _*)).drop("block")
+  }
+
+  /** Range scan: partition pruning on block + day + exact ts bounds. */
+  def scan(definition: String, key: String, startUs: Long, endUs: Long,
+      tsUs: String = "ts_us"): DataFrame = {
+    val hs = liveHashes(definition, key)
+    spark.read.parquet(dataPath(definition, key))
+      .filter(col("block").isin(hs: _*))
       .filter(col("day") >= date_format(timestamp_micros(lit(startUs)), "yyyy-MM-dd")
         && col("day") <= date_format(timestamp_micros(lit(endUs)), "yyyy-MM-dd"))
       .filter(col(tsUs) >= startUs && col(tsUs) <= endUs)
       .drop("block")
+  }
 
   /** Contiguous covered ranges for a (definition, key): catalog blocks
     * sorted by start_ts merge while the inter-block gap (next start_ts
@@ -123,11 +143,14 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * its members dropped from the catalog + disk. Returns the number of
     * groups compacted.
     *
-    * Atomicity caveat (same as the class note): with a plain-parquet
-    * meta the new block lands before the old rows/dirs are removed, so
-    * a crash mid-compact can transiently double-count in `scanAll`
-    * until re-run; a transactional table format for `_meta` makes
-    * steps 2-3 one commit at cluster scale. */
+    * Crash safety: scans read only meta-listed blocks, so the order
+    * (write new dirs → rewrite meta → delete old dirs) never
+    * double-counts — a crash before the meta rewrite leaves invisible
+    * new dirs that the re-run overwrites (same content hash), a crash
+    * after it leaves invisible old dirs as garbage. The meta overwrite
+    * itself is the one non-atomic step with plain parquet; a
+    * transactional table format makes it a single commit at cluster
+    * scale (class scaladoc). */
   def compactSmallBlocks(definition: String, key: String, targetRows: Long,
       tsUs: String = "ts_us"): Int = {
     val m = meta

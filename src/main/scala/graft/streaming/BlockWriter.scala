@@ -16,12 +16,13 @@ import graft.sources.BlockCatalog
   * `memory_based_compactor.py:11-51`, row-count proxy for its memory
   * target): micro-batches are persisted and buffered until the target
   * is reached, then flushed as ONE compacted block — small triggers no
-  * longer mean small files. Buffered rows not yet at the target stay
-  * in memory like the reference's compactor; on restart the
-  * checkpoint replays the unflushed micro-batches (at-least-once), and
-  * a replay producing an identical flush group is skipped by content
-  * hash. Post-hoc `BlockCatalog.compactSmallBlocks` covers blocks that
-  * already landed small.
+  * longer mean small files. DURABILITY CAVEAT: offsets commit when
+  * foreachBatch returns, so rows buffered below the target are LOST if
+  * the query stops before the next flush — the same at-most-once
+  * window as the reference's in-memory compactor. When every row must
+  * land, run with minRowsPerBlock=0 (flush per batch, at-least-once
+  * via content-hash idempotency) and compact post hoc with
+  * `BlockCatalog.compactSmallBlocks`.
   */
 object BlockWriter {
 

@@ -77,6 +77,16 @@ class BacktesterSpec extends AnyFunSuite {
     assert(res2 == res)
   }
 
+  test("model strategy goes flat on null or NaN features, never trades on noise") {
+    val model = Trainer.LinearModel(0.0, Array(1.0))
+    val strat = Trainer.modelStrategy(model, Seq("f", "price"), Seq("f"), "price")
+    import org.apache.spark.sql.Row
+    assert(strat(Row(null, 10.0)) == 0.0)
+    assert(strat(Row(Double.NaN, 10.0)) == 0.0)
+    assert(strat(Row(20.0, 10.0)) == 1.0)
+    assert(strat(Row(5.0, 10.0)) == -1.0)
+  }
+
   test("feature-matrix export: libsvm lines and parquet matrix round-trip") {
     val fls = SparkEntry.entry(spark)
     val features = Seq("mid_price", "volatility")

@@ -88,6 +88,13 @@ class BlockCatalogSpec extends AnyFunSuite {
       Seq((day0, day0 + 21 * 3600000000L)))
     // re-running is a no-op
     assert(cat.compactSmallBlocks("t", "K", targetRows = 6L) == 0)
+
+    // crash-safety invariant: a data directory NOT listed in meta (a
+    // write that died before its meta append, or a compaction
+    // leftover) is invisible to scans — never a double-count
+    block(0, 2).withColumn("day", org.apache.spark.sql.functions.lit("2024-01-01"))
+      .write.partitionBy("day").parquet(s"$root/t/K/data/block=deadbeef")
+    assert(cat.scanAll("t", "K").count() == before.size)
   }
 
   test("crash between data and meta writes: replay does not duplicate rows") {

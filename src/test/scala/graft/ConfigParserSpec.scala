@@ -82,6 +82,8 @@ class ConfigParserSpec extends AnyFunSuite {
       ConfigParser.resolve("graft.Tables") // real class, not a FeatureDef
     }
     assert(e.getMessage.contains("not a FeatureDef"))
+    // a zero-arg companion class must not shadow its FeatureDef object
+    assert(ConfigParser.resolve("graft.ShadowedDef").name == "shadowed")
   }
 
   test("config root PIT join breaks equal-ts feature ties via the order key") {
@@ -112,9 +114,12 @@ class ConfigParserSpec extends AnyFunSuite {
     val labeled = graft.operators.AsofJoin.lookaheadShift(src, "ts_us",
       1000000L, Nil, "label", Some("seq"))
     val expected = graft.operators.AsofJoin.pointInTimeJoin(labeled,
-      Seq(("vol", vol)), "ts_us", Nil, Some("seq"))
+        Seq(("vol", vol)), "ts_us", Nil, Some("seq"))
+      .drop("vol_seq") // PitJoinDef drops the prefixed tie plumbing
     assert(fromConfig.orderBy("ts_us", "seq").collect().toSeq ==
       expected.orderBy("ts_us", "seq").collect().toSeq)
+    // the tie column is join plumbing — it must not leak as vol_seq
+    assert(!fromConfig.columns.contains("vol_seq"))
     // and the tie at t0 resolved to the seq=2 row's running volatility
     val atT0 = fromConfig.filter(col("ts_us") === t0 && col("seq") === 1)
       .select("vol_volatility").collect()

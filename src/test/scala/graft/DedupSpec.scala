@@ -67,6 +67,17 @@ class DedupSpec extends AnyFunSuite {
     assert(typed == declarative)
   }
 
+  test("null text is dropped, not a crash, across signature paths") {
+    val spark0 = spark
+    import spark0.implicits._
+    val withNull = Seq((1L, "alpha beta gamma delta"), (2L, null), (3L, "x"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhash(withNull, col("text"), col("doc_id")).count() == 2)
+    // shingle path: null and too-short docs both absent
+    assert(Dedup.explodeShingles(withNull, col("text"), col("doc_id"), 3)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("hot-bucket cap bounds candidates on an all-identical corpus") {
     val spark0 = spark
     import spark0.implicits._

@@ -64,4 +64,16 @@ class SamplingSpec extends AnyFunSuite {
     val over = out.filter(t => t._4 > 512L)
     assert(over.forall(t => t._4 == 600L))
   }
+
+  test("greedy packing with empty by: one global sequential fold") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (1L to 10L).map(i => (i, 200L)).toDF("okey", "n_tokens")
+      .repartition(4) // scattered input must still pack globally
+    val out = Sampling.packGreedy(rows, "n_tokens", 512L, Nil, "okey")
+      .select("okey", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    // 200+200 fit, third overflows: bins of 2 docs each
+    assert(out == (1L to 10L).map(i => i -> ((i - 1) / 2)))
+  }
 }

@@ -20,3 +20,16 @@ object UserScaleObjDef extends FeatureDef {
   def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame =
     deps.head.withColumn("scaled", col(params("value")) * 3.0)
 }
+
+/** Shadowing fixture: a zero-arg companion CLASS that is not a
+  * FeatureDef next to a companion OBJECT that is — resolution must
+  * fall through to the object form. */
+class ShadowedDef {
+  val notADefinition = true
+}
+
+object ShadowedDef extends FeatureDef {
+  val name = "shadowed"
+  def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame =
+    deps.head
+}

@@ -94,6 +94,14 @@ def main():
     # recomputes the expected frame with bit-identical arithmetic),
     # compared with the same rigor as the SQL oracles
     from pyoracle import PY_ORACLES
+    # a py-oracled query with NO spark output is a gate failure, same
+    # as a missing SQL-oracled output — not a silent skip
+    for name in sorted(PY_ORACLES):
+        if name in oracle or (only and name not in only):
+            continue
+        if not glob.glob(f"{outdir}/{name}/*.parquet"):
+            print(f"[MISS] {name}: no spark output at {outdir}/{name}")
+            n_bad += 1
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name in oracle or (only and name not in only):
