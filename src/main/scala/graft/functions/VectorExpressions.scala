@@ -95,16 +95,140 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All SRP-LSH table buckets of an embedding in ONE codegen'd pass:
+  * output[t] is the `bits`-bit bucket of hash table t (bit j set iff
+  * the left-to-right double dot of the input with seeded hyperplane
+  * (t, j) is >= 0). Arithmetic is bit-identical to composing
+  * `graft_dot` per plane (same fold order, same sign rule, same
+  * java.util.Random(seed + t) plane generation) — this exists because
+  * the composed form evaluates tables x bits separate expression trees
+  * per row, whose per-call overhead dominates the actual flops.
+  */
+case class SrpBuckets(child: Expression, bits: Int, tables: Int, dim: Int,
+    seed: Long) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_srp needs array<float|double> input, got $t")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  /** Flattened plane matrix [(t*bits + j)*dim + i], identical values to
+    * Similarity.hyperplanes(bits, dim, seed + t) for each table t. */
+  @transient lazy val planes: Array[Double] = {
+    val out = new Array[Double](tables * bits * dim)
+    var t = 0
+    while (t < tables) {
+      val rnd = new java.util.Random(seed + t)
+      var k = 0
+      while (k < bits * dim) {
+        out(t * bits * dim + k) = if (rnd.nextBoolean()) 1.0 else -1.0
+        k += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType]
+    .elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[Long](tables)
+    val fl = isFloat
+    var t = 0
+    while (t < tables) {
+      var bkt = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (fl) a.getFloat(i).toDouble else a.getDouble(i)
+          acc += x * planes(base + i)
+          i += 1
+        }
+        if (acc >= 0) bkt |= 1L << j
+        j += 1
+      }
+      out(t) = bkt
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val get = if (isFloat) (v: String, i: String) => s"(double) $v.getFloat($i)"
+      else (v: String, i: String) => s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bkt = ctx.freshName("bkt")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bkt = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    int $base = ($t * $bits + $j) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += ${get(a, i)} * $planesRef[$base + $i];
+         |    }
+         |    if ($acc >= 0) $bkt |= 1L << $j;
+         |  }
+         |  $out[$t] = $bkt;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
-  /** Register `graft_dot` on the session (Column + SQL surface). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register `graft_dot` + `graft_srp` on the session (Column + SQL
+    * surface). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp", exprs => SrpBuckets(exprs(0),
+        exprs(1).eval().toString.toInt, exprs(2).eval().toString.toInt,
+        exprs(3).eval().toString.toInt, exprs(4).eval().toString.toLong),
+      "built-in")
+  }
 
   /** Column API for the registered function (resolution happens at
     * analysis against the session's registry — call `register` first).
     */
   def dot_product(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  /** Column API for graft_srp: array<long> of per-table SRP buckets. */
+  def srp_buckets(emb: Column, bits: Int, tables: Int, dim: Int,
+      seed: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    org.apache.spark.sql.functions.call_function("graft_srp", emb,
+      lit(bits), lit(tables), lit(dim), lit(seed))
+  }
 }

@@ -346,8 +346,8 @@ object Dedup {
     graft.functions.VectorExpressions.register(df.sparkSession)
     val bucketed = capBuckets(
       df.select(id.cast("long").as("id"),
-          explode(Similarity.bucketStructs(emb, bits, dim, tables, seed)).as("h"))
-        .select(col("id"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt")),
+        posexplode(Similarity.bucketArray(emb, bits, dim, tables, seed))
+          .as(Seq("tbl", "bkt"))),
       Seq("tbl", "bkt"), maxBucket)
     bucketed.as("a")
       .join(bucketed.as("b"),

@@ -60,14 +60,16 @@ object Similarity {
     Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** One struct(tbl, bkt) per hash table for an embedding column —
-    * the shared bucketing used by lshTopK and the LSH-fed near-dup
-    * path (Dedup.embeddingNearDupPairsLsh). */
-  def bucketStructs(emb: Column, bits: Int, dim: Int, tables: Int,
+  /** Per-table SRP bucket array for an embedding column — the shared
+    * bucketing used by lshTopK and the LSH-fed near-dup path
+    * (Dedup.embeddingNearDupPairsLsh). Element t is table t's bucket;
+    * `posexplode` yields (tbl, bkt) pairs. Computed by the native
+    * `graft_srp` expression: one codegen'd loop instead of
+    * tables x bits expression trees per row (~2x on the LSH queries),
+    * bit-identical values (same fold order / sign rule / seeding). */
+  def bucketArray(emb: Column, bits: Int, dim: Int, tables: Int,
       seed: Long = 42L): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(emb, bits, dim, seed + t).as("bkt"))
-    }: _*)
+    graft.functions.VectorExpressions.srp_buckets(emb, bits, tables, dim, seed)
 
   /** `bits`-bit SRP-LSH bucket id for an embedding column (requires
     * VectorExpressions.register on the session — lshTopK does it). */
@@ -90,19 +92,18 @@ object Similarity {
       dim: Int, tables: Int = 24, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
-    def bucketCols(emb: Column): Column = bucketStructs(emb, bits, dim, tables, seed)
+    def bucketCols(emb: Column): Column = bucketArray(emb, bits, dim, tables, seed)
     // candidates are deduped as bare id pairs (narrow shuffle) and the
     // embedding payloads re-attached only for the final rerank — the
     // bucket join must not drag two 64-float arrays through the
     // dropDuplicates exchange
     val bucketed = Dedup.capBuckets(
-      corpus
-        .select(col("vec_id"), explode(bucketCols(col("embedding"))).as("h"))
-        .select(col("vec_id"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt")),
+      corpus.select(col("vec_id"),
+        posexplode(bucketCols(col("embedding"))).as(Seq("tbl", "bkt"))),
       Seq("tbl", "bkt"), maxBucket)
     val qb = queries
-      .select(col("vec_id").as("q_id"), explode(bucketCols(col("embedding"))).as("h"))
-      .select(col("q_id"), col("h.tbl").as("qtbl"), col("h.bkt").as("qbkt"))
+      .select(col("vec_id").as("q_id"),
+        posexplode(bucketCols(col("embedding"))).as(Seq("qtbl", "qbkt")))
     val candIds = bucketed.join(broadcast(qb),
         col("tbl") === col("qtbl") && col("bkt") === col("qbkt"))
       .filter(col("vec_id") =!= col("q_id"))

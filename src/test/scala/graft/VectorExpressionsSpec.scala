@@ -28,6 +28,18 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(viaSql.toSeq == both.map(_.getDouble(0)).toSeq)
   }
 
+  test("graft_srp == per-plane lshBucket composition, bit-exact") {
+    VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb.select(
+      org.apache.spark.sql.functions.array((0 until 4).map(t =>
+        Similarity.lshBucket(col("embedding"), 6, 64, 42L + t)): _*).as("composed"),
+      VectorExpressions.srp_buckets(col("embedding"), 6, 4, 64, 42L).as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("null and empty arrays behave") {
     VectorExpressions.register(spark)
     val df = Seq(

@@ -256,7 +256,7 @@ def _hyperplanes(bits: int, dim: int, seed: int):
 
 
 def _srp_buckets(emb, bits: int, dim: int, tables: int, seed: int = 42):
-    """[(tbl, bucket)] for one embedding (Similarity.bucketStructs)."""
+    """[(tbl, bucket)] for one embedding (Similarity.bucketArray / graft_srp)."""
     out = []
     for t in range(tables):
         planes = _PLANES_CACHE.setdefault((bits, dim, seed + t),
