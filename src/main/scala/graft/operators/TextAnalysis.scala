@@ -60,6 +60,23 @@ object TextAnalysis {
         lit(0.3) * (lit(1.0) - nPunct / nChars) +
         lit(0.3) * least(lit(1.0), lit(4.0) * nStop / nWords))
 
+  /** Vocabulary building: top-k tokens by document frequency (count of
+    * distinct docs containing the token), ties broken by token string.
+    * Two-phase aggregation (per-doc distinct explode → countDistinct):
+    * map-side combine keeps the shuffle at vocabulary cardinality, and
+    * the final global window ranks the already-aggregated vocab frame
+    * (tiny), not the corpus. */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("df").desc, col("word").asc)
+    df.select(id.as("doc_id"), explode(array_distinct(words(text))).as("word"))
+      .groupBy("word")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Polynomial rolling-hash fingerprint mod 1e9+7 over character
     * codes, seeded with the first char (matches DuckDB `list_reduce`
     * semantics, which folds from the first element). */

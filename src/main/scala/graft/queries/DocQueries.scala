@@ -134,6 +134,19 @@ object DocQueries {
           (col("n_chars") / TA.tokenCount(col("text"))).as("chars_per_token"))
     },
 
+    // Vocabulary building: top-20 tokens by document frequency,
+    // deterministic tie order.
+    "doc_vocab_topk" -> QueryDef(
+      s"""SELECT word, df, rnk FROM (
+         |  SELECT word, count(DISTINCT doc_id) AS df,
+         |    row_number() OVER (
+         |      ORDER BY count(DISTINCT doc_id) DESC, word) AS rnk
+         |  FROM (SELECT doc_id, unnest($SPLIT) AS word FROM documents) t
+         |  GROUP BY word) r
+         |WHERE rnk <= 20""".stripMargin) { (s, dir) =>
+      TA.vocabTopK(Tables.documents(s, dir), col("text"), col("doc_id"), 20)
+    },
+
     // Deterministic content-hash sampling: ~10% of docs survive, chosen
     // by md5 prefix (identical hex in both engines) — reproducible
     // corpus subsetting with no RNG coordination.

@@ -29,6 +29,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first writer wins across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val t0 = 1704067200000000L
+    val input = MemoryStream[(Long, Long, String)]
+    val dedup = Streaming.exactDedupStream(
+      input.toDS().toDF("doc_id", "ts_us", "text"),
+      col("text"), timestamp_micros(col("ts_us")), "1 hour")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((1L, t0, "alpha"), (2L, t0 + 1, "beta"), (3L, t0 + 2, "alpha"))
+      q.processAllAvailable()
+      // duplicate in a LATER batch is also dropped (cross-batch state)
+      input.addData((4L, t0 + 3, "alpha"), (5L, t0 + 4, "gamma"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("combine_latest: each event carries latest value of every feature") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
