@@ -49,6 +49,25 @@ object AsofJoin {
     pointInTimeJoin(left, Seq((rightPrefix, right)), tsCol, by, rightTieBreak)
   }
 
+  /** Forward as-of join (pandas `merge_asof(direction='forward')`):
+    * for every left row, the value columns of the EARLIEST right row
+    * with `right.ts >= left.ts` and equal `by` keys. Implemented as the
+    * backward join on negated time — same single-shuffle union+window
+    * plan, inclusive at equal ts, largest `rightTieBreak` wins among
+    * equal-ts right rows (same rule as backward). */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      by: Seq[String] = Nil,
+      rightPrefix: String = "",
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val nl = left.withColumn(tsCol, -col(tsCol))
+    val nr = right.withColumn(tsCol, -col(tsCol))
+    pointInTimeJoin(nl, Seq((rightPrefix, nr)), tsCol, by, rightTieBreak)
+      .withColumn(tsCol, -col(tsCol))
+  }
+
   /** N-way point-in-time join: aligns every feature frame on the label
     * frame's timestamps (label = `left`), one window pass, one shuffle.
     * Each feature's value columns are prefixed with its name (reference

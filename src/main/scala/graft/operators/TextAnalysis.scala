@@ -77,6 +77,32 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-document top-k tokens by a rational tf-idf: score =
+    * tf * N / df, a single exact-integer division — deterministic
+    * across engines, unlike ln-based idf where libm differences break
+    * exact comparison (the ordering it induces is the same as
+    * tf/df, scaled to corpus size). N rides along as a broadcast
+    * 1-row aggregate, never a driver collect. */
+  def tfidfTopK(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val w = df.select(id.as("doc_id"), explode(words(text)).as("word"))
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val docFreq = w.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    // tf ⋈ df shuffles on word (AQE broadcasts it when the vocab is
+    // small; forcing broadcast would gamble on vocab size at 100 TB)
+    tf.join(docFreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * col("n") / col("df"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "word", "tf", "df", "score", "rnk")
+  }
+
   /** Polynomial rolling-hash fingerprint mod 1e9+7 over character
     * codes, seeded with the first char (matches DuckDB `list_reduce`
     * semantics, which folds from the first element). */

@@ -147,6 +147,22 @@ object DocQueries {
       TA.vocabTopK(Tables.documents(s, dir), col("text"), col("doc_id"), 20)
     },
 
+    // Per-doc top-3 tokens by rational tf-idf (tf*N/df — one exact
+    // integer division; ln-based idf would hit libm differences).
+    "doc_tfidf_topk" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, unnest($SPLIT) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, word, tf, df, score, rnk FROM (
+         |  SELECT t.doc_id, t.word, t.tf, d.df, t.tf * nn.n / d.df AS score,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY t.tf * nn.n / d.df DESC, t.word) AS rnk
+         |  FROM tf t JOIN dfq d USING (word) CROSS JOIN nn) s
+         |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      TA.tfidfTopK(Tables.documents(s, dir), col("text"), col("doc_id"), 3)
+    },
+
     // Deterministic content-hash sampling: ~10% of docs survive, chosen
     // by md5 prefix (identical hex in both engines) — reproducible
     // corpus subsetting with no RNG coordination.

@@ -208,6 +208,36 @@ object EventQueries {
           col("view_value"), col("view_event_id"))
     },
 
+    // J1 forward as-of: each purchase gets the EARLIEST following
+    // 'view' of the same user (inclusive at equal ts) — the
+    // direction='forward' twin of ev_asof_join, backward on negated
+    // time under the hood. Same pre-collapse of the view side.
+    "ev_asof_forward" -> QueryDef(
+      s"""WITH v AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us,
+         |    arg_max(value, $OKEY) AS view_value,
+         |    max(event_id) AS view_event_id
+         |  FROM events WHERE event_type='view'
+         |  GROUP BY user_id, epoch_us(ts))
+         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+         |  f.view_value, f.view_event_id
+         |FROM (SELECT * FROM events WHERE event_type='purchase') p
+         |LEFT JOIN LATERAL (
+         |  SELECT v.view_value, v.view_event_id FROM v
+         |  WHERE v.user_id = p.user_id AND v.ts_us >= epoch_us(p.ts)
+         |  ORDER BY v.ts_us LIMIT 1) f ON true""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us")
+        .agg(max_by(col("value"), okey).as("view_value"),
+          max(col("event_id")).as("view_event_id"))
+      AsofJoin.asofJoinForward(purchases, views, "ts_us", Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("view_value"), col("view_event_id"))
+    },
+
     // J3 lookahead label shift: per user, the latest value at ts + 6h,
     // trailing 6h of each user's range truncated (no complete future).
     "ev_lookahead_label" -> QueryDef(

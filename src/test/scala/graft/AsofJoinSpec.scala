@@ -63,6 +63,21 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(0).getString(out(0).fieldIndex("rv")) == "hit")
   }
 
+  test("forward as-of: earliest following right row, inclusive at equal ts") {
+    val l = Seq(4L, 7L, 9L, 14L, 20L).zipWithIndex
+      .map { case (t, i) => (t, s"a$i") }.toDF("ts_us", "a")
+    val r = Seq(2L, 5L, 6L, 9L, 18L).zipWithIndex
+      .map { case (t, i) => (t, s"b$i") }.toDF("ts_us", "b")
+    val out = AsofJoin.asofJoinForward(l, r, "ts_us")
+      .orderBy("ts_us").select("ts_us", "a", "b")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    // 4 -> b1 (5), 7 -> b3 (9), 9 -> b3 (inclusive), 14 -> b4 (18),
+    // 20 -> null (no following row)
+    assert(out.toSeq == Seq(
+      (4L, "a0", "b1"), (7L, "a1", "b3"), (9L, "a2", "b3"),
+      (14L, "a3", "b4"), (20L, "a4", null)))
+  }
+
   test("range-partitioned global as-of == single-window global as-of") {
     // Deterministic pseudo-random interleaving; 8 range partitions force
     // carries across many boundaries (incl. partitions with no right
