@@ -68,6 +68,40 @@ object AsofJoin {
       .withColumn(tsCol, -col(tsCol))
   }
 
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`):
+    * for every left row, the value columns of the right row closest in
+    * absolute time distance, equal distances resolved BACKWARD (the
+    * earlier row wins — stated explicitly because pandas leaves it
+    * underspecified). Composed from one backward and one forward pass
+    * (two window shuffles on `by`), with the matched right ts carried
+    * through to arbitrate distance. */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      by: Seq[String] = Nil,
+      rightPrefix: String = "",
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val rts = "__asof_rts"
+    val valCols = right.columns.filterNot(c => c == tsCol || by.contains(c)).toSeq
+    val p = if (rightPrefix.isEmpty) "" else s"${rightPrefix}_"
+    val overlap = valCols.map(p + _).toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty,
+      s"nearest asof join would overwrite left columns $overlap — use a prefix")
+    val r2 = right.withColumn(rts, col(tsCol))
+    val bwd = pointInTimeJoin(left, Seq(("__b", r2)), tsCol, by, rightTieBreak)
+    val both = asofJoinForward(bwd, r2, tsCol, by, "__f", rightTieBreak)
+    val db = abs(col(s"__b_$rts") - col(tsCol))
+    val dfw = abs(col(s"__f_$rts") - col(tsCol))
+    val useB = col(s"__f_$rts").isNull ||
+      (col(s"__b_$rts").isNotNull && db <= dfw)
+    valCols.foldLeft(both) { (d, c) =>
+        d.withColumn(s"$p$c", when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+      }
+      .drop(valCols.flatMap(c => Seq(s"__b_$c", s"__f_$c")) ++
+        Seq(s"__b_$rts", s"__f_$rts"): _*)
+  }
+
   /** N-way point-in-time join: aligns every feature frame on the label
     * frame's timestamps (label = `left`), one window pass, one shuffle.
     * Each feature's value columns are prefixed with its name (reference

@@ -238,6 +238,35 @@ object EventQueries {
           col("view_value"), col("view_event_id"))
     },
 
+    // J1 nearest as-of: each purchase gets the time-closest 'view' of
+    // the same user, equal distances resolved backward.
+    "ev_asof_nearest" -> QueryDef(
+      s"""WITH v AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us,
+         |    arg_max(value, $OKEY) AS view_value,
+         |    max(event_id) AS view_event_id
+         |  FROM events WHERE event_type='view'
+         |  GROUP BY user_id, epoch_us(ts))
+         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+         |  f.view_value, f.view_event_id
+         |FROM (SELECT * FROM events WHERE event_type='purchase') p
+         |LEFT JOIN LATERAL (
+         |  SELECT v.view_value, v.view_event_id FROM v
+         |  WHERE v.user_id = p.user_id
+         |  ORDER BY abs(v.ts_us - epoch_us(p.ts)), v.ts_us LIMIT 1) f ON true""".stripMargin) {
+      (s, dir) =>
+        val e = ev(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us", "value")
+        val views = e.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts_us")
+          .agg(max_by(col("value"), okey).as("view_value"),
+            max(col("event_id")).as("view_event_id"))
+        AsofJoin.asofJoinNearest(purchases, views, "ts_us", Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+            col("view_value"), col("view_event_id"))
+    },
+
     // J3 lookahead label shift: per user, the latest value at ts + 6h,
     // trailing 6h of each user's range truncated (no complete future).
     "ev_lookahead_label" -> QueryDef(

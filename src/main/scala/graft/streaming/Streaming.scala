@@ -145,6 +145,33 @@ object Streaming {
         })
   }
 
+  case class ThrottleEvent(key: String, tsUs: Long, seq: Long, value: Double)
+
+  /** Streaming twin of the elapsed-time throttle
+    * (Preprocess.throttleElapsed): per-key last-emit timestamp lives in
+    * `mapGroupsWithState`-style keyed state so the suppression window
+    * spans micro-batch boundaries — emit only rows >= windowUs after
+    * the key's previously EMITTED row. Same ordering contract as the
+    * other stateful twins (okey order across batches per key; within a
+    * batch rows are sorted here). */
+  def throttleElapsedStream(ds: Dataset[ThrottleEvent], windowUs: Long)
+      : Dataset[ThrottleEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[ThrottleEvent],
+         state: GroupState[Long]) => {
+          var lastEmit = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toArray.sortBy(r => (r.tsUs, r.seq)).iterator.filter { r =>
+            if (lastEmit == Long.MinValue || r.tsUs - lastEmit >= windowUs) {
+              lastEmit = r.tsUs; true
+            } else false
+          }.toArray
+          state.update(lastEmit)
+          out.iterator
+        })
+  }
+
   case class SidedEvent(key: String, okey: Long, notional: Double, isBuy: Boolean)
   case class TviEvent(key: String, okey: Long, tvi: Option[Double])
 

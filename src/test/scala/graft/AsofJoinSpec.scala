@@ -78,6 +78,21 @@ class AsofJoinSpec extends AnyFunSuite {
       (14L, "a3", "b4"), (20L, "a4", null)))
   }
 
+  test("nearest as-of: minimal |distance|, ties resolved backward") {
+    val l = Seq(4L, 7L, 10L, 20L).zipWithIndex
+      .map { case (t, i) => (t, s"a$i") }.toDF("ts_us", "a")
+    val r = Seq(2L, 6L, 8L, 30L).zipWithIndex
+      .map { case (t, i) => (t, s"b$i") }.toDF("ts_us", "b")
+    val out = AsofJoin.asofJoinNearest(l, r, "ts_us")
+      .orderBy("ts_us").select("ts_us", "a", "b")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    // 4: dist 2 both ways (2 vs 6) -> backward b0; 7: 6(d1) vs 8(d1)
+    // tie -> backward b1; 10: 8(d2) vs 30(d20) -> b2; 20: 8(d12) vs
+    // 30(d10) -> forward b3
+    assert(out.toSeq == Seq(
+      (4L, "a0", "b0"), (7L, "a1", "b1"), (10L, "a2", "b2"), (20L, "a3", "b3")))
+  }
+
   test("range-partitioned global as-of == single-window global as-of") {
     // Deterministic pseudo-random interleaving; 8 range partitions force
     // carries across many boundaries (incl. partitions with no right

@@ -52,6 +52,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("elapsed throttle: streaming (cross-batch state) == batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200000000L
+    val H = 3600000000L
+    val events = Seq( // key "u": emits at 0h, 7h (skips 3h), 14h; key "w": all
+      ("u", t0, 1L, 1.0), ("u", t0 + 3 * H, 2L, 2.0), ("u", t0 + 7 * H, 3L, 3.0),
+      ("u", t0 + 9 * H, 4L, 4.0), ("u", t0 + 14 * H, 5L, 5.0),
+      ("w", t0, 6L, 6.0), ("w", t0 + 8 * H, 7L, 7.0))
+      .map(Streaming.ThrottleEvent.tupled)
+
+    val batch = graft.operators.Preprocess.throttleElapsed(
+        events.toDF("key", "tsUs", "seq", "value"), "tsUs", 6 * H,
+        Seq("key"), seq = Some("seq"))
+      .collect().map(_.getLong(2)).toSet
+
+    val input = MemoryStream[Streaming.ThrottleEvent]
+    val q = Streaming.throttleElapsedStream(input.toDS(), 6 * H)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("throttle_out").start()
+    try {
+      input.addData(events.take(3): _*) // split across micro-batches
+      q.processAllAvailable()
+      input.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("throttle_out").collect()
+        .map(_.getLong(2)).toSet
+      assert(streamed == batch && streamed == Set(1L, 3L, 5L, 6L, 7L))
+    } finally q.stop()
+  }
+
   test("combine_latest: each event carries latest value of every feature") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
