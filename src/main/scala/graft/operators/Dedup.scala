@@ -142,7 +142,63 @@ object Dedup {
     * effect — and measurably hurts recall). */
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
       perms: Int, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
     val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val rnd = new java.util.Random(42)
+    val as = new Array[Long](perms)
+    val bs = new Array[Long](perms)
+    (0 until perms).foreach { i =>
+      as(i) = 1L + rnd.nextInt(Int.MaxValue - 1)
+      bs(i) = rnd.nextInt(Int.MaxValue).toLong
+    }
+    // Signatures are per-document: one typed map, zero shuffle (the
+    // explode + 32-min-agg formulation exchanged every distinct
+    // shingle). Same shingling, same catalyst-parity xxhash64 (seed
+    // 42, 31-bit mask), same affine family — values unchanged
+    // (DedupSpec pins vs the declarative form; the Python oracle
+    // pins end-to-end). Docs with < shingleN words emit nothing,
+    // matching the groupBy-over-empty-explode semantics.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (did, t) =>
+        val ws = if (t == null) Array.empty[String] else t.split(" ", -1)
+        if (ws.length < shingleN) Iterator.empty
+        else {
+          val mins = Array.fill(perms)(Long.MaxValue)
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          var i = 0
+          while (i <= ws.length - shingleN) {
+            val s = ws.slice(i, i + shingleN).mkString(" ")
+            if (seen.add(s)) {
+              val h = XxHash64Function.hash(
+                UTF8String.fromString(s), StringType, 42L) & 0x7FFFFFFFL
+              var j = 0
+              while (j < perms) {
+                val v = (as(j) * h + bs(j)) % P // operands positive: % == pmod
+                if (v < mins(j)) mins(j) = v
+                j += 1
+              }
+            }
+            i += 1
+          }
+          Iterator.single(org.apache.spark.sql.Row.fromSeq(did +: mins.toSeq))
+        }
+      }(org.apache.spark.sql.Encoders.row(StructType(
+        StructField("doc_id", LongType, nullable = false) +:
+          (0 until perms).map(i => StructField(s"mh$i", LongType, nullable = false)))))
+    rows.toDF()
+  }
+
+  /** The round-1 declarative formulation of minhashSignatures (explode
+    * + 32 min-aggregates over a shuffle of distinct shingles) — kept as
+    * the parity pin for the zero-shuffle typed map above. */
+  private[graft] def minhashSignaturesDeclarative(df: DataFrame, text: Column,
+      id: Column, perms: Int, shingleN: Int = 3): DataFrame = {
+    val P = 2147483647L
     val rnd = new java.util.Random(42)
     val coeffs = Array.fill(perms)(
       (1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))

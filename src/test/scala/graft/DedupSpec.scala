@@ -46,6 +46,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() == docs.select("text").distinct().count())
   }
 
+  test("typed-map minhash matches the declarative 32-aggregate formulation") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val typed = asMap(Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 32))
+    val declarative = asMap(
+      Dedup.minhashSignaturesDeclarative(docs, col("text"), col("doc_id"), 32))
+    assert(typed == declarative)
+  }
+
   test("per-row simhash matches the declarative 64-aggregate formulation") {
     // Pins the zero-shuffle typed-map rewrite to the original
     // explode + conditional-aggregate semantics (same xxhash64 words,
