@@ -66,6 +66,39 @@ object Multimodal {
     }
   }
 
+  case class PayloadWindow(id: Long, win_idx: Long, win_start: Long,
+      mean_byte: Double, peak: Int)
+
+  /** Hop/window framing over the payload (the audio spectrogram-frame
+    * shape): windows of `windowLen` bytes every `hop` bytes, each with
+    * mean byte (exact integer sum / window length) and peak byte —
+    * integer features, so the frame is oracle-exact with no rounding.
+    * Payloads shorter than one window emit nothing. */
+  def windowFeatures(ds: Dataset[MediaRow], windowLen: Int, hop: Int)
+      : Dataset[PayloadWindow] = {
+    require(windowLen > 0 && hop > 0, "windowLen and hop must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val len = r.payload.length
+        if (len < windowLen) Iterator.empty
+        else (0L to (len - windowLen).toLong / hop).iterator.map { w =>
+          val start = (w * hop).toInt
+          var sum = 0L
+          var peak = 0
+          var i = start
+          while (i < start + windowLen) {
+            val b = r.payload(i) & 0xFF
+            sum += b
+            if (b > peak) peak = b
+            i += 1
+          }
+          PayloadWindow(r.id, w, w * hop, sum.toDouble / windowLen, peak)
+        }
+      }
+    }
+  }
+
   /** Evenly-spaced fixed-length byte-window "frames" (the video
     * frame-sampling shape), identified by md5 for compact comparison. */
   def sampleFrames(ds: Dataset[MediaRow], nFrames: Int, frameLen: Int)

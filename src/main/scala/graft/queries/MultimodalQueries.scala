@@ -47,6 +47,24 @@ object MultimodalQueries {
           "width", "height")
     },
 
+    // Audio-style hop/window framing: 32-byte windows every 24 bytes,
+    // exact integer features (mean as one division, peak) — no
+    // rounding anywhere.
+    "mm_payload_windows" -> QueryDef(
+      """SELECT doc_id AS id, w AS win_idx, w * 24 AS win_start,
+        |  (SELECT sum(unicode(c)) * 1.0 / 32
+        |   FROM unnest(string_split(substr(d.text, 1 + (w*24)::INT, 32), '')) AS u(c))
+        |    AS mean_byte,
+        |  (SELECT max(unicode(c))
+        |   FROM unnest(string_split(substr(d.text, 1 + (w*24)::INT, 32), '')) AS u(c))
+        |    AS peak
+        |FROM documents d,
+        |  unnest(range(0, (length(text) - 32) // 24 + 1)) AS r(w)
+        |WHERE length(text) >= 32""".stripMargin) { (s, dir) =>
+      Multimodal.windowFeatures(media(s, dir), windowLen = 32, hop = 24).toDF()
+        .withColumn("peak", col("peak").cast("int"))
+    },
+
     // Frame sampling: 4 evenly-spaced 16-byte windows, md5-identified.
     "mm_frame_sample" -> QueryDef(
       """SELECT doc_id AS id, i AS frame_idx,
