@@ -285,6 +285,38 @@ object EventQueries {
         .select("event_id", "user_id", "ts_us", "value", "label_value")
     },
 
+    // Spark's NATIVE session_window operator (vs ev_sessions_gap's
+    // gaps-and-islands formulation): sessions merge while the gap is
+    // STRICTLY below 24h — Spark's rule, mirrored in the oracle's
+    // `>= D` new-session predicate — and window.end = last_ts + gap.
+    "ev_session_window" -> QueryDef(
+      s"""SELECT user_id,
+         |  min(ts_us) AS start_us, max(ts_us) + ${D} AS end_us,
+         |  count(*) AS n_events
+         |FROM (
+         |  SELECT user_id, ts_us,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, okey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_id
+         |  FROM (
+         |    SELECT user_id, ts_us, okey,
+         |      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, okey)
+         |        IS NULL THEN 1
+         |      WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, okey)
+         |        >= ${D} THEN 1 ELSE 0 END AS is_new
+         |    FROM (SELECT user_id, epoch_us(ts) AS ts_us, $OKEY AS okey
+         |          FROM events) t0) t1) t2
+         |GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .withColumn("event_ts", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"), session_window(col("event_ts"), "24 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+    },
+
     // U1 union-all of overlapping slices + exact dedup + agg.
     "ev_union_distinct" -> QueryDef(
       s"""SELECT event_type, count(*) AS n, sum(round(value*100))/100 AS sum_value
