@@ -152,6 +152,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
     },
 
+    // Correlated scalar subquery (TPC-H Q17 shape): revenue from
+    // below-fifth-of-average-quantity line items, written as the
+    // decorrelated per-part aggregate + join Catalyst would produce.
+    // The oracle spells avg as sum/count so both engines compare the
+    // identical double (DuckDB's AVG accumulator is not guaranteed to
+    // be plain sum/count).
+    "q17_small_qty" -> QueryDef(
+      """SELECT sum(round(l_extendedprice*100))/100 AS revenue, count(*) AS n
+        |FROM lineitem l
+        |WHERE l.l_quantity < (
+        |  SELECT 0.2 * (sum(l2.l_quantity) / count(*)) FROM lineitem l2
+        |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val avgQ = li.groupBy(col("l_partkey").as("p_key"))
+        .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
+      li.join(avgQ, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(round(col("l_extendedprice") * 100)) / 100).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // Left-semi / left-anti joins (EXISTS / NOT EXISTS).
     "q_semi_anti" -> QueryDef(
       """SELECT c_mktsegment, 'with_orders' AS kind, count(*) AS n

@@ -168,6 +168,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window: streaming sessions close on watermark advance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("event_ts", "user")
+      .withWatermark("event_ts", "5 minutes")
+      .groupBy(col("user"), session_window(col("event_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), unix_micros(col("session_window.start")).as("start_us"),
+        col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    def ts(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    try {
+      // events at 0 and 20 min merge (gap < 30); the 2h-later event
+      // advances the watermark past session end -> the session emits
+      input.addData((ts(0), "u"), (ts(20), "u"))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0)
+      input.addData((ts(120), "u"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+      assert(rows.length == 1 && rows(0).getLong(2) == 2L)
+      assert(rows(0).getLong(1) == 1704067200000000L)
+    } finally q.stop()
+  }
+
   test("sliding TVI: streaming (cross-batch state) == batch window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
