@@ -41,23 +41,29 @@ object Dedup {
     * per element — O(words^2) per doc, measured ~10x slower than this
     * one-pass JVM tokenization. Same tokenization as the SQL oracle:
     * lowercase, single-space split keeping empties. */
+  /** The ONE tokenization+shingling rule every dedup path shares
+    * (explodeShingles, minhashSignatures, the SQL/Python oracles):
+    * single-space split keeping empties over ALREADY-lowercased text,
+    * distinct n-gram shingles in first-occurrence order; null or
+    * shorter-than-n docs yield nothing. Single-sourced so the
+    * oracle-critical rule cannot drift between copies. */
+  private[graft] def shingleIterator(t: String, n: Int): Iterator[String] = {
+    val ws = if (t == null) Array.empty[String] else t.split(" ", -1)
+    if (ws.length < n) Iterator.empty
+    else {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      ws.iterator.sliding(n).withPartial(false)
+        .map(_.mkString(" "))
+        .filter(seen.add)
+    }
+  }
+
   def explodeShingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
       .as[(Long, String)]
-      .flatMap { case (did, t) =>
-        // null text: no shingles, same drop semantics as explode(null)
-        val ws = if (t == null) Array.empty[String] else t.split(" ", -1)
-        if (ws.length < n) Iterator.empty
-        else {
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          ws.iterator.sliding(n).withPartial(false)
-            .map(_.mkString(" "))
-            .filter(seen.add)
-            .map(s => (did, s))
-        }
-      }
+      .flatMap { case (did, t) => shingleIterator(t, n).map(s => (did, s)) }
       .toDF("doc_id", "s")
   }
 
@@ -165,25 +171,19 @@ object Dedup {
     val rows = df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
       .as[(Long, String)]
       .flatMap { case (did, t) =>
-        val ws = if (t == null) Array.empty[String] else t.split(" ", -1)
-        if (ws.length < shingleN) Iterator.empty
+        val shingles = shingleIterator(t, shingleN)
+        if (shingles.isEmpty) Iterator.empty
         else {
           val mins = Array.fill(perms)(Long.MaxValue)
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          var i = 0
-          while (i <= ws.length - shingleN) {
-            val s = ws.slice(i, i + shingleN).mkString(" ")
-            if (seen.add(s)) {
-              val h = XxHash64Function.hash(
-                UTF8String.fromString(s), StringType, 42L) & 0x7FFFFFFFL
-              var j = 0
-              while (j < perms) {
-                val v = (as(j) * h + bs(j)) % P // operands positive: % == pmod
-                if (v < mins(j)) mins(j) = v
-                j += 1
-              }
+          shingles.foreach { s =>
+            val h = XxHash64Function.hash(
+              UTF8String.fromString(s), StringType, 42L) & 0x7FFFFFFFL
+            var j = 0
+            while (j < perms) {
+              val v = (as(j) * h + bs(j)) % P // operands positive: % == pmod
+              if (v < mins(j)) mins(j) = v
+              j += 1
             }
-            i += 1
           }
           Iterator.single(org.apache.spark.sql.Row.fromSeq(did +: mins.toSeq))
         }

@@ -66,7 +66,11 @@ object Similarity {
     * `posexplode` yields (tbl, bkt) pairs. Computed by the native
     * `graft_srp` expression: one codegen'd loop instead of
     * tables x bits expression trees per row (~2x on the LSH queries),
-    * bit-identical values (same fold order / sign rule / seeding). */
+    * bit-identical values (same fold order / sign rule / seeding).
+    * A NULL embedding yields a NULL bucket array, so posexplode DROPS
+    * the row from every LSH path — intended: a row without an
+    * embedding cannot be a similarity candidate (the old composed form
+    * silently bucketed NULLs at 0; SimilaritySpec pins the drop). */
   def bucketArray(emb: Column, bits: Int, dim: Int, tables: Int,
       seed: Long = 42L): Column =
     graft.functions.VectorExpressions.srp_buckets(emb, bits, tables, dim, seed)

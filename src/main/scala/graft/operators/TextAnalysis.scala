@@ -89,7 +89,10 @@ object TextAnalysis {
     import org.apache.spark.sql.functions.broadcast
     val w = df.select(id.as("doc_id"), explode(words(text)).as("word"))
     val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val docFreq = w.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    // document frequency derives from tf (one row per (doc, word)
+    // already) — no second tokenization pass of the corpus; N is a
+    // metadata-only count scan
+    val docFreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word").asc)

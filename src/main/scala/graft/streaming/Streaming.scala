@@ -49,17 +49,20 @@ object Streaming {
         col("event_type"), col("n"), col("value_cents"))
 
   /** Streaming exact dedup (the streaming twin of Dedup.exactDedup):
-    * first-writer-wins on a sha2-256 content digest, with a watermark
-    * bounding the retained digest state — the shape of a streaming
-    * ingest pipeline dropping re-crawled/duplicate documents. Spark
-    * keeps one state row per digest inside the watermark window; at
-    * 100 TB the digest (32 B) is the state, never the document. */
+    * first-writer-wins on a sha2-256 content digest — the shape of a
+    * streaming ingest pipeline dropping re-crawled/duplicate documents.
+    * Uses `dropDuplicatesWithinWatermark`, which EVICTS a digest's
+    * state once the watermark passes it — plain `dropDuplicates` on a
+    * non-event-time subset never cleans state and grows without bound
+    * on a long stream. The trade is explicit: a duplicate arriving
+    * after the watermark window re-emits; at 100 TB the bounded state
+    * is 32 B per in-window distinct digest, never the document. */
   def exactDedupStream(df: DataFrame, text: org.apache.spark.sql.Column,
       tsCol: org.apache.spark.sql.Column, watermarkDelay: String): DataFrame =
     df.withColumn("__event_ts", tsCol)
       .withColumn("__digest", sha2(text, 256))
       .withWatermark("__event_ts", watermarkDelay)
-      .dropDuplicates("__digest")
+      .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest", "__event_ts")
 
   case class FeatureEvent(key: String, ts_us: Long, feature: String, value: Double)

@@ -24,6 +24,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
 
+  test("null embedding rows are dropped from LSH paths, not bucketed") {
+    val spark0 = spark
+    import spark0.implicits._
+    val withNull = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((99999L, null: Array[Float])).toDF("vec_id", "embedding"))
+    val cands = graft.operators.Dedup.lshCandidatePairs(withNull,
+        col("vec_id"), col("embedding"), bits = 6, tables = 4, dim = 64)
+      .filter(col("a_id") === 99999L || col("b_id") === 99999L)
+    assert(cands.count() == 0)
+    // and the bucket array itself is null, not zeros
+    val arr = withNull.filter(col("vec_id") === 99999L)
+      .select(graft.functions.VectorExpressions.srp_buckets(
+        col("embedding"), 6, 4, 64, 42L))
+      .collect()(0)
+    assert(arr.isNullAt(0))
+  }
+
   test("LSH top-k recalls a useful fraction of true neighbors") {
     val truth = pairSet(Similarity.bruteForceTopK(emb, queries, 5))
     // The synthetic embeddings are near-orthogonal (top cos ~0.35), the
