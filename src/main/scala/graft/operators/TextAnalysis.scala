@@ -88,10 +88,13 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.broadcast
     val w = df.select(id.as("doc_id"), explode(words(text)).as("word"))
+    // document frequency derives from the PERSISTED tf frame (one row
+    // per (doc, word) already): without the persist Catalyst re-plans
+    // the docFreq branch from the scan — tokenizing the corpus twice —
+    // because the two aggregation subtrees share no identical exchange
+    // to reuse (verified in EXPLAINS). N is a metadata-only count scan.
     val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    // document frequency derives from tf (one row per (doc, word)
-    // already) — no second tokenization pass of the corpus; N is a
-    // metadata-only count scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val win = Window.partitionBy(col("doc_id"))
