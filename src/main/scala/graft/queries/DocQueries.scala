@@ -197,6 +197,43 @@ object DocQueries {
       Sampling.packGreedy(withTokens, "n_tokens", 512L, Seq("lang"), "doc_id")
     },
 
+    // The composed cleaning pipeline a training-data job actually runs:
+    // quality filter -> exact-dedup keep-list -> deterministic hash
+    // sample, end-to-end in one oracled query (operators compose
+    // without breaking exactness).
+    "doc_pipeline_clean" -> QueryDef(
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    CASE WHEN n_chars > 0 AND n_words > 0 THEN
+         |      0.4 * least(1.0, n_words/100.0)
+         |      + 0.3 * (1.0 - n_punct/n_chars)
+         |      + 0.3 * least(1.0, 4.0*n_stop/n_words)
+         |    ELSE NULL END AS quality
+         |  FROM (SELECT doc_id, lang, text, n_chars,
+         |    len($SPLIT) AS n_words,
+         |    len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+         |    len(list_filter($SPLIT, w -> w IN (${inList(TA.Stopwords)}))) AS n_stop
+         |    FROM documents) b),
+         |keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text)
+         |SELECT s.doc_id, s.lang, s.quality
+         |FROM scored s JOIN keep k ON s.doc_id = k.keep_id
+         |WHERE s.quality >= 0.5
+         |  AND substr(md5(s.text), 1, 6) < '${Sampling.hashBound(0.5)}'""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+          TA.qualityScore(TA.wordCount(col("text")),
+            TA.punctCount(col("text")), col("n_chars"),
+            TA.markerCount(col("text"), TA.Stopwords)).as("quality"))
+        val keep = Dedup.exactDedup(docs, col("text"), col("doc_id"))
+          .select(col("keep_id"))
+        Sampling.hashSample(
+            scored.join(keep, col("doc_id") === col("keep_id"), "left_semi")
+              .filter(col("quality") >= 0.5),
+            col("text"), 0.5)
+          .select("doc_id", "lang", "quality")
+    },
+
     // Rolling-hash document fingerprint (mod 1e9+7 polynomial).
     "doc_fingerprint" -> QueryDef(
       """SELECT doc_id,
