@@ -346,6 +346,44 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over an undirected pair list: every node in
+    * the graph gets the MINIMUM id reachable from it as its canonical
+    * cluster id — the step that turns near-dup PAIRS into dedup groups
+    * (keep one doc per component). Min-label propagation: each round
+    * every node takes the min label among itself and its neighbors;
+    * the fixpoint is unique, so the result is deterministic under any
+    * partitioning. Each round is one distributed join + aggregation
+    * with lineage cut by `localCheckpoint` (the loop driver-side is
+    * only the convergence test — rounds = O(graph diameter), tiny for
+    * duplicate clusters; at web-graph diameters switch to the
+    * large-star/small-star alternation, same per-round primitive). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("a_id").cast("long").as("src"),
+        col("b_id").cast("long").as("dst"))
+      .union(pairs.select(col("b_id").cast("long").as("src"),
+        col("a_id").cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.as("l")
+        .join(neighborMin, col("l.id") === col("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Hot-bucket guard for LSH band joins: drops (band, hash) buckets
     * holding more than `maxBucket` rows before the self-join, so one
     * degenerate band value (all-identical docs, an adversarial hash

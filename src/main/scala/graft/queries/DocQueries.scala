@@ -54,6 +54,35 @@ object DocQueries {
         col("doc_id"), 3, 0.8)
     },
 
+    // Near-dup CLUSTERS: connected components over the exact-Jaccard
+    // pair graph — the step that turns pairs into dedup groups (keep
+    // min id per component). Oracle: recursive min-reachable-id CTE
+    // over the same pair set.
+    "doc_dedup_clusters" -> QueryDef(
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id FROM pr
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE inter/(sa.sz + sb.sz - inter) >= 0.8),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS id, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src""".stripMargin) { (s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("text"),
+          col("doc_id"), 3, 0.8))
+    },
+
     // MinHash (32 perms) + LSH (16 bands x 2): candidate pairs with
     // estimated similarity >= 0.6 (~3 sigma below a true j=0.8 with 32
     // perms). xxhash64-based → rows-only check.

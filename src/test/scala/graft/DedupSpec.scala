@@ -76,6 +76,24 @@ class DedupSpec extends AnyFunSuite {
     assert(typed == declarative)
   }
 
+  test("connected components: chains, stars, and isolated pairs resolve to min id") {
+    val spark0 = spark
+    import spark0.implicits._
+    // chain 1-2-3-4 (diameter > 1 forces multiple rounds), star 10<-{11,12,13},
+    // isolated pair (20,21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // repartition invariance (unique fixpoint)
+    val cc2 = Dedup.connectedComponents(pairs.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2 == cc)
+  }
+
   test("null text is dropped, not a crash, across signature paths") {
     val spark0 = spark
     import spark0.implicits._
