@@ -359,29 +359,41 @@ object Dedup {
     * large-star/small-star alternation, same per-round primitive). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("a_id").cast("long").as("src"),
-        col("b_id").cast("long").as("dst"))
-      .union(pairs.select(col("b_id").cast("long").as("src"),
-        col("a_id").cast("long").as("dst")))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // RDD loop, GraphX-Pregel style: iterative label propagation is
+    // the one genuinely iterative algorithm here, and the RDD API
+    // gives the two things the loop needs that DataFrames don't:
+    // per-round EXPLICIT unpersist (a localCheckpoint-per-round
+    // formulation leaked checkpoint blocks that clearCache cannot
+    // free — measured 3-20x slowdowns on every later query in the
+    // bench session) and no Catalyst re-analysis of a growing plan.
+    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = edges.keys.distinct().map(id => (id, id))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels.as("l")
-        .join(neighborMin, col("l.id") === col("src"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
-        .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val neighborMin = edges // (src, dst): take min label over neighbors
+        .map(_.swap) // (dst, src): key by the label-carrying endpoint
+        .join(labels) // (dst, (src, label))
+        .map { case (_, (src, label)) => (src, label) }
+        .reduceByKey(math.min)
+      val next = labels.leftOuterJoin(neighborMin)
+        .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels)
+        .filter { case (_, (n, o)) => n != o }.count()
+      labels.unpersist(blocking = false)
       labels = next
     }
-    edges.unpersist()
-    labels.select(col("id"), col("label").as("component"))
+    val out = labels.toDF("id", "component")
+      .localCheckpoint() // one final cut so callers don't re-run the loop
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Hot-bucket guard for LSH band joins: drops (band, hash) buckets
