@@ -352,11 +352,14 @@ object Dedup {
     * (keep one doc per component). Min-label propagation: each round
     * every node takes the min label among itself and its neighbors;
     * the fixpoint is unique, so the result is deterministic under any
-    * partitioning. Each round is one distributed join + aggregation
-    * with lineage cut by `localCheckpoint` (the loop driver-side is
-    * only the convergence test — rounds = O(graph diameter), tiny for
+    * partitioning. Execution is the GraphX-Pregel shape: edges are
+    * hash-partitioned once and every per-round join is co-partitioned,
+    * so each round pays ONE shuffle (the message reduceByKey), with
+    * per-round persist/unpersist keeping the session flat (driver-side
+    * is only the convergence count). Lineage grows O(rounds) between
+    * the persisted parents — rounds = O(graph diameter), tiny for
     * duplicate clusters; at web-graph diameters switch to the
-    * large-star/small-star alternation, same per-round primitive). */
+    * large-star/small-star alternation and add periodic checkpoints. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
@@ -368,20 +371,28 @@ object Dedup {
     // formulation leaked checkpoint blocks that clearCache cannot
     // free — measured 3-20x slowdowns on every later query in the
     // bench session) and no Catalyst re-analysis of a growing plan.
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // symmetric edge list, hash-partitioned ONCE — every join below is
+    // then co-partitioned (narrow); only the message reduceByKey
+    // shuffles per round
     val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.keys.distinct().map(id => (id, id))
+    var labels = edges.mapValues(_ => ()).reduceByKey(part, (_, _) => ())
+      .mapPartitions(_.map { case (id, _) => (id, id) },
+        preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = edges // (src, dst): take min label over neighbors
-        .map(_.swap) // (dst, src): key by the label-carrying endpoint
-        .join(labels) // (dst, (src, label))
-        .map { case (_, (src, label)) => (src, label) }
-        .reduceByKey(math.min)
-      val next = labels.leftOuterJoin(neighborMin)
+      // the edge list is symmetric, so keying by the FIRST endpoint and
+      // sending its label to the second covers both directions
+      val neighborMin = edges.join(labels) // co-partitioned: narrow
+        .map { case (_, (dst, label)) => (dst, label) }
+        .reduceByKey(part, math.min(_: Long, _: Long)) // the round's one shuffle
+      val next = labels.leftOuterJoin(neighborMin) // co-partitioned
         .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.join(labels)

@@ -82,7 +82,11 @@ object TextAnalysis {
     * across engines, unlike ln-based idf where libm differences break
     * exact comparison (the ordering it induces is the same as
     * tf/df, scaled to corpus size). N rides along as a broadcast
-    * 1-row aggregate, never a driver collect. */
+    * 1-row aggregate, never a driver collect. The tf frame is
+    * PERSISTED (both output branches read it); it stays cached until
+    * the caller clears it — Verify/Bench `clearCache()` between
+    * queries; long-lived sessions should do the same (disk-spilled
+    * partitions do not LRU-evict). */
   def tfidfTopK(df: org.apache.spark.sql.DataFrame, text: Column,
       id: Column, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

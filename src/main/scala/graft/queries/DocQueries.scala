@@ -15,6 +15,42 @@ object DocQueries {
   private val inList = (ws: Seq[String]) => ws.map(w => s"'$w'").mkString(", ")
   private val SPLIT = "string_split(lower(text), ' ')"
 
+  /** The trigram-Jaccard pair CTE block (threshold 0.8), producing
+    * `pairs(a_id, b_id, jaccard)` — single-sourced so the pair rule
+    * cannot drift between the pairs query and the clusters query. */
+  private val JACCARD_PAIRS_CTES =
+    s"""w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+       |  FROM w WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT a_id, b_id,
+       |    inter/(sa.sz + sb.sz - inter) AS jaccard FROM pr
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE inter/(sa.sz + sb.sz - inter) >= 0.8)""".stripMargin
+
+  /** The quality-scoring subquery, producing
+    * `scored(doc_id, lang, text, n_chars, n_words, n_punct, n_stop,
+    * quality)` — single-sourced for the same no-drift reason. */
+  private val QUALITY_SCORED_CTE =
+    s"""scored AS (
+       |  SELECT doc_id, lang, text, n_chars, n_words, n_punct, n_stop,
+       |    CASE WHEN n_chars > 0 AND n_words > 0 THEN
+       |      0.4 * least(1.0, n_words/100.0)
+       |      + 0.3 * (1.0 - n_punct/n_chars)
+       |      + 0.3 * least(1.0, 4.0*n_stop/n_words)
+       |    ELSE NULL END AS quality
+       |  FROM (SELECT doc_id, lang, text, n_chars,
+       |    len($SPLIT) AS n_words,
+       |    len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+       |    len(list_filter($SPLIT, w -> w IN (${inList(TA.Stopwords)}))) AS n_stop
+       |    FROM documents) b)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup keep-list: group by a sha2-256 digest of the content
@@ -36,20 +72,8 @@ object DocQueries {
     // shingle equi-join (the verification-grade path; LSH below is the
     // scale path that feeds it candidates).
     "doc_ngram_jaccard" -> QueryDef(
-      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, len(ws)-1),
-         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-         |  FROM w WHERE len(ws) >= 3),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id, inter/(sa.sz + sb.sz - inter) AS jaccard
-         |FROM pairs
-         |JOIN sizes sa ON sa.doc_id = a_id
-         |JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE inter/(sa.sz + sb.sz - inter) >= 0.8""".stripMargin) { (s, dir) =>
+      s"""WITH $JACCARD_PAIRS_CTES
+         |SELECT a_id, b_id, jaccard FROM pairs""".stripMargin) { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("text"),
         col("doc_id"), 3, 0.8)
     },
@@ -59,19 +83,7 @@ object DocQueries {
     // min id per component). Oracle: recursive min-reachable-id CTE
     // over the same pair set.
     "doc_dedup_clusters" -> QueryDef(
-      s"""WITH RECURSIVE w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, len(ws)-1),
-         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-         |  FROM w WHERE len(ws) >= 3),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (SELECT a_id, b_id FROM pr
-         |  JOIN sizes sa ON sa.doc_id = a_id
-         |  JOIN sizes sb ON sb.doc_id = b_id
-         |  WHERE inter/(sa.sz + sb.sz - inter) >= 0.8),
+      s"""WITH RECURSIVE $JACCARD_PAIRS_CTES,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION SELECT b_id, a_id FROM pairs),
          |reach AS (SELECT src, dst FROM edges
@@ -127,17 +139,9 @@ object DocQueries {
 
     // Quality scoring: saturating length/cleanliness/stopword mix.
     "doc_quality" -> QueryDef(
-      s"""SELECT doc_id, n_chars, n_words, n_punct, n_stop,
-         |  CASE WHEN n_chars > 0 AND n_words > 0 THEN
-         |    0.4 * least(1.0, n_words/100.0)
-         |    + 0.3 * (1.0 - n_punct/n_chars)
-         |    + 0.3 * least(1.0, 4.0*n_stop/n_words)
-         |  ELSE NULL END AS quality
-         |FROM (SELECT doc_id, n_chars,
-         |  len($SPLIT) AS n_words,
-         |  len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
-         |  len(list_filter($SPLIT, w -> w IN (${inList(TA.Stopwords)}))) AS n_stop
-         |  FROM documents) t""".stripMargin) { (s, dir) =>
+      s"""WITH $QUALITY_SCORED_CTE
+         |SELECT doc_id, n_chars, n_words, n_punct, n_stop, quality
+         |FROM scored""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars"),
           TA.wordCount(col("text")).as("n_words"),
@@ -231,18 +235,7 @@ object DocQueries {
     // sample, end-to-end in one oracled query (operators compose
     // without breaking exactness).
     "doc_pipeline_clean" -> QueryDef(
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang, text,
-         |    CASE WHEN n_chars > 0 AND n_words > 0 THEN
-         |      0.4 * least(1.0, n_words/100.0)
-         |      + 0.3 * (1.0 - n_punct/n_chars)
-         |      + 0.3 * least(1.0, 4.0*n_stop/n_words)
-         |    ELSE NULL END AS quality
-         |  FROM (SELECT doc_id, lang, text, n_chars,
-         |    len($SPLIT) AS n_words,
-         |    len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
-         |    len(list_filter($SPLIT, w -> w IN (${inList(TA.Stopwords)}))) AS n_stop
-         |    FROM documents) b),
+      s"""WITH $QUALITY_SCORED_CTE,
          |keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text)
          |SELECT s.doc_id, s.lang, s.quality
          |FROM scored s JOIN keep k ON s.doc_id = k.keep_id

@@ -84,8 +84,9 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
       .toDF("a_id", "b_id")
-    val cc = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccRows = Dedup.connectedComponents(pairs).collect()
+    assert(ccRows.length == 10) // one row per node, no duplicates
+    val cc = ccRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
     // repartition invariance (unique fixpoint)
