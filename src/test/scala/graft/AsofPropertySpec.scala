@@ -50,4 +50,45 @@ class AsofPropertySpec extends AnyFunSuite {
       assert(out2 == out, s"seed=$seed repartition changed results")
     }
   }
+
+  test("forward and nearest asof == brute force (8 seeds)") {
+    import spark.implicits._
+    for (seed <- 101 to 108) {
+      val rnd = new scala.util.Random(seed)
+      val lts = Seq.fill(40)(rnd.nextLong(200L)).distinct
+      val rts = Seq.fill(25)(rnd.nextLong(200L)).distinct
+      val l = lts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .toDF("ts_us", "lid")
+      val r = rts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .toDF("ts_us", "rid")
+
+      def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.collect().map(x => (x.getLong(x.fieldIndex("ts_us")),
+          if (x.isNullAt(x.fieldIndex("r_rid"))) -1L
+          else x.getLong(x.fieldIndex("r_rid")))).toMap
+
+      val fwd = asMap(AsofJoin.asofJoinForward(l, r, "ts_us",
+        rightPrefix = "r", rightTieBreak = Some("rid")))
+      val near = asMap(AsofJoin.asofJoinNearest(l, r, "ts_us",
+        rightPrefix = "r", rightTieBreak = Some("rid")))
+      val rIdx = rts.zipWithIndex
+      lts.foreach { t =>
+        // forward: earliest right ts >= t (rts distinct -> no ties)
+        val fExpect = rIdx.filter(_._1 >= t) match {
+          case Nil => -1L
+          case xs => xs.minBy(_._1)._2.toLong
+        }
+        assert(fwd(t) == fExpect, s"seed=$seed forward ts=$t")
+        // nearest: min |distance|, distance ties resolved backward
+        val nExpect =
+          if (rIdx.isEmpty) -1L
+          else {
+            val best = rIdx.map(x => math.abs(x._1 - t)).min
+            rIdx.filter(x => math.abs(x._1 - t) == best)
+              .minBy(_._1)._2.toLong // smaller ts = backward wins
+          }
+        assert(near(t) == nExpect, s"seed=$seed nearest ts=$t")
+      }
+    }
+  }
 }
