@@ -22,8 +22,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may persist intermediates (e.g. the Jaccard shingle
-      // frame); bound cache residency to one query
+      // frame); bound cache residency to one query. RDD persists and
+      // localCheckpoint blocks survive clearCache — free them too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

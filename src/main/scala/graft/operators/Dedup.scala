@@ -364,6 +364,7 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     import spark.implicits._
+    val sc = spark.sparkContext
     // RDD loop, GraphX-Pregel style: iterative label propagation is
     // the one genuinely iterative algorithm here, and the RDD API
     // gives the two things the loop needs that DataFrames don't:
@@ -371,32 +372,59 @@ object Dedup {
     // formulation leaked checkpoint blocks that clearCache cannot
     // free — measured 3-20x slowdowns on every later query in the
     // bench session) and no Catalyst re-analysis of a growing plan.
+    //
+    // The pair graph is usually FAR smaller than the corpus it came
+    // from (near-dup pairs, not documents), so the partitioner is
+    // sized to the measured edge count — ~100k symmetric edges per
+    // partition, capped at defaultParallelism — instead of blindly
+    // using 32 partitions: each round is a multi-stage job over every
+    // partition, and at oracle scale (hundreds of edges) 32-partition
+    // rounds are pure task-scheduling overhead (measured: dominates
+    // the query's wall time). The raw edge RDD is persisted BEFORE the
+    // sizing count so the upstream pair computation (an expensive
+    // similarity join) runs once, then re-partitioned and dropped.
+    val raw = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = raw.count()
     val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
+      math.min(sc.defaultParallelism, (nEdges / 100000L).toInt + 1))
     // symmetric edge list, hash-partitioned ONCE — every join below is
     // then co-partitioned (narrow); only the message reduceByKey
     // shuffles per round
-    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
-      .as[(Long, Long)].rdd
-      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(part)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.mapValues(_ => ()).reduceByKey(part, (_, _) => ())
       .mapPartitions(_.map { case (id, _) => (id, id) },
         preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materializes edges too; raw is now droppable
+    raw.unpersist(blocking = false)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
+      // convergence is counted by an accumulator INSIDE the round's
+      // map, so each round runs exactly ONE action (the materializing
+      // count) with no separate old-vs-new comparison join. Task
+      // retries can only over-count the accumulator (a retried task
+      // re-adds), never under-count a successful change — so the loop
+      // can at worst run one redundant round, never stop early.
+      val acc = sc.longAccumulator("cc_label_changes")
       // the edge list is symmetric, so keying by the FIRST endpoint and
       // sending its label to the second covers both directions
       val neighborMin = edges.join(labels) // co-partitioned: narrow
         .map { case (_, (dst, label)) => (dst, label) }
         .reduceByKey(part, math.min(_: Long, _: Long)) // the round's one shuffle
       val next = labels.leftOuterJoin(neighborMin) // co-partitioned
-        .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
+        .mapValues { case (l, nl) =>
+          val m = math.min(l, nl.getOrElse(l))
+          if (m < l) acc.add(1L)
+          m
+        }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels)
-        .filter { case (_, (n, o)) => n != o }.count()
+      next.count() // the round's single action; fills acc
+      changed = acc.value
       labels.unpersist(blocking = false)
       labels = next
     }
@@ -404,6 +432,108 @@ object Dedup {
       .localCheckpoint() // one final cut so callers don't re-run the loop
     labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
+    lastRounds = rounds
+    out
+  }
+
+  /** Rounds the last connected-components call took — observability for
+    * SCALE.md's diameter-vs-rounds record and the equivalence specs
+    * (min-label = O(diameter) rounds, large-star/small-star = O(log n)).
+    * Test/diagnostic use only. */
+  @volatile private[graft] var lastRounds: Int = -1
+
+  /** Connected components via large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm): converges in O(log n) rounds
+    * regardless of graph DIAMETER, where min-label propagation
+    * ([[connectedComponents]]) needs O(diameter) rounds — the variant
+    * to use when components can be long chains (link graphs, record
+    * linkage), not the tight near-dup clusters dedup produces.
+    *
+    * Both operations are expressed as reduceByKey(min) + co-partitioned
+    * join rather than groupByKey, so no node's full neighbor list is
+    * ever materialized — a hub node at web scale would OOM a
+    * groupByKey formulation.
+    *   - large-star: every node u sends min(N(u) ∪ {u}) to its
+    *     STRICTLY LARGER neighbors — attaches big ids to the local min
+    *     without ever growing a node's smallest edge;
+    *   - small-star: every node u (edges directed larger→smaller)
+    *     re-points its smaller neighbors and itself at its minimum
+    *     smaller neighbor — flattens chains into stars.
+    * The fixpoint is the star forest {(v, component-min)}: equal output
+    * to [[connectedComponents]] (property-tested on random graphs).
+    * Convergence check is an exact symmetric difference (two
+    * co-partitioned subtracts per round — affordable because rounds are
+    * O(log n)); lineage is cut every `checkpointEvery` rounds with a
+    * localCheckpoint whose blocks the caller frees session-wide
+    * (Bench/Verify unpersist all persistent RDDs between queries). */
+  def connectedComponentsLargeStar(pairs: DataFrame,
+      checkpointEvery: Int = 8): DataFrame = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+
+    val raw = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].rdd
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a > b) (a, b) else (b, a) } // canonical hi→lo
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = raw.count()
+    val part = new org.apache.spark.HashPartitioner(
+      math.min(sc.defaultParallelism, (nEdges / 100000L).toInt + 1))
+
+    // (v, m) for v > u, m = min(N(u) ∪ {u}): reduceByKey gives each
+    // node's min neighbor; the join re-walks edges to address the
+    // strictly-larger endpoints. Both directions participate.
+    def largeStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val both = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+        .partitionBy(part)
+      val minNbr = both.reduceByKey(part, math.min(_: Long, _: Long))
+      both.join(minNbr) // co-partitioned: narrow
+        .flatMap { case (u, (v, mn)) =>
+          if (v > u) Iterator((v, math.min(mn, u))) else Iterator.empty
+        }
+        .distinct(part.numPartitions)
+    }
+
+    // edges already directed hi→lo: m = min smaller-neighbor of u;
+    // re-point every smaller neighbor (and u itself) at m.
+    def smallStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val dir = e.partitionBy(part)
+      val minNbr = dir.reduceByKey(part, math.min(_: Long, _: Long))
+      dir.join(minNbr) // co-partitioned: narrow
+        .flatMap { case (u, (v, mn)) =>
+          if (v != mn) Iterator((v, mn)) else Iterator.empty
+        }
+        .union(minNbr) // (u, mn) — u re-points too; mn < u always
+        .distinct(part.numPartitions)
+    }
+
+    var edges = raw
+    var prevPersisted: RDD[(Long, Long)] = raw
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      var next = smallStar(largeStar(edges))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (rounds % checkpointEvery == 0) next = next.localCheckpoint()
+      // exact symmetric difference — both sides hash-partition by the
+      // full pair; == 0 iff the edge SET is at its fixpoint
+      changed = next.subtract(edges).union(edges.subtract(next)).count()
+      prevPersisted.unpersist(blocking = false)
+      prevPersisted = next
+      edges = next
+    }
+    // fixpoint is the star forest (v, componentMin) — add the roots
+    val out = edges.flatMap { case (v, m) => Iterator((v, m), (m, m)) }
+      .distinct(part.numPartitions)
+      .toDF("id", "component")
+      .localCheckpoint()
+    prevPersisted.unpersist(blocking = false)
+    lastRounds = rounds
     out
   }
 

@@ -95,6 +95,46 @@ class DedupSpec extends AnyFunSuite {
     assert(cc2 == cc)
   }
 
+  test("large-star/small-star equals min-label propagation on random graphs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + rnd.nextInt(40)
+      val m = n + rnd.nextInt(2 * n)
+      val pairs = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+        .toDF("a_id", "b_id")
+      val minLabel = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsLargeStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == minLabel, s"trial $trial (n=$n m=$m)")
+    }
+  }
+
+  test("large-star/small-star converges in O(log n) rounds on a long chain") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a 64-node chain: min-label propagation needs ~diameter rounds,
+    // the star alternation a handful — the web-scale-diameter claim
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val star = Dedup.connectedComponentsLargeStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starRounds = Dedup.lastRounds
+    assert(star == (0L to 63L).map(_ -> 0L).toMap)
+    assert(starRounds <= 10, s"star rounds $starRounds not O(log n)")
+    val minLabel = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mlRounds = Dedup.lastRounds
+    assert(minLabel == star)
+    assert(mlRounds >= 32, s"min-label rounds $mlRounds should be ~diameter")
+    assert(starRounds < mlRounds / 3)
+  }
+
   test("null text is dropped, not a crash, across signature paths") {
     val spark0 = spark
     import spark0.implicits._
