@@ -50,25 +50,68 @@ object Preprocess {
     * `[okey - rangeUnits, okey]`, inclusive, matching rangeBetween.
     */
   def slidingStddevPop(df: DataFrame, okeyCol: String, valueCol: String,
-      rangeUnits: Long, by: Seq[String], outCol: String): DataFrame = {
+      rangeUnits: Long, by: Seq[String], outCol: String): DataFrame =
+    slidingRangeFold(df, okeyCol, Seq(valueCol), rangeUnits, by, outCol,
+      nullable = false) { vs =>
+      val n = vs(0).size()
+      var sum = 0.0
+      val it1 = vs(0).iterator()
+      while (it1.hasNext) sum += it1.next()
+      val mean = sum / n
+      var m2 = 0.0
+      val it2 = vs(0).iterator()
+      while (it2.hasNext) { val d = it2.next() - mean; m2 += d * d }
+      math.sqrt(m2 / n)
+    }
+
+  /** Sliding-window trade-volume imbalance 2*(b-s)/(b+s) (null when
+    * b+s = 0) as the same per-key JVM fold — the scale default for
+    * ev_tvi_24h's range frame. Inputs must be the per-row buy/sell
+    * contributions in exact cents (integer-valued doubles): sums of
+    * integers under 2^53 are exact in any order, so the fold equals the
+    * declarative windowed-sum formulation cell-for-cell. */
+  def slidingTvi(df: DataFrame, okeyCol: String, buyCol: String,
+      sellCol: String, rangeUnits: Long, by: Seq[String],
+      outCol: String): DataFrame =
+    slidingRangeFold(df, okeyCol, Seq(buyCol, sellCol), rangeUnits, by,
+      outCol, nullable = true) { vs =>
+      var b = 0.0
+      val it1 = vs(0).iterator()
+      while (it1.hasNext) b += it1.next()
+      var s = 0.0
+      val it2 = vs(1).iterator()
+      while (it2.hasNext) s += it2.next()
+      if (b + s == 0.0) null else 2.0 * (b - s) / (b + s)
+    }
+
+  /** Shared engine for the sliding-range folds above: one shuffle on
+    * `by`, in-partition sort by the total order key, then a tight deque
+    * loop evaluating `emit` once per equal-okey run. RANGE frames
+    * include PEER rows (equal order key), so each run is processed as a
+    * unit — every row of the run sees the whole run in its window,
+    * exactly like the SQL frame. O(n·w) worst case like the declarative
+    * frame, but without Spark's per-row window-machinery constant
+    * (~8x, SCALE.md "window fold"). */
+  private def slidingRangeFold(df: DataFrame, okeyCol: String,
+      valueCols: Seq[String], rangeUnits: Long, by: Seq[String],
+      outCol: String, nullable: Boolean)(
+      emit: Array[java.util.ArrayDeque[Double]] => Any): DataFrame = {
     val cols = df.columns
     val okIdx = cols.indexOf(okeyCol)
-    val vIdx = cols.indexOf(valueCol)
+    val vIdx = valueCols.map(c => cols.indexOf(c)).toArray
     val byIdx = by.map(c => cols.indexOf(c))
     val sorted = df.repartition(by.map(col): _*)
       .sortWithinPartitions((by.map(col) :+ col(okeyCol).asc): _*)
     val schema = sorted.schema
       .add(org.apache.spark.sql.types.StructField(outCol,
-        org.apache.spark.sql.types.DoubleType, nullable = false))
-    // RANGE frames include PEER rows (equal order key): process each
-    // equal-okey run as one group — every row of the run sees the whole
-    // run in its window, exactly like the SQL frame.
+        org.apache.spark.sql.types.DoubleType, nullable = nullable))
+    val nVals = vIdx.length
     val rdd = sorted.rdd.mapPartitions { iter =>
       val it = iter.buffered
       new Iterator[org.apache.spark.sql.Row] {
         private var curKey: Seq[Any] = null
         private val oks = new java.util.ArrayDeque[Long]()
-        private val vs = new java.util.ArrayDeque[Double]()
+        private val vs = Array.fill(nVals)(new java.util.ArrayDeque[Double]())
         private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
 
         override def hasNext: Boolean = pending.hasNext || it.hasNext
@@ -77,30 +120,25 @@ object Preprocess {
           if (!pending.hasNext) {
             val key = byIdx.map(it.head.get)
             if (curKey == null || key != curKey) {
-              curKey = key; oks.clear(); vs.clear()
+              curKey = key; oks.clear(); vs.foreach(_.clear())
             }
             val ok = it.head.getLong(okIdx)
             val run = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
             while (it.hasNext && it.head.getLong(okIdx) == ok &&
                 byIdx.map(it.head.get) == key) {
               val r = it.next()
-              oks.addLast(ok); vs.addLast(r.getDouble(vIdx))
+              oks.addLast(ok)
+              var i = 0
+              while (i < nVals) { vs(i).addLast(r.getDouble(vIdx(i))); i += 1 }
               run += r
             }
             while (oks.peekFirst() < ok - rangeUnits) {
-              oks.removeFirst(); vs.removeFirst()
+              oks.removeFirst()
+              vs.foreach(_.removeFirst())
             }
-            val n = vs.size()
-            var sum = 0.0
-            val it1 = vs.iterator()
-            while (it1.hasNext) sum += it1.next()
-            val mean = sum / n
-            var m2 = 0.0
-            val it2 = vs.iterator()
-            while (it2.hasNext) { val d = it2.next() - mean; m2 += d * d }
-            val sd = math.sqrt(m2 / n)
+            val out = emit(vs)
             pending = run.iterator
-              .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sd))
+              .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ out))
           }
           pending.next()
         }

@@ -122,13 +122,19 @@ object EventQueries {
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY $OKEY
          |    RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW)) t""".stripMargin) { (s, dir) =>
-      val w = WindowOps.sliding(Seq(col("user_id")), okey, D)
-      val b = sum(when(col("event_type") === "purchase", cents(col("value")))
-        .otherwise(lit(0.0))).over(w)
-      val sl = sum(when(col("event_type") === "view", cents(col("value")))
-        .otherwise(lit(0.0))).over(w)
-      ev(s, dir).select(col("event_id"), col("user_id"),
-        WindowOps.tviSided(b, sl).as("tvi"))
+      // JVM deque fold (exact: cents sums are integer-valued doubles),
+      // not the declarative range frame — same shuffle+sort, without
+      // the per-row window-machinery constant. WindowOps.tviSided over
+      // WindowOps.sliding is the declarative equivalent (spec-pinned
+      // equal in WindowOpsSpec).
+      graft.operators.Preprocess.slidingTvi(
+          ev(s, dir).select(col("event_id"), col("user_id"), okey.as("okey"),
+            when(col("event_type") === "purchase", cents(col("value")))
+              .otherwise(lit(0.0)).as("b"),
+            when(col("event_type") === "view", cents(col("value")))
+              .otherwise(lit(0.0)).as("sl")),
+          "okey", "b", "sl", D * 1000L, Seq("user_id"), "tvi")
+        .select("event_id", "user_id", "tvi")
     },
 
     // A5 relative diff (value vs first value in 24h lookback) per user.
@@ -236,6 +242,37 @@ object EventQueries {
       AsofJoin.asofJoinForward(purchases, views, "ts_us", Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
           col("view_value"), col("view_event_id"))
+    },
+
+    // J1-scale KEYLESS global as-of: each purchase gets the latest
+    // preceding 'signup' across ALL users — no partition key, so the
+    // naive plan is one global window partition (a single-node sort at
+    // scale). This runs AsofJoin.asofJoinRangePartitioned instead:
+    // range-partition on ts, per-partition fill, driver-side prefix
+    // carry of <= numPartitions rows. Same backward-inclusive
+    // semantics; signup side pre-collapsed per microsecond (no
+    // tie-break in DuckDB's ASOF JOIN).
+    "ev_asof_global" -> QueryDef(
+      s"""WITH g AS (
+         |  SELECT epoch_us(ts) AS ts_us,
+         |    arg_max(value, $OKEY) AS sig_value,
+         |    max(event_id) AS sig_event_id
+         |  FROM events WHERE event_type='signup'
+         |  GROUP BY epoch_us(ts))
+         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+         |  g.sig_value, g.sig_event_id
+         |FROM (SELECT * FROM events WHERE event_type='purchase') p
+         |ASOF LEFT JOIN g ON epoch_us(p.ts) >= g.ts_us""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("ts_us")
+        .agg(max_by(col("value"), okey).as("sig_value"),
+          max(col("event_id")).as("sig_event_id"))
+      AsofJoin.asofJoinRangePartitioned(purchases, signups, "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("sig_value"), col("sig_event_id"))
     },
 
     // J1 nearest as-of: each purchase gets the time-closest 'view' of

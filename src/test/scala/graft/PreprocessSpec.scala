@@ -48,6 +48,32 @@ class PreprocessSpec extends AnyFunSuite {
     assert(out(2) == 0.0)
   }
 
+  test("slidingTvi fold equals the declarative windowed-sum formulation") {
+    import graft.operators.WindowOps
+    val D = 24L * 3600000000L
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val okey = WindowOps.orderKey(col("ts_us"), col("event_id"))
+    val cents = round(col("value") * 100)
+    val w = WindowOps.sliding(Seq(col("user_id")), okey, D)
+    val b = sum(when(col("event_type") === "purchase", cents)
+      .otherwise(lit(0.0))).over(w)
+    val sl = sum(when(col("event_type") === "view", cents)
+      .otherwise(lit(0.0))).over(w)
+    val declarative = e.select(col("event_id"), col("user_id"),
+        WindowOps.tviSided(b, sl).as("tvi"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    val fold = Preprocess.slidingTvi(
+        e.select(col("event_id"), col("user_id"), okey.as("okey"),
+          when(col("event_type") === "purchase", cents)
+            .otherwise(lit(0.0)).as("b"),
+          when(col("event_type") === "view", cents)
+            .otherwise(lit(0.0)).as("sl")),
+        "okey", "b", "sl", D * 1000L, Seq("user_id"), "tvi")
+      .collect().map(r => r.getLong(0) -> Option(r.get(5))).toMap
+    assert(fold == declarative)
+  }
+
   test("tsViolationsBySeq detects out-of-order timestamps") {
     val ok = Seq(("k", 1L, 1L), ("k", 2L, 2L)).toDF("k", "seq", "ts")
     val bad = Seq(("k", 1L, 5L), ("k", 2L, 3L)).toDF("k", "seq", "ts")
