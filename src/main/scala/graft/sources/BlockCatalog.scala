@@ -35,16 +35,43 @@ class BlockCatalog(spark: SparkSession, root: String) {
     if (h.isNullAt(0)) "empty" else h.getDecimal(0).toBigInteger.toString(16)
   }
 
-  /** The catalog table; an empty frame only when the catalog genuinely
-    * does not exist yet (missing-path AnalysisException). Transient IO /
-    * permission errors propagate — swallowing them would read as "no
-    * catalog" and trigger silent recompute+rewrite in buildMemoized. */
-  def meta: DataFrame =
+  /** The raw append-only meta LOG: one row per catalog event —
+    * op="add" (block stored) or op="drop" (block superseded by
+    * compaction). APPEND-ONLY is the concurrency contract: every meta
+    * mutation is a parquet append (new part files, never rewriting
+    * existing ones), so a concurrent writer's append can never be lost
+    * to a read-modify-write overwrite (the pre-round-3 design was
+    * last-writer-wins on compaction). An empty frame only when the
+    * catalog genuinely does not exist yet (missing-path
+    * AnalysisException); transient IO / permission errors propagate —
+    * swallowing them would read as "no catalog" and trigger silent
+    * recompute+rewrite in buildMemoized. */
+  private def metaLog: DataFrame =
     try spark.read.parquet(metaPath)
     catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
 
+  /** The LIVE catalog view, derived from the log at read time:
+    * op="add" rows deduplicated on (definition, key, hash) — two racing
+    * writers of identical content collapse to one block — minus every
+    * tombstoned hash. Tombstones are permanent: a content hash, once
+    * compacted away, stays known forever (its rows live on inside the
+    * compacted block, so re-admitting it would double-count). */
+  def meta: DataFrame = {
+    val log = metaLog
+    if (!log.columns.contains("hash")) return log
+    val adds = log.filter(col("op") === "add")
+      .dropDuplicates("definition", "key", "hash")
+    val drops = log.filter(col("op") === "drop")
+      .select("definition", "key", "hash").distinct()
+    adds.join(drops, Seq("definition", "key", "hash"), "left_anti")
+      .select("definition", "key", "start_ts", "end_ts", "num_rows", "hash")
+  }
+
+  /** True iff the hash was EVER cataloged for (definition, key) — adds
+    * and tombstones alike (tombstoned content already lives inside a
+    * compacted block; re-storing it would duplicate rows). */
   private def hashExists(definition: String, key: String, hash: String): Boolean = {
-    val m = meta
+    val m = metaLog
     m.columns.contains("hash") && !m
       .filter(col("definition") === definition && col("key") === key &&
         col("hash") === hash)
@@ -72,8 +99,8 @@ class BlockCatalog(spark: SparkSession, root: String) {
     val stats = df.agg(min(col(tsUs)).as("start_ts"), max(col(tsUs)).as("end_ts"),
       count(lit(1)).as("num_rows")).collect()(0)
     import spark.implicits._
-    Seq((definition, key, stats.getLong(0), stats.getLong(1), stats.getLong(2), hash))
-      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash")
+    Seq((definition, key, stats.getLong(0), stats.getLong(1), stats.getLong(2), hash, "add"))
+      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op")
       .write.mode("append").parquet(metaPath)
     true
   }
@@ -143,14 +170,23 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * its members dropped from the catalog + disk. Returns the number of
     * groups compacted.
     *
-    * Crash safety: scans read only meta-listed blocks, so the order
-    * (write new dirs → rewrite meta → delete old dirs) never
-    * double-counts — a crash before the meta rewrite leaves invisible
-    * new dirs that the re-run overwrites (same content hash), a crash
-    * after it leaves invisible old dirs as garbage. The meta overwrite
-    * itself is the one non-atomic step with plain parquet; a
-    * transactional table format makes it a single commit at cluster
-    * scale (class scaladoc). */
+    * Crash safety: scans read only meta-LIVE blocks, so the order
+    * (write new dirs → append tombstones+adds to the log → delete old
+    * dirs) never double-counts — a crash before the log append leaves
+    * invisible new dirs that the re-run overwrites (same content hash),
+    * a crash after it leaves invisible old dirs as garbage.
+    *
+    * Concurrency: the log append keeps this lock-free against
+    * concurrent WRITERS — their adds land as separate part files and
+    * are never overwritten (the pre-round-3 read-modify-write meta
+    * rewrite silently dropped any add that raced it). Run at most ONE
+    * compactor per (definition, key) at a time: two racing compactors
+    * could tombstone the same members and admit two overlapping
+    * combined blocks — a documented single-compactor constraint, same
+    * as the reference's per-writer compactor. Readers racing the final
+    * dir deletion can hit a vanished block dir (plain-parquet limit; a
+    * transactional table format makes the whole step one commit at
+    * cluster scale, class scaladoc). */
   def compactSmallBlocks(definition: String, key: String, targetRows: Long,
       tsUs: String = "ts_us"): Int = {
     val m = meta
@@ -188,18 +224,16 @@ class BlockCatalog(spark: SparkSession, root: String) {
       (definition, key, grp.map(_._1).min, grp.map(_._2).max,
         grp.map(_._3).sum, hash)
     }
-    // rewrite meta: survivors + the compacted rows (meta is one row per
-    // block — driver-size metadata, same as coveredRanges)
-    val survivors = m.collect().filterNot(r =>
-      r.getAs[String]("definition") == definition &&
-        r.getAs[String]("key") == key && dropped.contains(r.getAs[String]("hash")))
-      .map(r => (r.getAs[String]("definition"), r.getAs[String]("key"),
-        r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"),
-        r.getAs[Long]("num_rows"), r.getAs[String]("hash")))
+    // APPEND tombstones for the compacted members + adds for the new
+    // blocks — never rewrite the log (see scaladoc: a concurrent
+    // writer's append must survive this)
     import spark.implicits._
-    (survivors ++ newRows).toSeq
-      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash")
-      .write.mode("overwrite").parquet(metaPath)
+    val tombstones = toCompact.flatten.map(b =>
+      (definition, key, b._1, b._2, b._3, b._4, "drop"))
+    (tombstones ++ newRows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, "add")))
+      .toSeq
+      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op")
+      .write.mode("append").parquet(metaPath)
     dropped.foreach { h =>
       fs.delete(new org.apache.hadoop.fs.Path(
         s"${dataPath(definition, key)}/block=$h"), true)

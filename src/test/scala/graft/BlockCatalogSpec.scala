@@ -97,6 +97,57 @@ class BlockCatalogSpec extends AnyFunSuite {
     assert(cat.scanAll("t", "K").count() == before.size)
   }
 
+  test("concurrent writers: meta mutations are append-only, races dedup on read") {
+    val root = Files.createTempDirectory("graft_concurrent").toString
+    val cat = new BlockCatalog(spark, root)
+    def block(startHour: Int, hours: Int) =
+      (0 until hours).map(i => (day0 + (startHour + i) * 3600000000L, (startHour + i).toDouble))
+        .toDF("ts_us", "v")
+    (0 until 4).foreach(g => assert(cat.write(block(g * 3, 3), "t", "K", "ts_us")))
+    // an unrelated key a concurrent writer is appending to
+    assert(cat.write(block(0, 5), "t", "OTHER", "ts_us"))
+
+    // simulate a racing duplicate append (two writers stored the same
+    // content before either saw the other's meta row): the live view
+    // must collapse it, and scans must not double-count
+    val dupRow = cat.meta.filter(col("definition") === "t" && col("key") === "K")
+      .limit(1).withColumn("op", org.apache.spark.sql.functions.lit("add"))
+    dupRow.write.mode("append").parquet(s"$root/_meta")
+    assert(cat.meta.filter(col("key") === "K").count() == 4) // deduped
+    assert(cat.scanAll("t", "K").count() == 12)
+
+    // compaction must APPEND to the log, never rewrite it — every meta
+    // part file present before must still exist after (so a concurrent
+    // writer's append cannot be lost to a read-modify-write)
+    def metaFiles() = new java.io.File(s"$root/_meta").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = metaFiles()
+    assert(cat.compactSmallBlocks("t", "K", targetRows = 6L) == 2)
+    assert(before.subsetOf(metaFiles()), "compaction rewrote meta part files")
+
+    // the concurrent key is untouched, compacted data intact
+    assert(cat.meta.filter(col("key") === "OTHER").count() == 1)
+    assert(cat.scanAll("t", "K").count() == 12)
+    assert(cat.scanAll("t", "OTHER").count() == 5)
+  }
+
+  test("tombstones are permanent: re-writing compacted content is a no-op") {
+    val root = Files.createTempDirectory("graft_tombstone").toString
+    val cat = new BlockCatalog(spark, root)
+    def block(startHour: Int, hours: Int) =
+      (0 until hours).map(i => (day0 + (startHour + i) * 3600000000L, (startHour + i).toDouble))
+        .toDF("ts_us", "v")
+    assert(cat.write(block(0, 3), "t", "K", "ts_us"))
+    assert(cat.write(block(3, 3), "t", "K", "ts_us"))
+    assert(cat.compactSmallBlocks("t", "K", targetRows = 6L) == 1)
+    assert(cat.meta.count() == 1)
+    // the members' content now lives inside the compacted block:
+    // re-admitting a member would double-count its rows
+    assert(!cat.write(block(0, 3), "t", "K", "ts_us"))
+    assert(cat.meta.count() == 1)
+    assert(cat.scanAll("t", "K").count() == 6)
+  }
+
   test("crash between data and meta writes: replay does not duplicate rows") {
     val root = Files.createTempDirectory("graft_crash").toString
     val cat = new BlockCatalog(spark, root)
