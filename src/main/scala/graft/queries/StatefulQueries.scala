@@ -21,6 +21,14 @@ object StatefulQueries {
     // iff written at/after the last SNAPSHOT <= T). The Spark side runs
     // the REAL state machine (L2Book.replay) — so the stateful operator
     // itself is hash-checked against a declarative reconstruction.
+    // Reconstruction must follow the fold's APPLY order (ts_us, seq) —
+    // NOT okey, whose seq%1000 component inverts at same-microsecond
+    // id wraps — and its wipe rule: the book clears at each SNAPSHOT
+    // row that starts a run (different ts from the previous SNAPSHOT,
+    // or any non-snapshot row intervened). Both caught by the
+    // collision-stress corpus (a same-ts SET with seq below the
+    // snapshot's is wiped; the old >= snap_ts rule kept it). The
+    // HUGEINT key ts_us*1e9 + seq is exact for seq < 1e9.
     "l2_book_oracle" -> QueryDef(
       s"""WITH u AS (
          |  SELECT event_type AS instrument, epoch_us(ts) AS ts_us,
@@ -35,22 +43,32 @@ object StatefulQueries {
          |  SELECT instrument, (ts_us // ${H}) * ${H} AS bucket_us,
          |    max(ts_us) AS t_end
          |  FROM u GROUP BY 1, 2),
+         |ordered AS (
+         |  SELECT *, CAST(ts_us AS HUGEINT)*1000000000 + seq AS k,
+         |    lag(update_type) OVER w AS prev_ut,
+         |    lag(ts_us) OVER w AS prev_ts
+         |  FROM u WINDOW w AS (PARTITION BY instrument ORDER BY ts_us, seq)),
+         |wipes AS (
+         |  SELECT instrument, ts_us, k FROM ordered
+         |  WHERE update_type = 'SNAPSHOT'
+         |    AND (prev_ut IS DISTINCT FROM 'SNAPSHOT'
+         |         OR prev_ts IS DISTINCT FROM ts_us)),
          |lvl AS (
-         |  SELECT e.instrument, e.bucket_us, u.side, u.price,
-         |    arg_max(u.size, u.okey) AS size,
-         |    max(u.okey) AS last_okey
-         |  FROM em e JOIN u ON u.instrument = e.instrument AND u.ts_us <= e.t_end
+         |  SELECT e.instrument, e.bucket_us, o.side, o.price,
+         |    arg_max(o.size, o.k) AS size,
+         |    max(o.k) AS last_k
+         |  FROM em e JOIN ordered o ON o.instrument = e.instrument AND o.ts_us <= e.t_end
          |  GROUP BY 1, 2, 3, 4),
-         |snap AS (
-         |  SELECT e.instrument, e.bucket_us, max(u.ts_us) AS snap_ts
-         |  FROM em e JOIN u ON u.instrument = e.instrument
-         |    AND u.ts_us <= e.t_end AND u.update_type = 'SNAPSHOT'
+         |wp AS (
+         |  SELECT e.instrument, e.bucket_us, max(w.k) AS wipe_k
+         |  FROM em e LEFT JOIN wipes w
+         |    ON w.instrument = e.instrument AND w.ts_us <= e.t_end
          |  GROUP BY 1, 2),
          |alive AS (
          |  SELECT l.instrument, l.bucket_us, l.side, l.price, l.size
-         |  FROM lvl l LEFT JOIN snap s
-         |    ON s.instrument = l.instrument AND s.bucket_us = l.bucket_us
-         |  WHERE l.last_okey >= coalesce(s.snap_ts, 0) * 1000)
+         |  FROM lvl l JOIN wp
+         |    ON wp.instrument = l.instrument AND wp.bucket_us = l.bucket_us
+         |  WHERE l.last_k >= coalesce(wp.wipe_k, 0))
          |SELECT instrument, bucket_us, side, rnk, price, size FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY instrument, bucket_us, side

@@ -45,6 +45,29 @@ class L2BookSpec extends AnyFunSuite {
     assert(out.last.asks == Seq(Level(51, 1)))
   }
 
+  test("same-ts SET below the snapshot's seq is wiped; after it, kept") {
+    // apply order is (ts, seq): a SET earlier in seq than a same-ts
+    // SNAPSHOT run is cleared by the wipe; a later one survives. The
+    // SQL oracle reconstructs exactly this rule (StatefulQueries) —
+    // caught originally by the collision-stress corpus.
+    val out = replay(Seq(
+      Update("X", 1, 0, "SET", "bid", 471.0, 5.0),       // pre-snapshot: wiped
+      Update("X", 1, 1, "SNAPSHOT", "bid", 271.0, 2.0),
+      Update("X", 1, 2, "SET", "ask", 464.0, 3.0)))      // post-snapshot: kept
+    assert(out.length == 1)
+    assert(out(0).bids == Seq(Level(271.0, 2.0)))
+    assert(out(0).asks == Seq(Level(464.0, 3.0)))
+  }
+
+  test("SET between same-ts snapshot rows re-wipes (snapshot run broken)") {
+    val out = replay(Seq(
+      Update("X", 1, 0, "SNAPSHOT", "bid", 100.0, 5.0),
+      Update("X", 1, 1, "SET", "bid", 90.0, 1.0),
+      Update("X", 1, 2, "SNAPSHOT", "bid", 80.0, 2.0))) // new run: wipes again
+    assert(out.length == 1)
+    assert(out(0).bids == Seq(Level(80.0, 2.0)))
+  }
+
   test("SUB on a missing level is tolerated (logged-not-fatal semantics)") {
     val out = replay(snap ++ Seq(Update("X", 2, 4, "SUB", "bid", 77.0, 9.0)))
     assert(out.last.bids == Seq(Level(100, 5), Level(99, 2)))
