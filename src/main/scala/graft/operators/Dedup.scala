@@ -138,6 +138,31 @@ object Dedup {
     j.filter(col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
   }
 
+  /** Test-set DECONTAMINATION: corpus documents sharing at least
+    * `minShared` distinct word-n-gram shingles with ANY benchmark
+    * document — the step a training pipeline runs against its eval
+    * suites before training. Returns (doc_id, n_shared).
+    *
+    * 100 TB shape: the benchmark side is small by construction (eval
+    * suites, not corpora), so its distinct shingle-hash set BROADCASTS
+    * and the corpus-side match is a map-side semi join — the corpus is
+    * never shuffled; only the (matched doc, count) pairs move in the
+    * final per-doc aggregation. Shingles are the ONE shared
+    * tokenization rule ([[shingleIterator]]), hashed to 64-bit ids. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, text: Column,
+      id: Column, n: Int, minShared: Int): DataFrame = {
+    val cs = explodeShingles(corpus, text, id, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bs = explodeShingles(bench, text, id, n)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    // shingles are distinct per doc, so count(*) after the semi-style
+    // join IS the distinct shared-shingle count
+    cs.join(broadcast(bs), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signatures: `perms` min-hashes over 3-gram shingles, one
     * aggregation pass (doc_id, mh0..mh{perms-1}). One string hash per
     * shingle; permutations are a seeded affine universal family

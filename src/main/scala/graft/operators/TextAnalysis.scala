@@ -113,6 +113,46 @@ object TextAnalysis {
       .select("doc_id", "word", "tf", "df", "score", "rnk")
   }
 
+  /** Gopher-style repetition metrics per document: word/trigram counts,
+    * the duplicate-trigram fraction 1 - distinct/total, and the
+    * most-frequent-word fraction — the public Rae et al. (Gopher)
+    * repetition filters, the standard pre-training quality gate next to
+    * [[qualityScore]]. Counts are exact integers computed in ONE typed
+    * map (zero shuffle, no per-element lambda re-evaluation — the
+    * CollapseProject/HOF trap); the two ratios are the suite's usual
+    * round(,4) fp aggregates, null-guarded on empty denominators.
+    * Tokenization = the oracle's: single-space split keeping empties
+    * over lowercased text; trigrams joined with single spaces. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+      .as[(Long, String)]
+      .map { case (did, t) =>
+        val ws = if (t == null) Array("") else t.split(" ", -1)
+        val nWords = ws.length
+        val nTri = math.max(nWords - 2, 0)
+        val seen = new scala.collection.mutable.HashSet[String]
+        var i = 0
+        while (i < nTri) {
+          seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2)); i += 1
+        }
+        val counts = new scala.collection.mutable.HashMap[String, Int]
+        ws.foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+        val top = if (counts.isEmpty) 0 else counts.values.max
+        (did, nWords, nTri, seen.size, top)
+      }
+      .toDF("doc_id", "n_words", "n_trigrams", "n_distinct", "top_word")
+      .select(col("doc_id"), col("n_words"), col("n_trigrams"), col("n_distinct"),
+        when(col("n_trigrams") > 0,
+          round(lit(1.0) - col("n_distinct") / col("n_trigrams").cast("double"), 4))
+          .as("dup_frac"),
+        when(col("n_words") > 0,
+          round(col("top_word").cast("double") / col("n_words"), 4))
+          .as("top_word_frac"))
+  }
+
   /** Polynomial rolling-hash fingerprint mod 1e9+7 over character
     * codes, seeded with the first char (matches DuckDB `list_reduce`
     * semantics, which folds from the first element). */

@@ -256,6 +256,48 @@ object DocQueries {
           .select("doc_id", "lang", "quality")
     },
 
+    // Test-set decontamination: corpus docs sharing >= 3 distinct
+    // word-trigrams with any "benchmark" doc (deterministic benchmark:
+    // doc_id % 97 == 0, ~1% of the corpus standing in for an eval
+    // suite). The benchmark shingle set broadcasts; the corpus is
+    // never shuffled.
+    "doc_decontaminate" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN bsh USING (s)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        col("text"), col("doc_id"), n = 3, minShared = 3)
+    },
+
+    // Gopher-style repetition metrics: duplicate-trigram fraction and
+    // most-frequent-word fraction per doc (the public Rae et al.
+    // repetition filters) — exact integer counts, round(,4) ratios.
+    "doc_repetition" -> QueryDef(
+      s"""SELECT doc_id, n_words, n_trigrams, n_distinct,
+         |  CASE WHEN n_trigrams > 0 THEN round(1 - n_distinct/n_trigrams, 4) END AS dup_frac,
+         |  CASE WHEN n_words > 0 THEN round(top_word/n_words, 4) END AS top_word_frac
+         |FROM (
+         |  SELECT doc_id, len(ws) AS n_words, greatest(len(ws)-2, 0) AS n_trigrams,
+         |    CASE WHEN len(ws) >= 3 THEN len(list_distinct(list_transform(
+         |      range(1, len(ws)-1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS n_distinct,
+         |    list_max(list_transform(list_distinct(ws),
+         |      x -> len(list_filter(ws, y -> y = x)))) AS top_word
+         |  FROM (SELECT doc_id, $SPLIT AS ws FROM documents) b) t""".stripMargin) {
+      (s, dir) =>
+        TA.repetitionStats(Tables.documents(s, dir), col("text"), col("doc_id"))
+    },
+
     // Rolling-hash document fingerprint (mod 1e9+7 polynomial).
     "doc_fingerprint" -> QueryDef(
       """SELECT doc_id,

@@ -135,6 +135,24 @@ class DedupSpec extends AnyFunSuite {
     assert(starRounds < mlRounds / 3)
   }
 
+  test("decontaminate flags shingle overlap with the benchmark, not others") {
+    val spark0 = spark
+    import spark0.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a sleeping cat"), // 3 shared trigrams
+      (2L, "quick brown fox escapes"),                       // 1 shared
+      (3L, "completely unrelated words entirely here"))      // 0 shared
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, col("text"), col("doc_id"),
+        n = 3, minShared = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps",
+    // "fox jumps over" = 4
+    assert(out == Map(1L -> 4L))
+  }
+
   test("null text is dropped, not a crash, across signature paths") {
     val spark0 = spark
     import spark0.implicits._

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TextAnalysis => TA}
+
+/** Unit goldens for the text-analysis operators whose main coverage is
+  * the DuckDB oracles (doc_langid/quality/tokens/repetition) — these
+  * pin the JVM-side semantics on hand-computable inputs. */
+class TextAnalysisSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("repetitionStats: duplicate trigrams and top-word fraction") {
+    // "a b a b a b" -> words=6, trigrams=4: "a b a","b a b","a b a","b a b"
+    // -> distinct=2, dup_frac=0.5; top word "a" count 3/6 = 0.5
+    // "x y z" -> 3 words, 1 trigram, distinct 1, dup 0; top 1/3 = 0.3333
+    // "w" -> 1 word, 0 trigrams -> dup_frac null
+    val df = Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, "w"))
+      .toDF("doc_id", "text")
+    val out = TA.repetitionStats(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(out(1L) == ((6, 4, 2, Some(0.5), Some(0.5))))
+    assert(out(2L) == ((3, 1, 1, Some(0.0), Some(0.3333))))
+    assert(out(3L) == ((1, 0, 0, None, Some(1.0))))
+  }
+
+  test("repetitionStats: case folding and empty-word split parity") {
+    // "A  a" single-space-splits (keeping empties) to ["a", "", "a"]:
+    // 3 words, top word "a" x2 -> 0.6667; one trigram, distinct
+    val df = Seq((1L, "A  a")).toDF("doc_id", "text")
+    val r = TA.repetitionStats(df, col("text"), col("doc_id")).collect()(0)
+    assert(r.getInt(1) == 3 && r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(r.getDouble(5) == 0.6667)
+  }
+}
