@@ -85,6 +85,134 @@ object Similarity {
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** IVF coarse-quantizer training: `nLists` centroids from
+    * deterministically hash-picked seed vectors (order-free sample, the
+    * Sampling.hashSample spirit), refined by `iters` Lloyd rounds under
+    * the search metric (max cosine; assignment ties break to the lowest
+    * list index). Each round is one map + reduceByKey over the corpus;
+    * the centroid table collects to the driver — it is index METADATA
+    * (nLists x dim doubles, e.g. 65536 x 64 = 32 MB at warehouse
+    * scale), not data. Mean-update float sums are data-parallel and
+    * therefore order-sensitive at the 1e-16 level — the INDEX is
+    * approximate by construction; search results stay exact because
+    * candidates are always reranked with exact cosine. */
+  def trainIvfCentroids(corpus: DataFrame, nLists: Int,
+      iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var centroids = corpus
+      .orderBy(xxhash64(concat(lit("ivf-seed"), col("vec_id"))).asc,
+        col("vec_id").asc)
+      .limit(nLists)
+      .select(col("embedding")).as[Array[Float]]
+      .collect().map(_.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val sums = vecs.rdd
+        .map { case (_, e) =>
+          (nearestList(bc.value, e), (e.map(_.toDouble), 1L))
+        }
+        .reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+          val (a, ca) = x
+          val (b, cb) = y
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          (a, ca + cb)
+        }
+        .collect()
+      val next = centroids.clone() // empty lists keep their centroid
+      sums.foreach { case (lst, (s, c)) => next(lst) = s.map(_ / c) }
+      centroids = next
+      bc.destroy()
+    }
+    centroids
+  }
+
+  /** Index of the max-cosine centroid for a vector; ties to the lowest
+    * list index (deterministic given the centroid table). */
+  private[graft] def nearestList(cs: Array[Array[Double]],
+      e: Array[Float]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var l = 0
+    while (l < cs.length) {
+      val c = cs(l)
+      var dot = 0.0
+      var nc = 0.0
+      var i = 0
+      while (i < c.length) {
+        dot += c(i) * e(i); nc += c(i) * c(i); i += 1
+      }
+      val score = if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
+      if (score > bestScore) { bestScore = score; best = l }
+      l += 1
+    }
+    best
+  }
+
+  private[graft] def nearestLists(cs: Array[Array[Double]], e: Array[Float],
+      n: Int): Array[Int] =
+    cs.indices
+      .map { l =>
+        val c = cs(l)
+        var dot = 0.0
+        var nc = 0.0
+        var i = 0
+        while (i < c.length) { dot += c(i) * e(i); nc += c(i) * c(i); i += 1 }
+        (if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc), l)
+      }
+      .sortBy { case (s, l) => (-s, l) }
+      .take(n).map(_._2).toArray
+
+  /** ANN top-k via an IVF (inverted-file) index — the other classic
+    * scale path next to LSH (SURVEY: "IVF or LSH-bucketed variant"):
+    * every corpus vector lives in exactly ONE centroid list, a query
+    * probes its `nProbe` nearest lists, and the probed candidates are
+    * reranked by exact cosine. Probe cost ~ corpus * nProbe/nLists on
+    * balanced lists — tunable sub-linear scan, and because each row is
+    * in one list a (query, row) candidate pair is generated at most
+    * once: NO dedup shuffle at all (LSH needs one). With
+    * nProbe = nLists the probe is the whole corpus and the result
+    * PROVABLY equals brute force — the driver-oracled plumbing regime
+    * (emb_ivf_topk), same pattern as the LSH dedup oracles; realistic
+    * recall is spec'd on seeded near-dups (identical vectors share a
+    * list structurally). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nLists: Int,
+      nProbe: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val centroids = trainIvfCentroids(corpus, nLists, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, e, nearestList(bc.value, e)) }
+      .toDF("neighbor_id", "embedding", "lst")
+    val probes = queries
+      .select(col("vec_id").cast("long").as("q_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, e) =>
+        nearestLists(bc.value, e, math.min(nProbe, nLists)).map(l => (id, l))
+      }
+      .toDF("q_id", "lst")
+    val cand = assigned.join(broadcast(probes), "lst")
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"))), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"),
+        col("rnk"))
+  }
+
   /** ANN top-k via multi-table SRP-LSH: `tables` independent `bits`-bit
     * signatures; a corpus row is a candidate if it shares any table's
     * bucket with the query, then candidates are reranked by exact

@@ -40,6 +40,33 @@ object EmbeddingQueries {
         bits = 6, dim = 64)
     },
 
+    // IVF-ANN, full-probe plumbing regime: with nProbe = nLists the
+    // probed set is the whole corpus, so the result provably equals
+    // brute force — the driver hash-checks the train/assign/probe/
+    // rerank pipeline against the SAME SQL as emb_cosine_topk.
+    // Realistic sub-linear probes are spec'd (SimilaritySpec).
+    "emb_ivf_topk" -> QueryDef(
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10)
+        |SELECT q_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
+        |  SELECT q_id, vec_id AS neighbor_id,
+        |    list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+        |       * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cos,
+        |    row_number() OVER (
+        |      PARTITION BY q_id
+        |      ORDER BY list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+        |         * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) DESC,
+        |        vec_id ASC) AS rnk
+        |  FROM q CROSS JOIN embeddings
+        |  WHERE vec_id != q_id) t
+        |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+        nLists = 16, nProbe = 16)
+    },
+
     // Embedding-cosine near-dup pairs (dedup family, exact brute force;
     // the synthetic corpus is near-orthogonal so the threshold sits at
     // its top-similarity range).

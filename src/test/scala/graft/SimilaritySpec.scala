@@ -41,6 +41,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(arr.isNullAt(0))
   }
 
+  test("IVF full probe equals brute force exactly") {
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nLists = 16, nProbe = 16)
+      .collect().map(_.toSeq).toSet
+    assert(ivf == bf)
+  }
+
+  test("IVF realistic probes: structural recall of seeded near-dups, sub-linear scan") {
+    val spark0 = spark
+    import spark0.implicits._
+    // identical copies land in the SAME list as their original (same
+    // vector -> same nearest centroid), so nProbe >= 1 must find them:
+    // recall here is structural, like the LSH realistic-regime query.
+    val base = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val n = base.count()
+    val aug = base.flatMap { case (id, e) =>
+      Iterator((id, e), (id + 1000000L, e))
+    }.toDF("vec_id", "embedding")
+    val q = aug.filter(col("vec_id") < 10)
+    val out = Similarity.ivfTopK(aug, q, 1, nLists = 16, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(out.length == 10)
+    out.foreach { case (qid, (nid, cos)) =>
+      assert(nid == qid + 1000000L && cos == 1.0,
+        s"query $qid: expected its identical copy at cos 1.0, got $nid @ $cos")
+    }
+    // probing 4/16 lists scans a strict subset of the corpus
+    val centroids = Similarity.trainIvfCentroids(aug, 16, 3)
+    val assigned = aug.as[(Long, Array[Float])]
+      .map { case (_, e) => Similarity.nearestList(centroids, e) }
+      .groupByKey(identity).count().collect().toMap
+    assert(assigned.size > 4, s"centroids collapsed: ${assigned.size} lists in use")
+    val largest4 = assigned.values.toSeq.sortBy(-_).take(4).sum
+    assert(largest4 < 2 * n, s"4 largest lists hold $largest4 of ${2 * n} rows")
+  }
+
   test("LSH top-k recalls a useful fraction of true neighbors") {
     val truth = pairSet(Similarity.bruteForceTopK(emb, queries, 5))
     // The synthetic embeddings are near-orthogonal (top cos ~0.35), the
