@@ -153,6 +153,51 @@ object TextAnalysis {
           .as("top_word_frac"))
   }
 
+  /** PII scrubbing patterns (codegen'd regexp_replace, replace-all):
+    * the standard pre-training redaction pass. Conservative
+    * common-dialect regexes (identical semantics in Java regex and
+    * DuckDB's RE2 — no lookarounds, no backrefs). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  /** Fixed-size sliding-stride word chunking — the RAG/pre-training
+    * chunker: windows of `size` words every `stride` words (overlap =
+    * size - stride), last chunk partial. One typed flatMap per doc
+    * (zero shuffle; chunking is per-row work, and the HOF formulation
+    * would re-split per chunk — the CollapseProject trap). Emits
+    * (doc_id, chunk_idx, n_tokens, chunk). Tokenization is the suite's
+    * single-space split keeping empties over lowercased text. */
+  def chunkWords(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"bad chunking ($size, $stride)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (did, t) =>
+        val ws = if (t == null) Array("") else t.split(" ", -1)
+        val n = ws.length
+        val nChunks = (n - 1) / stride + 1
+        (0 until nChunks).iterator.map { i =>
+          val start = i * stride
+          val end = math.min(start + size, n)
+          (did, i, end - start, ws.slice(start, end).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "n_tokens", "chunk")
+  }
+
   /** Polynomial rolling-hash fingerprint mod 1e9+7 over character
     * codes, seeded with the first char (matches DuckDB `list_reduce`
     * semantics, which folds from the first element). */

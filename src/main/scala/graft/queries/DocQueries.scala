@@ -298,6 +298,49 @@ object DocQueries {
         TA.repetitionStats(Tables.documents(s, dir), col("text"), col("doc_id"))
     },
 
+    // PII scrubbing: email/phone redaction (replace-all, codegen'd
+    // regexp_replace). The corpus contains no PII (asserted: zero
+    // '@'/'+' chars), so each doc is AUGMENTED with a deterministic
+    // synthetic email+phone built from its doc_id — the oracle then
+    // proves redaction fires on every row, not just on none.
+    "doc_pii_scrub" -> QueryDef(
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@corp.example call +1202555'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS scrubbed,
+        |  len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS n_phones
+        |FROM aug""".stripMargin) { (s, dir) =>
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@corp.example call +1202555"),
+        lpad((col("doc_id") % 1000).cast("string"), 4, "0"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TA.scrubPii(aug).as("scrubbed"),
+        TA.emailCount(aug).as("n_emails"),
+        TA.phoneCount(aug).as("n_phones"))
+    },
+
+    // Fixed-stride word chunking (32-word windows every 24 words,
+    // 8-word overlap): the RAG / pre-training chunker, one typed
+    // flatMap, zero shuffle.
+    "doc_chunks" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |s AS (SELECT doc_id, ws, len(ws) AS n,
+         |  unnest(range(0, (len(ws)-1)//24 + 1)) AS i FROM w)
+         |SELECT doc_id, i AS chunk_idx,
+         |  least(i*24 + 32, n) - i*24 AS n_tokens,
+         |  array_to_string(list_slice(ws, i*24 + 1, least(i*24 + 32, n)), ' ') AS chunk
+         |FROM s""".stripMargin) { (s, dir) =>
+      TA.chunkWords(Tables.documents(s, dir), col("text"), col("doc_id"),
+        size = 32, stride = 24)
+    },
+
     // Rolling-hash document fingerprint (mod 1e9+7 polynomial).
     "doc_fingerprint" -> QueryDef(
       """SELECT doc_id,

@@ -28,6 +28,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == ((1, 0, 0, None, Some(1.0))))
   }
 
+  test("scrubPii: redacts all emails and phones, leaves clean text alone") {
+    val df = Seq(
+      (1L, "mail a@b.io and c.d+x@e.org now"),
+      (2L, "call +12025550199 or +4930123456"),
+      (3L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TA.scrubPii(col("text")).as("s"),
+        TA.emailCount(col("text")).as("ne"), TA.phoneCount(col("text")).as("np"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <EMAIL> now", 2, 0)))
+    assert(out(2L) == (("call <PHONE> or <PHONE>", 0, 2)))
+    assert(out(3L) == (("clean text with no pii at all", 0, 0)))
+  }
+
+  test("chunkWords: stride windows with partial tail, word-exact") {
+    // 8 words, size 4, stride 3 -> starts 0,3,6: [w0..w3],[w3..w6],[w6,w7]
+    val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = TA.chunkWords(df, col("text"), col("doc_id"), size = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq((0, 4, "a b c d"), (1, 4, "d e f g"), (2, 2, "g h")))
+  }
+
   test("repetitionStats: case folding and empty-word split parity") {
     // "A  a" single-space-splits (keeping empties) to ["a", "", "a"]:
     // 3 words, top word "a" x2 -> 0.6667; one trigram, distinct
