@@ -221,9 +221,28 @@ object DocQueries {
     },
 
     // Greedy sequence packing: per language, docs in doc_id order fill
-    // 512-token bins (training-batch packing). Path-dependent fold →
-    // exact Python oracle (tools/pyoracle.py).
-    "doc_pack_greedy" -> QueryDef.noOracle { (s, dir) =>
+    // 512-token bins (training-batch packing). Path-dependent fold,
+    // oracled via a RECURSIVE CTE replaying the same (bin, fill) state
+    // row by row — upgraded from py-oracle to a driver-visible DuckDB
+    // oracle in round 3.
+    "doc_pack_greedy" -> QueryDef(
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+        |    n_tokens AS bin_fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+        |         THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+        |         THEN d.n_tokens ELSE r.bin_fill + d.n_tokens END
+        |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+        |SELECT doc_id, lang, n_tokens, bin, bin_fill FROM r""".stripMargin) { (s, dir) =>
       val withTokens = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           TA.tokenCount(col("text")).cast("long").as("n_tokens"))

@@ -11,6 +11,22 @@ import graft.operators.Similarity
   */
 object EmbeddingQueries {
 
+  /** The SRP hyperplane matrix as a DuckDB VALUES literal — the planes
+    * are data-independent constants of (bits, dim, tables, seed), so
+    * the oracle can inline them (same trick as Sampling.hashBound) and
+    * reproduce the LSH bucketing exactly: java.util.Random(seed+t)
+    * boolean stream per table, ±1 entries, bit j set when the
+    * left-to-right dot is >= 0 (VectorExpressions.SrpBuckets). */
+  private def srpPlanesValues(bits: Int, dim: Int, tables: Int,
+      seed: Long): String =
+    (0 until tables).flatMap { t =>
+      val rnd = new java.util.Random(seed + t)
+      val flat = Array.fill(bits * dim)(if (rnd.nextBoolean()) "1" else "-1")
+      (0 until bits).map { j =>
+        s"($t,$j,[${flat.slice(j * dim, (j + 1) * dim).mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",")
+
   val defs: Map[String, QueryDef] = Map(
 
     "emb_cosine_topk" -> QueryDef(
@@ -34,7 +50,39 @@ object EmbeddingQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
     },
 
-    "emb_lsh_topk" -> QueryDef.noOracle { (s, dir) =>
+    // Multi-table SRP-LSH ANN — upgraded from py-oracle to a
+    // driver-visible DuckDB oracle in round 3 by inlining the
+    // (data-independent) hyperplane matrix as SQL literals and
+    // replaying bucketing + candidate join + exact rerank in SQL.
+    "emb_lsh_topk" -> QueryDef(
+      s"""WITH planes(t, j, p) AS (VALUES ${srpPlanesValues(6, 64, 24, 42L)}),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |cb AS (
+         |  SELECT e.vec_id, pl.t,
+         |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+         |        THEN 1 << pl.j ELSE 0 END) AS bkt
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+         |qb AS (
+         |  SELECT q.q_id, pl.t,
+         |    sum(CASE WHEN list_dot_product(q.qe::DOUBLE[], pl.p) >= 0
+         |        THEN 1 << pl.j ELSE 0 END) AS bkt
+         |  FROM q CROSS JOIN planes pl GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT qb.q_id, cb.vec_id AS neighbor_id
+         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bkt = qb.bkt AND cb.vec_id != qb.q_id),
+         |scored AS (
+         |  SELECT c.q_id, c.neighbor_id,
+         |    list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[]) /
+         |      (sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))
+         |       * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+         |  JOIN q ON q.q_id = c.q_id)
+         |SELECT q_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5,
         bits = 6, dim = 64)

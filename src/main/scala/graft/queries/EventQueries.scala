@@ -393,7 +393,27 @@ object EventQueries {
     // A6 elapsed-time throttle (stateful variant): emit only rows >= 6h
     // after the previously emitted row per user. Path-dependent fold →
     // rows-only check; semantics covered by PreprocessSpec.
-    "ev_throttle_elapsed" -> QueryDef.noOracle { (s, dir) =>
+    // A6 elapsed-time throttle: path-dependent per-key fold, oracled
+    // via a RECURSIVE CTE that replays the same state machine row by
+    // row (rank per key, carry last_emit) — upgraded from py-oracle to
+    // a driver-visible DuckDB oracle in round 3.
+    "ev_throttle_elapsed" -> QueryDef(
+      s"""WITH RECURSIVE o AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, rn, true AS emitted, ts_us AS last_emit
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.user_id, o.rn,
+         |    o.ts_us - r.last_emit >= ${6 * H} AS emitted,
+         |    CASE WHEN o.ts_us - r.last_emit >= ${6 * H}
+         |         THEN o.ts_us ELSE r.last_emit END AS last_emit
+         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+         |SELECT o.event_id, o.user_id, o.ts_us, o.value
+         |FROM r JOIN o USING (user_id, rn) WHERE r.emitted""".stripMargin) { (s, dir) =>
       graft.operators.Preprocess.throttleElapsed(
         ev(s, dir).select("event_id", "user_id", "ts_us", "value"),
         "ts_us", 6 * H, Seq("user_id"), seq = Some("event_id"))
