@@ -98,7 +98,85 @@ object StatefulQueries {
     },
 
     // A4 order-book replay + P6 mid-price + P7 spread, sampled hourly.
-    "l2_book_replay" -> QueryDef.noOracle { (s, dir) =>
+    // The FULL ADD/SET/SUB book replay, oracled — upgraded from
+    // py-oracle in round 3. Key insight making it SQL-expressible:
+    // level operations are independent ACROSS prices, so instead of
+    // one recursive fold carrying the whole book, each (instrument,
+    // bucket, side, price) level folds over ITS OWN updates within the
+    // bucket's wipe window (wipe points as in l2_book_oracle; windows
+    // stay short because snapshots recur every 50 events). The
+    // recursive step replays exactly BookState.apply: SET/SNAPSHOT set
+    // size, ADD adds to max(s,0), SUB subtracts from max(s,0), level
+    // present iff s > 0 (overdrawn SUB removes; a later ADD restarts
+    // from 0 — the non-linearity that forces a true fold).
+    "l2_book_replay" -> QueryDef(
+      s"""WITH RECURSIVE u AS (
+         |  SELECT event_type AS instrument, epoch_us(ts) AS ts_us, event_id AS seq,
+         |    CASE WHEN event_id % 50 = 0 THEN 'SNAPSHOT'
+         |         WHEN event_id % 3 = 0 THEN 'ADD'
+         |         WHEN event_id % 3 = 1 THEN 'SET'
+         |         ELSE 'SUB' END AS update_type,
+         |    CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+         |    round(value) AS price,
+         |    1.0 + event_id % 5 AS size,
+         |    CAST(epoch_us(ts) AS HUGEINT)*1000000000 + event_id AS k
+         |  FROM events),
+         |ordered AS (
+         |  SELECT *, lag(update_type) OVER w AS prev_ut, lag(ts_us) OVER w AS prev_ts
+         |  FROM u WINDOW w AS (PARTITION BY instrument ORDER BY ts_us, seq)),
+         |wipes AS (
+         |  SELECT instrument, ts_us, k FROM ordered
+         |  WHERE update_type = 'SNAPSHOT'
+         |    AND (prev_ut IS DISTINCT FROM 'SNAPSHOT' OR prev_ts IS DISTINCT FROM ts_us)),
+         |em AS (SELECT instrument, (ts_us // ${H}) * ${H} AS bucket_us, max(ts_us) AS t_end
+         |  FROM u GROUP BY 1, 2),
+         |wk AS (
+         |  SELECT e.instrument, e.bucket_us, e.t_end, coalesce(max(w.k), 0) AS wipe_k
+         |  FROM em e LEFT JOIN wipes w
+         |    ON w.instrument = e.instrument AND w.ts_us <= e.t_end
+         |  GROUP BY 1, 2, 3),
+         |win AS (
+         |  SELECT wk.instrument, wk.bucket_us, o.side, o.price, o.update_type, o.size,
+         |    row_number() OVER (PARTITION BY wk.instrument, wk.bucket_us, o.side, o.price
+         |      ORDER BY o.k) AS rn
+         |  FROM wk JOIN ordered o
+         |    ON o.instrument = wk.instrument AND o.ts_us <= wk.t_end AND o.k >= wk.wipe_k),
+         |fold AS (
+         |  SELECT instrument, bucket_us, side, price, rn,
+         |    CASE WHEN update_type = 'SUB' THEN -size ELSE size END AS s
+         |  FROM win WHERE rn = 1
+         |  UNION ALL
+         |  SELECT w.instrument, w.bucket_us, w.side, w.price, w.rn,
+         |    CASE WHEN w.update_type IN ('SNAPSHOT','SET') THEN w.size
+         |         WHEN w.update_type = 'ADD' THEN greatest(f.s, 0) + w.size
+         |         ELSE greatest(f.s, 0) - w.size END
+         |  FROM fold f JOIN win w
+         |    ON w.instrument = f.instrument AND w.bucket_us = f.bucket_us
+         |   AND w.side = f.side AND w.price = f.price AND w.rn = f.rn + 1),
+         |final AS (
+         |  SELECT instrument, bucket_us, side, price, s FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY instrument, bucket_us, side, price ORDER BY rn DESC) AS rr
+         |    FROM fold) t WHERE rr = 1),
+         |ranked AS (
+         |  SELECT instrument, bucket_us, side, price,
+         |    row_number() OVER (PARTITION BY instrument, bucket_us, side
+         |      ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS rnk
+         |  FROM final WHERE s > 0),
+         |agg AS (
+         |  SELECT instrument, bucket_us,
+         |    count(CASE WHEN side = 'bid' AND rnk <= 5 THEN 1 END) AS bid_depth,
+         |    count(CASE WHEN side = 'ask' AND rnk <= 5 THEN 1 END) AS ask_depth,
+         |    max(CASE WHEN side = 'bid' AND rnk = 1 THEN price END) AS bb,
+         |    max(CASE WHEN side = 'ask' AND rnk = 1 THEN price END) AS ba
+         |  FROM ranked GROUP BY 1, 2)
+         |SELECT e.instrument, e.t_end AS ts_us,
+         |  coalesce(a.bid_depth, 0) AS bid_depth,
+         |  coalesce(a.ask_depth, 0) AS ask_depth,
+         |  (a.bb + a.ba) / 2 AS mid_price,
+         |  CASE WHEN a.bb + a.ba <> 0 THEN abs(a.ba - a.bb) * 2 / (a.ba + a.bb) END AS spread
+         |FROM wk e LEFT JOIN agg a
+         |  ON a.instrument = e.instrument AND a.bucket_us = e.bucket_us""".stripMargin) { (s, dir) =>
       val updates = Tables.events(s, dir)
         .withColumn("ts_us", expr("ts div 1000"))
         .select(
