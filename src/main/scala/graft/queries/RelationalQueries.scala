@@ -152,6 +152,44 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
     },
 
+    // GROUPING SETS with an explicit grouping-id column (CUBE/ROLLUP's
+    // general form) — disambiguates "NULL group value" from "rolled-up
+    // level" exactly like both engines' GROUPING() function.
+    "q_grouping_sets" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+          count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    },
+
+    // PIVOT: per-returnflag order counts spread across linestatus
+    // columns — Spark's relational pivot vs the oracle's conditional
+    // aggregation (the canonical cross-engine PIVOT encoding). Pivot
+    // values are pinned explicitly, so the output schema is static.
+    "q_pivot_status" -> QueryDef(
+      """SELECT l_returnflag,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        // pivot leaves a missing (flag, status) combo NULL; the
+        // conditional-aggregation oracle counts it 0 — align
+        .na.fill(0L, Seq("F", "O"))
+    },
+
     // Correlated scalar subquery (TPC-H Q17 shape): revenue from
     // below-fifth-of-average-quantity line items, written as the
     // decorrelated per-part aggregate + join Catalyst would produce.
