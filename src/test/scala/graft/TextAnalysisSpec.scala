@@ -50,6 +50,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0, 4, "a b c d"), (1, 4, "d e f g"), (2, 2, "g h")))
   }
 
+  test("chunkWords invariants on real docs: full coverage, exact reconstruction") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (size, stride) = (32, 24)
+    val chunks = TA.chunkWords(docs, col("text"), col("doc_id"), size, stride)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    val originals = docs.select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == originals.keySet)
+    originals.foreach { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val cs = chunks(id).sortBy(_._2)
+      // indices contiguous from 0; n_tokens matches the chunk text
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      cs.foreach { case (_, _, n, text) =>
+        assert(text.split(" ", -1).length == n)
+      }
+      // de-striding the chunks reproduces the document exactly
+      val rebuilt = cs.map(_._4.split(" ", -1)).zipWithIndex.flatMap {
+        case (cws, i) => if (i == 0) cws else cws.drop(size - stride)
+      }
+      assert(rebuilt.toSeq == ws.toSeq, s"doc $id reconstruction")
+    }
+  }
+
+  test("decontaminate output is a subset of the corpus with its benchmark removed") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val flagged = Dedup.decontaminate(corpus, bench, col("text"), col("doc_id"), 3, 1)
+      .collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.subsetOf(corpusIds))
+    assert(flagged.forall(_ % 97 != 0))
+    // a benchmark doc fed back as corpus must always flag itself
+    val self = Dedup.decontaminate(bench, bench, col("text"), col("doc_id"), 3, 1)
+      .count()
+    assert(self == bench.count())
+  }
+
+  test("repetitionStats bounds on real docs") {
+    val out = TA.repetitionStats(Tables.documents(spark, "/root/testdata/sf0.001"),
+      col("text"), col("doc_id")).collect()
+    out.foreach { r =>
+      val (nw, nt, nd) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(nw >= 1 && nt == math.max(nw - 2, 0) && nd <= nt)
+      if (nt > 0) {
+        val dup = r.getDouble(4)
+        assert(dup >= 0.0 && dup < 1.0)
+      }
+      val twf = r.getDouble(5)
+      assert(twf > 0.0 && twf <= 1.0)
+    }
+  }
+
   test("repetitionStats: case folding and empty-word split parity") {
     // "A  a" single-space-splits (keeping empties) to ["a", "", "a"]:
     // 3 words, top word "a" x2 -> 0.6667; one trigram, distinct
