@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
   *     cares about. The min matters on a shared box: single-pass
   *     records showed roaming 10-20s stalls on trivial unchanged
   *     queries with ZERO collector time (the per-query "gc" map in the
-  *     output pins that) — co-tenant contention, not plans. One stall
-  *     never hits the same query in both passes;
+  *     output pins that) — co-tenant contention, not plans. Pass 2 runs
+  *     the query list REVERSED so even a sustained stall spanning both
+  *     passes cannot hit the same query twice (a same-order run showed
+  *     exactly that failure on the alphabetically-last queries);
   *   - local[32], shuffle partitions = cores (not 200: at this data
   *     scale extra partitions are pure scheduling overhead).
   */
@@ -79,9 +81,15 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     names.foreach(runOne) // warm-up
     val pass1 = names.map(n => n -> runOne(n)).toMap
+    // pass 2 runs the list REVERSED: both passes are deterministic, but
+    // a time-localized co-tenant stall now lands on *different* queries
+    // in each pass, so min-of-2 discards it. With same-order passes a
+    // stall spanning the end of pass 1 into the end of pass 2 hit the
+    // same (alphabetically-last) queries twice and survived the min.
+    val pass2 = names.reverse.map(n => n -> runOne(n)).toMap
     val results = names.map { n =>
-      val t2 = runOne(n)
       val t1 = pass1(n)
+      val t2 = pass2(n)
       n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
 

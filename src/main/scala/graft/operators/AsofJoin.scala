@@ -262,6 +262,97 @@ object AsofJoin {
     spark.createDataFrame(filled, outSchema)
   }
 
+  /** Skew-salted keyed backward as-of join: identical semantics to
+    * `asofJoin(left, right, tsCol, by, ...)`, but the fill window is
+    * partitioned on `(by, ts div bucketUs)` instead of `by` alone — a
+    * pathologically hot key (one instrument = 90% of rows) splits into
+    * one partition per time bucket instead of serializing through a
+    * single window partition. The boundary carry (a left row early in a
+    * bucket whose match lives in an earlier bucket) is restored by a
+    * second, compact frame: the last right struct of every (key, bucket)
+    * group, prefix-scanned per key over bucket order — one row per
+    * (key, bucket), shuffled on the same `(by, bucket)` the fill window
+    * already hash-partitioned on. Same carry discipline as
+    * `asofJoinRangePartitioned`, but fully declarative: no RDD drop-down,
+    * no driver-side collect, so the carry path scales with the number of
+    * (key, bucket) groups, not rows.
+    *
+    * Reference semantics: per-instrument `merge_asof`
+    * (svoe `blocks/blocks.py:212-219`), which never faces the skew
+    * because pandas is single-node; this is the distributed mitigation
+    * SCALE.md names for it.
+    *
+    * `tsCol` must be a non-negative integer timestamp (epoch micros);
+    * `bucketUs` picks the salt granularity — smaller buckets = more
+    * parallelism for the hot key, more carry rows.
+    */
+  def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      by: Seq[String],
+      bucketUs: Long,
+      rightPrefix: String = "",
+      rightTieBreak: Option[String] = None): DataFrame = {
+    require(by.nonEmpty,
+      "salted asof join is for hot KEYS; keyless scale is asofJoinRangePartitioned")
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val leftCols = left.columns.toSeq
+    val valCols = right.columns.filterNot(c => c == tsCol || by.contains(c)).toSeq
+    val p = if (rightPrefix.isEmpty) "" else s"${rightPrefix}_"
+    val overlap = valCols.map(p + _).toSet.intersect(leftCols.toSet)
+    require(overlap.isEmpty,
+      s"salted asof join would overwrite left columns $overlap — use a prefix")
+    val tie = "__asof_tie"
+    val bkt = "__asof_bkt"
+    val tieCol = rightTieBreak match {
+      case Some(t) if right.columns.contains(t) => col(t).cast("long")
+      case _                                    => lit(0L)
+    }
+
+    val lTag = left.select(
+      (by.map(col) :+ col(tsCol).as(TS) :+ lit(Long.MaxValue).as(tie) :+
+        struct(leftCols.map(col): _*).as("__lrow") :+ lit(1).as(SIDE)): _*)
+    val rTag = right.select(
+      (by.map(col) :+ col(tsCol).as(TS) :+ tieCol.as(tie) :+
+        struct(valCols.toIndexedSeq.map(col): _*).as("__f0") :+ lit(0).as(SIDE)): _*)
+    val u = lTag.unionByName(rTag, allowMissingColumns = true)
+      .withColumn(bkt, expr(s"`$TS` div $bucketUs"))
+
+    // THE salted exchange: hashpartitioning(by..., bucket) — the hot
+    // key's rows spread over as many partitions as it spans buckets.
+    val wLocal = Window
+      .partitionBy((by.map(col) :+ col(bkt)): _*)
+      .orderBy(col(TS).asc, col(SIDE).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filledLocal =
+      u.withColumn("__v0", last(col("__f0"), ignoreNulls = true).over(wLocal))
+
+    // Boundary carry: for every (key, bucket) seen on EITHER side, the
+    // latest right struct of any strictly-earlier bucket of that key.
+    // max_by's ordering key is null on left rows, so they never win;
+    // a bucket with no right rows carries null and the ignoreNulls
+    // prefix scan skips over it.
+    val lastPerBucket = u
+      .groupBy((by.map(col) :+ col(bkt)): _*)
+      .agg(max_by(col("__f0"),
+        when(col(SIDE) === 0, struct(col(TS), col(tie)))).as("__bLast"))
+    val wCarry = Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col(bkt).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryF = lastPerBucket
+      .withColumn("__carry", last(col("__bLast"), ignoreNulls = true).over(wCarry))
+      .select((by.map(col) :+ col(bkt) :+ col("__carry")): _*)
+
+    val joined = filledLocal.join(carryF, by :+ bkt, "left")
+    val v = coalesce(col("__v0"), col("__carry"))
+    val outCols =
+      leftCols.map(c => col("__lrow").getField(c).as(c)) ++
+        valCols.map(c => v.getField(c).as(s"$p$c"))
+    joined.filter(col(SIDE) === 1).select(outCols: _*)
+  }
+
   /** Lookahead label shift (svoe `blocks.py:182-202` `lookahead_shift`):
     * for each row, the value columns at `ts + deltaUs` (latest row with
     * ts' <= ts + delta, i.e. backward as-of at the shifted probe), with

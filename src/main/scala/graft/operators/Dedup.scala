@@ -173,17 +173,7 @@ object Dedup {
     * effect — and measurably hurts recall). */
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
       perms: Int, shingleN: Int = 3): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    import org.apache.spark.unsafe.types.UTF8String
-    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val rnd = new java.util.Random(42)
-    val as = new Array[Long](perms)
-    val bs = new Array[Long](perms)
-    (0 until perms).foreach { i =>
-      as(i) = 1L + rnd.nextInt(Int.MaxValue - 1)
-      bs(i) = rnd.nextInt(Int.MaxValue).toLong
-    }
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // Signatures are per-document: one typed map, zero shuffle (the
     // explode + 32-min-agg formulation exchanged every distinct
     // shingle). Same shingling, same catalyst-parity xxhash64 (seed
@@ -193,29 +183,61 @@ object Dedup {
     // matching the groupBy-over-empty-explode semantics.
     val spark = df.sparkSession
     import spark.implicits._
+    val (as, bs) = minhashCoefficients(perms)
     val rows = df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
       .as[(Long, String)]
       .flatMap { case (did, t) =>
-        val shingles = shingleIterator(t, shingleN)
-        if (shingles.isEmpty) Iterator.empty
-        else {
-          val mins = Array.fill(perms)(Long.MaxValue)
-          shingles.foreach { s =>
-            val h = XxHash64Function.hash(
-              UTF8String.fromString(s), StringType, 42L) & 0x7FFFFFFFL
-            var j = 0
-            while (j < perms) {
-              val v = (as(j) * h + bs(j)) % P // operands positive: % == pmod
-              if (v < mins(j)) mins(j) = v
-              j += 1
-            }
-          }
-          Iterator.single(org.apache.spark.sql.Row.fromSeq(did +: mins.toSeq))
-        }
+        minhashSigOf(t, as, bs, shingleN).map(mins =>
+          org.apache.spark.sql.Row.fromSeq(did +: mins.toSeq)).iterator
       }(org.apache.spark.sql.Encoders.row(StructType(
         StructField("doc_id", LongType, nullable = false) +:
           (0 until perms).map(i => StructField(s"mh$i", LongType, nullable = false)))))
     rows.toDF()
+  }
+
+  /** The seeded affine permutation family shared by every minhash
+    * consumer (batch signatures, the Python oracle, and the streaming
+    * dedup twin) — deterministic in `perms` alone. */
+  private[graft] def minhashCoefficients(perms: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(42)
+    val as = new Array[Long](perms)
+    val bs = new Array[Long](perms)
+    (0 until perms).foreach { i =>
+      as(i) = 1L + rnd.nextInt(Int.MaxValue - 1)
+      bs(i) = rnd.nextInt(Int.MaxValue).toLong
+    }
+    (as, bs)
+  }
+
+  /** One document's minhash signature over ALREADY-LOWERCASED text (the
+    * batch path lowers via the `lower` Column function; a non-SQL
+    * caller must lower with `UTF8String.fromString(s).toLowerCase` for
+    * byte parity, not Java's locale-sensitive `String.toLowerCase`).
+    * None when the doc has fewer than `shingleN` words, matching the
+    * groupBy-over-empty-explode shape. */
+  private[graft] def minhashSigOf(rawLowered: String, as: Array[Long],
+      bs: Array[Long], shingleN: Int): Option[Array[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val perms = as.length
+    val shingles = shingleIterator(rawLowered, shingleN)
+    if (shingles.isEmpty) None
+    else {
+      val mins = Array.fill(perms)(Long.MaxValue)
+      shingles.foreach { s =>
+        val h = XxHash64Function.hash(
+          UTF8String.fromString(s), StringType, 42L) & 0x7FFFFFFFL
+        var j = 0
+        while (j < perms) {
+          val v = (as(j) * h + bs(j)) % P // operands positive: % == pmod
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      Some(mins)
+    }
   }
 
   /** The round-1 declarative formulation of minhashSignatures (explode

@@ -275,6 +275,38 @@ object EventQueries {
           col("sig_value"), col("sig_event_id"))
     },
 
+    // J1 skew-salted keyed as-of: identical semantics (and identical
+    // oracle) to ev_asof_join, but through AsofJoin.asofJoinSalted —
+    // the fill window partitions on (user_id, ts div 1day) so a hot
+    // key spreads over ~30 bucket partitions, with the boundary carry
+    // restored from the per-(key,bucket) prefix-scan frame. The plan
+    // must show hashpartitioning(user_id, __asof_bkt) — that exchange
+    // IS the skew mitigation under test.
+    "ev_asof_salted" -> QueryDef(
+      s"""WITH v AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us,
+         |    arg_max(value, $OKEY) AS view_value,
+         |    max(event_id) AS view_event_id
+         |  FROM events WHERE event_type='view'
+         |  GROUP BY user_id, epoch_us(ts))
+         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+         |  v.view_value, v.view_event_id
+         |FROM (SELECT * FROM events WHERE event_type='purchase') p
+         |ASOF LEFT JOIN v
+         |  ON p.user_id = v.user_id AND epoch_us(p.ts) >= v.ts_us""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_us")
+        .agg(max_by(col("value"), okey).as("view_value"),
+          max(col("event_id")).as("view_event_id"))
+      AsofJoin.asofJoinSalted(purchases, views, "ts_us", Seq("user_id"),
+          bucketUs = 24 * H)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("view_value"), col("view_event_id"))
+    },
+
     // J1 nearest as-of: each purchase gets the time-closest 'view' of
     // the same user, equal distances resolved backward.
     "ev_asof_nearest" -> QueryDef(

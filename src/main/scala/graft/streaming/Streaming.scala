@@ -65,6 +65,123 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest", "__event_ts")
 
+  case class DocEvent(docId: Long, tsUs: Long, text: String)
+  /** Per-band verdict: `matchedId` = smallest already-seen doc in this
+    * band bucket with estimated Jaccard >= threshold, or -1. */
+  case class BandVerdict(docId: Long, tsUs: Long, bidx: Int, matchedId: Long)
+
+  /** Streaming MinHash near-dup dedup — the streaming twin of
+    * `Dedup.minhashSignatures` + `Dedup.minhashLshPairs` (the
+    * reference's Kappa stance, `docs/featurizer-overview.md:9-10`,
+    * applied to the LLM-pipeline operators: same dedup online and
+    * offline). Each arriving document computes its signature in the
+    * stateless map (zero extra shuffle, identical bits to the batch
+    * path via `Dedup.minhashSigOf`), explodes into `bands` band rows,
+    * and each band bucket holds the in-window signatures of the docs
+    * that landed there — state is sharded by (band, bucket-hash)
+    * exactly like the batch band join, so a 100 TB-scale stream spreads
+    * state across the cluster instead of concentrating it.
+    *
+    * Semantics: a doc matches if ANY band bucket contains an earlier
+    * doc whose full-signature matching fraction >= `estThreshold` —
+    * earlier = (tsUs, docId) order, all seen docs retained in-window
+    * whether or not they themselves were duplicates. That is exactly
+    * the batch `minhashLshPairs(...)` pair set restricted to a_id <
+    * b_id, so batch parity is checkable pairwise (StreamingSpec does).
+    * Collapse the per-band verdicts to per-doc survivors with
+    * [[collapseNearDupVerdicts]] (stateless per micro-batch: a doc's
+    * band rows never split across triggers).
+    *
+    * Eviction (same discipline as [[exactDedupStream]]): stored
+    * signatures whose event time falls behind the watermark are pruned
+    * on every bucket visit, and idle buckets die via event-time
+    * timeout — bounded state (perms longs per in-window doc per band).
+    * The trade is the same: a near-dup arriving after the watermark
+    * window re-emits. Ordering contract across micro-batches matches
+    * the other stateful twins (arrival order = event order; within a
+    * batch rows are sorted here).
+    */
+  def minhashDedupStream(ds: Dataset[DocEvent], perms: Int, bands: Int,
+      estThreshold: Double, watermarkDelayMs: Long,
+      shingleN: Int = 3): Dataset[BandVerdict] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = perms / bands
+    require(bands * rows == perms, "perms must divide into bands")
+    val (as, bs) = graft.operators.Dedup.minhashCoefficients(perms)
+
+    // (bucketKey, docId, tsUs, sig, eventTs): one row per (doc, band).
+    // Bucket key folds (bidx, band slice) through xxhash64 with the
+    // accumulated-seed rule — the same combination catalyst's
+    // multi-column xxhash64 applies in the batch band join.
+    val bandRows = ds.flatMap { d =>
+      val lowered = UTF8String.fromString(d.text).toLowerCase.toString
+      graft.operators.Dedup.minhashSigOf(lowered, as, bs, shingleN) match {
+        case None => Iterator.empty
+        case Some(sig) =>
+          (0 until bands).iterator.map { bidx =>
+            var h = 42L
+            h = XxHash64Function.hash(bidx.toLong, LongType, h)
+            var i = bidx * rows
+            while (i < (bidx + 1) * rows) {
+              h = XxHash64Function.hash(sig(i), LongType, h); i += 1
+            }
+            (h, bidx, d.docId, d.tsUs, sig, new java.sql.Timestamp(d.tsUs / 1000))
+          }
+      }
+    }.toDF("bucket", "bidx", "docId", "tsUs", "sig", "eventTs")
+      .withWatermark("eventTs", s"$watermarkDelayMs milliseconds")
+      .as[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)]
+
+    implicit val stateEnc =
+      org.apache.spark.sql.Encoders.kryo[Array[(Long, Long, Array[Long])]]
+    bandRows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (bucket: Long,
+         rs: Iterator[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)],
+         state: GroupState[Array[(Long, Long, Array[Long])]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wmMs = state.getCurrentWatermarkMs()
+            var seen = state.getOption.getOrElse(Array.empty)
+              .filter { case (_, ts, _) => ts / 1000 >= wmMs }
+            val sorted = rs.toArray.sortBy(r => (r._4, r._3))
+            val out = sorted.map { case (_, bidx, did, ts, sig, _) =>
+              var matched = -1L
+              seen.foreach { case (sid, _, ssig) =>
+                if (sid < did && (matched < 0 || sid < matched)) {
+                  var eq = 0
+                  var i = 0
+                  while (i < perms) { if (ssig(i) == sig(i)) eq += 1; i += 1 }
+                  if (eq.toDouble / perms >= estThreshold) matched = sid
+                }
+              }
+              seen = seen :+ ((did, ts, sig))
+              BandVerdict(did, ts, bidx, matched)
+            }
+            state.update(seen)
+            if (seen.nonEmpty) {
+              val maxMs = seen.map(_._2).max / 1000
+              state.setTimeoutTimestamp(
+                math.max(maxMs + watermarkDelayMs, wmMs + 1))
+            }
+            out.iterator
+          }
+        })
+  }
+
+  /** Per-doc collapse of [[minhashDedupStream]]'s band verdicts —
+    * stateless, run inside foreachBatch (a doc's band rows all land in
+    * one trigger). `dup_of` = smallest matched earlier doc, null for
+    * survivors. */
+  def collapseNearDupVerdicts(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("docId"), col("tsUs"))
+      .agg(min(when(col("matchedId") >= 0, col("matchedId"))).as("dup_of"))
+
   case class FeatureEvent(key: String, ts_us: Long, feature: String, value: Double)
   case class CombinedEvent(key: String, ts_us: Long, values: Map[String, Double])
 

@@ -51,6 +51,47 @@ class AsofPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("salted asof == asofJoin on skewed keys (6 seeds x 3 bucket sizes)") {
+    import spark.implicits._
+    for (seed <- 201 to 206) {
+      val rnd = new scala.util.Random(seed)
+      // one hot key carries 90% of the rows; duplicate timestamps are
+      // ALLOWED (tie-break arbitrates), which stresses the bucket
+      // boundary + carry ordering at equal ts
+      def key() = if (rnd.nextInt(10) < 9) "hot" else s"k${rnd.nextInt(3)}"
+      val l = Seq.fill(120)((key(), rnd.nextLong(500L), rnd.nextLong(1000000L)))
+        .zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "ts_us", "lid")
+      val r = Seq.fill(80)((key(), rnd.nextLong(500L)))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, t * 2 + i) }
+        .toDF("k", "ts_us", "rid", "rv")
+
+      def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+      val want = asSet(AsofJoin.asofJoin(l, r, "ts_us", Seq("k"),
+        rightPrefix = "r", rightTieBreak = Some("rid")))
+      // bucket sizes: finer than the span (many buckets incl. empty
+      // ones), mid, and wider than the span (degenerates to one bucket
+      // per key == the unsalted plan)
+      for (bucketUs <- Seq(7L, 100L, 10000L)) {
+        val salted = AsofJoin.asofJoinSalted(l, r, "ts_us", Seq("k"),
+          bucketUs, rightPrefix = "r", rightTieBreak = Some("rid"))
+        assert(asSet(salted) == want, s"seed=$seed bucketUs=$bucketUs")
+      }
+    }
+  }
+
+  test("salted asof plan shows the (key, bucket) salted exchange") {
+    import spark.implicits._
+    val l = Seq(("a", 10L, 1L)).toDF("k", "ts_us", "lid")
+    val r = Seq(("a", 5L, 1L)).toDF("k", "ts_us", "rid")
+    val plan = AsofJoin.asofJoinSalted(l, r, "ts_us", Seq("k"), 100L,
+      rightPrefix = "r").queryExecution.executedPlan.toString
+    assert(plan.contains("__asof_bkt"),
+      "salted bucket column missing from the physical plan")
+  }
+
   test("forward and nearest asof == brute force (8 seeds)") {
     import spark.implicits._
     for (seed <- 101 to 108) {
