@@ -52,6 +52,85 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup dedup == batch LSH pairs (cross-batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.Streaming.DocEvent
+    val t0 = 1704067200000000L
+
+    // real documents (seeded near-dups), arrival order = id order
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").orderBy("doc_id").limit(120).collect()
+      .zipWithIndex.map { case (r, i) =>
+        DocEvent(r.getLong(0), t0 + i * 1000000L, r.getString(1))
+      }
+    val batchDf = docs.toSeq.toDF("doc_id", "ts_us", "text")
+
+    // batch oracle: a doc is dropped iff it is the LARGER id of any
+    // minhashLshPairs pair (a_id < b_id by construction)
+    val sigs = Dedup.minhashSignatures(batchDf, col("text"), col("doc_id"), 32)
+    val dropped = Dedup.minhashLshPairs(sigs, 32, 16, 0.6)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture must contain seeded near-dups")
+
+    val input = MemoryStream[DocEvent]
+    val q = Streaming.minhashDedupStream(input.toDS(), 32, 16, 0.6,
+        watermarkDelayMs = 365L * 24 * 3600 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      val (b1, b2) = docs.splitAt(60) // near-dups straddle the split
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val verdicts = spark.table("neardup_out")
+      val streamedDropped = Streaming.collapseNearDupVerdicts(verdicts)
+        .filter(col("dup_of").isNotNull)
+        .select("docId").collect().map(_.getLong(0)).toSet
+      assert(streamedDropped == dropped,
+        s"stream-only: ${streamedDropped -- dropped}, batch-only: ${dropped -- streamedDropped}")
+    } finally q.stop()
+  }
+
+  test("streaming minhash dedup evicts state past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Streaming.DocEvent
+    val t0 = 1704067200000000L
+    val H = 3600000000L
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val input = MemoryStream[DocEvent]
+    val q = Streaming.minhashDedupStream(input.toDS(), 32, 16, 0.6,
+        watermarkDelayMs = 3600 * 1000) // 1h window
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_evict_out").start()
+    try {
+      // batch 1: original + immediate duplicate -> dup detected
+      input.addData(DocEvent(1, t0, text), DocEvent(2, t0 + 1000000L, text))
+      q.processAllAvailable()
+      // batch 2: unrelated doc 10h later advances the watermark to ~9h
+      input.addData(DocEvent(3, t0 + 10 * H,
+        "completely different words about structured streaming state"))
+      q.processAllAvailable()
+      // batch 3: same text again, far past the watermark window — the
+      // bucket state for doc 1/2 is pruned, so it re-emits as a survivor
+      input.addData(DocEvent(4, t0 + 10 * H + 2000000L, text))
+      q.processAllAvailable()
+      val byDoc = Streaming.collapseNearDupVerdicts(spark.table("neardup_evict_out"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString.toLong))
+        .toMap
+      assert(byDoc(1L).isEmpty, "doc 1 is the first writer")
+      assert(byDoc(2L).contains(1L), "doc 2 is an in-window duplicate of 1")
+      assert(byDoc(3L).isEmpty)
+      assert(byDoc(4L).isEmpty,
+        "doc 4 arrives after the watermark window: state evicted, re-emitted")
+    } finally q.stop()
+  }
+
   test("elapsed throttle: streaming (cross-batch state) == batch fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
