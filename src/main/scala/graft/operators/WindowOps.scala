@@ -116,6 +116,26 @@ object WindowOps {
         max_by(value, okey).as("last_value"),
         count(lit(1)).as("n_events"))
 
+  /** Sketch-based quantiles — the 100 TB twin of the exact
+    * `percentile()` path (`ev_value_quantiles`): exact interpolated
+    * percentiles need every group's values collected and sorted on one
+    * task, which at scale is a full sort per group; `percentile_approx`
+    * merges bounded GK sketches map-side, so the shuffle carries one
+    * O(accuracy)-sized sketch per (partition, key) instead of every
+    * row. Guarantee: each returned value's RANK is within n/accuracy of
+    * the requested quantile's (WindowOpsSpec pins this against the
+    * exact query). Exact stays the driver oracle — sketch contents are
+    * implementation-specific, so cross-engine hash compare is
+    * impossible by construction.
+    */
+  def approxQuantiles(df: DataFrame, value: Column, keys: Seq[Column],
+      probs: Seq[Double], accuracy: Int): DataFrame = {
+    val aggs = probs.map(p =>
+      percentile_approx(value, lit(p), lit(accuracy))
+        .as("ap" + (p * 100).round))
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Uniform downsample: every nth row in okey order per key (P8, svoe
     * `df_utils.py:168-169`).
     */

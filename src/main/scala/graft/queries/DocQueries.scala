@@ -95,6 +95,34 @@ object DocQueries {
           col("doc_id"), 3, 0.8))
     },
 
+    // Large-star/small-star CC (Kiveris SoCC'14) under the same
+    // recursive-CTE oracle, on a CHAIN-HEAVY graph: consecutive doc_ids
+    // linked within each lang — one diameter-~n/5 chain per language,
+    // the regime where min-label propagation needs O(diameter) rounds
+    // and the star alternation needs O(log n). Exercises the scale
+    // variant end-to-end where the driver can hash-check it.
+    "doc_dedup_clusters_ls" -> QueryDef(
+      s"""WITH RECURSIVE chain AS (
+         |  SELECT lag(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS a_id,
+         |    doc_id AS b_id
+         |  FROM documents),
+         |pairs AS (SELECT a_id, b_id FROM chain WHERE a_id IS NOT NULL),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS id, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      val pairs = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("a_id", lag(col("doc_id"), 1).over(w))
+        .filter(col("a_id").isNotNull)
+        .select(col("a_id"), col("doc_id").as("b_id"))
+      Dedup.connectedComponentsLargeStar(pairs)
+    },
+
     // MinHash (32 perms) + LSH (16 bands x 2): candidate pairs with
     // estimated similarity >= 0.6 (~3 sigma below a true j=0.8 with 32
     // perms). xxhash64-based → rows-only check.

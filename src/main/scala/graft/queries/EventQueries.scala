@@ -532,6 +532,16 @@ object EventQueries {
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
     },
 
+    // Sketch twin of ev_value_quantiles for the 100 TB path: GK-sketch
+    // percentiles (map-side-mergeable, O(accuracy) shuffle per key vs
+    // the exact path's per-group value sort). Sketch contents are
+    // engine-specific, so this is a rows-only check; the rank-error
+    // bound vs the exact query is spec-pinned (WindowOpsSpec).
+    "ev_value_quantiles_approx" -> QueryDef.noOracle { (s, dir) =>
+      WindowOps.approxQuantiles(ev(s, dir), col("value"),
+        Seq(col("event_type")), Seq(0.5, 0.9, 0.99), accuracy = 10000)
+    },
+
     // Distinct aggregation (beyond-reference engine surface).
     "ev_distinct_users" -> QueryDef(
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n

@@ -29,6 +29,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom replay source: rate-controlled micro-batches, agg parity, subscription") {
+    import org.apache.spark.sql.functions.col
+    // same transform as the file-source parity test, but through the
+    // DSv2 EventReplayProvider (S6 live-feed interface parity): offset
+    // tracking + rowsPerBatch rate control drive multiple triggers.
+    val batch = Streaming.windowedAgg(Tables.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+    val src = spark.readStream
+      .format("graft.sources.EventReplayProvider")
+      .option("path", dir)
+      .option("rowsPerBatch", 300)
+      .load()
+    val q = Streaming.windowedAgg(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("replay_parity_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_parity_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // 1000 events / 300 per trigger -> at least 4 planned batches
+      assert(q.lastProgress.batchId >= 3,
+        s"rate control should split the replay, got batchId=${q.lastProgress.batchId}")
+    } finally q.stop()
+
+    // subscription surface: eventTypes narrows the feed like the
+    // reference emitter's channel binding
+    val nPurchase = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    val sub = spark.readStream
+      .format("graft.sources.EventReplayProvider")
+      .option("path", dir)
+      .option("eventTypes", "purchase")
+      .load()
+    val q2 = sub.writeStream.outputMode("append")
+      .format("memory").queryName("replay_sub_out").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("replay_sub_out").count() == nPurchase)
+      assert(spark.table("replay_sub_out")
+        .select("event_type").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("purchase"))
+    } finally q2.stop()
+  }
+
   test("streaming exact dedup: first writer wins across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -19,6 +19,37 @@ class WindowOpsSpec extends AnyFunSuite {
 
   private val okey = WindowOps.orderKey(col("ts_us"), col("id"))
 
+  test("approx quantiles stay within the sketch's rank-error bound") {
+    // GK guarantee: the returned value's rank is within n/accuracy of
+    // the target rank. Checked per event_type against the fully-sorted
+    // values at sf0.001 — the same data the exact oracle query reads.
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+    val accuracy = 100
+    val probs = Seq(0.5, 0.9, 0.99)
+    val approx = WindowOps.approxQuantiles(events, col("value"),
+        Seq(col("event_type")), probs, accuracy)
+      .collect().map(r => r.getString(0) ->
+        probs.indices.map(i => r.getDouble(i + 1))).toMap
+    val exactVals = events.select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    assert(approx.keySet == exactVals.keySet)
+    for ((et, sorted) <- exactVals; (p, i) <- probs.zipWithIndex) {
+      val n = sorted.length
+      val v = approx(et)(i)
+      // rank of v among the sorted values (first index with value >= v)
+      val rank = sorted.indexWhere(_ >= v) match {
+        case -1 => n
+        case r  => r
+      }
+      val target = p * n
+      val tol = n.toDouble / accuracy + 1 // +1: discrete rank granularity
+      assert(math.abs(rank - target) <= tol,
+        s"$et p$p: value $v at rank $rank, target $target, tol $tol")
+    }
+  }
+
   test("OHLCV golden: open/high/low/close/volume/vwap per bucket") {
     val out = WindowOps.ohlcv(trades, col("ts_us"), okey, col("price"),
         col("amount"), 10L, Nil)
