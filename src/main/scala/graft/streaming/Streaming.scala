@@ -292,6 +292,46 @@ object Streaming {
         })
   }
 
+  /** `transformWithState` twin of [[throttleElapsedStream]] — the
+    * Spark 4 arbitrary-state API evaluated against fMGWS (SCALE.md
+    * records the decision). What it buys: typed `ValueState`/
+    * `ListState` cells persisted through the state-store encoder
+    * directly (no Kryo round-trip, so the Array-vs-ArrayDeque trap
+    * documented in CLAUDE.md disappears by construction), per-state
+    * TTL, and multiple independent state cells per key. What it costs:
+    * the operator requires the RocksDB state-store provider — the
+    * default HDFS-backed store refuses it (STATE_STORE_PROVIDER
+    * error) — so every deployment opts into RocksDB, and the API is
+    * marked Evolving in 4.x. Decision: the fMGWS twins stay the query
+    * path (they run on any store, and their Kryo states are
+    * spec-pinned); this twin exists as the migration template and is
+    * spec-held equal to both the fMGWS twin and the batch fold.
+    */
+  def throttleElapsedStreamTws(ds: Dataset[ThrottleEvent], windowUs: Long)
+      : Dataset[ThrottleEvent] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val processor = new StatefulProcessor[String, ThrottleEvent, ThrottleEvent] {
+      @transient private var lastEmit: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        lastEmit = getHandle.getValueState[Long]("lastEmit",
+          org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[ThrottleEvent],
+          timerValues: TimerValues): Iterator[ThrottleEvent] = {
+        var last = if (lastEmit.exists()) lastEmit.get() else Long.MinValue
+        val out = rows.toArray.sortBy(r => (r.tsUs, r.seq)).filter { r =>
+          if (last == Long.MinValue || r.tsUs - last >= windowUs) {
+            last = r.tsUs; true
+          } else false
+        }
+        lastEmit.update(last)
+        out.iterator
+      }
+    }
+    ds.groupByKey(_.key)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
+
   case class SidedEvent(key: String, okey: Long, notional: Double, isBuy: Boolean)
   case class TviEvent(key: String, okey: Long, tvi: Option[Double])
 
