@@ -103,7 +103,7 @@ object Streaming {
     */
   def minhashDedupStream(ds: Dataset[DocEvent], perms: Int, bands: Int,
       estThreshold: Double, watermarkDelayMs: Long,
-      shingleN: Int = 3): Dataset[BandVerdict] = {
+      shingleN: Int = 3, maxBucket: Int = Int.MaxValue): Dataset[BandVerdict] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.LongType
@@ -160,7 +160,14 @@ object Streaming {
                   if (eq.toDouble / perms >= estThreshold) matched = sid
                 }
               }
-              seen = seen :+ ((did, ts, sig))
+              // hot-bucket guard (the streaming analog of
+              // Dedup.capBuckets): a bucket at capacity stops RETAINING
+              // new signatures but still judges arrivals against the
+              // retained set — state and per-doc compare cost stay
+              // O(maxBucket), and a degenerate all-identical stream
+              // still flags every duplicate (each matches the retained
+              // first writer).
+              if (seen.length < maxBucket) seen = seen :+ ((did, ts, sig))
               BandVerdict(did, ts, bidx, matched)
             }
             state.update(seen)

@@ -139,6 +139,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash dedup hot-bucket cap: bounded state still flags dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Streaming.DocEvent
+    val t0 = 1704067200000000L
+    val text = "one repeated boilerplate chunk that floods a single bucket"
+    val docs = (1 to 50).map(i => DocEvent(i, t0 + i * 1000L, text))
+    val input = MemoryStream[DocEvent]
+    val q = Streaming.minhashDedupStream(input.toDS(), 32, 16, 0.6,
+        watermarkDelayMs = 3600 * 1000, maxBucket = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_cap_out").start()
+    try {
+      input.addData(docs.take(25): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(25): _*)
+      q.processAllAvailable()
+      val dropped = Streaming.collapseNearDupVerdicts(spark.table("neardup_cap_out"))
+        .filter(col("dup_of").isNotNull)
+        .select("docId").collect().map(_.getLong(0)).toSet
+      // every doc but the first writer is flagged, against <=5 retained
+      // signatures per band bucket
+      assert(dropped == (2 to 50).map(_.toLong).toSet)
+    } finally q.stop()
+  }
+
   test("streaming minhash dedup evicts state past the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
