@@ -361,22 +361,41 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist via 8-bit
-    * chunk banding: two signatures within hamming distance d differ in
-    * at most d of the 8 chunks, so by pigeonhole they agree on at
-    * least one chunk whenever d <= 7 — the banding is EXACT (lossless)
-    * for maxDist <= 7, covering the suite's maxDist=6 query (the
-    * round-1 4x16-bit banding was exact only to 3 and silently
-    * probabilistic beyond). `maxBucket` is the hot-chunk guard: a
-    * degenerate chunk value shared by B docs yields B^2/2 candidates;
-    * buckets above the cap are dropped (with a logged count) rather
-    * than joined. */
+    * chunk banding. Pigeonhole: signatures within hamming d differ in
+    * at most d of the 8 chunks, so for d <= 6 they agree on at least
+    * TWO chunks, and for d = 7 on at least one. Band keys are chosen
+    * accordingly:
+    *
+    *   - maxDist <= 6 (the suite's setting): all C(8,2)=28 ordered
+    *     chunk PAIRS, 16-bit keys — still EXACT (some intact 2-chunk
+    *     combo must match), but 65536 possible values per band instead
+    *     of 256. This is the 100 TB-critical choice: with single 8-bit
+    *     chunks, bucket occupancy is ~n/256 and the self-join grows
+    *     QUADRATICALLY in corpus size regardless of how few true
+    *     near-dups exist — measured 190x cost for 10x docs at the
+    *     sf1-equivalent probe (SCALE.md). Pair-banding pays 3.5x more
+    *     exploded 16-byte rows for ~256x finer buckets, restoring
+    *     near-linear candidate growth to ~100x larger corpora.
+    *   - maxDist == 7: single chunks (pairs would be lossy there).
+    *
+    * `maxBucket` is the hot-chunk guard: a degenerate band value
+    * shared by B docs yields B^2/2 candidates; buckets above the cap
+    * are dropped (with a logged count) rather than joined. */
   def simhashPairs(sigs: DataFrame, maxDist: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist <= 7, s"8-chunk banding is exact only to hamming 7, got $maxDist")
-    val chunks = (0 until 8).map { c =>
-      struct(lit(c).as("cidx"),
-        shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(0xFFL).as("cval"))
-    }
+    def chunkOf(c: Int) =
+      shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(0xFFL)
+    val chunks =
+      if (maxDist <= 6) {
+        val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+        combos.zipWithIndex.map { case ((i, j), idx) =>
+          struct(lit(idx).as("cidx"),
+            (shiftleft(chunkOf(i), 8).bitwiseOR(chunkOf(j))).as("cval"))
+        }
+      } else (0 until 8).map { c =>
+        struct(lit(c).as("cidx"), chunkOf(c).as("cval"))
+      }
     val exploded = capBuckets(
       sigs.select(col("doc_id"), col("simhash"),
           explode(array(chunks: _*)).as("ch"))

@@ -14,9 +14,15 @@ the SHAPE of each workload scales the way real data would:
   below the 0.8 dedup threshold. Near-dup structure is preserved
   WITHIN each replica (the seeded dups replicate), so pair counts grow
   linearly, not quadratically -- the realistic big-corpus regime.
-- embeddings: per-replica seeded gaussian noise at 0.35*sigma pushes
-  cross-replica cosine well under near-dup thresholds; within-replica
-  structure (incl. seeded near-dups) is preserved.
+- embeddings: per-replica seeded gaussian noise at 0.35*sigma.
+  MEASURED: cross-replica cosine lands ~0.94 -- ABOVE the 0.9 near-dup
+  threshold, so every replica group is a true dup cluster and
+  emb_lsh_dups_realistic output grows ~94x at 10 copies (2000 ->
+  188,773 pairs). Same for simhash: word-multiset signatures ignore
+  the inserted markers, so replicas are true hamming<=6 pairs (189 ->
+  708,488). The probe therefore doubles as a DUP-HEAVY stress for the
+  signature families: their timings must be read against output
+  growth, not row growth (SCALE.md does).
 
 Usage: make_sf1eq.py [src=/root/testdata/sf0.1] [out=/tmp/sf1eq] [copies=10]
 """
