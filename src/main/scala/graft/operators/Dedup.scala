@@ -578,6 +578,7 @@ object Dedup {
     }
 
     var edges = raw
+    var edgesCount = nEdges
     var prevPersisted: RDD[(Long, Long)] = raw
     var rounds = 0
     var changed = 1L
@@ -586,9 +587,17 @@ object Dedup {
       var next = smallStar(largeStar(edges))
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (rounds % checkpointEvery == 0) next = next.localCheckpoint()
-      // exact symmetric difference — both sides hash-partition by the
-      // full pair; == 0 iff the edge SET is at its fixpoint
-      changed = next.subtract(edges).union(edges.subtract(next)).count()
+      // EXACT convergence at one action most rounds: both sides are
+      // distinct sets, so |next| != |edges| proves change with just the
+      // materializing count; only when the counts agree does one
+      // subtract (co-partitioned) decide — subset + equal cardinality
+      // == set equality. (The old symmetric difference paid two
+      // subtracts + a union EVERY round.)
+      val nextCount = next.count()
+      changed =
+        if (nextCount != edgesCount) 1L
+        else next.subtract(edges).count()
+      edgesCount = nextCount
       prevPersisted.unpersist(blocking = false)
       prevPersisted = next
       edges = next
