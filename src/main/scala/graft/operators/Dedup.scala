@@ -317,26 +317,33 @@ object Dedup {
       .flatMap { case (did, t) =>
         // null text: no signature (the explode formulation's drop semantics)
         if (t == null) Iterator.empty
-        else Iterator.single {
-        val votes = new Array[Int](64)
-        val ws = t.split(" ", -1)
-        var i = 0
-        while (i < ws.length) {
-          val h = XxHash64Function.hash(UTF8String.fromString(ws(i)), StringType, 42L)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-          i += 1
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-        (did, sig)
-        }
+        else Iterator.single((did, simhashOf(t)))
       }
       .toDF("doc_id", "simhash")
+  }
+
+  /** One document's simhash over ALREADY-LOWERCASED text (same lowering
+    * contract as [[minhashSigOf]]). */
+  private[graft] def simhashOf(lowered: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val votes = new Array[Int](64)
+    val ws = lowered.split(" ", -1)
+    var i = 0
+    while (i < ws.length) {
+      val h = XxHash64Function.hash(UTF8String.fromString(ws(i)), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
 
   /** Embedding-cosine near-dup pairs (the embedding leg of the dedup

@@ -135,6 +135,66 @@ object Streaming {
       .withWatermark("eventTs", s"$watermarkDelayMs milliseconds")
       .as[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)]
 
+    val match_ : (Array[Long], Array[Long]) => Boolean = (a, b) => {
+      var eq = 0
+      var i = 0
+      while (i < perms) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / perms >= estThreshold
+    }
+    bandDedupStream(bandRows, match_, watermarkDelayMs, maxBucket)
+  }
+
+  /** Streaming SimHash near-dup dedup — the SimHash leg of the Kappa
+    * twin pair (same shape as [[minhashDedupStream]]): per-doc simhash
+    * in the stateless map (identical bits to batch via the shared
+    * `Dedup.simhashOf`), band rows keyed by the SAME C(8,2) 16-bit
+    * chunk-pair banding as the batch `simhashPairs` (pigeonhole-exact
+    * for hamming <= maxDist <= 6), bucket state + watermark eviction in
+    * the shared engine. A doc matches when any bucket holds an earlier
+    * doc within `maxDist` — the batch `simhashPairs(sigs, maxDist)`
+    * pair set restricted to a_id < b_id (StreamingSpec parity). */
+  def simhashDedupStream(ds: Dataset[DocEvent], maxDist: Int,
+      watermarkDelayMs: Long, maxBucket: Int = Int.MaxValue): Dataset[BandVerdict] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    require(maxDist <= 6, "2-of-8 chunk-pair banding is exact only to hamming 6")
+    val combos = (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)).toArray
+    val bandRows = ds.flatMap { d =>
+      if (d.text == null) Iterator.empty
+      else {
+        val lowered = UTF8String.fromString(d.text).toLowerCase.toString
+        val sig = graft.operators.Dedup.simhashOf(lowered)
+        combos.iterator.zipWithIndex.map { case ((i, j), idx) =>
+          val cval = (((sig >>> (i * 8)) & 0xFFL) << 8) | ((sig >>> (j * 8)) & 0xFFL)
+          // composite bucket key: comboIdx in the high bits, collision-free
+          (idx.toLong << 16 | cval, idx, d.docId, d.tsUs, Array(sig),
+            new java.sql.Timestamp(d.tsUs / 1000))
+        }
+      }
+    }.toDF("bucket", "bidx", "docId", "tsUs", "sig", "eventTs")
+      .withWatermark("eventTs", s"$watermarkDelayMs milliseconds")
+      .as[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)]
+    val md = maxDist
+    val match_ : (Array[Long], Array[Long]) => Boolean =
+      (a, b) => java.lang.Long.bitCount(a(0) ^ b(0)) <= md
+    bandDedupStream(bandRows, match_, watermarkDelayMs, maxBucket)
+  }
+
+  /** The shared band-bucket dedup engine behind [[minhashDedupStream]]
+    * and [[simhashDedupStream]]: keyed fMGWS over (bucket -> in-window
+    * signatures), emitting one [[BandVerdict]] per (doc, band) row.
+    * `matches` judges a candidate pair from the two stored signature
+    * arrays. Eviction = watermark prune on every visit + event-time
+    * timeout for idle buckets; `maxBucket` is the hot-bucket guard (a
+    * bucket at capacity stops RETAINING new signatures but still judges
+    * arrivals against the retained set — state and per-arrival compare
+    * cost stay O(maxBucket), and a degenerate all-identical stream
+    * still flags every duplicate against the retained first writer). */
+  private def bandDedupStream(
+      bandRows: Dataset[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)],
+      matches: (Array[Long], Array[Long]) => Boolean,
+      watermarkDelayMs: Long, maxBucket: Int): Dataset[BandVerdict] = {
+    import bandRows.sparkSession.implicits._
     implicit val stateEnc =
       org.apache.spark.sql.Encoders.kryo[Array[(Long, Long, Array[Long])]]
     bandRows
@@ -153,20 +213,9 @@ object Streaming {
             val out = sorted.map { case (_, bidx, did, ts, sig, _) =>
               var matched = -1L
               seen.foreach { case (sid, _, ssig) =>
-                if (sid < did && (matched < 0 || sid < matched)) {
-                  var eq = 0
-                  var i = 0
-                  while (i < perms) { if (ssig(i) == sig(i)) eq += 1; i += 1 }
-                  if (eq.toDouble / perms >= estThreshold) matched = sid
-                }
+                if (sid < did && (matched < 0 || sid < matched) &&
+                  matches(ssig, sig)) matched = sid
               }
-              // hot-bucket guard (the streaming analog of
-              // Dedup.capBuckets): a bucket at capacity stops RETAINING
-              // new signatures but still judges arrivals against the
-              // retained set — state and per-doc compare cost stay
-              // O(maxBucket), and a degenerate all-identical stream
-              // still flags every duplicate (each matches the retained
-              // first writer).
               if (seen.length < maxBucket) seen = seen :+ ((did, ts, sig))
               BandVerdict(did, ts, bidx, matched)
             }

@@ -139,6 +139,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dup dedup == batch simhashPairs (cross-batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.Streaming.DocEvent
+    val t0 = 1704067200000000L
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").orderBy("doc_id").limit(120).collect()
+      .zipWithIndex.map { case (r, i) =>
+        DocEvent(r.getLong(0), t0 + i * 1000000L, r.getString(1))
+      }
+    val batchDf = docs.toSeq.toDF("doc_id", "ts_us", "text")
+    val sigs = Dedup.simhash(batchDf, col("text"), col("doc_id"))
+    val dropped = Dedup.simhashPairs(sigs, 6)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture must contain seeded simhash near-dups")
+
+    val input = MemoryStream[DocEvent]
+    val q = Streaming.simhashDedupStream(input.toDS(), maxDist = 6,
+        watermarkDelayMs = 365L * 24 * 3600 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("simdup_out").start()
+    try {
+      val (b1, b2) = docs.splitAt(60)
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamedDropped = Streaming.collapseNearDupVerdicts(
+          spark.table("simdup_out"))
+        .filter(col("dup_of").isNotNull)
+        .select("docId").collect().map(_.getLong(0)).toSet
+      assert(streamedDropped == dropped,
+        s"stream-only: ${streamedDropped -- dropped}, batch-only: ${dropped -- streamedDropped}")
+    } finally q.stop()
+  }
+
   test("streaming minhash dedup hot-bucket cap: bounded state still flags dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
