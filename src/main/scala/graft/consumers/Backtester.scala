@@ -78,6 +78,55 @@ object Backtester {
       initialCash, commissionRate)
   }
 
+  final case class TradeRow(instrument: String, ts_us: Long, seq: Long,
+      qty: Double, price: Double, commission: Double, cash: Double,
+      position: Double)
+
+  /** Distributed per-key backtest emitting the full TRADE LOG: one
+    * independent portfolio per key (the reference's config-splitting
+    * shard idea applied across instruments, `config.py:33-48`),
+    * executed in the same secondary-sort fold shape as `L2Book.replay`
+    * — one exchange on the key, `sortWithinPartitions(key, ts, seq)`,
+    * one `mapPartitions` walking each key run with a [[Simulator]].
+    * Parallelism = #keys; per-key state is two doubles — no driver
+    * loop, no collect. The declared target column IS the strategy
+    * (precomputed as an expression so the fold stays a pure replay —
+    * any Row=>Double strategy can be expressed upstream as columns).
+    * Rows with null price are skipped (the sequential loop's guard).
+    * Every arithmetic step is the simulator's own, in row order, so an
+    * exact state-replay oracle reproduces the log bit-for-bit. */
+  def runKeyedTrades(fls: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, priceCol: String, targetCol: String,
+      initialCash: Double = 0.0, commissionRate: Double = 0.001): DataFrame = {
+    val spark = fls.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    fls.filter(col(priceCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("long").as("ts"), col(seqCol).cast("long").as("seq"),
+        col(priceCol).cast("double").as("price"),
+        col(targetCol).cast("double").as("target"))
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "ts", "seq")
+      .as[(String, Long, Long, Double, Double)]
+      .mapPartitions { iter =>
+        var cur: String = null
+        var sim: Simulator = null
+        iter.flatMap { case (k, ts, seq, price, target) =>
+          if (k != cur) {
+            cur = k
+            sim = new Simulator(initialCash, commissionRate)
+          }
+          sim.step(ts, price, target) match {
+            case Some(t) => Iterator.single(TradeRow(k, ts, seq, t.qty,
+              price, t.commission, sim.cash, sim.position))
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Time-sharded distributed backtest: `shards` contiguous time slices
     * each running an independent portfolio (reference remote path). */
   def runSharded(fls: DataFrame, tsCol: String, priceCol: String,

@@ -240,23 +240,6 @@ object Dedup {
     }
   }
 
-  /** The round-1 declarative formulation of minhashSignatures (explode
-    * + 32 min-aggregates over a shuffle of distinct shingles) — kept as
-    * the parity pin for the zero-shuffle typed map above. */
-  private[graft] def minhashSignaturesDeclarative(df: DataFrame, text: Column,
-      id: Column, perms: Int, shingleN: Int = 3): DataFrame = {
-    val P = 2147483647L
-    val rnd = new java.util.Random(42)
-    val coeffs = Array.fill(perms)(
-      (1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))
-    val sh = explodeShingles(df, text, id, shingleN)
-      .withColumn("h", xxhash64(col("s")).bitwiseAND(lit(0x7FFFFFFFL)))
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
-    }.toSeq
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
-
   /** LSH candidate pairs from MinHash signatures: `bands` bands of
     * `rows = perms/bands` hashes; docs sharing any band hash become a
     * candidate; similarity is estimated as the matching-hash fraction.
@@ -618,6 +601,44 @@ object Dedup {
     lastRounds = rounds
     out
   }
+
+  /** Output-LINEAR survivor formulation for near-dup dedup — the 100 TB
+    * OUTPUT shape. Materialized PAIR sets are quadratic in cluster
+    * sizes by definition (the sf1-equivalent probe measured 3,700x pair
+    * growth for 10x docs on a dup-heavy corpus — the cost is the
+    * answer), and no pipeline keeps pairs: it keeps one doc per
+    * cluster. pairs -> [[connectedComponents]] -> keep = (component
+    * label == own id); docs in no pair keep trivially. Output is
+    * EXACTLY one row per input doc — (doc_id, keep, component) with a
+    * null component for untouched docs — linear in the corpus no
+    * matter how duplicate-heavy it is. The pair frame stays an
+    * internal shuffled edge list, never driver-materialized. */
+  def survivors(df: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+      .select(col("id").as("__sid"), col("component").as("component"))
+    df.select(id.cast("long").as("doc_id"))
+      .join(cc, col("doc_id") === col("__sid"), "left")
+      .select(col("doc_id"),
+        (col("component").isNull || col("component") === col("doc_id"))
+          .as("keep"),
+        col("component"))
+  }
+
+  /** MinHash-LSH keep-list: [[minhashSignatures]] ->
+    * [[minhashLshPairs]] -> [[survivors]] — the recommended end-to-end
+    * scale path for signature dedup (SCALE.md). */
+  def minhashSurvivors(df: DataFrame, text: Column, id: Column, perms: Int,
+      bands: Int, estThreshold: Double,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sigs = minhashSignatures(df, text, id, perms)
+    survivors(df, id, minhashLshPairs(sigs, perms, bands, estThreshold, maxBucket))
+  }
+
+  /** SimHash keep-list: [[simhash]] -> [[simhashPairs]] ->
+    * [[survivors]]. */
+  def simhashSurvivors(df: DataFrame, text: Column, id: Column, maxDist: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    survivors(df, id, simhashPairs(simhash(df, text, id), maxDist))
 
   /** Hot-bucket guard for LSH band joins: drops (band, hash) buckets
     * holding more than `maxBucket` rows before the self-join, so one

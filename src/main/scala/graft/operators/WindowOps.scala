@@ -136,6 +136,51 @@ object WindowOps {
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Bound-VALIDATION frame for [[approxQuantiles]] — the cross-engine
+    * correctness surface for the sketch. Sketch values themselves are
+    * engine-specific (no exact engine can hash-match them), but the GK
+    * GUARANTEE is checkable: the returned value's 0-based rank among
+    * the group's sorted values lies in [ceil(q*n - tol), floor(q*n +
+    * tol)] with tol = n/accuracy + 1 (the +1 absorbs discrete rank
+    * granularity — the same convention WindowOpsSpec pins). Since
+    * `percentile_approx` returns an actual column value, the guarantee
+    * implies lo_val <= approx <= hi_val where lo_val/hi_val are the
+    * sorted values at the clamped window edges. Emitted per (keys, q):
+    * (q, n, lo_val, hi_val, within_bound) — an exact engine reproduces
+    * everything but the comparison from ranks alone and `within_bound =
+    * true` by construction, so the frame hash-compares cross-engine
+    * while a bound-violating sketch breaks the hash.
+    *
+    * The exact side sorts each group's values into one array, so this
+    * frame is the verification HARNESS (run at validation SF next to
+    * the sketch); the production 100 TB path is [[approxQuantiles]]
+    * alone. Rank arithmetic is IEEE double then exact integers —
+    * identical in any engine evaluating the same formula. */
+  def approxQuantileBounds(df: DataFrame, value: Column, keys: Seq[String],
+      probs: Seq[Double], accuracy: Int): DataFrame = {
+    val aggCols =
+      sort_array(collect_list(value)).as("__vals") +:
+        count(lit(1)).as("n") +:
+        probs.map(p => percentile_approx(value, lit(p), lit(accuracy))
+          .as("__ap" + (p * 100).round))
+    val g = df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val checks = probs.map { p =>
+      val target = lit(p) * col("n")
+      val tol = col("n") / lit(accuracy.toDouble) + lit(1.0)
+      val rLo = greatest(lit(1L), ceil(target - tol) + lit(1L))
+      val rHi = least(col("n"), floor(target + tol) + lit(1L))
+      val loVal = element_at(col("__vals"), rLo.cast("int"))
+      val hiVal = element_at(col("__vals"), rHi.cast("int"))
+      val ap = col("__ap" + (p * 100).round)
+      struct(lit(p).as("q"), loVal.as("lo_val"), hiVal.as("hi_val"),
+        (ap >= loVal && ap <= hiVal).as("within_bound"))
+    }
+    g.select(keys.map(col) :+ col("n") :+ explode(array(checks: _*)).as("__c"): _*)
+      .select(keys.map(col) ++ Seq(col("__c.q").as("q"), col("n"),
+        col("__c.lo_val").as("lo_val"), col("__c.hi_val").as("hi_val"),
+        col("__c.within_bound").as("within_bound")): _*)
+  }
+
   /** Uniform downsample: every nth row in okey order per key (P8, svoe
     * `df_utils.py:168-169`).
     */

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Sampling, TextAnalysis => TA}
+import graft.streaming.Streaming
 
 /** LLM-training-data operators over the `documents` table: dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash), text analysis
@@ -123,6 +124,45 @@ object DocQueries {
       Dedup.connectedComponentsLargeStar(pairs)
     },
 
+    // Output-LINEAR survivor formulation (the 100 TB output shape —
+    // SCALE.md): exact-Jaccard pairs -> connected components -> one
+    // (doc_id, keep, component) row per document. Pair output is
+    // quadratic in cluster sizes; the keep-list is linear in the corpus
+    // regardless of dup density. Oracle: the same recursive
+    // min-reachable-id CTE, left-joined back to every doc.
+    "doc_dedup_survivors" -> QueryDef(
+      s"""WITH RECURSIVE $JACCARD_PAIRS_CTES,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT d.doc_id, coalesce(c.component = d.doc_id, TRUE) AS keep,
+         |  c.component
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        Dedup.survivors(docs, col("doc_id"),
+          Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), 3, 0.8))
+    },
+
+    // Same keep-list over the MinHash-LSH pair graph — the end-to-end
+    // signature-dedup scale path (signatures -> band join -> CC ->
+    // survivors). xxhash64-based -> exact Python oracle (union-find
+    // over the same pair set, pyoracle.expected_doc_minhash_survivors).
+    "doc_minhash_survivors" -> QueryDef.noOracle { (s, dir) =>
+      Dedup.minhashSurvivors(Tables.documents(s, dir), col("text"),
+        col("doc_id"), perms = 32, bands = 16, estThreshold = 0.6)
+    },
+
+    // SimHash keep-list twin (hamming <= 6 pair graph -> CC ->
+    // survivors); exact Python oracle.
+    "doc_simhash_survivors" -> QueryDef.noOracle { (s, dir) =>
+      Dedup.simhashSurvivors(Tables.documents(s, dir), col("text"),
+        col("doc_id"), maxDist = 6)
+    },
+
     // MinHash (32 perms) + LSH (16 bands x 2): candidate pairs with
     // estimated similarity >= 0.6 (~3 sigma below a true j=0.8 with 32
     // perms). xxhash64-based → rows-only check.
@@ -137,6 +177,62 @@ object DocQueries {
     "doc_simhash" -> QueryDef.noOracle { (s, dir) =>
       val sigs = Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))
       Dedup.simhashPairs(sigs, maxDist = 6)
+    },
+
+    // Streaming twin of doc_dedup_exact under the driver's EXACT
+    // compare: the keep-list aggregation executed by the STREAMING
+    // engine — file source -> stateful streaming aggregation (state
+    // store) -> memory sink, Trigger.AvailableNow — then returned as a
+    // batch frame. min/count are order-independent, so the result is
+    // deterministic under any micro-batch slicing; the oracle is the
+    // plain batch group-by (sha256 digests exist in both engines).
+    "doc_dedup_exact_stream" -> QueryDef(
+      """SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies, min(n_chars) AS n_chars
+        |FROM documents GROUP BY sha256(text)""".stripMargin) { (s, dir) =>
+      Streaming.runAvailableNow(
+        Streaming.exactDedupKeepListStream(
+          Streaming.documentsStream(s, dir),
+          col("text"), col("doc_id"), col("n_chars")))
+    },
+
+    // Streaming MinHash near-dup dedup, driver-visible: the fMGWS
+    // band-bucket engine (Streaming.minhashDedupStream) drained with
+    // AvailableNow, band verdicts collapsed to one (doc_id, dup_of) row
+    // per signature-bearing doc — dup_of = smallest earlier doc whose
+    // signature matches in any shared band, null for survivors. Event
+    // time is doc_id-derived (earlier = smaller id), watermark delay >
+    // the whole id range so nothing evicts mid-replay. xxhash64-based
+    // -> exact Python oracle (pyoracle.expected_doc_minhash_stream).
+    "doc_minhash_stream" -> QueryDef.noOracle { (s, dir) =>
+      import s.implicits._
+      val docs = Streaming.documentsStream(s, dir)
+        .select(col("doc_id").as("docId"),
+          ((col("doc_id") + 1) * 1000000L).as("tsUs"), col("text"))
+        .as[Streaming.DocEvent]
+      val verdicts = Streaming.minhashDedupStream(docs, perms = 32,
+        bands = 16, estThreshold = 0.6, watermarkDelayMs = 31536000000L)
+      Streaming.collapseNearDupVerdicts(
+          Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append"))
+        .select(col("docId").as("doc_id"), col("dup_of"))
+    },
+
+    // Streaming SimHash near-dup twin, same harness: C(8,2) chunk-pair
+    // band buckets in keyed state, dup_of = smallest earlier doc within
+    // hamming 6 (banding is pigeonhole-exact there, so the expected
+    // frame is ALL pairs within the distance — pyoracle
+    // expected_doc_simhash_stream).
+    "doc_simhash_stream" -> QueryDef.noOracle { (s, dir) =>
+      import s.implicits._
+      val docs = Streaming.documentsStream(s, dir)
+        .select(col("doc_id").as("docId"),
+          ((col("doc_id") + 1) * 1000000L).as("tsUs"), col("text"))
+        .as[Streaming.DocEvent]
+      val verdicts = Streaming.simhashDedupStream(docs, maxDist = 6,
+        watermarkDelayMs = 31536000000L)
+      Streaming.collapseNearDupVerdicts(
+          Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append"))
+        .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
     // Language-ID heuristic: marker-word counts, fixed precedence.

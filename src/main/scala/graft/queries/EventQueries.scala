@@ -532,14 +532,35 @@ object EventQueries {
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
     },
 
-    // Sketch twin of ev_value_quantiles for the 100 TB path: GK-sketch
-    // percentiles (map-side-mergeable, O(accuracy) shuffle per key vs
-    // the exact path's per-group value sort). Sketch contents are
-    // engine-specific, so this is a rows-only check; the rank-error
-    // bound vs the exact query is spec-pinned (WindowOpsSpec).
-    "ev_value_quantiles_approx" -> QueryDef.noOracle { (s, dir) =>
-      WindowOps.approxQuantiles(ev(s, dir), col("value"),
-        Seq(col("event_type")), Seq(0.5, 0.9, 0.99), accuracy = 10000)
+    // Sketch twin of ev_value_quantiles for the 100 TB path (GK sketch:
+    // map-side-mergeable, O(accuracy) shuffle per key vs the exact
+    // path's per-group value sort), under a REAL cross-engine oracle.
+    // Sketch VALUES are engine-specific by construction, but the GK
+    // guarantee is not: the query emits the exact data values at the
+    // edges of the sketch's admissible rank window plus within_bound =
+    // (sketch value inside the window). DuckDB reproduces the edges
+    // from exact ranks and TRUE by construction — so the frame is
+    // hash-comparable, and a bound-violating sketch breaks the hash.
+    "ev_value_quantiles_approx" -> QueryDef(
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |grp AS (SELECT event_type, max(n) AS n FROM ranked GROUP BY event_type),
+        |b AS (
+        |  SELECT g.event_type, g.n, qs.q,
+        |    greatest(1, CAST(ceil(qs.q * g.n - (g.n / 10000.0 + 1.0)) AS BIGINT) + 1) AS r_lo,
+        |    least(g.n, CAST(floor(qs.q * g.n + (g.n / 10000.0 + 1.0)) AS BIGINT) + 1) AS r_hi
+        |  FROM grp g CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs)
+        |SELECT b.event_type, b.q, b.n, lo.value AS lo_val, hi.value AS hi_val,
+        |  TRUE AS within_bound
+        |FROM b
+        |JOIN ranked lo ON lo.event_type = b.event_type AND lo.rn = b.r_lo
+        |JOIN ranked hi ON hi.event_type = b.event_type AND hi.rn = b.r_hi""".stripMargin) {
+      (s, dir) =>
+        WindowOps.approxQuantileBounds(ev(s, dir), col("value"),
+          Seq("event_type"), Seq(0.5, 0.9, 0.99), accuracy = 10000)
     },
 
     // Distinct aggregation (beyond-reference engine surface).

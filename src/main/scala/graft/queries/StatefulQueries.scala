@@ -16,6 +16,53 @@ object StatefulQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // The backtester consumer (§3.3) under the driver's exact compare:
+    // one independent portfolio per instrument replaying a
+    // deterministic long/flat strategy (target 1 when value > 50) at
+    // mid price = round(value) with 0.1% commission — the full trade
+    // log, cash/position state included. The Spark side runs the REAL
+    // Simulator fold (Backtester.runKeyedTrades); the oracle replays
+    // the identical state machine as a recursive CTE (same trick as
+    // doc_pack_greedy/l2_book_replay). Every arithmetic op is replayed
+    // in the same order with the same IEEE doubles, so cash matches
+    // bit-for-bit with no rounding.
+    "bt_trades" -> QueryDef(
+      """WITH RECURSIVE e AS (
+        |  SELECT event_type AS instrument, epoch_us(ts) AS ts_us,
+        |    event_id AS seq, round(value) AS price,
+        |    CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS target,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT instrument, rn, ts_us, seq, price,
+        |    target AS qty,
+        |    abs(target) * price * 0.001 AS commission,
+        |    CASE WHEN target = 0.0 THEN 0.0
+        |         ELSE 0.0 - (target * price + abs(target) * price * 0.001)
+        |    END AS cash,
+        |    target AS position
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.instrument, e.rn, e.ts_us, e.seq, e.price,
+        |    e.target - r.position,
+        |    abs(e.target - r.position) * e.price * 0.001,
+        |    CASE WHEN e.target = r.position THEN r.cash
+        |         ELSE r.cash - ((e.target - r.position) * e.price
+        |              + abs(e.target - r.position) * e.price * 0.001) END,
+        |    e.target
+        |  FROM r JOIN e ON e.instrument = r.instrument AND e.rn = r.rn + 1)
+        |SELECT instrument, ts_us, seq, qty, price, commission, cash, position
+        |FROM r WHERE qty <> 0""".stripMargin) { (s, dir) =>
+      val fls = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("event_type").as("instrument"), col("ts_us"),
+          col("event_id").as("seq"), round(col("value")).as("price"),
+          when(col("value") > 50, 1.0).otherwise(0.0).as("target"))
+      graft.consumers.Backtester.runKeyedTrades(fls, "instrument", "ts_us",
+        "seq", "price", "target")
+    },
+
     // A4 with a DuckDB oracle: restricted to SET/SNAPSHOT updates the
     // book fold is SQL-expressible (per level: last write <= T, alive
     // iff written at/after the last SNAPSHOT <= T). The Spark side runs

@@ -65,6 +65,60 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest", "__event_ts")
 
+  /** The documents table's schema (for the file streaming source). */
+  val DocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source replaying the documents parquet — the shape of a
+    * streaming crawl ingest (glob-narrowed like [[eventsStream]]). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming exact-dedup KEEP-LIST — the aggregation twin of
+    * [[exactDedupStream]], and the variant an exact oracle can
+    * hash-check: min-id/count per content digest as a stateful
+    * streaming aggregation. First-writer-wins depends on arrival order
+    * WITHIN a micro-batch (not deterministic under repartitioned
+    * replay), but min()/count() are order-independent, so the final
+    * frame is identical under any trigger slicing or partitioning —
+    * the same exactness discipline the batch queries follow (QueryDef
+    * scaladoc). State is 32 B digest + two counters per distinct
+    * document, sharded by digest across the cluster exactly like the
+    * batch `Dedup.exactDedup` shuffle; no watermark because the
+    * keep-list is a global index (bounded-window eviction is
+    * [[exactDedupStream]]'s trade). */
+  def exactDedupKeepListStream(df: DataFrame,
+      text: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      nChars: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(sha2(text, 256).as("digest"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(nChars).as("n_chars"))
+
+  /** Drain a streaming frame with `Trigger.AvailableNow` into an
+    * in-memory table and return the result as a batch frame — the
+    * harness that puts the STREAMING engine (state store included)
+    * under a batch-oracle compare. `complete` mode returns the final
+    * aggregate; `append` the union of emitted rows. The memory sink is
+    * a validation-SF harness only; production streams write through
+    * foreachBatch to the block sink ([[BlockWriter]]). */
+  def runAvailableNow(df: DataFrame, outputMode: String = "complete"): DataFrame = {
+    val name = "graft_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.outputMode(outputMode).format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
   case class DocEvent(docId: Long, tsUs: Long, text: String)
   /** Per-band verdict: `matchedId` = smallest already-seen doc in this
     * band bucket with estimated Jaccard >= threshold, or -1. */

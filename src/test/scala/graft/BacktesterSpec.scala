@@ -32,6 +32,32 @@ class BacktesterSpec extends AnyFunSuite {
     assert(results.map(_.nTrades).sum > 0)
   }
 
+  test("keyed trade log replays the sequential simulator per key") {
+    // runKeyedTrades == Backtester.run per key: same trades, same final
+    // cash/position — the distributed fold is the sequential loop.
+    import org.apache.spark.sql.functions._
+    val fls = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("event_type").as("instrument"), col("ts_us"),
+        col("event_id").as("seq"), round(col("value")).as("price"),
+        when(col("value") > 50, 1.0).otherwise(0.0).as("target"))
+    val log = Backtester.runKeyedTrades(fls, "instrument", "ts_us", "seq",
+        "price", "target")
+      .collect().groupBy(_.getString(0))
+    val strat: Backtester.Strategy =
+      r => r.getDouble(r.fieldIndex("target"))
+    for (k <- log.keys) {
+      val seqRes = Backtester.run(
+        fls.filter(col("instrument") === k).orderBy("ts_us", "seq"),
+        "ts_us", "price", strat)
+      val rows = log(k).sortBy(r => (r.getLong(1), r.getLong(2)))
+      assert(rows.length.toLong == seqRes.nTrades)
+      val last = rows.last
+      assert(last.getDouble(last.fieldIndex("cash")) == seqRes.finalCash)
+      assert(last.getDouble(last.fieldIndex("position")) == seqRes.finalPosition)
+    }
+  }
+
   test("fitLinear recovers exact coefficients on a linear target") {
     val spark0 = spark
     import spark0.implicits._

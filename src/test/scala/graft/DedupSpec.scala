@@ -47,12 +47,26 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("typed-map minhash matches the declarative 32-aggregate formulation") {
+    // Spec-only fixture: the round-1 declarative formulation (explode +
+    // 32 min-aggregates over a shuffle of distinct shingles), kept HERE
+    // as the parity pin for the canonical zero-shuffle typed map —
+    // src/main has exactly one signature path (Dedup.minhashSignatures).
+    def declarativeSigs(perms: Int): org.apache.spark.sql.DataFrame = {
+      val P = 2147483647L
+      val rnd = new java.util.Random(42)
+      val coeffs = Array.fill(perms)(
+        (1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))
+      val sh = Dedup.explodeShingles(docs, col("text"), col("doc_id"), 3)
+        .withColumn("h", xxhash64(col("s")).bitwiseAND(lit(0x7FFFFFFFL)))
+      val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
+      }.toSeq
+      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     val typed = asMap(Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 32))
-    val declarative = asMap(
-      Dedup.minhashSignaturesDeclarative(docs, col("text"), col("doc_id"), 32))
-    assert(typed == declarative)
+    assert(typed == asMap(declarativeSigs(32)))
   }
 
   test("per-row simhash matches the declarative 64-aggregate formulation") {

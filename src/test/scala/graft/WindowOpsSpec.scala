@@ -50,6 +50,19 @@ class WindowOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approxQuantileBounds: window edges bracket the sketch, all within_bound") {
+    val dir = "/root/testdata/sf0.001"
+    val out = WindowOps.approxQuantileBounds(Tables.events(spark, dir),
+        col("value"), Seq("event_type"), Seq(0.5, 0.9, 0.99), accuracy = 100)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("lo_val")) <= r.getDouble(r.fieldIndex("hi_val")))
+      assert(r.getBoolean(r.fieldIndex("within_bound")),
+        s"sketch outside its rank window: $r")
+    }
+  }
+
   test("OHLCV golden: open/high/low/close/volume/vwap per bucket") {
     val out = WindowOps.ohlcv(trades, col("ts_us"), okey, col("price"),
         col("amount"), 10L, Nil)

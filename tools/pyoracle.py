@@ -183,7 +183,10 @@ def _minhash_coeffs(perms: int):
     return out
 
 
-def expected_doc_minhash_lsh(sfdir: str) -> pd.DataFrame:
+def _minhash_pairs(sfdir: str):
+    """(sigs, est-threshold-passing candidate pairs) for the suite's
+    32-perm / 16-band / 0.6 setting — shared by the batch-pairs and
+    streaming-survivor oracles."""
     perms, bands, est_threshold = 32, 16, 0.6
     rows_per_band = perms // bands
     docs = pd.read_parquet(f"{sfdir}/documents.parquet")
@@ -208,12 +211,75 @@ def expected_doc_minhash_lsh(sfdir: str) -> pd.DataFrame:
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 cand.add((ids[i], ids[j]))
-    out = []
+    pairs = []
     for a, b in cand:
         est = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / perms
         if est >= est_threshold:
-            out.append((a, b, est))
-    return pd.DataFrame(out, columns=['a_id', 'b_id', 'est_jaccard'])
+            pairs.append((a, b, est))
+    return sigs, pairs
+
+
+def expected_doc_minhash_lsh(sfdir: str) -> pd.DataFrame:
+    _, pairs = _minhash_pairs(sfdir)
+    return pd.DataFrame(pairs, columns=['a_id', 'b_id', 'est_jaccard'])
+
+
+def expected_doc_minhash_stream(sfdir: str) -> pd.DataFrame:
+    """Streaming near-dup verdicts (doc_minhash_stream): one row per
+    signature-bearing doc, dup_of = smallest earlier (= lower-id) doc
+    matching in any shared band — exactly the batch pair set folded to
+    min a_id per b_id; NaN for survivors."""
+    sigs, pairs = _minhash_pairs(sfdir)
+    dup_of = {}
+    for a, b, _ in pairs:
+        dup_of[b] = min(dup_of.get(b, a), a)
+    rows = [(did, float(dup_of[did]) if did in dup_of else np.nan)
+            for did in sorted(sigs)]
+    return pd.DataFrame(rows, columns=['doc_id', 'dup_of'])
+
+
+def _min_components(pair_ids):
+    """component-min label per node of an undirected pair list
+    (Dedup.connectedComponents semantics)."""
+    adj = {}
+    for a, b in pair_ids:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    comp, seen = {}, set()
+    for start in adj:
+        if start in seen:
+            continue
+        stack, members = [start], []
+        seen.add(start)
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(members)
+        for u in members:
+            comp[u] = m
+    return comp
+
+
+def _survivor_frame(sfdir: str, pair_ids) -> pd.DataFrame:
+    """(doc_id, keep, component) for EVERY document — the output-linear
+    keep-list (Dedup.survivors parity; component NaN off-graph)."""
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    comp = _min_components(pair_ids)
+    rows = []
+    for d in sorted(int(v) for v in docs['doc_id']):
+        c = comp.get(d)
+        rows.append((d, c is None or c == d,
+                     float(c) if c is not None else np.nan))
+    return pd.DataFrame(rows, columns=['doc_id', 'keep', 'component'])
+
+
+def expected_doc_minhash_survivors(sfdir: str) -> pd.DataFrame:
+    _, pairs = _minhash_pairs(sfdir)
+    return _survivor_frame(sfdir, [(a, b) for a, b, _ in pairs])
 
 
 # ---------------------------------------------------------- doc_simhash
@@ -245,6 +311,28 @@ def expected_doc_simhash(sfdir: str) -> pd.DataFrame:
             if d <= max_dist:
                 out.append((sigs[i][0], sigs[j][0], d))
     return pd.DataFrame(out, columns=['a_id', 'b_id', 'hamming'])
+
+
+def expected_doc_simhash_survivors(sfdir: str) -> pd.DataFrame:
+    pairs = expected_doc_simhash(sfdir)
+    return _survivor_frame(
+        sfdir, [(int(a), int(b)) for a, b in zip(pairs['a_id'], pairs['b_id'])])
+
+
+def expected_doc_simhash_stream(sfdir: str) -> pd.DataFrame:
+    """Streaming SimHash verdicts (doc_simhash_stream): one row per doc
+    (every non-null text yields a signature), dup_of = smallest lower-id
+    doc within hamming 6 (chunk-pair banding is pigeonhole-exact there);
+    NaN for survivors."""
+    pairs = expected_doc_simhash(sfdir)
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    dup_of = {}
+    for a, b in zip(pairs['a_id'], pairs['b_id']):
+        a, b = int(a), int(b)
+        dup_of[b] = min(dup_of.get(b, a), a)
+    rows = [(int(d), float(dup_of[int(d)]) if int(d) in dup_of else np.nan)
+            for d in sorted(docs['doc_id'])]
+    return pd.DataFrame(rows, columns=['doc_id', 'dup_of'])
 
 
 # --------------------------------------------------------- emb_lsh_topk
@@ -417,7 +505,11 @@ def expected_doc_pack_greedy(sfdir: str) -> pd.DataFrame:
 PY_ORACLES = {
     'doc_pack_greedy': expected_doc_pack_greedy,
     'doc_minhash_lsh': expected_doc_minhash_lsh,
+    'doc_minhash_stream': expected_doc_minhash_stream,
+    'doc_minhash_survivors': expected_doc_minhash_survivors,
     'doc_simhash': expected_doc_simhash,
+    'doc_simhash_stream': expected_doc_simhash_stream,
+    'doc_simhash_survivors': expected_doc_simhash_survivors,
     'emb_lsh_topk': expected_emb_lsh_topk,
     'ev_throttle_elapsed': expected_ev_throttle_elapsed,
     'l2_book_replay': expected_l2_book_replay,
