@@ -27,7 +27,8 @@ object ConfigParser {
 
   final case class GraftConfig(ts: String, tie: Option[String],
       features: Seq[FeatureSpec], labelSource: Option[String],
-      lookaheadUs: Option[Long])
+      lookaheadUs: Option[Long],
+      startDate: Option[String] = None, endDate: Option[String] = None)
 
   /** Definition registry; user definitions can be added here. */
   val registry: Map[String, FeatureDef] = Map(
@@ -100,6 +101,86 @@ object ConfigParser {
       features = features,
       labelSource = label.flatMap(str(_, "source")),
       lookaheadUs = label.flatMap(str(_, "lookahead")).map(TimeUtils.parseMicros))
+  }
+
+  /** Dotted reference definition names → registry keys, so a reference
+    * user's `feature_definition: volatility.volatility_stddev_fd` lines
+    * resolve without edits (svoe `features/definitions` catalog). */
+  private val referenceAliases: Map[String, String] = Map(
+    "volatility_stddev_fd" -> "volatility",
+    "ohlcv_fd" -> "ohlcv")
+
+  /** Reference-shaped YAML front door — parses the svoe
+    * `FeaturizerConfig` schema verbatim (`featurizer/config.py:11-30`;
+    * `featurizer/test_configs` for the concrete files): a
+    * `feature_configs` list with dotted `feature_definition` names,
+    * optional `name`/`deps`, nested `params`; `label_feature` by
+    * index-or-name into the config list; `label_lookahead` in the
+    * duration grammar; `start_date`/`end_date` surfaced on the config
+    * (time-range selection belongs to the catalog scan —
+    * `BlockCatalog.scan` — not the logical plan). Jackson's YAML
+    * dataformat ships on the Spark classpath, so no new dependency.
+    *
+    * Mapping rules:
+    *   - a `synthetic.*` definition declares the injected SOURCE's
+    *     name (its data is a DataFrame handed to [[buildPlan]], exactly
+    *     like the reference's synthetic data-source definitions);
+    *   - features without explicit `deps` read the first declared
+    *     source (the reference's implicit data_source binding);
+    *   - graft param names sit under `params.feature` — an integer
+    *     index level (the reference's per-dep keying) is descended
+    *     through; non-scalar entries (`data_source`, `dep_schema`
+    *     blocks) are deployment binding, not plan parameters;
+    *   - graft extensions, both optional: top-level `ts`/`tie` column
+    *     names (the reference hardcodes its timestamp column; graft
+    *     defaults `ts_us` / no tie). */
+  def parseYaml(yamlText: String): GraftConfig = {
+    val root = new ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()).readTree(yamlText)
+    def str(n: JsonNode, f: String): Option[String] =
+      Option(n.get(f)).map(_.asText())
+    val fcs = Option(root.get("feature_configs")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    def entryName(f: JsonNode): String =
+      str(f, "name").getOrElse(
+        f.get("feature_definition").asText().split('.').last)
+    def isSource(f: JsonNode): Boolean =
+      f.get("feature_definition").asText().startsWith("synthetic.")
+    def featureParams(f: JsonNode): Map[String, String] = {
+      def flat(n: JsonNode): Map[String, String] = {
+        val fields = n.properties().asScala.toSeq
+        if (fields.nonEmpty && fields.forall(_.getKey.forall(_.isDigit)))
+          fields.map(e => flat(e.getValue)).fold(Map.empty)(_ ++ _)
+        else fields.filter(_.getValue.isValueNode)
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }
+      Option(f.get("params")).flatMap(p => Option(p.get("feature")))
+        .map(flat).getOrElse(Map.empty)
+    }
+    val orderedNames = fcs.map(entryName)
+    val defaultDep = fcs.filter(isSource).map(entryName).headOption
+    val features = fcs.filterNot(isSource).map { f =>
+      val explicitDeps = Option(f.get("deps")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText())
+      val dotted = f.get("feature_definition").asText()
+      val defn =
+        if (registry.contains(dotted)) dotted
+        else referenceAliases.getOrElse(dotted.split('.').last, dotted)
+      FeatureSpec(entryName(f), defn,
+        if (explicitDeps.nonEmpty) explicitDeps else defaultDep.toSeq,
+        featureParams(f))
+    }
+    val labelSource = Option(root.get("label_feature")).map { n =>
+      if (n.isIntegralNumber) orderedNames(n.asInt()) else n.asText()
+    }
+    GraftConfig(
+      ts = str(root, "ts").getOrElse("ts_us"),
+      tie = str(root, "tie"),
+      features = features,
+      labelSource = labelSource,
+      lookaheadUs = str(root, "label_lookahead").map(TimeUtils.parseMicros),
+      startDate = str(root, "start_date"),
+      endDate = str(root, "end_date"))
   }
 
   /** Config → Feature forest → FeatureLabelSet frame. Duration-valued

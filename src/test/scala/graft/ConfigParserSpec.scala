@@ -40,6 +40,80 @@ class ConfigParserSpec extends AnyFunSuite {
       handBuilt.orderBy("ts_us").collect().toSeq)
   }
 
+  test("reference-shaped YAML config builds the flagship plan") {
+    // Verbatim svoe FeaturizerConfig shape (featurizer/config.py:11-30;
+    // test_configs/synthetic-sine-data-config.yaml + the README
+    // volatility entry): dotted feature_definition names, a synthetic
+    // source entry, label_feature by index, label_lookahead duration.
+    // `tie: seq` is the one graft extension line (documented).
+    val yaml =
+      """start_date: '2024-01-01 00:00:00'
+        |end_date: '2024-01-01 01:00:00'
+        |label_feature: 0
+        |label_lookahead: '5s'
+        |tie: seq
+        |feature_configs:
+        |  - feature_definition: synthetic.synthetic_sine_mid_price
+        |    name: sine
+        |    params:
+        |      data_source:
+        |        - exchange: BINANCE
+        |          instrument_type: spot
+        |          symbol: BTC-USDT
+        |          step: 1
+        |          amplitude: 2000
+        |          mean: 10000
+        |          freq: 0.05
+        |  - feature_definition: volatility.volatility_stddev_fd
+        |    name: volatility
+        |    params:
+        |      feature:
+        |        value: mid_price
+        |        lookback: 1m
+        |""".stripMargin
+    val cfg = ConfigParser.parseYaml(yaml)
+    assert(cfg.ts == "ts_us" && cfg.tie.contains("seq"))
+    assert(cfg.features.map(_.name) == Seq("volatility"))
+    assert(cfg.features.head.definition == "volatility")
+    assert(cfg.features.head.deps == Seq("sine")) // implicit source binding
+    assert(cfg.labelSource.contains("sine")) // label_feature: 0 -> entry 0
+    assert(cfg.lookaheadUs.contains(5000000L))
+    assert(cfg.startDate.contains("2024-01-01 00:00:00"))
+
+    val t0 = 1704067200000000L
+    val src = SyntheticSine(spark, t0, t0 + 3600L * 1000000L, 1000000L,
+        freq = 0.05)
+      .select(col("ts_us"), col("seq"), col("mid_price"))
+    val fromYaml = ConfigParser.buildPlan(cfg, Map("sine" -> src))
+      .select(col("ts_us"), col("label_mid_price"), col("mid_price"),
+        col("volatility_volatility").as("volatility"))
+    assert(fromYaml.orderBy("ts_us").collect().toSeq ==
+      SparkEntry.entry(spark).orderBy("ts_us").collect().toSeq)
+  }
+
+  test("YAML: explicit deps, name-based label, and the per-dep index level") {
+    val yaml =
+      """label_feature: vol
+        |label_lookahead: 1s
+        |feature_configs:
+        |  - feature_definition: synthetic.synthetic_sine_mid_price
+        |  - feature_definition: volatility.volatility_stddev_fd
+        |    name: vol
+        |    deps: [synthetic_sine_mid_price]
+        |    params:
+        |      feature:
+        |        0:
+        |          value: mid_price
+        |          lookback: 30s
+        |""".stripMargin
+    val cfg = ConfigParser.parseYaml(yaml)
+    assert(cfg.features.head.deps == Seq("synthetic_sine_mid_price"))
+    assert(cfg.features.head.params ==
+      Map("value" -> "mid_price", "lookback" -> "30s"))
+    assert(cfg.labelSource.contains("vol"))
+    assert(cfg.lookaheadUs.contains(1000000L))
+  }
+
   test("unknown definition and unknown dep fail clearly") {
     val bad = """{"features":[{"name":"x","definition":"nope","deps":[]}]}"""
     val e = intercept[IllegalArgumentException] {
