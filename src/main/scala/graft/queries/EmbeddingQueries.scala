@@ -115,6 +115,36 @@ object EmbeddingQueries {
         nLists = 16, nProbe = 16)
     },
 
+    // Output-linear survivor keep-list over the embedding near-dup
+    // graph — the embedding leg of Dedup.survivors (SCALE.md: at scale
+    // materialize the keep-list, not the pairs). Pairs = the exact
+    // brute-force cosine baseline; oracle replays CC as the same
+    // recursive min-reachable-id CTE, left-joined to every vector.
+    "emb_dedup_survivors" -> QueryDef(
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+        |  LATERAL (SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos) c
+        |  WHERE cos >= 0.35),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT e.vec_id, coalesce(c.component = e.vec_id, TRUE) AS keep,
+        |  c.component
+        |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Dedup.survivors(emb, col("vec_id"),
+            graft.operators.Dedup.embeddingNearDupPairs(
+              emb, col("vec_id"), col("embedding"), 0.35))
+          .withColumnRenamed("doc_id", "vec_id")
+    },
+
     // Embedding-cosine near-dup pairs (dedup family, exact brute force;
     // the synthetic corpus is near-orthogonal so the threshold sits at
     // its top-similarity range).

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{AsofJoin, WindowOps}
+import graft.streaming.Streaming
 
 /** The reference's feature-operator inventory (SURVEY.md §2.2–2.6)
   * exercised over the `events` table, which stands in for the trades/
@@ -46,6 +47,94 @@ object EventQueries {
         .filter(col("ts") >= lit(T10 * 1000L) && col("ts") < lit(T20 * 1000L))
         .select(col("event_id"), expr("ts div 1000").as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
+    },
+
+    // K1 + S3 under the driver's exact compare: the block-catalog
+    // round trip. Events are stored week-by-week through
+    // BlockCatalog.write (content-hash idempotent — the second write
+    // pass is a no-op), small blocks are COMPACTED (tombstone log +
+    // rewritten block), and the result is read back via the pruned
+    // range scan. Oracle: the plain SQL time slice — so block
+    // partitioning, the append-only meta log, compaction, and day/ts
+    // pruning are all proven row-identical to the source table. The
+    // per-week driver loop touches catalog METADATA only (a handful of
+    // week ids), never data rows.
+    "ev_catalog_scan" -> QueryDef(
+      s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         |FROM events
+         |WHERE epoch_us(ts) >= $T10 AND epoch_us(ts) <= $T20""".stripMargin) {
+      (s, dir) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_cat_q").toString
+        val cat = new graft.sources.BlockCatalog(s, root)
+        val W = 7L * 86400000000L
+        val e = ev(s, dir)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+        val weeks = e.select((col("ts_us") / W).cast("long").as("w"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        def weekSlice(w: Long) = e.filter((col("ts_us") / W).cast("long") === w)
+        weeks.foreach(w => cat.write(weekSlice(w), "events", "all", "ts_us"))
+        // idempotency: re-storing identical content must be skipped
+        weeks.take(2).foreach { w =>
+          require(!cat.write(weekSlice(w), "events", "all", "ts_us"),
+            "duplicate block stored despite identical content hash")
+        }
+        // compact the weekly blocks into larger ones; the scan below
+        // must be unaffected (tombstones + rewritten blocks)
+        cat.compactSmallBlocks("events", "all", targetRows = 1L << 60, tsUs = "ts_us")
+        cat.scan("events", "all", T10, T20)
+          .select("event_id", "ts_us", "user_id", "event_type", "value")
+    },
+
+    // §3.3 TrainSplit.timeSplit under the oracle: the leakage-safe
+    // time-ordered 70/30 split — threshold = max ts among the k
+    // smallest (k = floor(n*0.7), exact ordered rank, ties land in
+    // train). Both halves emitted with a split marker so the boundary
+    // rule itself is hash-checked. floor() in both engines (DuckDB's
+    // double->int CAST rounds; Scala's toLong truncates).
+    "ev_train_split" -> QueryDef(
+      """WITH r AS (
+        |  SELECT ts_us, row_number() OVER (ORDER BY ts_us) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM (SELECT epoch_us(ts) AS ts_us FROM events)),
+        |t AS (SELECT max(ts_us) AS thr FROM r
+        |  WHERE rn <= greatest(1, CAST(floor(n * 0.7) AS BIGINT)))
+        |SELECT e.event_id, epoch_us(e.ts) AS ts_us,
+        |  CASE WHEN epoch_us(e.ts) <= t.thr THEN 'train' ELSE 'test' END AS split
+        |FROM events e CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val e = ev(s, dir).select(col("event_id"), col("ts_us"))
+      val (train, test) = graft.consumers.TrainSplit.timeSplit(e, "ts_us", 0.7)
+      train.withColumn("split", lit("train"))
+        .unionByName(test.withColumn("split", lit("test")))
+    },
+
+    // §3 data_ingest end-to-end under the oracle: events dumped to raw
+    // CSV, ingested through Ingest.ingestCsv (schema'd scan ->
+    // normalize -> ts-range-partitioned size-bounded blocks ->
+    // content-hash catalog write), read back via the catalog. Oracle =
+    // the source table, so CSV round-trip (shortest-repr doubles),
+    // the O5 size split, and the catalog store/scan are all proven
+    // row-identical.
+    "ev_ingest_roundtrip" -> QueryDef(
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_q").toString
+      ev(s, dir)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .coalesce(1)
+        .write.option("header", "true").mode("overwrite").csv(s"$tmp/raw")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_us", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val cat = new graft.sources.BlockCatalog(s, s"$tmp/cat")
+      graft.sources.Ingest.ingestCsv(s, s"$tmp/raw", schema,
+        normalize = df => df, catalog = cat, definition = "events",
+        key = "all", tsUs = "ts_us", rowsPerBlock = 2000L)
+      cat.scanAll("events", "all")
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
     },
 
     // P8 uniform downsample: every 10th row per event_type in total order.
@@ -384,6 +473,129 @@ object EventQueries {
           unix_micros(col("session_window.start")).as("start_us"),
           unix_micros(col("session_window.end")).as("end_us"),
           col("n_events"))
+    },
+
+    // A6 elapsed-throttle STREAMING twin, driver-visible: the same
+    // fMGWS fold (Streaming.throttleElapsedStream) drained over the
+    // events file stream with AvailableNow — and the oracle is the
+    // identical recursive-CTE state replay that checks the batch
+    // ev_throttle_elapsed, so batch, stream, and SQL all pin the same
+    // state machine.
+    "ev_throttle_stream" -> QueryDef(
+      s"""WITH RECURSIVE o AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, rn, true AS emitted, ts_us AS last_emit
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.user_id, o.rn,
+         |    o.ts_us - r.last_emit >= ${6 * H} AS emitted,
+         |    CASE WHEN o.ts_us - r.last_emit >= ${6 * H}
+         |         THEN o.ts_us ELSE r.last_emit END AS last_emit
+         |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+         |SELECT o.event_id, o.user_id, o.ts_us, o.value
+         |FROM r JOIN o USING (user_id, rn) WHERE r.emitted""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val src = Streaming.eventsStream(s, dir)
+          .select(col("user_id").cast("string").as("key"),
+            expr("ts div 1000").as("tsUs"), col("event_id").as("seq"),
+            col("value"))
+          .as[Streaming.ThrottleEvent]
+        Streaming.runAvailableNow(
+            Streaming.throttleElapsedStream(src, 6 * H).toDF(),
+            outputMode = "append")
+          .select(col("key").cast("long").as("user_id"),
+            col("tsUs").as("ts_us"), col("seq").as("event_id"), col("value"))
+    },
+
+    // A2 sliding-stddev STREAMING twin, driver-visible: the keyed
+    // lookback-deque fold (Streaming.slidingStddevStream) over the
+    // events file stream, against the same declarative range-frame
+    // oracle shape as ev_volatility_24h (equal-okey rows are frame
+    // peers in both).
+    "ev_volatility_stream" -> QueryDef(
+      s"""SELECT event_type, okey, value,
+         |  round(stddev_pop(value) OVER (
+         |    PARTITION BY event_type ORDER BY okey
+         |    RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW), 4) AS volatility
+         |FROM (SELECT event_type, $OKEY AS okey, value FROM events) t""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val src = Streaming.eventsStream(s, dir)
+          .select(col("event_type").as("key"),
+            (expr("ts div 1000") * 1000 + pmod(col("event_id"), lit(1000)))
+              .as("okey"),
+            col("value"))
+          .as[Streaming.ValueEvent]
+        Streaming.runAvailableNow(
+            Streaming.slidingStddevStream(src, D * 1000L).toDF(),
+            outputMode = "append")
+          .select(col("key").as("event_type"), col("okey"), col("value"),
+            round(col("stddev"), 4).as("volatility"))
+    },
+
+    // S6 custom DSv2 source, driver-visible: the EventReplayProvider
+    // MicroBatchStream (offset tracking + rowsPerBatch rate control —
+    // the live-feed interface parity source) replayed to completion
+    // under Trigger.AvailableNow (SupportsTriggerAvailableNow
+    // admission control) into a streaming aggregation; oracle = the
+    // plain batch GROUP BY. Multi-batch offsets, the subscription
+    // path, and the streaming agg state all sit under the exact hash.
+    // rowsPerBatch scales with the feed (~5 micro-batches at any SF) —
+    // the multi-batch path is what's being exercised, not a fixed rate.
+    "ev_replay_source_agg" -> QueryDef(
+      """SELECT event_type, count(*) AS n,
+        |  sum(round(value*100))/100 AS sum_value, max(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val perBatch = math.max(2000L, Tables.events(s, dir).count() / 5L)
+      val stream = s.readStream
+        .format("graft.sources.EventReplayProvider")
+        .option("path", dir)
+        .option("rowsPerBatch", perBatch)
+        .load()
+      Streaming.runAvailableNow(
+        stream.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("value") * 100)) / 100).as("sum_value"),
+            max(col("event_id")).as("max_id")))
+    },
+
+    // J6 combine_latest, driver-visible: the keyed fMGWS state operator
+    // (Streaming.combineLatest — one output per input carrying the
+    // latest value of every feature seen so far for the key) driven by
+    // the STREAMING engine over the events file stream with
+    // AvailableNow, map exploded to rows. Event time = event_id
+    // (globally unique), so the fold's (ts, feature) processing order
+    // is a total order and the frame is deterministic. Oracle: for
+    // each event, each feature's arg_max-by-event_id value among the
+    // user's rows up to and including it — the declarative restatement
+    // of last-value-per-feature state.
+    "ev_combine_latest" -> QueryDef(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value FROM events),
+        |x AS (
+        |  SELECT a.user_id, a.event_id, b.event_type AS feature,
+        |    arg_max(b.value, b.event_id) AS value
+        |  FROM e a JOIN e b
+        |    ON b.user_id = a.user_id AND b.event_id <= a.event_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, event_id, feature, value FROM x""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val src = Streaming.eventsStream(s, dir)
+          .select(col("user_id").cast("string").as("key"),
+            col("event_id").as("ts_us"),
+            col("event_type").as("feature"), col("value"))
+          .as[Streaming.FeatureEvent]
+        Streaming.runAvailableNow(
+            Streaming.combineLatest(src).toDF(), outputMode = "append")
+          .select(col("key").cast("long").as("user_id"),
+            col("ts_us").as("event_id"),
+            explode(col("values")).as(Seq("feature", "value")))
     },
 
     // U1 union-all of overlapping slices + exact dedup + agg.

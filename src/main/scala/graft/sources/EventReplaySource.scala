@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,7 +83,8 @@ private[sources] case class ReplayOffset(idx: Long) extends Offset {
 }
 
 private[sources] class EventReplayMicroBatchStream(
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
 
   private val path = {
     val p = options.get("path")
@@ -123,8 +124,37 @@ private[sources] class EventReplayMicroBatchStream(
     o
   }
 
+  // Trigger.AvailableNow contract (SupportsTriggerAvailableNow, which
+  // extends SupportsAdmissionControl): freeze the drain target at
+  // prepare time; the admission-control latestOffset then paces
+  // rowsPerBatch per trigger toward it, and the engine re-triggers
+  // until the cursor stops advancing — an AvailableNow run replays the
+  // WHOLE feed in rate-limited micro-batches instead of stopping after
+  // the first (continuous/processAllAvailable runs behave as before:
+  // the target stays unbounded).
+  private var availableNowTarget: Long = Long.MaxValue
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowTarget = feed.length.toLong
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  private def available: Long =
+    math.min(feed.length.toLong, availableNowTarget)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    synchronized {
+      val base = start.asInstanceOf[ReplayOffset].idx
+      val step = limit match {
+        case r: ReadMaxRows => r.maxRows()
+        case _ => rowsPerBatch
+      }
+      cursor = math.min(available, math.max(cursor, base + step))
+      ReplayOffset(cursor)
+    }
+
   override def latestOffset(): Offset = synchronized {
-    cursor = math.min(feed.length.toLong, cursor + rowsPerBatch)
+    cursor = math.min(available, cursor + rowsPerBatch)
     ReplayOffset(cursor)
   }
 
