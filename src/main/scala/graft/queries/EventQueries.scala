@@ -67,9 +67,13 @@ object EventQueries {
         val root = java.nio.file.Files.createTempDirectory("graft_cat_q").toString
         val cat = new graft.sources.BlockCatalog(s, root)
         val W = 7L * 86400000000L
+        // persisted once: each catalog write reads its slice three times
+        // (content hash, data write, stats) — 5 weekly writes would
+        // otherwise re-scan the parquet ~15x
         val e = ev(s, dir)
           .select(col("event_id"), col("ts_us"), col("user_id"),
             col("event_type"), col("value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val weeks = e.select((col("ts_us") / W).cast("long").as("w"))
           .distinct().collect().map(_.getLong(0)).sorted
         def weekSlice(w: Long) = e.filter((col("ts_us") / W).cast("long") === w)

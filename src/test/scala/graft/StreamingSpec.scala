@@ -73,6 +73,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("custom replay source: Trigger.AvailableNow drains the WHOLE feed") {
+    // SupportsTriggerAvailableNow admission control: an AvailableNow
+    // run must replay every row in rate-limited micro-batches, not
+    // stop at the first latestOffset (the pre-round-5 behavior).
+    val total = Tables.events(spark, dir).count()
+    val src = spark.readStream
+      .format("graft.sources.EventReplayProvider")
+      .option("path", dir)
+      .option("rowsPerBatch", 300)
+      .load()
+    val q = src.writeStream.outputMode("append")
+      .format("memory").queryName("replay_avnow_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      assert(spark.table("replay_avnow_out").count() == total)
+      // 1000 rows / 300 per trigger -> at least 4 batches ran
+      assert(q.lastProgress.batchId >= 3,
+        s"AvailableNow should still rate-limit, got batchId=${q.lastProgress.batchId}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first writer wins across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
