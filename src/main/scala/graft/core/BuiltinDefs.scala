@@ -64,6 +64,80 @@ object BuiltinDefs {
         params.get("tie"))
   }
 
+  /** P6 as a forest node (svoe `price/mid_price_fd/mid_price_fd.py:
+    * 24-58`): mid price from an L2 snapshot frame (`bids`/`asks`
+    * arrays of (price, size) structs, column names overridable via
+    * params). Carries ts (+ optional seq tie) through like
+    * [[VolatilityDef]] so downstream features can chain. */
+  object MidPriceDef extends FeatureDef {
+    val name = "mid_price"
+    def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+      val df = deps.head
+      val seqCol = params.get("seq").filterNot(_ == params("ts")).map(col).toSeq
+      df.select((byCols(params) ++ (col(params("ts")) +: seqCol) :+
+        graft.operators.L2Book.midPrice(
+          col(params.getOrElse("bids", "bids")),
+          col(params.getOrElse("asks", "asks"))).as("mid_price")): _*)
+    }
+  }
+
+  /** P7 as a forest node (svoe `spread/relative_bid_ask_spread_fd`):
+    * relative bid-ask spread from an L2 snapshot frame. */
+  object RelSpreadDef extends FeatureDef {
+    val name = "rel_spread"
+    def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+      val df = deps.head
+      val seqCol = params.get("seq").filterNot(_ == params("ts")).map(col).toSeq
+      df.select((byCols(params) ++ (col(params("ts")) +: seqCol) :+
+        graft.operators.L2Book.relSpread(
+          col(params.getOrElse("bids", "bids")),
+          col(params.getOrElse("asks", "asks"))).as("spread")): _*)
+    }
+  }
+
+  /** A4 as a forest node (svoe `l2_book/l2_snapshot_fd`): the L2 book
+    * replay over an updates frame (`instrument, ts_us, seq,
+    * update_type, side, price, size`). Params: `depth` (default 20),
+    * optional `sampling_us` (the reference's `sampling: 1s`,
+    * normalized by the config front door's duration grammar). */
+  object L2SnapshotDef extends FeatureDef {
+    val name = "l2_snapshot"
+    def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame =
+      graft.operators.L2Book.replay(deps.head,
+        depth = params.getOrElse("depth", "20").toInt,
+        samplingUs = params.get("sampling_us").map(_.toLong)).toDF()
+  }
+
+  /** A3 as a forest node (svoe `tvi/trade_volume_imb_fd`): sliding
+    * trade-volume imbalance of `notional` keyed by the boolean
+    * `is_buy` column over `lookback_us`. */
+  object TviDef extends FeatureDef {
+    val name = "tvi"
+    def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+      val df = deps.head
+      val okey = okeyOf(params)
+      val seqCol = params.get("seq").filterNot(_ == params("ts")).map(col).toSeq
+      df.select((byCols(params) ++ (col(params("ts")) +: seqCol) :+
+        graft.operators.WindowOps.tvi(col(params("notional")),
+          col(params("is_buy")), byCols(params), okey,
+          params("lookback_us").toLong).as("tvi")): _*)
+    }
+  }
+
+  /** A5 as a forest node (svoe `transforms/diff/diff.py`): relative
+    * diff (last-first)/first of `value` over `lookback_us`. */
+  object DiffDef extends FeatureDef {
+    val name = "diff"
+    def transform(deps: Seq[DataFrame], params: Map[String, String]): DataFrame = {
+      val df = deps.head
+      val okey = okeyOf(params)
+      val seqCol = params.get("seq").filterNot(_ == params("ts")).map(col).toSeq
+      df.select((byCols(params) ++ (col(params("ts")) +: seqCol) :+
+        graft.operators.WindowOps.relDiff(col(params("value")),
+          byCols(params), okey, params("lookback_us").toLong).as("diff")): _*)
+    }
+  }
+
   /** J1 root: point-in-time join of feature frames onto the label
     * frame (deps.head). `names` = comma-separated feature prefixes for
     * deps.tail. */

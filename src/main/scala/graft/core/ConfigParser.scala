@@ -34,6 +34,11 @@ object ConfigParser {
   val registry: Map[String, FeatureDef] = Map(
     "volatility" -> BuiltinDefs.VolatilityDef,
     "ohlcv" -> BuiltinDefs.OhlcvDef,
+    "mid_price" -> BuiltinDefs.MidPriceDef,
+    "rel_spread" -> BuiltinDefs.RelSpreadDef,
+    "l2_snapshot" -> BuiltinDefs.L2SnapshotDef,
+    "tvi" -> BuiltinDefs.TviDef,
+    "diff" -> BuiltinDefs.DiffDef,
     "lookahead_label" -> BuiltinDefs.LookaheadLabelDef,
     "pit_join" -> BuiltinDefs.PitJoinDef)
 
@@ -46,7 +51,9 @@ object ConfigParser {
     * one). Accepts a Scala `object ... extends FeatureDef` (with or
     * without the trailing '$') or a zero-arg class. */
   def resolve(name: String): FeatureDef =
-    registry.getOrElse(name, loadByName(name))
+    registry.get(name)
+      .orElse(referenceAliases.get(name.split('.').last).flatMap(registry.get))
+      .getOrElse(loadByName(name))
 
   private def loadByName(fqcn: String): FeatureDef = {
     def instantiate(cn: String): Option[Any] =
@@ -108,7 +115,12 @@ object ConfigParser {
     * resolve without edits (svoe `features/definitions` catalog). */
   private val referenceAliases: Map[String, String] = Map(
     "volatility_stddev_fd" -> "volatility",
-    "ohlcv_fd" -> "ohlcv")
+    "ohlcv_fd" -> "ohlcv",
+    "mid_price_fd" -> "mid_price",
+    "relative_bid_ask_spread_fd" -> "rel_spread",
+    "l2_snapshot_fd" -> "l2_snapshot",
+    "trade_volume_imb_fd" -> "tvi",
+    "diff" -> "diff")
 
   /** Reference-shaped YAML front door — parses the svoe
     * `FeaturizerConfig` schema verbatim (`featurizer/config.py:11-30`;
@@ -193,15 +205,27 @@ object ConfigParser {
       params.map {
         case ("lookback", v) => "lookback_us" -> TimeUtils.parseMicros(v).toString
         case ("window", v) => "window_us" -> TimeUtils.parseMicros(v).toString
+        case ("sampling", v) => "sampling_us" -> TimeUtils.parseMicros(v).toString
         case kv => kv
       }
 
     val nodes = scala.collection.mutable.Map.empty[String, Feature]
     sources.keys.foreach(s => nodes(s) = Feature(SourceDef(s)))
     cfg.features.foreach { spec =>
-      val deps = spec.deps.map(d => nodes.getOrElse(d,
-        throw new IllegalArgumentException(s"unknown dep '$d' of '${spec.name}'")))
       val defn = resolve(spec.definition)
+      // a feature with no declared deps binds to the sole injected
+      // source (the reference's implicit data_source binding — its
+      // README configs never name deps); ambiguous with several sources
+      val depNames =
+        if (spec.deps.nonEmpty) spec.deps
+        else {
+          require(sources.size == 1,
+            s"feature '${spec.name}' declares no deps; with ${sources.size} " +
+              "sources the binding is ambiguous — name deps explicitly")
+          Seq(sources.keys.head)
+        }
+      val deps = depNames.map(d => nodes.getOrElse(d,
+        throw new IllegalArgumentException(s"unknown dep '$d' of '${spec.name}'")))
       nodes(spec.name) = Feature(defn, common ++ normalize(spec.params), deps)
     }
 

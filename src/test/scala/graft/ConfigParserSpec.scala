@@ -91,6 +91,90 @@ class ConfigParserSpec extends AnyFunSuite {
       SparkEntry.entry(spark).orderBy("ts_us").collect().toSeq)
   }
 
+  test("reference README quick-start shape: mid_price -> volatility chain") {
+    // The README's actual config names price.mid_price_fd and
+    // volatility.volatility_stddev_fd over an L2 data source, with no
+    // deps on the first feature — it binds implicitly to the (sole)
+    // injected source, and the dotted names resolve via the alias map.
+    val spark0 = spark
+    import spark0.implicits._
+    val yaml =
+      """tie: seq
+        |label_feature: mid_price
+        |label_lookahead: '2s'
+        |feature_configs:
+        |  - feature_definition: price.mid_price_fd
+        |    name: mid_price
+        |    params:
+        |      data_source:
+        |        - exchange: BINANCE
+        |          instrument_type: spot
+        |          symbol: BTC-USDT
+        |  - feature_definition: volatility.volatility_stddev_fd
+        |    name: volatility
+        |    deps: [mid_price]
+        |    params:
+        |      feature:
+        |        value: mid_price
+        |        lookback: 10s
+        |""".stripMargin
+    val cfg = ConfigParser.parseYaml(yaml)
+    assert(cfg.features.map(_.definition) == Seq("mid_price", "volatility"))
+    assert(cfg.features.head.deps.isEmpty) // bound at build time
+    val t0 = 1704067200000000L
+    val snaps = (0 until 20).map { i =>
+      (t0 + i * 1000000L, i.toLong,
+        Seq(graft.operators.L2Book.Level(100.0 + i, 1.0)),
+        Seq(graft.operators.L2Book.Level(102.0 + i, 1.0)))
+    }.toDF("ts_us", "seq", "bids", "asks")
+    val out = ConfigParser.buildPlan(cfg, Map("book" -> snaps))
+    assert(out.columns.contains("label_mid_price"))
+    assert(out.columns.toSeq.exists(_.startsWith("volatility_")))
+    // 2s lookahead truncates the trailing 2 rows
+    assert(out.count() == 18)
+    val mids = out.orderBy("ts_us").select("mid_price").collect()
+      .map(_.getDouble(0))
+    assert(mids.head == 101.0 && mids.last == 118.0)
+  }
+
+  test("new builtin defs: rel_spread / tvi / diff / l2_snapshot resolve and run") {
+    val spark0 = spark
+    import spark0.implicits._
+    val snaps = Seq(
+      (0L, 0L, Seq(graft.operators.L2Book.Level(99.0, 1.0)),
+        Seq(graft.operators.L2Book.Level(101.0, 2.0))))
+      .toDF("ts_us", "seq", "bids", "asks")
+    val spread = ConfigParser.resolve("spread.relative_bid_ask_spread_fd")
+      .transform(Seq(snaps), Map("ts" -> "ts_us", "seq" -> "seq"))
+    assert(spread.select("spread").collect().head.getDouble(0) == 2.0 * 2 / 200.0)
+
+    val trades = Seq((0L, 1L, 100.0, true), (5L, 2L, 50.0, false))
+      .toDF("ts_us", "seq", "notional", "is_buy")
+    val tvi = ConfigParser.resolve("tvi.trade_volume_imb_fd")
+      .transform(Seq(trades), Map("ts" -> "ts_us", "seq" -> "seq",
+        "notional" -> "notional", "is_buy" -> "is_buy",
+        "lookback_us" -> "10"))
+    val tviVals = tvi.orderBy("ts_us").select("tvi").collect().map(_.getDouble(0))
+    assert(tviVals(0) == 2.0 && math.abs(tviVals(1) - 2.0 * 50 / 150) < 1e-15)
+
+    val series = Seq((0L, 1L, 10.0), (5L, 2L, 12.0))
+      .toDF("ts_us", "seq", "value")
+    val diff = ConfigParser.resolve("transforms.diff")
+      .transform(Seq(series), Map("ts" -> "ts_us", "seq" -> "seq",
+        "value" -> "value", "lookback_us" -> "10"))
+    val dv = diff.orderBy("ts_us").select("diff").collect().map(_.getDouble(0))
+    assert(dv(0) == 0.0 && dv(1) == 0.2)
+
+    val updates = Seq(
+      ("BTC", 0L, 1L, "SET", "bid", 99.0, 1.0),
+      ("BTC", 0L, 2L, "SET", "ask", 101.0, 2.0))
+      .toDF("instrument", "ts_us", "seq", "update_type", "side", "price", "size")
+    val book = ConfigParser.resolve("l2_book.l2_snapshot_fd")
+      .transform(Seq(updates), Map("depth" -> "5"))
+    val snap = book.collect().head
+    assert(snap.getAs[scala.collection.Seq[_]]("bids").length == 1)
+  }
+
   test("YAML: explicit deps, name-based label, and the per-dep index level") {
     val yaml =
       """label_feature: vol
