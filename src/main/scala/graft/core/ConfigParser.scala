@@ -28,7 +28,8 @@ object ConfigParser {
   final case class GraftConfig(ts: String, tie: Option[String],
       features: Seq[FeatureSpec], labelSource: Option[String],
       lookaheadUs: Option[Long],
-      startDate: Option[String] = None, endDate: Option[String] = None)
+      startDate: Option[String] = None, endDate: Option[String] = None,
+      featuresToStore: Seq[String] = Nil)
 
   /** Definition registry; user definitions can be added here. */
   val registry: Map[String, FeatureDef] = Map(
@@ -185,6 +186,12 @@ object ConfigParser {
     val labelSource = Option(root.get("label_feature")).map { n =>
       if (n.isIntegralNumber) orderedNames(n.asInt()) else n.asText()
     }
+    // features_to_store (index-or-name list): which features the
+    // feature store persists — consumed by Forest.buildMemoized
+    // callers; resolved to names here like label_feature
+    val toStore = Option(root.get("features_to_store")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(n => if (n.isIntegralNumber) orderedNames(n.asInt()) else n.asText())
     GraftConfig(
       ts = str(root, "ts").getOrElse("ts_us"),
       tie = str(root, "tie"),
@@ -192,7 +199,8 @@ object ConfigParser {
       labelSource = labelSource,
       lookaheadUs = str(root, "label_lookahead").map(TimeUtils.parseMicros),
       startDate = str(root, "start_date"),
-      endDate = str(root, "end_date"))
+      endDate = str(root, "end_date"),
+      featuresToStore = toStore)
   }
 
   /** Config → Feature forest → FeatureLabelSet frame. Duration-valued

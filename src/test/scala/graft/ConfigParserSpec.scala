@@ -179,6 +179,7 @@ class ConfigParserSpec extends AnyFunSuite {
     val yaml =
       """label_feature: vol
         |label_lookahead: 1s
+        |features_to_store: [0, vol]
         |feature_configs:
         |  - feature_definition: synthetic.synthetic_sine_mid_price
         |  - feature_definition: volatility.volatility_stddev_fd
@@ -196,6 +197,8 @@ class ConfigParserSpec extends AnyFunSuite {
       Map("value" -> "mid_price", "lookback" -> "30s"))
     assert(cfg.labelSource.contains("vol"))
     assert(cfg.lookaheadUs.contains(1000000L))
+    // features_to_store resolves indices and names like label_feature
+    assert(cfg.featuresToStore == Seq("synthetic_sine_mid_price", "vol"))
   }
 
   test("unknown definition and unknown dep fail clearly") {
