@@ -89,17 +89,27 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * duplication) and then records the meta row; a retry after both
     * simply hits the hash check. */
   def write(df: DataFrame, definition: String, key: String, tsUs: String): Boolean = {
-    val hash = contentHash(df)
-    if (hash == "empty") return false // nothing to store (and min/max stats would be null)
+    // ONE aggregation pass computes the content hash AND the catalog
+    // stats — at scale each stored block costs a single read before the
+    // data write, not two (hash job + stats job). Same hash definition
+    // as contentHash (order-independent decimal sum of row xxhash64).
+    val cols = df.columns.sorted.map(col)
+    val agg = df
+      .select(xxhash64(cols.toIndexedSeq: _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"),
+        col(tsUs).as("t"))
+      .agg(sum(col("h")).as("hs"), min(col("t")).as("start_ts"),
+        max(col("t")).as("end_ts"), count(lit(1)).as("num_rows"))
+      .collect()(0)
+    if (agg.isNullAt(0)) return false // empty frame: nothing to store
+    val hash = agg.getDecimal(0).toBigInteger.toString(16)
     if (hashExists(definition, key, hash)) return false
     val withDay = df.withColumn("day",
       date_format(timestamp_micros(col(tsUs)), "yyyy-MM-dd"))
     withDay.write.mode("overwrite").partitionBy("day")
       .parquet(s"${dataPath(definition, key)}/block=$hash")
-    val stats = df.agg(min(col(tsUs)).as("start_ts"), max(col(tsUs)).as("end_ts"),
-      count(lit(1)).as("num_rows")).collect()(0)
     import spark.implicits._
-    Seq((definition, key, stats.getLong(0), stats.getLong(1), stats.getLong(2), hash, "add"))
+    Seq((definition, key, agg.getLong(1), agg.getLong(2), agg.getLong(3), hash, "add"))
       .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op")
       .write.mode("append").parquet(metaPath)
     true
