@@ -45,14 +45,16 @@ object Trainer {
     * then a (k+1)-dim solve on the driver. `lambda` regularizes the
     * diagonal (not the intercept). Rows with any null/NaN feature or
     * label are skipped. */
-  def fitLinear(df: DataFrame, featureCols: Seq[String], labelCol: String,
-      lambda: Double = 1e-8): LinearModel = {
+  /** The distributed half of the fit: one treeAggregate pass over
+    * (features, label) accumulating the augmented normal equations
+    * `[X'X | X'y]` as a (d*d + d)-double array, d = #features + 1
+    * (intercept column of ones). Null/NaN rows are skipped. */
+  private def accumulateNormalEquations(df: DataFrame,
+      featureCols: Seq[String], labelCol: String): Array[Double] = {
     val k = featureCols.size
-    val d = k + 1 // augmented with the intercept column of ones
+    val d = k + 1
     val cols = (featureCols :+ labelCol).map(c => col(c).cast("double"))
     val rows = df.select(cols: _*).rdd
-
-    // accumulate [X'X | X'y] in one (d*d + d)-double array per partition
     val zero = new Array[Double](d * d + d)
     def seq(acc: Array[Double], r: Row): Array[Double] = {
       var bad = false
@@ -79,7 +81,33 @@ object Trainer {
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }
-    val acc = rows.treeAggregate(zero)(seq, comb)
+    rows.treeAggregate(zero)(seq, comb)
+  }
+
+  /** The normal-equations pass exposed as a frame for verification:
+    * (i, j, value) rows over the augmented design matrix — i indexes
+    * [intercept, features...], j == d is the X'y column. With
+    * INTEGER-VALUED features and label every partial sum is exact
+    * (below 2^53 addition of integers is associative), so the frame is
+    * order-independent and cross-engine hash-comparable — the
+    * scale-critical distributed aggregation of [[fitLinear]] sits
+    * under an exact oracle while the O(d^3) driver solve stays local. */
+  def normalEquations(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    val d = featureCols.size + 1
+    val acc = accumulateNormalEquations(df, featureCols, labelCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    (for { i <- 0 until d; j <- 0 to d } yield
+      (i, j, if (j < d) acc(i * d + j) else acc(d * d + i)))
+      .toDF("i", "j", "value")
+  }
+
+  def fitLinear(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      lambda: Double = 1e-8): LinearModel = {
+    val k = featureCols.size
+    val d = k + 1 // augmented with the intercept column of ones
+    val acc = accumulateNormalEquations(df, featureCols, labelCol)
 
     // solve (X'X + lambda*I_noIntercept) w = X'y, partial pivoting
     val m = Array.tabulate(d, d + 1) { (i, j) =>

@@ -14,7 +14,31 @@ object StatefulQueries {
 
   private val H = 3600000000L
 
+  /** The ml_normal_eq design: x0 = intercept, x1/x2 integer-valued
+    * features, y an exact linear combination — every product and sum
+    * is an integer below 2^53, so the distributed accumulation is
+    * order-independent and matches DuckDB bit-for-bit. */
+  private val NE_XS = Seq("1.0", "round(value)", "CAST(event_id % 97 AS DOUBLE)")
+  private val NE_Y = "(round(value)*2 + (event_id % 97)*3 + 5)"
+
   val defs: Map[String, QueryDef] = Map(
+
+    // §3.3 Trainer under the driver's exact compare: the distributed
+    // normal-equations pass of the closed-form ridge fit (the
+    // scale-critical treeAggregate; the driver-side solve is O(d^3)
+    // local trivia). Integer-valued features make the sums exact, so
+    // the (i, j, value) frame hash-matches 12 plain SQL sums.
+    "ml_normal_eq" -> QueryDef(
+      (for { i <- 0 until 3; j <- 0 to 3 } yield
+        s"SELECT $i AS i, $j AS j, " +
+          s"sum(${NE_XS(i)} * ${if (j < 3) NE_XS(j) else NE_Y}) AS value FROM events")
+        .mkString("\nUNION ALL\n")) { (s, dir) =>
+      val f = Tables.events(s, dir).select(
+        round(col("value")).as("f1"),
+        (col("event_id") % 97).cast("double").as("f2"),
+        (round(col("value")) * 2 + (col("event_id") % 97) * 3 + lit(5)).as("y"))
+      graft.consumers.Trainer.normalEquations(f, Seq("f1", "f2"), "y")
+    },
 
     // The backtester consumer (§3.3) under the driver's exact compare:
     // one independent portfolio per instrument replaying a
