@@ -37,6 +37,19 @@ object Preprocess {
       .filter(col("__prev") > col("__ts")).count()
   }
 
+  /** Per-key report variant of [[tsViolationsBySeq]] — the QA frame a
+    * pipeline materializes (one row per key: violation + row counts),
+    * oracle-comparable since counts are exact integers. */
+  def tsViolationsBySeqReport(df: DataFrame, ts: Column, seq: Column,
+      by: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(by: _*).orderBy(seq.asc)
+    df.select((by :+ ts.as("__ts") :+ lag(ts, 1).over(w).as("__prev")): _*)
+      .groupBy(by: _*)
+      .agg(sum(when(col("__prev") > col("__ts"), 1L).otherwise(0L))
+          .as("n_violations"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Sliding-window population stddev as a per-key JVM fold: the
     * declarative range frame (WindowOps.volatility) re-evaluates its
     * aggregate per row through Spark's window machinery (O(n*w) with a

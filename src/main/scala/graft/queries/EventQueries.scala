@@ -141,6 +141,26 @@ object EventQueries {
         .select("event_id", "ts_us", "user_id", "event_type", "value")
     },
 
+    // O2 sortedness QA under the oracle: per-key violation counts of
+    // "ts non-decreasing in seq order" where seq is a deterministic
+    // order PERTURBATION (each block of 10 event_ids reversed) so the
+    // assertion actually fires — the QA report frame a pipeline
+    // materializes, not a vacuous zero.
+    "ev_sort_violations" -> QueryDef(
+      """SELECT event_type,
+        |  sum(CASE WHEN prev > ts_us THEN 1 ELSE 0 END) AS n_violations,
+        |  count(*) AS n_rows
+        |FROM (SELECT event_type, epoch_us(ts) AS ts_us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY event_type
+        |    ORDER BY (event_id // 10) * 10 + 9 - event_id % 10) AS prev
+        |  FROM events) t
+        |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      graft.operators.Preprocess.tsViolationsBySeqReport(
+        ev(s, dir), col("ts_us"),
+        expr("(event_id div 10) * 10 + 9 - event_id % 10"),
+        Seq(col("event_type")))
+    },
+
     // P8 uniform downsample: every 10th row per event_type in total order.
     "ev_downsample" -> QueryDef(
       s"""SELECT event_id, event_type, value FROM (
