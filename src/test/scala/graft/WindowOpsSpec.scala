@@ -63,6 +63,23 @@ class WindowOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approxQuantileBounds: degenerate group sizes (1, 2) stay in-bound") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tiny = Seq(("a", 5.0), ("b", 1.0), ("b", 9.0)).toDF("k", "v")
+    val out = WindowOps.approxQuantileBounds(tiny, col("v"), Seq("k"),
+        Seq(0.5, 0.99), accuracy = 10000)
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("within_bound")), s"row $r")
+    }
+    // singleton group: both edges are the single value
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.forall(r => r.getDouble(r.fieldIndex("lo_val")) == 5.0 &&
+      r.getDouble(r.fieldIndex("hi_val")) == 5.0))
+  }
+
   test("OHLCV golden: open/high/low/close/volume/vwap per bucket") {
     val out = WindowOps.ohlcv(trades, col("ts_us"), okey, col("price"),
         col("amount"), 10L, Nil)
