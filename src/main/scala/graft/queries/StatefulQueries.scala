@@ -4,11 +4,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.L2Book
 
-/** Stateful-operator coverage: the L2 order-book replay driven by a
-  * deterministic update stream derived from the `events` table (no L2
-  * market data exists in the environment — FIXTURES.md §4). The fold is
-  * not SQL-expressible → rows-only driver check; semantics are covered
-  * by L2BookSpec goldens.
+/** Stateful-operator and consumer coverage: the L2 order-book replay
+  * (batch fold AND its streaming fMGWS twin, both under the recursive
+  * per-level-fold SQL oracle), the backtester trade log, and the
+  * trainer's normal-equations pass — driven by deterministic streams
+  * derived from the `events` table (no L2 market data exists in the
+  * environment — FIXTURES.md §4). L2BookSpec/BacktesterSpec pin the
+  * operator semantics; every query here is exact-hash-compared.
   */
 object StatefulQueries {
 
@@ -20,6 +22,96 @@ object StatefulQueries {
     * order-independent and matches DuckDB bit-for-bit. */
   private val NE_XS = Seq("1.0", "round(value)", "CAST(event_id % 97 AS DOUBLE)")
   private val NE_Y = "(round(value)*2 + (event_id % 97)*3 + 5)"
+
+  /** Deterministic L2 update stream derived from the events table
+    * (shared by the batch replay; the streaming twin derives the same
+    * expressions over `readStream` inline below). */
+  private def l2Updates(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(
+        col("event_type").as("instrument"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 50 === 0, "SNAPSHOT")
+          .when(col("event_id") % 3 === 0, "ADD")
+          .when(col("event_id") % 3 === 1, "SET")
+          .otherwise("SUB").as("update_type"),
+        when(col("event_id") % 2 === 0, "bid").otherwise("ask").as("side"),
+        round(col("value")).as("price"),
+        (lit(1.0) + col("event_id") % 5).as("size"))
+
+  /** The full ADD/SET/SUB replay oracle (recursive per-level fold in
+    * snapshot-wipe windows) — shared verbatim by `l2_book_replay`
+    * (batch secondary-sort fold) and `l2_book_stream` (fMGWS twin). */
+  private val L2_REPLAY_SQL: String =
+      s"""WITH RECURSIVE u AS (
+         |  SELECT event_type AS instrument, epoch_us(ts) AS ts_us, event_id AS seq,
+         |    CASE WHEN event_id % 50 = 0 THEN 'SNAPSHOT'
+         |         WHEN event_id % 3 = 0 THEN 'ADD'
+         |         WHEN event_id % 3 = 1 THEN 'SET'
+         |         ELSE 'SUB' END AS update_type,
+         |    CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+         |    round(value) AS price,
+         |    1.0 + event_id % 5 AS size,
+         |    CAST(epoch_us(ts) AS HUGEINT)*1000000000 + event_id AS k
+         |  FROM events),
+         |ordered AS (
+         |  SELECT *, lag(update_type) OVER w AS prev_ut, lag(ts_us) OVER w AS prev_ts
+         |  FROM u WINDOW w AS (PARTITION BY instrument ORDER BY ts_us, seq)),
+         |wipes AS (
+         |  SELECT instrument, ts_us, k FROM ordered
+         |  WHERE update_type = 'SNAPSHOT'
+         |    AND (prev_ut IS DISTINCT FROM 'SNAPSHOT' OR prev_ts IS DISTINCT FROM ts_us)),
+         |em AS (SELECT instrument, (ts_us // ${H}) * ${H} AS bucket_us, max(ts_us) AS t_end
+         |  FROM u GROUP BY 1, 2),
+         |wk AS (
+         |  SELECT e.instrument, e.bucket_us, e.t_end, coalesce(max(w.k), 0) AS wipe_k
+         |  FROM em e LEFT JOIN wipes w
+         |    ON w.instrument = e.instrument AND w.ts_us <= e.t_end
+         |  GROUP BY 1, 2, 3),
+         |win AS (
+         |  SELECT wk.instrument, wk.bucket_us, o.side, o.price, o.update_type, o.size,
+         |    row_number() OVER (PARTITION BY wk.instrument, wk.bucket_us, o.side, o.price
+         |      ORDER BY o.k) AS rn
+         |  FROM wk JOIN ordered o
+         |    ON o.instrument = wk.instrument AND o.ts_us <= wk.t_end AND o.k >= wk.wipe_k),
+         |fold AS (
+         |  SELECT instrument, bucket_us, side, price, rn,
+         |    CASE WHEN update_type = 'SUB' THEN -size ELSE size END AS s
+         |  FROM win WHERE rn = 1
+         |  UNION ALL
+         |  SELECT w.instrument, w.bucket_us, w.side, w.price, w.rn,
+         |    CASE WHEN w.update_type IN ('SNAPSHOT','SET') THEN w.size
+         |         WHEN w.update_type = 'ADD' THEN greatest(f.s, 0) + w.size
+         |         ELSE greatest(f.s, 0) - w.size END
+         |  FROM fold f JOIN win w
+         |    ON w.instrument = f.instrument AND w.bucket_us = f.bucket_us
+         |   AND w.side = f.side AND w.price = f.price AND w.rn = f.rn + 1),
+         |final AS (
+         |  SELECT instrument, bucket_us, side, price, s FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY instrument, bucket_us, side, price ORDER BY rn DESC) AS rr
+         |    FROM fold) t WHERE rr = 1),
+         |ranked AS (
+         |  SELECT instrument, bucket_us, side, price,
+         |    row_number() OVER (PARTITION BY instrument, bucket_us, side
+         |      ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS rnk
+         |  FROM final WHERE s > 0),
+         |agg AS (
+         |  SELECT instrument, bucket_us,
+         |    count(CASE WHEN side = 'bid' AND rnk <= 5 THEN 1 END) AS bid_depth,
+         |    count(CASE WHEN side = 'ask' AND rnk <= 5 THEN 1 END) AS ask_depth,
+         |    max(CASE WHEN side = 'bid' AND rnk = 1 THEN price END) AS bb,
+         |    max(CASE WHEN side = 'ask' AND rnk = 1 THEN price END) AS ba
+         |  FROM ranked GROUP BY 1, 2)
+         |SELECT e.instrument, e.t_end AS ts_us,
+         |  coalesce(a.bid_depth, 0) AS bid_depth,
+         |  coalesce(a.ask_depth, 0) AS ask_depth,
+         |  (a.bb + a.ba) / 2 AS mid_price,
+         |  CASE WHEN a.bb + a.ba <> 0 THEN abs(a.ba - a.bb) * 2 / (a.ba + a.bb) END AS spread
+         |FROM wk e LEFT JOIN agg a
+         |  ON a.instrument = e.instrument AND a.bucket_us = e.bucket_us""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -180,79 +272,30 @@ object StatefulQueries {
     // size, ADD adds to max(s,0), SUB subtracts from max(s,0), level
     // present iff s > 0 (overdrawn SUB removes; a later ADD restarts
     // from 0 — the non-linearity that forces a true fold).
-    "l2_book_replay" -> QueryDef(
-      s"""WITH RECURSIVE u AS (
-         |  SELECT event_type AS instrument, epoch_us(ts) AS ts_us, event_id AS seq,
-         |    CASE WHEN event_id % 50 = 0 THEN 'SNAPSHOT'
-         |         WHEN event_id % 3 = 0 THEN 'ADD'
-         |         WHEN event_id % 3 = 1 THEN 'SET'
-         |         ELSE 'SUB' END AS update_type,
-         |    CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
-         |    round(value) AS price,
-         |    1.0 + event_id % 5 AS size,
-         |    CAST(epoch_us(ts) AS HUGEINT)*1000000000 + event_id AS k
-         |  FROM events),
-         |ordered AS (
-         |  SELECT *, lag(update_type) OVER w AS prev_ut, lag(ts_us) OVER w AS prev_ts
-         |  FROM u WINDOW w AS (PARTITION BY instrument ORDER BY ts_us, seq)),
-         |wipes AS (
-         |  SELECT instrument, ts_us, k FROM ordered
-         |  WHERE update_type = 'SNAPSHOT'
-         |    AND (prev_ut IS DISTINCT FROM 'SNAPSHOT' OR prev_ts IS DISTINCT FROM ts_us)),
-         |em AS (SELECT instrument, (ts_us // ${H}) * ${H} AS bucket_us, max(ts_us) AS t_end
-         |  FROM u GROUP BY 1, 2),
-         |wk AS (
-         |  SELECT e.instrument, e.bucket_us, e.t_end, coalesce(max(w.k), 0) AS wipe_k
-         |  FROM em e LEFT JOIN wipes w
-         |    ON w.instrument = e.instrument AND w.ts_us <= e.t_end
-         |  GROUP BY 1, 2, 3),
-         |win AS (
-         |  SELECT wk.instrument, wk.bucket_us, o.side, o.price, o.update_type, o.size,
-         |    row_number() OVER (PARTITION BY wk.instrument, wk.bucket_us, o.side, o.price
-         |      ORDER BY o.k) AS rn
-         |  FROM wk JOIN ordered o
-         |    ON o.instrument = wk.instrument AND o.ts_us <= wk.t_end AND o.k >= wk.wipe_k),
-         |fold AS (
-         |  SELECT instrument, bucket_us, side, price, rn,
-         |    CASE WHEN update_type = 'SUB' THEN -size ELSE size END AS s
-         |  FROM win WHERE rn = 1
-         |  UNION ALL
-         |  SELECT w.instrument, w.bucket_us, w.side, w.price, w.rn,
-         |    CASE WHEN w.update_type IN ('SNAPSHOT','SET') THEN w.size
-         |         WHEN w.update_type = 'ADD' THEN greatest(f.s, 0) + w.size
-         |         ELSE greatest(f.s, 0) - w.size END
-         |  FROM fold f JOIN win w
-         |    ON w.instrument = f.instrument AND w.bucket_us = f.bucket_us
-         |   AND w.side = f.side AND w.price = f.price AND w.rn = f.rn + 1),
-         |final AS (
-         |  SELECT instrument, bucket_us, side, price, s FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY instrument, bucket_us, side, price ORDER BY rn DESC) AS rr
-         |    FROM fold) t WHERE rr = 1),
-         |ranked AS (
-         |  SELECT instrument, bucket_us, side, price,
-         |    row_number() OVER (PARTITION BY instrument, bucket_us, side
-         |      ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END) AS rnk
-         |  FROM final WHERE s > 0),
-         |agg AS (
-         |  SELECT instrument, bucket_us,
-         |    count(CASE WHEN side = 'bid' AND rnk <= 5 THEN 1 END) AS bid_depth,
-         |    count(CASE WHEN side = 'ask' AND rnk <= 5 THEN 1 END) AS ask_depth,
-         |    max(CASE WHEN side = 'bid' AND rnk = 1 THEN price END) AS bb,
-         |    max(CASE WHEN side = 'ask' AND rnk = 1 THEN price END) AS ba
-         |  FROM ranked GROUP BY 1, 2)
-         |SELECT e.instrument, e.t_end AS ts_us,
-         |  coalesce(a.bid_depth, 0) AS bid_depth,
-         |  coalesce(a.ask_depth, 0) AS ask_depth,
-         |  (a.bb + a.ba) / 2 AS mid_price,
-         |  CASE WHEN a.bb + a.ba <> 0 THEN abs(a.ba - a.bb) * 2 / (a.ba + a.bb) END AS spread
-         |FROM wk e LEFT JOIN agg a
-         |  ON a.instrument = e.instrument AND a.bucket_us = e.bucket_us""".stripMargin) { (s, dir) =>
-      val updates = Tables.events(s, dir)
+    "l2_book_replay" -> QueryDef(L2_REPLAY_SQL) { (s, dir) =>
+      val snaps = L2Book.replay(l2Updates(s, dir), depth = 5,
+        samplingUs = Some(3600000000L)).toDF()
+      snaps.select(
+        col("instrument"), col("ts_us"),
+        size(col("bids")).as("bid_depth"),
+        size(col("asks")).as("ask_depth"),
+        L2Book.midPrice(col("bids"), col("asks")).as("mid_price"),
+        L2Book.relSpread(col("bids"), col("asks")).as("spread"))
+    },
+
+    // A4's STREAMING twin under the SAME oracle: the fMGWS book state
+    // machine (Streaming.l2BookStream) drained over the events file
+    // stream with AvailableNow emits one snapshot per distinct ts;
+    // keeping the bucket-LAST snapshot per (instrument, hour)
+    // reproduces the sampled batch replay exactly, so the recursive
+    // per-level fold SQL that checks l2_book_replay checks the
+    // streaming engine's state machine too.
+    "l2_book_stream" -> QueryDef(L2_REPLAY_SQL) { (s, dir) =>
+      import s.implicits._
+      val updates = graft.streaming.Streaming.eventsStream(s, dir)
         .withColumn("ts_us", expr("ts div 1000"))
         .select(
-          col("event_type").as("instrument"),
-          col("ts_us"),
+          col("event_type").as("instrument"), col("ts_us"),
           col("event_id").as("seq"),
           when(col("event_id") % 50 === 0, "SNAPSHOT")
             .when(col("event_id") % 3 === 0, "ADD")
@@ -261,13 +304,22 @@ object StatefulQueries {
           when(col("event_id") % 2 === 0, "bid").otherwise("ask").as("side"),
           round(col("value")).as("price"),
           (lit(1.0) + col("event_id") % 5).as("size"))
-      val snaps = L2Book.replay(updates, depth = 5,
-        samplingUs = Some(3600000000L)).toDF()
-      snaps.select(
-        col("instrument"), col("ts_us"),
-        size(col("bids")).as("bid_depth"),
-        size(col("asks")).as("ask_depth"),
-        L2Book.midPrice(col("bids"), col("asks")).as("mid_price"),
-        L2Book.relSpread(col("bids"), col("asks")).as("spread"))
+        .as[L2Book.Update]
+      val sink = graft.streaming.Streaming.runAvailableNow(
+        graft.streaming.Streaming.l2BookStream(updates, depth = 5).toDF(),
+        outputMode = "append")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("instrument"), (col("ts_us") / H).cast("long"))
+        .orderBy(col("ts_us").desc)
+      sink.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select(
+          col("instrument"), col("ts_us"),
+          size(col("bids")).as("bid_depth"),
+          size(col("asks")).as("ask_depth"),
+          L2Book.midPrice(col("bids"), col("asks")).as("mid_price"),
+          L2Book.relSpread(col("bids"), col("asks")).as("spread"))
     })
+
 }
+
