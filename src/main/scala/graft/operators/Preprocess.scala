@@ -97,6 +97,83 @@ object Preprocess {
       if (b + s == 0.0) null else 2.0 * (b - s) / (b + s)
     }
 
+  /** INCREMENTAL sliding stddev over cents-quantized values — the
+    * dense-window scale variant. The two-pass fold above re-scans its
+    * window per emission: O(n·w) — fine when windows hold hundreds of
+    * rows, quadratic when a hot key's window density explodes (the
+    * sf10-equivalent probe measured 32s vs sf0.1's 0.55s for
+    * `ev_volatility_24h`: 100x rows in the SAME time span = 100x
+    * denser windows; SCALE.md "window fold density"). This variant
+    * maintains running (n, sum, sum-of-squares) updated as rows enter
+    * and leave the deque — O(1) amortized per row, O(n) total.
+    *
+    * Exactness: incremental add/REMOVE of raw doubles drifts, so the
+    * input is quantized to integer cents (`round(v*100)` — the natural
+    * discrete-price semantics); integer-valued-double sums are exact
+    * in any order and under removal (below 2^53, i.e. while
+    * window_rows * max_cents^2 < 9e15), so the running sums equal a
+    * from-scratch recompute bit-for-bit, and the only fp steps are the
+    * final divides: stddev = sqrt(sumsq/n - (sum/n)^2) / 100. Output
+    * rounded 4dp like the other genuinely-fp aggregates. */
+  def slidingStddevCentsIncremental(df: DataFrame, okeyCol: String,
+      centsCol: String, rangeUnits: Long, by: Seq[String],
+      outCol: String): DataFrame = {
+    val cols = df.columns
+    val okIdx = cols.indexOf(okeyCol)
+    val vIdx = cols.indexOf(centsCol)
+    val byIdx = by.map(c => cols.indexOf(c))
+    val sorted = df.repartition(by.map(col): _*)
+      .sortWithinPartitions((by.map(col) :+ col(okeyCol).asc): _*)
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.DoubleType, nullable = false))
+    val rdd = sorted.rdd.mapPartitions { iter =>
+      val it = iter.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        private var curKey: Seq[Any] = null
+        private val oks = new java.util.ArrayDeque[Long]()
+        private val vs = new java.util.ArrayDeque[Double]()
+        private var s = 0.0   // running sum of cents (exact integers)
+        private var s2 = 0.0  // running sum of squared cents (exact)
+        private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+
+        override def hasNext: Boolean = pending.hasNext || it.hasNext
+
+        override def next(): org.apache.spark.sql.Row = {
+          if (!pending.hasNext) {
+            val key = byIdx.map(it.head.get)
+            if (curKey == null || key != curKey) {
+              curKey = key; oks.clear(); vs.clear(); s = 0.0; s2 = 0.0
+            }
+            val ok = it.head.getLong(okIdx)
+            val run = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            while (it.hasNext && it.head.getLong(okIdx) == ok &&
+                byIdx.map(it.head.get) == key) {
+              val r = it.next()
+              val c = r.getDouble(vIdx)
+              oks.addLast(ok); vs.addLast(c)
+              s += c; s2 += c * c
+              run += r
+            }
+            while (oks.peekFirst() < ok - rangeUnits) {
+              oks.removeFirst()
+              val c = vs.removeFirst()
+              s -= c; s2 -= c * c
+            }
+            val n = vs.size()
+            val mean = s / n
+            val varC = math.max(0.0, s2 / n - mean * mean)
+            val out = math.sqrt(varC) / 100.0
+            pending = run.iterator
+              .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ out))
+          }
+          pending.next()
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Shared engine for the sliding-range folds above: one shuffle on
     * `by`, in-partition sort by the total order key, then a tight deque
     * loop evaluating `emit` once per equal-okey run. RANGE frames

@@ -48,6 +48,26 @@ class PreprocessSpec extends AnyFunSuite {
     assert(out(2) == 0.0)
   }
 
+  test("incremental cents stddev equals the two-pass fold at 4dp (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"),
+        (expr("ts div 1000") * 1000 + pmod(col("event_id"), lit(1000)))
+          .as("okey"),
+        round(col("value") * 100).as("c"))
+    val d = 86400000000L * 1000L
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), round(col("sd"), 4).as("sd"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inc = asMap(Preprocess.slidingStddevCentsIncremental(
+      ev, "okey", "c", d, Seq("event_type"), "sd"))
+    // two-pass over the SAME cents inputs, scaled back to value units
+    val two = asMap(Preprocess.slidingStddevPop(
+        ev, "okey", "c", d, Seq("event_type"), "sd0")
+      .select(col("event_id"), (col("sd0") / 100).as("sd")))
+    assert(inc == two)
+  }
+
   test("slidingTvi fold equals the declarative windowed-sum formulation") {
     import graft.operators.WindowOps
     val D = 24L * 3600000000L
