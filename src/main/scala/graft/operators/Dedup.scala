@@ -163,6 +163,92 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Same decontamination semantics with a Bloom-filter prefilter in
+    * front of the exact check — the 100 TB formulation. The benchmark
+    * shingle-hash set is folded into a Spark `BloomFilter`
+    * (`df.stat.bloomFilter`, ~1.2 bytes/item at 1% fpp vs 8 bytes/item
+    * for the exact hash set) and broadcast to every corpus task; the
+    * bloom pass is a per-row JVM filter (no shuffle, no broadcast
+    * join), and only bloom-PASSING corpus shingles — a tiny,
+    * already-matched-or-false-positive subset — reach the exact join
+    * that removes the false positives. Blooms have no false negatives,
+    * so the output is IDENTICAL to [[decontaminate]] (same oracle);
+    * the fpp knob trades broadcast bytes against confirm-join input.
+    * The one driver-side action is `bench` shingle count for bloom
+    * sizing — bounded: bench = eval suites, not corpora (same
+    * assumption as the broadcast in [[decontaminate]]).
+    * Reference semantics: svoe has no decontamination; this is
+    * beyond-reference LLM-pipeline surface (SURVEY §2-adjacent). */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, text: Column,
+      id: Column, n: Int, minShared: Int, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bs = explodeShingles(bench, text, id, n)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    bs.persist() // read twice: bloom build + exact confirm
+    val nBench = math.max(1L, bs.count())
+    val bloom = bs.stat.bloomFilter("h", nBench, fpp)
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val cs = explodeShingles(corpus, text, id, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .as[(Long, Long)]
+      .filter(r => bcBloom.value.mightContainLong(r._2))
+      .toDF("doc_id", "h")
+    // exact confirm kills the fpp*|corpus shingles| false positives;
+    // the survivors side is small so AQE broadcasts it when apt
+    val out = cs.join(bs, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    out
+  }
+
+  /** PASSAGE-level exact dedup (the within-and-across-document variant
+    * of [[exactDedup]], a la the "dedup at paragraph granularity" step
+    * of web-corpus pipelines): chunk each document into non-overlapping
+    * `size`-word passages, keep only the FIRST corpus-wide occurrence
+    * of each distinct passage — first in (doc_id, chunk_idx) order —
+    * and reconstruct every document from its surviving passages.
+    * Output: (doc_id, clean_text, n_kept, n_total); a fully-duplicate
+    * document comes back with clean_text = '' and n_kept = 0.
+    *
+    * 100 TB shape: two shuffles, both narrow. (1) keeper election
+    * groups passages by their sha2-256 digest with `min_by` on the
+    * encoded (doc_id, chunk_idx) key — partial aggregation keeps one
+    * candidate per digest per map task, so each passage body crosses
+    * the wire at most once and losers die map-side; (2) reconstruction
+    * regroups the surviving passages by doc_id — state bounded by
+    * document length. Passage text is lowercased by the shared
+    * chunker ([[TextAnalysis.chunkWords]] with stride = size).
+    * `chunk_idx` must stay below 1e6 for the order-key encoding —
+    * a 10^6-passage (>= 10^6-word) document, far beyond any real
+    * corpus row at sane passage sizes. */
+  def paragraphDedup(df: DataFrame, text: Column, id: Column,
+      size: Int): DataFrame = {
+    val chunks = TextAnalysis.chunkWords(df, text, id, size, size)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    val keyed = chunks.withColumn("okey",
+      col("doc_id") * 1000000L + col("chunk_idx"))
+    val kept = keyed
+      .groupBy(sha2(col("chunk"), 256).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("chunk_idx"), col("chunk")),
+        col("okey")).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.chunk_idx").as("chunk_idx"),
+        col("k.chunk").as("chunk"))
+    val totals = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_total"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_total"))
+  }
+
   /** MinHash signatures: `perms` min-hashes over 3-gram shingles, one
     * aggregation pass (doc_id, mh0..mh{perms-1}). One string hash per
     * shingle; permutations are a seeded affine universal family

@@ -54,6 +54,94 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Shared exact-rerank tail: per-query row_number over (cos desc,
+    * neighbor_id asc), top k, 6dp rounding (the oracle-parity output
+    * shape used by every top-k path). */
+  private def rerankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"),
+        col("rnk"))
+  }
+
+  /** FILTERED exact top-k: neighbors must match the query row on every
+    * column in `matchCols` (the filtered-search shape: same-language
+    * retrieval, per-tenant search, same-shard lookup). The match is an
+    * equi-join key, so the plan is a broadcast HASH join on the match
+    * columns — each corpus row is scored only against the queries in
+    * its own filter class, not all queries (a post-filter would score
+    * all |corpus|x|queries| pairs and throw most away). Output shape =
+    * [[bruteForceTopK]]; self-matches excluded. */
+  def bruteForceTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+      matchCols: Seq[String]): DataFrame = {
+    require(matchCols.nonEmpty, "matchCols must be non-empty")
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(
+      (col("vec_id").as("q_id") +: col("embedding").as("qe") +:
+        matchCols.map(c => col(c).as(s"q_$c"))): _*))
+    val cond = matchCols.map(c => col(c) <=> col(s"q_$c")).reduce(_ && _)
+    val scored = corpus.join(q, cond)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    rerankTopK(scored, k)
+  }
+
+  /** FILTERED IVF-ANN: [[ivfTopK]] with the match predicate pushed
+    * into the candidate join — a corpus row is scored only when it
+    * shares BOTH a probed list and the query's match-column values, so
+    * the filter prunes candidates before any cosine is computed (the
+    * "pre-filter" strategy; a post-filter ANN under-fills k when the
+    * filter is selective because filtered-out rows consume probe
+    * budget). Full probe (nProbe = nLists) provably equals
+    * [[bruteForceTopKFiltered]] — the driver-oracled regime; partial
+    * probes are the scale path (recall spec'd). */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int, nProbe: Int, matchCols: Seq[String],
+      iters: Int = 3): DataFrame = {
+    require(matchCols.nonEmpty, "matchCols must be non-empty")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val centroids = trainIvfCentroids(corpus, nLists, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    // match columns ride along through the list-assignment map (a Row
+    // encoder with a dynamic schema) — no corpus self-join to re-attach
+    // them, so the corpus is read and shuffled exactly as in ivfTopK
+    val base = corpus.select(
+      (col("vec_id").cast("long").as("neighbor_id") +: col("embedding") +:
+        matchCols.map(col)): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      base.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "lst", org.apache.spark.sql.types.IntegerType, nullable = false))
+    val assigned = base.map { r =>
+      val e = r.getSeq[Float](1).toArray
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nearestList(bc.value, e))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val probes = queries
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, e) =>
+        nearestLists(bc.value, e, math.min(nProbe, nLists)).map(l => (id, l))
+      }
+      .toDF("q_id", "lst")
+      .join(queries.select(
+        (col("vec_id").as("q_id") +: matchCols.map(c => col(c).as(s"q_$c"))): _*),
+        "q_id")
+    val cond = col("lst") === col("p_lst") &&
+      matchCols.map(c => col(c) <=> col(s"q_$c")).reduce(_ && _)
+    val cand = assigned.join(
+        broadcast(probes.withColumnRenamed("lst", "p_lst")), cond)
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"))), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    rerankTopK(cand, k)
+  }
+
   /** Deterministic ±1 sign-random-projection hyperplanes (seeded). */
   private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)

@@ -35,6 +35,22 @@ object DocQueries {
        |  JOIN sizes sb ON sb.doc_id = b_id
        |  WHERE inter/(sa.sz + sb.sz - inter) >= 0.8)""".stripMargin
 
+  /** The decontamination oracle (trigram shingles, >= 3 shared with the
+    * doc_id%97 benchmark slice) — single-sourced because TWO Spark
+    * paths (exact-set broadcast and Bloom-prefilter) must stay
+    * output-identical to it by construction. */
+  private val DECONTAMINATE_SQL =
+    s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+       |  FROM w WHERE len(ws) >= 3),
+       |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM sh JOIN bsh USING (s)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin
+
   /** The quality-scoring subquery, producing
     * `scored(doc_id, lang, text, n_chars, n_words, n_punct, n_stop,
     * quality)` — single-sourced for the same no-drift reason. */
@@ -404,22 +420,57 @@ object DocQueries {
     // doc_id % 97 == 0, ~1% of the corpus standing in for an eval
     // suite). The benchmark shingle set broadcasts; the corpus is
     // never shuffled.
-    "doc_decontaminate" -> QueryDef(
-      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, len(ws)-1),
-         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-         |  FROM w WHERE len(ws) >= 3),
-         |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
-         |SELECT doc_id, count(*) AS n_shared
-         |FROM sh JOIN bsh USING (s)
-         |WHERE doc_id % 97 <> 0
-         |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin) { (s, dir) =>
+    "doc_decontaminate" -> QueryDef(DECONTAMINATE_SQL) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       Dedup.decontaminate(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         col("text"), col("doc_id"), n = 3, minShared = 3)
+    },
+
+    // Same decontamination under the Bloom-prefilter scale path:
+    // the benchmark shingle set rides as a broadcast Bloom (bits, not
+    // an 8-byte-hash set), the corpus-side pass is a per-row JVM
+    // filter, and only bloom-passing shingles reach the exact confirm
+    // join. Blooms have no false negatives and the confirm removes the
+    // false positives, so the output — and the oracle — are IDENTICAL
+    // to doc_decontaminate (DedupSpec pins equality + the
+    // no-false-negative property at a hostile 50% fpp).
+    "doc_decontaminate_bloom" -> QueryDef(DECONTAMINATE_SQL) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        col("text"), col("doc_id"), n = 3, minShared = 3)
+    },
+
+    // Passage-level exact dedup: 20-word non-overlapping passages,
+    // first corpus-wide occurrence (by doc_id, chunk_idx) survives,
+    // documents reconstructed from survivors. Keeper election groups
+    // 32 B sha2 digests with min_by (passage bodies cross the shuffle
+    // once, losers die map-side); the oracle replays the same
+    // first-occurrence rule on the passage text itself.
+    "doc_para_dedup" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |s AS (SELECT doc_id, ws, len(ws) AS n,
+         |  unnest(range(0, (len(ws)-1)//20 + 1)) AS i FROM w),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |  array_to_string(list_slice(ws, i*20 + 1, least(i*20 + 20, n)), ' ') AS chunk
+         |  FROM s),
+         |keep AS (SELECT chunk, min(doc_id*1000000 + chunk_idx) AS kk
+         |  FROM ch GROUP BY 1),
+         |kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk FROM ch c
+         |  JOIN keep k ON c.chunk = k.chunk
+         |   AND c.doc_id*1000000 + c.chunk_idx = k.kk)
+         |SELECT t.doc_id,
+         |  coalesce(string_agg(k.chunk, ' ' ORDER BY k.chunk_idx), '') AS clean_text,
+         |  count(k.chunk) AS n_kept,
+         |  any_value(t.n_total) AS n_total
+         |FROM (SELECT doc_id, count(*) AS n_total FROM ch GROUP BY 1) t
+         |LEFT JOIN kept k USING (doc_id)
+         |GROUP BY t.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.paragraphDedup(Tables.documents(s, dir), col("text"),
+        col("doc_id"), size = 20)
     },
 
     // Gopher-style repetition metrics: duplicate-trigram fraction and

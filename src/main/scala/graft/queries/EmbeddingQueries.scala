@@ -27,6 +27,27 @@ object EmbeddingQueries {
       }
     }.mkString(",")
 
+  /** The filtered-top-k oracle (label-constrained exact cosine, k=5,
+    * queries vec_id < 20) — single-sourced: the brute-force path and
+    * the full-probe filtered IVF must both hash-match it exactly. */
+  private val FILTERED_TOPK_SQL =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+      |  FROM embeddings WHERE vec_id < 20)
+      |SELECT q_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
+      |  SELECT q_id, vec_id AS neighbor_id,
+      |    list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+      |       * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cos,
+      |    row_number() OVER (
+      |      PARTITION BY q_id
+      |      ORDER BY list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
+      |        (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+      |         * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) DESC,
+      |        vec_id ASC) AS rnk
+      |  FROM q JOIN embeddings ON label = q_label AND vec_id != q_id) t
+      |WHERE rnk <= 5""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     "emb_cosine_topk" -> QueryDef(
@@ -48,6 +69,30 @@ object EmbeddingQueries {
         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    },
+
+    // FILTERED similarity search, exact baseline: neighbors must share
+    // the query's label (same-language retrieval / per-tenant search
+    // shape). The match column is an equi-join key, so the plan is a
+    // broadcast HASH join on label — each corpus row scores only
+    // against its own filter class, not all queries.
+    "emb_filtered_topk" -> QueryDef(FILTERED_TOPK_SQL) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopKFiltered(emb, emb.filter(col("vec_id") < 20),
+        5, Seq("label"))
+    },
+
+    // FILTERED IVF-ANN, full-probe plumbing regime (same pattern as
+    // emb_ivf_topk): the label predicate is pushed into the candidate
+    // join — pruning BEFORE any cosine — and with nProbe = nLists the
+    // result provably equals the filtered brute force, so the driver
+    // hash-checks train/assign/probe/filter/rerank against the same
+    // SQL. Partial-probe recall + filter safety are spec'd
+    // (SimilaritySpec).
+    "emb_ivf_filtered_topk" -> QueryDef(FILTERED_TOPK_SQL) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopKFiltered(emb, emb.filter(col("vec_id") < 20),
+        5, nLists = 16, nProbe = 16, Seq("label"))
     },
 
     // Multi-table SRP-LSH ANN — upgraded from py-oracle to a

@@ -234,4 +234,51 @@ class DedupSpec extends AnyFunSuite {
     assert(candidates < allPairs / 4,
       s"candidates $candidates not sub-quadratic vs all-pairs $allPairs")
   }
+
+  test("bloom decontamination equals the exact path, even at a hostile fpp") {
+    // fpp 0.5 floods the confirm join with false positives; the output
+    // must not move (no-false-negative bloom + exact confirm)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, col("text"), col("doc_id"),
+        n = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "vacuous fixture: no contaminated docs")
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Dedup.decontaminateBloom(corpus, bench, col("text"),
+          col("doc_id"), n = 3, minShared = 2, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bloom == exact, s"fpp=$fpp diverged from the exact path")
+    }
+  }
+
+  test("paragraph dedup: first occurrence wins, documents rebuild in order") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"), // passages (size 3): "a b c", "d e f"
+      (2L, "a b c x y z"), // "a b c" loses to doc 1 idx 0; "x y z" kept
+      (3L, "d e f"),       // fully duplicate -> empty reconstruction
+      (4L, "p q"))         // short partial passage, kept
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, col("text"), col("doc_id"), size = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> (("a b c d e f", 2L, 2L)),
+      2L -> (("x y z", 1L, 2L)),
+      3L -> (("", 0L, 1L)),
+      4L -> (("p q", 1L, 1L))))
+  }
+
+  test("paragraph dedup corpus invariant: survivors = distinct passages") {
+    val chunks = graft.operators.TextAnalysis.chunkWords(
+      docs, col("text"), col("doc_id"), 20, 20)
+    val out = Dedup.paragraphDedup(docs, col("text"), col("doc_id"), size = 20)
+    val (kept, total) = out.agg(sum("n_kept"), sum("n_total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(total == chunks.count())
+    assert(kept == chunks.select("chunk").distinct().count())
+    assert(kept < total, "vacuous fixture: corpus has no duplicate passages")
+  }
 }

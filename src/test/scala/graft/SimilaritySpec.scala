@@ -88,4 +88,37 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (truth & approx).size.toDouble / truth.size
     assert(recall >= 0.5, s"LSH recall@5 = $recall")
   }
+
+  test("filtered top-k: every neighbor satisfies the filter; IVF full probe == brute") {
+    val bf = Similarity.bruteForceTopKFiltered(emb, queries, 5, Seq("label"))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = bf.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r.getLong(0)) == labels(r.getLong(1))),
+      "a neighbor crossed the label filter")
+    // full-probe filtered IVF is exactly the filtered brute force
+    val ivf = Similarity.ivfTopKFiltered(emb, queries, 5,
+      nLists = 8, nProbe = 8, Seq("label")).collect()
+    assert(ivf.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
+  test("filtered IVF at partial probe: filter safety + structural recall of seeded dups") {
+    // seed an identical same-label copy of every vector; an identical
+    // vector maps to the same nearest list, so even nProbe=1 must
+    // surface it at rank 1 with cos 1.0 — and never across labels
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"), col("label")))
+    val out = Similarity.ivfTopKFiltered(corpus, queries, 3,
+      nLists = 8, nProbe = 1, Seq("label")).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall(r =>
+      labels(r.getLong(0) % 1000000L) == labels(r.getLong(1) % 1000000L)))
+    val top = out.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (q <- queries.select("vec_id").collect().map(_.getLong(0)))
+      assert(top(q) == (q + 1000000L, 1.0), s"query $q top = ${top.get(q)}")
+  }
 }
