@@ -181,7 +181,13 @@ object AsofJoin {
     * right row of any earlier partition — at most `numPartitions` rows
     * ever reach the driver). Two jobs over a persisted exchange, O(n)
     * work, no single-node sort. Results are identical to
-    * `asofJoin(..., by = Nil)`.
+    * `asofJoin(..., by = Nil)` for ANY partition count.
+    * `numPartitions <= 0` auto-sizes the range exchange from the
+    * inputs' optimizer size estimate (~64 MB/slice, floored at the
+    * cluster parallelism, capped at 20k) — the default knob for
+    * callers who don't know their data volume; a constant count
+    * degrades to a linear scan of the densest decade (SCALE.md
+    * sf100eq).
     */
   def asofJoinRangePartitioned(
       left: DataFrame,
@@ -203,12 +209,30 @@ object AsofJoin {
     val tie = "__asof_tie"
     val tieCol = rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L))
 
+    // numPartitions <= 0 => size the range exchange from the inputs'
+    // optimizer size estimate (free — no action): ~64 MB per range
+    // slice, floored at the cluster's parallelism. The sf100eq probe
+    // showed why a CONSTANT count is wrong: at 1000x density a fixed
+    // 32-way range partition degrades to a linear scan of 10x-denser
+    // slices (13.2s where scaled partitions hold ~1-2x) — every
+    // degree-of-parallelism knob must scale with the data (SCALE.md,
+    // third-decade rule).
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else {
+        val bytes = left.queryExecution.optimizedPlan.stats.sizeInBytes +
+          right.queryExecution.optimizedPlan.stats.sizeInBytes
+        val target = BigInt(64L << 20)
+        val want = (bytes / target).min(BigInt(20000)).toInt + 1
+        math.max(spark.sparkContext.defaultParallelism, want)
+      }
+
     val lTag = left.select(col(tsCol).as(TS), lit(Long.MaxValue).as(tie),
       struct(leftCols.map(col): _*).as("__lrow"), lit(1).as(SIDE))
     val rTag = right.select(col(tsCol).as(TS), tieCol.as(tie),
       struct(rightVals.map(col): _*).as("__f0"), lit(0).as(SIDE))
     val u = lTag.unionByName(rTag, allowMissingColumns = true)
-      .repartitionByRange(numPartitions, col(TS), col(SIDE), col(tie))
+      .repartitionByRange(parts, col(TS), col(SIDE), col(tie))
       .sortWithinPartitions(col(TS).asc, col(SIDE).asc, col(tie).asc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -34,6 +34,12 @@ object Sampling {
   def hashBound(fraction: Double): String =
     f"${math.floor(fraction * (1 << 24)).toLong}%06x"
 
+  /** [[hashBound]] of a weight's FRACTIONAL part — "000000" (never
+    * true) for whole weights. Shared by [[mixtureSample]] and its SQL
+    * oracle so both engines compare the same literal. */
+  def fracBound(w: Double): String =
+    f"${math.floor((w - math.floor(w)) * (1 << 24)).toLong}%06x"
+
   /** Per-group deterministic sample: the `n` rows of each group with
     * the smallest (md5(key), tieBreak) — class-balanced downsampling
     * (equal representation per language/source/label) without an RNG.
@@ -43,6 +49,43 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(group).orderBy(md5(key).asc, tieBreak.asc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Deterministic MIXTURE resampling — the domain-weighting step of a
+    * pre-training pipeline ("train on source A for 2.5 epochs, source
+    * B for 0.4"): each row is emitted floor(w) times plus one more iff
+    * its content hash survives the fractional part, where w is its
+    * group's weight (`defaultWeight` for unlisted groups; 0 drops the
+    * group). Epochs > 1 mean deterministic REPETITION — a 0-based
+    * `copy` column distinguishes the replicas for downstream shuffling
+    * — and the fractional epoch reuses the [[hashSample]] md5-prefix
+    * rule, so it is the same content-chosen subset every run on any
+    * cluster, and the union property holds: the rows a 1.5x weight
+    * repeats are exactly the rows a 0.5x weight would keep.
+    *
+    * 100 TB shape: ZERO shuffle — weights compile into a literal
+    * when-chain, repetition is a per-row `explode(sequence)`, and the
+    * fractional-copy test is the codegen'd md5-prefix filter, all
+    * right after the scan. Output size = sum of group weights times
+    * group sizes, by construction. */
+  def mixtureSample(df: DataFrame, group: Column, key: Column,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w =>
+      w >= 0 && w <= 1000), s"weights out of [0,1000]: $weights")
+    def full(w: Double): Long = math.floor(w).toLong
+    val fullCol = weights.foldLeft(lit(full(defaultWeight))) {
+      case (acc, (g, w)) => when(group === lit(g), lit(full(w))).otherwise(acc)
+    }
+    val boundCol = weights.foldLeft(lit(fracBound(defaultWeight))) {
+      case (acc, (g, w)) => when(group === lit(g), lit(fracBound(w))).otherwise(acc)
+    }
+    val copies = fullCol +
+      when(substring(md5(key), 1, 6) < boundCol, 1L).otherwise(0L)
+    // sequence(0, n-1) only when n > 0: explode drops the null rows,
+    // and the guard matters — Spark's sequence(0, -1) is a DESCENDING
+    // [0, -1], not empty
+    df.withColumn("copy",
+      explode(when(copies > lit(0L), sequence(lit(0L), copies - lit(1L)))))
   }
 
   /** Greedy sequence packing: per `by` key, rows sorted by `okeyCol`

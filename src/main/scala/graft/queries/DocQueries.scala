@@ -365,6 +365,30 @@ object DocQueries {
     // oracled via a RECURSIVE CTE replaying the same (bin, fill) state
     // row by row — upgraded from py-oracle to a driver-visible DuckDB
     // oracle in round 3.
+    // Deterministic mixture resampling (domain weighting): en halved,
+    // de doubled, fr at 1.25 epochs (repeat + content-hash fraction),
+    // es dropped, zh at the default 1.0 — every weight shape in one
+    // query. The md5-prefix rule makes the fractional epochs the same
+    // content-chosen subset in both engines.
+    "doc_mixture_sample" -> QueryDef(
+      s"""WITH m AS (SELECT doc_id, lang,
+         |  (CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 WHEN 'fr' THEN 1
+         |             WHEN 'es' THEN 0 ELSE 1 END)
+         |  + (CASE WHEN substr(md5(text), 1, 6) <
+         |       CASE lang WHEN 'en' THEN '${Sampling.fracBound(0.5)}'
+         |                 WHEN 'fr' THEN '${Sampling.fracBound(1.25)}'
+         |                 ELSE '000000' END
+         |     THEN 1 ELSE 0 END) AS copies
+         |  FROM documents)
+         |SELECT doc_id, lang, unnest(range(0, copies)) AS copy FROM m""".stripMargin) {
+      (s, dir) =>
+        Sampling.mixtureSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+          col("lang"), col("text"),
+          Map("en" -> 0.5, "de" -> 2.0, "fr" -> 1.25, "es" -> 0.0))
+          .select("doc_id", "lang", "copy")
+    },
+
     "doc_pack_greedy" -> QueryDef(
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang,

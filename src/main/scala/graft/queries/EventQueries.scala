@@ -403,7 +403,11 @@ object EventQueries {
         .groupBy("ts_us")
         .agg(max_by(col("value"), okey).as("sig_value"),
           max(col("event_id")).as("sig_event_id"))
-      AsofJoin.asofJoinRangePartitioned(purchases, signups, "ts_us")
+      // numPartitions = 0: auto-size the range exchange from the data
+      // (the sf100eq third-decade rule — a constant count turns this
+      // into a linear scan of the densest slice)
+      AsofJoin.asofJoinRangePartitioned(purchases, signups, "ts_us",
+          numPartitions = 0)
         .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
           col("sig_value"), col("sig_event_id"))
     },

@@ -114,5 +114,12 @@ class AsofJoinSpec extends AnyFunSuite {
     val g = viaRange.orderBy("ts_us", "lid").collect().map(_.toSeq).toSeq
     assert(g == w)
     assert(g.nonEmpty)
+
+    // numPartitions = 0 auto-sizes the exchange from the inputs' size
+    // estimate; results must be identical for ANY partition count
+    val viaAuto = AsofJoin
+      .asofJoinRangePartitioned(l, r, "ts_us", rightPrefix = "r",
+        numPartitions = 0, rightTieBreak = Some("rid"))
+    assert(viaAuto.orderBy("ts_us", "lid").collect().map(_.toSeq).toSeq == w)
   }
 }

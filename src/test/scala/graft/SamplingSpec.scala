@@ -76,4 +76,31 @@ class SamplingSpec extends AnyFunSuite {
     // 200+200 fit, third overflows: bins of 2 docs each
     assert(out == (1L to 10L).map(i => i -> ((i - 1) / 2)))
   }
+
+  test("mixture sample: whole weights repeat, zero drops, fractions are the hashSample subset") {
+    import org.apache.spark.sql.functions.col
+    val out = Sampling.mixtureSample(docs.select(col("doc_id"), col("lang"), col("text")),
+      col("lang"), col("text"), Map("en" -> 1.5, "de" -> 2.0, "es" -> 0.0))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 2 * inLang("de"), "whole weight 2.0 must exactly double")
+    assert(!byLang.contains("es"), "zero weight must drop the group")
+    assert(byLang("fr") == inLang("fr") && byLang("zh") == inLang("zh"),
+      "default weight 1.0 must pass through")
+    // union property: the copy=1 rows of weight 1.5 are EXACTLY the
+    // rows hashSample(0.5) keeps among that group
+    val extra = out.filter(col("lang") === "en" && col("copy") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = Sampling.hashSample(docs.filter(col("lang") === "en"),
+        col("text"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(extra == half)
+    // every copy index is dense 0..n-1 per doc
+    val copies = out.filter(col("lang") === "de").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.collect_list("copy").as("cs"))
+      .collect().map(_.getSeq[Long](1).sorted)
+    assert(copies.forall(_ == Seq(0L, 1L)))
+  }
 }
