@@ -212,6 +212,31 @@ object DocQueries {
           col("text"), col("doc_id"), col("n_chars")))
     },
 
+    // Streaming twin of doc_para_dedup's keeper election: documents
+    // stream in, are chunked statelessly per row, and every distinct
+    // passage's keeper (min encoded (doc_id, idx) key) + copy count
+    // accumulate in the state store — the ingest-time boilerplate
+    // dedup. Same AvailableNow drain + order-independent agg
+    // discipline as doc_dedup_exact_stream; the oracle replays the
+    // chunking and the min in SQL.
+    "doc_para_dedup_stream" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |s AS (SELECT doc_id, ws, len(ws) AS n,
+         |  unnest(range(0, (len(ws)-1)//20 + 1)) AS i FROM w),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |  array_to_string(list_slice(ws, i*20 + 1, least(i*20 + 20, n)), ' ') AS chunk
+         |  FROM s)
+         |SELECT sha256(chunk) AS digest,
+         |  min(doc_id*1000000 + chunk_idx) // 1000000 AS keep_doc_id,
+         |  min(doc_id*1000000 + chunk_idx) % 1000000 AS keep_idx,
+         |  count(*) AS n_copies
+         |FROM ch GROUP BY 1""".stripMargin) { (s, dir) =>
+      Streaming.runAvailableNow(
+        Streaming.paragraphKeepListStream(
+          Streaming.documentsStream(s, dir),
+          col("text"), col("doc_id"), size = 20))
+    },
+
     // Streaming MinHash near-dup dedup, driver-visible: the fMGWS
     // band-bucket engine (Streaming.minhashDedupStream) drained with
     // AvailableNow, band verdicts collapsed to one (doc_id, dup_of) row
@@ -437,6 +462,71 @@ object DocQueries {
               .filter(col("quality") >= 0.5),
             col("text"), 0.5)
           .select("doc_id", "lang", "quality")
+    },
+
+    // The round-6 pipeline composition, end-to-end under one oracle:
+    // decontaminate (BLOOM path) -> passage-level dedup with document
+    // reconstruction (drop fully-duplicate docs) -> mixture resampling
+    // on the CLEANED text (en halved, de doubled). Exercises that the
+    // new operators compose without breaking exactness — the mixture
+    // hash keys on text that passage dedup rewrote, and the passage
+    // keeper election runs only over decontaminated survivors (order
+    // matters; the SQL replays the same order).
+    "doc_pipeline_train" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, lang, $SPLIT AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |contaminated AS (SELECT doc_id FROM sh JOIN bsh USING (s)
+         |  WHERE doc_id % 97 <> 0 GROUP BY doc_id HAVING count(*) >= 3),
+         |corpus AS (SELECT doc_id, lang, ws FROM w
+         |  WHERE doc_id % 97 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |s2 AS (SELECT doc_id, ws, len(ws) AS n,
+         |  unnest(range(0, (len(ws)-1)//20 + 1)) AS i FROM corpus),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |  array_to_string(list_slice(ws, i*20 + 1, least(i*20 + 20, n)), ' ') AS chunk
+         |  FROM s2),
+         |keep AS (SELECT chunk, min(doc_id*1000000 + chunk_idx) AS kk
+         |  FROM ch GROUP BY 1),
+         |kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk FROM ch c
+         |  JOIN keep k ON c.chunk = k.chunk
+         |   AND c.doc_id*1000000 + c.chunk_idx = k.kk),
+         |rebuilt AS (SELECT t.doc_id,
+         |    string_agg(k.chunk, ' ' ORDER BY k.chunk_idx) AS clean_text,
+         |    count(k.chunk) AS n_kept, any_value(t.n_total) AS n_total
+         |  FROM (SELECT doc_id, count(*) AS n_total FROM ch GROUP BY 1) t
+         |  LEFT JOIN kept k USING (doc_id) GROUP BY t.doc_id),
+         |survivors AS (SELECT r.doc_id, c.lang, r.clean_text, r.n_kept,
+         |    r.n_total
+         |  FROM rebuilt r JOIN corpus c USING (doc_id) WHERE r.n_kept > 0),
+         |m AS (SELECT doc_id, lang, n_kept, n_total,
+         |  (CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 ELSE 1 END)
+         |  + (CASE WHEN substr(md5(clean_text), 1, 6) <
+         |       CASE lang WHEN 'en' THEN '${Sampling.fracBound(0.5)}'
+         |                 ELSE '000000' END
+         |     THEN 1 ELSE 0 END) AS copies
+         |  FROM survivors)
+         |SELECT doc_id, lang, unnest(range(0, copies)) AS copy,
+         |  n_kept, n_total
+         |FROM m""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val contaminated = Dedup.decontaminateBloom(corpus, bench,
+          col("text"), col("doc_id"), n = 3, minShared = 3)
+        .select(col("doc_id").as("bad_id"))
+      val decontaminated = corpus.join(contaminated,
+        col("doc_id") === col("bad_id"), "left_anti")
+      val para = Dedup.paragraphDedup(decontaminated, col("text"),
+          col("doc_id"), size = 20)
+        .filter(col("n_kept") > 0)
+        .join(corpus.select(col("doc_id"), col("lang")), "doc_id")
+      Sampling.mixtureSample(para, col("lang"), col("clean_text"),
+          Map("en" -> 0.5, "de" -> 2.0))
+        .select("doc_id", "lang", "copy", "n_kept", "n_total")
     },
 
     // Test-set decontamination: corpus docs sharing >= 3 distinct

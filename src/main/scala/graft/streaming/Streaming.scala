@@ -101,6 +101,31 @@ object Streaming {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"),
         min(nChars).as("n_chars"))
 
+  /** Streaming PASSAGE keep-list — the streaming twin of
+    * [[graft.operators.Dedup.paragraphDedup]]'s keeper election, for
+    * ingest pipelines that dedupe boilerplate passages on the fly:
+    * incoming documents are chunked per-row (stateless typed flatMap,
+    * so it composes with the streaming scan), and the keeper of every
+    * distinct passage is a stateful min/count aggregation on the
+    * passage digest. min() and count() are order-independent, so the
+    * final frame is identical under any trigger slicing or replay
+    * partitioning — the exactness discipline that lets a batch SQL
+    * oracle hash-check a streaming run. State per distinct passage is
+    * the 32 B digest + the encoded (doc_id, chunk_idx) keeper key +
+    * a counter, sharded by digest exactly like the batch min_by
+    * shuffle; passage text never enters state. */
+  def paragraphKeepListStream(df: DataFrame,
+      text: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      size: Int): DataFrame =
+    graft.operators.TextAnalysis.chunkWords(df, text, id, size, size)
+      .withColumn("okey", col("doc_id") * 1000000L + col("chunk_idx"))
+      .groupBy(sha2(col("chunk"), 256).as("digest"))
+      .agg(min(col("okey")).as("kk"), count(lit(1)).as("n_copies"))
+      .select(col("digest"),
+        expr("kk div 1000000").as("keep_doc_id"),
+        (col("kk") % 1000000L).as("keep_idx"),
+        col("n_copies"))
+
   /** Drain a streaming frame with `Trigger.AvailableNow` into an
     * in-memory table and return the result as a batch frame — the
     * harness that puts the STREAMING engine (state store included)

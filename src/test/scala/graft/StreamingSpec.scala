@@ -119,6 +119,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming passage keep-list: keeper crosses the batch line, order-independent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.paragraphKeepListStream(
+        input.toDS().toDF("doc_id", "text"),
+        col("text"), col("doc_id"), size = 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("para_keep_out").start()
+    try {
+      // doc 7 arrives FIRST but has the larger id; the keeper of
+      // "a b" must still be (5, 0) once doc 5 lands in a later batch
+      input.addData((7L, "a b c d"))
+      q.processAllAvailable()
+      input.addData((5L, "a b x y"))
+      q.processAllAvailable()
+      val out = spark.table("para_keep_out")
+        .select("keep_doc_id", "keep_idx", "n_copies").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(out == Map(
+        (5L, 0L) -> 2L,  // "a b": both docs, min key wins
+        (7L, 1L) -> 1L,  // "c d"
+        (5L, 1L) -> 1L)) // "x y"
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup dedup == batch LSH pairs (cross-batch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
