@@ -77,6 +77,28 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-group vocabulary size via HLL++ NEXT TO the exact count — the
+    * bound-validation frame pattern (same as the GK quantile twin):
+    * emits (grp, within_bound) where within_bound checks the mergeable
+    * `approx_count_distinct` sketch against the exact distinct count
+    * computed in the same job, at 3x the sketch's target relative
+    * standard deviation. A cross-engine oracle reproduces the all-true
+    * frame from exact counts alone — sketch internals never compared.
+    * At 100 TB the HLL is THE path: fixed ~kB state per group,
+    * map-side mergeable, one pass, no distinct-shuffle of the token
+    * set (exact count_distinct expands to exactly that shuffle). HLL++
+    * merges are commutative, so the verdict is deterministic under any
+    * partitioning. */
+  def vocabSizeApprox(df: org.apache.spark.sql.DataFrame, text: Column,
+      group: Column, rsd: Double): org.apache.spark.sql.DataFrame =
+    df.select(group.as("grp"), explode(array_distinct(words(text))).as("w"))
+      .groupBy("grp")
+      .agg(count_distinct(col("w")).as("exact"),
+        approx_count_distinct(col("w"), rsd).as("approx"))
+      .select(col("grp"),
+        (abs(col("approx") - col("exact")) <= lit(3 * rsd) * col("exact"))
+          .as("within_bound"))
+
   /** Per-document top-k tokens by a rational tf-idf: score =
     * tf * N / df, a single exact-integer division — deterministic
     * across engines, unlike ln-based idf where libm differences break

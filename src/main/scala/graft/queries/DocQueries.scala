@@ -347,6 +347,19 @@ object DocQueries {
 
     // Per-doc top-3 tokens by rational tf-idf (tf*N/df — one exact
     // integer division; ln-based idf would hit libm differences).
+    // Vocabulary size per language, HLL++ next to exact — the second
+    // sketch under the bound-validation oracle pattern (the GK
+    // quantile twin is the first): Spark checks its own sketch against
+    // the exact count in one job and emits (lang, within_bound); the
+    // oracle reproduces the all-true frame from exact counts alone.
+    "doc_vocab_size_approx" -> QueryDef(
+      """SELECT lang, TRUE AS within_bound
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      TA.vocabSizeApprox(Tables.documents(s, dir), col("text"),
+          col("lang"), rsd = 0.05)
+        .select(col("grp").as("lang"), col("within_bound"))
+    },
+
     "doc_tfidf_topk" -> QueryDef(
       s"""WITH w AS (SELECT doc_id, unnest($SPLIT) AS word FROM documents),
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),

@@ -126,22 +126,41 @@ object Streaming {
         (col("kk") % 1000000L).as("keep_idx"),
         col("n_copies"))
 
-  /** Drain a streaming frame with `Trigger.AvailableNow` into an
-    * in-memory table and return the result as a batch frame — the
-    * harness that puts the STREAMING engine (state store included)
-    * under a batch-oracle compare. `complete` mode returns the final
-    * aggregate; `append` the union of emitted rows. The memory sink is
-    * a validation-SF harness only; production streams write through
-    * foreachBatch to the block sink ([[BlockWriter]]). */
+  /** Drain a streaming frame with `Trigger.AvailableNow` and return
+    * the result as a batch frame — the harness that puts the STREAMING
+    * engine (state store included) under a batch-oracle compare.
+    * `complete` mode returns the final aggregate; `append` the union
+    * of emitted rows.
+    *
+    * The drain is a foreachBatch parquet write (overwrite per batch in
+    * complete mode — the last batch IS the final aggregate; append
+    * accumulates), read back after termination: fully DISTRIBUTED, so
+    * the result never funnels through the driver. The earlier memory
+    * sink collected every batch's complete output to the driver and
+    * died on `spark.driver.maxResultSize` at the sf100eq probe's 15M
+    * distinct passages — the harness was the bottleneck, not the
+    * stateful agg (SCALE.md third-decade rule, driver edition:
+    * consumer surfaces must scale too). Production streams write
+    * through foreachBatch to the block sink ([[BlockWriter]]) — same
+    * shape as this drain. */
   def runAvailableNow(df: DataFrame, outputMode: String = "complete"): DataFrame = {
-    val name = "graft_stream_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.outputMode(outputMode).format("memory")
-      .queryName(name)
+    val spark = df.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val out = root.resolve("out").toString
+    val saveMode = if (outputMode == "complete") "overwrite" else "append"
+    val q = df.writeStream.outputMode(outputMode)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(saveMode).parquet(out)
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out)
+    else // a stream that emitted nothing: empty frame, same schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        df.schema)
   }
 
   case class DocEvent(docId: Long, tsUs: Long, text: String)

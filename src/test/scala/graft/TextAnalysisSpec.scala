@@ -114,4 +114,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getInt(1) == 3 && r.getInt(2) == 1 && r.getInt(3) == 1)
     assert(r.getDouble(5) == 0.6667)
   }
+
+  test("vocabSizeApprox: HLL lands well inside the 3*rsd bound, non-vacuously") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the bound frame itself: every group true, every group present
+    val frame = TA.vocabSizeApprox(docs, col("text"), col("lang"), 0.05)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(frame.size == 5 && frame.values.forall(identity))
+    // non-vacuous: pin the ACTUAL relative error, not just the verdict
+    val raw = docs.select(col("lang"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+      .groupBy("lang")
+      .agg(count_distinct(col("w")).as("exact"),
+        approx_count_distinct(col("w"), 0.05).as("approx"))
+      .collect()
+    raw.foreach { r =>
+      val (e, a) = (r.getLong(1), r.getLong(2))
+      assert(e > 20, s"vacuous fixture for ${r.getString(0)}: $e words")
+      val rel = math.abs(a - e).toDouble / e
+      assert(rel <= 0.15, s"${r.getString(0)}: rel err $rel")
+    }
+  }
 }
