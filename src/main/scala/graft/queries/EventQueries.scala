@@ -90,6 +90,36 @@ object EventQueries {
           .select("event_id", "ts_us", "user_id", "event_type", "value")
     },
 
+    // K2 end-to-end under the driver's oracle: the custom DSv2 replay
+    // SOURCE (rate-limited micro-batches) feeds the streaming block
+    // SINK (BlockWriter foreachBatch -> content-hash-idempotent
+    // catalog writes, one block per micro-batch, AvailableNow drain),
+    // then the catalog's pruned range scan reads the result back.
+    // Oracle: the plain SQL time slice — the whole streaming
+    // source -> sink -> catalog -> scan path proven row-identical to
+    // the source table.
+    "ev_stream_block_sink" -> QueryDef(
+      s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         |FROM events
+         |WHERE epoch_us(ts) >= $T10 AND epoch_us(ts) <= $T20""".stripMargin) {
+      (s, dir) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_sink_q").toString
+        val cat = new graft.sources.BlockCatalog(s, root)
+        val perBatch = math.max(2000L, Tables.events(s, dir).count() / 5L)
+        val stream = s.readStream
+          .format("graft.sources.EventReplayProvider")
+          .option("path", dir)
+          .option("rowsPerBatch", perBatch)
+          .load()
+          .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+        val q = graft.streaming.BlockWriter.start(stream, cat, "events",
+          "all", "ts_us", availableNow = true)
+        q.awaitTermination()
+        cat.scan("events", "all", T10, T20)
+          .select("event_id", "ts_us", "user_id", "event_type", "value")
+    },
+
     // §3.3 TrainSplit.timeSplit under the oracle: the leakage-safe
     // time-ordered 70/30 split — threshold = max ts among the k
     // smallest (k = floor(n*0.7), exact ordered rank, ties land in

@@ -26,15 +26,21 @@ import graft.sources.BlockCatalog
   */
 object BlockWriter {
 
+  /** `availableNow = true` swaps the processing-time trigger for
+    * `Trigger.AvailableNow` — drain-the-backlog-and-stop, the batch
+    * backfill mode (and the mode the driver-oracled
+    * `ev_stream_block_sink` runs the sink in). */
   def start(df: DataFrame, catalog: BlockCatalog, definition: String,
       key: String, tsUs: String, triggerMs: Long = 5000L,
       checkpoint: Option[String] = None,
-      minRowsPerBlock: Long = 0L): StreamingQuery = {
+      minRowsPerBlock: Long = 0L,
+      availableNow: Boolean = false): StreamingQuery = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var buffered = 0L
     val base = df.writeStream
       .outputMode("append")
-      .trigger(Trigger.ProcessingTime(triggerMs))
+      .trigger(if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val p = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
