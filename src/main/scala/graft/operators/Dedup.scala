@@ -814,4 +814,87 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Seed centroids for [[semanticDedupPairs]]: the `nClusters` corpus
+    * vectors with the smallest (md5(id), id) — Sampling.hashSample's
+    * content-hash selection rule applied to cluster seeding, so the
+    * seed set is deterministic, partition-order-free, and replayable
+    * in ANSI SQL (md5 hex is identical cross-engine; the driver oracle
+    * re-picks the same seeds). Collected to the driver: index METADATA
+    * (nClusters x dim doubles), not data. Cluster index = seed rank in
+    * that order. */
+  def semanticSeeds(df: DataFrame, id: Column, emb: Column,
+      nClusters: Int): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.orderBy(md5(id.cast("string")).asc, id.asc).limit(nClusters)
+      .select(emb).as[Array[Float]]
+      .collect().map(_.map(_.toDouble))
+  }
+
+  /** SemDeDup — semantic near-dup pairs via cluster-then-search (the
+    * SemDeDup recipe of Abbas et al. 2023, arXiv:2303.09540): assign
+    * every vector to its max-cosine centroid, then run the exact
+    * pairwise cosine search ONLY within each cluster. This is what
+    * makes embedding-level dedup tractable at 100 TB: with k balanced
+    * clusters the pair volume is sum_i c_i^2 ~ n^2/k instead of n^2,
+    * and k must scale with the corpus (SCALE.md's bucket-space rule —
+    * clusters ARE the buckets here). The trade is explicit and
+    * structural: pairs split across clusters are missed by
+    * construction; near-identical vectors always co-cluster (identical
+    * inputs produce identical scores, ties break to the lowest
+    * cluster), so the high-similarity regime the operator exists for
+    * is structurally safe.
+    *
+    * Plan shape: centroids broadcast (metadata); one typed map assigns
+    * clusters (zero shuffle); ONE corpus shuffle on cluster id feeds
+    * the within-cluster self-join; `maxCluster` is the hot-bucket
+    * guard ([[capBuckets]] on `lst`). `iters` > 0 refines seeds with
+    * Lloyd rounds (Similarity.refineLloyd — the quality path, spec'd);
+    * iters = 0 keeps the raw md5-picked seeds, where every score is a
+    * fixed-order double fold and the whole operator is exactly
+    * reproducible in SQL — the driver-oracled regime
+    * (emb_semdedup_pairs / emb_semdedup_survivors).
+    *
+    * Output: (a_id, b_id, lst, cos_sim 6dp) — co-clustered pairs with
+    * exact cosine >= threshold; `lst` is the shared cluster index. */
+  def semanticDedupPairs(df: DataFrame, id: Column, emb: Column,
+      nClusters: Int, threshold: Double, iters: Int = 0,
+      maxCluster: Int = Int.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val centroids = Similarity.refineLloyd(
+      df.select(id.cast("long").as("vec_id"), emb.as("embedding")),
+      semanticSeeds(df, id, emb, nClusters), iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = df.select(id.cast("long").as("id"), emb.as("e"))
+      .as[(Long, Array[Float])]
+      .map { case (i, e) => (i, e, Similarity.nearestList(bc.value, e)) }
+      .toDF("id", "e", "lst")
+    val capped = capBuckets(assigned, Seq("lst"), maxCluster)
+      // norms hoisted per row (oracle-equal; see embeddingNearDupPairs)
+      .select(col("id"), col("lst"), col("e"),
+        sqrt(Similarity.nativeDot(col("e"), col("e"))).as("nrm"))
+    val a = capped.select(col("id").as("a_id"), col("lst"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = capped.select(col("id").as("b_id"), col("lst").as("lstb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("lst") === col("lstb") && col("a_id") < col("b_id"))
+      .withColumn("cos",
+        Similarity.nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("lst"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** SemDeDup keep-list: [[semanticDedupPairs]] -> [[survivors]] —
+    * the output-linear form (one row per doc), the shape a 100 TB
+    * pipeline materializes. */
+  def semanticSurvivors(df: DataFrame, id: Column, emb: Column,
+      nClusters: Int, threshold: Double, iters: Int = 0,
+      maxCluster: Int = Int.MaxValue): DataFrame =
+    survivors(df, id,
+      semanticDedupPairs(df, id, emb, nClusters, threshold, iters, maxCluster)
+        .select(col("a_id"), col("b_id")))
 }

@@ -188,15 +188,31 @@ object Similarity {
       iters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus
-      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    var centroids = corpus
+    val init = corpus
       .orderBy(xxhash64(concat(lit("ivf-seed"), col("vec_id"))).asc,
         col("vec_id").asc)
       .limit(nLists)
       .select(col("embedding")).as[Array[Float]]
       .collect().map(_.map(_.toDouble))
+    refineLloyd(corpus, init, iters)
+  }
+
+  /** `iters` Lloyd rounds from the `init` centroid table under the
+    * max-cosine assignment metric (the refinement half of
+    * [[trainIvfCentroids]], shared with Dedup.semanticDedupPairs which
+    * seeds differently). Each round is one map + reduceByKey over the
+    * corpus; see the centroid-determinism note on trainIvfCentroids —
+    * mean-update float sums are reduce-order-sensitive, so refined
+    * centroids are an approximate INDEX, not an oracle-comparable
+    * value (callers that need cross-engine exactness pass iters=0). */
+  def refineLloyd(corpus: DataFrame, init: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var centroids = init
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val sums = vecs.rdd

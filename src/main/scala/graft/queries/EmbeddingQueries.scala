@@ -27,6 +27,35 @@ object EmbeddingQueries {
       }
     }.mkString(",")
 
+  /** The SemDeDup pair search replayed in SQL (the iters=0 oracle
+    * regime of Dedup.semanticDedupPairs): seeds re-picked by the same
+    * (md5(id), id) rank, assignment re-derived as max centroid cosine
+    * with ties to the lowest cluster (every score is the same
+    * fixed-order double fold on both engines), then the exact
+    * within-cluster cosine search. Emitted as WITH-clause bodies so
+    * the pairs and survivors oracles share one definition. */
+  private def semdedupPairsSql(k: Int, threshold: Double): String =
+    s"""seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS lst,
+       |    embedding::DOUBLE[] AS se
+       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |assign AS (
+       |  SELECT vec_id, lst FROM (
+       |    SELECT e.vec_id, s.lst, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
+       |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS rnk
+       |    FROM embeddings e CROSS JOIN seeds s) t
+       |  WHERE rnk = 1),
+       |pairs AS (
+       |  SELECT aa.vec_id AS a_id, bb.vec_id AS b_id, aa.lst, cos
+       |  FROM assign aa JOIN assign bb ON aa.lst = bb.lst AND aa.vec_id < bb.vec_id
+       |  JOIN embeddings a ON a.vec_id = aa.vec_id
+       |  JOIN embeddings b ON b.vec_id = bb.vec_id,
+       |  LATERAL (SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos) c
+       |  WHERE cos >= $threshold)""".stripMargin
+
   /** The filtered-top-k oracle (label-constrained exact cosine, k=5,
     * queries vec_id < 20) — single-sourced: the brute-force path and
     * the full-probe filtered IVF must both hash-match it exactly. */
@@ -187,6 +216,44 @@ object EmbeddingQueries {
         graft.operators.Dedup.survivors(emb, col("vec_id"),
             graft.operators.Dedup.embeddingNearDupPairs(
               emb, col("vec_id"), col("embedding"), 0.35))
+          .withColumnRenamed("doc_id", "vec_id")
+    },
+
+    // SemDeDup (cluster-then-search semantic dedup, Abbas et al. 2023):
+    // md5-seeded centroids, max-cosine assignment, exact pairwise
+    // cosine WITHIN each cluster only — the n^2/k scale path for
+    // embedding dedup. iters=0 makes every step a fixed-order double
+    // fold, so the driver hash-checks seed pick + assignment + search
+    // end-to-end against the SQL replay. The cross-cluster miss set is
+    // the documented SemDeDup trade; Lloyd-refined clustering and the
+    // structural co-clustering of near-identical vectors are spec'd
+    // (DedupSpec).
+    "emb_semdedup_pairs" -> QueryDef(
+      s"""WITH ${semdedupPairsSql(8, 0.3)}
+         |SELECT a_id, b_id, lst, round(cos, 6) AS cos_sim FROM pairs""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Dedup.semanticDedupPairs(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), nClusters = 8, threshold = 0.3)
+    },
+
+    // The output-linear SemDeDup keep-list (pairs -> CC -> keeper per
+    // component) — what a 100 TB pipeline materializes instead of the
+    // pair set. Oracle: same pair CTE + the recursive min-reachable-id
+    // component replay, left-joined to every vector.
+    "emb_semdedup_survivors" -> QueryDef(
+      s"""WITH RECURSIVE ${semdedupPairsSql(8, 0.3)},
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT e.vec_id, coalesce(c.component = e.vec_id, TRUE) AS keep,
+         |  c.component
+         |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Dedup.semanticSurvivors(Tables.embeddings(s, dir),
+            col("vec_id"), col("embedding"), nClusters = 8, threshold = 0.3)
           .withColumnRenamed("doc_id", "vec_id")
     },
 

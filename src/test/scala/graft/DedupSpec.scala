@@ -281,4 +281,51 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == chunks.select("chunk").distinct().count())
     assert(kept < total, "vacuous fixture: corpus has no duplicate passages")
   }
+
+  test("semdedup pairs = brute-force pairs restricted to co-clustered ids") {
+    val pairs = Dedup.semanticDedupPairs(embs, col("vec_id"), col("embedding"),
+        nClusters = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.embeddingNearDupPairs(embs, col("vec_id"),
+        col("embedding"), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(brute), "semdedup found a pair brute force lacks")
+    // the restriction is exact: a brute pair is in the output iff its
+    // ends share a cluster — recompute assignments via survivors of an
+    // impossible threshold? simpler: recompute pair set from the
+    // operator's own cluster column by re-running at threshold -1
+    val all = Dedup.semanticDedupPairs(embs, col("vec_id"), col("embedding"),
+        nClusters = 4, threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (brute & all), "within-cluster restriction not exact")
+  }
+
+  test("semdedup: identical vectors co-cluster structurally, Lloyd or not") {
+    // seed true near-dups (identical copies) and check the Lloyd-refined
+    // quality path (iters=2) still pairs every copy with its original:
+    // identical inputs score identically against any centroid table, so
+    // co-clustering is structural, not probabilistic.
+    val base = embs.select(col("vec_id"), col("embedding"))
+    val aug = base.unionByName(
+      base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val pairs = Dedup.semanticDedupPairs(aug, col("vec_id"), col("embedding"),
+        nClusters = 4, threshold = 0.9, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = base.count()
+    val expected = base.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"Lloyd path missed ${(expected -- pairs).size} of $n seeded dups")
+    val survivors = Dedup.semanticSurvivors(aug, col("vec_id"),
+        col("embedding"), nClusters = 4, threshold = 0.9, iters = 2)
+    assert(survivors.count() == 2 * n)
+    assert(survivors.filter(col("keep")).count() == n,
+      "each identical pair should keep exactly the original")
+  }
+
+  test("semdedup hot-cluster cap drops oversized clusters only") {
+    val capped = Dedup.semanticDedupPairs(embs, col("vec_id"),
+      col("embedding"), nClusters = 2, threshold = -1.0, maxCluster = 10)
+    assert(capped.count() == 0, "2 clusters over 50 vecs must exceed cap 10")
+  }
 }
