@@ -88,6 +88,39 @@ object Sampling {
       explode(when(copies > lit(0L), sequence(lit(0L), copies - lit(1L)))))
   }
 
+  /** Deterministic GLOBAL SHUFFLE into `n` training shards — the
+    * write-side randomization step of a pre-training pipeline (break
+    * source/time locality before sequential shard reads). Each row
+    * gets a `shard` (0-based) from its md5 prefix — the [[hashBound]]
+    * boundaries cut the 24-bit hash space into n equal slices, as a
+    * literal when-chain, so assignment is a codegen'd zero-shuffle map
+    * — and a `shard_pos` read order within its shard by (md5(key),
+    * tieBreak): content-pseudo-random, reproducible on any cluster
+    * size, no RNG coordination.
+    *
+    * 100 TB shape: ONE shuffle on `shard` (exactly the exchange the
+    * physical shard write needs anyway — repartition by shard + sort
+    * within = this plan) with ~corpus/n rows per shard; size n so a
+    * shard's sort fits an executor's spill budget (real pipelines use
+    * thousands of shards, keeping the when-chain is then wrong — at
+    * n > ~64 switch the assignment to a numeric slice of the hash;
+    * kept literal here because the literal IS the cross-engine oracle
+    * contract, like hashBound). */
+  def shuffleShards(df: DataFrame, key: Column, tieBreak: Column,
+      n: Int): DataFrame = {
+    require(n > 1 && n <= 64, s"shard count $n not in [2,64]")
+    import org.apache.spark.sql.expressions.Window
+    val pref = substring(md5(key), 1, 6)
+    val shard = (1 until n)
+      .map(i => hashBound(i.toDouble / n))
+      .foldLeft(lit(0)) { (acc, b) =>
+        acc + when(pref >= lit(b), 1).otherwise(0)
+      }
+    val w = Window.partitionBy(col("shard")).orderBy(md5(key).asc, tieBreak.asc)
+    df.withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(w))
+  }
+
   /** Greedy sequence packing: per `by` key, rows sorted by `okeyCol`
     * fill bins of `capacity` tokens; a row that would overflow the
     * current bin starts the next one (rows above `capacity` get a bin

@@ -385,6 +385,27 @@ object DocQueries {
           .select("doc_id", "lang", "n_chars")
     },
 
+    // Deterministic global shuffle into 8 training shards: md5-prefix
+    // shard assignment (the hashBound boundaries as literals — the
+    // same cross-engine contract as doc_sample_hash) + content-hash
+    // read order within each shard. One shuffle (the shard write's own
+    // exchange); proves the full write-side randomization step
+    // cell-exact.
+    "doc_shuffle_shards" -> QueryDef(
+      s"""SELECT doc_id, lang, shard,
+         |  row_number() OVER (
+         |    PARTITION BY shard ORDER BY md5(text), doc_id) AS shard_pos
+         |FROM (
+         |  SELECT doc_id, lang, text,
+         |    ${(1 until 8).map(i =>
+                s"(CASE WHEN substr(md5(text),1,6) >= '${Sampling.hashBound(i / 8.0)}' THEN 1 ELSE 0 END)")
+                .mkString(" + ")} AS shard
+         |  FROM documents) t""".stripMargin) { (s, dir) =>
+      Sampling.shuffleShards(Tables.documents(s, dir), col("text"),
+          col("doc_id"), 8)
+        .select("doc_id", "lang", "shard", "shard_pos")
+    },
+
     // Class-balanced deterministic sample: the 20 smallest md5 keys per
     // language — equal per-class representation without an RNG.
     "doc_balanced_sample" -> QueryDef(

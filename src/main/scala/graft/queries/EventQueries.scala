@@ -27,6 +27,22 @@ object EventQueries {
 
   private val OKEY = "(epoch_us(ts)*1000 + event_id % 1000)"
 
+  /** A1 OHLCV oracle — single-sourced for the batch query and its
+    * streaming twin (ev_ohlcv_1h / ev_ohlcv_stream). */
+  private lazy val OHLCV_SQL =
+    s"""SELECT event_type,
+       |  (epoch_us(ts) // ${H}) * ${H} AS bucket_us,
+       |  arg_min(value, $OKEY) AS open,
+       |  max(value) AS high,
+       |  min(value) AS low,
+       |  arg_max(value, $OKEY) AS close,
+       |  sum(round(value*100))/100 AS volume,
+       |  (sum(round(value*100)*round(value*100))
+       |    / NULLIF(sum(round(value*100)), 0))/100 AS vwap,
+       |  count(*) AS num_trades
+       |FROM events
+       |GROUP BY event_type, bucket_us""".stripMargin
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
 
@@ -205,19 +221,7 @@ object EventQueries {
     // A1 OHLCV per tumbling 1h bucket per event_type. open/close via
     // arg_min/arg_max on the total order key — a pure hash aggregation
     // (map-side combinable), no window sort.
-    "ev_ohlcv_1h" -> QueryDef(
-      s"""SELECT event_type,
-         |  (epoch_us(ts) // ${H}) * ${H} AS bucket_us,
-         |  arg_min(value, $OKEY) AS open,
-         |  max(value) AS high,
-         |  min(value) AS low,
-         |  arg_max(value, $OKEY) AS close,
-         |  sum(round(value*100))/100 AS volume,
-         |  (sum(round(value*100)*round(value*100))
-         |    / NULLIF(sum(round(value*100)), 0))/100 AS vwap,
-         |  count(*) AS num_trades
-         |FROM events
-         |GROUP BY event_type, bucket_us""".stripMargin) { (s, dir) =>
+    "ev_ohlcv_1h" -> QueryDef(OHLCV_SQL) { (s, dir) =>
       val vc = cents(col("value"))
       ev(s, dir)
         .groupBy(col("event_type"), WindowOps.bucket(col("ts_us"), H).as("bucket_us"))
@@ -229,6 +233,18 @@ object EventQueries {
           (sum(vc) / 100).as("volume"),
           when(sum(vc) =!= 0, sum(vc * vc) / sum(vc) / 100).as("vwap"),
           count(lit(1)).as("num_trades"))
+    },
+
+    // A1's STREAMING twin, driver-visible: the same declarative OHLCV
+    // hash agg executed by the streaming engine over the events file
+    // stream (Streaming.ohlcvStream), drained with AvailableNow in
+    // complete mode — safe here because OHLCV state is one row per
+    // (type, bucket), metadata-sized by construction. Single-sourced
+    // oracle: the SAME SQL as ev_ohlcv_1h, so batch == stream is a
+    // driver-checked identity, not a spec claim.
+    "ev_ohlcv_stream" -> QueryDef(OHLCV_SQL) { (s, dir) =>
+      Streaming.runAvailableNow(
+        Streaming.ohlcvStream(Streaming.eventsStream(s, dir), H))
     },
 
     // A2 sliding-window population stddev (volatility) per event_type,

@@ -48,6 +48,33 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("bucket_us"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Streaming OHLCV — the A1 tumbling aggregate (WindowOps.ohlcv /
+    * ev_ohlcv_1h) as a streaming hash agg over the same declarative
+    * expressions (min_by/max_by on the total order key, exact-cents
+    * sums), so batch == stream BY CONSTRUCTION and the driver oracle
+    * is the same SQL. Drained in complete mode: OHLCV state is one row
+    * per (event_type, bucket) — metadata-sized (hours x instruments),
+    * never per-event, so "complete" here is not the unbounded-state
+    * trap it is for row-level streams. Production append mode adds
+    * `withWatermark` on a bucket-derived event-time column (the
+    * [[windowedAgg]] shape) and trades late-bucket finality for
+    * incremental emission. */
+  def ohlcvStream(df: DataFrame, bucketUs: Long): DataFrame = {
+    val vc = round(col("value") * 100)
+    val okey = graft.operators.WindowOps.orderKey(col("ts_us"), col("event_id"))
+    df.withColumn("ts_us", expr("ts div 1000"))
+      .groupBy(col("event_type"),
+        graft.operators.WindowOps.bucket(col("ts_us"), bucketUs).as("bucket_us"))
+      .agg(
+        min_by(col("value"), okey).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), okey).as("close"),
+        (sum(vc) / 100).as("volume"),
+        when(sum(vc) =!= 0, sum(vc * vc) / sum(vc) / 100).as("vwap"),
+        count(lit(1)).as("num_trades"))
+  }
+
   /** Streaming exact dedup (the streaming twin of Dedup.exactDedup):
     * first-writer-wins on a sha2-256 content digest — the shape of a
     * streaming ingest pipeline dropping re-crawled/duplicate documents.

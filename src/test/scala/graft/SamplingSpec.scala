@@ -103,4 +103,25 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](1).sorted)
     assert(copies.forall(_ == Seq(0L, 1L)))
   }
+
+  test("shard shuffle: a permutation, balanced, repartition-invariant") {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val out = Sampling.shuffleShards(docs, col("text"), col("doc_id"), 8)
+    // exactly one (shard, pos) per row, positions dense 1..size per shard
+    assert(out.count() == n)
+    val sizes = out.groupBy("shard").agg(
+        count(lit(1)).as("c"), max("shard_pos").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    assert(sizes.forall { case (_, c, mx) => c == mx }, "positions not dense")
+    assert(sizes.map(_._1).toSet.subsetOf((0 until 8).toSet))
+    // balanced within 3x of ideal on this small corpus
+    assert(sizes.map(_._2).max <= 3 * (n / 8 + 1),
+      s"shards badly skewed: ${sizes.mkString(",")}")
+    // deterministic under physical layout changes
+    val re = Sampling.shuffleShards(docs.repartition(13), col("text"),
+      col("doc_id"), 8)
+    assert(re.select("doc_id", "shard", "shard_pos").except(
+      out.select("doc_id", "shard", "shard_pos")).isEmpty)
+  }
 }
