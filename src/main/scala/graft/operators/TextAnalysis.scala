@@ -135,6 +135,52 @@ object TextAnalysis {
       .select("doc_id", "word", "tf", "df", "score", "rnk")
   }
 
+  /** CCNet-style n-gram LM quality score: the corpus's own bigram
+    * statistics score each document — per doc, the mean conditional
+    * bigram probability p(w2|w1) = c(w1 w2)/c(w1 ·) over its bigrams.
+    * Fluent/common text scores high; gibberish and rare-token noise
+    * score low — the language-model quality gate of a pre-training
+    * pipeline (CCNet scores against a pre-trained LM; the same count
+    * table can substitute for `counts` derived here, broadcast when it
+    * fits).
+    *
+    * Determinism: probabilities are summed as exact integer-valued
+    * doubles — `round(1e6 * c2/c1)`, each a correctly-rounded double
+    * of two exact integers, so the per-doc sum is order-independent
+    * below 2^53 and the single final division + round(,4) is
+    * bit-identical cross-engine (the suite's exact-cents rule; an
+    * ln-based perplexity would hit libm differences — same reason
+    * tf-idf uses rational idf).
+    *
+    * Shape at 100 TB: bigrams once in a typed flatMap (zero shuffle,
+    * the CollapseProject/HOF trap avoided), persisted for its three
+    * readers; two vocabulary-sized count aggregations (map-side
+    * combinable); the one corpus-sized join keys on (w1, w2) — AQE
+    * broadcasts the count table when the vocabulary allows. Docs with
+    * fewer than 2 tokens have no bigrams and drop from the output. */
+  def lmScore(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bg = df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (d, t) =>
+        val ws = t.split(" ", -1)
+        (0 until ws.length - 1).iterator.map(i => (d, ws(i), ws(i + 1)))
+      }
+      .toDF("doc_id", "w1", "w2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val probs = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(lit(1000000.0) * col("c2") / col("c1")).as("sp"))
+    bg.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"),
+        round(sum(col("sp")) / count(lit(1)) / 1000000.0, 4).as("lm_score"))
+  }
+
   /** Gopher-style repetition metrics per document: word/trigram counts,
     * the duplicate-trigram fraction 1 - distinct/total, and the
     * most-frequent-word fraction — the public Rae et al. (Gopher)

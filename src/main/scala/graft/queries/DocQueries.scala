@@ -385,6 +385,27 @@ object DocQueries {
           .select("doc_id", "lang", "n_chars")
     },
 
+    // CCNet-style n-gram LM quality score: mean conditional bigram
+    // probability per doc from the corpus's own bigram counts —
+    // summed as exact integer-valued round(1e6*c2/c1) doubles, so the
+    // whole score is bit-identical cross-engine (no ln, no fp
+    // accumulation; the tf-idf rational-arithmetic rule).
+    "doc_lm_score" -> QueryDef(
+      s"""WITH bg AS (
+         |  SELECT doc_id, bgl[1] AS w1, bgl[2] AS w2 FROM (
+         |    SELECT doc_id, unnest([[ws[i], ws[i+1]] for i in range(1, len(ws))]) AS bgl
+         |    FROM (SELECT doc_id, $SPLIT AS ws FROM documents) s) t),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |p AS (SELECT c2.w1, c2.w2, round(1000000.0 * c2.c2 / c1.c1) AS sp
+         |      FROM c2 JOIN c1 USING (w1))
+         |SELECT bg.doc_id, count(*) AS n_bg,
+         |  round(sum(sp) / count(*) / 1000000.0, 4) AS lm_score
+         |FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+         |GROUP BY bg.doc_id""".stripMargin) { (s, dir) =>
+      TA.lmScore(Tables.documents(s, dir), col("text"), col("doc_id"))
+    },
+
     // Deterministic global shuffle into 8 training shards: md5-prefix
     // shard assignment (the hashBound boundaries as literals — the
     // same cross-engine contract as doc_sample_hash) + content-hash

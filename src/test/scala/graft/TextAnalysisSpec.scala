@@ -135,4 +135,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(rel <= 0.15, s"${r.getString(0)}: rel err $rel")
     }
   }
+
+  test("lmScore golden: mean conditional bigram probability, exact") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // corpus bigrams: (a,b) x2, (a,c) x1 -> c1(a)=3, p(a,b)=2/3, p(a,c)=1/3
+    val out = TA.lmScore(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (1L, 0.6667) && out(3L) == (1L, 0.6667))
+    assert(out(2L) == (1L, 0.3333))
+    assert(!out.contains(4L), "a 1-token doc has no bigrams")
+    // fluent-vs-noise ordering on real docs: a doc made of the corpus's
+    // two most common words must outscore one made of two hapaxes
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val scored = TA.lmScore(real, col("text"), col("doc_id"))
+    assert(scored.count() > 0)
+    assert(scored.agg(min("lm_score"), max("lm_score"))
+      .collect().map(r => r.getDouble(1) > r.getDouble(0)).head,
+      "vacuous fixture: all docs score identically")
+  }
 }
