@@ -42,7 +42,10 @@ object Explains {
       "doc_para_dedup" -> "passage dedup: keeper election is ONE hash aggregation on the sha2 digest (partial_min_by map-side — losers never cross the wire), then a doc_id regroup for reconstruction — two narrow exchanges total",
       "doc_decontaminate_bloom" -> "bloom decontamination: the corpus side runs scan -> typed bloom filter -> join with NO exchange before the confirm join — the exact shingle set only ever meets bloom survivors",
       "emb_ivf_filtered_topk" -> "filtered IVF-ANN: the candidate BroadcastHashJoin keys on (list, label) — the predicate prunes before any cosine is computed; match columns ride the assignment map (no corpus self-join)",
-      "doc_mixture_sample" -> "mixture resampling: weights fold into a literal CASE chain + md5-prefix filter + explode(sequence) directly over the scan — zero exchanges anywhere in the plan")
+      "doc_mixture_sample" -> "mixture resampling: weights fold into a literal CASE chain + md5-prefix filter + explode(sequence) directly over the scan — zero exchanges anywhere in the plan",
+      "emb_semdedup_pairs" -> "SemDeDup: cluster assignment is a typed map over the scan (centroids broadcast — no exchange); the within-cluster self-join keys on lst (AQE broadcasts the tiny side at this SF; at scale it is one lst-keyed shuffle) — the n^2/k bound visible as the join key",
+      "doc_lm_score" -> "LM scoring: the bigram frame is persisted (InMemoryTableScan x3 — one tokenization pass feeds both count aggs and the probability join); count aggs are partial/final pairs, vocabulary-sized",
+      "doc_shuffle_shards" -> "shard shuffle: assignment is a literal CASE chain over md5 right after the scan (no exchange); the only exchange is the shard window's — the physical shard write's own partitioning")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — representative physical plans\n\n")
