@@ -135,6 +135,84 @@ object TextAnalysis {
       .select("doc_id", "word", "tf", "df", "score", "rnk")
   }
 
+  /** Greedy left-to-right application of one BPE merge (l, r) to a
+    * symbol sequence — after a merge the scan resumes AFTER the merged
+    * token (classic BPE; "aaa" under (a,a) becomes [aa, a]). */
+  private[graft] def bpeApply(sym: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** BPE merge training — learn the first `nMerges` merge rules of a
+    * byte-pair-encoding tokenizer from the corpus (the tokenizer-
+    * construction step of an LLM data pipeline, one level deeper than
+    * [[tokenCount]]'s fixed tokenizer).
+    *
+    * The classic reduction: train on the WORD-FREQUENCY table, never
+    * the corpus. The DISTRIBUTED phase is the one corpus pass building
+    * (word, freq) plus a deterministic top-`maxVocab` truncation by
+    * (freq desc, word asc) — a TakeOrderedAndProject, no global sort
+    * materialized. The truncated table is then index METADATA (1M
+    * words x ~16 B ≈ 16 MB — the IVF-centroid collect boundary), and
+    * the inherently sequential merge loop (merge r+1's counts depend
+    * on merge r) runs locally over it: per-merge DISTRIBUTED rounds
+    * were measured at 80 s for 16 merges at sf0.1 — 2 job launches per
+    * merge against a vocabulary-sized table is pure scheduler
+    * overhead, and a real trainer's 50k merges would take days. This
+    * is exactly how production trainers shape the problem (frequency
+    * harvesting scales out; merging runs on the harvested table);
+    * `maxVocab` is the honest knob — rare tail words a truncation
+    * drops can shift low-rank merges, so size it to cover the corpus
+    * (the default covers any realistic word vocabulary; both suite
+    * scales fit untruncated, so the exact Python oracle needs no
+    * truncation model).
+    *
+    * Output: (rank, left, right, freq) — the merge table, nMerges rows.
+    * Pair occurrences count per adjacent position (overlaps included),
+    * ties break lexicographic on (left, right) — deterministic under
+    * any partitioning. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, text: Column,
+      nMerges: Int, maxVocab: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var tbl: Array[(Array[String], Long)] = df
+      .select(explode(words(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocab)
+      .as[(String, Long)].collect()
+      .map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      tbl.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, rr), f) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((r, l, rr, f))
+        tbl = tbl.map { case (syms, fr) => (bpeApply(syms, l, rr), fr) }
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
   /** CCNet-style n-gram LM quality score: the corpus's own bigram
     * statistics score each document — per doc, the mean conditional
     * bigram probability p(w2|w1) = c(w1 w2)/c(w1 ·) over its bigrams.

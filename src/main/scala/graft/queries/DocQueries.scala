@@ -385,6 +385,15 @@ object DocQueries {
           .select("doc_id", "lang", "n_chars")
     },
 
+    // Distributed BPE merge training, 16 merges on the documents
+    // corpus — the tokenizer-construction step. No SQL oracle (the
+    // merge loop is inherently iterative); exact Python oracle in
+    // tools/pyoracle.py recomputes the merge table with identical
+    // integer arithmetic and tie order.
+    "doc_bpe_merges" -> QueryDef.noOracle { (s, dir) =>
+      TA.bpeTrain(Tables.documents(s, dir), col("text"), 16)
+    },
+
     // CCNet-style n-gram LM quality score: mean conditional bigram
     // probability per doc from the corpus's own bigram counts —
     // summed as exact integer-valued round(1e6*c2/c1) doubles, so the

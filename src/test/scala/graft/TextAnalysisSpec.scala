@@ -136,6 +136,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain golden: the classic low/lower/newest merge sequence") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val got = TA.bpeTrain(docs, col("text"), 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r0: (l,o)=5 ties (o,w)=5, lex wins; r1: (lo,w)=5; r2: (e,r)=2
+    // ties (low,e)=2, lex wins; r3: (low,er)=2
+    assert(got.toSeq == Seq((0, "l", "o", 5L), (1, "lo", "w", 5L),
+      (2, "e", "r", 2L), (3, "low", "er", 2L)))
+    // exhaustion: asking for more merges than pairs exist stops early
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(TA.bpeTrain(tiny, col("text"), 10).count() == 1)
+    // determinism under physical layout
+    val re = TA.bpeTrain(docs.repartition(7), col("text"), 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("bpeApply: greedy non-overlapping, resumes after the merge") {
+    assert(TA.bpeApply(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(TA.bpeApply(Array("a", "b", "a", "b"), "a", "b").toSeq ==
+      Seq("ab", "ab"))
+    assert(TA.bpeApply(Array("x"), "a", "b").toSeq == Seq("x"))
+  }
+
   test("lmScore golden: mean conditional bigram probability, exact") {
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"), (4L, "solo"))
       .toDF("doc_id", "text")

@@ -502,7 +502,46 @@ def expected_doc_pack_greedy(sfdir: str) -> pd.DataFrame:
                                       'bin_fill'])
 
 
+def expected_doc_bpe_merges(sfdir: str) -> pd.DataFrame:
+    """BPE merge training, 16 merges: word-frequency table, arg-max
+    adjacent pair by (freq desc, pair lex), greedy left-to-right merge
+    application resuming AFTER each merged token. Mirrors
+    TextAnalysis.bpeTrain exactly (integer counts -> exact compare)."""
+    n_merges = 16
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    freq = {}
+    for t in docs['text']:
+        for w in _doc_words(t):
+            freq[w] = freq.get(w, 0) + 1
+    tbl = [([c for c in w], f) for w, f in freq.items()]
+    out = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, f in tbl:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, c))
+        nxt = []
+        for syms, f in tbl:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            nxt.append((merged, f))
+        tbl = nxt
+    return pd.DataFrame(out, columns=['rank', 'left', 'right', 'freq'])
+
+
 PY_ORACLES = {
+    'doc_bpe_merges': expected_doc_bpe_merges,
     'doc_pack_greedy': expected_doc_pack_greedy,
     'doc_minhash_lsh': expected_doc_minhash_lsh,
     'doc_minhash_stream': expected_doc_minhash_stream,
