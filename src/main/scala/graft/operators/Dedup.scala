@@ -249,6 +249,56 @@ object Dedup {
         col("n_total"))
   }
 
+  /** Exact-substring duplicate detection via CONTENT-DEFINED anchors —
+    * the suffix-array substring-dedup semantics (find long byte spans
+    * repeated anywhere in the corpus) re-expressed shuffle-light.
+    * Fixed-stride windows cannot work here: two copies of a substring
+    * at different offsets sample misaligned windows and never collide.
+    * Content-defined anchors fix that — a position is an anchor when
+    * the polynomial hash of the next `w=8` chars (seeded fold
+    * `acc*31+code`, no modulus: 8 chars stay under 2^63 — exact Int64
+    * cross-engine) is ≡ 0 mod `density`; identical content therefore
+    * produces identical anchor offsets in every copy, so any repeated
+    * span long enough to contain an anchor+window is detected
+    * regardless of alignment (the winnowing/CDC trick, deterministic —
+    * no RNG, a pure function of the corpus).
+    *
+    * Emits per-doc `(doc_id, n_anchors, dup_anchors)` — dup mass, not
+    * pairs: output-linear (the survivor-formulation rule). Scale shape:
+    * one typed flatMap (zero shuffle) emits ~len/density anchors per
+    * doc (~1.25 chars/char at L=40, density=32); one exchange groups
+    * window digests (64-char sha2 hex here for oracle parity; at
+    * 100 TB swap the group key to xxhash64 + exact-confirm join, the
+    * Bloom-decontaminate shape); one exchange re-aggregates per doc.
+    * Docs shorter than the window emit nothing (the lmScore rule). */
+  def substrDupStats(df: DataFrame, text: Column, id: Column,
+      winLen: Int = 40, hashW: Int = 8, density: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val anchors = df.select(id.cast("long").as("doc_id"), text.as("t"))
+      .as[(Long, String)]
+      .flatMap { case (did, t) =>
+        val s = if (t == null) "" else t
+        val last = s.length - winLen // last 0-based window start
+        (0 to last).iterator.filter { i =>
+          var h = s.charAt(i).toLong
+          var j = 1
+          while (j < hashW) { h = h * 31 + s.charAt(i + j).toLong; j += 1 }
+          h % density == 0
+        }.map(i => (did, i + 1L, s.substring(i, i + winLen)))
+      }
+      .toDF("doc_id", "pos", "win")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupKeys = anchors.groupBy(sha2(col("win"), 256).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"))
+    anchors.join(dupKeys, sha2(col("win"), 256) === dupKeys("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("dup_anchors"))
+  }
+
   /** MinHash signatures: `perms` min-hashes over 3-gram shingles, one
     * aggregation pass (doc_id, mh0..mh{perms-1}). One string hash per
     * shingle; permutations are a seeded affine universal family

@@ -359,4 +359,84 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"),
         col("rnk"))
   }
+
+  /** CORPUS-TO-CORPUS kNN graph: every vector's top-k neighbors among
+    * its SRP-LSH bucket candidates — the all-pairs shape [[lshTopK]]
+    * cannot take (its query side is broadcast; here BOTH sides are the
+    * corpus, so nothing may broadcast). This is the input structure of
+    * graph-based curation: SemDeDup-style clustering, kNN
+    * classification, label propagation, connectivity analysis.
+    *
+    * Plan shape at 100 TB: one bucket self-join keyed on (tbl, bkt) —
+    * the only corpus-sized shuffles are the bucket exchange and the
+    * two payload re-attach joins, all on narrow keys; candidates
+    * dedup as bare id pairs BEFORE embeddings re-attach (the lshTopK
+    * rule); `maxBucket` caps hot buckets; bucket space (bits, tables)
+    * must scale with the corpus (SCALE.md rule). Candidate volume is
+    * sum-of-bucket-squares — sub-quadratic whenever buckets stay
+    * sparse, degrading gracefully (more candidates, same answer) on
+    * clustered data. Directed output: (src_id, neighbor_id) and
+    * (neighbor_id, src_id) both appear iff they share a bucket —
+    * exactly the distinct != self-join the SQL oracle replays. */
+  /** Leave-one-out kNN label check over the [[knnGraph]]: each
+    * vector's label is re-predicted by majority vote of its k nearest
+    * LSH neighbors (ties -> fewest votes wins lowest label — a total
+    * deterministic order), and compared to its stored label. The
+    * classic label-noise / mislabeled-sample detector of a curation
+    * pipeline: `agree = false` rows are review candidates.
+    *
+    * Scale shape: everything rides the knnGraph plan (bucket
+    * self-join, narrow keys) plus one label re-attach join and one
+    * per-vector vote aggregation — the vote frame is k rows per
+    * vector, output-linear. Vote = row_number over
+    * (votes DESC, label ASC): ties break to the LOWEST label, the
+    * same total order the SQL oracle replays. */
+  def knnLabelCheck(corpus: DataFrame, k: Int, bits: Int, dim: Int,
+      tables: Int = 24, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val g = knnGraph(corpus.select(col("vec_id"), col("embedding")),
+      k, bits, dim, tables, seed, maxBucket)
+    val labels = corpus.select(col("vec_id").cast("long").as("vec_id"),
+      col("label").cast("long").as("label"))
+    val votes = g
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("src_id").as("vec_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    val pred = votes.withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("n_label").as("pred_label"))
+    labels.join(pred, "vec_id")
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        (col("label") === col("pred_label")).as("agree"))
+  }
+
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int, dim: Int,
+      tables: Int = 24, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val candU = Dedup.lshCandidatePairs(corpus, col("vec_id"),
+      col("embedding"), bits, tables, dim, seed, maxBucket)
+    val cand = candU
+      .select(col("a_id").as("src_id"), col("b_id").as("neighbor_id"))
+      .union(candU
+        .select(col("b_id").as("src_id"), col("a_id").as("neighbor_id")))
+    val withNorm = corpus.select(col("vec_id").cast("long").as("vid"),
+      col("embedding").as("e"),
+      sqrt(nativeDot(col("embedding"), col("embedding"))).as("nrm"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .join(withNorm.select(col("vid").as("src_id"), col("e").as("es"),
+        col("nrm").as("ns")), "src_id")
+      .join(withNorm.select(col("vid").as("neighbor_id"), col("e").as("en"),
+        col("nrm").as("nn")), "neighbor_id")
+      .withColumn("cos", nativeDot(col("es"), col("en")) / (col("ns") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rnk"))
+  }
 }

@@ -99,6 +99,55 @@ object TextAnalysis {
         (abs(col("approx") - col("exact")) <= lit(3 * rsd) * col("exact"))
           .as("within_bound"))
 
+  /** Heavy hitters via Count-Min Sketch NEXT TO the exact counts — the
+    * bound-validation frame pattern (the HLL/GK twin rule): emits the
+    * top-k words by exact count with `within_bound` checking the CMS
+    * estimate against the two-sided guarantee
+    * `exact <= est <= exact + eps * total` (CMS never underestimates;
+    * the overestimate bound holds at the sketch's confidence and, with
+    * a FIXED seed, is a deterministic fact of this corpus). A
+    * cross-engine oracle reproduces the all-true frame from exact
+    * counts alone — sketch internals never compared.
+    *
+    * At 100 TB the sketch is THE path: `count_min_sketch` is a
+    * map-side-mergeable aggregate with fixed O(depth x width) state
+    * (~112 kB at eps=1e-3/conf=0.99), one corpus pass, no vocab-sized
+    * shuffle. The exact side here exists to VALIDATE it (and is itself
+    * a vocab-cardinality shuffle, fine at any scale). The sketch
+    * binary is collected to the driver — bounded metadata, the IVF
+    * centroid-collect precedent — and re-applied via one broadcast +
+    * per-partition lazy deserialize (no UDF: a typed mapPartitions).
+    * CMS merges are commutative; the verdict is partition-invariant. */
+  def heavyHittersCms(df: org.apache.spark.sql.DataFrame, text: Column,
+      k: Int, eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = df.select(explode(words(text)).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val skBytes: Array[Byte] = w
+      .agg(expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)"))
+      .head.getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(skBytes)
+    val win = Window.orderBy(col("cnt").desc, col("word").asc)
+    val top = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(w.agg(count(lit(1)).as("total"))))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .as[(String, Long, Long, Int)]
+    top.mapPartitions { it =>
+      lazy val sketch = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bc.value))
+      it.map { case (word, cnt, total, rnk) =>
+        val est = sketch.estimateCount(word)
+        (word, cnt, rnk,
+          est >= cnt && est <= cnt + math.ceil(eps * total).toLong)
+      }
+    }.toDF("word", "cnt", "rnk", "within_bound")
+  }
+
   /** Per-document top-k tokens by a rational tf-idf: score =
     * tf * N / df, a single exact-integer division — deterministic
     * across engines, unlike ln-based idf where libm differences break
@@ -133,6 +182,72 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(win))
       .filter(col("rnk") <= k)
       .select("doc_id", "word", "tf", "df", "score", "rnk")
+  }
+
+  /** Okapi BM25 retrieval: top-k documents per query string, with a
+    * RATIONAL idf ((N - df + 0.5)/(df + 0.5), no ln — the tf-idf rule:
+    * libm-free so the score is cross-engine bit-exact; it induces the
+    * same ordering as the log form) and the standard tf saturation
+    * k1=1.2 / length normalization b=0.75. Each per-term score is
+    * rounded to integer MICROS before the per-document sum, so the sum
+    * is order-independent (exact integer-valued doubles below 2^53 —
+    * the QueryDef rule) and the final ranking key
+    * (score_micros desc, doc_id) is total.
+    *
+    * Scale shape: the corpus is tokenized once (typed explode, no
+    * shuffle), tf aggregates on (doc_id, word); dl and df both derive
+    * from the PERSISTED tf frame (the tfidfTopK lesson — without the
+    * persist Catalyst re-tokenizes per branch). The query table is a
+    * literal broadcast — the corpus-sized side never shuffles for it;
+    * only rows matching a query term survive into the per-(query, doc)
+    * aggregation, so the final shuffle is |matches|, not |corpus|.
+    * Corpus-level N and total-token T ride along as a broadcast 1-row
+    * aggregate, never a driver collect.
+    *
+    * Reference anchor: retrieval-scoring surface of the feature
+    * pipeline (svoe/featurizer/features/feature.py:24-61 defines
+    * derived scoring columns); BM25 itself is the public Robertson/
+    * Sparck-Jones formulation. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, queries: Seq[(Int, String)], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, q) => q.toLowerCase.split(" ").distinct.map(w => (qid, w)) }
+      .toDF("query_id", "word")
+    val w = df.select(id.as("doc_id"), explode(words(text)).as("word"))
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // total tokens T = sum(tf) over the PERSISTED frame — the w.agg
+    // formulation re-scanned and re-tokenized the corpus (EXPLAINS
+    // showed the second parquet scan); N stays a metadata count scan
+    val nt = df.agg(count(lit(1)).as("n")).crossJoin(
+      tf.agg(sum("tf").as("t")))
+    // The arithmetic SHAPE below is mirrored token-for-token in the SQL
+    // oracle (same associativity, same literal constants): every op is
+    // IEEE-deterministic, so identical trees give identical doubles.
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val norm = col("tf") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") * col("n") / col("t"))
+    val termMicros = round(idf * (col("tf") * lit(2.2)) / norm * lit(1e6))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), "word")
+      .join(dfq, "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nt))
+      .withColumn("micros", termMicros)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("micros").cast("long").as("score_micros"),
+        count(lit(1)).as("terms_hit"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "score_micros", "terms_hit", "rnk")
   }
 
   /** Greedy left-to-right application of one BPE merge (l, r) to a
@@ -211,6 +326,47 @@ object TextAnalysis {
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
+  /** Distributed BPE ENCODE — the apply half of the tokenizer story
+    * ([[bpeTrain]] learns the merge table; this tokenizes the corpus
+    * with it). The merge table is bounded metadata (nMerges rows)
+    * broadcast into ONE typed map over the corpus: per word, merges
+    * apply in rank order, greedy left-to-right ([[bpeApply]]) — the
+    * encode pass itself is map-only, zero shuffle; parallelism is the
+    * scan's. Emits per-doc (doc_id, n_words, n_sym0, n_tokens):
+    * initial character-symbol count vs post-merge token count — the
+    * compression the learned merges bought, the number a pipeline
+    * actually budgets on (tokens per doc under the REAL tokenizer,
+    * one level deeper than [[tokenCount]]'s whitespace count). All
+    * integer counts — exact cross-engine. */
+  def bpeEncodeStats(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val merges: Array[(String, String)] = bpeTrain(df, text, nMerges)
+      .orderBy("rank").as[(Int, String, String, Long)].collect()
+      .map { case (_, l, r, _) => (l, r) }
+    val bc = spark.sparkContext.broadcast(merges)
+    df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+      .as[(Long, String)]
+      .map { case (did, t) =>
+        val ws = (if (t == null) "" else t).split(" ", -1)
+        var nSym0 = 0L
+        var nTok = 0L
+        ws.foreach { w =>
+          var syms = w.toCharArray.map(_.toString)
+          nSym0 += syms.length
+          val ms = bc.value
+          var i = 0
+          while (i < ms.length) {
+            syms = bpeApply(syms, ms(i)._1, ms(i)._2); i += 1
+          }
+          nTok += syms.length
+        }
+        (did, ws.length.toLong, nSym0, nTok)
+      }
+      .toDF("doc_id", "n_words", "n_sym0", "n_tokens")
   }
 
   /** CCNet-style n-gram LM quality score: the corpus's own bigram

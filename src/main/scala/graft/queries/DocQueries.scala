@@ -374,6 +374,86 @@ object DocQueries {
       TA.tfidfTopK(Tables.documents(s, dir), col("text"), col("doc_id"), 3)
     },
 
+    // Exact-substring duplicate mass via content-defined anchors:
+    // anchor where the 8-char polynomial hash (seeded fold a*31+b,
+    // no modulus — exact Int64 both engines) is 0 mod 32; 40-char
+    // windows at anchors, dup = window text seen >= 2x corpus-wide.
+    // Alignment-robust (identical content -> identical anchors),
+    // output-linear per-doc stats.
+    "doc_substr_dups" -> QueryDef(
+      """WITH anch AS (
+        |  SELECT doc_id, pos, substr(text, pos, 40) AS win FROM (
+        |    SELECT doc_id, text,
+        |      unnest(generate_series(1, greatest(length(text) - 39, 0))) AS pos
+        |    FROM documents)
+        |  WHERE list_reduce(list_transform(
+        |      string_split(substr(text, pos, 8), ''),
+        |      c -> CAST(unicode(c) AS BIGINT)), (a, b) -> a*31 + b) % 32 = 0),
+        |dup AS (
+        |  SELECT sha256(win) AS h FROM anch GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT a.doc_id, count(*) AS n_anchors,
+        |  sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS dup_anchors
+        |FROM anch a LEFT JOIN dup d ON sha256(a.win) = d.h
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.substrDupStats(Tables.documents(s, dir), col("text"), col("doc_id"))
+    },
+
+    // Count-Min-Sketch heavy hitters next to the exact counts: the
+    // bound-validation twin (HLL/GK pattern). The oracle reproduces the
+    // all-true frame from exact counts alone; the Spark side actually
+    // builds and queries the distributed sketch.
+    "doc_heavy_hitters_cms" -> QueryDef(
+      s"""WITH w AS (SELECT unnest($SPLIT) AS word FROM documents),
+         |cnts AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1)
+         |SELECT word, cnt, rnk, TRUE AS within_bound FROM (
+         |  SELECT word, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+         |  FROM cnts) s
+         |WHERE rnk <= 20""".stripMargin) { (s, dir) =>
+      TA.heavyHittersCms(Tables.documents(s, dir), col("text"), 20)
+    },
+
+    // BM25 retrieval over three fixed multi-term queries: rational idf
+    // (no ln), per-term integer-micro rounding before the per-doc sum
+    // (order-independent), total ranking key. The SQL mirrors the Spark
+    // arithmetic token-for-token — identical IEEE trees, identical
+    // doubles, exact hash compare.
+    "doc_bm25_topk" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, unnest($SPLIT) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |nt AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT count(*) FROM w) AS t),
+         |q(query_id, word) AS (VALUES
+         |  (0, 'hash'), (0, 'join'), (0, 'order'),
+         |  (1, 'vector'), (1, 'scan'), (1, 'filter'),
+         |  (2, 'slow'), (2, 'merge'), (2, 'batch'), (2, 'data')),
+         |term AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    round((nt.n - d.df + 0.5) / (d.df + 0.5)
+         |      * (t.tf * 2.2)
+         |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl * nt.n / nt.t))
+         |      * 1000000.0) AS micros
+         |  FROM tf t JOIN q ON t.word = q.word
+         |    JOIN dfq d ON t.word = d.word
+         |    JOIN dl l ON t.doc_id = l.doc_id
+         |    CROSS JOIN nt),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(sum(micros) AS BIGINT) AS score_micros,
+         |    count(*) AS terms_hit
+         |  FROM term GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score_micros, terms_hit, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_micros DESC, doc_id) AS rnk
+         |  FROM scored) s
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      TA.bm25TopK(Tables.documents(s, dir), col("text"), col("doc_id"),
+        Seq(0 -> "hash join order", 1 -> "vector scan filter",
+          2 -> "slow merge batch data"), 5)
+    },
+
     // Deterministic content-hash sampling: ~10% of docs survive, chosen
     // by md5 prefix (identical hex in both engines) — reproducible
     // corpus subsetting with no RNG coordination.
@@ -392,6 +472,14 @@ object DocQueries {
     // integer arithmetic and tie order.
     "doc_bpe_merges" -> QueryDef.noOracle { (s, dir) =>
       TA.bpeTrain(Tables.documents(s, dir), col("text"), 16)
+    },
+
+    // BPE encode: the trained 16-merge table applied to every doc in
+    // one map-only pass — per-doc token counts under the real
+    // tokenizer. Exact Python oracle (tools/pyoracle.py) replays the
+    // training and the greedy rank-order application.
+    "doc_bpe_encode" -> QueryDef.noOracle { (s, dir) =>
+      TA.bpeEncodeStats(Tables.documents(s, dir), col("text"), col("doc_id"), 16)
     },
 
     // CCNet-style n-gram LM quality score: mean conditional bigram

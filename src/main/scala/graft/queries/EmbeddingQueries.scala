@@ -162,6 +162,84 @@ object EmbeddingQueries {
         bits = 6, dim = 64)
     },
 
+    // Corpus-to-corpus kNN GRAPH: every vector's top-5 among its LSH
+    // bucket candidates — both sides the corpus, nothing broadcast
+    // (the all-pairs shape lshTopK cannot take). Same inlined-plane
+    // replay as emb_lsh_topk; candidates are the DIRECTED distinct
+    // bucket-sharing pairs.
+    "emb_knn_graph" -> QueryDef(
+      s"""WITH planes(t, j, p) AS (VALUES ${srpPlanesValues(6, 64, 24, 42L)}),
+         |cb AS (
+         |  SELECT e.vec_id, pl.t,
+         |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+         |        THEN 1 << pl.j ELSE 0 END) AS bkt
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+         |  FROM cb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
+         |    AND a.vec_id != b.vec_id),
+         |scored AS (
+         |  SELECT c.src_id, c.neighbor_id,
+         |    list_dot_product(s.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+         |      (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
+         |       * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+         |  FROM cand c
+         |  JOIN embeddings s ON s.vec_id = c.src_id
+         |  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+         |SELECT src_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), 5, bits = 6, dim = 64)
+    },
+
+    // Leave-one-out kNN label check (label-noise detection): each
+    // vector's label re-predicted by 5-NN majority vote over the kNN
+    // graph, ties to the lowest label. agree=false rows are the
+    // mislabel review queue.
+    "emb_knn_label_check" -> QueryDef(
+      s"""WITH planes(t, j, p) AS (VALUES ${srpPlanesValues(6, 64, 24, 42L)}),
+         |cb AS (
+         |  SELECT e.vec_id, pl.t,
+         |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+         |        THEN 1 << pl.j ELSE 0 END) AS bkt
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+         |  FROM cb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
+         |    AND a.vec_id != b.vec_id),
+         |scored AS (
+         |  SELECT c.src_id, c.neighbor_id,
+         |    list_dot_product(s.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+         |      (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
+         |       * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+         |  FROM cand c
+         |  JOIN embeddings s ON s.vec_id = c.src_id
+         |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+         |knn AS (
+         |  SELECT src_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY src_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM scored) t
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT k.src_id AS vec_id, e.label AS n_label, count(*) AS votes
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT vec_id, n_label AS pred_label FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY votes DESC, n_label ASC) AS vr
+         |    FROM votes) t
+         |  WHERE vr = 1)
+         |SELECT e.vec_id, e.label, p.pred_label,
+         |  e.label = p.pred_label AS agree
+         |FROM embeddings e JOIN pred p ON p.vec_id = e.vec_id""".stripMargin) {
+      (s, dir) =>
+        Similarity.knnLabelCheck(Tables.embeddings(s, dir), 5, bits = 6, dim = 64)
+    },
+
     // IVF-ANN, full-probe plumbing regime: with nProbe = nLists the
     // probed set is the whole corpus, so the result provably equals
     // brute force — the driver hash-checks the train/assign/probe/

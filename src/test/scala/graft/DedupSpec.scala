@@ -328,4 +328,36 @@ class DedupSpec extends AnyFunSuite {
       col("embedding"), nClusters = 2, threshold = -1.0, maxCluster = 10)
     assert(capped.count() == 0, "2 clusters over 50 vecs must exceed cap 10")
   }
+
+  test("substrDupStats: misaligned long dupes detected, short/unique spans not") {
+    import spark.implicits._
+    // A 120-char repeated span embedded at DIFFERENT offsets in two
+    // otherwise-unrelated docs — the case fixed-stride windows miss.
+    val span = ("the quick brown fox jumps over the lazy dog while " +
+      "carrying a heavy parcel of fresh oranges through town ").take(120)
+    val filler1 = "zebra quagga okapi "
+    val filler2 = "completely different preamble text that shifts alignment by some chars "
+    val unique1 = "xyz unrelated trailing content one"
+    val unique2 = "totally distinct trailing content two here"
+    val docs = Seq(
+      (1L, filler1 + span + unique1),
+      (2L, filler2 + span + unique2),
+      (3L, "short doc"), // under the 40-char window: no anchors
+      (4L, "a solitary document with no repeats anywhere in the corpus at all, long enough for anchors"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substrDupStats(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(3L), "sub-window doc must emit nothing")
+    // both dup-span carriers detect dup anchors despite misalignment
+    assert(out(1L)._2 > 0, s"doc 1 missed the planted dup: $out")
+    assert(out(2L)._2 > 0, s"doc 2 missed the planted dup: $out")
+    // the solitary doc (if it anchors at its density) has zero dups
+    out.get(4L).foreach { case (_, dups) => assert(dups == 0L, s"$out") }
+    // dup anchors never exceed total anchors
+    assert(out.values.forall { case (n, d) => d <= n })
+    // partition invariance
+    val re = Dedup.substrDupStats(docs.repartition(5), col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(re == out)
+  }
 }

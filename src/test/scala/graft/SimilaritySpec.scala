@@ -121,4 +121,63 @@ class SimilaritySpec extends AnyFunSuite {
     for (q <- queries.select("vec_id").collect().map(_.getLong(0)))
       assert(top(q) == (q + 1000000L, 1.0), s"query $q top = ${top.get(q)}")
   }
+
+  test("knnLabelCheck: planted mislabels flagged, consistent clusters agree") {
+    import spark.implicits._
+    // 10 clusters of 6 identical vectors: 5 labeled (cluster id), one
+    // mislabeled (cluster id + 100). Each member's 5-NN are its 5
+    // copies, so majority vote recovers the true label — the planted
+    // mislabel must disagree, everything else must agree.
+    val bases = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+    val rows = bases.flatMap { case (b, e) =>
+      (0 until 6).map { i =>
+        val label = if (i == 5) b + 100L else b
+        (b * 10 + i, e, label)
+      }
+    }.toSeq
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelCheck(corpus, 5, bits = 6, dim = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.size == 60)
+    for ((b, _) <- bases; i <- 0 until 6) {
+      val (label, pred, agree) = out(b * 10 + i)
+      assert(pred == b, s"cluster $b member $i predicted $pred")
+      assert(agree == (label == b), s"vec ${b * 10 + i}: $label vs $pred")
+    }
+    assert(out.count(!_._2._3) == 10, "exactly the 10 planted mislabels")
+  }
+
+  test("knnGraph: directed symmetry, identical copies rank first, cap bites") {
+    // seed an identical copy of every vector: copies share every LSH
+    // bucket with the original, so the graph MUST contain both
+    // directions at rank 1 with cos 1.0
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")))
+    val g = Similarity.knnGraph(corpus, 3, bits = 6, dim = 64)
+    val top1 = g.filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    for (v <- ids) {
+      assert(top1(v) == (v + 1000000L, 1.0), s"src $v top = ${top1.get(v)}")
+      assert(top1(v + 1000000L) == (v, 1.0),
+        s"src ${v + 1000000L} top = ${top1.get(v + 1000000L)}")
+    }
+    // rnk dense from 1, at most k per src, no self edges
+    val bySrc = g.collect().groupBy(_.getLong(0))
+    assert(bySrc.values.forall(rows =>
+      rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length)))
+    assert(bySrc.values.forall(_.length <= 3))
+    assert(g.filter(col("src_id") === col("neighbor_id")).count() == 0)
+    // the hot-bucket cap silences an all-identical corpus entirely
+    val one = emb.filter(col("vec_id") === 0).select(col("embedding")).head
+      .getAs[scala.collection.Seq[Float]](0)
+    import spark.implicits._
+    val flat = (0L until 50L).map(i => (i, one.toArray)).toDF("vec_id", "embedding")
+    assert(Similarity.knnGraph(flat, 3, bits = 6, dim = 64, maxBucket = 10)
+      .count() == 0, "50 identical vectors exceed cap 10 in every bucket")
+  }
 }

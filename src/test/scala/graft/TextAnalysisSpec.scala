@@ -154,6 +154,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("bpeEncodeStats golden: learned merges compress the corpus words") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    // 4 merges learn l+o, lo+w, e+r, low+er (pinned by the bpeTrain
+    // golden): "low" -> 1 token, "lower" -> 1 token; "newest" contains
+    // no adjacent learned pair and stays 6 char tokens.
+    val out = TA.bpeEncodeStats(docs, col("text"), col("doc_id"), 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (3L, 9L, 3L), s"'low'x3 must encode to 1 token each: $out")
+    assert(out(2L) == (2L, 10L, 2L), s"'lower'x2 must encode to 1 token each: $out")
+    assert(out(3L) == (1L, 6L, 6L), s"'newest' has no learned merge: $out")
+    // partition invariance
+    val re = TA.bpeEncodeStats(docs.repartition(3), col("text"), col("doc_id"), 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(re == out)
+  }
+
   test("bpeApply: greedy non-overlapping, resumes after the merge") {
     assert(TA.bpeApply(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
     assert(TA.bpeApply(Array("a", "b", "a", "b"), "a", "b").toSeq ==
@@ -178,5 +197,74 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scored.agg(min("lm_score"), max("lm_score"))
       .collect().map(r => r.getDouble(1) > r.getDouble(0)).head,
       "vacuous fixture: all docs score identically")
+  }
+
+  test("heavyHittersCms: verdicts all true, ranks exact, non-vacuous bound") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TA.heavyHittersCms(real, col("text"), 10)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.length == 10)
+    assert(out.forall(_._4), s"CMS estimate out of bound: ${out.mkString(",")}")
+    // ranks are the exact ranking (count desc, word asc), 1..10 dense
+    assert(out.map(_._3).sorted.toSeq == (1 to 10))
+    val sorted = out.sortBy(_._3)
+    assert(sorted.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    // non-vacuous (the HLL-spec rule): pin the ACTUAL estimates. Build
+    // the same sketch directly at a crowded width (eps=0.25 -> 8 cells)
+    // and show collisions genuinely overestimate some word — the
+    // estimate path is live, not an echo of the exact counts — while
+    // never underestimating (the CMS one-sided guarantee).
+    val w = real.select(explode(split(lower(col("text")), " ")).as("word"))
+    val skBytes = w.agg(expr("count_min_sketch(word, 0.25d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val sk = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val exact = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.forall { case (word, cnt) => sk.estimateCount(word) >= cnt },
+      "CMS underestimated — guarantee broken")
+    assert(exact.exists { case (word, cnt) => sk.estimateCount(word) > cnt },
+      "8-cell sketch shows zero collisions on a diverse vocab — vacuous")
+    // partition invariance (commutative merges, fixed seed)
+    val re = TA.heavyHittersCms(real.repartition(7), col("text"), 10)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(re.sortBy(_._3).toSeq == sorted.toSeq)
+  }
+
+  test("bm25TopK golden: idf ordering, length normalization, tf saturation") {
+    // df(rare)=1, df(common)=3 of n=4 docs; doc 4 is long (dilutes tf).
+    val docs = Seq(
+      (1L, "rare common x y"),
+      (2L, "common a b c"),
+      (3L, "common common d e"),
+      (4L, "common f g h i j k l m n o p q r s t u v w z a2 b2 c2"))
+      .toDF("doc_id", "text")
+    val out = TA.bm25TopK(docs, col("text"), col("doc_id"),
+      Seq(0 -> "rare", 1 -> "common"), 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    // query 0: only doc 1 contains "rare"
+    assert(out.keySet.filter(_._1 == 0) == Set(0 -> 1L))
+    // query 1 ranking: doc 3 (tf=2, short) > docs 1,2 (tf=1, short,
+    // same length -> identical score, doc_id tiebreak) > doc 4 (tf=1,
+    // long -> length-normalized down)
+    val q1 = out.collect { case ((1, d), (s, _, rnk)) => (rnk, d, s) }.toSeq.sorted
+    assert(q1.map(_._2) == Seq(1L, 2L, 3L, 4L).sortBy(d => out((1, d))._3))
+    assert(q1(0)._2 == 3L, s"tf=2 doc must rank first: $q1")
+    assert(q1.last._2 == 4L, s"long doc must rank last: $q1")
+    assert(out((1, 1L))._1 == out((1, 2L))._1, "equal-length tf=1 docs tie")
+    // every hit reports terms_hit=1 (single-term queries)
+    assert(out.values.forall(_._2 == 1L))
+    // determinism under physical layout
+    val re = TA.bm25TopK(docs.repartition(5), col("text"), col("doc_id"),
+      Seq(0 -> "rare", 1 -> "common"), 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(re == out)
   }
 }

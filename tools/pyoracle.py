@@ -540,7 +540,39 @@ def expected_doc_bpe_merges(sfdir: str) -> pd.DataFrame:
     return pd.DataFrame(out, columns=['rank', 'left', 'right', 'freq'])
 
 
+def expected_doc_bpe_encode(sfdir: str) -> pd.DataFrame:
+    """BPE encode: train the 16-merge table (same replay as
+    expected_doc_bpe_merges), then greedily apply the merges in rank
+    order to every word of every doc. Mirrors
+    TextAnalysis.bpeEncodeStats exactly (integer counts)."""
+    merges = [(l, r) for _, l, r, _ in
+              expected_doc_bpe_merges(sfdir).itertuples(index=False)]
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    out = []
+    for doc_id, t in zip(docs['doc_id'], docs['text']):
+        ws = _doc_words(t)
+        n_sym0 = n_tok = 0
+        for w in ws:
+            syms = list(w)
+            n_sym0 += len(syms)
+            for l, r in merges:
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            n_tok += len(syms)
+        out.append((doc_id, len(ws), n_sym0, n_tok))
+    return pd.DataFrame(out, columns=['doc_id', 'n_words', 'n_sym0',
+                                      'n_tokens'])
+
+
 PY_ORACLES = {
+    'doc_bpe_encode': expected_doc_bpe_encode,
     'doc_bpe_merges': expected_doc_bpe_merges,
     'doc_pack_greedy': expected_doc_pack_greedy,
     'doc_minhash_lsh': expected_doc_minhash_lsh,
