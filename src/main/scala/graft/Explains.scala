@@ -47,7 +47,7 @@ object Explains {
       "doc_lm_score" -> "LM scoring: the bigram frame is persisted (InMemoryTableScan x3 — one tokenization pass feeds both count aggs and the probability join); count aggs are partial/final pairs, vocabulary-sized",
       "doc_shuffle_shards" -> "shard shuffle: assignment is a literal CASE chain over md5 right after the scan (no exchange); the only exchange is the shard window's — the physical shard write's own partitioning",
       "doc_bm25_topk" -> "BM25: query terms are the BROADCAST side of the first join — only matching (doc, word) rows reach the per-(query, doc) aggregation; tf persisted (one tokenization feeds tf/dl/df); corpus stats ride a broadcast 1-row cross join",
-      "doc_heavy_hitters_cms" -> "CMS twin: the sketch is ONE map-side-mergeable ObjectHashAggregate over the persisted word frame (fixed ~112 kB state); the exact side is a vocab-sized count agg; the verdict map is a bounded-broadcast mapPartitions — no per-word driver work",
+      "doc_heavy_hitters_cms" -> "CMS twin: the sketch is ONE map-side-mergeable ObjectHashAggregate over the persisted word frame (fixed ~112 kB state); the exact top-k is a TakeOrderedAndProject (parallel partial top-k — the full vocab never crosses one window partition); the verdict map is a bounded-broadcast mapPartitions",
       "doc_substr_dups" -> "substring dup mass: anchors emit from one typed flatMap over the scan (no exchange); the digest group-by carries 64-byte sha2 keys (not window bodies twice); dup keys LEFT-join back and re-aggregate per doc — output-linear",
       "doc_bpe_encode" -> "BPE encode: after the train collect (bounded vocab metadata), the encode is a SINGLE map-only typed pass over the scan — no exchange anywhere downstream of the merge-table broadcast",
       "emb_knn_graph" -> "kNN graph: corpus-to-corpus bucket SELF-join — the exchange keys are (tbl, bkt) and bare ids; embedding payloads re-attach AFTER the candidate dedup; no broadcast of either corpus side (AQE may broadcast at this tiny SF — the shape to read is the narrow candidate pipeline)")

@@ -372,7 +372,9 @@ object Similarity {
     * two payload re-attach joins, all on narrow keys; candidates
     * dedup as bare id pairs BEFORE embeddings re-attach (the lshTopK
     * rule); `maxBucket` caps hot buckets; bucket space (bits, tables)
-    * must scale with the corpus (SCALE.md rule). Candidate volume is
+    * must scale with the corpus (SCALE.md rule) — pass `bits <= 0` to
+    * auto-size it from a corpus count (~32 rows/bucket/table).
+    * Candidate volume is
     * sum-of-bucket-squares — sub-quadratic whenever buckets stay
     * sparse, degrading gracefully (more candidates, same answer) on
     * clustered data. Directed output: (src_id, neighbor_id) and
@@ -417,8 +419,17 @@ object Similarity {
       tables: Int = 24, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
+    // bits <= 0: auto-size the bucket space to the corpus (the
+    // auto-sized range-exchange rule — every parallelism/bucket knob
+    // must scale with the data). Target ~32 rows per bucket per
+    // table, so candidate volume stays ~32x linear instead of
+    // n^2/2^bits. The count is one metadata-cheap action, the same
+    // bounded boundary as IVF's centroid collect.
+    val b = if (bits > 0) bits
+    else math.max(1, math.ceil(math.log(
+      math.max(corpus.count(), 2L) / 32.0) / math.log(2.0)).toInt)
     val candU = Dedup.lshCandidatePairs(corpus, col("vec_id"),
-      col("embedding"), bits, tables, dim, seed, maxBucket)
+      col("embedding"), b, tables, dim, seed, maxBucket)
     val cand = candU
       .select(col("a_id").as("src_id"), col("b_id").as("neighbor_id"))
       .union(candU

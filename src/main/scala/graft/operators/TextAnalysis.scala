@@ -69,12 +69,15 @@ object TextAnalysis {
   def vocabTopK(df: org.apache.spark.sql.DataFrame, text: Column,
       id: Column, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // orderBy+limit = TakeOrdered (parallel top-k), then the global
+    // window ranks only the k survivors — never the full vocab
+    // through one window partition (the heavyHittersCms probe lesson)
     val w = Window.orderBy(col("df").desc, col("word").asc)
     df.select(id.as("doc_id"), explode(array_distinct(words(text))).as("word"))
       .groupBy("word")
       .agg(count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("word").asc).limit(k)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
   }
 
   /** Per-group vocabulary size via HLL++ NEXT TO the exact count — the
@@ -131,11 +134,15 @@ object TextAnalysis {
       .agg(expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, $seed)"))
       .head.getAs[Array[Byte]](0)
     val bc = spark.sparkContext.broadcast(skBytes)
+    // top-k via orderBy+limit = TakeOrdered (parallel per-partition
+    // top-k + merge), NOT a single-partition window over the full
+    // vocab — the sf1eq probe put 469k vocab rows through one window
+    // partition. The global window then ranks only the k survivors.
     val win = Window.orderBy(col("cnt").desc, col("word").asc)
     val top = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(k)
       .crossJoin(broadcast(w.agg(count(lit(1)).as("total"))))
       .withColumn("rnk", row_number().over(win))
-      .filter(col("rnk") <= k)
       .as[(String, Long, Long, Int)]
     top.mapPartitions { it =>
       lazy val sketch = org.apache.spark.util.sketch.CountMinSketch

@@ -172,6 +172,13 @@ class SimilaritySpec extends AnyFunSuite {
       rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length)))
     assert(bySrc.values.forall(_.length <= 3))
     assert(g.filter(col("src_id") === col("neighbor_id")).count() == 0)
+    // auto-sized bucket space (bits <= 0): the knob-scaling default
+    // still puts every identical copy at rank 1
+    val ga = Similarity.knnGraph(corpus, 1, bits = -1, dim = 64)
+    val ga1 = ga.filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (v <- ids.take(20))
+      assert(ga1(v) == v + 1000000L, s"auto-bits: src $v top = ${ga1.get(v)}")
     // the hot-bucket cap silences an all-identical corpus entirely
     val one = emb.filter(col("vec_id") === 0).select(col("embedding")).head
       .getAs[scala.collection.Seq[Float]](0)
