@@ -249,6 +249,40 @@ object Dedup {
         col("n_total"))
   }
 
+  /** INCREMENTAL exact dedup — the production shape: nobody re-dedups
+    * the full corpus per ingest; the daily increment dedups against a
+    * persistent digest INDEX. A new document survives iff (a) its
+    * content digest is absent from the index (anti-join on the 32-byte
+    * digest — the index side is a narrow digest column, never document
+    * bodies) and (b) it wins the intra-batch keeper election among
+    * same-digest new arrivals (min doc_id — the exactDedup rule).
+    * Emits every new doc with its verdict + the blocking side
+    * (`dup_of_index` vs a batch loser), so the caller can both filter
+    * and audit.
+    *
+    * Scale shape: one digest map over the new batch (no shuffle), one
+    * LEFT join against the index keyed on digest (the increment is
+    * typically orders of magnitude smaller than the index — AQE
+    * broadcasts the BATCH side when it fits, and the index is never
+    * re-shuffled when stored bucketed by digest), one batch-sized
+    * keeper aggregation. Index maintenance is the survivors' digests
+    * appended — the same column this operator consumes. */
+  def incrementalDedup(newDocs: DataFrame, text: Column, id: Column,
+      indexDigests: DataFrame): DataFrame = {
+    val keyed = newDocs.select(id.cast("long").as("doc_id"),
+      sha2(text, 256).as("digest"))
+    val idx = indexDigests.select(col("digest").as("idx_digest")).distinct()
+    val keeper = keyed.groupBy("digest")
+      .agg(min("doc_id").as("keep_id"))
+    keyed
+      .join(idx, keyed("digest") === idx("idx_digest"), "left")
+      .join(keeper, "digest")
+      .select(col("doc_id"), col("digest"),
+        col("idx_digest").isNotNull.as("dup_of_index"),
+        (col("idx_digest").isNull && col("doc_id") === col("keep_id"))
+          .as("keep"))
+  }
+
   /** Exact-substring duplicate detection via CONTENT-DEFINED anchors —
     * the suffix-array substring-dedup semantics (find long byte spans
     * repeated anywhere in the corpus) re-expressed shuffle-light.

@@ -160,4 +160,63 @@ object Sampling {
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** Token-budget corpus selection: keep the best documents — ordered
+    * by (quality DESC, doc_id), a total order with quality rounded to
+    * 4dp (the fp rule) — whose running token total fits `budget`. The
+    * data-selection step between scoring and training ("train on the
+    * best N tokens").
+    *
+    * The naive formulation is a GLOBAL running sum over the quality
+    * sort: one window partition swallowing the corpus. Here the cut
+    * is derived from a bucketed HISTOGRAM instead (the classic
+    * distributed weighted-top-k): per distinct rounded quality, total
+    * tokens — a bounded-cardinality aggregate (4dp quality has at
+    * most ~10^4 values per unit range), collected as metadata (the
+    * IVF-centroid boundary). Buckets strictly above the cut select
+    * wholesale; only the boundary bucket needs an in-bucket running
+    * sum, and every window partition is ONE quality value, never the
+    * corpus. Output cum_tokens reconstructs the global running sum
+    * from the broadcast bucket offsets — row-identical to the naive
+    * global-window formulation (the SQL oracle runs exactly that).
+    *
+    * `rows` must carry (doc_id long, q double rounded 4dp,
+    * n_tokens long >= 1); degenerate docs (null q) are excluded by
+    * the caller. */
+  def tokenBudgetSelect(rows: DataFrame, budget: Long): DataFrame = {
+    val spark = rows.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // bucket histogram: bounded metadata, ordered best-first
+    val hist = rows.groupBy("q").agg(sum("n_tokens").as("btoks"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (q, _) => -q }
+    var off = 0L
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var cut = Option.empty[(Double, Long)] // (q*, remaining budget)
+    var i = 0
+    while (i < hist.length && cut.isEmpty) {
+      val (q, btoks) = hist(i)
+      if (off + btoks <= budget) { offsets += ((q, off)); off += btoks }
+      else cut = Some((q, budget - off))
+      i += 1
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("q", "off") // encoder schema: safe when empty
+    val inBucket = Window.partitionBy(col("q")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = rows.join(broadcast(offDf), "q")
+      .withColumn("cum_tokens", col("off") + sum("n_tokens").over(inBucket))
+      .select("doc_id", "q", "n_tokens", "cum_tokens")
+    cut match {
+      case None => full
+      case Some((qStar, r)) =>
+        val boundaryOff = budget - r
+        val boundary = rows.filter(col("q") === qStar)
+          .withColumn("run", sum("n_tokens").over(inBucket))
+          .filter(col("run") <= r)
+          .select(col("doc_id"), col("q"), col("n_tokens"),
+            (col("run") + lit(boundaryOff)).as("cum_tokens"))
+        full.unionByName(boundary)
+    }
+  }
 }

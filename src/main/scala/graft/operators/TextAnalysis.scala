@@ -376,6 +376,52 @@ object TextAnalysis {
       .toDF("doc_id", "n_words", "n_sym0", "n_tokens")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023,
+    * arXiv:2302.03169 re-expressed at word granularity): score every
+    * document by how much its unigram distribution looks like a
+    * TARGET slice of the corpus versus the corpus overall. Per word,
+    * the importance ratio r(w) = p_target(w) / p_corpus(w) =
+    * (tcnt(w) * ctot) / (ttot * ccnt(w)); a document's weight is the
+    * mean ratio over its tokens. Data-selection-for-a-domain: sample
+    * proportionally to the weight and the corpus drifts toward the
+    * target distribution.
+    *
+    * Determinism (the lmScore rule): each ratio is a fixed-shape
+    * double expression over exact integer counts, micro-rounded
+    * BEFORE the per-doc sum (order-independent below 2^53), one final
+    * round(,4). Products are computed as doubles (`tcnt::DOUBLE *
+    * ctot`) so huge corpora lose ulps, never throw — at suite scales
+    * the products stay under 2^53 and the math is exact.
+    *
+    * Shape at 100 TB: ONE tokenization (the w frame), ONE
+    * vocabulary-sized aggregation computing ccnt and tcnt together
+    * (the target flag folds into the same agg — no second corpus
+    * pass), totals as a broadcast 1-row aggregate of the vocab frame,
+    * one corpus-sized join on word. Words absent from the target
+    * contribute 0 (no smoothing: ccnt >= 1 by construction, ttot > 0
+    * required). */
+  def importanceWeights(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, isTarget: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val w = df.select(id.cast("long").as("doc_id"),
+        explode(words(text)).as("word"), isTarget.cast("int").as("tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wc = w.groupBy("word")
+      .agg(count(lit(1)).as("ccnt"), sum("tgt").as("tcnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = wc.agg(sum("ccnt").as("ctot"), sum("tcnt").as("ttot"))
+    val sp = round(lit(1000000.0)
+      * (col("tcnt").cast("double") * col("ctot"))
+      / (col("ttot").cast("double") * col("ccnt")))
+    w.join(wc, "word")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), sp.as("sp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("sp")) / count(lit(1)) / lit(1000000.0), 4)
+          .as("importance"))
+  }
+
   /** CCNet-style n-gram LM quality score: the corpus's own bigram
     * statistics score each document — per doc, the mean conditional
     * bigram probability p(w2|w1) = c(w1 w2)/c(w1 ·) over its bigrams.

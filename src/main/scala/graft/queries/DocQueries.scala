@@ -413,6 +413,28 @@ object DocQueries {
       TA.heavyHittersCms(Tables.documents(s, dir), col("text"), 20)
     },
 
+    // Streaming heavy hitters: per-word counters accumulate in the
+    // STATE STORE across micro-batches (AvailableNow drain), then the
+    // drained frame ranks top-20 batch-side via TakeOrdered. Oracle =
+    // the exact batch counts — the Spark side actually runs the
+    // streaming engine.
+    "doc_heavy_hitters_stream" -> QueryDef(
+      s"""WITH w AS (SELECT unnest($SPLIT) AS word FROM documents),
+         |cnts AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1)
+         |SELECT word, cnt, rnk FROM (
+         |  SELECT word, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+         |  FROM cnts) s
+         |WHERE rnk <= 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Streaming.runAvailableNow(
+        Streaming.vocabCountStream(Streaming.documentsStream(s, dir),
+          col("text")))
+      counts.orderBy(col("cnt").desc, col("word").asc).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("word").asc)))
+    },
+
     // BM25 retrieval over three fixed multi-term queries: rational idf
     // (no ln), per-term integer-micro rounding before the per-doc sum
     // (order-independent), total ranking key. The SQL mirrors the Spark
@@ -452,6 +474,90 @@ object DocQueries {
       TA.bm25TopK(Tables.documents(s, dir), col("text"), col("doc_id"),
         Seq(0 -> "hash join order", 1 -> "vector scan filter",
           2 -> "slow merge batch data"), 5)
+    },
+
+    // Incremental dedup: a ~37% "new batch" (doc-id hash split — so
+    // exact copies straddle the boundary) dedups against the other
+    // ~63%'s digest index. keep = absent from the index AND the
+    // min-id winner within the batch.
+    "doc_dedup_incremental" -> QueryDef(
+      """WITH oldd AS (
+        |  SELECT sha256(text) AS digest FROM documents
+        |  WHERE substr(md5(doc_id::VARCHAR), 1, 1) < 'a'),
+        |newd AS (
+        |  SELECT doc_id, sha256(text) AS digest FROM documents
+        |  WHERE substr(md5(doc_id::VARCHAR), 1, 1) >= 'a'),
+        |idx AS (SELECT DISTINCT digest FROM oldd),
+        |keeper AS (SELECT digest, min(doc_id) AS keep_id
+        |  FROM newd GROUP BY 1)
+        |SELECT n.doc_id, n.digest,
+        |  (i.digest IS NOT NULL) AS dup_of_index,
+        |  (i.digest IS NULL AND n.doc_id = kp.keep_id) AS keep
+        |FROM newd n
+        |LEFT JOIN idx i ON n.digest = i.digest
+        |JOIN keeper kp ON n.digest = kp.digest""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val index = docs.filter(side < "a")
+        .select(sha2(col("text"), 256).as("digest"))
+      Dedup.incrementalDedup(docs.filter(side >= "a"), col("text"),
+        col("doc_id"), index)
+    },
+
+    // DSIR-style importance weights toward the English slice: per-word
+    // target/corpus probability ratios, micro-rounded then averaged
+    // per doc (exact rational arithmetic, the lmScore discipline).
+    // Docs whose vocabulary skews English-like weigh > 1.
+    "doc_importance_weights" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($SPLIT) AS word,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+         |  FROM documents),
+         |wc AS (SELECT word, count(*) AS ccnt, sum(tgt) AS tcnt
+         |  FROM w GROUP BY 1),
+         |tot AS (SELECT sum(ccnt) AS ctot, sum(tcnt) AS ttot FROM wc),
+         |m AS (
+         |  SELECT w.doc_id,
+         |    round(1000000.0 * (wc.tcnt::DOUBLE * tot.ctot)
+         |      / (tot.ttot::DOUBLE * wc.ccnt)) AS sp
+         |  FROM w JOIN wc USING (word) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_words,
+         |  round(sum(sp) / count(*) / 1000000.0, 4) AS importance
+         |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      TA.importanceWeights(Tables.documents(s, dir), col("text"),
+        col("doc_id"), col("lang") === "en")
+    },
+
+    // Token-budget selection: the best docs by (quality desc, doc_id)
+    // until 15k tokens. The ORACLE is the naive global running-sum
+    // window; the Spark side derives the same rows from a bucketed
+    // histogram (metadata-sized) — no global window ever touches the
+    // corpus. cum_tokens must still reconstruct identically.
+    "doc_token_budget" -> QueryDef(
+      s"""WITH $QUALITY_SCORED_CTE,
+         |base AS (
+         |  SELECT doc_id, round(quality, 4) AS q, n_words AS n_tokens
+         |  FROM scored WHERE quality IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, q, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM base)
+         |SELECT doc_id, q, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 15000""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val rows = docs.select(col("doc_id"),
+          col("n_chars"),
+          TA.wordCount(col("text")).as("n_words"),
+          TA.punctCount(col("text")).as("n_punct"),
+          TA.markerCount(col("text"), TA.Stopwords).as("n_stop"))
+        .withColumn("quality",
+          TA.qualityScore(col("n_words"), col("n_punct"), col("n_chars"),
+            col("n_stop")))
+        .filter(col("quality").isNotNull)
+        .select(col("doc_id"), round(col("quality"), 4).as("q"),
+          col("n_words").cast("long").as("n_tokens"))
+      Sampling.tokenBudgetSelect(rows, 15000L)
     },
 
     // Deterministic content-hash sampling: ~10% of docs survive, chosen

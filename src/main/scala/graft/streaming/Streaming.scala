@@ -153,6 +153,23 @@ object Streaming {
         (col("kk") % 1000000L).as("keep_idx"),
         col("n_copies"))
 
+  /** Streaming WORD-COUNT state — the streaming half of the
+    * heavy-hitters story: documents stream in, tokenize statelessly
+    * per row (same parity split as the batch side), and per-word
+    * counters accumulate in the state store, sharded by word exactly
+    * like the batch vocab aggregation's shuffle. count() is
+    * order-independent, so the drained frame is identical under any
+    * trigger slicing — the batch SQL oracle hash-checks a streaming
+    * run (the doc_dedup_exact_stream discipline). State is one
+    * counter per distinct word (vocabulary-sized, the HLL/CMS twins
+    * are the unbounded-vocab guards); top-k ranking happens on the
+    * drained batch frame, never inside the stream. */
+  def vocabCountStream(df: DataFrame,
+      text: org.apache.spark.sql.Column): DataFrame =
+    df.select(explode(split(lower(text), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Drain a streaming frame with `Trigger.AvailableNow` and return
     * the result as a batch frame — the harness that puts the STREAMING
     * engine (state store included) under a batch-oracle compare.

@@ -329,6 +329,32 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() == 0, "2 clusters over 50 vecs must exceed cap 10")
   }
 
+  test("incrementalDedup: index blocks, batch keeper elected, fresh content keeps") {
+    import spark.implicits._
+    val index = Seq("seen before").toDF("t")
+      .select(sha2(col("t"), 256).as("digest"))
+    val batch = Seq(
+      (10L, "seen before"),   // blocked by the index
+      (11L, "fresh twice"),   // intra-batch keeper
+      (12L, "fresh twice"),   // intra-batch loser
+      (13L, "fresh once"))    // clean keep
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, col("text"), col("doc_id"), index)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3)))
+      .toMap
+    assert(out == Map(
+      10L -> (true, false), 11L -> (false, true),
+      12L -> (false, false), 13L -> (false, true)))
+    // survivors' digests appended to the index block a replayed batch
+    val keptDigests = Dedup.incrementalDedup(batch, col("text"),
+        col("doc_id"), index)
+      .filter(col("keep")).select("digest")
+    val replay = Dedup.incrementalDedup(batch, col("text"), col("doc_id"),
+        index.unionByName(keptDigests))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(replay.values.forall(!_), "a replayed batch must keep nothing")
+  }
+
   test("substrDupStats: misaligned long dupes detected, short/unique spans not") {
     import spark.implicits._
     // A 120-char repeated span embedded at DIFFERENT offsets in two

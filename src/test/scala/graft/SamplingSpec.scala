@@ -124,4 +124,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(re.select("doc_id", "shard", "shard_pos").except(
       out.select("doc_id", "shard", "shard_pos")).isEmpty)
   }
+
+  test("token budget: boundary bucket cut mid-way, cum identical to global window") {
+    import spark.implicits._
+    // quality buckets: q=0.9 {d1:5, d2:5}, q=0.5 {d3:4, d4:4}, q=0.1 {d5:1}
+    // budget 15 -> all of 0.9 (cum 5,10), then d3 (cum 14); d4 would
+    // hit 18 > 15; d5 never reached (prefix semantics)
+    val rows = Seq(
+      (1L, 0.9, 5L), (2L, 0.9, 5L), (3L, 0.5, 4L), (4L, 0.5, 4L),
+      (5L, 0.1, 1L)).toDF("doc_id", "q", "n_tokens")
+    val out = Sampling.tokenBudgetSelect(rows, 15L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 5L, 2L -> 10L, 3L -> 14L))
+    // budget below the first doc: empty (first bucket IS the boundary)
+    assert(Sampling.tokenBudgetSelect(rows, 4L).count() == 0)
+    // budget covering everything: every row, full global cum
+    val all = Sampling.tokenBudgetSelect(rows, 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(all == Map(1L -> 5L, 2L -> 10L, 3L -> 14L, 4L -> 18L, 5L -> 19L))
+    // exact-fit edge: budget lands on a bucket border
+    assert(Sampling.tokenBudgetSelect(rows, 10L)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // repartition invariance
+    val re = Sampling.tokenBudgetSelect(rows.repartition(4), 15L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(re == out)
+  }
 }

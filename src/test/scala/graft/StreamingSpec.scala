@@ -146,6 +146,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming word counts: counters accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.vocabCountStream(
+        input.toDS().toDF("doc_id", "text"), col("text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("vocab_cnt_out").start()
+    try {
+      input.addData((1L, "a b a"))
+      q.processAllAvailable()
+      input.addData((2L, "b C c"))
+      q.processAllAvailable()
+      val out = spark.table("vocab_cnt_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // "a"x2 from batch 1; "b" spans batches; "C" folds to "c"
+      assert(out == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup dedup == batch LSH pairs (cross-batch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -199,6 +199,36 @@ class TextAnalysisSpec extends AnyFunSuite {
       "vacuous fixture: all docs score identically")
   }
 
+  test("importanceWeights golden: exact ratios, target slice outweighs the rest") {
+    val docs = Seq((1L, "a b", "en"), (2L, "a c", "de"))
+      .toDF("doc_id", "text", "lang")
+    // ccnt: a=2 b=1 c=1; tcnt(en): a=1 b=1 c=0; ctot=4 ttot=2
+    // r(a)=(1*4)/(2*2)=1.0, r(b)=(1*4)/(2*1)=2.0, r(c)=0
+    val out = TA.importanceWeights(docs, col("text"), col("doc_id"),
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (2L, 1.5) && out(2L) == (2L, 0.5))
+    // real corpus: the en slice must outweigh de on average (its own
+    // marker words drive the ratio), and the global mean importance
+    // is ~1 by construction (weights re-normalize the corpus)
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val iw = TA.importanceWeights(real, col("text"), col("doc_id"),
+        col("lang") === "en")
+      .join(real.select("doc_id", "lang"), "doc_id")
+    val means = iw.groupBy("lang").agg(avg("importance").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(means("en") > means("de"),
+      s"en slice must outweigh de: $means")
+    // partition invariance
+    val re = TA.importanceWeights(real.repartition(7), col("text"),
+        col("doc_id"), col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val base = TA.importanceWeights(real, col("text"), col("doc_id"),
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == base)
+  }
+
   test("heavyHittersCms: verdicts all true, ranks exact, non-vacuous bound") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TA.heavyHittersCms(real, col("text"), 10)
