@@ -183,9 +183,15 @@ object Sampling {
     * `rows` must carry (doc_id long, q double rounded 4dp,
     * n_tokens long >= 1); degenerate docs (null q) are excluded by
     * the caller. */
-  def tokenBudgetSelect(rows: DataFrame, budget: Long): DataFrame = {
-    val spark = rows.sparkSession
+  def tokenBudgetSelect(rowsIn: DataFrame, budget: Long): DataFrame = {
+    val spark = rowsIn.sparkSession
     import org.apache.spark.sql.expressions.Window
+    // PERSIST the scored frame: it has three readers (the histogram
+    // action, the full-bucket join, the boundary filter), and the
+    // caller's quality expression is typically regex-heavy — without
+    // the persist it re-evaluates per reader (the tfidf lesson;
+    // measured 9.6x at the sf1eq probe, 3 corpus passes)
+    val rows = rowsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket histogram: bounded metadata, ordered best-first
     val hist = rows.groupBy("q").agg(sum("n_tokens").as("btoks"))
       .collect().map(r => (r.getDouble(0), r.getLong(1)))

@@ -102,6 +102,37 @@ object TextAnalysis {
         (abs(col("approx") - col("exact")) <= lit(3 * rsd) * col("exact"))
           .as("within_bound"))
 
+  /** Inverted-index posting lists for the top-`kWords` document-
+    * frequency words: one row per (word, posting_rank, doc_id, tf)
+    * with postings ordered by doc_id and truncated to `kPostings` —
+    * the index-construction step behind [[bm25TopK]]'s scoring (a
+    * search system materializes exactly this, sharded by term).
+    *
+    * Scale shape: tf aggregates once on (doc_id, word); the word
+    * vocabulary ranks via orderBy+limit (TakeOrdered — the
+    * heavyHittersCms rule, no full-vocab window partition); only the
+    * surviving kWords' postings are ranked, each window partition one
+    * word's posting list. Rows, not arrays: posting lists as array
+    * columns would stringify differently across engines and balloon
+    * single rows at 100 TB — the exploded form is also what a
+    * term-sharded index store ingests. */
+  def postingLists(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, kWords: Int, kPostings: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(id.cast("long").as("doc_id"),
+      explode(words(text)).as("word"))
+    val tf = w.groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val topWords = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word").asc).limit(kWords)
+    val pw = Window.partitionBy(col("word")).orderBy(col("doc_id").asc)
+    tf.join(broadcast(topWords), "word")
+      .withColumn("posting_rank", row_number().over(pw))
+      .filter(col("posting_rank") <= kPostings)
+      .select("word", "df", "posting_rank", "doc_id", "tf")
+  }
+
   /** Heavy hitters via Count-Min Sketch NEXT TO the exact counts — the
     * bound-validation frame pattern (the HLL/GK twin rule): emits the
     * top-k words by exact count with `within_bound` checking the CMS

@@ -413,6 +413,66 @@ object DocQueries {
       TA.heavyHittersCms(Tables.documents(s, dir), col("text"), 20)
     },
 
+    // Corpus health report: the per-source curation dashboard — doc /
+    // token / distinct-lang counts, mean quality (integer-decimicro
+    // sum, one final round), and exact-dup doc share (global digest
+    // counts joined back). All-exact aggregates over one scan + one
+    // digest self-aggregation.
+    "doc_corpus_report" -> QueryDef(
+      s"""WITH $QUALITY_SCORED_CTE,
+         |dups AS (
+         |  SELECT sha256(text) AS digest, count(*) AS copies
+         |  FROM documents GROUP BY 1)
+         |SELECT s.source,
+         |  count(*) AS docs,
+         |  sum(s.n_words) AS tokens,
+         |  count(DISTINCT s.lang) AS langs,
+         |  round(sum(round(s.quality * 10000)) / count(*) / 10000.0, 4)
+         |    AS mean_quality,
+         |  sum(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END) AS dup_docs
+         |FROM (SELECT d0.source, sc.lang, sc.text, sc.n_words, sc.quality
+         |  FROM scored sc JOIN documents d0 USING (doc_id)) s
+         |JOIN dups d ON sha256(s.text) = d.digest
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("source"), col("lang"), col("text"),
+          col("n_chars"),
+          TA.wordCount(col("text")).as("n_words"),
+          TA.punctCount(col("text")).as("n_punct"),
+          TA.markerCount(col("text"), TA.Stopwords).as("n_stop"))
+        .withColumn("quality",
+          TA.qualityScore(col("n_words"), col("n_punct"), col("n_chars"),
+            col("n_stop")))
+      val dups = docs.groupBy(sha2(col("text"), 256).as("digest"))
+        .agg(count(lit(1)).as("copies"))
+      scored.join(dups, sha2(col("text"), 256) === dups("digest"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("n_words").as("tokens"),
+          count_distinct(col("lang")).as("langs"),
+          round(sum(round(col("quality") * lit(10000)))
+            / count(lit(1)) / lit(10000.0), 4).as("mean_quality"),
+          sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_docs"))
+    },
+
+    // Inverted-index postings for the 20 highest-df words, first 3
+    // postings each (doc_id order) — the index-construction step
+    // behind BM25; exploded rows, never array cells.
+    "doc_postings" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, unnest($SPLIT) AS word FROM documents),
+         |tf AS (SELECT word, doc_id, count(*) AS tf FROM w GROUP BY 1, 2),
+         |tw AS (SELECT word, count(*) AS df FROM tf GROUP BY 1
+         |  ORDER BY df DESC, word LIMIT 20)
+         |SELECT word, df, posting_rank, doc_id, tf FROM (
+         |  SELECT tf.word, tw.df, tf.doc_id, tf.tf,
+         |    row_number() OVER (PARTITION BY tf.word
+         |      ORDER BY tf.doc_id) AS posting_rank
+         |  FROM tf JOIN tw USING (word)) s
+         |WHERE posting_rank <= 3""".stripMargin) { (s, dir) =>
+      TA.postingLists(Tables.documents(s, dir), col("text"), col("doc_id"),
+        kWords = 20, kPostings = 3)
+    },
+
     // Streaming heavy hitters: per-word counters accumulate in the
     // STATE STORE across micro-batches (AvailableNow drain), then the
     // drained frame ranks top-20 batch-side via TakeOrdered. Oracle =
@@ -578,6 +638,20 @@ object DocQueries {
     // integer arithmetic and tie order.
     "doc_bpe_merges" -> QueryDef.noOracle { (s, dir) =>
       TA.bpeTrain(Tables.documents(s, dir), col("text"), 16)
+    },
+
+    // Packing under the REAL tokenizer: BPE-encode token counts feed
+    // the greedy per-lang packer — the end-to-end shape of a training
+    // shard builder (tokenize with the trained vocab, then pack to
+    // context length). Exact Python oracle composes the two replays.
+    "doc_pack_bpe" -> QueryDef.noOracle { (s, dir) =>
+      val enc = TA.bpeEncodeStats(Tables.documents(s, dir), col("text"),
+        col("doc_id"), 16)
+      val withLang = enc
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .select("doc_id", "lang", "n_tokens")
+      Sampling.packGreedy(withLang, "n_tokens", 512L, Seq("lang"), "doc_id")
     },
 
     // BPE encode: the trained 16-merge table applied to every doc in

@@ -199,6 +199,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       "vacuous fixture: all docs score identically")
   }
 
+  test("postingLists golden: df ranking, doc_id-ordered truncated postings") {
+    val docs = Seq((3L, "b a"), (1L, "a a c"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TA.postingLists(docs, col("text"), col("doc_id"),
+        kWords = 2, kPostings = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    // df: a=3, b=2, c=1 -> top-2 words a, b; postings by doc_id asc,
+    // truncated to 2; tf rides along (doc 1 has "a" twice)
+    assert(out == Map(
+      ("a", 1) -> (3L, 1L, 2L), ("a", 2) -> (3L, 2L, 1L),
+      ("b", 1) -> (2L, 2L, 1L), ("b", 2) -> (2L, 3L, 1L)))
+    // real corpus invariants: dense ranks from 1, postings ordered
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = TA.postingLists(real, col("text"), col("doc_id"), 10, 5)
+      .collect().groupBy(_.getString(0))
+    assert(p.size == 10)
+    p.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to rows.length))
+      assert(sorted.map(_.getLong(3)).toSeq ==
+        sorted.map(_.getLong(3)).sorted.toSeq)
+    }
+  }
+
   test("importanceWeights golden: exact ratios, target slice outweighs the rest") {
     val docs = Seq((1L, "a b", "en"), (2L, "a c", "de"))
       .toDF("doc_id", "text", "lang")

@@ -571,8 +571,34 @@ def expected_doc_bpe_encode(sfdir: str) -> pd.DataFrame:
                                       'n_tokens'])
 
 
+def expected_doc_pack_bpe(sfdir: str) -> pd.DataFrame:
+    """Greedy packing (capacity 512, per-lang, doc_id order) over the
+    REAL tokenizer's counts: doc token counts from the BPE encode
+    replay, then the same (bin, fill) fold as doc_pack_greedy."""
+    capacity = 512
+    enc = expected_doc_bpe_encode(sfdir)
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")[['doc_id', 'lang']]
+    tok = dict(zip(enc['doc_id'], enc['n_tokens']))
+    rows = sorted(((str(l), int(d), int(tok[d]))
+                   for d, l in zip(docs['doc_id'], docs['lang'])),
+                  key=lambda r: (r[0], r[1]))
+    out = []
+    cur_lang, b, fill = None, 0, 0
+    for lang, doc_id, t in rows:
+        if lang != cur_lang:
+            cur_lang, b, fill = lang, 0, 0
+        if fill > 0 and fill + t > capacity:
+            b += 1
+            fill = 0
+        fill += t
+        out.append((doc_id, lang, t, b, fill))
+    return pd.DataFrame(out, columns=['doc_id', 'lang', 'n_tokens', 'bin',
+                                      'bin_fill'])
+
+
 PY_ORACLES = {
     'doc_bpe_encode': expected_doc_bpe_encode,
+    'doc_pack_bpe': expected_doc_pack_bpe,
     'doc_bpe_merges': expected_doc_bpe_merges,
     'doc_pack_greedy': expected_doc_pack_greedy,
     'doc_minhash_lsh': expected_doc_minhash_lsh,
