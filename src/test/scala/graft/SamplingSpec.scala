@@ -125,6 +125,29 @@ class SamplingSpec extends AnyFunSuite {
       out.select("doc_id", "shard", "shard_pos")).isEmpty)
   }
 
+  test("hashSplit: partition-invariant, near-proportional, stratified per lang") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Sampling.hashSplit(docs, col("text"), 0.8, 0.1)
+    val frac = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = frac.values.sum.toDouble
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(math.abs(frac("train") / n - 0.8) < 0.06, s"$frac")
+    assert(math.abs(frac("val") / n - 0.1) < 0.05, s"$frac")
+    // stratification: every lang has train as its dominant split
+    val byLang = out.groupBy("lang", "split").count().collect()
+      .groupBy(_.getString(0))
+    byLang.values.foreach { rows =>
+      val m = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(m.getOrElse("train", 0L) > m.getOrElse("test", 0L),
+        s"stratum not train-dominant: $m")
+    }
+    // determinism under physical layout
+    val re = Sampling.hashSplit(docs.repartition(9), col("text"), 0.8, 0.1)
+      .select("doc_id", "split")
+    assert(re.except(out.select("doc_id", "split")).isEmpty)
+  }
+
   test("token budget: boundary bucket cut mid-way, cum identical to global window") {
     import spark.implicits._
     // quality buckets: q=0.9 {d1:5, d2:5}, q=0.5 {d3:4, d4:4}, q=0.1 {d5:1}
