@@ -539,6 +539,56 @@ object TextAnalysis {
           .as("top_word_frac"))
   }
 
+  /** The standard pre-training FILTER CHAIN (the Gopher/quality-
+    * battery composition): every document gets a keep/drop verdict
+    * plus the FIRST failing rule as its reason, under a fixed
+    * precedence — too_short, low_quality, repetitive (trigram dup
+    * fraction), top_word (single-token domination), has_pii — the
+    * audit surface a curation pipeline reports ("why did this doc
+    * drop?"). Diagnostics ride along so the verdict is re-checkable
+    * row by row.
+    *
+    * Determinism: every compared quantity is either an exact integer
+    * or a fixed-shape double (quality) / round(,4) fraction
+    * (repetition) — the same values the standalone oracled queries
+    * pin; thresholds are literals. NULL semantics: a NULL comparison
+    * is false (Spark and SQL CASE agree), so degenerate docs fall
+    * through to the rules their stats can support — except quality,
+    * where NULL means unscorable and fails the low_quality gate
+    * explicitly.
+    *
+    * Shape at 100 TB: one typed repetition map (zero shuffle) joined
+    * once on doc_id with the column-expression stats (quality + PII
+    * counts, codegen'd over the scan) — one narrow join, no
+    * aggregation at all. */
+  def filterChain(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, minWords: Long = 12L, minQuality: Double = 0.45,
+      maxDupFrac: Double = 0.05, maxTopWordFrac: Double = 0.2)
+      : org.apache.spark.sql.DataFrame = {
+    val rep = repetitionStats(df, text, id)
+    val stats = df.select(id.cast("long").as("doc_id"),
+      qualityScore(wordCount(text), punctCount(text), length(text),
+        markerCount(text, Stopwords)).as("quality"),
+      (emailCount(text) + phoneCount(text)).as("n_pii"))
+    rep.join(stats, "doc_id")
+      .withColumn("reason",
+        when(col("n_words") < minWords, "too_short")
+          .when(col("quality").isNull || col("quality") < minQuality,
+            "low_quality")
+          .when(col("dup_frac") > maxDupFrac, "repetitive")
+          .when(col("top_word_frac") > maxTopWordFrac, "top_word")
+          .when(col("n_pii") > 0, "has_pii")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("n_words"),
+        // RAW quality, not round(,4): the fixed-shape double is
+        // bit-identical cross-engine, while rounding can land on a
+        // .XXXX5 boundary where Spark (HALF_UP) and DuckDB disagree —
+        // measured on one augmented doc. The doc_quality rule.
+        col("quality"),
+        col("dup_frac"), col("top_word_frac"), col("n_pii"),
+        (col("reason") === "keep").as("keep"), col("reason"))
+  }
+
   /** PII scrubbing patterns (codegen'd regexp_replace, replace-all):
     * the standard pre-training redaction pass. Conservative
     * common-dialect regexes (identical semantics in Java regex and

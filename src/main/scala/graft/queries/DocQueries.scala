@@ -413,6 +413,68 @@ object DocQueries {
       TA.heavyHittersCms(Tables.documents(s, dir), col("text"), 20)
     },
 
+    // The standard filter battery as ONE verdict query: keep/drop +
+    // the first failing rule under fixed precedence (too_short ->
+    // low_quality -> repetitive -> top_word -> has_pii). Docs with
+    // doc_id % 7 == 0 get the synthetic PII augmentation (the
+    // doc_pii_scrub trick) so the PII rule is non-vacuous.
+    "doc_filter_chain" -> QueryDef(
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
+        |      || CAST(doc_id AS VARCHAR) || '@corp.example call +1202555'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, t, string_split(lower(t), ' ') AS ws FROM aug),
+        |rep AS (
+        |  SELECT doc_id, len(ws) AS n_words, greatest(len(ws)-2, 0) AS n_trigrams,
+        |    CASE WHEN len(ws) >= 3 THEN len(list_distinct(list_transform(
+        |      range(1, len(ws)-1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS n_distinct,
+        |    list_max(list_transform(list_distinct(ws),
+        |      x -> len(list_filter(ws, y -> y = x)))) AS top_word
+        |  FROM b),
+        |st AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) > 0 AND len(ws) > 0 THEN
+        |      0.4 * least(1.0, len(ws)/100.0)
+        |      + 0.3 * (1.0 - len(regexp_extract_all(lower(t), '[^a-z0-9 ]'))/len(t))
+        |      + 0.3 * least(1.0, 4.0*len(list_filter(ws,
+        |          w -> w IN ('the','a','and','of','to','in','is')))/len(ws))
+        |    END AS quality,
+        |    len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |      + len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS n_pii
+        |  FROM b),
+        |j AS (
+        |  SELECT r.doc_id, r.n_words,
+        |    CASE WHEN r.n_trigrams > 0
+        |      THEN round(1 - r.n_distinct/r.n_trigrams, 4) END AS dup_frac,
+        |    CASE WHEN r.n_words > 0
+        |      THEN round(r.top_word/r.n_words, 4) END AS top_word_frac,
+        |    s.quality, s.n_pii
+        |  FROM rep r JOIN st s USING (doc_id)),
+        |v AS (
+        |  SELECT *,
+        |    CASE WHEN n_words < 12 THEN 'too_short'
+        |         WHEN quality IS NULL OR quality < 0.45 THEN 'low_quality'
+        |         WHEN dup_frac > 0.05 THEN 'repetitive'
+        |         WHEN top_word_frac > 0.2 THEN 'top_word'
+        |         WHEN n_pii > 0 THEN 'has_pii'
+        |         ELSE 'keep' END AS reason
+        |  FROM j)
+        |SELECT doc_id, n_words, quality, dup_frac,
+        |  top_word_frac, n_pii, reason = 'keep' AS keep, reason
+        |FROM v""".stripMargin) { (s, dir) =>
+      val aug = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@corp.example call +1202555"),
+          lpad((col("doc_id") % 1000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      TA.filterChain(Tables.documents(s, dir).select(col("doc_id"),
+        aug.as("t")), col("t"), col("doc_id"))
+    },
+
     // Corpus health report: the per-source curation dashboard — doc /
     // token / distinct-lang counts, mean quality (integer-decimicro
     // sum, one final round), and exact-dup doc share (global digest

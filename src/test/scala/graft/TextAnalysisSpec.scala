@@ -199,6 +199,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       "vacuous fixture: all docs score identically")
   }
 
+  test("filterChain: every rule fires on its planted doc, precedence respected") {
+    val stops = TA.Stopwords
+    // rotated stopwords: high quality (stop-rich) WITHOUT any single
+    // token dominating — the healthy-doc shape
+    def healthy(n: Int, tag: String) =
+      (1 to n).map(i => s"${stops(i % stops.length)} $tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, "tiny doc"),                                   // too_short
+      (2L, (1 to 30).map(i => s"junk$i").mkString(" ")),  // no stopwords -> low_quality
+      (3L, ("the spam " * 50).trim),                      // repeated trigrams
+      (4L, (1 to 50).map(i => s"the w$i").mkString(" ")), // 'the' = 50%, trigrams all distinct
+      (5L, healthy(40, "p") + " reach someone@site.example now"),
+      (6L, healthy(40, "k")))                             // keep
+      .toDF("doc_id", "text")
+    val out = TA.filterChain(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(out(1L) == "too_short", s"$out")
+    assert(out(2L) == "low_quality", s"$out")
+    assert(out(3L) == "repetitive", s"$out")
+    assert(out(4L) == "top_word", s"$out")
+    assert(out(5L) == "has_pii", s"$out")
+    assert(out(6L) == "keep", s"$out")
+  }
+
   test("postingLists golden: df ranking, doc_id-ordered truncated postings") {
     val docs = Seq((3L, "b a"), (1L, "a a c"), (2L, "a b"))
       .toDF("doc_id", "text")
