@@ -307,6 +307,8 @@ object Dedup {
     * Docs shorter than the window emit nothing (the lmScore rule). */
   def substrDupStats(df: DataFrame, text: Column, id: Column,
       winLen: Int = 40, hashW: Int = 8, density: Int = 32): DataFrame = {
+    require(hashW > 0 && hashW <= winLen && density > 0,
+      s"anchor hash must fit the window ($winLen, $hashW, $density)")
     val spark = df.sparkSession
     import spark.implicits._
     val anchors = df.select(id.cast("long").as("doc_id"), text.as("t"))
