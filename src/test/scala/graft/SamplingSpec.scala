@@ -148,6 +148,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(re.except(out.select("doc_id", "split")).isEmpty)
   }
 
+  test("token budget == naive global-window formulation on seeded random frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val n = 5 + rnd.nextInt(60)
+      val qVals = Array(0.1, 0.25, 0.25, 0.5, 0.7, 0.9) // duplicates on purpose
+      val rows = (1 to n).map(i =>
+        (i.toLong, qVals(rnd.nextInt(qVals.length)), 1L + rnd.nextInt(20)))
+        .toDF("doc_id", "q", "n_tokens")
+      val budget = 1L + rnd.nextInt(n * 12)
+      val naive = rows
+        .withColumn("cum_tokens", sum("n_tokens").over(
+          Window.orderBy(col("q").desc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_tokens") <= budget)
+        .select("doc_id", "q", "n_tokens", "cum_tokens")
+        .collect().map(_.toSeq).toSet
+      val bucketed = Sampling.tokenBudgetSelect(rows, budget)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == naive,
+        s"trial $trial budget $budget: histogram path diverged from the global window")
+    }
+  }
+
   test("token budget: boundary bucket cut mid-way, cum identical to global window") {
     import spark.implicits._
     // quality buckets: q=0.9 {d1:5, d2:5}, q=0.5 {d3:4, d4:4}, q=0.1 {d5:1}
