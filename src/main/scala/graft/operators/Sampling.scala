@@ -182,10 +182,12 @@ object Sampling {
   }
 
   /** Token-budget corpus selection: keep the best documents — ordered
-    * by (quality DESC, doc_id), a total order with quality rounded to
-    * 4dp (the fp rule) — whose running token total fits `budget`. The
-    * data-selection step between scoring and training ("train on the
-    * best N tokens").
+    * by (quality key DESC, doc_id), a total order; callers pass an
+    * EXACT quality key, canonically the integer decimicro key from
+    * [[graft.operators.TextAnalysis.qualityDecimicro]] (never a double
+    * `round`: the rounding-boundary rule) — whose running token total
+    * fits `budget`. The data-selection step between scoring and
+    * training ("train on the best N tokens").
     *
     * The naive formulation is a GLOBAL running sum over the quality
     * sort: one window partition swallowing the corpus. Here the cut
@@ -200,9 +202,9 @@ object Sampling {
     * from the broadcast bucket offsets — row-identical to the naive
     * global-window formulation (the SQL oracle runs exactly that).
     *
-    * `rows` must carry (doc_id long, q double rounded 4dp,
-    * n_tokens long >= 1); degenerate docs (null q) are excluded by
-    * the caller. */
+    * `rows` must carry (doc_id long, q — any orderable numeric key,
+    * canonically a long decimicro, n_tokens long >= 1); degenerate
+    * docs (null q) are excluded by the caller. */
   def tokenBudgetSelect(rowsIn: DataFrame, budget: Long): DataFrame = {
     val spark = rowsIn.sparkSession
     import org.apache.spark.sql.expressions.Window
@@ -212,13 +214,15 @@ object Sampling {
     // the persist it re-evaluates per reader (the tfidf lesson;
     // measured 9.6x at the sf1eq probe, 3 corpus passes)
     val rows = rowsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bucket histogram: bounded metadata, ordered best-first
+    // bucket histogram: bounded metadata, ordered best-first. The
+    // desc sort rides the frame's own q ordering (long or double),
+    // so the collected rows arrive already best-first.
     val hist = rows.groupBy("q").agg(sum("n_tokens").as("btoks"))
-      .collect().map(r => (r.getDouble(0), r.getLong(1)))
-      .sortBy { case (q, _) => -q }
+      .orderBy(col("q").desc)
+      .collect().map(r => (r.get(0), r.getLong(1)))
     var off = 0L
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-    var cut = Option.empty[(Double, Long)] // (q*, remaining budget)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+    var cut = Option.empty[(Any, Long)] // (q*, remaining budget)
     var i = 0
     while (i < hist.length && cut.isEmpty) {
       val (q, btoks) = hist(i)
@@ -226,8 +230,13 @@ object Sampling {
       else cut = Some((q, budget - off))
       i += 1
     }
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("q", "off") // encoder schema: safe when empty
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q", rowsIn.schema("q").dataType),
+      org.apache.spark.sql.types.StructField("off",
+        org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame( // explicit schema: safe when empty
+      java.util.Arrays.asList(offsets.toSeq.map { case (q, o) =>
+        org.apache.spark.sql.Row(q, o) }: _*), offSchema)
     val inBucket = Window.partitionBy(col("q")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val full = rows.join(broadcast(offDf), "q")

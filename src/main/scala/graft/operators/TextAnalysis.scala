@@ -60,6 +60,31 @@ object TextAnalysis {
         lit(0.3) * (lit(1.0) - nPunct / nChars) +
         lit(0.3) * least(lit(1.0), lit(4.0) * nStop / nWords))
 
+  /** Exact integer decimicro quality: round-half-up(quality * 10000)
+    * computed by PURE integer arithmetic, never a double `round` —
+    * quality is the rational num/(1000*c*w) with
+    * num = 4*min(100,w)*c*w + 300*(c-p)*w + 300*min(w,4*s)*c, so the
+    * decimicro key is (20*num + c*w) div (2*c*w), bit-identical with
+    * the DuckDB twin (`//` on BIGINT). Queries that SORT or SUM on
+    * quality must key on this, not round(quality, 4): the double round
+    * can land on a .XXXX5 representation where the two engines'
+    * rounding modes disagree. The div is done mod-exactly
+    * ((a - a mod b) / b) so no double division is on the path.
+    * Overflow-safe while 20000*c^2*w < 2^63 (docs to ~76M chars). */
+  def qualityDecimicro(nWords: Column, nPunct: Column, nChars: Column,
+      nStop: Column): Column = {
+    val w = nWords.cast("long")
+    val c = nChars.cast("long")
+    val p = nPunct.cast("long")
+    val s = nStop.cast("long")
+    val num = lit(4L) * least(lit(100L), w) * c * w +
+      lit(300L) * (c - p) * w +
+      lit(300L) * least(w, lit(4L) * s) * c
+    val a = lit(20L) * num + c * w
+    val b = lit(2L) * c * w
+    when(c > 0 && w > 0, ((a - pmod(a, b)) / b).cast("long"))
+  }
+
   /** Vocabulary building: top-k tokens by document frequency (count of
     * distinct docs containing the token), ties broken by token string.
     * Two-phase aggregation (per-doc distinct explode → countDistinct):

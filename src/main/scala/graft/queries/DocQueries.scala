@@ -53,7 +53,19 @@ object DocQueries {
 
   /** The quality-scoring subquery, producing
     * `scored(doc_id, lang, text, n_chars, n_words, n_punct, n_stop,
-    * quality)` — single-sourced for the same no-drift reason. */
+    * quality, q_dm)` — single-sourced for the same no-drift reason.
+    *
+    * `q_dm` is the EXACT integer decimicro quality: quality is the
+    * rational num/(1000*n_chars*n_words) with
+    * num = 4*min(100,w)*c*w + 300*(c-p)*w + 300*min(w,4*s)*c, so
+    * round-half-up(quality*10000) = (20*num + c*w) // (2*c*w) — pure
+    * BIGINT arithmetic, bit-identical in both engines. Queries that
+    * sort or sum on quality use q_dm, never round(quality, 4): the
+    * double round can land on a .XXXX5 boundary where Spark/DuckDB
+    * rounding modes disagree (5 such docs exist at sf0.01).
+    * Overflow-safe while 20000*c^2*w < 2^63 (c=n_chars, w=n_words
+    * <= c), i.e. docs up to ~76M chars — far above any real document;
+    * the Spark twin is [[graft.operators.TextAnalysis.qualityDecimicro]]. */
   private val QUALITY_SCORED_CTE =
     s"""scored AS (
        |  SELECT doc_id, lang, text, n_chars, n_words, n_punct, n_stop,
@@ -61,7 +73,13 @@ object DocQueries {
        |      0.4 * least(1.0, n_words/100.0)
        |      + 0.3 * (1.0 - n_punct/n_chars)
        |      + 0.3 * least(1.0, 4.0*n_stop/n_words)
-       |    ELSE NULL END AS quality
+       |    ELSE NULL END AS quality,
+       |    CASE WHEN n_chars > 0 AND n_words > 0 THEN
+       |      (20*(4*least(100, n_words)*n_chars*n_words
+       |        + 300*(n_chars - n_punct)*n_words
+       |        + 300*least(n_words, 4*n_stop)*n_chars)
+       |       + n_chars*n_words) // (2*n_chars*n_words)
+       |    ELSE NULL END AS q_dm
        |  FROM (SELECT doc_id, lang, text, n_chars,
        |    len($SPLIT) AS n_words,
        |    len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
@@ -392,7 +410,7 @@ object DocQueries {
         |dup AS (
         |  SELECT sha256(win) AS h FROM anch GROUP BY 1 HAVING count(*) >= 2)
         |SELECT a.doc_id, count(*) AS n_anchors,
-        |  sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS dup_anchors
+        |  CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_anchors
         |FROM anch a LEFT JOIN dup d ON sha256(a.win) = d.h
         |GROUP BY 1""".stripMargin) { (s, dir) =>
       Dedup.substrDupStats(Tables.documents(s, dir), col("text"), col("doc_id"))
@@ -487,12 +505,12 @@ object DocQueries {
          |  FROM documents GROUP BY 1)
          |SELECT s.source,
          |  count(*) AS docs,
-         |  sum(s.n_words) AS tokens,
+         |  CAST(sum(s.n_words) AS BIGINT) AS tokens,
          |  count(DISTINCT s.lang) AS langs,
-         |  round(sum(round(s.quality * 10000)) / count(*) / 10000.0, 4)
+         |  round(CAST(sum(s.q_dm) AS BIGINT) / count(*) / 10000.0, 4)
          |    AS mean_quality,
-         |  sum(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END) AS dup_docs
-         |FROM (SELECT d0.source, sc.lang, sc.text, sc.n_words, sc.quality
+         |  CAST(sum(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+         |FROM (SELECT d0.source, sc.lang, sc.text, sc.n_words, sc.q_dm
          |  FROM scored sc JOIN documents d0 USING (doc_id)) s
          |JOIN dups d ON sha256(s.text) = d.digest
          |GROUP BY 1""".stripMargin) { (s, dir) =>
@@ -502,8 +520,8 @@ object DocQueries {
           TA.wordCount(col("text")).as("n_words"),
           TA.punctCount(col("text")).as("n_punct"),
           TA.markerCount(col("text"), TA.Stopwords).as("n_stop"))
-        .withColumn("quality",
-          TA.qualityScore(col("n_words"), col("n_punct"), col("n_chars"),
+        .withColumn("q_dm",
+          TA.qualityDecimicro(col("n_words"), col("n_punct"), col("n_chars"),
             col("n_stop")))
       val dups = docs.groupBy(sha2(col("text"), 256).as("digest"))
         .agg(count(lit(1)).as("copies"))
@@ -512,7 +530,7 @@ object DocQueries {
         .agg(count(lit(1)).as("docs"),
           sum("n_words").as("tokens"),
           count_distinct(col("lang")).as("langs"),
-          round(sum(round(col("quality") * lit(10000)))
+          round(sum(col("q_dm"))
             / count(lit(1)) / lit(10000.0), 4).as("mean_quality"),
           sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_docs"))
     },
@@ -658,14 +676,14 @@ object DocQueries {
     "doc_token_budget" -> QueryDef(
       s"""WITH $QUALITY_SCORED_CTE,
          |base AS (
-         |  SELECT doc_id, round(quality, 4) AS q, n_words AS n_tokens
-         |  FROM scored WHERE quality IS NOT NULL),
+         |  SELECT doc_id, q_dm, n_words AS n_tokens
+         |  FROM scored WHERE q_dm IS NOT NULL),
          |c AS (
-         |  SELECT doc_id, q, n_tokens,
-         |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  SELECT doc_id, q_dm, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY q_dm DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM base)
-         |SELECT doc_id, q, n_tokens, cum_tokens FROM c
+         |SELECT doc_id, q_dm, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 15000""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val rows = docs.select(col("doc_id"),
@@ -673,13 +691,14 @@ object DocQueries {
           TA.wordCount(col("text")).as("n_words"),
           TA.punctCount(col("text")).as("n_punct"),
           TA.markerCount(col("text"), TA.Stopwords).as("n_stop"))
-        .withColumn("quality",
-          TA.qualityScore(col("n_words"), col("n_punct"), col("n_chars"),
+        .withColumn("q_dm",
+          TA.qualityDecimicro(col("n_words"), col("n_punct"), col("n_chars"),
             col("n_stop")))
-        .filter(col("quality").isNotNull)
-        .select(col("doc_id"), round(col("quality"), 4).as("q"),
+        .filter(col("q_dm").isNotNull)
+        .select(col("doc_id"), col("q_dm").as("q"),
           col("n_words").cast("long").as("n_tokens"))
       Sampling.tokenBudgetSelect(rows, 15000L)
+        .withColumnRenamed("q", "q_dm")
     },
 
     // Deterministic stratified train/val/test split: assignment is a

@@ -194,7 +194,7 @@ object EventQueries {
     // materializes, not a vacuous zero.
     "ev_sort_violations" -> QueryDef(
       """SELECT event_type,
-        |  sum(CASE WHEN prev > ts_us THEN 1 ELSE 0 END) AS n_violations,
+        |  CAST(sum(CASE WHEN prev > ts_us THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
         |  count(*) AS n_rows
         |FROM (SELECT event_type, epoch_us(ts) AS ts_us,
         |  lag(epoch_us(ts)) OVER (PARTITION BY event_type

@@ -65,6 +65,25 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = n_skip = 0
+    # Lint: DuckDB returns HUGEINT (int128) for bare integer sum();
+    # the driver's hasher serializes int128 differently from Spark's
+    # BIGINT, so a cell-exact result still hash-mismatches. Reject any
+    # oracle whose result schema contains a HUGEINT column — the fix is
+    # CAST(... AS BIGINT) in the oracle SQL.
+    for name in sorted(oracle):
+        try:
+            desc = con.execute(f"DESCRIBE {oracle[name]}").df()
+        except Exception:
+            # missing table (subset runs / the stress gate's events-only
+            # frame) or a broken oracle — the compare below reports it
+            continue
+        huge = [f"{r.column_name}:{r.column_type}" for r in desc.itertuples()
+                if "HUGEINT" in str(r.column_type).upper()
+                or "INT128" in str(r.column_type).upper()]
+        if huge:
+            print(f"[LINT] {name}: HUGEINT result column(s) {huge} — "
+                  f"CAST to BIGINT in the oracle SQL")
+            n_bad += 1
     for name in sorted(oracle):
         if only and name not in only:
             continue
