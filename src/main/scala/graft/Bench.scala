@@ -100,6 +100,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir"}""")
+    // compact tail summary AFTER the full record: the driver archives
+    // only the LAST 2000 chars of output, and at 115+ queries the full
+    // wall-time map no longer fits — this one line keeps every
+    // BENCH_r*.json tail self-sufficient (total + the slowest 10).
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"summary","total":$total,"n_queries":${results.size},"n_failed":$failed,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,58 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Base-hash family for the signature operators (MinHash shingle
+    * hashing, SimHash word hashing). Two members:
+    *
+    *   - [[XxHash]] — catalyst xxhash64, seed 42: the library DEFAULT
+    *     (fastest; bit-identical to the `xxhash64` Column function so
+    *     typed-map signatures match any declarative twin).
+    *   - [[Md5Prefix]] — the first 31/64 bits of md5: the
+    *     ENGINE-PORTABLE choice. DuckDB replays it verbatim
+    *     (`CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)`), so
+    *     signature queries built on it get full SQL oracles (the
+    *     doc_sample_hash md5-prefix trick); ~3x slower per string
+    *     than xxhash64 — use for differential testing, not the
+    *     100 TB path.
+    *
+    * `hash31` is the 31-bit-masked form the MinHash affine family
+    * needs (products stay under 2^62); `hash64` the full-width form
+    * SimHash votes on. */
+  sealed trait BaseHash extends Serializable {
+    def hash31(s: String): Long
+    def hash64(s: String): Long
+  }
+
+  case object XxHash extends BaseHash {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def hash31(s: String): Long = hash64(s) & 0x7FFFFFFFL
+    def hash64(s: String): Long =
+      XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+  }
+
+  case object Md5Prefix extends BaseHash {
+    private def digest(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 4 md5 bytes big-endian (= first 8 hex chars), 31-bit mask
+    def hash31(s: String): Long = {
+      val d = digest(s)
+      (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) & 0x7FFFFFFFL
+    }
+    // first 8 md5 bytes big-endian as a SIGNED long (= the two-halves
+    // hex parse the SQL twin uses)
+    def hash64(s: String): Long = {
+      val d = digest(s)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      h
+    }
+  }
+
   /** Exact dedup keep-list: one row per distinct text with the minimal
     * id as the keeper. Groups on a 256-bit digest of the content, not
     * the content itself, so the shuffle carries 32 B/row instead of the
@@ -220,19 +272,19 @@ object Dedup {
     * regroups the surviving passages by doc_id — state bounded by
     * document length. Passage text is lowercased by the shared
     * chunker ([[TextAnalysis.chunkWords]] with stride = size).
-    * `chunk_idx` must stay below 1e6 for the order-key encoding —
-    * a 10^6-passage (>= 10^6-word) document, far beyond any real
-    * corpus row at sane passage sizes. */
+    * Keeper order is the lexicographic struct (doc_id, chunk_idx) —
+    * structs order field-by-field in both engines, so no encoded
+    * arithmetic key (an earlier doc_id*1e6+idx encoding silently
+    * overflowed for doc_id > ~9.2e12 and required idx < 1e6). */
   def paragraphDedup(df: DataFrame, text: Column, id: Column,
       size: Int): DataFrame = {
     val chunks = TextAnalysis.chunkWords(df, text, id, size, size)
       .select(col("doc_id"), col("chunk_idx"), col("chunk"))
-    val keyed = chunks.withColumn("okey",
-      col("doc_id") * 1000000L + col("chunk_idx"))
-    val kept = keyed
+    val kept = chunks
       .groupBy(sha2(col("chunk"), 256).as("h"))
-      .agg(min_by(struct(col("doc_id"), col("chunk_idx"), col("chunk")),
-        col("okey")).as("k"))
+      // min over the struct = min_by (doc_id, chunk_idx): the pair is
+      // unique per row, so the trailing chunk field never breaks ties
+      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("chunk"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.chunk_idx").as("chunk_idx"),
         col("k.chunk").as("chunk"))
     val totals = chunks.groupBy("doc_id")
@@ -307,8 +359,14 @@ object Dedup {
     * Docs shorter than the window emit nothing (the lmScore rule). */
   def substrDupStats(df: DataFrame, text: Column, id: Column,
       winLen: Int = 40, hashW: Int = 8, density: Int = 32): DataFrame = {
-    require(hashW > 0 && hashW <= winLen && density > 0,
-      s"anchor hash must fit the window ($winLen, $hashW, $density)")
+    // hashW <= 10 keeps the no-modulus base-31 polynomial under 2^63
+    // even for all-0xFFFF code units (65535*(31^w - 1)/30 < 2^63 iff
+    // w <= 10): larger widths silently wrap in Scala while the DuckDB
+    // oracle's BIGINT arithmetic errors — the cross-engine exactness
+    // contract would break, so the width is a hard bound, not advice.
+    require(hashW > 0 && hashW <= 10 && hashW <= winLen && density > 0,
+      s"anchor hash width must be in [1, 10] and fit the window " +
+        s"($winLen, $hashW, $density)")
     val spark = df.sparkSession
     import spark.implicits._
     val anchors = df.select(id.cast("long").as("doc_id"), text.as("t"))
@@ -344,7 +402,7 @@ object Dedup {
     * `h1 + i*h2` family correlates minimizers across i — lower-envelope
     * effect — and measurably hurts recall). */
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
-      perms: Int, shingleN: Int = 3): DataFrame = {
+      perms: Int, shingleN: Int = 3, baseHash: BaseHash = XxHash): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // Signatures are per-document: one typed map, zero shuffle (the
     // explode + 32-min-agg formulation exchanged every distinct
@@ -359,7 +417,7 @@ object Dedup {
     val rows = df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
       .as[(Long, String)]
       .flatMap { case (did, t) =>
-        minhashSigOf(t, as, bs, shingleN).map(mins =>
+        minhashSigOf(t, as, bs, shingleN, baseHash).map(mins =>
           org.apache.spark.sql.Row.fromSeq(did +: mins.toSeq)).iterator
       }(org.apache.spark.sql.Encoders.row(StructType(
         StructField("doc_id", LongType, nullable = false) +:
@@ -388,10 +446,8 @@ object Dedup {
     * None when the doc has fewer than `shingleN` words, matching the
     * groupBy-over-empty-explode shape. */
   private[graft] def minhashSigOf(rawLowered: String, as: Array[Long],
-      bs: Array[Long], shingleN: Int): Option[Array[Long]] = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    import org.apache.spark.unsafe.types.UTF8String
+      bs: Array[Long], shingleN: Int,
+      baseHash: BaseHash = XxHash): Option[Array[Long]] = {
     val P = 2147483647L // 2^31 - 1 (Mersenne prime)
     val perms = as.length
     val shingles = shingleIterator(rawLowered, shingleN)
@@ -399,8 +455,7 @@ object Dedup {
     else {
       val mins = Array.fill(perms)(Long.MaxValue)
       shingles.foreach { s =>
-        val h = XxHash64Function.hash(
-          UTF8String.fromString(s), StringType, 42L) & 0x7FFFFFFFL
+        val h = baseHash.hash31(s)
         var j = 0
         while (j < perms) {
           val v = (as(j) * h + bs(j)) % P // operands positive: % == pmod
@@ -461,10 +516,8 @@ object Dedup {
     * use catalyst's interpreted xxhash64 (seed 42) on UTF8String —
     * bit-identical to the `xxhash64` column function, so signatures
     * are unchanged from the round-1 implementation (DedupSpec pins). */
-  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    import org.apache.spark.unsafe.types.UTF8String
+  def simhash(df: DataFrame, text: Column, id: Column,
+      baseHash: BaseHash = XxHash): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
@@ -472,22 +525,20 @@ object Dedup {
       .flatMap { case (did, t) =>
         // null text: no signature (the explode formulation's drop semantics)
         if (t == null) Iterator.empty
-        else Iterator.single((did, simhashOf(t)))
+        else Iterator.single((did, simhashOf(t, baseHash)))
       }
       .toDF("doc_id", "simhash")
   }
 
   /** One document's simhash over ALREADY-LOWERCASED text (same lowering
     * contract as [[minhashSigOf]]). */
-  private[graft] def simhashOf(lowered: String): Long = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.sql.types.StringType
-    import org.apache.spark.unsafe.types.UTF8String
+  private[graft] def simhashOf(lowered: String,
+      baseHash: BaseHash = XxHash): Long = {
     val votes = new Array[Int](64)
     val ws = lowered.split(" ", -1)
     var i = 0
     while (i < ws.length) {
-      val h = XxHash64Function.hash(UTF8String.fromString(ws(i)), StringType, 42L)
+      val h = baseHash.hash64(ws(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -805,17 +856,17 @@ object Dedup {
     * [[minhashLshPairs]] -> [[survivors]] — the recommended end-to-end
     * scale path for signature dedup (SCALE.md). */
   def minhashSurvivors(df: DataFrame, text: Column, id: Column, perms: Int,
-      bands: Int, estThreshold: Double,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val sigs = minhashSignatures(df, text, id, perms)
+      bands: Int, estThreshold: Double, maxBucket: Int = Int.MaxValue,
+      baseHash: BaseHash = XxHash): DataFrame = {
+    val sigs = minhashSignatures(df, text, id, perms, baseHash = baseHash)
     survivors(df, id, minhashLshPairs(sigs, perms, bands, estThreshold, maxBucket))
   }
 
   /** SimHash keep-list: [[simhash]] -> [[simhashPairs]] ->
     * [[survivors]]. */
   def simhashSurvivors(df: DataFrame, text: Column, id: Column, maxDist: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame =
-    survivors(df, id, simhashPairs(simhash(df, text, id), maxDist))
+      maxBucket: Int = Int.MaxValue, baseHash: BaseHash = XxHash): DataFrame =
+    survivors(df, id, simhashPairs(simhash(df, text, id, baseHash), maxDist))
 
   /** Hot-bucket guard for LSH band joins: drops (band, hash) buckets
     * holding more than `maxBucket` rows before the self-join, so one
@@ -973,6 +1024,16 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("lst"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Corpus-scaled SemDeDup cluster count: ceil(n / targetPerCluster)
+    * clusters (>= 2), so expected cluster size stays ~targetPerCluster
+    * and the within-cluster pair search stays ~targetPerCluster x
+    * linear — the SemDeDup contract that clusters ARE the buckets and
+    * k grows with the corpus (k pinned at any constant turns the
+    * search quadratic: measured 25x for a 10x decade, SCALE.md). Pure
+    * integer arithmetic, re-derivable in SQL from count(*). */
+  def autoClusters(n: Long, targetPerCluster: Long = 64L): Int =
+    math.max(2L, (n + targetPerCluster - 1L) / targetPerCluster).toInt
 
   /** SemDeDup keep-list: [[semanticDedupPairs]] -> [[survivors]] —
     * the output-linear form (one row per doc), the shape a 100 TB

@@ -415,19 +415,32 @@ object Similarity {
         (col("label") === col("pred_label")).as("agree"))
   }
 
+  /** Corpus-scaled SRP bit width: the smallest b in [1, maxBits] with
+    * targetPerBucket * 2^b >= n — i.e. expected bucket occupancy at
+    * most `targetPerBucket` rows per table, so LSH candidate volume
+    * stays ~targetPerBucket x linear instead of n^2/2^bits (the
+    * auto-sized-knob rule; the pinned-bits regime measured 83x for a
+    * 10x decade, SCALE.md). PURE INTEGER arithmetic so a SQL oracle
+    * can re-derive the identical value from count(*) — no
+    * ceil(log2(...)) float on either side. The plane family is
+    * prefix-nested per table (each table's Random stream is consumed
+    * in j-major order), so planes for autoBits(n) are the first b
+    * planes of any wider inlined literal set. */
+  def autoBits(n: Long, maxBits: Int = 30, targetPerBucket: Long = 32L): Int = {
+    var b = 1
+    while (b < maxBits && (targetPerBucket << b) < n) b += 1
+    b
+  }
+
   def knnGraph(corpus: DataFrame, k: Int, bits: Int, dim: Int,
       tables: Int = 24, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     // bits <= 0: auto-size the bucket space to the corpus (the
     // auto-sized range-exchange rule — every parallelism/bucket knob
-    // must scale with the data). Target ~32 rows per bucket per
-    // table, so candidate volume stays ~32x linear instead of
-    // n^2/2^bits. The count is one metadata-cheap action, the same
-    // bounded boundary as IVF's centroid collect.
-    val b = if (bits > 0) bits
-    else math.max(1, math.ceil(math.log(
-      math.max(corpus.count(), 2L) / 32.0) / math.log(2.0)).toInt)
+    // must scale with the data). The count is one metadata-cheap
+    // action, the same bounded boundary as IVF's centroid collect.
+    val b = if (bits > 0) bits else autoBits(corpus.count())
     val candU = Dedup.lshCandidatePairs(corpus, col("vec_id"),
       col("embedding"), b, tables, dim, seed, maxBucket)
     val cand = candU

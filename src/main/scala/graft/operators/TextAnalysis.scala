@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** A word split into CODE-POINT symbols — the Python oracle's
+    * `list(w)` (code points), NOT UTF-16 units: a non-BMP character
+    * (emoji, rare CJK) is ONE initial BPE symbol on both sides, so the
+    * merge tables and token counts cannot diverge on surrogate pairs.
+    * (toCharArray would split a surrogate pair into two unpaired
+    * halves.) */
+  private def codePointSymbols(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** Lowercased single-space word split (the parity tokenization). */
   def words(text: Column): Column = split(lower(text), " ")
 
@@ -366,7 +384,7 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("w").asc)
       .limit(maxVocab)
       .as[(String, Long)].collect()
-      .map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+      .map { case (w, f) => (codePointSymbols(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -418,7 +436,7 @@ object TextAnalysis {
         var nSym0 = 0L
         var nTok = 0L
         ws.foreach { w =>
-          var syms = w.toCharArray.map(_.toString)
+          var syms = codePointSymbols(w)
           nSym0 += syms.length
           val ms = bc.value
           var i = 0
@@ -508,7 +526,7 @@ object TextAnalysis {
     val bg = df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
       .as[(Long, String)]
       .flatMap { case (d, t) =>
-        val ws = t.split(" ", -1)
+        val ws = (if (t == null) "" else t).split(" ", -1)
         (0 until ws.length - 1).iterator.map(i => (d, ws(i), ws(i + 1)))
       }
       .toDF("doc_id", "w1", "w2")

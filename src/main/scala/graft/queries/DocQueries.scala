@@ -7,14 +7,104 @@ import graft.streaming.Streaming
 
 /** LLM-training-data operators over the `documents` table: dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash), text analysis
-  * (language-ID, quality, tokens, fingerprint). MinHash/SimHash use
-  * Spark's xxhash64, which DuckDB lacks → rows-only driver check; their
-  * semantics are covered by ScalaTest against the exact-Jaccard oracle.
+  * (language-ID, quality, tokens, fingerprint). The MinHash/SimHash
+  * driver queries run the operators under the engine-portable
+  * md5-prefix base hash ([[graft.operators.Dedup.Md5Prefix]]) so DuckDB
+  * replays them exactly → full SQL oracles; the xxhash64 library
+  * default is pinned by ScalaTest (DedupSpec/StreamingSpec golden
+  * values + batch-parity specs).
   */
 object DocQueries {
 
   private val inList = (ws: Seq[String]) => ws.map(w => s"'$w'").mkString(", ")
   private val SPLIT = "string_split(lower(text), ' ')"
+
+  /** MinHash signature + pair CTE block under the PORTABLE md5-prefix
+    * base hash, 32 perms / est >= 0.6 — produces `sig(doc_id, mh0..31)`
+    * and `pairs(a_id, b_id, est_jaccard)`. The affine coefficients are
+    * inlined as literals (the hyperplane-literal style). The oracle
+    * needs NO banding: with est >= 0.6, at most 12 of 32 positions
+    * mismatch, spoiling at most 12 of the 16 two-row bands, so >= 4
+    * aligned bands match EXACTLY — every est-passing pair is an LSH
+    * candidate by pigeonhole, and every candidate that fails est is
+    * filtered on both sides. The LSH pair set IS the brute-force
+    * est-threshold pair set (bucket-key hashing can only add
+    * candidates, which the est filter then removes). */
+  private val MINHASH_PAIRS_CTES: String = {
+    val perms = 32
+    val (as, bs) = Dedup.minhashCoefficients(perms)
+    val sigCols = (0 until perms).map(i =>
+      s"    list_min(list_transform(hs, h -> (${as(i)}*h + ${bs(i)}) % 2147483647)) AS mh$i")
+      .mkString(",\n")
+    val eqSum = (0 until perms)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString("\n      + ")
+    s"""w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+       |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shs
+       |  FROM w WHERE len(ws) >= 3),
+       |hl AS (SELECT doc_id, list_transform(shs,
+       |    s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) & 2147483647) AS hs
+       |  FROM shl),
+       |sig AS (SELECT doc_id,
+       |$sigCols
+       |  FROM hl),
+       |eqc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    ($eqSum) AS eq
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+       |pairs AS (SELECT a_id, b_id, eq / 32.0 AS est_jaccard FROM eqc
+       |  WHERE eq / 32.0 >= 0.6)""".stripMargin
+  }
+
+  /** SimHash signature + pair CTE block under the portable md5-prefix
+    * 64-bit word hash — produces `sig(doc_id, simhash)` and
+    * `pairs(a_id, b_id, hamming)` for hamming <= 6. The 64-bit hash is
+    * assembled from two 32-bit hex parses with an explicit sign fold
+    * (BIGINT stays in range by construction); the signature is the
+    * signed sum of per-bit powers with bit 63 contributing -2^63 —
+    * exactly Scala's Long bit pattern. Brute-force pairs are EXACT
+    * here too: C(8,2) chunk-pair banding is pigeonhole-lossless to
+    * hamming 7, so the banded operator output equals all pairs within
+    * the distance. */
+  private val SIMHASH_PAIRS_CTES: String =
+    s"""w AS (SELECT doc_id, $SPLIT AS ws FROM documents
+       |  WHERE text IS NOT NULL),
+       |wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+       |wh AS (SELECT doc_id,
+       |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+       |      * 4294967296 + lo AS h64
+       |  FROM (SELECT doc_id,
+       |      CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS hi,
+       |      CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS lo
+       |    FROM wd) t),
+       |bits AS (SELECT doc_id, bb.b AS b,
+       |    sum(CASE WHEN ((h64 >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM wh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+       |  GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+       |      CASE WHEN b = 63 THEN -9223372036854775807 - 1
+       |      ELSE (CAST(1 AS BIGINT) << b) END ELSE 0 END) AS BIGINT)
+       |    AS simhash
+       |  FROM bits GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)""".stripMargin
+
+  /** The min-reachable-id survivors tail shared by the three keep-list
+    * oracles (Jaccard / MinHash / SimHash): recursive closure over an
+    * undirected `pairs` edge list, component = min reachable id, every
+    * document keeps iff it is its component's min (or off-graph). */
+  private val SURVIVORS_TAIL =
+    s"""edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id, coalesce(c.component = d.doc_id, TRUE) AS keep,
+       |  c.component
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
 
   /** The trigram-Jaccard pair CTE block (threshold 0.8), producing
     * `pairs(a_id, b_id, jaccard)` — single-sourced so the pair rule
@@ -166,15 +256,7 @@ object DocQueries {
     // min-reachable-id CTE, left-joined back to every doc.
     "doc_dedup_survivors" -> QueryDef(
       s"""WITH RECURSIVE $JACCARD_PAIRS_CTES,
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs),
-         |reach AS (SELECT src, dst FROM edges
-         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |comp AS (SELECT src AS id, least(src, min(dst)) AS component
-         |  FROM reach GROUP BY src)
-         |SELECT d.doc_id, coalesce(c.component = d.doc_id, TRUE) AS keep,
-         |  c.component
-         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin) {
+         |$SURVIVORS_TAIL""".stripMargin) {
       (s, dir) =>
         val docs = Tables.documents(s, dir)
         Dedup.survivors(docs, col("doc_id"),
@@ -183,33 +265,46 @@ object DocQueries {
 
     // Same keep-list over the MinHash-LSH pair graph — the end-to-end
     // signature-dedup scale path (signatures -> band join -> CC ->
-    // survivors). xxhash64-based -> exact Python oracle (union-find
-    // over the same pair set, pyoracle.expected_doc_minhash_survivors).
-    "doc_minhash_survivors" -> QueryDef.noOracle { (s, dir) =>
+    // survivors), run under the portable md5-prefix hash so the whole
+    // chain sits behind the driver's exact SQL compare.
+    "doc_minhash_survivors" -> QueryDef(
+      s"""WITH RECURSIVE $MINHASH_PAIRS_CTES,
+         |$SURVIVORS_TAIL""".stripMargin) { (s, dir) =>
       Dedup.minhashSurvivors(Tables.documents(s, dir), col("text"),
-        col("doc_id"), perms = 32, bands = 16, estThreshold = 0.6)
+        col("doc_id"), perms = 32, bands = 16, estThreshold = 0.6,
+        baseHash = Dedup.Md5Prefix)
     },
 
     // SimHash keep-list twin (hamming <= 6 pair graph -> CC ->
-    // survivors); exact Python oracle.
-    "doc_simhash_survivors" -> QueryDef.noOracle { (s, dir) =>
+    // survivors), same portable-hash discipline.
+    "doc_simhash_survivors" -> QueryDef(
+      s"""WITH RECURSIVE $SIMHASH_PAIRS_CTES,
+         |$SURVIVORS_TAIL""".stripMargin) { (s, dir) =>
       Dedup.simhashSurvivors(Tables.documents(s, dir), col("text"),
-        col("doc_id"), maxDist = 6)
+        col("doc_id"), maxDist = 6, baseHash = Dedup.Md5Prefix)
     },
 
     // MinHash (32 perms) + LSH (16 bands x 2): candidate pairs with
     // estimated similarity >= 0.6 (~3 sigma below a true j=0.8 with 32
-    // perms). xxhash64-based → rows-only check.
-    "doc_minhash_lsh" -> QueryDef.noOracle { (s, dir) =>
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, dir),
-        col("text"), col("doc_id"), perms = 32)
-      Dedup.minhashLshPairs(sigs, perms = 32, bands = 16, estThreshold = 0.6)
+    // perms). Portable md5-prefix hash; the oracle is bandless brute
+    // force — exact because est >= 0.6 forces >= 4 intact bands
+    // (see MINHASH_PAIRS_CTES).
+    "doc_minhash_lsh" -> QueryDef(
+      s"""WITH $MINHASH_PAIRS_CTES
+         |SELECT a_id, b_id, est_jaccard FROM pairs""".stripMargin) {
+      (s, dir) =>
+        val sigs = Dedup.minhashSignatures(Tables.documents(s, dir),
+          col("text"), col("doc_id"), perms = 32, baseHash = Dedup.Md5Prefix)
+        Dedup.minhashLshPairs(sigs, perms = 32, bands = 16, estThreshold = 0.6)
     },
 
-    // SimHash near-dups: hamming <= 6 over 8-bit chunk bands (exact
-    // candidate coverage to hamming 7 by pigeonhole).
-    "doc_simhash" -> QueryDef.noOracle { (s, dir) =>
-      val sigs = Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))
+    // SimHash near-dups: hamming <= 6 over chunk-pair bands (exact
+    // coverage by pigeonhole), portable hash, brute-force oracle.
+    "doc_simhash" -> QueryDef(
+      s"""WITH $SIMHASH_PAIRS_CTES
+         |SELECT a_id, b_id, hamming FROM pairs""".stripMargin) { (s, dir) =>
+      val sigs = Dedup.simhash(Tables.documents(s, dir), col("text"),
+        col("doc_id"), baseHash = Dedup.Md5Prefix)
       Dedup.simhashPairs(sigs, maxDist = 6)
     },
 
@@ -232,7 +327,7 @@ object DocQueries {
 
     // Streaming twin of doc_para_dedup's keeper election: documents
     // stream in, are chunked statelessly per row, and every distinct
-    // passage's keeper (min encoded (doc_id, idx) key) + copy count
+    // passage's keeper (lexicographic min (doc_id, idx) struct) + copy count
     // accumulate in the state store — the ingest-time boilerplate
     // dedup. Same AvailableNow drain + order-independent agg
     // discipline as doc_dedup_exact_stream; the oracle replays the
@@ -244,11 +339,14 @@ object DocQueries {
          |ch AS (SELECT doc_id, i AS chunk_idx,
          |  array_to_string(list_slice(ws, i*20 + 1, least(i*20 + 20, n)), ' ') AS chunk
          |  FROM s)
-         |SELECT sha256(chunk) AS digest,
-         |  min(doc_id*1000000 + chunk_idx) // 1000000 AS keep_doc_id,
-         |  min(doc_id*1000000 + chunk_idx) % 1000000 AS keep_idx,
-         |  count(*) AS n_copies
-         |FROM ch GROUP BY 1""".stripMargin) { (s, dir) =>
+         |SELECT digest, doc_id AS keep_doc_id, chunk_idx AS keep_idx,
+         |  n_copies
+         |FROM (SELECT sha256(chunk) AS digest, doc_id, chunk_idx,
+         |    row_number() OVER (PARTITION BY sha256(chunk)
+         |      ORDER BY doc_id, chunk_idx) AS rn,
+         |    count(*) OVER (PARTITION BY sha256(chunk)) AS n_copies
+         |  FROM ch) r
+         |WHERE rn = 1""".stripMargin) { (s, dir) =>
       Streaming.runAvailableNow(
         Streaming.paragraphKeepListStream(
           Streaming.documentsStream(s, dir),
@@ -261,37 +359,50 @@ object DocQueries {
     // per signature-bearing doc — dup_of = smallest earlier doc whose
     // signature matches in any shared band, null for survivors. Event
     // time is doc_id-derived (earlier = smaller id), watermark delay >
-    // the whole id range so nothing evicts mid-replay. xxhash64-based
-    // -> exact Python oracle (pyoracle.expected_doc_minhash_stream).
-    "doc_minhash_stream" -> QueryDef.noOracle { (s, dir) =>
-      import s.implicits._
-      val docs = Streaming.documentsStream(s, dir)
-        .select(col("doc_id").as("docId"),
-          ((col("doc_id") + 1) * 1000000L).as("tsUs"), col("text"))
-        .as[Streaming.DocEvent]
-      val verdicts = Streaming.minhashDedupStream(docs, perms = 32,
-        bands = 16, estThreshold = 0.6, watermarkDelayMs = 31536000000L)
-      Streaming.collapseNearDupVerdicts(
-          Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append"))
-        .select(col("docId").as("doc_id"), col("dup_of"))
+    // the whole id range so nothing evicts mid-replay. Portable
+    // md5-prefix hash -> the SQL oracle folds the brute-force pair set
+    // to min(a_id) per b_id (exact: est >= 0.6 pairs ALWAYS share an
+    // aligned band, and bucket collisions only add est-filtered
+    // candidates).
+    "doc_minhash_stream" -> QueryDef(
+      s"""WITH $MINHASH_PAIRS_CTES,
+         |m AS (SELECT b_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
+         |SELECT s.doc_id, m.dup_of
+         |FROM sig s LEFT JOIN m ON s.doc_id = m.b_id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val docs = Streaming.documentsStream(s, dir)
+          .select(col("doc_id").as("docId"),
+            ((col("doc_id") + 1) * 1000000L).as("tsUs"), col("text"))
+          .as[Streaming.DocEvent]
+        val verdicts = Streaming.minhashDedupStream(docs, perms = 32,
+          bands = 16, estThreshold = 0.6, watermarkDelayMs = 31536000000L,
+          baseHash = Dedup.Md5Prefix)
+        Streaming.collapseNearDupVerdicts(
+            Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append"))
+          .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
     // Streaming SimHash near-dup twin, same harness: C(8,2) chunk-pair
     // band buckets in keyed state, dup_of = smallest earlier doc within
     // hamming 6 (banding is pigeonhole-exact there, so the expected
-    // frame is ALL pairs within the distance — pyoracle
-    // expected_doc_simhash_stream).
-    "doc_simhash_stream" -> QueryDef.noOracle { (s, dir) =>
-      import s.implicits._
-      val docs = Streaming.documentsStream(s, dir)
-        .select(col("doc_id").as("docId"),
-          ((col("doc_id") + 1) * 1000000L).as("tsUs"), col("text"))
-        .as[Streaming.DocEvent]
-      val verdicts = Streaming.simhashDedupStream(docs, maxDist = 6,
-        watermarkDelayMs = 31536000000L)
-      Streaming.collapseNearDupVerdicts(
-          Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append"))
-        .select(col("docId").as("doc_id"), col("dup_of"))
+    // frame is ALL pairs within the distance — same min-fold oracle).
+    "doc_simhash_stream" -> QueryDef(
+      s"""WITH $SIMHASH_PAIRS_CTES,
+         |m AS (SELECT b_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
+         |SELECT s.doc_id, m.dup_of
+         |FROM sig s LEFT JOIN m ON s.doc_id = m.b_id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val docs = Streaming.documentsStream(s, dir)
+          .select(col("doc_id").as("docId"),
+            ((col("doc_id") + 1) * 1000000L).as("tsUs"), col("text"))
+          .as[Streaming.DocEvent]
+        val verdicts = Streaming.simhashDedupStream(docs, maxDist = 6,
+          watermarkDelayMs = 31536000000L, baseHash = Dedup.Md5Prefix)
+        Streaming.collapseNearDupVerdicts(
+            Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append"))
+          .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
     // Language-ID heuristic: marker-word counts, fixed precedence.
@@ -917,11 +1028,11 @@ object DocQueries {
          |ch AS (SELECT doc_id, i AS chunk_idx,
          |  array_to_string(list_slice(ws, i*20 + 1, least(i*20 + 20, n)), ' ') AS chunk
          |  FROM s2),
-         |keep AS (SELECT chunk, min(doc_id*1000000 + chunk_idx) AS kk
-         |  FROM ch GROUP BY 1),
-         |kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk FROM ch c
-         |  JOIN keep k ON c.chunk = k.chunk
-         |   AND c.doc_id*1000000 + c.chunk_idx = k.kk),
+         |kept AS (SELECT doc_id, chunk_idx, chunk FROM (
+         |  SELECT doc_id, chunk_idx, chunk, row_number() OVER (
+         |    PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch) r
+         |  WHERE rn = 1),
          |rebuilt AS (SELECT t.doc_id,
          |    string_agg(k.chunk, ' ' ORDER BY k.chunk_idx) AS clean_text,
          |    count(k.chunk) AS n_kept, any_value(t.n_total) AS n_total

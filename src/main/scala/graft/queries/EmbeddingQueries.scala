@@ -27,6 +27,41 @@ object EmbeddingQueries {
       }
     }.mkString(",")
 
+  /** Shared SRP-bucket/candidate/scored CTE block for the corpus kNN
+    * queries, with the bit width DERIVED FROM count(*) in SQL — the
+    * exact integer rule of [[graft.operators.Similarity.autoBits]]
+    * (smallest b with 32*2^b >= n, capped at `maxBits`), so the
+    * driver-graded plan is the auto-sized scale path, not a pinned
+    * knob. Planes are inlined to the full `maxBits` prefix: the family
+    * is prefix-nested per table (each table's Random stream is
+    * consumed j-major), so the first b planes of the literal set ARE
+    * the b-bit planes the Spark side uses. */
+  private def knnCandidateCtes(maxBits: Int): String =
+    s"""planes(t, j, p) AS (VALUES ${srpPlanesValues(maxBits, 64, 24, 42L)}),
+       |dbits AS (
+       |  SELECT coalesce(min(bb.b), $maxBits) AS b
+       |  FROM (SELECT unnest(range(1, ${maxBits + 1})) AS b) bb
+       |  WHERE 32 * (1 << bb.b) >= (SELECT count(*) FROM embeddings)),
+       |cb AS (
+       |  SELECT e.vec_id, pl.t,
+       |    CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+       |        THEN 1 << pl.j ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  WHERE pl.j < (SELECT b FROM dbits)
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+       |  FROM cb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
+       |    AND a.vec_id != b.vec_id),
+       |scored AS (
+       |  SELECT c.src_id, c.neighbor_id,
+       |    list_dot_product(s.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+       |      (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
+       |       * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+       |  FROM cand c
+       |  JOIN embeddings s ON s.vec_id = c.src_id
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id)""".stripMargin
+
   /** The SemDeDup pair search replayed in SQL (the iters=0 oracle
     * regime of Dedup.semanticDedupPairs): seeds re-picked by the same
     * (md5(id), id) rank, assignment re-derived as max centroid cosine
@@ -34,11 +69,16 @@ object EmbeddingQueries {
     * fixed-order double fold on both engines), then the exact
     * within-cluster cosine search. Emitted as WITH-clause bodies so
     * the pairs and survivors oracles share one definition. */
-  private def semdedupPairsSql(k: Int, threshold: Double): String =
-    s"""seeds AS (
-       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS lst,
-       |    embedding::DOUBLE[] AS se
-       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+  private def semdedupPairsSql(threshold: Double): String =
+    s"""kd AS (
+       |  SELECT greatest(2, (count(*) + 63) // 64) AS k FROM embeddings),
+       |seeds AS (
+       |  SELECT lst, se FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS lst,
+       |      embedding::DOUBLE[] AS se
+       |    FROM embeddings) t
+       |  WHERE lst < (SELECT k FROM kd)),
        |assign AS (
        |  SELECT vec_id, lst FROM (
        |    SELECT e.vec_id, s.lst, row_number() OVER (PARTITION BY e.vec_id
@@ -168,30 +208,15 @@ object EmbeddingQueries {
     // replay as emb_lsh_topk; candidates are the DIRECTED distinct
     // bucket-sharing pairs.
     "emb_knn_graph" -> QueryDef(
-      s"""WITH planes(t, j, p) AS (VALUES ${srpPlanesValues(6, 64, 24, 42L)}),
-         |cb AS (
-         |  SELECT e.vec_id, pl.t,
-         |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
-         |        THEN 1 << pl.j ELSE 0 END) AS bkt
-         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
-         |  FROM cb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
-         |    AND a.vec_id != b.vec_id),
-         |scored AS (
-         |  SELECT c.src_id, c.neighbor_id,
-         |    list_dot_product(s.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
-         |      (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
-         |       * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
-         |  FROM cand c
-         |  JOIN embeddings s ON s.vec_id = c.src_id
-         |  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+      s"""WITH ${knnCandidateCtes(16)}
          |SELECT src_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY src_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
          |  FROM scored) t
          |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
-      Similarity.knnGraph(Tables.embeddings(s, dir), 5, bits = 6, dim = 64)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnGraph(emb, 5,
+        bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64)
     },
 
     // Leave-one-out kNN label check (label-noise detection): each
@@ -199,24 +224,7 @@ object EmbeddingQueries {
     // graph, ties to the lowest label. agree=false rows are the
     // mislabel review queue.
     "emb_knn_label_check" -> QueryDef(
-      s"""WITH planes(t, j, p) AS (VALUES ${srpPlanesValues(6, 64, 24, 42L)}),
-         |cb AS (
-         |  SELECT e.vec_id, pl.t,
-         |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
-         |        THEN 1 << pl.j ELSE 0 END) AS bkt
-         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
-         |  FROM cb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
-         |    AND a.vec_id != b.vec_id),
-         |scored AS (
-         |  SELECT c.src_id, c.neighbor_id,
-         |    list_dot_product(s.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
-         |      (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
-         |       * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
-         |  FROM cand c
-         |  JOIN embeddings s ON s.vec_id = c.src_id
-         |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+      s"""WITH ${knnCandidateCtes(16)},
          |knn AS (
          |  SELECT src_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (
@@ -237,7 +245,9 @@ object EmbeddingQueries {
          |  e.label = p.pred_label AS agree
          |FROM embeddings e JOIN pred p ON p.vec_id = e.vec_id""".stripMargin) {
       (s, dir) =>
-        Similarity.knnLabelCheck(Tables.embeddings(s, dir), 5, bits = 6, dim = 64)
+        val emb = Tables.embeddings(s, dir)
+        Similarity.knnLabelCheck(emb, 5,
+          bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64)
     },
 
     // IVF-ANN, full-probe plumbing regime: with nProbe = nLists the
@@ -300,18 +310,24 @@ object EmbeddingQueries {
     // SemDeDup (cluster-then-search semantic dedup, Abbas et al. 2023):
     // md5-seeded centroids, max-cosine assignment, exact pairwise
     // cosine WITHIN each cluster only — the n^2/k scale path for
-    // embedding dedup. iters=0 makes every step a fixed-order double
+    // embedding dedup. k is DERIVED from the corpus count on both
+    // sides (autoClusters: ~64 vectors per cluster), so the graded
+    // plan carries the scale-safe knob (clusters ARE the buckets; a
+    // pinned k turns the within-cluster search quadratic). iters=0 makes every step a fixed-order double
     // fold, so the driver hash-checks seed pick + assignment + search
     // end-to-end against the SQL replay. The cross-cluster miss set is
     // the documented SemDeDup trade; Lloyd-refined clustering and the
     // structural co-clustering of near-identical vectors are spec'd
     // (DedupSpec).
     "emb_semdedup_pairs" -> QueryDef(
-      s"""WITH ${semdedupPairsSql(8, 0.3)}
+      s"""WITH ${semdedupPairsSql(0.3)}
          |SELECT a_id, b_id, lst, round(cos, 6) AS cos_sim FROM pairs""".stripMargin) {
       (s, dir) =>
-        graft.operators.Dedup.semanticDedupPairs(Tables.embeddings(s, dir),
-          col("vec_id"), col("embedding"), nClusters = 8, threshold = 0.3)
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Dedup.semanticDedupPairs(emb,
+          col("vec_id"), col("embedding"),
+          nClusters = graft.operators.Dedup.autoClusters(emb.count()),
+          threshold = 0.3)
     },
 
     // The output-linear SemDeDup keep-list (pairs -> CC -> keeper per
@@ -319,7 +335,7 @@ object EmbeddingQueries {
     // pair set. Oracle: same pair CTE + the recursive min-reachable-id
     // component replay, left-joined to every vector.
     "emb_semdedup_survivors" -> QueryDef(
-      s"""WITH RECURSIVE ${semdedupPairsSql(8, 0.3)},
+      s"""WITH RECURSIVE ${semdedupPairsSql(0.3)},
          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION SELECT b_id, a_id FROM pairs),
          |reach AS (SELECT src, dst FROM edges
@@ -330,8 +346,11 @@ object EmbeddingQueries {
          |  c.component
          |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id""".stripMargin) {
       (s, dir) =>
-        graft.operators.Dedup.semanticSurvivors(Tables.embeddings(s, dir),
-            col("vec_id"), col("embedding"), nClusters = 8, threshold = 0.3)
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Dedup.semanticSurvivors(emb,
+            col("vec_id"), col("embedding"),
+            nClusters = graft.operators.Dedup.autoClusters(emb.count()),
+            threshold = 0.3)
           .withColumnRenamed("doc_id", "vec_id")
     },
 

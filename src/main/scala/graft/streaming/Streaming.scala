@@ -138,19 +138,21 @@ object Streaming {
     * final frame is identical under any trigger slicing or replay
     * partitioning — the exactness discipline that lets a batch SQL
     * oracle hash-check a streaming run. State per distinct passage is
-    * the 32 B digest + the encoded (doc_id, chunk_idx) keeper key +
-    * a counter, sharded by digest exactly like the batch min_by
-    * shuffle; passage text never enters state. */
+    * the 32 B digest + the (doc_id, chunk_idx) keeper struct + a
+    * counter, sharded by digest exactly like the batch min shuffle;
+    * passage text never enters state. Keeper order is the lexicographic
+    * struct min (the batch [[graft.operators.Dedup.paragraphDedup]]
+    * rule — no encoded arithmetic key, no overflow bound). */
   def paragraphKeepListStream(df: DataFrame,
       text: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
       size: Int): DataFrame =
     graft.operators.TextAnalysis.chunkWords(df, text, id, size, size)
-      .withColumn("okey", col("doc_id") * 1000000L + col("chunk_idx"))
       .groupBy(sha2(col("chunk"), 256).as("digest"))
-      .agg(min(col("okey")).as("kk"), count(lit(1)).as("n_copies"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"),
+        count(lit(1)).as("n_copies"))
       .select(col("digest"),
-        expr("kk div 1000000").as("keep_doc_id"),
-        (col("kk") % 1000000L).as("keep_idx"),
+        col("k.doc_id").cast("long").as("keep_doc_id"),
+        col("k.chunk_idx").cast("long").as("keep_idx"),
         col("n_copies"))
 
   /** Streaming WORD-COUNT state — the streaming half of the
@@ -245,7 +247,9 @@ object Streaming {
     */
   def minhashDedupStream(ds: Dataset[DocEvent], perms: Int, bands: Int,
       estThreshold: Double, watermarkDelayMs: Long,
-      shingleN: Int = 3, maxBucket: Int = Int.MaxValue): Dataset[BandVerdict] = {
+      shingleN: Int = 3, maxBucket: Int = Int.MaxValue,
+      baseHash: graft.operators.Dedup.BaseHash =
+        graft.operators.Dedup.XxHash): Dataset[BandVerdict] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.LongType
@@ -260,7 +264,8 @@ object Streaming {
     // multi-column xxhash64 applies in the batch band join.
     val bandRows = ds.flatMap { d =>
       val lowered = UTF8String.fromString(d.text).toLowerCase.toString
-      graft.operators.Dedup.minhashSigOf(lowered, as, bs, shingleN) match {
+      graft.operators.Dedup.minhashSigOf(lowered, as, bs, shingleN,
+          baseHash) match {
         case None => Iterator.empty
         case Some(sig) =>
           (0 until bands).iterator.map { bidx =>
@@ -296,7 +301,9 @@ object Streaming {
     * doc within `maxDist` — the batch `simhashPairs(sigs, maxDist)`
     * pair set restricted to a_id < b_id (StreamingSpec parity). */
   def simhashDedupStream(ds: Dataset[DocEvent], maxDist: Int,
-      watermarkDelayMs: Long, maxBucket: Int = Int.MaxValue): Dataset[BandVerdict] = {
+      watermarkDelayMs: Long, maxBucket: Int = Int.MaxValue,
+      baseHash: graft.operators.Dedup.BaseHash =
+        graft.operators.Dedup.XxHash): Dataset[BandVerdict] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.unsafe.types.UTF8String
     require(maxDist <= 6, "2-of-8 chunk-pair banding is exact only to hamming 6")
@@ -305,7 +312,7 @@ object Streaming {
       if (d.text == null) Iterator.empty
       else {
         val lowered = UTF8String.fromString(d.text).toLowerCase.toString
-        val sig = graft.operators.Dedup.simhashOf(lowered)
+        val sig = graft.operators.Dedup.simhashOf(lowered, baseHash)
         combos.iterator.zipWithIndex.map { case ((i, j), idx) =>
           val cval = (((sig >>> (i * 8)) & 0xFFL) << 8) | ((sig >>> (j * 8)) & 0xFFL)
           // composite bucket key: comboIdx in the high bits, collision-free

@@ -386,4 +386,37 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(re == out)
   }
+
+  test("Md5Prefix base hash matches the DuckDB hex-parse twin (golden)") {
+    // goldens = python hashlib.md5 / DuckDB CAST('0x'||substr(md5,1,8))
+    // — the SQL-oracle replay contract for the portable signature
+    // queries (hash31 = first 4 bytes big-endian, 31-bit mask;
+    // hash64 = first 8 bytes big-endian, signed)
+    assert(Dedup.Md5Prefix.hash31("abc") === 268521624L)
+    assert(Dedup.Md5Prefix.hash64("abc") === -8070080442485551184L)
+    assert(Dedup.Md5Prefix.hash31("the quick brown") === 1006445830L)
+    assert(Dedup.Md5Prefix.hash64("the quick brown") === -4900720109264872438L)
+    assert(Dedup.Md5Prefix.hash31("") ===
+      ((Dedup.Md5Prefix.hash64("") >>> 32) & 0x7FFFFFFFL))
+    // the two families must disagree (a query on the wrong default
+    // would silently pass if they coincided)
+    assert(Dedup.Md5Prefix.hash64("abc") !== Dedup.XxHash.hash64("abc"))
+  }
+
+  test("base-hash parameter changes signatures, default stays xxhash64") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two three four five"), (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val xs = Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 8)
+      .collect().map(_.toSeq).toSet
+    val ds = Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 8,
+      baseHash = Dedup.XxHash).collect().map(_.toSeq).toSet
+    val ms = Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 8,
+      baseHash = Dedup.Md5Prefix).collect().map(_.toSeq).toSet
+    assert(xs === ds) // default IS XxHash
+    assert(xs !== ms)
+    val sx = Dedup.simhashOf("one two three")
+    assert(sx === Dedup.simhashOf("one two three", Dedup.XxHash))
+    assert(sx !== Dedup.simhashOf("one two three", Dedup.Md5Prefix))
+  }
 }

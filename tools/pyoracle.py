@@ -1,104 +1,25 @@
 """Exact Python oracles for the queries DuckDB cannot express
-(xxhash64-based signatures, seeded-random LSH, path-dependent folds).
+(the iterative BPE family, seeded-random LSH, path-dependent folds).
 
 Each function recomputes the query's expected frame from the parquet
 tables with bit-identical arithmetic to the Spark implementation:
-  - XXH64 (seed 42) reimplemented to match catalyst's xxhash64 (the
-    canonical little-endian algorithm; multi-column hashes fold each
-    value with the running hash as the seed);
-  - java.util.Random's 48-bit LCG for the seeded MinHash coefficients
-    and SRP hyperplanes;
+  - java.util.Random's 48-bit LCG for the seeded SRP hyperplanes;
   - left-to-right double-accumulated dot products (graft_dot);
   - Spark's round() = shortest-repr decimal HALF_UP;
   - the throttle / order-book folds replayed row-for-row.
+
+(The MinHash/SimHash families moved to full DuckDB SQL oracles when the
+driver queries switched to the engine-portable md5-prefix base hash —
+Dedup.Md5Prefix; the xxhash64 default stays pinned by ScalaTest.)
 
 check.py compares these exactly like the DuckDB oracles (column-sorted,
 row-sorted, cell-exact).
 """
 import math
-import struct
 from decimal import Decimal, ROUND_HALF_UP
 
 import numpy as np
 import pandas as pd
-
-# ---------------------------------------------------------------- XXH64
-
-_P1 = 0x9E3779B185EBCA87
-_P2 = 0xC2B2AE3D27D4EB4F
-_P3 = 0x165667B19E3779F9
-_P4 = 0x85EBCA77C2B2AE63
-_P5 = 0x27D4EB2F165667C5
-_M = (1 << 64) - 1
-
-
-def _rotl(x, r):
-    return ((x << r) | (x >> (64 - r))) & _M
-
-
-def _round64(acc, inp):
-    return (_rotl((acc + inp * _P2) & _M, 31) * _P1) & _M
-
-
-def _merge(acc, val):
-    acc ^= _round64(0, val)
-    return (acc * _P1 + _P4) & _M
-
-
-def _fmix(h):
-    h ^= h >> 33
-    h = (h * _P2) & _M
-    h ^= h >> 29
-    h = (h * _P3) & _M
-    h ^= h >> 32
-    return h
-
-
-def xxh64(data: bytes, seed: int) -> int:
-    """Unsigned XXH64 of bytes (little-endian reads, canonical spec)."""
-    seed &= _M
-    n = len(data)
-    i = 0
-    if n >= 32:
-        v1, v2, v3, v4 = (seed + _P1 + _P2) & _M, (seed + _P2) & _M, seed, (seed - _P1) & _M
-        while i + 32 <= n:
-            v1 = _round64(v1, int.from_bytes(data[i:i + 8], 'little'))
-            v2 = _round64(v2, int.from_bytes(data[i + 8:i + 16], 'little'))
-            v3 = _round64(v3, int.from_bytes(data[i + 16:i + 24], 'little'))
-            v4 = _round64(v4, int.from_bytes(data[i + 24:i + 32], 'little'))
-            i += 32
-        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
-        for v in (v1, v2, v3, v4):
-            h = _merge(h, v)
-    else:
-        h = (seed + _P5) & _M
-    h = (h + n) & _M
-    while i + 8 <= n:
-        h ^= _round64(0, int.from_bytes(data[i:i + 8], 'little'))
-        h = (_rotl(h, 27) * _P1 + _P4) & _M
-        i += 8
-    if i + 4 <= n:
-        h ^= (int.from_bytes(data[i:i + 4], 'little') * _P1) & _M
-        h = (_rotl(h, 23) * _P2 + _P3) & _M
-        i += 4
-    while i < n:
-        h ^= (data[i] * _P5) & _M
-        h = (_rotl(h, 11) * _P1) & _M
-        i += 1
-    return _fmix(h)
-
-
-def xxh64_str(s: str, seed: int = 42) -> int:
-    return xxh64(s.encode('utf-8'), seed)
-
-
-def xxh64_long(v: int, seed: int) -> int:
-    return xxh64(struct.pack('<q', v), seed)
-
-
-def to_signed(h: int) -> int:
-    return h - (1 << 64) if h >= (1 << 63) else h
-
 
 # ------------------------------------------------- java.util.Random LCG
 
@@ -147,192 +68,12 @@ def _doc_words(text: str):
     return text.lower().split(' ')
 
 
-def _doc_shingles(text: str, n: int = 3):
-    ws = _doc_words(text)
-    if len(ws) < n:
-        return []
-    seen, out = set(), []
-    for i in range(len(ws) - n + 1):
-        s = ' '.join(ws[i:i + n])
-        if s not in seen:
-            seen.add(s)
-            out.append(s)
-    return out
-
-
 def _dot(a, b) -> float:
     """Left-to-right double fold (graft_dot / Similarity.dot parity)."""
     acc = 0.0
     for x, y in zip(a, b):
         acc += float(x) * float(y)
     return acc
-
-
-# --------------------------------------------------------- doc_minhash
-
-_MINHASH_P = 2147483647
-
-
-def _minhash_coeffs(perms: int):
-    rnd = JavaRandom(42)
-    out = []
-    for _ in range(perms):
-        a = 1 + rnd.next_int(2147483646)  # Int.MaxValue - 1
-        b = rnd.next_int(2147483647)      # Int.MaxValue
-        out.append((a, b))
-    return out
-
-
-def _minhash_pairs(sfdir: str):
-    """(sigs, est-threshold-passing candidate pairs) for the suite's
-    32-perm / 16-band / 0.6 setting — shared by the batch-pairs and
-    streaming-survivor oracles."""
-    perms, bands, est_threshold = 32, 16, 0.6
-    rows_per_band = perms // bands
-    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
-    coeffs = _minhash_coeffs(perms)
-    sigs = {}
-    for doc_id, text in zip(docs['doc_id'], docs['text']):
-        hs = [xxh64_str(s) & 0x7FFFFFFF for s in _doc_shingles(text)]
-        if not hs:
-            continue
-        sigs[int(doc_id)] = [min((a * h + b) % _MINHASH_P for h in hs)
-                             for a, b in coeffs]
-    buckets = {}
-    for did, sig in sigs.items():
-        for bidx in range(bands):
-            h = 42
-            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band):
-                h = xxh64_long(sig[i], h)
-            buckets.setdefault((bidx, h), []).append(did)
-    cand = set()
-    for ids in buckets.values():
-        ids = sorted(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cand.add((ids[i], ids[j]))
-    pairs = []
-    for a, b in cand:
-        est = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / perms
-        if est >= est_threshold:
-            pairs.append((a, b, est))
-    return sigs, pairs
-
-
-def expected_doc_minhash_lsh(sfdir: str) -> pd.DataFrame:
-    _, pairs = _minhash_pairs(sfdir)
-    return pd.DataFrame(pairs, columns=['a_id', 'b_id', 'est_jaccard'])
-
-
-def expected_doc_minhash_stream(sfdir: str) -> pd.DataFrame:
-    """Streaming near-dup verdicts (doc_minhash_stream): one row per
-    signature-bearing doc, dup_of = smallest earlier (= lower-id) doc
-    matching in any shared band — exactly the batch pair set folded to
-    min a_id per b_id; NaN for survivors."""
-    sigs, pairs = _minhash_pairs(sfdir)
-    dup_of = {}
-    for a, b, _ in pairs:
-        dup_of[b] = min(dup_of.get(b, a), a)
-    rows = [(did, float(dup_of[did]) if did in dup_of else np.nan)
-            for did in sorted(sigs)]
-    return pd.DataFrame(rows, columns=['doc_id', 'dup_of'])
-
-
-def _min_components(pair_ids):
-    """component-min label per node of an undirected pair list
-    (Dedup.connectedComponents semantics)."""
-    adj = {}
-    for a, b in pair_ids:
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    comp, seen = {}, set()
-    for start in adj:
-        if start in seen:
-            continue
-        stack, members = [start], []
-        seen.add(start)
-        while stack:
-            u = stack.pop()
-            members.append(u)
-            for v in adj[u]:
-                if v not in seen:
-                    seen.add(v)
-                    stack.append(v)
-        m = min(members)
-        for u in members:
-            comp[u] = m
-    return comp
-
-
-def _survivor_frame(sfdir: str, pair_ids) -> pd.DataFrame:
-    """(doc_id, keep, component) for EVERY document — the output-linear
-    keep-list (Dedup.survivors parity; component NaN off-graph)."""
-    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
-    comp = _min_components(pair_ids)
-    rows = []
-    for d in sorted(int(v) for v in docs['doc_id']):
-        c = comp.get(d)
-        rows.append((d, c is None or c == d,
-                     float(c) if c is not None else np.nan))
-    return pd.DataFrame(rows, columns=['doc_id', 'keep', 'component'])
-
-
-def expected_doc_minhash_survivors(sfdir: str) -> pd.DataFrame:
-    _, pairs = _minhash_pairs(sfdir)
-    return _survivor_frame(sfdir, [(a, b) for a, b, _ in pairs])
-
-
-# ---------------------------------------------------------- doc_simhash
-
-def _simhash_sig(text: str) -> int:
-    votes = [0] * 64
-    for w in _doc_words(text):
-        h = xxh64_str(w)
-        for b in range(64):
-            votes[b] += 1 if (h >> b) & 1 else -1
-    sig = 0
-    for b in range(64):
-        if votes[b] > 0:
-            sig |= 1 << b
-    return sig
-
-
-def expected_doc_simhash(sfdir: str) -> pd.DataFrame:
-    max_dist = 6
-    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
-    sigs = [(int(d), _simhash_sig(t)) for d, t in zip(docs['doc_id'], docs['text'])]
-    sigs.sort()
-    out = []
-    # 8x8-bit banding is exact (lossless) to hamming<=7, so the expected
-    # pair set is simply ALL pairs within max_dist
-    for i in range(len(sigs)):
-        for j in range(i + 1, len(sigs)):
-            d = bin(sigs[i][1] ^ sigs[j][1]).count('1')
-            if d <= max_dist:
-                out.append((sigs[i][0], sigs[j][0], d))
-    return pd.DataFrame(out, columns=['a_id', 'b_id', 'hamming'])
-
-
-def expected_doc_simhash_survivors(sfdir: str) -> pd.DataFrame:
-    pairs = expected_doc_simhash(sfdir)
-    return _survivor_frame(
-        sfdir, [(int(a), int(b)) for a, b in zip(pairs['a_id'], pairs['b_id'])])
-
-
-def expected_doc_simhash_stream(sfdir: str) -> pd.DataFrame:
-    """Streaming SimHash verdicts (doc_simhash_stream): one row per doc
-    (every non-null text yields a signature), dup_of = smallest lower-id
-    doc within hamming 6 (chunk-pair banding is pigeonhole-exact there);
-    NaN for survivors."""
-    pairs = expected_doc_simhash(sfdir)
-    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
-    dup_of = {}
-    for a, b in zip(pairs['a_id'], pairs['b_id']):
-        a, b = int(a), int(b)
-        dup_of[b] = min(dup_of.get(b, a), a)
-    rows = [(int(d), float(dup_of[int(d)]) if int(d) in dup_of else np.nan)
-            for d in sorted(docs['doc_id'])]
-    return pd.DataFrame(rows, columns=['doc_id', 'dup_of'])
 
 
 # --------------------------------------------------------- emb_lsh_topk
@@ -601,12 +342,6 @@ PY_ORACLES = {
     'doc_pack_bpe': expected_doc_pack_bpe,
     'doc_bpe_merges': expected_doc_bpe_merges,
     'doc_pack_greedy': expected_doc_pack_greedy,
-    'doc_minhash_lsh': expected_doc_minhash_lsh,
-    'doc_minhash_stream': expected_doc_minhash_stream,
-    'doc_minhash_survivors': expected_doc_minhash_survivors,
-    'doc_simhash': expected_doc_simhash,
-    'doc_simhash_stream': expected_doc_simhash_stream,
-    'doc_simhash_survivors': expected_doc_simhash_survivors,
     'emb_lsh_topk': expected_emb_lsh_topk,
     'ev_throttle_elapsed': expected_ev_throttle_elapsed,
     'l2_book_replay': expected_l2_book_replay,
