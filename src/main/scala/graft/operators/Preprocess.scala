@@ -117,12 +117,61 @@ object Preprocess {
     * rounded 4dp like the other genuinely-fp aggregates. */
   def slidingStddevCentsIncremental(df: DataFrame, okeyCol: String,
       centsCol: String, rangeUnits: Long, by: Seq[String],
-      outCol: String): DataFrame = {
+      outCol: String, chunkUnits: Long = 0L,
+      assumeSorted: Boolean = false): DataFrame = {
+    require(!(chunkUnits > 0 && assumeSorted),
+      "chunking re-partitions; it cannot honor an assumeSorted layout")
+    if (chunkUnits > 0) {
+      // TIME-CHUNKED fold: parallelism for LOW-CARDINALITY keys. The
+      // plain fold puts each key's whole timeline in one partition —
+      // with 5 event types that is 5 of N cores and one n*log(n) sort
+      // per key (the sf100eq probe's 13.9x/decade row, SCALE.md). Here
+      // the time axis splits into `chunkUnits` slices, and each
+      // (chunk, key) group ALSO reads the preceding `rangeUnits` of
+      // rows as non-emitting SEED rows (the as-of prev-block-seeding
+      // idea applied to sliding windows): every emitted row still sees
+      // its full lookback, so the output is bit-identical to the
+      // unchunked fold, while parallelism becomes keys x chunks and
+      // each sort covers one slice. Read amplification is bounded by
+      // rangeUnits/chunkUnits (= 2x at chunkUnits == rangeUnits).
+      // Requires okey >= 0 (epoch-derived keys are).
+      require(chunkUnits >= rangeUnits,
+        s"chunk ($chunkUnits) must cover the window lookback ($rangeUnits)")
+      val chunkOf = expr(s"$okeyCol div $chunkUnits") // exact integral div
+      val own = df.withColumn("__chunk", chunkOf)
+        .withColumn("__emit", lit(true))
+      val seeds = df
+        .filter(pmod(col(okeyCol), lit(chunkUnits)) >=
+          lit(chunkUnits - rangeUnits))
+        .withColumn("__chunk", chunkOf + lit(1L))
+        .withColumn("__emit", lit(false))
+      return foldStddevSorted(own.unionByName(seeds), okeyCol, centsCol,
+        rangeUnits, "__chunk" +: by, outCol, assumeSorted = false)
+        .filter(col("__emit")).drop("__chunk", "__emit")
+    }
+    foldStddevSorted(df, okeyCol, centsCol, rangeUnits, by, outCol,
+      assumeSorted)
+  }
+
+  /** The partition-local deque fold behind
+    * [[slidingStddevCentsIncremental]]. `assumeSorted = true` is the
+    * ORDER-METADATA CONTRACT: the caller guarantees every `by` key's
+    * rows live wholly inside one partition, sorted by (by..., okey)
+    * ascending — e.g. a per-key merge-read of ts-sorted catalog blocks
+    * (BlockCatalog blocks are written ts-ordered, so concatenating a
+    * key's blocks by start_ts IS the sorted stream) — and the
+    * repartition + in-partition sort are ELIDED entirely; the fold
+    * rides the layout. PreprocessSpec pins equality with the sorting
+    * path. */
+  private def foldStddevSorted(df: DataFrame, okeyCol: String,
+      centsCol: String, rangeUnits: Long, by: Seq[String],
+      outCol: String, assumeSorted: Boolean): DataFrame = {
     val cols = df.columns
     val okIdx = cols.indexOf(okeyCol)
     val vIdx = cols.indexOf(centsCol)
     val byIdx = by.map(c => cols.indexOf(c))
-    val sorted = df.repartition(by.map(col): _*)
+    val sorted = if (assumeSorted) df
+    else df.repartition(by.map(col): _*)
       .sortWithinPartitions((by.map(col) :+ col(okeyCol).asc): _*)
     val schema = sorted.schema
       .add(org.apache.spark.sql.types.StructField(outCol,

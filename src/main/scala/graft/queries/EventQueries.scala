@@ -280,10 +280,15 @@ object EventQueries {
          |    PARTITION BY event_type ORDER BY $OKEY
          |    RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW) / 100, 4) AS volatility
          |FROM events""".stripMargin) { (s, dir) =>
+      // chunkUnits = the window span: keys x chunks parallel groups
+      // (5 types alone cap at 5 cores and one giant sort per key —
+      // the sf100eq 13.9x/decade row), 2x bounded read amplification,
+      // output bit-identical to the unchunked fold (PreprocessSpec)
       graft.operators.Preprocess.slidingStddevCentsIncremental(
           ev(s, dir).select(col("event_id"), col("event_type"),
             okey.as("okey"), cents(col("value")).as("c")),
-          "okey", "c", D * 1000L, Seq("event_type"), "sd")
+          "okey", "c", D * 1000L, Seq("event_type"), "sd",
+          chunkUnits = D * 1000L)
         .select(col("event_id"), col("event_type"),
           round(col("sd"), 4).as("volatility"))
     },

@@ -66,6 +66,25 @@ class PreprocessSpec extends AnyFunSuite {
         ev, "okey", "c", d, Seq("event_type"), "sd0")
       .select(col("event_id"), (col("sd0") / 100).as("sd")))
     assert(inc == two)
+    // the TIME-CHUNKED plan (seeded (chunk, key) groups) is
+    // bit-identical to the single-partition-per-key fold — at the
+    // window-sized chunk AND at a misaligned odd chunk width
+    val chunked = asMap(Preprocess.slidingStddevCentsIncremental(
+      ev, "okey", "c", d, Seq("event_type"), "sd", chunkUnits = d))
+    assert(chunked == inc)
+    val chunkedOdd = asMap(Preprocess.slidingStddevCentsIncremental(
+      ev, "okey", "c", d, Seq("event_type"), "sd",
+      chunkUnits = d + 777777777L))
+    assert(chunkedOdd == inc)
+    // the assumeSorted ELISION: caller pre-arranges the contract layout
+    // (keys unsplit, (by, okey)-sorted partitions) and the fold rides
+    // it without its own exchange or sort
+    val preArranged = ev.repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("okey"))
+    val elided = asMap(Preprocess.slidingStddevCentsIncremental(
+      preArranged, "okey", "c", d, Seq("event_type"), "sd",
+      assumeSorted = true))
+    assert(elided == inc)
   }
 
   test("slidingTvi fold equals the declarative windowed-sum formulation") {
