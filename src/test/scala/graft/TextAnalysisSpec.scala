@@ -173,6 +173,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re == out)
   }
 
+  test("bpeMergeLoop incremental == naive full-recount, bit-identical") {
+    def cps(w: String): Array[String] = w.map(_.toString).toArray
+    // goldens incl. overlap runs ("aaaa": (a,a)=3 overlapping), a pair
+    // recurrence shape, and singleton/empty words
+    val hand: Array[(Array[String], Long)] = Array(
+      (cps("low"), 5L), (cps("lower"), 2L), (cps("newest"), 1L),
+      (cps("aaaa"), 7L), (cps("aab"), 3L), (cps("abab"), 2L),
+      (cps("x"), 9L), (Array.empty[String], 4L))
+    for (n <- Seq(0, 1, 3, 8, 50))
+      assert(TA.bpeMergeLoop(hand.map(t => (t._1.clone(), t._2)), n) ==
+        TA.bpeMergeLoopNaive(hand, n), s"hand corpus diverged at nMerges=$n")
+    // a generated corpus: deterministic LCG words over a 4-letter
+    // alphabet — dense pair collisions, heavy ties, deep exhaustion
+    var seed = 12345L
+    def nxt(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 4).toInt }
+    val gen: Array[(Array[String], Long)] = Array.tabulate(300) { i =>
+      val len = 1 + (i % 7)
+      (Array.fill(len)(('a' + nxt()).toChar.toString), 1L + (i % 5))
+    }
+    for (n <- Seq(5, 40, 1000))   // 1000 >> distinct pairs: exhaustion path
+      assert(TA.bpeMergeLoop(gen.map(t => (t._1.clone(), t._2)), n) ==
+        TA.bpeMergeLoopNaive(gen, n), s"generated corpus diverged at nMerges=$n")
+  }
+
   test("bpeApply: greedy non-overlapping, resumes after the merge") {
     assert(TA.bpeApply(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
     assert(TA.bpeApply(Array("a", "b", "a", "b"), "a", "b").toSeq ==
