@@ -19,6 +19,85 @@ object DocQueries {
   private val inList = (ws: Seq[String]) => ws.map(w => s"'$w'").mkString(", ")
   private val SPLIT = "string_split(lower(text), ' ')"
 
+  /** The suite's BPE configuration (merge-table size). */
+  private val BpeMerges = 16
+
+  /** UNROLLED BPE training as a CTE chain — the SQL-oracle answer to
+    * "the merge loop is iterative": the round count is a build-time
+    * constant, so round r+1's dependence on round r is just CTE
+    * chaining, no recursion needed. Produces `t0..tN` (the word table
+    * after each merge; DuckDB's `string_split(w, '')` splits into CODE
+    * POINTS = `codePointSymbols`) and `b1..bN` (each round's winning
+    * pair by (freq DESC, left, right) — the exact Spark tie order).
+    *
+    * The greedy left-to-right non-overlapping apply is windowed, not
+    * procedural: a position matches when (s, next) = (l, r); matches
+    * can only be ADJACENT when l = r (overlap forces next = r = s = l),
+    * so greedy-with-resume = "odd-offset positions within each
+    * consecutive match run" — gaps-and-islands parity (`grp` by
+    * i - row_number, `strt` by in-run parity), consumed = predecessor
+    * started. (A merged token can never chain as the left of another
+    * merge in the same round: the fold's last output l||r != l.)
+    *
+    * `AS MATERIALIZED` on t/b is load-bearing: t{r-1} and b{r} are
+    * each referenced twice per round, and DuckDB 1.0 inlines
+    * single-use CTEs — without it the plan duplicates the scan
+    * exponentially through the chain. */
+  private def bpeChainCtes(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      val p = r - 1
+      s"""c$r AS (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS f FROM (
+         |    SELECT unnest([{'l': syms[i], 'r': syms[i+1]} for i in range(1, len(syms))]) AS pr, freq
+         |    FROM t$p) GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT l, r, f FROM c$r ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |pos$r AS (
+         |  SELECT wk, freq, u.i AS i, u.s AS s,
+         |    lead(u.s) OVER (PARTITION BY wk ORDER BY u.i) AS ns
+         |  FROM (SELECT wk, freq,
+         |          unnest([{'i': i, 's': syms[i]} for i in range(1, len(syms)+1)]) AS u
+         |        FROM t$p) q),
+         |mt$r AS (
+         |  SELECT *, coalesce(s = (SELECT l FROM b$r) AND ns = (SELECT r FROM b$r), FALSE) AS m
+         |  FROM pos$r),
+         |g$r AS (
+         |  SELECT *, CASE WHEN m THEN i - row_number() OVER (PARTITION BY wk, m ORDER BY i) END AS grp
+         |  FROM mt$r),
+         |s$r AS (
+         |  SELECT *, m AND (row_number() OVER (PARTITION BY wk, m, grp ORDER BY i) % 2 = 1) AS strt
+         |  FROM g$r),
+         |f$r AS (
+         |  SELECT *, coalesce(lag(strt) OVER (PARTITION BY wk ORDER BY i), FALSE) AS consumed
+         |  FROM s$r),
+         |t$r AS MATERIALIZED (
+         |  SELECT wk, freq, list(CASE WHEN strt THEN s || ns ELSE s END ORDER BY i) AS syms
+         |  FROM f$r WHERE NOT consumed GROUP BY wk, freq)""".stripMargin
+    }
+    (s"""t0 AS MATERIALIZED (
+        |  SELECT w AS wk, freq, string_split(w, '') AS syms FROM (
+        |    SELECT w, count(*) AS freq FROM (
+        |      SELECT unnest(string_split(coalesce(lower(text), ''), ' ')) AS w FROM documents) u
+        |    GROUP BY 1) v)""".stripMargin +: rounds).mkString(",\n")
+  }
+
+  /** Per-doc encode stats over [[bpeChainCtes]]' final table: tN's
+    * syms ARE the rank-order greedy encoding of every distinct word
+    * (training applies each merge as it is learned — identical to
+    * encode's apply-in-rank-order). Empty words drop out of the chain
+    * (no positions), hence LEFT JOIN + coalesce(0); null text is the
+    * Spark side's one-empty-word document. */
+  private val bpeEncodeCtes: String =
+    s"""enc AS (SELECT wk, CAST(len(syms) AS BIGINT) AS n_tok FROM t$BpeMerges),
+       |sym0 AS (SELECT wk, CAST(len(syms) AS BIGINT) AS n_s0 FROM t0),
+       |dw AS (SELECT doc_id, unnest(string_split(coalesce(lower(text), ''), ' ')) AS w FROM documents),
+       |stats AS (
+       |  SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+       |    count(*) AS n_words,
+       |    CAST(sum(coalesce(s.n_s0, 0)) AS BIGINT) AS n_sym0,
+       |    CAST(sum(coalesce(e.n_tok, 0)) AS BIGINT) AS n_tokens
+       |  FROM dw LEFT JOIN sym0 s ON dw.w = s.wk LEFT JOIN enc e ON dw.w = e.wk
+       |  GROUP BY 1)""".stripMargin
+
   /** MinHash signature + pair CTE block under the PORTABLE md5-prefix
     * base hash, 32 perms / est >= 0.6 — produces `sig(doc_id, mh0..31)`
     * and `pairs(a_id, b_id, est_jaccard)`. The affine coefficients are
@@ -839,21 +918,45 @@ object DocQueries {
     },
 
     // Distributed BPE merge training, 16 merges on the documents
-    // corpus — the tokenizer-construction step. No SQL oracle (the
-    // merge loop is inherently iterative); exact Python oracle in
-    // tools/pyoracle.py recomputes the merge table with identical
-    // integer arithmetic and tie order.
-    "doc_bpe_merges" -> QueryDef.noOracle { (s, dir) =>
-      TA.bpeTrain(Tables.documents(s, dir), col("text"), 16)
+    // corpus — the tokenizer-construction step. Full SQL oracle: the
+    // 16 merge rounds are UNROLLED as chained CTEs (see
+    // [[bpeChainCtes]] — the "iterative loop" objection dissolves when
+    // the round count is a build-time constant), so the driver's exact
+    // hash compare grades the whole train. The exact Python oracle in
+    // tools/pyoracle.py stays as an independent second check.
+    "doc_bpe_merges" -> QueryDef(
+      s"""WITH ${bpeChainCtes(BpeMerges)}
+         |${(1 to BpeMerges).map(r =>
+             s"""SELECT CAST(${r - 1} AS INT) AS "rank", l AS "left", r AS "right", f AS freq FROM b$r""")
+             .mkString("\nUNION ALL ")}""".stripMargin) { (s, dir) =>
+      TA.bpeTrain(Tables.documents(s, dir), col("text"), BpeMerges)
     },
 
     // Packing under the REAL tokenizer: BPE-encode token counts feed
     // the greedy per-lang packer — the end-to-end shape of a training
     // shard builder (tokenize with the trained vocab, then pack to
-    // context length). Exact Python oracle composes the two replays.
-    "doc_pack_bpe" -> QueryDef.noOracle { (s, dir) =>
+    // context length). SQL oracle = the unrolled train/encode chain
+    // composed with doc_pack_greedy's recursive (bin, fill) replay.
+    "doc_pack_bpe" -> QueryDef(
+      s"""WITH RECURSIVE ${bpeChainCtes(BpeMerges)}, $bpeEncodeCtes,
+         |d AS (
+         |  SELECT st.doc_id, doc.lang, st.n_tokens,
+         |    row_number() OVER (PARTITION BY doc.lang ORDER BY st.doc_id) AS rn
+         |  FROM stats st JOIN documents doc ON st.doc_id = doc.doc_id),
+         |r AS (
+         |  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+         |    n_tokens AS bin_fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+         |         THEN r.bin + 1 ELSE r.bin END,
+         |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+         |         THEN d.n_tokens ELSE r.bin_fill + d.n_tokens END
+         |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+         |SELECT doc_id, lang, n_tokens, bin, bin_fill FROM r""".stripMargin) { (s, dir) =>
       val enc = TA.bpeEncodeStats(Tables.documents(s, dir), col("text"),
-        col("doc_id"), 16)
+        col("doc_id"), BpeMerges)
       val withLang = enc
         .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
           "doc_id")
@@ -863,10 +966,15 @@ object DocQueries {
 
     // BPE encode: the trained 16-merge table applied to every doc in
     // one map-only pass — per-doc token counts under the real
-    // tokenizer. Exact Python oracle (tools/pyoracle.py) replays the
-    // training and the greedy rank-order application.
-    "doc_bpe_encode" -> QueryDef.noOracle { (s, dir) =>
-      TA.bpeEncodeStats(Tables.documents(s, dir), col("text"), col("doc_id"), 16)
+    // tokenizer. SQL oracle: training application IS rank-order greedy
+    // application, so the unrolled chain's final table t16 holds every
+    // distinct word's encoding; per-doc stats are a word join away.
+    "doc_bpe_encode" -> QueryDef(
+      s"""WITH ${bpeChainCtes(BpeMerges)}, $bpeEncodeCtes
+         |SELECT doc_id, n_words, n_sym0, n_tokens FROM stats""".stripMargin) {
+      (s, dir) =>
+      TA.bpeEncodeStats(Tables.documents(s, dir), col("text"), col("doc_id"),
+        BpeMerges)
     },
 
     // CCNet-style n-gram LM quality score: mean conditional bigram
