@@ -53,7 +53,10 @@ object Explains {
       "emb_knn_graph" -> "kNN graph: corpus-to-corpus bucket SELF-join — the exchange keys are (tbl, bkt) and bare ids; embedding payloads re-attach AFTER the candidate dedup; no broadcast of either corpus side (AQE may broadcast at this tiny SF — the shape to read is the narrow candidate pipeline)",
       "doc_token_budget" -> "token budget: NO global window — the quality histogram collapses to broadcast offsets, the corpus joins them and runs per-BUCKET windows (each partition one quality value); the oracle's single-partition running sum never appears in this plan",
       "doc_importance_weights" -> "importance weights: ONE tokenization feeds one vocab agg computing ccnt AND tcnt together (the target flag folds into the same aggregate — no second corpus pass); totals ride a broadcast 1-row agg of the vocab frame",
-      "doc_dedup_incremental" -> "incremental dedup: the index side is a bare digest column; the batch joins it LEFT on digest + the keeper agg — three narrow digest-keyed operators, document bodies never shuffle")
+      "doc_dedup_incremental" -> "incremental dedup: the index side is a bare digest column; the batch joins it LEFT on digest + the keeper agg — three narrow digest-keyed operators, document bodies never shuffle",
+      "doc_temperature_mixture" -> "temperature mixture: the group-count agg is the ONE action (metadata-sized collect feeding the weight rule); the sampled plan itself is the doc_mixture_sample shape — literal CASE chain + md5-prefix filter + explode(sequence) straight over the scan, zero exchanges",
+      "doc_dedup_survivors_best" -> "quality-keeper survivors: the election is a component-keyed HashAggregate over (neg score, id) structs + one component re-join on top of the survivors CC shape — text never enters the election shuffle, output stays one row per doc",
+      "doc_contamination_report" -> "contamination report: the per-suite benchmark shingle sets are the BROADCAST side; the corpus side has NO exchange before the (doc, suite) count agg, and the final suite-level agg is suite-cardinality-sized")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — representative physical plans\n\n")

@@ -255,6 +255,48 @@ object Dedup {
     out
   }
 
+  /** Per-SUITE contamination AUDIT — the report a pipeline publishes
+    * before training: [[decontaminate]] answers "which corpus docs do
+    * I drop"; this answers "which eval suite leaks, and how badly".
+    * For every `suite` group in `bench`: the suite size
+    * (n_bench_docs), the number of distinct corpus docs sharing >=
+    * `minShared` distinct shingles with THAT suite's shingle set
+    * (n_contaminated), and the total shared-shingle mass over those
+    * docs (shared_shingles). Suites with no leaks report zeros.
+    *
+    * 100 TB shape: the bench side (eval suites) broadcasts exactly as
+    * in [[decontaminate]] — the corpus is never shuffled; the only
+    * moving rows are (doc, suite) match counts (bounded by matches,
+    * not corpus size), and the final agg is suite-cardinality-sized. */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      text: Column, id: Column, suite: Column, n: Int,
+      minShared: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // a suite's shingle SET: per-doc shingles are already distinct
+    // (shingleIterator), the distinct() unions them across suite docs
+    val bs = bench.select(suite.cast("string").as("suite"), lower(text).as("t"))
+      .as[(String, String)]
+      .flatMap { case (su, t) => shingleIterator(t, n).map(s => (su, s)) }
+      .toDF("suite", "s")
+      .select(col("suite"), xxhash64(col("s")).as("h")).distinct()
+    val cs = explodeShingles(corpus, text, id, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val m = cs.join(broadcast(bs), "h")
+      .groupBy(col("doc_id"), col("suite"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val per = m.groupBy("suite")
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(col("n_shared")).as("shared_shingles"))
+    bench.select(suite.cast("string").as("suite"))
+      .groupBy("suite").agg(count(lit(1)).as("n_bench_docs"))
+      .join(per, Seq("suite"), "left")
+      .select(col("suite"), col("n_bench_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("shared_shingles"), lit(0L)).as("shared_shingles"))
+  }
+
   /** PASSAGE-level exact dedup (the within-and-across-document variant
     * of [[exactDedup]], a la the "dedup at paragraph granularity" step
     * of web-corpus pipelines): chunk each document into non-overlapping
@@ -850,6 +892,45 @@ object Dedup {
         (col("component").isNull || col("component") === col("doc_id"))
           .as("keep"),
         col("component"))
+  }
+
+  /** QUALITY-KEEPER survivor election — [[survivors]] with the
+    * production election rule: per duplicate cluster keep the
+    * BEST-scored document (ties -> lowest doc_id), not the lowest id.
+    * A web-corpus pipeline keeps the cleanest copy of each near-dup
+    * family, not the first-crawled one; min-id election is only right
+    * when copies are byte-identical. `score` must be an INTEGER-exact
+    * column (the qualityDecimicro discipline — never a rounded double)
+    * so the election is deterministic and cross-engine replayable;
+    * null scores rank below every real score. Output is one row per
+    * input doc — (doc_id, keep, component, kept_by), component and
+    * kept_by null for docs in no pair.
+    *
+    * Scale shape: identical to [[survivors]] plus one component-keyed
+    * election agg (cardinality <= doc count; carries (score, id)
+    * pairs, never text) and one re-join on component. Output-linear
+    * regardless of dup density. */
+  def survivorsBest(df: DataFrame, id: Column, score: Column,
+      pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+      .select(col("id").as("__sid"), col("component"))
+    // null score -> -1: qualityDecimicro is in [0, 10000], so every
+    // real score outranks a degenerate (null-quality) doc
+    val scored = df.select(id.cast("long").as("doc_id"),
+      coalesce(score.cast("long"), lit(-1L)).as("__score"))
+    val withComp = scored.join(cc, col("doc_id") === col("__sid"), "left")
+      .select(col("doc_id"), col("__score"), col("component"))
+    // min over the struct = arg_min (-score, doc_id): max score, tie
+    // to the lowest id — one shuffle at component cardinality
+    val elect = withComp.filter(col("component").isNotNull)
+      .groupBy("component")
+      .agg(min(struct((-col("__score")).as("s"), col("doc_id").as("d"))).as("e"))
+      .select(col("component").as("__ec"), col("e.d").as("__keep"))
+    withComp.join(elect, col("component") === col("__ec"), "left")
+      .select(col("doc_id"),
+        (col("component").isNull || col("doc_id") === col("__keep"))
+          .as("keep"),
+        col("component"), col("__keep").as("kept_by"))
   }
 
   /** MinHash-LSH keep-list: [[minhashSignatures]] ->

@@ -40,6 +40,48 @@ object Sampling {
   def fracBound(w: Double): String =
     f"${math.floor((w - math.floor(w)) * (1 << 24)).toLong}%06x"
 
+  /** [[fracBound]] from an integer MICRO-epoch fraction: floor(
+    * frac/1e6 * 2^24) by pure integer arithmetic, so an oracle can
+    * rebuild the literal in SQL —
+    * `lower(lpad(to_hex(frac * 16777216 // 1000000), 6, '0'))` — and
+    * both engines compare byte-identical strings with no double on
+    * the path. */
+  def fracBoundMicros(fracMicro: Long): String = {
+    require(fracMicro >= 0 && fracMicro < 1000000L,
+      s"frac micros $fracMicro not in [0, 1e6)")
+    f"${fracMicro * (1L << 24) / 1000000L}%06x"
+  }
+
+  /** TEMPERATURE-sampling weights (alpha = 0.5) as integer
+    * MICRO-epochs — the multilingual/domain rebalancing recipe of
+    * mC4/ROOTS-style pipelines: sample domain g with probability
+    * proportional to n_g^alpha, i.e. per-doc weight
+    * w_g = N * n_g^alpha / (n_g * sum_h n_h^alpha), flattening the
+    * domain distribution toward uniform while preserving total corpus
+    * mass. Computed by a PURE integer rule — r_g = floor(sqrt(n_g))
+    * (isqrt: exact in both engines' IEEE sqrt for n < 2^52), then
+    * w_micro(g) = min(cap, 1e6 * N * r_g / (S * n_g)) with BigInt
+    * floor division, S = sum r_h — so an oracle can re-derive every
+    * weight from count(*) in SQL (HUGEINT `//`) and the two engines
+    * agree bit-for-bit. `capMicros` bounds upsampling of tiny domains
+    * (default 10 epochs — unbounded repetition of a rare domain is
+    * never what you want). */
+  def temperatureWeightsMicros(counts: Map[String, Long],
+      capMicros: Long = 10000000L): Map[String, Long] = {
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      s"temperature weights need positive group counts: $counts")
+    require(capMicros >= 0 && capMicros <= 1000L * 1000000L,
+      s"capMicros $capMicros out of [0, 1000 epochs]")
+    val r = counts.map { case (g, n) =>
+      g -> math.floor(math.sqrt(n.toDouble)).toLong
+    }
+    val nTot = counts.values.foldLeft(BigInt(0))(_ + _)
+    val s = r.values.foldLeft(BigInt(0))(_ + _)
+    counts.map { case (g, n) =>
+      g -> (BigInt(1000000L) * nTot * r(g) / (s * n)).min(BigInt(capMicros)).toLong
+    }
+  }
+
   /** Per-group deterministic sample: the `n` rows of each group with
     * the smallest (md5(key), tieBreak) — class-balanced downsampling
     * (equal representation per language/source/label) without an RNG.
@@ -86,6 +128,54 @@ object Sampling {
     // [0, -1], not empty
     df.withColumn("copy",
       explode(when(copies > lit(0L), sequence(lit(0L), copies - lit(1L)))))
+  }
+
+  /** [[mixtureSample]] with weights in integer MICRO-epochs — the
+    * exact-arithmetic twin ([[fracBoundMicros]] literals instead of
+    * double-derived ones) used when the weights themselves are DERIVED
+    * by an integer rule both engines replay (temperature sampling).
+    * Same zero-shuffle when-chain + explode(sequence) shape, same
+    * union property. Groups absent from the map get `defaultMicros`. */
+  def mixtureSampleMicros(df: DataFrame, group: Column, key: Column,
+      weightsMicros: Map[String, Long],
+      defaultMicros: Long = 1000000L): DataFrame = {
+    require((weightsMicros.values ++ Seq(defaultMicros)).forall(w =>
+      w >= 0 && w <= 1000L * 1000000L),
+      s"micro weights out of [0, 1000 epochs]: $weightsMicros")
+    val fullCol = weightsMicros.foldLeft(lit(defaultMicros / 1000000L)) {
+      case (acc, (g, wm)) =>
+        when(group === lit(g), lit(wm / 1000000L)).otherwise(acc)
+    }
+    val boundCol = weightsMicros.foldLeft(
+        lit(fracBoundMicros(defaultMicros % 1000000L))) {
+      case (acc, (g, wm)) =>
+        when(group === lit(g), lit(fracBoundMicros(wm % 1000000L))).otherwise(acc)
+    }
+    val copies = fullCol +
+      when(substring(md5(key), 1, 6) < boundCol, 1L).otherwise(0L)
+    df.withColumn("copy",
+      explode(when(copies > lit(0L), sequence(lit(0L), copies - lit(1L)))))
+  }
+
+  /** TEMPERATURE-scaled domain mixture, end to end: group counts ->
+    * [[temperatureWeightsMicros]] (alpha = 0.5 integer rule) ->
+    * [[mixtureSampleMicros]]. Groups seen in the count are weighted;
+    * the map covers every group by construction, so defaultMicros is
+    * irrelevant (0 for safety).
+    *
+    * 100 TB shape: ONE map-combinable count agg whose result is
+    * GROUP-cardinality-sized metadata (domains/languages — tens, the
+    * one driver collect), then the zero-shuffle literal when-chain
+    * right after the scan. The weights depend only on group counts,
+    * so they are identical on any cluster, and the fractional-epoch
+    * subset is content-chosen ([[hashSample]] rule) — the same docs
+    * repeat on every run. */
+  def temperatureMixture(df: DataFrame, group: Column, key: Column,
+      capMicros: Long = 10000000L): DataFrame = {
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixtureSampleMicros(df, group, key,
+      temperatureWeightsMicros(counts, capMicros), defaultMicros = 0L)
   }
 
   /** Deterministic GLOBAL SHUFFLE into `n` training shards — the

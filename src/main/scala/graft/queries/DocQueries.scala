@@ -185,6 +185,28 @@ object DocQueries {
        |  c.component
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
 
+  /** The QUALITY-KEEPER survivors tail ([[graft.operators.Dedup
+    * .survivorsBest]] twin): same recursive min-reachable-id
+    * components, but the kept doc per component is the BEST q_dm
+    * (ties -> lowest id; null quality ranks -1, below every real
+    * score) — requires the `scored` CTE (q_dm) in scope. */
+  private val SURVIVORS_BEST_TAIL =
+    s"""edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |rk AS (SELECT c.id, c.component,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY coalesce(s.q_dm, -1) DESC, c.id ASC) AS rn
+       |  FROM comp c JOIN scored s ON s.doc_id = c.id),
+       |el AS (SELECT component, id AS keep_id FROM rk WHERE rn = 1)
+       |SELECT d.doc_id, coalesce(d.doc_id = e.keep_id, TRUE) AS keep,
+       |  c.component, e.keep_id AS kept_by
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |LEFT JOIN el e ON e.component = c.component""".stripMargin
+
   /** The trigram-Jaccard pair CTE block (threshold 0.8), producing
     * `pairs(a_id, b_id, jaccard)` — single-sourced so the pair rule
     * cannot drift between the pairs query and the clusters query. */
@@ -339,6 +361,29 @@ object DocQueries {
       (s, dir) =>
         val docs = Tables.documents(s, dir)
         Dedup.survivors(docs, col("doc_id"),
+          Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), 3, 0.8))
+    },
+
+    // QUALITY-KEEPER election over the same pair graph: per near-dup
+    // cluster keep the BEST-quality doc (exact integer decimicro
+    // score, ties -> lowest id), not the lowest id — the election rule
+    // production pipelines actually run. Oracle: the recursive CC
+    // components + a per-component (q_dm DESC, id ASC) rank replay.
+    "doc_dedup_survivors_best" -> QueryDef(
+      s"""WITH RECURSIVE $JACCARD_PAIRS_CTES,
+         |$QUALITY_SCORED_CTE,
+         |$SURVIVORS_BEST_TAIL""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val scored = docs.select(col("doc_id"), col("text"),
+            col("n_chars"),
+            TA.wordCount(col("text")).as("n_words"),
+            TA.punctCount(col("text")).as("n_punct"),
+            TA.markerCount(col("text"), TA.Stopwords).as("n_stop"))
+          .withColumn("q_dm",
+            TA.qualityDecimicro(col("n_words"), col("n_punct"),
+              col("n_chars"), col("n_stop")))
+        Dedup.survivorsBest(scored, col("doc_id"), col("q_dm"),
           Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), 3, 0.8))
     },
 
@@ -1061,6 +1106,37 @@ object DocQueries {
           .select("doc_id", "lang", "copy")
     },
 
+    // TEMPERATURE-scaled language mixture (alpha = 0.5, the mC4/ROOTS
+    // rebalancing recipe): per-lang weights DERIVED from count(*) by a
+    // pure integer rule — r = isqrt(n), w_micro = min(cap, 1e6*N*r /
+    // (S*n)) with floor division — replayed in SQL over HUGEINT, the
+    // fractional-epoch bound rebuilt via to_hex. Majority langs
+    // downsample, minority langs repeat deterministically; no weight
+    // literal is pinned, so the graded plan is the one that re-derives
+    // itself at any corpus size.
+    "doc_temperature_mixture" -> QueryDef(
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |sq AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r FROM cnt),
+        |tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+        |    CAST(sum(r) AS HUGEINT) AS s FROM sq),
+        |w AS (SELECT q.lang,
+        |    CAST(least(CAST(1000000 AS HUGEINT) * t.nn * q.r // (t.s * q.n),
+        |               CAST(10000000 AS HUGEINT)) AS BIGINT) AS wm
+        |  FROM sq q CROSS JOIN tot t),
+        |m AS (SELECT d.doc_id, d.lang,
+        |    (w.wm // 1000000) + (CASE WHEN substr(md5(d.text), 1, 6) <
+        |      lower(lpad(to_hex((w.wm % 1000000) * 16777216 // 1000000), 6, '0'))
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM documents d JOIN w ON w.lang = d.lang)
+        |SELECT doc_id, lang, unnest(range(0, copies)) AS copy
+        |FROM m""".stripMargin) { (s, dir) =>
+      Sampling.temperatureMixture(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        col("lang"), col("text"))
+        .select("doc_id", "lang", "copy")
+    },
+
     "doc_pack_greedy" -> QueryDef(
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang,
@@ -1203,6 +1279,41 @@ object DocQueries {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         col("text"), col("doc_id"), n = 3, minShared = 3)
+    },
+
+    // Per-suite contamination AUDIT: the same shingle rule as
+    // doc_decontaminate, but grouped by eval suite (lang stands in for
+    // the benchmark name) — which suite leaks into the corpus, how
+    // many corpus docs it taints, and the total shared-shingle mass.
+    // Suites with no leaks report zeros (left join). sum() is cast
+    // BIGINT — the HUGEINT lint rule.
+    "doc_contamination_report" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, lang, $SPLIT AS ws FROM documents),
+         |sh AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(
+         |    range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |bsh AS (SELECT DISTINCT lang AS suite, s FROM sh
+         |  WHERE doc_id % 97 = 0),
+         |m AS (SELECT c.doc_id, b.suite, count(*) AS n_shared
+         |  FROM sh c JOIN bsh b ON b.s = c.s
+         |  WHERE c.doc_id % 97 <> 0
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |per AS (SELECT suite, count(*) AS n_contaminated,
+         |    CAST(sum(n_shared) AS BIGINT) AS shared_shingles
+         |  FROM m GROUP BY 1),
+         |nb AS (SELECT lang AS suite, count(*) AS n_bench_docs
+         |  FROM documents WHERE doc_id % 97 = 0 GROUP BY 1)
+         |SELECT nb.suite, nb.n_bench_docs,
+         |  coalesce(per.n_contaminated, 0) AS n_contaminated,
+         |  coalesce(per.shared_shingles, 0) AS shared_shingles
+         |FROM nb LEFT JOIN per ON per.suite = nb.suite""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          col("text"), col("doc_id"), col("lang"), n = 3, minShared = 3)
     },
 
     // Passage-level exact dedup: 20-word non-overlapping passages,

@@ -419,4 +419,49 @@ class DedupSpec extends AnyFunSuite {
     assert(sx === Dedup.simhashOf("one two three", Dedup.XxHash))
     assert(sx !== Dedup.simhashOf("one two three", Dedup.Md5Prefix))
   }
+
+  test("survivorsBest: best score wins, ties to min id, null ranks last") {
+    import spark.implicits._
+    // clusters {1,2,3} (3 best), {4,5} (tie -> 4), {7,8} (7 null);
+    // 6 is off-graph
+    val scored = Seq((1L, Some(10L)), (2L, Some(30L)), (3L, Some(50L)),
+        (4L, Some(20L)), (5L, Some(20L)), (6L, Some(5L)),
+        (7L, None), (8L, Some(7L)))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.survivorsBest(scored, col("doc_id"), col("score"), pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out.filter(_._2._1).keySet == Set(3L, 4L, 6L, 8L))
+    assert(out(6L)._2 == -1L) // off-graph: null component
+    assert(out(1L)._2 == 1L && out(3L)._2 == 1L) // min-id component label
+  }
+
+  test("survivorsBest with constant scores equals min-id survivors") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), 3, 0.8)
+      .persist()
+    val flat = docs.withColumn("c", lit(1L))
+    val best = Dedup.survivorsBest(flat, col("doc_id"), col("c"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val plain = Dedup.survivors(docs, col("doc_id"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(best == plain)
+    pairs.unpersist()
+  }
+
+  test("contaminationReport: per-suite leak counts, clean suite reports zero") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c q r"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f", "suiteA"), (101L, "zz yy xx ww", "suiteB"))
+      .toDF("doc_id", "text", "suite")
+    val out = Dedup.contaminationReport(corpus, bench, col("text"),
+        col("doc_id"), col("suite"), n = 3, minShared = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 shares 3 trigrams with suiteA; doc 2 only 1; suiteB clean
+    assert(out("suiteA") == ((1L, 1L, 3L)))
+    assert(out("suiteB") == ((1L, 0L, 0L)))
+  }
 }

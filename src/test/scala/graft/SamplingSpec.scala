@@ -198,4 +198,53 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(re == out)
   }
+
+  test("temperature weights: hand-checked integer isqrt rule, cap binds") {
+    // N=101, r=(10,1), S=11: a -> 1e6*101*10/(11*100), b -> 1e6*101/11
+    val w = Sampling.temperatureWeightsMicros(Map("a" -> 100L, "b" -> 1L))
+    assert(w == Map("a" -> 918181L, "b" -> 9181818L))
+    // b uncapped would be 1e6*10001*1/101 = 99019801 -> cap 10 epochs
+    val c = Sampling.temperatureWeightsMicros(Map("a" -> 10000L, "b" -> 1L))
+    assert(c == Map("a" -> 990198L, "b" -> 10000000L))
+    // uniform counts -> every weight exactly 1 epoch (mass-preserving)
+    val u = Sampling.temperatureWeightsMicros(Map("a" -> 49L, "b" -> 49L))
+    assert(u.values.forall(_ == 1000000L))
+  }
+
+  test("mixtureSampleMicros equals mixtureSample on representable weights") {
+    val d = docs.select(col("doc_id"), col("lang"), col("text"))
+    val dbl = Sampling.mixtureSample(d, col("lang"), col("text"),
+        Map("en" -> 0.5, "de" -> 2.0, "fr" -> 1.25, "es" -> 0.0))
+      .select("doc_id", "lang", "copy")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val mic = Sampling.mixtureSampleMicros(d, col("lang"), col("text"),
+        Map("en" -> 500000L, "de" -> 2000000L, "fr" -> 1250000L, "es" -> 0L))
+      .select("doc_id", "lang", "copy")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(dbl == mic)
+  }
+
+  test("temperatureMixture flattens lang skew, repartition-invariant") {
+    val d = docs.select(col("doc_id"), col("lang"), col("text"))
+    def ratio(counts: Map[String, Long]): Double =
+      counts.values.max.toDouble / counts.values.min
+    val in = d.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.temperatureMixture(d, col("lang"), col("text"))
+    val oc = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oc.keySet == in.keySet)
+    assert(ratio(oc) < ratio(in),
+      s"temperature did not flatten: in=$in out=$oc")
+    // alpha=0.5 preserves total mass up to integer-floor slack
+    val n = in.values.sum
+    assert(math.abs(oc.values.sum - n) < 0.2 * n,
+      s"mass drifted: ${oc.values.sum} vs $n")
+    val r1 = out.select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = Sampling.temperatureMixture(d.repartition(7), col("lang"),
+        col("text")).select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 == r2)
+  }
 }
