@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-location for the PERSISTENT side of recurring joins —
+  * the storage half of the 100 TB join strategy (SCALE.md).
+  *
+  * A table stored hash-bucketed on its join key reports
+  * `HashPartitioning(keys, buckets)` from the scan itself, so every
+  * subsequent join / aggregate / window clustered on those keys plans
+  * NO Exchange on that side: the shuffle was paid ONCE at write time
+  * and amortizes over every future read. The two load-bearing graft
+  * uses, both spec-pinned (BucketingSpec):
+  *
+  *  - the incremental-dedup digest INDEX
+  *    ([[graft.operators.Dedup.incrementalDedup]]): bucketed by
+  *    `digest`, the index-side distinct() collapses to a per-bucket
+  *    aggregate and the batch join shuffles ONLY the (small) batch —
+  *    the multi-TB index is never re-shuffled by a daily ingest;
+  *  - a per-key event store (the as-of/window family): bucketed by
+  *    `user_id` and sort-ordered by ts within buckets, the
+  *    window/fold exchange on user_id disappears for every downstream
+  *    feature pass.
+  *
+  * Bucket COUNT is the fixed-parallelism knob rule (SCALE.md): size it
+  * to the table's target per-task read (~100-500 MB/bucket at scale),
+  * never to today's core count. `bucketBy` requires the table-catalog
+  * write path (`saveAsTable`); an explicit `path` keeps the data
+  * external so the catalog entry is just metadata over parquet.
+  * Reference semantics: svoe's SQL-index blocks co-locate nothing —
+  * this is the Spark-native upgrade of its block store
+  * (`svoe/featurizer/blocks/blocks.py:104-160` re-groups loaded
+  * blocks per consumer in pandas on every read).
+  */
+object BucketedStore {
+
+  /** Write `df` as an external bucketed parquet table at `path`,
+    * registered as `table` — overwrites both. `sortCols` additionally
+    * sort-orders rows WITHIN each bucket file (the merge-read
+    * contract for secondary-sort folds). */
+  def write(df: DataFrame, table: String, path: String, keys: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty && buckets > 0, s"bad bucket spec ($keys, $buckets)")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** The bucketed table back, partitioning metadata attached — joins,
+    * aggregates, and windows clustered on the bucket keys plan no
+    * exchange over this frame. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.sources.BucketedStore
+
+/** Pins the bucketed co-location contract (BucketedStore scaladoc):
+  * a table stored hash-bucketed on its join key reports its
+  * partitioning from the scan, so downstream joins / aggregates /
+  * windows clustered on that key plan NO Exchange on the bucketed
+  * side. These are PLAN assertions — the 100 TB promise is exactly
+  * "the persistent side never re-shuffles", and that is visible (and
+  * regression-guarded) in the physical plan string. */
+class BucketingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  // SimpleMode keeps "Exchange hashpartitioning(...)" on one line
+  // (FormattedMode splits the node from its arguments)
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r.findAllIn(
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)).length
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("digest-bucketed dedup index: only the batch side shuffles") {
+    val docs = Tables.documents(spark, dir)
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+      .select(sha2(col("text"), 256).as("digest"))
+    BucketedStore.write(idx, "graft_idx_bucketed", tmp("graft_bidx"),
+      Seq("digest"), buckets = 8)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path: broadcast hides the distribution
+      // requirement this spec is about (a too-big-to-broadcast batch
+      // is exactly when index bucketing pays)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = Dedup.incrementalDedup(batch, col("text"), col("doc_id"),
+        BucketedStore.read(spark, "graft_idx_bucketed"))
+      val p = plan(out)
+      assert(p.contains("Bucketed: true"), s"index scan not bucketed:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"bucket pruning metadata absent:\n$p")
+      // The contract is WHICH side moves, not how many exchanges the
+      // plan has (the keeper agg re-partitions batch rows to the
+      // bucket count — batch-sized, cheap): over the bucketed index
+      // NO exchange carries idx_digest — its distinct() collapsed to
+      // per-bucket aggregates and the join reads buckets directly —
+      // while the unbucketed plan shuffles the whole index.
+      def idxExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.explainString(
+            org.apache.spark.sql.execution.SimpleMode)
+          .linesIterator.count(l =>
+            l.contains("Exchange hashpartitioning") && l.contains("idx_digest"))
+      assert(idxExchanges(out) == 0,
+        s"index-side exchange survived bucketing:\n$p")
+      val unbucketed = Dedup.incrementalDedup(batch, col("text"),
+        col("doc_id"), idx)
+      assert(idxExchanges(unbucketed) >= 1,
+        "control: the unbucketed index should shuffle")
+      // semantics unchanged: same verdicts as the unbucketed run
+      val a = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val b = unbucketed.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_idx_bucketed")
+    }
+  }
+
+  test("user-bucketed events: the per-key window plans no exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("value"))
+    BucketedStore.write(ev, "graft_ev_bucketed", tmp("graft_bev"),
+      Seq("user_id"), buckets = 8, sortCols = Seq("user_id", "ts_us"))
+    try {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      val over = BucketedStore.read(spark, "graft_ev_bucketed")
+        .withColumn("prev", lag("value", 1).over(w))
+      val p = plan(over)
+      assert(p.contains("Bucketed: true"), s"event scan not bucketed:\n$p")
+      assert(exchanges(over) == 0,
+        s"window over the bucketed key still exchanges:\n$p")
+      // same rows as the window over the raw table
+      val raw = ev.withColumn("prev", lag("value", 1).over(w))
+      val a = over.collect().map(r => (r.getLong(0), Option(r.get(4)))).toSet
+      val b = raw.collect().map(r => (r.getLong(0), Option(r.get(4)))).toSet
+      assert(a == b)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ev_bucketed")
+  }
+}
