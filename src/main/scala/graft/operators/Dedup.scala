@@ -1106,6 +1106,31 @@ object Dedup {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Deterministic cluster ASSIGNMENT — the SemDeDup front half as a
+    * first-class operator (topic bucketing for cluster-balanced
+    * sampling, per-topic corpus stats, mixture grouping): md5-seeded
+    * centroids ([[semanticSeeds]], optionally Lloyd-refined),
+    * broadcast, then ONE typed map assigns each vector its max-cosine
+    * list (ties to the lowest index — the [[semanticDedupPairs]]
+    * rule, SQL-replayable at iters=0). Output (vec_id, lst).
+    *
+    * 100 TB shape: centroids are k x dim metadata on the driver
+    * (k = [[autoClusters]] ∝ n but targetPerCluster-sized payload);
+    * the assignment is a zero-shuffle map right after the scan. */
+  def semanticClusters(df: DataFrame, id: Column, emb: Column,
+      nClusters: Int, iters: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = Similarity.refineLloyd(
+      df.select(id.cast("long").as("vec_id"), emb.as("embedding")),
+      semanticSeeds(df, id, emb, nClusters), iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(id.cast("long").as("vec_id"), emb.as("e"))
+      .as[(Long, Array[Float])]
+      .map { case (i, e) => (i, Similarity.nearestList(bc.value, e)) }
+      .toDF("vec_id", "lst")
+  }
+
   /** Corpus-scaled SemDeDup cluster count: ceil(n / targetPerCluster)
     * clusters (>= 2), so expected cluster size stays ~targetPerCluster
     * and the within-cluster pair search stays ~targetPerCluster x

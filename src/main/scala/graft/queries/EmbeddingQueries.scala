@@ -69,7 +69,7 @@ object EmbeddingQueries {
     * fixed-order double fold on both engines), then the exact
     * within-cluster cosine search. Emitted as WITH-clause bodies so
     * the pairs and survivors oracles share one definition. */
-  private def semdedupPairsSql(threshold: Double): String =
+  private val SEMDEDUP_ASSIGN_CTES =
     s"""kd AS (
        |  SELECT greatest(2, (count(*) + 63) // 64) AS k FROM embeddings),
        |seeds AS (
@@ -85,7 +85,10 @@ object EmbeddingQueries {
        |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
        |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS rnk
        |    FROM embeddings e CROSS JOIN seeds s) t
-       |  WHERE rnk = 1),
+       |  WHERE rnk = 1)""".stripMargin
+
+  private def semdedupPairsSql(threshold: Double): String =
+    s"""$SEMDEDUP_ASSIGN_CTES,
        |pairs AS (
        |  SELECT aa.vec_id AS a_id, bb.vec_id AS b_id, aa.lst, cos
        |  FROM assign aa JOIN assign bb ON aa.lst = bb.lst AND aa.vec_id < bb.vec_id
@@ -352,6 +355,28 @@ object EmbeddingQueries {
             nClusters = graft.operators.Dedup.autoClusters(emb.count()),
             threshold = 0.3)
           .withColumnRenamed("doc_id", "vec_id")
+    },
+
+    // CLUSTER-BALANCED sampling — the topic-rebalancing step of an
+    // embedding-aware pipeline: deterministic SemDeDup cluster
+    // assignment (k derived from count — the clusters double as topic
+    // buckets), then the md5-rank balanced sample takes the same 8
+    // vectors per cluster on any cluster size or partitioning. The
+    // oracle replays seed pick + assignment + per-cluster rank.
+    "emb_cluster_balanced" -> QueryDef(
+      s"""WITH $SEMDEDUP_ASSIGN_CTES
+         |SELECT vec_id, lst, rn FROM (
+         |  SELECT vec_id, lst, row_number() OVER (PARTITION BY lst
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM assign) t
+         |WHERE rn <= 8""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val assigned = graft.operators.Dedup.semanticClusters(emb,
+        col("vec_id"), col("embedding"),
+        graft.operators.Dedup.autoClusters(emb.count()))
+      graft.operators.Sampling.balancedSample(assigned, col("lst"),
+          col("vec_id").cast("string"), col("vec_id"), 8)
+        .select("vec_id", "lst", "rn")
     },
 
     // Embedding-cosine near-dup pairs (dedup family, exact brute force;

@@ -450,6 +450,27 @@ class DedupSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("semanticClusters: copies co-cluster, k bounded, repartition-invariant") {
+    val emb = Tables.embeddings(spark, dir)
+    val k = Dedup.autoClusters(emb.count())
+    val a = Dedup.semanticClusters(emb, col("vec_id"), col("embedding"), k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.values.toSet.size <= k)
+    // the sf0.001 corpus seeds identical-copy groups (vec_id % 100
+    // collisions by construction in emb_lsh_dups_realistic); identical
+    // embeddings must land in the same cluster
+    val emb2 = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val byVec = emb2.groupBy(_._2).values.filter(_.length > 1)
+    byVec.foreach { grp =>
+      assert(grp.map(g => a(g._1)).toSet.size == 1,
+        s"identical vectors split clusters: ${grp.map(_._1).toSeq}")
+    }
+    val b = Dedup.semanticClusters(emb.repartition(7), col("vec_id"),
+      col("embedding"), k).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
   test("contaminationReport: per-suite leak counts, clean suite reports zero") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c q r"), (3L, "p q r s t"))
