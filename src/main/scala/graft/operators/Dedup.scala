@@ -1131,6 +1131,33 @@ object Dedup {
       .toDF("vec_id", "lst")
   }
 
+  /** EXACT distributed per-cluster centroid sums — the
+    * oracle-comparable twin of the Lloyd mean update
+    * (Similarity.refineLloyd's float means are reduce-order-sensitive;
+    * these integer-micro sums are not): [[semanticClusters]]
+    * assignment, then each vector explodes to (lst, pos, micros) with
+    * micros = round(1e6 * component) and ONE (lst, pos)-keyed agg
+    * emits (lst, pos, sum_micros, n_vecs). sum_micros/n_vecs is the
+    * centroid component at 1e-6 resolution, and the sum is
+    * order-independent (exact integers < 2^53 for 1e12 unit-norm
+    * vectors), so two engines — or two cluster sizes — agree
+    * bit-for-bit.
+    *
+    * 100 TB shape: zero-shuffle assignment map, one map-combinable agg
+    * whose output is k x dim rows (metadata-sized); no driver work at
+    * all until the caller collects the (tiny) centroid table. */
+  def clusterCentroidsExact(df: DataFrame, id: Column, emb: Column,
+      nClusters: Int): DataFrame = {
+    val assigned = semanticClusters(df, id, emb, nClusters)
+      .join(df.select(id.cast("long").as("vec_id"), emb.as("e")), "vec_id")
+    assigned
+      .select(col("lst"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("lst"), col("pos"))
+      .agg(sum(round(col("v").cast("double") * 1000000)).cast("long")
+          .as("sum_micros"),
+        count(lit(1)).as("n_vecs"))
+  }
+
   /** Corpus-scaled SemDeDup cluster count: ceil(n / targetPerCluster)
     * clusters (>= 2), so expected cluster size stays ~targetPerCluster
     * and the within-cluster pair search stays ~targetPerCluster x

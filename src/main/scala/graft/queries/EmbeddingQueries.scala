@@ -379,6 +379,26 @@ object EmbeddingQueries {
         .select("vec_id", "lst", "rn")
     },
 
+    // EXACT distributed cluster centroids: the Lloyd mean update in
+    // oracle-comparable integer micros (float means are
+    // reduce-order-sensitive — the refineLloyd scaladoc's documented
+    // gap, closed). One zero-shuffle assignment + one (lst, pos) agg;
+    // the oracle replays assignment then unnests with ordinality.
+    "emb_cluster_centroids" -> QueryDef(
+      s"""WITH $SEMDEDUP_ASSIGN_CTES,
+         |x AS (SELECT a.lst, t.i - 1 AS pos,
+         |    CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS m
+         |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id,
+         |  LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t)
+         |SELECT lst, pos, CAST(sum(m) AS BIGINT) AS sum_micros,
+         |  count(*) AS n_vecs
+         |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Dedup.clusterCentroidsExact(emb,
+        col("vec_id"), col("embedding"),
+        graft.operators.Dedup.autoClusters(emb.count()))
+    },
+
     // Embedding-cosine near-dup pairs (dedup family, exact brute force;
     // the synthetic corpus is near-orthogonal so the threshold sits at
     // its top-similarity range).

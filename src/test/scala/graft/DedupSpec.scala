@@ -471,6 +471,28 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("clusterCentroidsExact: integer sums are order-independent and complete") {
+    val emb = Tables.embeddings(spark, dir)
+    val k = Dedup.autoClusters(emb.count())
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.clusterCentroidsExact(df, col("vec_id"), col("embedding"), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    val a = run(emb)
+    // every (cluster, pos) cell present for a fixed dim, n_vecs
+    // constant across positions within a cluster and summing to n
+    val dims = a.keys.map(_._2).toSet
+    assert(dims == (0 until dims.size).toSet)
+    val perCluster = a.groupBy(_._1._1).map { case (l, m) =>
+      l -> m.values.map(_._2).toSet
+    }
+    assert(perCluster.values.forall(_.size == 1), "n_vecs varies across pos")
+    assert(perCluster.values.map(_.head).sum == emb.count())
+    // the exactness claim: a different partitioning (different
+    // reduce order) produces bit-identical sums
+    assert(run(emb.repartition(7)) == a)
+  }
+
   test("contaminationReport: per-suite leak counts, clean suite reports zero") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c q r"), (3L, "p q r s t"))
