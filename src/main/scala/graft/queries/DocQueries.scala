@@ -277,6 +277,66 @@ object DocQueries {
        |    len(list_filter($SPLIT, w -> w IN (${inList(TA.Stopwords)}))) AS n_stop
        |    FROM documents) b)""".stripMargin
 
+  /** The Gopher filter battery (TextAnalysis.filterChain defaults) as
+    * WITH-clause bodies over a source CTE `src(doc_id, t, ws)` —
+    * single-sourced so the verdict rule cannot drift between
+    * doc_filter_chain (augmented text) and the curate pipeline (raw
+    * text). Produces `v(doc_id, n_words, quality, dup_frac,
+    * top_word_frac, n_pii, reason)`. */
+  private def filterBatterySql(src: String): String =
+    s"""rep AS (
+       |  SELECT doc_id, len(ws) AS n_words, greatest(len(ws)-2, 0) AS n_trigrams,
+       |    CASE WHEN len(ws) >= 3 THEN len(list_distinct(list_transform(
+       |      range(1, len(ws)-1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS n_distinct,
+       |    list_max(list_transform(list_distinct(ws),
+       |      x -> len(list_filter(ws, y -> y = x)))) AS top_word
+       |  FROM $src),
+       |st AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) > 0 AND len(ws) > 0 THEN
+       |      0.4 * least(1.0, len(ws)/100.0)
+       |      + 0.3 * (1.0 - len(regexp_extract_all(lower(t), '[^a-z0-9 ]'))/len(t))
+       |      + 0.3 * least(1.0, 4.0*len(list_filter(ws,
+       |          w -> w IN ('the','a','and','of','to','in','is')))/len(ws))
+       |    END AS quality,
+       |    len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+       |      + len(regexp_extract_all(t, '\\+[0-9]{7,15}')) AS n_pii
+       |  FROM $src),
+       |j AS (
+       |  SELECT r.doc_id, r.n_words,
+       |    CASE WHEN r.n_trigrams > 0
+       |      THEN round(1 - r.n_distinct/r.n_trigrams, 4) END AS dup_frac,
+       |    CASE WHEN r.n_words > 0
+       |      THEN round(r.top_word/r.n_words, 4) END AS top_word_frac,
+       |    s.quality, s.n_pii
+       |  FROM rep r JOIN st s USING (doc_id)),
+       |v AS (
+       |  SELECT *,
+       |    CASE WHEN n_words < 12 THEN 'too_short'
+       |         WHEN quality IS NULL OR quality < 0.45 THEN 'low_quality'
+       |         WHEN dup_frac > 0.05 THEN 'repetitive'
+       |         WHEN top_word_frac > 0.2 THEN 'top_word'
+       |         WHEN n_pii > 0 THEN 'has_pii'
+       |         ELSE 'keep' END AS reason
+       |  FROM j)""".stripMargin
+
+  /** The alpha=0.5 temperature-weight CTEs (Sampling
+    * .temperatureWeightsMicros integer rule) over a source CTE
+    * `src(lang)` — produces `w(lang, wm)` in micro-epochs.
+    * Single-sourced between doc_temperature_mixture and the curate
+    * pipeline. */
+  private def temperatureCtes(src: String): String =
+    s"""cnt AS (SELECT lang, count(*) AS n FROM $src GROUP BY 1),
+       |sq AS (SELECT lang, n,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r FROM cnt),
+       |tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+       |    CAST(sum(r) AS HUGEINT) AS s FROM sq),
+       |w AS (SELECT q.lang,
+       |    CAST(least(CAST(1000000 AS HUGEINT) * t.nn * q.r // (t.s * q.n),
+       |               CAST(10000000 AS HUGEINT)) AS BIGINT) AS wm
+       |  FROM sq q CROSS JOIN tot t)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup keep-list: group by a sha2-256 digest of the content
@@ -672,7 +732,7 @@ object DocQueries {
     // doc_id % 7 == 0 get the synthetic PII augmentation (the
     // doc_pii_scrub trick) so the PII rule is non-vacuous.
     "doc_filter_chain" -> QueryDef(
-      """WITH aug AS (
+      s"""WITH aug AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
         |      || CAST(doc_id AS VARCHAR) || '@corp.example call +1202555'
@@ -680,42 +740,7 @@ object DocQueries {
         |    ELSE text END AS t
         |  FROM documents),
         |b AS (SELECT doc_id, t, string_split(lower(t), ' ') AS ws FROM aug),
-        |rep AS (
-        |  SELECT doc_id, len(ws) AS n_words, greatest(len(ws)-2, 0) AS n_trigrams,
-        |    CASE WHEN len(ws) >= 3 THEN len(list_distinct(list_transform(
-        |      range(1, len(ws)-1),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS n_distinct,
-        |    list_max(list_transform(list_distinct(ws),
-        |      x -> len(list_filter(ws, y -> y = x)))) AS top_word
-        |  FROM b),
-        |st AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) > 0 AND len(ws) > 0 THEN
-        |      0.4 * least(1.0, len(ws)/100.0)
-        |      + 0.3 * (1.0 - len(regexp_extract_all(lower(t), '[^a-z0-9 ]'))/len(t))
-        |      + 0.3 * least(1.0, 4.0*len(list_filter(ws,
-        |          w -> w IN ('the','a','and','of','to','in','is')))/len(ws))
-        |    END AS quality,
-        |    len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
-        |      + len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS n_pii
-        |  FROM b),
-        |j AS (
-        |  SELECT r.doc_id, r.n_words,
-        |    CASE WHEN r.n_trigrams > 0
-        |      THEN round(1 - r.n_distinct/r.n_trigrams, 4) END AS dup_frac,
-        |    CASE WHEN r.n_words > 0
-        |      THEN round(r.top_word/r.n_words, 4) END AS top_word_frac,
-        |    s.quality, s.n_pii
-        |  FROM rep r JOIN st s USING (doc_id)),
-        |v AS (
-        |  SELECT *,
-        |    CASE WHEN n_words < 12 THEN 'too_short'
-        |         WHEN quality IS NULL OR quality < 0.45 THEN 'low_quality'
-        |         WHEN dup_frac > 0.05 THEN 'repetitive'
-        |         WHEN top_word_frac > 0.2 THEN 'top_word'
-        |         WHEN n_pii > 0 THEN 'has_pii'
-        |         ELSE 'keep' END AS reason
-        |  FROM j)
+        |${filterBatterySql("b")}
         |SELECT doc_id, n_words, quality, dup_frac,
         |  top_word_frac, n_pii, reason = 'keep' AS keep, reason
         |FROM v""".stripMargin) { (s, dir) =>
@@ -1115,15 +1140,7 @@ object DocQueries {
     // literal is pinned, so the graded plan is the one that re-derives
     // itself at any corpus size.
     "doc_temperature_mixture" -> QueryDef(
-      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |sq AS (SELECT lang, n,
-        |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r FROM cnt),
-        |tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
-        |    CAST(sum(r) AS HUGEINT) AS s FROM sq),
-        |w AS (SELECT q.lang,
-        |    CAST(least(CAST(1000000 AS HUGEINT) * t.nn * q.r // (t.s * q.n),
-        |               CAST(10000000 AS HUGEINT)) AS BIGINT) AS wm
-        |  FROM sq q CROSS JOIN tot t),
+      s"""WITH ${temperatureCtes("documents")},
         |m AS (SELECT d.doc_id, d.lang,
         |    (w.wm // 1000000) + (CASE WHEN substr(md5(d.text), 1, 6) <
         |      lower(lpad(to_hex((w.wm % 1000000) * 16777216 // 1000000), 6, '0'))
@@ -1185,6 +1202,45 @@ object DocQueries {
               .filter(col("quality") >= 0.5),
             col("text"), 0.5)
           .select("doc_id", "lang", "quality")
+    },
+
+    // The round-7 CURATION pipeline, end-to-end under one oracle: the
+    // canonical corpus-prep recipe — Gopher filter battery (keep
+    // verdicts only) -> exact dedup among the kept docs (min-id
+    // keeper) -> temperature rebalance (alpha=0.5) whose weights are
+    // derived from the CLEANED per-lang counts. Order matters twice
+    // (dedup only over kept docs; weights from post-dedup counts) and
+    // every stage's rule is the single-sourced CTE the stage's own
+    // query uses, so the composition cannot drift from its parts.
+    "doc_pipeline_curate" -> QueryDef(
+      s"""WITH b AS (SELECT doc_id, lang, text AS t,
+         |    string_split(lower(text), ' ') AS ws FROM documents),
+         |${filterBatterySql("b")},
+         |kept AS (SELECT b.doc_id, b.lang, b.t FROM b
+         |  JOIN v ON v.doc_id = b.doc_id WHERE v.reason = 'keep'),
+         |ded AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY t),
+         |clean AS (SELECT k.doc_id, k.lang, k.t FROM kept k
+         |  JOIN ded ON k.doc_id = ded.keep_id),
+         |${temperatureCtes("clean")},
+         |m AS (SELECT c.doc_id, c.lang,
+         |    (w.wm // 1000000) + (CASE WHEN substr(md5(c.t), 1, 6) <
+         |      lower(lpad(to_hex((w.wm % 1000000) * 16777216 // 1000000), 6, '0'))
+         |      THEN 1 ELSE 0 END) AS copies
+         |  FROM clean c JOIN w ON w.lang = c.lang)
+         |SELECT doc_id, lang, unnest(range(0, copies)) AS copy
+         |FROM m""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val keptIds = TA.filterChain(docs, col("text"), col("doc_id"))
+        .filter(col("keep")).select("doc_id")
+      val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+      val keepList = Dedup.exactDedup(kept, col("text"), col("doc_id"))
+        .select(col("keep_id"))
+      val clean = kept.join(keepList, col("doc_id") === col("keep_id"),
+        "left_semi")
+      Sampling.temperatureMixture(
+          clean.select(col("doc_id"), col("lang"), col("text")),
+          col("lang"), col("text"))
+        .select("doc_id", "lang", "copy")
     },
 
     // The round-6 pipeline composition, end-to-end under one oracle:
