@@ -902,9 +902,12 @@ object Dedup {
     * when copies are byte-identical. `score` must be an INTEGER-exact
     * column (the qualityDecimicro discipline — never a rounded double)
     * so the election is deterministic and cross-engine replayable;
-    * null scores rank below every real score. Output is one row per
-    * input doc — (doc_id, keep, component, kept_by), component and
-    * kept_by null for docs in no pair.
+    * null scores rank below every real score (the election negates
+    * the score for the struct-min arg-min, so scores must sit above
+    * Long.MinValue — any bounded integer key like qualityDecimicro's
+    * [0, 10000] qualifies). Output is one row per input doc —
+    * (doc_id, keep, component, kept_by), component and kept_by null
+    * for docs in no pair.
     *
     * Scale shape: identical to [[survivors]] plus one component-keyed
     * election agg (cardinality <= doc count; carries (score, id)

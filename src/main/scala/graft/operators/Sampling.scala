@@ -172,8 +172,11 @@ object Sampling {
     * repeat on every run. */
   def temperatureMixture(df: DataFrame, group: Column, key: Column,
       capMicros: Long = 10000000L): DataFrame = {
+    // null groups drop (defaultMicros = 0): a null domain can't carry a
+    // weight literal — the when-chain comparison is never true for it
     val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     mixtureSampleMicros(df, group, key,
       temperatureWeightsMicros(counts, capMicros), defaultMicros = 0L)
   }
