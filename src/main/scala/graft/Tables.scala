@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata tables (see TESTDATA.md).
   * Each table is a single parquet file under `dir` (an sf directory such
@@ -13,16 +15,28 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table stores `ts` as parquet INT64 TIMESTAMP(NANOS),
-    * which Spark cannot represent as TimestampType (micros). We read it
-    * as an epoch-nanoseconds Long (`nanosAsLong`) and keep all event-time
-    * arithmetic in exact integers — deterministic across engines (the
-    * DuckDB oracle sees the same column truncated to micros;
-    * `ts div 1000` here equals DuckDB `epoch_us(ts)`).
-    */
+  /** The `events` table contract: `ts` is an epoch-NANOSECONDS Long, so
+    * all event-time arithmetic stays in exact integers — deterministic
+    * across engines (`ts div 1000` here equals DuckDB `epoch_us(ts)`).
+    * The driver has shipped the column under two physical encodings —
+    * INT64 TIMESTAMP(NANOS) (readable only via `nanosAsLong`) and INT64
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ) —
+    * so the loader normalizes whatever it finds back to the nanos-Long
+    * contract. Sessions run with spark.sql.session.timeZone=UTC, making
+    * the NTZ->LTZ cast value-preserving. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df // TIMESTAMP(NANOS) under nanosAsLong: already nanos
+    case TimestampNTZType =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    case TimestampType =>
+      df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    case other =>
+      throw new IllegalStateException(s"events.ts: unexpected type $other")
+  }
+
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")

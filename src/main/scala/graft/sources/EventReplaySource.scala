@@ -50,7 +50,7 @@ class EventReplayProvider extends TableProvider
   override def shortName(): String = "graft-event-replay"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    graft.streaming.Streaming.EventsSchema
+    graft.streaming.Streaming.EventsNanosSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =

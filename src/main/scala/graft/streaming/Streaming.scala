@@ -16,25 +16,33 @@ import graft.operators.L2Book.{Snapshot, Update}
   */
 object Streaming {
 
-  /** The events table's schema as read with nanosAsLong. */
+  /** The events table's on-disk schema (ts = TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) -> TIMESTAMP_NTZ; [[eventsStream]] restores
+    * the epoch-nanos-Long `ts` contract via Tables.normalizeTs). */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The normalized contract schema (ts = epoch-nanos Long): what every
+    * consumer sees after Tables.normalizeTs, and what the DSv2 replay
+    * source emits directly (its buffered rows hold nanos Longs). */
+  val EventsNanosSchema: StructType = StructType(
+    EventsSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+
   /** Streaming source replaying the events parquet (S6 stand-in: the
     * live WebSocket feed is out of scope in a zero-egress env). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource takes a directory; the glob filter narrows it to
     // the events table (other tables in the sf dir have other schemas).
-    spark.readStream
+    graft.Tables.normalizeTs(spark.readStream
       .schema(EventsSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
   }
 
   /** A transform usable identically in batch and streaming: tumbling
