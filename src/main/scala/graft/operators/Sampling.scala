@@ -93,6 +93,41 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 
+  /** Per-source frequency capping — the domain-capping step of a web
+    * curation pipeline ("at most `cap` documents per domain, keep the
+    * best"): within each `group` keep the top `cap` rows by
+    * (`score` DESC, `tieBreak` ASC), emitting their 1-based rank `rn`.
+    * Null scores rank below every real score (coalesced to -1, so
+    * `score` must be a non-negative integer-exact column — the
+    * qualityDecimicro discipline).
+    *
+    * 100 TB shape: a naive single window puts an entire domain in one
+    * sort partition — a 1B-page domain becomes one task. This runs the
+    * SALTED TWO-PHASE top-k instead: phase 1 ranks within
+    * (group, tieBreak % salts) and keeps `cap` per salt — correct
+    * because a row in the global top `cap` has at most cap-1 group
+    * rows above it, hence at most cap-1 in its own salt bucket, so its
+    * salt-local rank is <= cap and phase 1 never discards it. Phase 2
+    * re-ranks the <= cap*salts survivors per group — a bounded
+    * partition no matter how hot the domain — and rows outside the
+    * global top cap cannot sneak in: everything above them survived
+    * phase 1 too. Output is IDENTICAL to the single-window plan for
+    * every salts >= 1 (spec-pinned), so `salts` is a pure parallelism
+    * knob: size it so n_max_domain/salts fits one task's sort budget.
+    */
+  def sourceCap(df: DataFrame, group: Column, score: Column,
+      tieBreak: Column, cap: Int, salts: Int = 16): DataFrame = {
+    require(cap > 0 && salts > 0, s"sourceCap($cap, $salts): must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val s = coalesce(score, lit(-1L))
+    val w1 = Window.partitionBy(group, pmod(tieBreak.cast("long"), lit(salts.toLong)))
+      .orderBy(s.desc, tieBreak.asc)
+    val survivors = df.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= cap).drop("__r1")
+    val w2 = Window.partitionBy(group).orderBy(s.desc, tieBreak.asc)
+    survivors.withColumn("rn", row_number().over(w2)).filter(col("rn") <= cap)
+  }
+
   /** Deterministic MIXTURE resampling — the domain-weighting step of a
     * pre-training pipeline ("train on source A for 2.5 epochs, source
     * B for 0.4"): each row is emitted floor(w) times plus one more iff

@@ -1102,6 +1102,35 @@ object DocQueries {
         .select("doc_id", "lang", "rn")
     },
 
+    // Per-source frequency capping (the RefinedWeb/CCNet domain-cap
+    // step): keep the 40 BEST-quality docs per source (exact integer
+    // decimicro score, ties -> lowest id). The Spark side runs the
+    // salted two-phase top-k — no domain ever lands in one sort
+    // partition — which is provably identical to this single-window
+    // oracle for every salt count.
+    "doc_source_cap" -> QueryDef(
+      s"""WITH $QUALITY_SCORED_CTE,
+         |ranked AS (
+         |  SELECT s.doc_id, d.source, s.q_dm,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY coalesce(s.q_dm, -1) DESC, s.doc_id ASC) AS rn
+         |  FROM scored s JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, q_dm, rn FROM ranked WHERE rn <= 40""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val scored = docs.select(col("doc_id"), col("source"),
+            col("n_chars"),
+            TA.wordCount(col("text")).as("n_words"),
+            TA.punctCount(col("text")).as("n_punct"),
+            TA.markerCount(col("text"), TA.Stopwords).as("n_stop"))
+          .withColumn("q_dm",
+            TA.qualityDecimicro(col("n_words"), col("n_punct"),
+              col("n_chars"), col("n_stop")))
+        Sampling.sourceCap(scored, col("source"), col("q_dm"),
+            col("doc_id"), cap = 40)
+          .select("doc_id", "source", "q_dm", "rn")
+    },
+
     // Greedy sequence packing: per language, docs in doc_id order fill
     // 512-token bins (training-batch packing). Path-dependent fold,
     // oracled via a RECURSIVE CTE replaying the same (bin, fill) state

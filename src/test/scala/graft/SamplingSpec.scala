@@ -247,4 +247,42 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(r1 == r2)
   }
+
+  test("sourceCap == single-window top-k for every salt count") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // planted: hot group with ties and a null score, tiny group under cap
+    val rows = (1L to 200L).map(i => ("hot", i, if (i % 7 == 0) null
+      else java.lang.Long.valueOf(i % 13))) ++
+      Seq(("cold", 900L, java.lang.Long.valueOf(5L)),
+        ("cold", 901L, null.asInstanceOf[java.lang.Long]))
+    val df = rows.toDF("src", "id", "score")
+    val w = Window.partitionBy(col("src"))
+      .orderBy(coalesce(col("score"), lit(-1L)).desc, col("id").asc)
+    val naive = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("src", "id", "rn").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    for (salts <- Seq(1, 3, 16, 64)) {
+      val capped = Sampling.sourceCap(df, col("src"), col("score"),
+          col("id"), cap = 10, salts = salts)
+        .select("src", "id", "rn").collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(capped == naive, s"salts=$salts diverged")
+    }
+    // under-cap group survives whole, null score ranks last
+    assert(naive.exists(_ == ("cold", 900L, 1)))
+    assert(naive.exists(_ == ("cold", 901L, 2)))
+  }
+
+  test("sourceCap repartition-invariant on real docs") {
+    val score = length(col("text")).cast("long")
+    val a = Sampling.sourceCap(docs, col("source"), score, col("doc_id"), 15)
+      .select("doc_id", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = Sampling.sourceCap(docs.repartition(7), col("source"), score,
+        col("doc_id"), 15, salts = 5)
+      .select("doc_id", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
