@@ -54,6 +54,43 @@ object Similarity {
         col("rnk"))
   }
 
+  /** Scalar-quantized (SQ8-style) brute-force top-k: every vector is
+    * L2-normalized and quantized to `levels`-range integer codes ONCE
+    * (`graft_quantize`, one codegen'd pass), then candidates rank by
+    * the EXACT integer dot product of the codes (`graft_idot`) —
+    * (iscore DESC, neighbor_id ASC), no float comparisons anywhere in
+    * the ranking. Output: q_id, neighbor_id, iscore (Long), rnk.
+    *
+    * This is the scan-cost path for brute-force ANN at 100 TB: scoring
+    * is memory-bandwidth-bound, and int8-range codes are 4x smaller
+    * than float32 (the array<long> carrier here is a local-mode
+    * stand-in; columnar int8 storage is the production layout). The
+    * ranking it produces approximates cosine order with ~1e-2 relative
+    * score error (quantization noise) — the standard recall/cost
+    * trade; compose with an exact float rerank of the top candidates
+    * when cosine-exact order is needed. Integer scores make the result
+    * bit-portable: ties cannot depend on engine float rounding.
+    * Reference has no ANN at all (beyond-reference surface, SURVEY
+    * §2-adjacent). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      levels: Int = 127): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    import graft.functions.VectorExpressions.{int_dot, quantize_vec}
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      quantize_vec(col("embedding"), levels).as("qq")))
+    val c = corpus.select(col("vec_id"),
+      quantize_vec(col("embedding"), levels).as("qv"))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        int_dot(col("qq"), col("qv")).as("iscore"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("iscore").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("iscore"), col("rnk"))
+  }
+
   /** Shared exact-rerank tail: per-query row_number over (cos desc,
     * neighbor_id asc), top k, 6dp rounding (the oracle-parity output
     * shape used by every top-k path). */

@@ -154,6 +154,37 @@ object EmbeddingQueries {
         5, Seq("label"))
     },
 
+    // SCALAR-QUANTIZED top-k (SQ8): L2-normalize, truncate to int8-range
+    // codes, rank by the EXACT integer dot of the codes — no float
+    // anywhere in the ranking, so the cross-engine compare needs no
+    // rounding discipline at all. Quantization parity: Java
+    // (long)(x*127/nrm) == DuckDB trunc(x*127.0/nrm)::BIGINT (both
+    // truncate toward zero on IEEE-identical doubles); the code dot is
+    // integer-valued and < 2^53, so DuckDB's double list_dot_product
+    // is exact before the BIGINT cast.
+    "emb_quantized_topk" -> QueryDef(
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+        |      THEN list_transform(embedding::DOUBLE[], x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding::DOUBLE[],
+        |        x -> CAST(trunc(x * 127.0 /
+        |          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT))
+        |    END AS qv
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, qv AS qq FROM qz WHERE vec_id < 10)
+        |SELECT q_id, neighbor_id, iscore, rnk FROM (
+        |  SELECT q_id, c.vec_id AS neighbor_id,
+        |    CAST(list_dot_product(qq::DOUBLE[], c.qv::DOUBLE[]) AS BIGINT) AS iscore,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY CAST(list_dot_product(qq::DOUBLE[], c.qv::DOUBLE[]) AS BIGINT) DESC,
+        |        c.vec_id ASC) AS rnk
+        |  FROM q CROSS JOIN qz c WHERE c.vec_id != q_id) t
+        |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    },
+
     // FILTERED IVF-ANN, full-probe plumbing regime (same pattern as
     // emb_ivf_topk): the label predicate is pushed into the candidate
     // join — pruning BEFORE any cosine — and with nProbe = nLists the

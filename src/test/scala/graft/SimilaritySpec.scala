@@ -187,4 +187,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.knnGraph(flat, 3, bits = 6, dim = 64, maxBucket = 10)
       .count() == 0, "50 identical vectors exceed cap 10 in every bucket")
   }
+
+  test("quantize_vec: hand-checked codes, zero vector, interpreted == codegen") {
+    graft.functions.VectorExpressions.register(spark)
+    import graft.functions.VectorExpressions.quantize_vec
+    import spark.implicits._
+    // (3,4) normalizes to (0.6, 0.8): codes trunc(76.2)=76, trunc(101.6)=101
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), quantize_vec(col("embedding"), 127))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got(1L) == List(76L, 101L))
+    assert(got(2L) == List(0L, 0L), "zero vector -> zero codes")
+    assert(got(3L) == List(-76L, 101L), "negative truncates toward zero")
+    // interpreted path (wholeStage off) must agree bit-for-bit
+    val rows = emb.select(col("vec_id"),
+      quantize_vec(col("embedding"), 127).as("q"))
+    val cg = rows.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false") {
+      val ip = rows.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(cg == ip)
+    }
+  }
+
+  private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
+    val (k, v) = kv
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f finally old match {
+      case Some(o) => spark.conf.set(k, o)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("quantizedTopK: k rows per query, high agreement with exact top-k") {
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, queries, 10)
+    val counts = quant.groupBy("q_id").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == 10L))
+    val qset = quant.select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & qset).size.toDouble / exact.size
+    assert(overlap >= 0.7, s"quantized top-10 recall vs exact: $overlap")
+  }
 }
