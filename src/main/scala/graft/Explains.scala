@@ -56,7 +56,9 @@ object Explains {
       "doc_dedup_incremental" -> "incremental dedup: the index side is a bare digest column; the batch joins it LEFT on digest + the keeper agg — three narrow digest-keyed operators, document bodies never shuffle",
       "doc_temperature_mixture" -> "temperature mixture: the group-count agg is the ONE action (metadata-sized collect feeding the weight rule); the sampled plan itself is the doc_mixture_sample shape — literal CASE chain + md5-prefix filter + explode(sequence) straight over the scan, zero exchanges",
       "doc_dedup_survivors_best" -> "quality-keeper survivors: the election is a component-keyed HashAggregate over (neg score, id) structs + one component re-join on top of the survivors CC shape — text never enters the election shuffle, output stays one row per doc",
-      "doc_contamination_report" -> "contamination report: the per-suite benchmark shingle sets are the BROADCAST side; the corpus side has NO exchange before the (doc, suite) count agg, and the final suite-level agg is suite-cardinality-sized")
+      "doc_contamination_report" -> "contamination report: the per-suite benchmark shingle sets are the BROADCAST side; the corpus side has NO exchange before the (doc, suite) count agg, and the final suite-level agg is suite-cardinality-sized",
+      "doc_source_cap" -> "domain capping: TWO window exchanges — phase 1 partitions on (source, id % salts) so a hot domain splits across salt buckets; phase 2's per-source window only ever sees <= cap*salts survivors per domain (the bounded partition is the point; a single-window plan would sort whole domains in one task)",
+      "emb_quantized_topk" -> "SQ8 ANN: ONE graft_quantize projection per row (norm + codes in a single codegen'd pass — no CollapseProject re-inlining), quantized query codes broadcast, ranking by graft_idot on exact Longs — float arithmetic appears nowhere after the quantize")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — representative physical plans\n\n")

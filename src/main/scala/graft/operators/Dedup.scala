@@ -615,6 +615,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** [[embeddingNearDupPairs]] with a PROVABLY LOSSLESS scalar-quantized
+    * prefilter: both sides carry int8-range codes of the normalized
+    * vector (`graft_quantize`), every pair is first screened by the
+    * exact integer dot of the codes (`graft_idot`), and only survivors
+    * pay the double cosine that decides membership — so the output is
+    * IDENTICAL to the float brute force (same oracle), while the
+    * all-pairs inner loop runs on integers over 4x fewer bytes.
+    *
+    * The margin is a theorem, not a tuning knob: with q_i =
+    * trunc(L*x_i) on the L2-normalized x, elementwise |L*x_i - q_i| < 1,
+    * so |q.p - L^2*cos| <= 2*L*sqrt(d) + d; any pair with
+    * cos >= threshold therefore has q.p >= ceil(L^2*threshold -
+    * 2*L*sqrt(d) - d), and screening at that bound cannot drop a true
+    * pair. At (L=127, d=64, t=0.9) the screen passes only pairs with
+    * cos >= ~0.64 — the float path never sees the bulk. At 100 TB the
+    * same screen drops unchanged into any candidate generator (LSH
+    * buckets, SemDeDup clusters) between the pair join and the exact
+    * verify. */
+  def embeddingNearDupPairsQuantized(df: DataFrame, id: Column, emb: Column,
+      threshold: Double, levels: Int = 127, dim: Int = 64): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    import graft.functions.VectorExpressions.{int_dot, quantize_vec}
+    val minScore = math.ceil(levels.toDouble * levels * threshold
+      - 2.0 * levels * math.sqrt(dim) - dim).toLong
+    val withQ = df.select(id.cast("long").as("id"), emb.as("e"),
+      sqrt(Similarity.nativeDot(emb, emb)).as("nrm"),
+      quantize_vec(emb, levels).as("q"))
+    val a = withQ.select(col("id").as("a_id"), col("e").as("ea"),
+      col("nrm").as("na"), col("q").as("qa"))
+    val b = withQ.select(col("id").as("b_id"), col("e").as("eb"),
+      col("nrm").as("nb"), col("q").as("qb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(int_dot(col("qa"), col("qb")) >= minScore)
+      .withColumn("cos",
+        Similarity.nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxDist via 8-bit
     * chunk banding. Pigeonhole: signatures within hamming d differ in
     * at most d of the 8 chunks, so for d <= 6 they agree on at least

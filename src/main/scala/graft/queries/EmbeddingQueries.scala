@@ -499,5 +499,31 @@ object EmbeddingQueries {
       graft.operators.Dedup.embeddingNearDupPairsLsh(
         aug, col("vec_id"), col("embedding"), 0.9,
         bits = 8, tables = 8, dim = 64)
+    },
+
+    // Same near-dup semantics through the QUANTIZED-prefilter path:
+    // every pair is screened by the exact integer dot of int8-range
+    // codes at the PROVABLE margin (|q.p - L^2 cos| <= 2L sqrt(d) + d),
+    // so no true pair can be dropped and the exact-cosine verify makes
+    // the output identical to the float brute force — the oracle IS
+    // the emb_lsh_dups_realistic brute SQL. At t=0.9 the screen admits
+    // only pairs with cos >= ~0.64: the double math runs on a sliver.
+    "emb_dedup_quantized" -> QueryDef(
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(cos, 6) AS cos_sim
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id,
+        |LATERAL (SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos) c
+        |WHERE cos >= 0.9""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val aug = emb.unionByName(
+        emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      graft.operators.Dedup.embeddingNearDupPairsQuantized(
+        aug, col("vec_id"), col("embedding"), 0.9)
     })
 }

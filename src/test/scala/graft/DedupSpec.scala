@@ -507,4 +507,34 @@ class DedupSpec extends AnyFunSuite {
     assert(out("suiteA") == ((1L, 1L, 3L)))
     assert(out("suiteB") == ((1L, 0L, 0L)))
   }
+
+  test("quantized-prefilter embedding dedup equals brute force (lossless margin)") {
+    // weak threshold on real data: the screen is widest here, so an
+    // off-by-anything in the margin bound would show as missing pairs
+    val brute = Dedup.embeddingNearDupPairs(embs, col("vec_id"), col("embedding"), 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val quant = Dedup.embeddingNearDupPairsQuantized(embs, col("vec_id"),
+        col("embedding"), 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(quant == brute, s"missing=${brute -- quant} extra=${quant -- brute}")
+  }
+
+  test("quantized prefilter actually prunes at a realistic threshold") {
+    graft.functions.VectorExpressions.register(spark)
+    import graft.functions.VectorExpressions.{int_dot, quantize_vec}
+    // at t=0.9 the screen bound is ceil(127^2*0.9 - 2*127*8 - 64) = 12421;
+    // the synthetic corpus tops out near cos 0.5, so nearly every pair
+    // must die in the integer screen
+    val minScore = math.ceil(127.0 * 127 * 0.9 - 2.0 * 127 * 8 - 64).toLong
+    val q = embs.select(col("vec_id").as("id"),
+      quantize_vec(col("embedding"), 127).as("q"))
+    val a = q.select(col("id").as("a_id"), col("q").as("qa"))
+    val b = q.select(col("id").as("b_id"), col("q").as("qb"))
+    val all = embs.count()
+    val passed = a.join(b, col("a_id") < col("b_id"))
+      .filter(int_dot(col("qa"), col("qb")) >= minScore).count()
+    val allPairs = all * (all - 1) / 2
+    assert(passed < allPairs / 100,
+      s"screen passed $passed of $allPairs pairs — no pruning")
+  }
 }
