@@ -1131,6 +1131,36 @@ object DocQueries {
           .select("doc_id", "source", "q_dm", "rn")
     },
 
+    // The same domain cap under the STREAMING engine: documents stream
+    // in, quality scores compute statelessly per row, and the state
+    // store holds only the packed cap-best (score, id) pairs per
+    // source (16*cap bytes per domain, however hot). Capped-set
+    // insertion is a deterministic function of the input multiset, so
+    // the drained state equals the batch sourceCap keep-set under any
+    // trigger slicing — the oracle is the SAME single-window SQL.
+    "doc_source_cap_stream" -> QueryDef(
+      s"""WITH $QUALITY_SCORED_CTE,
+         |ranked AS (
+         |  SELECT s.doc_id, d.source, s.q_dm,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY coalesce(s.q_dm, -1) DESC, s.doc_id ASC) AS rn
+         |  FROM scored s JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, q_dm, rn FROM ranked WHERE rn <= 40""".stripMargin) {
+      (s, dir) =>
+        val src = Streaming.documentsStream(s, dir)
+        val scored = src.select(col("doc_id"), col("source"),
+            col("n_chars"),
+            TA.wordCount(col("text")).as("n_words"),
+            TA.punctCount(col("text")).as("n_punct"),
+            TA.markerCount(col("text"), TA.Stopwords).as("n_stop"))
+          .withColumn("q_dm",
+            TA.qualityDecimicro(col("n_words"), col("n_punct"),
+              col("n_chars"), col("n_stop")))
+        Streaming.unpackTopCap(Streaming.runAvailableNow(
+          Streaming.sourceCapStream(scored, col("source"), col("q_dm"),
+            col("doc_id"), cap = 40)))
+    },
+
     // Greedy sequence packing: per language, docs in doc_id order fill
     // 512-token bins (training-batch packing). Path-dependent fold,
     // oracled via a RECURSIVE CTE replaying the same (bin, fill) state

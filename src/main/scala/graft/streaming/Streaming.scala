@@ -163,6 +163,87 @@ object Streaming {
         col("k.chunk_idx").cast("long").as("keep_idx"),
         col("n_copies"))
 
+  /** Bounded per-group top-cap aggregator: state is the packed array
+    * [s0,i0,s1,i1,...] of the cap best (score DESC, id ASC) pairs,
+    * best-first. Inserting into a capped sorted set is a deterministic
+    * function of the input MULTISET — order-independent and
+    * merge-associative — so the drained result is identical under any
+    * trigger slicing or replay partitioning (the batch-oracle
+    * discipline), and state per group is 16*cap bytes NO MATTER how
+    * many rows the group has seen (primitive Long array: the
+    * Kryo-state rule — arrays, never boxed collections). */
+  final class TopCapAgg(cap: Int) extends org.apache.spark.sql.expressions
+      .Aggregator[(String, Long, Long), Array[Long], Array[Long]] {
+    private def better(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    private def insert(buf: Array[Long], s: Long, i: Long): Array[Long] = {
+      val n = buf.length / 2
+      if (n == cap && !better(s, i, buf(2 * n - 2), buf(2 * n - 1))) return buf
+      var p = 0
+      while (p < n && better(buf(2 * p), buf(2 * p + 1), s, i)) p += 1
+      val m = math.min(n + 1, cap)
+      val out = new Array[Long](2 * m)
+      System.arraycopy(buf, 0, out, 0, 2 * p)
+      out(2 * p) = s
+      out(2 * p + 1) = i
+      System.arraycopy(buf, 2 * p, out, 2 * p + 2, 2 * (m - p - 1))
+      out
+    }
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], row: (String, Long, Long)): Array[Long] =
+      insert(buf, row._2, row._3)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var out = a
+      var j = 0
+      val nb = b.length / 2
+      while (j < nb) { out = insert(out, b(2 * j), b(2 * j + 1)); j += 1 }
+      out
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Streaming per-source frequency capping — the streaming twin of
+    * [[graft.operators.Sampling.sourceCap]], for capping hot domains
+    * DURING ingest instead of in a batch pass: per group the state
+    * store holds only the packed cap-best (score, id) pairs
+    * ([[TopCapAgg]]), sharded by group exactly like the batch window's
+    * exchange. Null scores coalesce to -1 (the batch rule: below every
+    * real score; real scores must be >= 0 — the qualityDecimicro
+    * discipline). Output per group is the packed array; decode with
+    * [[unpackTopCap]] after draining. Final state == the batch
+    * sourceCap keep-set BY CONSTRUCTION (capped-set insertion is
+    * multiset-deterministic), which is what lets the batch SQL oracle
+    * hash-check a streaming run. */
+  def sourceCapStream(df: DataFrame, group: org.apache.spark.sql.Column,
+      score: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      cap: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(group.cast("string").as("g"),
+        coalesce(score, lit(-1L)).cast("long").as("s"),
+        id.cast("long").as("i"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new TopCapAgg(cap).toColumn.name("top"))
+      .toDF("source", "top")
+  }
+
+  /** Decode [[sourceCapStream]]'s packed state into the batch
+    * sourceCap output shape: (doc_id, source, q_dm, rn) with rn the
+    * 1-based rank and -1 scores restored to NULL. */
+  def unpackTopCap(drained: DataFrame): DataFrame =
+    drained
+      .select(col("source"), posexplode(expr(
+        """transform(sequence(0, CAST(size(top)/2 AS INT) - 1),
+          |  j -> named_struct('s', top[2*j], 'i', top[2*j+1]))""".stripMargin)))
+      .select(col("col.i").as("doc_id"), col("source"),
+        nullif(col("col.s"), lit(-1L)).as("q_dm"),
+        (col("pos") + 1).cast("int").as("rn"))
+
   /** Streaming WORD-COUNT state — the streaming half of the
     * heavy-hitters story: documents stream in, tokenize statelessly
     * per row (same parity split as the batch side), and per-word

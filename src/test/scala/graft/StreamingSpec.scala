@@ -631,4 +631,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(out(1).asks == Seq(L2Book.Level(101.0, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming source cap: later batch displaces an earlier keeper") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(String, java.lang.Long, Long)]
+    val q = Streaming.sourceCapStream(
+        input.toDS().toDF("source", "q_dm", "doc_id"),
+        col("source"), col("q_dm"), col("doc_id"), cap = 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cap_out").start()
+    try {
+      // batch 1 fills site A's cap with scores 10, 20 (+ a null-score row)
+      input.addData(("a", java.lang.Long.valueOf(10L), 1L),
+        ("a", java.lang.Long.valueOf(20L), 2L), ("a", null, 3L),
+        ("b", java.lang.Long.valueOf(5L), 9L))
+      q.processAllAvailable()
+      // batch 2: score 30 must EVICT the score-10 keeper from state
+      input.addData(("a", java.lang.Long.valueOf(30L), 4L))
+      q.processAllAvailable()
+      val out = Streaming.unpackTopCap(spark.table("cap_out"))
+        .collect().map(r => (r.getString(1), r.getInt(3)) ->
+          (r.getLong(0), if (r.isNullAt(2)) -999L else r.getLong(2))).toMap
+      assert(out == Map(
+        ("a", 1) -> (4L, 30L), ("a", 2) -> (2L, 20L),
+        ("b", 1) -> (9L, 5L)))
+    } finally q.stop()
+  }
+
+  test("streaming source cap: null score ranks last and decodes to NULL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(String, java.lang.Long, Long)]
+    val q = Streaming.sourceCapStream(
+        input.toDS().toDF("source", "q_dm", "doc_id"),
+        col("source"), col("q_dm"), col("doc_id"), cap = 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cap_null_out").start()
+    try {
+      input.addData(("a", null, 7L), ("a", java.lang.Long.valueOf(4L), 8L))
+      q.processAllAvailable()
+      val rows = Streaming.unpackTopCap(spark.table("cap_null_out"))
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.isNullAt(2)))
+      assert(rows.toSet == Set((8L, 1, false), (7L, 2, true)))
+    } finally q.stop()
+  }
 }
