@@ -16,31 +16,33 @@ import graft.operators.L2Book.{Snapshot, Update}
   */
 object Streaming {
 
-  /** The events table's on-disk schema (ts = TIMESTAMP(MICROS,
-    * isAdjustedToUTC=false) -> TIMESTAMP_NTZ; [[eventsStream]] restores
-    * the epoch-nanos-Long `ts` contract via Tables.normalizeTs). */
-  val EventsSchema: StructType = StructType(Seq(
+  /** The normalized events contract schema (ts = epoch-nanos Long):
+    * what every consumer sees after Tables.normalizeTs, and what the
+    * DSv2 replay source emits directly (its buffered rows hold nanos
+    * Longs). */
+  val EventsNanosSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The normalized contract schema (ts = epoch-nanos Long): what every
-    * consumer sees after Tables.normalizeTs, and what the DSv2 replay
-    * source emits directly (its buffered rows hold nanos Longs). */
-  val EventsNanosSchema: StructType = StructType(
-    EventsSchema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-
   /** Streaming source replaying the events parquet (S6 stand-in: the
-    * live WebSocket feed is out of scope in a zero-egress env). */
+    * live WebSocket feed is out of scope in a zero-egress env). The
+    * on-disk `ts` encoding has varied across driver regens (plain
+    * INT64 nanos / TIMESTAMP(NANOS) / TIMESTAMP(MICROS, NTZ)), and a
+    * readStream schema must match the file exactly — so the schema is
+    * inferred from the parquet FOOTER via a metadata-only batch read,
+    * and Tables.normalizeTs restores the nanos-Long contract on top,
+    * whatever the footer said. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource takes a directory; the glob filter narrows it to
     // the events table (other tables in the sf dir have other schemas).
     graft.Tables.normalizeTs(spark.readStream
-      .schema(EventsSchema)
+      .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir))
   }
