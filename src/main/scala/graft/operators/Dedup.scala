@@ -1058,17 +1058,41 @@ object Dedup {
       .distinct()
   }
 
+  /** `quantizedScreen = true` inserts the lossless integer screen of
+    * [[embeddingNearDupPairsQuantized]] between the candidate join and
+    * the double cosine: candidate rows carry int8-range codes, pairs
+    * failing `graft_idot >= ceil(L^2 t - 2L sqrt(d) - d)` die before
+    * any float math. The margin theorem guarantees no true pair is
+    * screened out, so the output is IDENTICAL either way (spec-pinned);
+    * the screen only changes which rows pay the exact verify — the
+    * right default once candidate volume, not bucketing, dominates. */
   def embeddingNearDupPairsLsh(df: DataFrame, id: Column, emb: Column,
       threshold: Double, bits: Int = 2, tables: Int = 32, dim: Int = 64,
-      seed: Long = 42L, maxBucket: Int = Int.MaxValue): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = Int.MaxValue,
+      quantizedScreen: Boolean = false): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
+    import graft.functions.VectorExpressions.{int_dot, quantize_vec}
     val base = df.select(id.cast("long").as("id"), emb.as("e"))
     val candIds = lshCandidatePairs(df, id, emb, bits, tables, dim, seed, maxBucket)
     val withNorm = base.select(col("id"), col("e"),
       sqrt(Similarity.nativeDot(col("e"), col("e"))).as("nrm"))
-    candIds
-      .join(withNorm.select(col("id").as("a_id"), col("e").as("ea"), col("nrm").as("na")), "a_id")
-      .join(withNorm.select(col("id").as("b_id"), col("e").as("eb"), col("nrm").as("nb")), "b_id")
+    val screened = if (!quantizedScreen) {
+      candIds
+        .join(withNorm.select(col("id").as("a_id"), col("e").as("ea"), col("nrm").as("na")), "a_id")
+        .join(withNorm.select(col("id").as("b_id"), col("e").as("eb"), col("nrm").as("nb")), "b_id")
+    } else {
+      val levels = 127
+      val minScore = math.ceil(levels.toDouble * levels * threshold
+        - 2.0 * levels * math.sqrt(dim) - dim).toLong
+      val withQ = withNorm.withColumn("q", quantize_vec(col("e"), levels))
+      candIds
+        .join(withQ.select(col("id").as("a_id"), col("e").as("ea"),
+          col("nrm").as("na"), col("q").as("qa")), "a_id")
+        .join(withQ.select(col("id").as("b_id"), col("e").as("eb"),
+          col("nrm").as("nb"), col("q").as("qb")), "b_id")
+        .filter(int_dot(col("qa"), col("qb")) >= minScore)
+    }
+    screened
       .withColumn("cos",
         Similarity.nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)

@@ -519,6 +519,16 @@ class DedupSpec extends AnyFunSuite {
     assert(quant == brute, s"missing=${brute -- quant} extra=${quant -- brute}")
   }
 
+  test("LSH path with quantizedScreen=true is output-identical") {
+    val plain = Dedup.embeddingNearDupPairsLsh(embs, col("vec_id"), col("embedding"),
+        0.35, bits = 2, tables = 32, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val screened = Dedup.embeddingNearDupPairsLsh(embs, col("vec_id"), col("embedding"),
+        0.35, bits = 2, tables = 32, dim = 64, quantizedScreen = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(screened == plain, s"missing=${plain -- screened} extra=${screened -- plain}")
+  }
+
   test("quantized prefilter actually prunes at a realistic threshold") {
     graft.functions.VectorExpressions.register(spark)
     import graft.functions.VectorExpressions.{int_dot, quantize_vec}
