@@ -546,6 +546,86 @@ object Dedup {
       .filter(col("est_jaccard") >= estThreshold)
   }
 
+  /** INCREMENTAL near-dup against a signature index — the MinHash twin
+    * of [[incrementalDedup]], for ingest pipelines that near-dedupe
+    * each new batch against everything already accepted: new docs are
+    * signed once (one typed map), band-joined against the index AND
+    * against themselves, and each new doc gets a verdict row
+    * (doc_id, dup_of_index, dup_of_batch_earlier, keep) — keep docs'
+    * signatures are what the caller appends to the index (the same
+    * frame family this operator consumes, the incrementalDedup
+    * contract). Batch-internal duplicates resolve greedily by id (the
+    * larger id defers): one-hop, order-deterministic, the standard
+    * batch-parallel approximation of sequential arrival — EXACT
+    * sequential semantics is a micro-batch loop, which is the
+    * streaming dedup twin's job. Docs too short to sign (< shingleN
+    * words) keep unconditionally, matching the signature operator's
+    * empty-emit semantics.
+    *
+    * Exactness of the banding: with `rows = perms/bands` hashes per
+    * band, a pair at estimate >= t has at most perms - ceil(t*perms)
+    * unequal components, and each unequal component breaks at most one
+    * band — so when perms - ceil(t*perms) < bands (true at the suite's
+    * 32/16/0.6: 12 < 16) some band survives intact and the candidate
+    * CANNOT be missed. Pigeonhole, not probability — the same argument
+    * as the SimHash chunk-pair bands — which is what lets a SQL oracle
+    * compare est over ALL pairs without replaying the banding.
+    *
+    * 100 TB shape: the index is never re-signed and never self-joined —
+    * it enters only through the (bidx, bhash) band join, sharded by
+    * band hash; with the index stored bucketed on (bidx, bhash) (the
+    * BucketedStore contract) its side of the join never re-shuffles,
+    * and per batch the exchange carries only the batch's banded rows
+    * + matched index signatures. */
+  def incrementalNearDup(newDocs: DataFrame, text: Column, id: Column,
+      indexSigs: DataFrame, perms: Int = 32, bands: Int = 16,
+      estThreshold: Double = 0.6, baseHash: BaseHash = XxHash): DataFrame = {
+    val rows = perms / bands
+    require(bands * rows == perms, "perms must divide into bands")
+    val bsig = minhashSignatures(newDocs, text, id, perms, 3, baseHash)
+    def withBands(sigs: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { bidx =>
+        struct(lit(bidx).as("bidx"),
+          xxhash64((bidx * rows until (bidx + 1) * rows).map(i => col(s"mh$i")): _*)
+            .as("bhash"))
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.bidx").as("bidx"),
+          col("band.bhash").as("bhash"))
+    }
+    def est(pa: String, pb: String): Column = (0 until perms)
+      .map(i => when(col(s"$pa.mh$i") === col(s"$pb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / perms
+    val bb = withBands(bsig)
+    val idxDup = bb.as("x")
+      .join(withBands(indexSigs).as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bhash") === col("y.bhash"))
+      .select(col("x.doc_id").as("n_id"), col("y.doc_id").as("i_id")).distinct()
+      .join(bsig.as("sa"), col("n_id") === col("sa.doc_id"))
+      .join(indexSigs.as("sb"), col("i_id") === col("sb.doc_id"))
+      .filter(est("sa", "sb") >= estThreshold)
+      .select(col("n_id").as("doc_id")).distinct()
+      .withColumn("dup_idx", lit(true))
+    val selfDup = bb.as("x")
+      .join(bb.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+      .join(bsig.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(bsig.as("sb"), col("b_id") === col("sb.doc_id"))
+      .filter(est("sa", "sb") >= estThreshold)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("dup_batch", lit(true))
+    newDocs.select(id.cast("long").as("doc_id"))
+      .join(idxDup, Seq("doc_id"), "left")
+      .join(selfDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_idx"), lit(false)).as("dup_of_index"),
+        coalesce(col("dup_batch"), lit(false)).as("dup_of_batch_earlier"),
+        (!coalesce(col("dup_idx"), lit(false))
+          && !coalesce(col("dup_batch"), lit(false))).as("keep"))
+  }
+
   /** 64-bit SimHash over word hashes: bit b is 1 iff the sum of
     * (+1/-1) votes of that bit across word hashes is positive.
     *

@@ -109,15 +109,20 @@ object DocQueries {
     * filtered on both sides. The LSH pair set IS the brute-force
     * est-threshold pair set (bucket-key hashing can only add
     * candidates, which the est filter then removes). */
-  private val MINHASH_PAIRS_CTES: String = {
+  /** Per-pair equal-component count of two aliased `sig` rows. */
+  private def minhashEqSum(a: String, b: String): String = (0 until 32)
+    .map(i => s"CASE WHEN $a.mh$i = $b.mh$i THEN 1 ELSE 0 END")
+    .mkString("\n      + ")
+
+  /** The shared md5-prefix MinHash signature CTE chain — produces
+    * `sig(doc_id, mh0..mh31)` over `documents` (single-sourced so the
+    * pairs and incremental oracles cannot drift). */
+  private val MINHASH_SIG_CTES: String = {
     val perms = 32
     val (as, bs) = Dedup.minhashCoefficients(perms)
     val sigCols = (0 until perms).map(i =>
       s"    list_min(list_transform(hs, h -> (${as(i)}*h + ${bs(i)}) % 2147483647)) AS mh$i")
       .mkString(",\n")
-    val eqSum = (0 until perms)
-      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
-      .mkString("\n      + ")
     s"""w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
        |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shs
@@ -127,13 +132,16 @@ object DocQueries {
        |  FROM shl),
        |sig AS (SELECT doc_id,
        |$sigCols
-       |  FROM hl),
+       |  FROM hl)""".stripMargin
+  }
+
+  private val MINHASH_PAIRS_CTES: String =
+    s"""$MINHASH_SIG_CTES,
        |eqc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    ($eqSum) AS eq
+       |    (${minhashEqSum("a", "b")}) AS eq
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
        |pairs AS (SELECT a_id, b_id, eq / 32.0 AS est_jaccard FROM eqc
        |  WHERE eq / 32.0 >= 0.6)""".stripMargin
-  }
 
   /** SimHash signature + pair CTE block under the portable md5-prefix
     * 64-bit word hash — produces `sig(doc_id, simhash)` and
@@ -902,6 +910,116 @@ object DocQueries {
         .select(sha2(col("text"), 256).as("digest"))
       Dedup.incrementalDedup(docs.filter(side >= "a"), col("text"),
         col("doc_id"), index)
+    },
+
+    // INCREMENTAL NEAR-dup: the MinHash twin of doc_dedup_incremental —
+    // each new doc checked against an already-accepted signature index
+    // AND against earlier (smaller-id) batch mates. The Spark side runs
+    // the banded join; the oracle compares estimates over ALL pairs with
+    // no banding — legal because 32/16/0.6 banding is pigeonhole-exact
+    // (<= 12 unequal components cannot break all 16 bands). Docs too
+    // short to sign keep unconditionally on both sides.
+    "doc_dedup_incremental_near" -> QueryDef(
+      s"""WITH $MINHASH_SIG_CTES,
+         |side AS (SELECT doc_id,
+         |    substr(md5(doc_id::VARCHAR), 1, 1) < 'a' AS is_idx
+         |  FROM documents),
+         |isig AS (SELECT s.* FROM sig s JOIN side ON s.doc_id = side.doc_id
+         |  WHERE side.is_idx),
+         |bsig AS (SELECT s.* FROM sig s JOIN side ON s.doc_id = side.doc_id
+         |  WHERE NOT side.is_idx),
+         |di AS (SELECT DISTINCT b.doc_id FROM bsig b JOIN isig a
+         |  ON (${minhashEqSum("a", "b")}) / 32.0 >= 0.6),
+         |db AS (SELECT DISTINCT b.doc_id FROM bsig b JOIN bsig a
+         |  ON a.doc_id < b.doc_id
+         |  AND (${minhashEqSum("a", "b")}) / 32.0 >= 0.6)
+         |SELECT d.doc_id,
+         |  d.doc_id IN (SELECT doc_id FROM di) AS dup_of_index,
+         |  d.doc_id IN (SELECT doc_id FROM db) AS dup_of_batch_earlier,
+         |  d.doc_id NOT IN (SELECT doc_id FROM di)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM db) AS keep
+         |FROM documents d JOIN side ON d.doc_id = side.doc_id
+         |WHERE NOT side.is_idx""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val indexSigs = Dedup.minhashSignatures(docs.filter(side < "a"),
+        col("text"), col("doc_id"), perms = 32, shingleN = 3,
+        baseHash = Dedup.Md5Prefix)
+      Dedup.incrementalNearDup(docs.filter(side >= "a"), col("text"),
+        col("doc_id"), indexSigs, perms = 32, bands = 16,
+        estThreshold = 0.6, baseHash = Dedup.Md5Prefix)
+    },
+
+    // COMPOSED ingest-time curation: exact incremental dedup vs index
+    // -> incremental NEAR-dup (MinHash) among the exact survivors ->
+    // per-source quality cap on what's left. Every stage reuses its
+    // single-sourced definition (digest keep rule, MINHASH_SIG_CTES,
+    // QUALITY_SCORED_CTE, the sourceCap window), so the composition
+    // cannot drift from its parts — the doc_pipeline_clean/curate
+    // discipline applied to the ingest path.
+    "doc_pipeline_ingest" -> QueryDef(
+      s"""WITH $MINHASH_SIG_CTES,
+         |$QUALITY_SCORED_CTE,
+         |side AS (SELECT doc_id,
+         |    substr(md5(doc_id::VARCHAR), 1, 1) < 'a' AS is_idx
+         |  FROM documents),
+         |oldd AS (SELECT sha256(text) AS digest
+         |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+         |  WHERE side.is_idx),
+         |newd AS (SELECT d.doc_id, sha256(text) AS digest
+         |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+         |  WHERE NOT side.is_idx),
+         |ekeep AS (SELECT n.doc_id FROM newd n
+         |  LEFT JOIN (SELECT DISTINCT digest FROM oldd) i ON n.digest = i.digest
+         |  JOIN (SELECT digest, min(doc_id) AS keep_id FROM newd GROUP BY 1) kp
+         |    ON n.digest = kp.digest
+         |  WHERE i.digest IS NULL AND n.doc_id = kp.keep_id),
+         |pisig AS (SELECT s.* FROM sig s JOIN side ON s.doc_id = side.doc_id
+         |  WHERE side.is_idx),
+         |pbsig AS (SELECT s.* FROM sig s JOIN ekeep k ON s.doc_id = k.doc_id),
+         |pdi AS (SELECT DISTINCT b.doc_id FROM pbsig b JOIN pisig a
+         |  ON (${minhashEqSum("a", "b")}) / 32.0 >= 0.6),
+         |pdb AS (SELECT DISTINCT b.doc_id FROM pbsig b JOIN pbsig a
+         |  ON a.doc_id < b.doc_id
+         |  AND (${minhashEqSum("a", "b")}) / 32.0 >= 0.6),
+         |nkeep AS (SELECT doc_id FROM ekeep
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM pdi)
+         |    AND doc_id NOT IN (SELECT doc_id FROM pdb)),
+         |ranked AS (
+         |  SELECT s.doc_id, d.source, s.q_dm,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY coalesce(s.q_dm, -1) DESC, s.doc_id ASC) AS rn
+         |  FROM scored s
+         |  JOIN nkeep k ON s.doc_id = k.doc_id
+         |  JOIN documents d ON s.doc_id = d.doc_id)
+         |SELECT doc_id, source, q_dm, rn FROM ranked WHERE rn <= 20""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val idxDocs = docs.filter(side < "a")
+        val batch = docs.filter(side >= "a")
+        val exact = Dedup.incrementalDedup(batch, col("text"), col("doc_id"),
+          idxDocs.select(sha2(col("text"), 256).as("digest")))
+        val exactKept = batch.join(
+          exact.filter(col("keep")).select("doc_id"), "doc_id")
+        val idxSigs = Dedup.minhashSignatures(idxDocs, col("text"),
+          col("doc_id"), perms = 32, shingleN = 3, baseHash = Dedup.Md5Prefix)
+        val near = Dedup.incrementalNearDup(exactKept, col("text"),
+          col("doc_id"), idxSigs, perms = 32, bands = 16,
+          estThreshold = 0.6, baseHash = Dedup.Md5Prefix)
+        val nearKept = exactKept.join(
+          near.filter(col("keep")).select("doc_id"), "doc_id")
+        val scored = nearKept.select(col("doc_id"), col("source"),
+            col("n_chars"),
+            TA.wordCount(col("text")).as("n_words"),
+            TA.punctCount(col("text")).as("n_punct"),
+            TA.markerCount(col("text"), TA.Stopwords).as("n_stop"))
+          .withColumn("q_dm",
+            TA.qualityDecimicro(col("n_words"), col("n_punct"),
+              col("n_chars"), col("n_stop")))
+        Sampling.sourceCap(scored, col("source"), col("q_dm"),
+            col("doc_id"), cap = 20)
+          .select("doc_id", "source", "q_dm", "rn")
     },
 
     // DSIR-style importance weights toward the English slice: per-word

@@ -508,6 +508,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out("suiteB") == ((1L, 0L, 0L)))
   }
 
+  test("incrementalNearDup: index blocks, earlier batch mate defers, short doc keeps") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val idx = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + "mu"),          // near-copy of the INDEX doc
+      (20L, "unique words only here nothing shared with anyone at all " * 4),
+      (21L, "unique words only here nothing shared with anyone at all " * 4 + "nu"),
+      (30L, "too short")           // < 3 words after split: no signature
+    ).toDF("doc_id", "text")
+    val idxSigs = Dedup.minhashSignatures(idx, col("text"), col("doc_id"), 32)
+    val out = Dedup.incrementalNearDup(batch, col("text"), col("doc_id"), idxSigs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(10L) == ((true, false, false)), s"got ${out(10L)}")
+    assert(out(20L) == ((false, false, true)))
+    assert(out(21L) == ((false, true, false)), "larger id defers to batch mate")
+    assert(out(30L) == ((false, false, true)), "unsignable doc keeps")
+  }
+
   test("quantized-prefilter embedding dedup equals brute force (lossless margin)") {
     // weak threshold on real data: the screen is widest here, so an
     // off-by-anything in the margin bound would show as missing pairs
