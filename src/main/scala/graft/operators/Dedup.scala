@@ -577,32 +577,48 @@ object Dedup {
     * BucketedStore contract) its side of the join never re-shuffles,
     * and per batch the exchange carries only the batch's banded rows
     * + matched index signatures. */
-  def incrementalNearDup(newDocs: DataFrame, text: Column, id: Column,
-      indexSigs: DataFrame, perms: Int = 32, bands: Int = 16,
-      estThreshold: Double = 0.6, baseHash: BaseHash = XxHash): DataFrame = {
+  /** The banded form of a MinHash signature frame: one (doc_id, bidx,
+    * bhash) row per band — the exact exploded table the band join
+    * consumes, exposed so a persistent index can store it ONCE,
+    * bucketed on (bidx, bhash) (`BucketedStore`), and every future
+    * batch's band join plans no exchange over the index
+    * (BucketingSpec pins the plan). */
+  def minhashBands(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
     require(bands * rows == perms, "perms must divide into bands")
-    val bsig = minhashSignatures(newDocs, text, id, perms, 3, baseHash)
-    def withBands(sigs: DataFrame): DataFrame = {
-      val bandCols = (0 until bands).map { bidx =>
-        struct(lit(bidx).as("bidx"),
-          xxhash64((bidx * rows until (bidx + 1) * rows).map(i => col(s"mh$i")): _*)
-            .as("bhash"))
-      }
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.bidx").as("bidx"),
-          col("band.bhash").as("bhash"))
+    val bandCols = (0 until bands).map { bidx =>
+      struct(lit(bidx).as("bidx"),
+        xxhash64((bidx * rows until (bidx + 1) * rows).map(i => col(s"mh$i")): _*)
+          .as("bhash"))
     }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.bidx").as("bidx"),
+        col("band.bhash").as("bhash"))
+  }
+
+  def incrementalNearDup(newDocs: DataFrame, text: Column, id: Column,
+      indexSigs: DataFrame, perms: Int = 32, bands: Int = 16,
+      estThreshold: Double = 0.6, baseHash: BaseHash = XxHash,
+      indexBands: Option[DataFrame] = None): DataFrame = {
+    val bsig = minhashSignatures(newDocs, text, id, perms, 3, baseHash)
     def est(pa: String, pb: String): Column = (0 until perms)
       .map(i => when(col(s"$pa.mh$i") === col(s"$pb.mh$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / perms
-    val bb = withBands(bsig)
+    val bb = minhashBands(bsig, perms, bands)
+    // index-side frames carry DISTINCT column names so a plan reader
+    // (and BucketingSpec's exchange grep) can attribute every exchange
+    // to a side; simple aliases preserve the bucketed scan's reported
+    // partitioning, so the renames cost nothing
+    val ib = indexBands.getOrElse(minhashBands(indexSigs, perms, bands))
+      .select(col("doc_id").as("i_id"), col("bidx").as("i_bidx"),
+        col("bhash").as("i_bhash"))
+    val isig = indexSigs.withColumnRenamed("doc_id", "idx_doc_id")
     val idxDup = bb.as("x")
-      .join(withBands(indexSigs).as("y"),
-        col("x.bidx") === col("y.bidx") && col("x.bhash") === col("y.bhash"))
-      .select(col("x.doc_id").as("n_id"), col("y.doc_id").as("i_id")).distinct()
+      .join(ib, col("x.bidx") === col("i_bidx") &&
+        col("x.bhash") === col("i_bhash"))
+      .select(col("x.doc_id").as("n_id"), col("i_id")).distinct()
       .join(bsig.as("sa"), col("n_id") === col("sa.doc_id"))
-      .join(indexSigs.as("sb"), col("i_id") === col("sb.doc_id"))
+      .join(isig.as("sb"), col("i_id") === col("sb.idx_doc_id"))
       .filter(est("sa", "sb") >= estThreshold)
       .select(col("n_id").as("doc_id")).distinct()
       .withColumn("dup_idx", lit(true))

@@ -101,4 +101,53 @@ class BucketingSpec extends AnyFunSuite {
       assert(a == b)
     } finally spark.sql("DROP TABLE IF EXISTS graft_ev_bucketed")
   }
+
+  test("band-bucketed near-dup index: neither index table re-shuffles") {
+    val docs = Tables.documents(spark, dir)
+    val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val idxSigs = Dedup.minhashSignatures(docs.filter(side < "a"),
+      col("text"), col("doc_id"), perms = 32, shingleN = 3,
+      baseHash = Dedup.Md5Prefix)
+    BucketedStore.write(Dedup.minhashBands(idxSigs, 32, 16),
+      "graft_nidx_bands", tmp("graft_nb"), Seq("bidx", "bhash"), buckets = 8)
+    BucketedStore.write(idxSigs, "graft_nidx_sigs", tmp("graft_ns"),
+      Seq("doc_id"), buckets = 8)
+    val batch = docs.filter(side >= "a")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val stored = Dedup.incrementalNearDup(batch, col("text"), col("doc_id"),
+        BucketedStore.read(spark, "graft_nidx_sigs"),
+        perms = 32, bands = 16, estThreshold = 0.6,
+        baseHash = Dedup.Md5Prefix,
+        indexBands = Some(BucketedStore.read(spark, "graft_nidx_bands")))
+      // index-side columns are uniquely named (i_bidx / idx_doc_id), so
+      // an exchange carrying either IS an index-table re-shuffle
+      def idxExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.explainString(
+            org.apache.spark.sql.execution.SimpleMode)
+          .linesIterator.count(l =>
+            l.contains("Exchange hashpartitioning") &&
+              (l.contains("i_bidx") || l.contains("idx_doc_id")))
+      val p = plan(stored)
+      assert(p.contains("Bucketed: true"), s"index scans not bucketed:\n$p")
+      assert(idxExchanges(stored) == 0,
+        s"index-side exchange survived bucketing:\n$p")
+      val recomputed = Dedup.incrementalNearDup(batch, col("text"),
+        col("doc_id"), idxSigs, perms = 32, bands = 16,
+        estThreshold = 0.6, baseHash = Dedup.Md5Prefix)
+      assert(idxExchanges(recomputed) >= 1,
+        "control: the recomputed-band path should shuffle the index")
+      // semantics identical to the recompute-everything path
+      val a = stored.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = recomputed.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_nidx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_nidx_sigs")
+    }
+  }
 }

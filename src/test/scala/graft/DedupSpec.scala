@@ -508,6 +508,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out("suiteB") == ((1L, 0L, 0L)))
   }
 
+  test("band join is pigeonhole-lossless for est >= 0.6 at 32/16 (property)") {
+    // any signature pair with >= 20 equal components shares at least
+    // one intact band of 2 — adversarial placements included
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).flatMap { g =>
+      val base = Array.fill(32)(rnd.nextInt(1000000).toLong)
+      // partner: flip exactly 12 components at random positions (the
+      // worst case allowed by est >= 0.625 > 0.6)
+      val flipped = base.clone()
+      rnd.shuffle((0 until 32).toList).take(12)
+        .foreach(i => flipped(i) = flipped(i) + 1000000L)
+      Seq((g * 2L, base), (g * 2L + 1, flipped))
+    }
+    // 33-column frame via select (no 33-arity tuple encoder)
+    val df = rows.toDF("doc_id", "sig")
+      .select(col("doc_id") +: (0 until 32).map(i =>
+        col("sig").getItem(i).as(s"mh$i")): _*)
+    val pairs = Dedup.minhashLshPairs(df, perms = 32, bands = 16,
+        estThreshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 40).map(g => (g * 2L, g * 2L + 1)).toSet
+    assert(expected.subsetOf(pairs),
+      s"banding missed ${expected -- pairs} — pigeonhole violated")
+  }
+
   test("incrementalNearDup: index blocks, earlier batch mate defers, short doc keeps") {
     val spark0 = spark
     import spark0.implicits._
