@@ -773,6 +773,25 @@ object Dedup {
     * are dropped (with a logged count) rather than joined. */
   def simhashPairs(sigs: DataFrame, maxDist: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val exploded = capBuckets(simhashChunks(sigs, maxDist),
+      Seq("cidx", "cval"), maxBucket)
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** The chunk-band form of a SimHash signature frame — one (doc_id,
+    * simhash, cidx, cval) row per band key (C(8,2) 16-bit chunk pairs
+    * for maxDist <= 6, single 8-bit chunks for 7): the exploded table
+    * the simhash band join consumes, exposed so a persistent index can
+    * store it bucketed on (cidx, cval) — the [[minhashBands]] story
+    * for the hamming family. */
+  def simhashChunks(sigs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 7, s"8-chunk banding is exact only to hamming 7, got $maxDist")
     def chunkOf(c: Int) =
       shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(0xFFL)
@@ -786,20 +805,57 @@ object Dedup {
       } else (0 until 8).map { c =>
         struct(lit(c).as("cidx"), chunkOf(c).as("cval"))
       }
-    val exploded = capBuckets(
-      sigs.select(col("doc_id"), col("simhash"),
-          explode(array(chunks: _*)).as("ch"))
-        .select(col("doc_id"), col("simhash"),
-          col("ch.cidx").as("cidx"), col("ch.cval").as("cval")),
-      Seq("cidx", "cval"), maxBucket)
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    a.join(b, col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+    sigs.select(col("doc_id"), col("simhash"),
+        explode(array(chunks: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
+  }
+
+  /** INCREMENTAL near-dup against a SIMHASH index — [[incrementalNearDup]]
+    * for the hamming-distance family: new docs are signed in one typed
+    * map, chunk-band-joined against the index and themselves, verdicts
+    * by popcount(xor) <= maxDist. Banding is pigeonhole-exact for
+    * maxDist <= 6 (at most 6 differing chunks leave >= 2 intact, so an
+    * intact chunk PAIR must collide — the simhashPairs theorem), which
+    * is why the SQL oracle can compare hamming over ALL pairs with no
+    * banding replay. Signatures ride the band rows, so the verdict
+    * needs no signature re-join — the index enters the plan ONLY via
+    * the (cidx, cval) join; store [[simhashChunks]] bucketed on those
+    * keys and the index never re-shuffles. Unsignable docs (null text)
+    * keep unconditionally. */
+  def incrementalNearDupSimhash(newDocs: DataFrame, text: Column, id: Column,
+      indexSigs: DataFrame, maxDist: Int = 6, baseHash: BaseHash = XxHash,
+      indexChunks: Option[DataFrame] = None): DataFrame = {
+    val bsig = simhash(newDocs, text, id, baseHash)
+    val bb = simhashChunks(bsig, maxDist)
+    val ib = indexChunks.getOrElse(simhashChunks(indexSigs, maxDist))
+      .select(col("doc_id").as("i_id"), col("simhash").as("i_sim"),
+        col("cidx").as("i_cidx"), col("cval").as("i_cval"))
+    val idxDup = bb.as("x")
+      .join(ib, col("x.cidx") === col("i_cidx") &&
+        col("x.cval") === col("i_cval"))
+      .select(col("x.doc_id").as("doc_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("i_sim"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .select(col("doc_id")).distinct()
+      .withColumn("dup_idx", lit(true))
+    val selfDup = bb.as("x")
+      .join(bb.as("y"),
+        col("x.cidx") === col("y.cidx") && col("x.cval") === col("y.cval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("doc_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_id")).distinct()
+      .withColumn("dup_batch", lit(true))
+    newDocs.select(id.cast("long").as("doc_id"))
+      .join(idxDup, Seq("doc_id"), "left")
+      .join(selfDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_idx"), lit(false)).as("dup_of_index"),
+        coalesce(col("dup_batch"), lit(false)).as("dup_of_batch_earlier"),
+        (!coalesce(col("dup_idx"), lit(false))
+          && !coalesce(col("dup_batch"), lit(false))).as("keep"))
   }
 
   /** Connected components over an undirected pair list: every node in

@@ -153,10 +153,14 @@ object DocQueries {
     * here too: C(8,2) chunk-pair banding is pigeonhole-lossless to
     * hamming 7, so the banded operator output equals all pairs within
     * the distance. */
-  private val SIMHASH_PAIRS_CTES: String =
-    s"""w AS (SELECT doc_id, $SPLIT AS ws FROM documents
+  /** The shared SimHash signature chain — `ssig(doc_id, simhash)` over
+    * `documents` (single-sourced for the pairs and incremental
+    * oracles; named ssig to coexist with the MinHash `sig` chain in
+    * one WITH clause). */
+  private val SIMHASH_SIG_CTES: String =
+    s"""w2 AS (SELECT doc_id, $SPLIT AS ws FROM documents
        |  WHERE text IS NOT NULL),
-       |wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+       |wd AS (SELECT doc_id, unnest(ws) AS word FROM w2),
        |wh AS (SELECT doc_id,
        |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
        |      * 4294967296 + lo AS h64
@@ -168,14 +172,17 @@ object DocQueries {
        |    sum(CASE WHEN ((h64 >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
        |  FROM wh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
        |  GROUP BY 1, 2),
-       |sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+       |ssig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
        |      CASE WHEN b = 63 THEN -9223372036854775807 - 1
        |      ELSE (CAST(1 AS BIGINT) << b) END ELSE 0 END) AS BIGINT)
        |    AS simhash
-       |  FROM bits GROUP BY 1),
+       |  FROM bits GROUP BY 1)""".stripMargin
+
+  private val SIMHASH_PAIRS_CTES: String =
+    s"""$SIMHASH_SIG_CTES,
        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)""".stripMargin
 
   /** The min-reachable-id survivors tail shared by the three keep-list
@@ -583,7 +590,7 @@ object DocQueries {
       s"""WITH $SIMHASH_PAIRS_CTES,
          |m AS (SELECT b_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
          |SELECT s.doc_id, m.dup_of
-         |FROM sig s LEFT JOIN m ON s.doc_id = m.b_id""".stripMargin) {
+         |FROM ssig s LEFT JOIN m ON s.doc_id = m.b_id""".stripMargin) {
       (s, dir) =>
         import s.implicits._
         val docs = Streaming.documentsStream(s, dir)
@@ -948,6 +955,40 @@ object DocQueries {
       Dedup.incrementalNearDup(docs.filter(side >= "a"), col("text"),
         col("doc_id"), indexSigs, perms = 32, bands = 16,
         estThreshold = 0.6, baseHash = Dedup.Md5Prefix)
+    },
+
+    // The SIMHASH incremental twin: same verdict shape over hamming
+    // distance — chunk-pair banding is pigeonhole-exact to hamming 6,
+    // so the oracle again compares ALL pairs with no banding replay.
+    // Signatures ride the band rows (no signature re-join), and the
+    // banded index table (simhashChunks) is the bucket-store unit.
+    "doc_dedup_incremental_simhash" -> QueryDef(
+      s"""WITH $SIMHASH_SIG_CTES,
+         |side AS (SELECT doc_id,
+         |    substr(md5(doc_id::VARCHAR), 1, 1) < 'a' AS is_idx
+         |  FROM documents),
+         |hi2 AS (SELECT s.* FROM ssig s JOIN side ON s.doc_id = side.doc_id
+         |  WHERE side.is_idx),
+         |hb2 AS (SELECT s.* FROM ssig s JOIN side ON s.doc_id = side.doc_id
+         |  WHERE NOT side.is_idx),
+         |sdi AS (SELECT DISTINCT b.doc_id FROM hb2 b JOIN hi2 a
+         |  ON bit_count(xor(a.simhash, b.simhash)) <= 6),
+         |sdb AS (SELECT DISTINCT b.doc_id FROM hb2 b JOIN hb2 a
+         |  ON a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 6)
+         |SELECT d.doc_id,
+         |  d.doc_id IN (SELECT doc_id FROM sdi) AS dup_of_index,
+         |  d.doc_id IN (SELECT doc_id FROM sdb) AS dup_of_batch_earlier,
+         |  d.doc_id NOT IN (SELECT doc_id FROM sdi)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM sdb) AS keep
+         |FROM documents d JOIN side ON d.doc_id = side.doc_id
+         |WHERE NOT side.is_idx""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val indexSigs = Dedup.simhash(docs.filter(side < "a"), col("text"),
+        col("doc_id"), baseHash = Dedup.Md5Prefix)
+      Dedup.incrementalNearDupSimhash(docs.filter(side >= "a"), col("text"),
+        col("doc_id"), indexSigs, maxDist = 6, baseHash = Dedup.Md5Prefix)
     },
 
     // COMPOSED ingest-time curation: exact incremental dedup vs index

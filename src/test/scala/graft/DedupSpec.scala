@@ -556,6 +556,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(30L) == ((false, false, true)), "unsignable doc keeps")
   }
 
+  test("incrementalNearDupSimhash: index blocks, batch mate defers, null keeps") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val idx = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                 // identical words -> hamming 0 vs index
+      (20L, "unique words only here nothing shared with anyone at all " * 4),
+      (21L, "unique words only here nothing shared with anyone at all " * 4),
+      (30L, null.asInstanceOf[String])  // unsignable
+    ).toDF("doc_id", "text")
+    val idxSigs = Dedup.simhash(idx, col("text"), col("doc_id"))
+    val out = Dedup.incrementalNearDupSimhash(batch, col("text"),
+        col("doc_id"), idxSigs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(10L) == ((true, false, false)))
+    assert(out(20L) == ((false, false, true)))
+    assert(out(21L) == ((false, true, false)), "identical mate defers by id")
+    assert(out(30L) == ((false, false, true)), "null text keeps")
+  }
+
   test("quantized-prefilter embedding dedup equals brute force (lossless margin)") {
     // weak threshold on real data: the screen is widest here, so an
     // off-by-anything in the margin bound would show as missing pairs
