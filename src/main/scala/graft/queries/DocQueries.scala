@@ -991,6 +991,83 @@ object DocQueries {
         col("doc_id"), indexSigs, maxDist = 6, baseHash = Dedup.Md5Prefix)
     },
 
+    // DEDUP AUDIT: the agreement matrix of the three incremental
+    // verdict families over the same batch/index split — how many docs
+    // each combination of (exact, minhash-est, simhash-hamming) flags.
+    // The production use is drift monitoring: exact misses near-dups
+    // by definition, so a batch where minhash and exact flag the SAME
+    // set is suspicious (template corpus), and a doc flagged by exact
+    // but not the signatures is a hash-quality alarm. Oracle chains
+    // the three families' single-sourced CTEs.
+    "doc_dedup_verdict_report" -> QueryDef(
+      s"""WITH $MINHASH_SIG_CTES,
+         |$SIMHASH_SIG_CTES,
+         |side AS (SELECT doc_id,
+         |    substr(md5(doc_id::VARCHAR), 1, 1) < 'a' AS is_idx
+         |  FROM documents),
+         |oldd AS (SELECT sha256(text) AS digest
+         |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+         |  WHERE side.is_idx),
+         |newd AS (SELECT d.doc_id, sha256(text) AS digest
+         |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+         |  WHERE NOT side.is_idx),
+         |ekeep AS (SELECT n.doc_id FROM newd n
+         |  LEFT JOIN (SELECT DISTINCT digest FROM oldd) i ON n.digest = i.digest
+         |  JOIN (SELECT digest, min(doc_id) AS keep_id FROM newd GROUP BY 1) kp
+         |    ON n.digest = kp.digest
+         |  WHERE i.digest IS NULL AND n.doc_id = kp.keep_id),
+         |isig AS (SELECT s.* FROM sig s JOIN side ON s.doc_id = side.doc_id
+         |  WHERE side.is_idx),
+         |bsig AS (SELECT s.* FROM sig s JOIN side ON s.doc_id = side.doc_id
+         |  WHERE NOT side.is_idx),
+         |mdup AS (SELECT DISTINCT b.doc_id FROM bsig b JOIN isig a
+         |    ON (${minhashEqSum("a", "b")}) / 32.0 >= 0.6
+         |  UNION SELECT DISTINCT b.doc_id FROM bsig b JOIN bsig a
+         |    ON a.doc_id < b.doc_id
+         |    AND (${minhashEqSum("a", "b")}) / 32.0 >= 0.6),
+         |hi2 AS (SELECT s.* FROM ssig s JOIN side ON s.doc_id = side.doc_id
+         |  WHERE side.is_idx),
+         |hb2 AS (SELECT s.* FROM ssig s JOIN side ON s.doc_id = side.doc_id
+         |  WHERE NOT side.is_idx),
+         |sdup AS (SELECT DISTINCT b.doc_id FROM hb2 b JOIN hi2 a
+         |    ON bit_count(xor(a.simhash, b.simhash)) <= 6
+         |  UNION SELECT DISTINCT b.doc_id FROM hb2 b JOIN hb2 a
+         |    ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.simhash, b.simhash)) <= 6)
+         |SELECT e_dup, m_dup, s_dup, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT d.doc_id,
+         |    d.doc_id NOT IN (SELECT doc_id FROM ekeep) AS e_dup,
+         |    d.doc_id IN (SELECT doc_id FROM mdup) AS m_dup,
+         |    d.doc_id IN (SELECT doc_id FROM sdup) AS s_dup
+         |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+         |  WHERE NOT side.is_idx) v
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val idxDocs = docs.filter(side < "a")
+      val batch = docs.filter(side >= "a")
+      val exact = Dedup.incrementalDedup(batch, col("text"), col("doc_id"),
+          idxDocs.select(sha2(col("text"), 256).as("digest")))
+        .select(col("doc_id"), (!col("keep")).as("e_dup"))
+      val mh = Dedup.incrementalNearDup(batch, col("text"), col("doc_id"),
+          Dedup.minhashSignatures(idxDocs, col("text"), col("doc_id"),
+            perms = 32, shingleN = 3, baseHash = Dedup.Md5Prefix),
+          perms = 32, bands = 16, estThreshold = 0.6,
+          baseHash = Dedup.Md5Prefix)
+        .select(col("doc_id"),
+          (col("dup_of_index") || col("dup_of_batch_earlier")).as("m_dup"))
+      val sh = Dedup.incrementalNearDupSimhash(batch, col("text"),
+          col("doc_id"),
+          Dedup.simhash(idxDocs, col("text"), col("doc_id"),
+            baseHash = Dedup.Md5Prefix),
+          maxDist = 6, baseHash = Dedup.Md5Prefix)
+        .select(col("doc_id"),
+          (col("dup_of_index") || col("dup_of_batch_earlier")).as("s_dup"))
+      exact.join(mh, "doc_id").join(sh, "doc_id")
+        .groupBy("e_dup", "m_dup", "s_dup")
+        .agg(count(lit(1)).as("n"))
+    },
+
     // COMPOSED ingest-time curation: exact incremental dedup vs index
     // -> incremental NEAR-dup (MinHash) among the exact survivors ->
     // per-source quality cap on what's left. Every stage reuses its
