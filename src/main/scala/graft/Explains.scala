@@ -60,7 +60,9 @@ object Explains {
       "doc_source_cap" -> "domain capping: TWO window exchanges — phase 1 partitions on (source, id % salts) so a hot domain splits across salt buckets; phase 2's per-source window only ever sees <= cap*salts survivors per domain (the bounded partition is the point; a single-window plan would sort whole domains in one task)",
       "emb_quantized_topk" -> "SQ8 ANN: ONE graft_quantize projection per row (norm + codes in a single codegen'd pass — no CollapseProject re-inlining), quantized query codes broadcast, ranking by graft_idot on exact Longs — float arithmetic appears nowhere after the quantize",
       "doc_dedup_incremental_near" -> "incremental near-dup: new docs signed in ONE typed map; the index side appears ONLY in the (bidx, bhash) band join and the matched-signature re-join — never self-joined, never re-signed; verdict assembly is two left joins on bare ids",
-      "doc_pipeline_ingest" -> "composed ingest curation: the exact-dedup stage shuffles 32-byte digests, its survivors feed the signature band join, and ONLY near-dup survivors reach the quality scoring + capped windows — each stage prunes the next stage's input, visible as the narrowing join chain")
+      "doc_pipeline_ingest" -> "composed ingest curation: the exact-dedup stage shuffles 32-byte digests, its survivors feed the signature band join, and ONLY near-dup survivors reach the quality scoring + capped windows — each stage prunes the next stage's input, visible as the narrowing join chain",
+      "doc_dedup_incremental_simhash" -> "simhash incremental: signatures RIDE the chunk-band rows (no signature re-join anywhere in the plan — compare the minhash variant's two re-joins); the index appears once, keyed (i_cidx, i_cval), verdict assembly is two left joins on bare ids",
+      "doc_dedup_verdict_report" -> "dedup audit matrix: three verdict subplans share the ONE documents scan family, agree/disagree flags fold into a single 8-group hash aggregate — the audit costs the three verdicts, not a fourth corpus pass")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — representative physical plans\n\n")

@@ -4,7 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines:
-  * exact (hash groupBy), word-n-gram Jaccard, MinHash+LSH, SimHash.
+  * exact (hash groupBy), word-n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding near-dup (brute / LSH / SemDeDup / quantized-prefilter),
+  * decontamination, passage dedup, survivor election, and the
+  * INCREMENTAL family (exact / MinHash / SimHash verdicts against a
+  * persistent index — the ingest-time path).
   *
   * Scale ladder (100 TB):
   *   - exact dedup: one shuffle on the content key — use a digest
@@ -13,11 +17,18 @@ import org.apache.spark.sql.functions._
   *   - pairwise n-gram Jaccard: exact but quadratic in the worst case —
   *     use only to verify candidates;
   *   - MinHash+LSH: the scale path — O(n) signatures, candidate pairs
-  *     only where a band collides, then exact/estimated verification.
+  *     only where a band collides, then exact/estimated verification
+  *     (pigeonhole-lossless when perms - ceil(t*perms) < bands);
   *   - SimHash: 64-bit signature, candidates via 8-bit chunk bands
   *     (hamming<=k exact by pigeonhole with 8 chunks for k<=7);
   *   - embedding near-dup: brute-force cosine as the exact baseline,
-  *     SRP-LSH candidates + exact verify as the scale path.
+  *     SRP-LSH candidates + exact verify as the scale path, the
+  *     lossless integer-quantized screen between them when candidate
+  *     volume dominates;
+  *   - incremental: never rescan the accepted corpus — verdicts join
+  *     the new batch against a stored index (digests / signatures /
+  *     banded signatures, bucket-stored so the index never
+  *     re-shuffles).
   * Band joins take a hot-bucket cap (capBuckets) so degenerate band
   * values cannot generate quadratic candidate sets at scale.
   */
