@@ -1212,6 +1212,43 @@ object DocQueries {
         .select("doc_id", "lang", "split")
     },
 
+    // SPLIT-LEAKAGE audit: near-dup pairs straddling the train/val/test
+    // boundary — the check a training pipeline runs before shipping a
+    // split. hashSplit keys on md5(text), so EXACT duplicates land in
+    // one split by construction; near-dups can still straddle, and
+    // this reports the full (split, split) matrix with pair counts and
+    // the worst Jaccard per cell (cross-split cells are the leaks).
+    // Composes the single-sourced Jaccard pair CTEs with the split
+    // rule's shared hashBound literals.
+    "doc_split_leakage" -> QueryDef(
+      s"""WITH $JACCARD_PAIRS_CTES,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN substr(md5(text), 1, 6) < '${Sampling.hashBound(0.8)}'
+         |    THEN 'train'
+         |    WHEN substr(md5(text), 1, 6) < '${Sampling.hashBound(0.9)}'
+         |    THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT least(pa.split, pb.split) AS split_lo,
+         |  greatest(pa.split, pb.split) AS split_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  max(jaccard) AS max_jaccard
+         |FROM pairs
+         |JOIN sp pa ON pairs.a_id = pa.doc_id
+         |JOIN sp pb ON pairs.b_id = pb.doc_id
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+        3, 0.8)
+      val sp = Sampling.hashSplit(docs, col("text"), 0.8, 0.1)
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("a_id"), col("split").as("sa")), "a_id")
+        .join(sp.select(col("doc_id").as("b_id"), col("split").as("sb")), "b_id")
+        .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+    },
+
     // Deterministic content-hash sampling: ~10% of docs survive, chosen
     // by md5 prefix (identical hex in both engines) — reproducible
     // corpus subsetting with no RNG coordination.
