@@ -54,4 +54,31 @@ object BucketedStore {
     * exchange over this frame. */
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Append rows to an existing bucketed table, preserving its bucket
+    * spec — the INDEX-MAINTENANCE half of the incremental-dedup story:
+    * after each ingest batch, the keepers' digests / signatures /
+    * banded signatures append here, and the next batch's verdict join
+    * still reads a correctly-bucketed index (each append adds one file
+    * per touched bucket; Spark validates the spec, so a mis-bucketed
+    * append fails loudly rather than silently corrupting co-location).
+    * Appends accumulate files per bucket — re-`write` the table when
+    * small-file count matters (the BlockCatalog compaction policy,
+    * index edition). */
+  def append(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    // saveAsTable(append) requires the writer to RESTATE the bucket
+    // spec; deriving it from the catalog makes mis-bucketing
+    // unrepresentable at this API
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(s"$table is not bucketed"))
+    val w = df.write.mode("append")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else w).format("parquet").saveAsTable(table)
+  }
 }

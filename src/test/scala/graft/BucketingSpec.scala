@@ -150,4 +150,40 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_nidx_sigs")
     }
   }
+
+  test("index append: bucketing survives, verdicts match a fresh full index") {
+    val docs = Tables.documents(spark, dir)
+    val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val idxDocs = docs.filter(side < "a")
+    // half the index written, the other half APPENDED (two ingest days)
+    val h = col("doc_id") % 2 === 0
+    def sigsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(d, col("text"), col("doc_id"),
+        perms = 32, shingleN = 3, baseHash = Dedup.Md5Prefix)
+    BucketedStore.write(Dedup.minhashBands(sigsOf(idxDocs.filter(h)), 32, 16),
+      "graft_app_bands", tmp("graft_ab"), Seq("bidx", "bhash"), buckets = 8)
+    BucketedStore.write(sigsOf(idxDocs.filter(h)), "graft_app_sigs",
+      tmp("graft_as"), Seq("doc_id"), buckets = 8)
+    BucketedStore.append(Dedup.minhashBands(sigsOf(idxDocs.filter(!h)), 32, 16),
+      "graft_app_bands")
+    BucketedStore.append(sigsOf(idxDocs.filter(!h)), "graft_app_sigs")
+    try {
+      val batch = docs.filter(side >= "a")
+      val stored = Dedup.incrementalNearDup(batch, col("text"), col("doc_id"),
+        BucketedStore.read(spark, "graft_app_sigs"),
+        perms = 32, bands = 16, estThreshold = 0.6,
+        baseHash = Dedup.Md5Prefix,
+        indexBands = Some(BucketedStore.read(spark, "graft_app_bands")))
+      assert(plan(stored).contains("Bucketed: true"))
+      val fresh = Dedup.incrementalNearDup(batch, col("text"), col("doc_id"),
+        sigsOf(idxDocs), perms = 32, bands = 16, estThreshold = 0.6,
+        baseHash = Dedup.Md5Prefix)
+      val a = stored.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = fresh.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(a == b, "appended index diverged from a fresh full index")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_app_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_app_sigs")
+    }
+  }
 }
