@@ -799,4 +799,39 @@ object TextAnalysis {
       element_at(codes, 1),
       (acc, x) => (acc * 31 + x) % 1000000007L)
   }
+
+  /** Corpus DRIFT report between two snapshots — the monitoring
+    * surface a continuously-ingesting pipeline runs before retraining:
+    * per-word unigram probability in the `old` vs `new` slice
+    * (`isNew` marks the new snapshot) and the top-K words by absolute
+    * probability shift. A crawler change, a new spam campaign, or a
+    * domain-mix shift all surface here as specific words moving ppm.
+    *
+    * Determinism: probabilities are ppm by pure INTEGER floor division
+    * (`c * 1e6 div n` — Spark `div` and DuckDB `//` truncate
+    * identically on non-negatives; `nullif` guards an empty snapshot
+    * under ANSI), so the drift rank key is an exact integer, never a
+    * rounded float; (drift_ppm DESC, word) is a total order (words are
+    * distinct post-agg).
+    *
+    * Shape at 100 TB: one tokenization pass, one vocabulary-sized
+    * map-combinable count agg (both snapshot counts in the same
+    * shuffle), a broadcast-scalar totals attach, and a TakeOrdered
+    * top-K — the corpus shuffles nothing but (word, 1) pairs. */
+  def corpusDrift(df: org.apache.spark.sql.DataFrame, text: Column,
+      isNew: Column, topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val w = df.select(explode(words(text)).as("word"),
+      isNew.cast("int").as("nw"))
+    val wc = w.groupBy("word").agg(
+      sum(lit(1) - col("nw")).as("c_old"), sum(col("nw")).as("c_new"))
+    val tot = wc.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
+    wc.crossJoin(broadcast(tot))
+      .select(col("word"), col("c_old"), col("c_new"),
+        expr("c_old * 1000000 div nullif(n_old, 0)").as("p_old_ppm"),
+        expr("c_new * 1000000 div nullif(n_new, 0)").as("p_new_ppm"))
+      .withColumn("drift_ppm", abs(col("p_old_ppm") - col("p_new_ppm")))
+      .orderBy(col("drift_ppm").desc, col("word").asc)
+      .limit(topK)
+  }
 }

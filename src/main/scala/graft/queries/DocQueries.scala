@@ -1804,5 +1804,61 @@ object DocQueries {
         |FROM documents""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+    },
+
+    // JSONL ingest round-trip: the corpus is staged as JSON-lines (the
+    // raw web-corpus format) and re-read through Ingest.readJsonl's
+    // schema'd permissive scan — the oracle is the source table, so
+    // equality proves the serialize -> line-split -> schema'd parse
+    // path is lossless (escapes, unicode, nulls). The corrupt-record
+    // quarantine column must be empty on clean input.
+    "doc_ingest_jsonl" -> QueryDef(
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(NULL AS VARCHAR) AS corrupt
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_q").toString
+      Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").json(s"$tmp/raw")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.sources.Ingest.readJsonl(s, s"$tmp/raw", schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("_corrupt_record").as("corrupt"))
+    },
+
+    // Corpus DRIFT between two snapshots (split deterministically by
+    // md5(text) so the report is replayable): top-20 words by absolute
+    // unigram-probability shift in ppm — the retraining-trigger
+    // monitoring surface. All-integer rank key (floor-division ppm),
+    // (drift DESC, word) total order.
+    "doc_corpus_drift" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT unnest($SPLIT) AS word,
+         |    CASE WHEN substr(md5(text), 1, 6) < '${Sampling.hashBound(0.5)}'
+         |      THEN 0 ELSE 1 END AS nw
+         |  FROM documents),
+         |wc AS (SELECT word, CAST(sum(1 - nw) AS BIGINT) AS c_old,
+         |    CAST(sum(nw) AS BIGINT) AS c_new
+         |  FROM w GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+         |    CAST(sum(c_new) AS BIGINT) AS n_new FROM wc),
+         |p AS (
+         |  SELECT word, c_old, c_new,
+         |    CAST((c_old * 1000000) // NULLIF(n_old, 0) AS BIGINT) AS p_old_ppm,
+         |    CAST((c_new * 1000000) // NULLIF(n_new, 0) AS BIGINT) AS p_new_ppm
+         |  FROM wc CROSS JOIN tot)
+         |SELECT word, c_old, c_new, p_old_ppm, p_new_ppm,
+         |  abs(p_old_ppm - p_new_ppm) AS drift_ppm
+         |FROM p
+         |ORDER BY drift_ppm DESC, word ASC
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      TA.corpusDrift(Tables.documents(s, dir), col("text"),
+        substring(md5(col("text")), 1, 6) >= Sampling.hashBound(0.5),
+        topK = 20)
     })
 }

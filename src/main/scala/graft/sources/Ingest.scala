@@ -73,4 +73,32 @@ object Ingest {
       }
     } finally normalized.unpersist()
   }
+
+  /** Schema'd JSONL (JSON-lines) corpus reader — the raw-document
+    * format every web-scale text pipeline ingests from (one JSON object
+    * per line; svoe ingests only CSV market data, this is the
+    * training-corpus analogue of [[ingestCsv]]'s schema'd scan).
+    *
+    * The schema is EXPLICIT, never inferred: at 100 TB an inference
+    * pass would be a full extra read of the corpus, and drifting raw
+    * files must fail loudly, not widen columns silently. Reading is
+    * PERMISSIVE with a corrupt-record capture column: a malformed line
+    * becomes one quarantined row (returned via the `_corrupt_record`
+    * column, all data fields null) instead of killing a 1000-executor
+    * job; callers split on `_corrupt_record IS NULL` to route the
+    * quarantine. Line-split parallelism is Spark's native text-source
+    * splitting — JSONL needs no record re-assembly across block
+    * boundaries, so a single huge file still fans out by HDFS block. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
 }
