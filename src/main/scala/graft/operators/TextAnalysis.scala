@@ -587,6 +587,31 @@ object TextAnalysis {
     * contribute 0 (no smoothing: ccnt >= 1 by construction, ttot > 0
     * required). */
   def importanceWeights(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, isTarget: Column): org.apache.spark.sql.DataFrame =
+    importanceSp(df, text, id, isTarget)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("sp")) / count(lit(1)) / lit(1000000.0), 4)
+          .as("importance"))
+
+  /** [[importanceWeights]] with an all-INTEGER per-doc weight:
+    * `imp_um = floor(sum(sp) / n_words)` by Long floor division — the
+    * exact rank key a downstream selection can sort on without any
+    * `.5`-rounding boundary (the doc_filter_chain lesson). Output:
+    * (doc_id, n_words, imp_um). */
+  def importanceWeightMicros(df: org.apache.spark.sql.DataFrame,
+      text: Column, id: Column,
+      isTarget: Column): org.apache.spark.sql.DataFrame =
+    importanceSp(df, text, id, isTarget)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("sp")).cast("long").as("sum_sp"))
+      .select(col("doc_id"), col("n_words"),
+        expr("sum_sp div n_words").as("imp_um"))
+
+  /** Shared DSIR core: one (doc_id, sp) row per word occurrence, where
+    * sp = round(1e6 * p_target(word) / p_corpus(word)) — an exact
+    * integer-valued double (order-independent in any downstream sum). */
+  private def importanceSp(df: org.apache.spark.sql.DataFrame, text: Column,
       id: Column, isTarget: Column): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val w = df.select(id.cast("long").as("doc_id"),
@@ -602,10 +627,6 @@ object TextAnalysis {
     w.join(wc, "word")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), sp.as("sp"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        round(sum(col("sp")) / count(lit(1)) / lit(1000000.0), 4)
-          .as("importance"))
   }
 
   /** CCNet-style n-gram LM quality score: the corpus's own bigram

@@ -1831,6 +1831,45 @@ object DocQueries {
           col("n_chars"), col("_corrupt_record").as("corrupt"))
     },
 
+    // DSIR SELECTION end-to-end: importance weights toward the English
+    // slice (exact integer micros — floor-division mean, no rounded
+    // float anywhere in the key) ranked into a token-budget selection.
+    // The Spark side composes importanceWeightMicros with the bucketed
+    // tokenBudgetSelect (metadata histogram, no global window); the
+    // oracle is the naive global running-sum window over the same
+    // rational arithmetic.
+    "doc_dsir_select" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($SPLIT) AS word,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+         |  FROM documents),
+         |wc AS (SELECT word, count(*) AS ccnt, sum(tgt) AS tcnt
+         |  FROM w GROUP BY 1),
+         |tot AS (SELECT sum(ccnt) AS ctot, sum(tcnt) AS ttot FROM wc),
+         |m AS (
+         |  SELECT w.doc_id,
+         |    round(1000000.0 * (wc.tcnt::DOUBLE * tot.ctot)
+         |      / (tot.ttot::DOUBLE * wc.ccnt)) AS sp
+         |  FROM w JOIN wc USING (word) CROSS JOIN tot),
+         |iw AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(sp) AS BIGINT) // count(*) AS imp_um
+         |  FROM m GROUP BY 1),
+         |c AS (
+         |  SELECT doc_id, imp_um, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY imp_um DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM iw)
+         |SELECT doc_id, imp_um, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 12000""".stripMargin) { (s, dir) =>
+      val iw = TA.importanceWeightMicros(Tables.documents(s, dir),
+        col("text"), col("doc_id"), col("lang") === "en")
+      Sampling.tokenBudgetSelect(
+          iw.select(col("doc_id"), col("imp_um").as("q"),
+            col("n_words").cast("long").as("n_tokens")), 12000L)
+        .withColumnRenamed("q", "imp_um")
+    },
+
     // Corpus DRIFT between two snapshots (split deterministically by
     // md5(text) so the report is replayable): top-20 words by absolute
     // unigram-probability shift in ppm — the retraining-trigger
