@@ -247,6 +247,42 @@ object EventQueries {
         Streaming.ohlcvStream(Streaming.eventsStream(s, dir), H))
     },
 
+    // STREAM-STREAM interval join (J4's event-time range half): each
+    // purchase joined to the same user's clicks in the preceding 6h —
+    // the attribution/enrichment join, run on the STREAMING engine
+    // (two watermarked sides, event-time range condition bounding both
+    // state stores, append mode) and drained with AvailableNow. Inner
+    // join → the emitted set is trigger-slicing-independent, so the
+    // plain batch SQL below grades the streaming run exactly.
+    "ev_stream_interval_join" -> QueryDef(
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+        |  epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us,
+        |  CAST(round(p.value*100) AS BIGINT) AS p_cents,
+        |  CAST(round(c.value*100) AS BIGINT) AS c_cents
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin) { (s, dir) =>
+      val ev = Streaming.eventsStream(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts_us"), col("value").as("p_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts_us"), col("value").as("c_value"))
+      val joined = Streaming.intervalJoinStream(purchases, clicks,
+        "user_id", "ts_us", 21600000000L, "12 hours")
+      Streaming.runAvailableNow(joined.select(
+        col("user_id"), col("p_id"), col("c_id"),
+        unix_micros(col("l_ts")).as("p_ts_us"),
+        unix_micros(col("r_ts")).as("c_ts_us"),
+        round(col("p_value") * 100).cast("long").as("p_cents"),
+        round(col("c_value") * 100).cast("long").as("c_cents")),
+        "append")
+    },
+
     // A2 sliding-window population stddev (volatility) per event_type,
     // 24h lookback, evaluated per event — native range frame, no
     // per-event recompute loop.

@@ -58,6 +58,37 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("bucket_us"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Stream-stream INTERVAL join — the missing Spark streaming join
+    * family next to the batch as-of: each left-stream row joins every
+    * right-stream row of the same key whose event time falls in
+    * `[left_ts - lookbackUs, left_ts]` (purchase enriched with the
+    * user's preceding clicks — attribution / feature-enrichment
+    * shape). Both sides carry watermarks and the join condition is an
+    * event-time RANGE, so Spark bounds both state stores: a right row
+    * is dropped once the watermark passes `right_ts + lookback`,
+    * independent of stream volume. Inner join → append mode → the
+    * emitted set equals the batch join exactly under ANY trigger
+    * slicing (no result depends on batch boundaries), which is what
+    * lets one batch SQL oracle grade the streaming engine.
+    *
+    * At 100 TB/day the state bound is `lookback × per-key rate`, not
+    * corpus size; the key (`user_id`) shards state across executors
+    * exactly like the batch join's shuffle. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      key: String, tsCol: String, lookbackUs: Long,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withColumn("l_ts", timestamp_micros(col(tsCol)))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.withColumnRenamed(key, "r_key")
+      .withColumn("r_ts", timestamp_micros(col(tsCol)))
+      .withWatermark("r_ts", watermarkDelay)
+      .drop(tsCol)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${lookbackUs / 1000000L} SECONDS") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
   /** Streaming OHLCV — the A1 tumbling aggregate (WindowOps.ohlcv /
     * ev_ohlcv_1h) as a streaming hash agg over the same declarative
     * expressions (min_by/max_by on the total order key, exact-cents
