@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Sampling, TextAnalysis => TA}
+import graft.operators.{Dedup, Retrieval, Sampling, Similarity, TextAnalysis => TA}
 import graft.streaming.Streaming
 
 /** LLM-training-data operators over the `documents` table: dedup
@@ -1829,6 +1829,82 @@ object DocQueries {
       graft.sources.Ingest.readJsonl(s, s"$tmp/raw", schema)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"), col("_corrupt_record").as("corrupt"))
+    },
+
+    // HYBRID retrieval with Reciprocal Rank Fusion: 3 md5-picked probe
+    // docs retrieve their top-20 by exact shingle Jaccard (lexical,
+    // broadcast query sets — corpus text never shuffles) AND their
+    // top-20 by embedding cosine (dense, the bruteForceTopK path);
+    // RRF fuses the two rank lists with integer 1e6//(60+rank)
+    // contributions — no score calibration, no float in any rank key.
+    // The RAG / curation retrieval stack end-to-end under one oracle.
+    "doc_hybrid_rrf" -> QueryDef(
+      s"""WITH qs AS (
+         |  SELECT doc_id AS q_id FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 3),
+         |w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws) - 1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |scnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT q.doc_id AS q_id, d.doc_id AS doc_id, count(*) AS inter
+         |  FROM sh q
+         |  JOIN qs ON q.doc_id = qs.q_id
+         |  JOIN sh d ON d.s = q.s AND d.doc_id != q.doc_id
+         |  GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT q_id, i.doc_id,
+         |    CAST((i.inter * 1000000) // (nq.n + nd.n - i.inter) AS BIGINT) AS jacc_um
+         |  FROM inter i
+         |  JOIN scnt nq ON nq.doc_id = i.q_id
+         |  JOIN scnt nd ON nd.doc_id = i.doc_id),
+         |lexr AS (
+         |  SELECT q_id, doc_id, lex_rnk FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY jacc_um DESC, doc_id) AS lex_rnk
+         |    FROM lex) t WHERE lex_rnk <= 20),
+         |qe AS (SELECT vec_id AS q_id, embedding AS qv
+         |  FROM embeddings JOIN qs ON vec_id = qs.q_id),
+         |semr AS (
+         |  SELECT q_id, doc_id, sem_rnk FROM (
+         |    SELECT q_id, vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY list_dot_product(qv::DOUBLE[], embedding::DOUBLE[]) /
+         |          (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+         |           * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) DESC,
+         |          vec_id ASC) AS sem_rnk
+         |    FROM qe CROSS JOIN embeddings WHERE vec_id != q_id) t
+         |  WHERE sem_rnk <= 20),
+         |f AS (
+         |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rnk, s.sem_rnk
+         |  FROM lexr l FULL JOIN semr s
+         |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+         |g AS (
+         |  SELECT q_id, doc_id, lex_rnk, sem_rnk,
+         |    CAST(coalesce(1000000 // (60 + lex_rnk), 0)
+         |      + coalesce(1000000 // (60 + sem_rnk), 0) AS BIGINT) AS rrf_um
+         |  FROM f)
+         |SELECT q_id, doc_id, lex_rnk, sem_rnk, rrf_um,
+         |  row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_um DESC, doc_id) AS rrf_rnk
+         |FROM g""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val qIds = docs.select(col("doc_id"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      val lex = Retrieval.jaccardTopK(docs, col("text"), col("doc_id"),
+        qIds, k = 20)
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(qIds: _*)), 20)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"),
+          col("rnk").as("sem_rnk"))
+      Retrieval.rrfFuse(lex, "lex_rnk", sem, "sem_rnk")
+        .select("q_id", "doc_id", "lex_rnk", "sem_rnk", "rrf_um", "rrf_rnk")
     },
 
     // DSIR SELECTION end-to-end: importance weights toward the English
