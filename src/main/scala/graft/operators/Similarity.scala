@@ -500,4 +500,147 @@ object Similarity {
       .select(col("src_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"), col("rnk"))
   }
+
+  /** PRODUCT-QUANTIZATION top-k (Jégou et al. 2011, public knowledge) —
+    * the memory-compression ANN path beyond SQ8: the vector splits
+    * into `m` subspaces, each encoded as the index of its nearest
+    * codebook centroid, so a 64-dim float32 vector becomes `m` = 8
+    * code bytes (32x smaller). Queries score candidates by ASYMMETRIC
+    * DISTANCE (ADC): per query, a (m x numCentroids) table of exact
+    * query-subvector-to-centroid distances is precomputed
+    * (metadata-sized) and broadcast; scoring a candidate is then `m`
+    * table lookups + adds — no per-pair float math at all.
+    *
+    * Codebooks here are md5-seeded sample vectors (the semanticDedup
+    * seed rule — deterministic, replayable in SQL); a production build
+    * refines them with [[refineLloyd]]-style rounds and composes an
+    * exact float rerank of the top candidates, exactly like
+    * [[quantizedTopK]]'s contract.
+    *
+    * Vectors are L2-NORMALIZED before quantization (the
+    * [[quantizedTopK]] discipline), so ADC's L2 order is cosine order
+    * up to quantization error: ||a-b||^2 = 2 - 2cos on unit vectors.
+    *
+    * Determinism: ALL arithmetic is integer micros — normalized
+    * elements round to `round(1e6 * e/||v||)` Longs via exact decimal
+    * HALF_UP (BigDecimal == DuckDB/std::round away-from-zero halves;
+    * the norm is the same left-to-right double fold as
+    * `list_dot_product`), distances are integer sums of squared diffs
+    * (<= 4e12 per dim), argmin ties take the lowest centroid index,
+    * ranking ties the lowest neighbor id. No float enters any
+    * comparison.
+    *
+    * At 100 TB: the encoded corpus is the scan (m bytes/vector — the
+    * fit-in-RAM index a 1000-executor cluster serves interactively);
+    * encode is one broadcast-codebook typed map, scoring one typed
+    * flatMap over codes, and only (q_id, id, dist) candidates reach
+    * the per-query top-k window. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, numCentroids: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val um = corpus.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, e) => (id, normalizedMicros(e)) }
+      .toDF("vec_id", "v")
+    val seeds: Array[Array[Long]] = um
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .select("v").collect().map(_.getSeq[Long](0).toArray)
+    require(seeds.nonEmpty, "empty corpus")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val nSub = m
+    val bcSeeds = spark.sparkContext.broadcast(seeds)
+    val codes = um.as[(Long, Seq[Long])].map { case (id, vs) =>
+      val v = vs.toArray
+      val cb = bcSeeds.value
+      val cs = new Array[Int](nSub)
+      var j = 0
+      while (j < nSub) {
+        var best = 0
+        var bestD = Long.MaxValue
+        var i = 0
+        while (i < cb.length) {
+          var d = 0L
+          var p = j * subDim
+          val end = p + subDim
+          while (p < end) {
+            val diff = v(p) - cb(i)(p); d += diff * diff; p += 1
+          }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        cs(j) = best; j += 1
+      }
+      (id, cs)
+    }
+    // per-query ADC tables: (m x numCentroids) integer distances
+    val qRows = queries.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding")).as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => (id, normalizedMicros(e).toSeq) }
+    val tabs: Array[(Long, Array[Array[Long]])] = qRows.map { case (qid, qs) =>
+      val q = qs.toArray
+      val t = Array.ofDim[Long](nSub, seeds.length)
+      var j = 0
+      while (j < nSub) {
+        var i = 0
+        while (i < seeds.length) {
+          var d = 0L
+          var p = j * subDim
+          val end = p + subDim
+          while (p < end) {
+            val diff = q(p) - seeds(i)(p); d += diff * diff; p += 1
+          }
+          t(j)(i) = d; i += 1
+        }
+        j += 1
+      }
+      (qid, t)
+    }
+    val bcTabs = spark.sparkContext.broadcast(tabs)
+    val scored = codes.flatMap { case (id, cs) =>
+      bcTabs.value.iterator.filter(_._1 != id).map { case (qid, tab) =>
+        var s = 0L
+        var j = 0
+        while (j < nSub) { s += tab(j)(cs(j)); j += 1 }
+        (qid, id, s)
+      }
+    }.toDF("q_id", "neighbor_id", "dist_um2")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist_um2").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "neighbor_id", "dist_um2", "rnk")
+  }
+
+  /** Unit-normalize then micro-round: `round(1e6 * e_p / ||e||)` with
+    * the norm as the same left-to-right double fold as DuckDB's
+    * `list_dot_product(e::DOUBLE[], e::DOUBLE[])` and EXACT decimal
+    * HALF_UP rounding (BigDecimal of the binary double == DuckDB/libm
+    * round's away-from-zero halves — `floor(x + 0.5)` would misround
+    * doubles adjacent to .5). Zero vectors map to all-zero codes. */
+  private def normalizedMicros(e: Seq[Float]): Array[Long] = {
+    val n = e.length
+    val v = new Array[Double](n)
+    var i = 0
+    var ss = 0.0
+    while (i < n) {
+      val x = e(i).toDouble
+      v(i) = x
+      ss += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Long](n)
+    if (nrm == 0.0) return out
+    i = 0
+    while (i < n) {
+      out(i) = new java.math.BigDecimal(1000000.0 * v(i) / nrm)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      i += 1
+    }
+    out
+  }
 }

@@ -525,5 +525,59 @@ object EmbeddingQueries {
         emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
       graft.operators.Dedup.embeddingNearDupPairsQuantized(
         aug, col("vec_id"), col("embedding"), 0.9)
+    },
+
+    // PRODUCT-QUANTIZATION ADC top-k: 8 subspaces x 16 md5-seeded
+    // centroids — a 64-dim float32 vector becomes 8 code bytes (32x),
+    // queries score by table lookups only. ALL-integer micros
+    // arithmetic (encode argmin, ADC tables, rank key), so the oracle
+    // replays seed pick + encode + ADC exactly: no float comparison
+    // anywhere. Approximation quality (vs exact cosine) is spec'd in
+    // SimilaritySpec; this grades the pipeline's determinism and shape.
+    "emb_pq_topk" -> QueryDef(
+      """WITH em AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    e -> CAST(round(1000000 * e / sqrt(list_dot_product(
+        |      embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT rnk - 1 AS cidx, v AS cv FROM (
+        |    SELECT v, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+        |    FROM em) t WHERE rnk <= 16),
+        |codes AS (
+        |  SELECT vec_id, j, cidx FROM (
+        |    SELECT e.vec_id, js.j, s.cidx,
+        |      row_number() OVER (PARTITION BY e.vec_id, js.j
+        |        ORDER BY CAST(list_sum(list_transform(range(1, 9),
+        |          p -> (e.v[js.j*8 + p] - s.cv[js.j*8 + p])
+        |             * (e.v[js.j*8 + p] - s.cv[js.j*8 + p]))) AS BIGINT) ASC,
+        |          s.cidx ASC) AS r
+        |    FROM em e
+        |    CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+        |    CROSS JOIN seeds s) t
+        |  WHERE r = 1),
+        |qtab AS (
+        |  SELECT q.vec_id AS q_id, js.j, s.cidx,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      p -> (q.v[js.j*8 + p] - s.cv[js.j*8 + p])
+        |         * (q.v[js.j*8 + p] - s.cv[js.j*8 + p]))) AS BIGINT) AS d
+        |  FROM em q
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+        |  CROSS JOIN seeds s
+        |  WHERE q.vec_id < 10),
+        |score AS (
+        |  SELECT qt.q_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(qt.d) AS BIGINT) AS dist_um2
+        |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.cidx = c.cidx
+        |  WHERE c.vec_id != qt.q_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, neighbor_id, dist_um2, rnk FROM (
+        |  SELECT q_id, neighbor_id, dist_um2, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY dist_um2 ASC, neighbor_id ASC) AS rnk
+        |  FROM score) t
+        |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10)
     })
 }

@@ -232,4 +232,50 @@ class SimilaritySpec extends AnyFunSuite {
     val overlap = (exact & qset).size.toDouble / exact.size
     assert(overlap >= 0.7, s"quantized top-10 recall vs exact: $overlap")
   }
+
+  test("pqTopK: identical copies land at ADC distance 0 rank 1; useful recall") {
+    val spark0 = spark
+    import spark0.implicits._
+    // plant exact copies of the queries under shifted ids: a copy's
+    // codes equal the query's codes, so its ADC distance is exactly
+    // the query's own table self-distance — the minimum any candidate
+    // can reach — and the (dist, id) tiebreak ranks it first among
+    // distance-ties.
+    val copies = queries.select((col("vec_id") + 5000L).as("vec_id"),
+      col("embedding"))
+    val aug = emb.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val pq = Similarity.pqTopK(aug, queries, 10)
+    val top1 = pq.filter(col("rnk") === 1)
+      .select("q_id", "neighbor_id", "dist_um2").collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 5000L,
+        s"query ${r.getLong(0)} top-1 is ${r.getLong(1)}")
+    }
+    // k rows per query, self excluded
+    val counts = pq.groupBy("q_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 10L))
+    assert(pq.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    // structural recall: 3 jittered near-copies planted per query
+    // (cos ~ 0.999) must dominate the PQ top-10 — the near-dup
+    // retrieval regime 32-bit codes exist for. (Exact-cosine top-k
+    // agreement on an ISOTROPIC random corpus is not asserted: all
+    // cosines there are ~0 with margins below quantization noise —
+    // the documented pathological case for any fixed-bit code.)
+    val qrows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val jit = (for {
+      (qid, e) <- qrows.toSeq
+      j <- 1 to 3
+    } yield (qid * 1000L + j, e.zipWithIndex.map { case (x, i) =>
+      x + 0.03f * math.sin((qid + j + i).toDouble).toFloat
+    }.toSeq)).toDF("vec_id", "embedding")
+    val aug2 = emb.select(col("vec_id"), col("embedding")).unionByName(jit)
+    val got = pairSet(Similarity.pqTopK(aug2, queries, 10))
+    val planted = (for {
+      (qid, _) <- qrows.toSeq; j <- 1 to 3
+    } yield (qid, qid * 1000L + j)).toSet
+    val rec = (planted & got).size.toDouble / planted.size
+    assert(rec >= 0.8, s"PQ planted near-dup recall: $rec")
+  }
 }
