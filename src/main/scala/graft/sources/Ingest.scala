@@ -88,7 +88,14 @@ object Ingest {
     * job; callers split on `_corrupt_record IS NULL` to route the
     * quarantine. Line-split parallelism is Spark's native text-source
     * splitting — JSONL needs no record re-assembly across block
-    * boundaries, so a single huge file still fans out by HDFS block. */
+    * boundaries, so a single huge file still fans out by HDFS block.
+    *
+    * Spark caveat: a query referencing ONLY `_corrupt_record` over the
+    * raw scan is disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — split
+    * the quarantine AFTER a materialization barrier (persist, or the
+    * ingest write itself), which is what a production ingest does
+    * anyway: parse once, write once, route the split from the parsed
+    * result. */
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     val withCorrupt =

@@ -64,4 +64,38 @@ class IngestSpec extends AnyFunSuite {
     assert(!rep2.stored)
     assert(cat.meta.count() == 1)
   }
+
+  test("readJsonl: clean rows parse, malformed lines quarantine, schema enforced") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part0.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "hello \"world\"\nline2", "lang": "en"}""",
+        """{"doc_id": 2, "text": null, "lang": "de"}""",
+        """{"doc_id": 3 "text": "missing comma"}""", // malformed
+        """not json at all""", // malformed
+        """{"doc_id": 4, "text": "ok", "lang": "fr", "extra": 9}"""
+      ).mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = Ingest.readJsonl(spark, dir, schema)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", "_corrupt_record"))
+    // materialize once, then split — a corrupt-only query over the raw
+    // scan is disallowed by Spark (see readJsonl scaladoc)
+    val rows = df.collect()
+    val ci = df.schema.fieldIndex("_corrupt_record")
+    val (bad, clean) = rows.partition(r => !r.isNullAt(ci))
+    assert(clean.length == 3)
+    assert(bad.length == 2)
+    // quarantined rows carry the raw line; data fields are null
+    assert(bad.forall(r => r.isNullAt(r.fieldIndex("doc_id"))))
+    assert(bad.map(_.getString(ci)).exists(_.contains("missing comma")))
+    // escapes round-trip: embedded quote + newline survive parsing
+    val byId = clean.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "hello \"world\"\nline2")
+    // null field stays null; extra field is dropped by the schema
+    assert(byId(2L).isNullAt(1))
+    assert(byId(4L).getString(2) == "fr")
+  }
 }

@@ -372,4 +372,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toMap
     assert(re == out)
   }
+
+  test("corpusDrift: hand-checked ppm, floor division, repartition invariance") {
+    val spark0 = spark
+    import spark0.implicits._
+    // old snapshot: 4 words (a a b c); new snapshot: 3 words (a c c)
+    val docs = Seq(
+      (1L, "a a b c", false),
+      (2L, "a c c", true)
+    ).toDF("doc_id", "text", "is_new")
+    val out = TA.corpusDrift(docs, col("text"), col("is_new"), topK = 10)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // a: old 2/4 = 500000, new 1/3 = 333333 (floor) -> drift 166667
+    assert(out("a") == (2L, 1L, 500000L, 333333L, 166667L))
+    // b: old 1/4 = 250000, new 0 -> drift 250000
+    assert(out("b") == (1L, 0L, 250000L, 0L, 250000L))
+    // c: old 1/4 = 250000, new 2/3 = 666666 (floor) -> drift 416666
+    assert(out("c") == (1L, 2L, 250000L, 666666L, 416666L))
+    val re = TA.corpusDrift(docs.repartition(7), col("text"), col("is_new"),
+        topK = 10)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(re == out)
+  }
 }
