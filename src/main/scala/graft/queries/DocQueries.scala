@@ -22,6 +22,15 @@ object DocQueries {
   /** The suite's BPE configuration (merge-table size). */
   private val BpeMerges = 16
 
+  /** Single-sourced exact-dedup keep-list SQL — grades BOTH the
+    * parquet-sourced streaming dedup (doc_dedup_exact_stream) and the
+    * JSONL-staged streaming ingest (doc_ingest_jsonl_stream): the two
+    * arrival paths must land on identical keep-lists. */
+  private val EXACT_KEEP_SQL =
+    """SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies, min(n_chars) AS n_chars
+      |FROM documents GROUP BY sha256(text)""".stripMargin
+
   /** UNROLLED BPE training as a CTE chain — the SQL-oracle answer to
     * "the merge loop is iterative": the round count is a build-time
     * constant, so round r+1's dependence on round r is just CTE
@@ -514,13 +523,35 @@ object DocQueries {
     // batch frame. min/count are order-independent, so the result is
     // deterministic under any micro-batch slicing; the oracle is the
     // plain batch group-by (sha256 digests exist in both engines).
-    "doc_dedup_exact_stream" -> QueryDef(
-      """SELECT sha256(text) AS digest, min(doc_id) AS keep_id,
-        |  count(*) AS n_copies, min(n_chars) AS n_chars
-        |FROM documents GROUP BY sha256(text)""".stripMargin) { (s, dir) =>
+    "doc_dedup_exact_stream" -> QueryDef(EXACT_KEEP_SQL) { (s, dir) =>
       Streaming.runAvailableNow(
         Streaming.exactDedupKeepListStream(
           Streaming.documentsStream(s, dir),
+          col("text"), col("doc_id"), col("n_chars")))
+    },
+
+    // JSONL INGEST-TIME dedup on the STREAMING engine: the corpus is
+    // staged as JSON-lines (multiple files -> multiple micro-batch
+    // admissions), stream-read through the schema'd permissive JSONL
+    // source (Streaming.jsonlStream, quarantine column dropped on the
+    // clean path), and exact-deduped via the keep-list aggregation —
+    // the arrival path of a continuously-crawled corpus end-to-end.
+    // SAME single-sourced oracle as doc_dedup_exact_stream: the staged
+    // JSONL is a lossless projection of `documents`, so the two
+    // engines' results must coincide row-for-row.
+    "doc_ingest_jsonl_stream" -> QueryDef(EXACT_KEEP_SQL) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_s").toString
+      Tables.documents(s, dir).select("doc_id", "text", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite").json(s"$tmp/raw")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("n_chars", LongType)))
+      val stream = Streaming.jsonlStream(s, s"$tmp/raw", schema)
+        .filter(col("_corrupt_record").isNull)
+      Streaming.runAvailableNow(
+        Streaming.exactDedupKeepListStream(stream,
           col("text"), col("doc_id"), col("n_chars")))
     },
 

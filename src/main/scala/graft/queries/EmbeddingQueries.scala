@@ -527,6 +527,53 @@ object EmbeddingQueries {
         aug, col("vec_id"), col("embedding"), 0.9)
     },
 
+    // SEMANTIC drift between the same two md5(text) snapshots as
+    // doc_corpus_drift, viewed through the embedding space: per
+    // SemDeDup cluster (auto-sized k, md5-seeded assignment — the
+    // single-sourced assign CTEs), the old-vs-new membership share in
+    // ppm. A topic appearing/vanishing between snapshots moves its
+    // cluster's ppm even when no single word does — the companion
+    // monitor to the lexical drift report. All-integer ppm keys.
+    "emb_centroid_drift" -> QueryDef(
+      s"""WITH $SEMDEDUP_ASSIGN_CTES,
+         |sp AS (SELECT doc_id AS vec_id,
+         |  CASE WHEN substr(md5(text), 1, 6) <
+         |    '${graft.operators.Sampling.hashBound(0.5)}'
+         |    THEN 0 ELSE 1 END AS nw
+         |  FROM documents),
+         |cc AS (SELECT lst, CAST(sum(1 - nw) AS BIGINT) AS c_old,
+         |    CAST(sum(nw) AS BIGINT) AS c_new
+         |  FROM assign JOIN sp USING (vec_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+         |    CAST(sum(c_new) AS BIGINT) AS n_new FROM cc),
+         |p AS (
+         |  SELECT lst, c_old, c_new,
+         |    CAST((c_old * 1000000) // NULLIF(n_old, 0) AS BIGINT) AS p_old_ppm,
+         |    CAST((c_new * 1000000) // NULLIF(n_new, 0) AS BIGINT) AS p_new_ppm
+         |  FROM cc CROSS JOIN tot)
+         |SELECT lst, c_old, c_new, p_old_ppm, p_new_ppm,
+         |  abs(p_old_ppm - p_new_ppm) AS drift_ppm
+         |FROM p""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.broadcast
+      val emb = Tables.embeddings(s, dir)
+      val assigned = graft.operators.Dedup.semanticClusters(emb,
+        col("vec_id"), col("embedding"),
+        graft.operators.Dedup.autoClusters(emb.count()))
+      val split = Tables.documents(s, dir).select(
+        col("doc_id").as("vec_id"),
+        (substring(md5(col("text")), 1, 6) >=
+          graft.operators.Sampling.hashBound(0.5)).cast("int").as("nw"))
+      val cc = assigned.join(split, "vec_id")
+        .groupBy("lst")
+        .agg(sum(lit(1) - col("nw")).as("c_old"), sum(col("nw")).as("c_new"))
+      val tot = cc.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
+      cc.crossJoin(broadcast(tot))
+        .select(col("lst"), col("c_old"), col("c_new"),
+          expr("c_old * 1000000 div nullif(n_old, 0)").as("p_old_ppm"),
+          expr("c_new * 1000000 div nullif(n_new, 0)").as("p_new_ppm"))
+        .withColumn("drift_ppm", abs(col("p_old_ppm") - col("p_new_ppm")))
+    },
+
     // PRODUCT-QUANTIZATION ADC top-k: 8 subspaces x 16 md5-seeded
     // centroids — a 64-dim float32 vector becomes 8 code bytes (32x),
     // queries score by table lookups only. ALL-integer micros

@@ -149,6 +149,27 @@ object Streaming {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** Streaming JSONL source — the streaming twin of
+    * [[graft.sources.Ingest.readJsonl]]: schema'd (never inferred)
+    * permissive scan with a `_corrupt_record` quarantine column, over
+    * a directory a crawler keeps appending JSON-lines files to. The
+    * ingest-time entry point for a continuously-arriving text corpus;
+    * compose with [[exactDedupKeepListStream]] /
+    * [[paragraphKeepListStream]] / [[sourceCapStream]] for the
+    * on-the-fly curation path. */
+  def jsonlStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType)
+    spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   /** Streaming exact-dedup KEEP-LIST — the aggregation twin of
     * [[exactDedupStream]], and the variant an exact oracle can
     * hash-check: min-id/count per content digest as a stateful
