@@ -62,7 +62,12 @@ object Explains {
       "doc_dedup_incremental_near" -> "incremental near-dup: new docs signed in ONE typed map; the index side appears ONLY in the (bidx, bhash) band join and the matched-signature re-join — never self-joined, never re-signed; verdict assembly is two left joins on bare ids",
       "doc_pipeline_ingest" -> "composed ingest curation: the exact-dedup stage shuffles 32-byte digests, its survivors feed the signature band join, and ONLY near-dup survivors reach the quality scoring + capped windows — each stage prunes the next stage's input, visible as the narrowing join chain",
       "doc_dedup_incremental_simhash" -> "simhash incremental: signatures RIDE the chunk-band rows (no signature re-join anywhere in the plan — compare the minhash variant's two re-joins); the index appears once, keyed (i_cidx, i_cval), verdict assembly is two left joins on bare ids",
-      "doc_dedup_verdict_report" -> "dedup audit matrix: three verdict subplans share the ONE documents scan family, agree/disagree flags fold into a single 8-group hash aggregate — the audit costs the three verdicts, not a fourth corpus pass")
+      "doc_dedup_verdict_report" -> "dedup audit matrix: three verdict subplans share the ONE documents scan family, agree/disagree flags fold into a single 8-group hash aggregate — the audit costs the three verdicts, not a fourth corpus pass",
+      "doc_corpus_drift" -> "corpus drift: ONE tokenization feeds one vocab agg computing BOTH snapshots' counts (the split flag folds into the same aggregate — no second corpus pass); totals ride a broadcast 1-row cross join; the report is a TakeOrderedAndProject on the integer drift key",
+      "doc_dsir_select" -> "DSIR selection: the importance stage is the doc_importance_weights shape (one tokenization, one dual-count vocab agg, broadcast totals); the selection stage is the doc_token_budget shape (histogram collapses to broadcast offsets, per-bucket windows) — no global window anywhere",
+      "doc_hybrid_rrf" -> "hybrid RRF: the lexical side is a typed flatMap over the scan with the query shingle sets BROADCAST (corpus text never shuffles; only matching candidates reach the per-query window); the dense side is the brute-force broadcast-query scan; fusion is one full-outer join on bare (q_id, doc_id) + integer arithmetic",
+      "emb_pq_topk" -> "PQ-ADC ANN: encode is ONE typed map over the scan (codebook broadcast — m bytes/vector leave it, embeddings do not); scoring is a typed flatMap doing m table lookups per candidate (ADC tables broadcast); only (q_id, id, dist) integer rows reach the per-query top-k window",
+      "emb_centroid_drift" -> "semantic drift: cluster assignment is a typed map with broadcast centroids (no exchange), the snapshot flag joins on bare vec_id, and counts fold into ONE k-row aggregate with broadcast totals — the report costs one corpus scan")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — representative physical plans\n\n")

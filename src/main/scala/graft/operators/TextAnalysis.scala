@@ -844,8 +844,13 @@ object TextAnalysis {
     import org.apache.spark.sql.functions.broadcast
     val w = df.select(explode(words(text)).as("word"),
       isNew.cast("int").as("nw"))
+    // persist the vocab-sized count frame: it feeds BOTH the totals agg
+    // and the report projection — without it the totals branch re-runs
+    // the corpus tokenization (a second 100 TB pass, visible as a
+    // duplicated scan subtree in the plan)
     val wc = w.groupBy("word").agg(
-      sum(lit(1) - col("nw")).as("c_old"), sum(col("nw")).as("c_new"))
+        sum(lit(1) - col("nw")).as("c_old"), sum(col("nw")).as("c_new"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = wc.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
     wc.crossJoin(broadcast(tot))
       .select(col("word"), col("c_old"), col("c_new"),

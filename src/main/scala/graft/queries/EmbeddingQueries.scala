@@ -563,9 +563,12 @@ object EmbeddingQueries {
         col("doc_id").as("vec_id"),
         (substring(md5(col("text")), 1, 6) >=
           graft.operators.Sampling.hashBound(0.5)).cast("int").as("nw"))
+      // persist the k-row count frame: totals + report both read it —
+      // without this the totals branch re-runs the whole assignment scan
       val cc = assigned.join(split, "vec_id")
         .groupBy("lst")
         .agg(sum(lit(1) - col("nw")).as("c_old"), sum(col("nw")).as("c_new"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = cc.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
       cc.crossJoin(broadcast(tot))
         .select(col("lst"), col("c_old"), col("c_new"),
