@@ -1360,6 +1360,80 @@ object Dedup {
       .toDF("vec_id", "lst")
   }
 
+  /** TWO-LEVEL (coarse-then-fine) cluster assignment — the structural
+    * fix for [[semanticClusters]]' assignment cost under the k ∝ n
+    * contract (SCALE.md emb_centroid_drift probe: flat assignment is
+    * n*k = n²/64 dots — 34.7x for a 10x decade). The first `kc =
+    * ceil(sqrt(k))` md5-ranked seeds double as COARSE centroids; every
+    * fine seed attaches to its nearest coarse (metadata-sized,
+    * driver-side), and a row then scores kc coarse + that cell's
+    * children — ~2*sqrt(k) dots instead of k. Same score rule, same
+    * lowest-index ties, everywhere.
+    *
+    * The trade is explicit: a row whose true nearest fine centroid
+    * lives under a DIFFERENT coarse cell is re-routed (quantization
+    * error — the IVF probe-miss analogue). Near-identical vectors
+    * still co-cluster (identical inputs take identical paths), so the
+    * dedup/drift regimes stay structurally safe. With `kcOverride =
+    * k` the two levels collapse and the assignment EQUALS
+    * [[semanticClusters]] exactly (DedupSpec pins this identity).
+    *
+    * 100 TB shape: identical to the flat path — centroids broadcast,
+    * ONE zero-shuffle typed map — only the per-row flop count drops
+    * from k to ~2*sqrt(k). */
+  def semanticClustersTwoLevel(df: DataFrame, id: Column, emb: Column,
+      nClusters: Int, kcOverride: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fine = semanticSeeds(df, id, emb, nClusters)
+    val kc0 =
+      if (kcOverride > 0) kcOverride
+      else math.max(1, math.ceil(math.sqrt(fine.length.toDouble)).toInt)
+    val kc = math.min(kc0, fine.length)
+    val coarse = fine.take(kc)
+    val childOf = fine.map(f => Similarity.nearestListD(coarse, f))
+    // (coarse idx, sorted fine children) for every NON-EMPTY cell;
+    // rows only consider these (a duplicate seed can orphan a cell)
+    val cells: Array[(Int, Array[Int])] = fine.indices.toArray
+      .groupBy(childOf).toArray
+      .map { case (c, fs) => (c, fs.sorted) }
+      .sortBy(_._1)
+    val bcFine = spark.sparkContext.broadcast(fine)
+    val bcCells = spark.sparkContext.broadcast(cells)
+    df.select(id.cast("long").as("vec_id"), emb.as("e"))
+      .as[(Long, Array[Float])]
+      .map { case (i, e) =>
+        val fn = bcFine.value
+        val cs = bcCells.value
+        def score(c: Array[Double]): Double = {
+          var dot = 0.0
+          var nc = 0.0
+          var p = 0
+          while (p < c.length) { dot += c(p) * e(p); nc += c(p) * c(p); p += 1 }
+          if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
+        }
+        var bi = 0
+        var bs = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cs.length) { // ascending coarse idx: strict > keeps lowest on ties
+          val s = score(fn(cs(ci)._1))
+          if (s > bs) { bs = s; bi = ci }
+          ci += 1
+        }
+        val kids = cs(bi)._2
+        var bl = kids(0)
+        var bls = Double.NegativeInfinity
+        var ki = 0
+        while (ki < kids.length) {
+          val s = score(fn(kids(ki)))
+          if (s > bls) { bls = s; bl = kids(ki) }
+          ki += 1
+        }
+        (i, bl)
+      }
+      .toDF("vec_id", "lst")
+  }
+
   /** EXACT distributed per-cluster centroid sums — the
     * oracle-comparable twin of the Lloyd mean update
     * (Similarity.refineLloyd's float means are reduce-order-sensitive;

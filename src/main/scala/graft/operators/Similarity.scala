@@ -294,6 +294,29 @@ object Similarity {
     best
   }
 
+  /** [[nearestList]] for a DOUBLE vector (centroid-to-centroid
+    * assignment in the two-level quantizer) — the same loop, the same
+    * left-to-right folds, the same lowest-index tie rule. */
+  private[graft] def nearestListD(cs: Array[Array[Double]],
+      e: Array[Double]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var l = 0
+    while (l < cs.length) {
+      val c = cs(l)
+      var dot = 0.0
+      var nc = 0.0
+      var i = 0
+      while (i < c.length) {
+        dot += c(i) * e(i); nc += c(i) * c(i); i += 1
+      }
+      val score = if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
+      if (score > bestScore) { bestScore = score; best = l }
+      l += 1
+    }
+    best
+  }
+
   private[graft] def nearestLists(cs: Array[Array[Double]], e: Array[Float],
       n: Int): Array[Int] =
     cs.indices

@@ -577,6 +577,56 @@ object EmbeddingQueries {
         .withColumn("drift_ppm", abs(col("p_old_ppm") - col("p_new_ppm")))
     },
 
+    // TWO-LEVEL cluster assignment next to the flat one — the
+    // structural fix for the n*k assignment cost (SCALE.md
+    // emb_centroid_drift diagnosis): coarse = first ceil(sqrt(k))
+    // seeds, fine seeds attach to their nearest coarse, rows score
+    // coarse + one cell's children (~2*sqrt(k) dots). The query emits
+    // BOTH assignments and the rerouted flag, so the driver grades the
+    // approximation's exact determinism AND its divergence surface;
+    // DedupSpec pins two-level == flat when kc is forced to k.
+    "emb_clusters_twolevel" -> QueryDef(
+      s"""WITH $SEMDEDUP_ASSIGN_CTES,
+         |kcd AS (SELECT least(k, CAST(ceil(sqrt(k)) AS BIGINT)) AS kc FROM kd),
+         |coarse AS (SELECT lst AS cl, se AS ce FROM seeds
+         |  WHERE lst < (SELECT kc FROM kcd)),
+         |child AS (
+         |  SELECT lst AS fl, cl FROM (
+         |    SELECT s.lst, c.cl, row_number() OVER (PARTITION BY s.lst
+         |      ORDER BY list_dot_product(c.ce, s.se)
+         |        / sqrt(list_dot_product(c.ce, c.ce)) DESC, c.cl ASC) AS r
+         |    FROM seeds s CROSS JOIN coarse c) t WHERE r = 1),
+         |occ AS (SELECT DISTINCT cl FROM child),
+         |rowsc AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(c.ce, e.embedding::DOUBLE[])
+         |        / sqrt(list_dot_product(c.ce, c.ce)) DESC, c.cl ASC) AS r
+         |    FROM embeddings e CROSS JOIN (
+         |      SELECT coarse.cl, coarse.ce FROM coarse JOIN occ USING (cl)) c) t
+         |  WHERE r = 1),
+         |a2 AS (
+         |  SELECT vec_id, lst FROM (
+         |    SELECT r.vec_id, s.lst, row_number() OVER (PARTITION BY r.vec_id
+         |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
+         |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS rr
+         |    FROM rowsc r JOIN child ch ON ch.cl = r.cl
+         |    JOIN seeds s ON s.lst = ch.fl
+         |    JOIN embeddings e ON e.vec_id = r.vec_id) t WHERE rr = 1)
+         |SELECT a2.vec_id, a2.lst, a.lst AS lst_flat,
+         |  a2.lst != a.lst AS rerouted
+         |FROM a2 JOIN assign a USING (vec_id)""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val k = graft.operators.Dedup.autoClusters(emb.count())
+      val two = graft.operators.Dedup.semanticClustersTwoLevel(emb,
+        col("vec_id"), col("embedding"), k)
+      val flat = graft.operators.Dedup.semanticClusters(emb,
+        col("vec_id"), col("embedding"), k)
+      two.join(flat.withColumnRenamed("lst", "lst_flat"), "vec_id")
+        .select(col("vec_id"), col("lst"), col("lst_flat"),
+          (col("lst") =!= col("lst_flat")).as("rerouted"))
+    },
+
     // PRODUCT-QUANTIZATION ADC top-k: 8 subspaces x 16 md5-seeded
     // centroids — a 64-dim float32 vector becomes 8 code bytes (32x),
     // queries score by table lookups only. ALL-integer micros

@@ -471,6 +471,35 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("semanticClustersTwoLevel: kc=k collapses to flat; copies co-cluster; invariant") {
+    val emb = Tables.embeddings(spark, dir)
+    val k = Dedup.autoClusters(emb.count())
+    val flat = Dedup.semanticClusters(emb, col("vec_id"), col("embedding"), k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // with every fine seed promoted to coarse, each cell is {itself}
+    // and the two passes ARE the flat argmax — exact identity
+    val collapsed = Dedup.semanticClustersTwoLevel(emb, col("vec_id"),
+        col("embedding"), k, kcOverride = k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(collapsed == flat)
+    // default sqrt(k) coarse: deterministic, bounded, copies co-cluster
+    val two = Dedup.semanticClustersTwoLevel(emb, col("vec_id"),
+        col("embedding"), k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two.keySet == flat.keySet)
+    assert(two.values.toSet.size <= k)
+    val emb2 = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    emb2.groupBy(_._2).values.filter(_.length > 1).foreach { grp =>
+      assert(grp.map(g => two(g._1)).toSet.size == 1,
+        s"identical vectors split two-level clusters: ${grp.map(_._1).toSeq}")
+    }
+    val re = Dedup.semanticClustersTwoLevel(emb.repartition(7), col("vec_id"),
+        col("embedding"), k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == two)
+  }
+
   test("clusterCentroidsExact: integer sums are order-independent and complete") {
     val emb = Tables.embeddings(spark, dir)
     val k = Dedup.autoClusters(emb.count())
