@@ -841,15 +841,24 @@ object TextAnalysis {
     * top-K — the corpus shuffles nothing but (word, 1) pairs. */
   def corpusDrift(df: org.apache.spark.sql.DataFrame, text: Column,
       isNew: Column, topK: Int = 20): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val w = df.select(explode(words(text)).as("word"),
       isNew.cast("int").as("nw"))
-    // persist the vocab-sized count frame: it feeds BOTH the totals agg
-    // and the report projection — without it the totals branch re-runs
-    // the corpus tokenization (a second 100 TB pass, visible as a
-    // duplicated scan subtree in the plan)
-    val wc = w.groupBy("word").agg(
-        sum(lit(1) - col("nw")).as("c_old"), sum(col("nw")).as("c_new"))
+    driftReport(w.groupBy("word").agg(
+      sum(lit(1) - col("nw")).as("c_old"), sum(col("nw")).as("c_new")), topK)
+  }
+
+  /** The drift-report tail shared by [[corpusDrift]] and its streaming
+    * twin: takes the (word, c_old, c_new) count frame — however the
+    * two snapshots' counts were accumulated (one batch agg, or a batch
+    * side fused with a drained streaming agg) — and emits the top-K
+    * integer-ppm shift report. The count frame is PERSISTED here: it
+    * feeds BOTH the totals agg and the report projection — without it
+    * the totals branch re-runs the upstream corpus pass (a second
+    * 100 TB scan, visible as a duplicated subtree in the plan). */
+  def driftReport(counts: org.apache.spark.sql.DataFrame,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val wc = counts
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = wc.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
     wc.crossJoin(broadcast(tot))

@@ -22,6 +22,32 @@ object DocQueries {
   /** The suite's BPE configuration (merge-table size). */
   private val BpeMerges = 16
 
+  /** Single-sourced corpus-drift SQL — grades BOTH the batch drift
+    * report and its streaming twin (the new snapshot's counts
+    * accumulated by the state store): the arrival engine must not
+    * change the report. */
+  private val CORPUS_DRIFT_SQL =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS word,
+       |    CASE WHEN substr(md5(text), 1, 6) < '${graft.operators.Sampling.hashBound(0.5)}'
+       |      THEN 0 ELSE 1 END AS nw
+       |  FROM documents),
+       |wc AS (SELECT word, CAST(sum(1 - nw) AS BIGINT) AS c_old,
+       |    CAST(sum(nw) AS BIGINT) AS c_new
+       |  FROM w GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+       |    CAST(sum(c_new) AS BIGINT) AS n_new FROM wc),
+       |p AS (
+       |  SELECT word, c_old, c_new,
+       |    CAST((c_old * 1000000) // NULLIF(n_old, 0) AS BIGINT) AS p_old_ppm,
+       |    CAST((c_new * 1000000) // NULLIF(n_new, 0) AS BIGINT) AS p_new_ppm
+       |  FROM wc CROSS JOIN tot)
+       |SELECT word, c_old, c_new, p_old_ppm, p_new_ppm,
+       |  abs(p_old_ppm - p_new_ppm) AS drift_ppm
+       |FROM p
+       |ORDER BY drift_ppm DESC, word ASC
+       |LIMIT 20""".stripMargin
+
   /** Single-sourced exact-dedup keep-list SQL — grades BOTH the
     * parquet-sourced streaming dedup (doc_dedup_exact_stream) and the
     * JSONL-staged streaming ingest (doc_ingest_jsonl_stream): the two
@@ -1982,29 +2008,36 @@ object DocQueries {
     // unigram-probability shift in ppm — the retraining-trigger
     // monitoring surface. All-integer rank key (floor-division ppm),
     // (drift DESC, word) total order.
-    "doc_corpus_drift" -> QueryDef(
-      s"""WITH w AS (
-         |  SELECT unnest($SPLIT) AS word,
-         |    CASE WHEN substr(md5(text), 1, 6) < '${Sampling.hashBound(0.5)}'
-         |      THEN 0 ELSE 1 END AS nw
-         |  FROM documents),
-         |wc AS (SELECT word, CAST(sum(1 - nw) AS BIGINT) AS c_old,
-         |    CAST(sum(nw) AS BIGINT) AS c_new
-         |  FROM w GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
-         |    CAST(sum(c_new) AS BIGINT) AS n_new FROM wc),
-         |p AS (
-         |  SELECT word, c_old, c_new,
-         |    CAST((c_old * 1000000) // NULLIF(n_old, 0) AS BIGINT) AS p_old_ppm,
-         |    CAST((c_new * 1000000) // NULLIF(n_new, 0) AS BIGINT) AS p_new_ppm
-         |  FROM wc CROSS JOIN tot)
-         |SELECT word, c_old, c_new, p_old_ppm, p_new_ppm,
-         |  abs(p_old_ppm - p_new_ppm) AS drift_ppm
-         |FROM p
-         |ORDER BY drift_ppm DESC, word ASC
-         |LIMIT 20""".stripMargin) { (s, dir) =>
+    "doc_corpus_drift" -> QueryDef(CORPUS_DRIFT_SQL) { (s, dir) =>
       TA.corpusDrift(Tables.documents(s, dir), col("text"),
         substring(md5(col("text")), 1, 6) >= Sampling.hashBound(0.5),
+        topK = 20)
+    },
+
+    // The drift monitor on the STREAMING engine: the NEW snapshot's
+    // word counts accumulate in the state store (vocabCountStream —
+    // the heavy-hitters execution shape, vocab-sized state sharded by
+    // word), the OLD snapshot's counts are a batch frame, and the
+    // shared driftReport tail fuses them post-drain (full outer,
+    // absentees 0). SAME single-sourced SQL as doc_corpus_drift: the
+    // arrival engine must not change the report.
+    "doc_corpus_drift_stream" -> QueryDef(CORPUS_DRIFT_SQL) { (s, dir) =>
+      val bound = Sampling.hashBound(0.5)
+      val oldCnt = Tables.documents(s, dir)
+        .filter(substring(md5(col("text")), 1, 6) < bound)
+        .select(explode(TA.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c_old"))
+      val newCnt = Streaming.runAvailableNow(
+          Streaming.vocabCountStream(
+            Streaming.documentsStream(s, dir)
+              .filter(substring(md5(col("text")), 1, 6) >= bound),
+            col("text")))
+        .withColumnRenamed("cnt", "c_new")
+      TA.driftReport(
+        oldCnt.join(newCnt, Seq("word"), "full_outer")
+          .select(col("word"),
+            coalesce(col("c_old"), lit(0L)).as("c_old"),
+            coalesce(col("c_new"), lit(0L)).as("c_new")),
         topK = 20)
     })
 }
