@@ -577,50 +577,14 @@ object Similarity {
     val nSub = m
     val bcSeeds = spark.sparkContext.broadcast(seeds)
     val codes = um.as[(Long, Seq[Long])].map { case (id, vs) =>
-      val v = vs.toArray
-      val cb = bcSeeds.value
-      val cs = new Array[Int](nSub)
-      var j = 0
-      while (j < nSub) {
-        var best = 0
-        var bestD = Long.MaxValue
-        var i = 0
-        while (i < cb.length) {
-          var d = 0L
-          var p = j * subDim
-          val end = p + subDim
-          while (p < end) {
-            val diff = v(p) - cb(i)(p); d += diff * diff; p += 1
-          }
-          if (d < bestD) { bestD = d; best = i }
-          i += 1
-        }
-        cs(j) = best; j += 1
-      }
-      (id, cs)
+      (id, pqEncodeRow(vs.toArray, bcSeeds.value, nSub, subDim))
     }
     // per-query ADC tables: (m x numCentroids) integer distances
     val qRows = queries.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding")).as[(Long, Seq[Float])].collect()
       .map { case (id, e) => (id, normalizedMicros(e).toSeq) }
     val tabs: Array[(Long, Array[Array[Long]])] = qRows.map { case (qid, qs) =>
-      val q = qs.toArray
-      val t = Array.ofDim[Long](nSub, seeds.length)
-      var j = 0
-      while (j < nSub) {
-        var i = 0
-        while (i < seeds.length) {
-          var d = 0L
-          var p = j * subDim
-          val end = p + subDim
-          while (p < end) {
-            val diff = q(p) - seeds(i)(p); d += diff * diff; p += 1
-          }
-          t(j)(i) = d; i += 1
-        }
-        j += 1
-      }
-      (qid, t)
+      (qid, pqTable(qs.toArray, seeds, nSub, subDim))
     }
     val bcTabs = spark.sparkContext.broadcast(tabs)
     val scored = codes.flatMap { case (id, cs) =>
@@ -630,6 +594,123 @@ object Similarity {
         while (j < nSub) { s += tab(j)(cs(j)); j += 1 }
         (qid, id, s)
       }
+    }.toDF("q_id", "neighbor_id", "dist_um2")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist_um2").asc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "neighbor_id", "dist_um2", "rnk")
+  }
+
+  /** Per-subspace argmin encode (ties -> lowest centroid index):
+    * integer squared-L2 against the codebook's micro vectors. */
+  private def pqEncodeRow(v: Array[Long], cb: Array[Array[Long]],
+      m: Int, subDim: Int): Array[Int] = {
+    val cs = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var i = 0
+      while (i < cb.length) {
+        var d = 0L
+        var p = j * subDim
+        val end = p + subDim
+        while (p < end) {
+          val diff = v(p) - cb(i)(p); d += diff * diff; p += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      cs(j) = best; j += 1
+    }
+    cs
+  }
+
+  /** A query's (m x numCentroids) ADC distance table — exact integer
+    * subspace distances to every codebook centroid. */
+  private def pqTable(q: Array[Long], seeds: Array[Array[Long]],
+      m: Int, subDim: Int): Array[Array[Long]] = {
+    val t = Array.ofDim[Long](m, seeds.length)
+    var j = 0
+    while (j < m) {
+      var i = 0
+      while (i < seeds.length) {
+        var d = 0L
+        var p = j * subDim
+        val end = p + subDim
+        while (p < end) {
+          val diff = q(p) - seeds(i)(p); d += diff * diff; p += 1
+        }
+        t(j)(i) = d; i += 1
+      }
+      j += 1
+    }
+    t
+  }
+
+  /** IVF-PQ top-k — the production-scale ANN composition (the FAISS
+    * IVFPQ shape, Jégou et al. 2011): a COARSE inverted file prunes
+    * the corpus to `nProbe` of `nLists` cells, and PQ-ADC scores only
+    * the probed candidates — scan cost ~ corpus * nProbe/nLists, per
+    * candidate m table adds, index size m bytes/vector + one list id.
+    * Coarse cells are the md5-seeded max-cosine assignment (the
+    * semanticClusters rule — nLists derived from the corpus count, the
+    * SemDeDup k ∝ n contract); codebooks are the [[pqTopK]] md5-seeded
+    * subvector codebooks. One typed map computes BOTH the coarse list
+    * and the PQ codes per row (one corpus pass); queries broadcast
+    * their probed-cell sets with their ADC tables.
+    *
+    * Same determinism as [[pqTopK]] (all-integer ADC, lowest-index /
+    * lowest-id ties); the coarse argmax is the replayable
+    * fixed-order double fold the SemDeDup oracles already pin. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 2, m: Int = 8, numCentroids: Int = 16,
+      targetPerList: Long = 64L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nLists = Dedup.autoClusters(corpus.count(), targetPerList)
+    val coarse = Dedup.semanticSeeds(corpus, col("vec_id"),
+      col("embedding"), nLists)
+    val um = corpus.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding")).as[(Long, Seq[Float])]
+    val seeds: Array[Array[Long]] = um
+      .toDF("vec_id", "e")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .as[(Long, Seq[Float])].collect()
+      .map { case (_, e) => normalizedMicros(e) }
+    require(seeds.nonEmpty, "empty corpus")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val nSub = m
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcSeeds = spark.sparkContext.broadcast(seeds)
+    // ONE pass: coarse list + PQ codes per row
+    val indexed = um.map { case (id, e) =>
+      val ea = e.toArray
+      (id, nearestList(bcCoarse.value, ea),
+        pqEncodeRow(normalizedMicros(ea), bcSeeds.value, nSub, subDim))
+    }
+    val qRows = queries.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding")).as[(Long, Seq[Float])].collect()
+    val probes: Array[(Long, Array[Int], Array[Array[Long]])] =
+      qRows.map { case (qid, e) =>
+        val ea = e.toArray
+        (qid, nearestLists(coarse, ea, nProbe),
+          pqTable(normalizedMicros(ea), seeds, nSub, subDim))
+      }
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    val scored = indexed.flatMap { case (id, lst, cs) =>
+      bcProbes.value.iterator
+        .filter { case (qid, ls, _) => qid != id && ls.contains(lst) }
+        .map { case (qid, _, tab) =>
+          var s = 0L
+          var j = 0
+          while (j < nSub) { s += tab(j)(cs(j)); j += 1 }
+          (qid, id, s)
+        }
     }.toDF("q_id", "neighbor_id", "dist_um2")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("dist_um2").asc, col("neighbor_id").asc)

@@ -679,5 +679,71 @@ object EmbeddingQueries {
         |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10)
+    },
+
+    // IVF-PQ: the production ANN composition — the md5-seeded coarse
+    // inverted file (SEMDEDUP_ASSIGN_CTES: nLists = n/64 cells, the
+    // k ∝ n contract) prunes each query to its 2 nearest cells, and
+    // PQ-ADC integer scoring runs ONLY on the probed candidates.
+    // Scan ~ nProbe/nLists of the corpus, m bytes/vector resident.
+    // One typed map computes coarse list + codes together.
+    "emb_ivfpq_topk" -> QueryDef(
+      s"""WITH $SEMDEDUP_ASSIGN_CTES,
+         |em AS (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |    e -> CAST(round(1000000 * e / sqrt(list_dot_product(
+         |      embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |pseeds AS (
+         |  SELECT rnk - 1 AS cidx, v AS cv FROM (
+         |    SELECT v, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+         |    FROM em) t WHERE rnk <= 16),
+         |codes AS (
+         |  SELECT vec_id, j, cidx FROM (
+         |    SELECT e.vec_id, js.j, s.cidx,
+         |      row_number() OVER (PARTITION BY e.vec_id, js.j
+         |        ORDER BY CAST(list_sum(list_transform(range(1, 9),
+         |          p -> (e.v[js.j*8 + p] - s.cv[js.j*8 + p])
+         |             * (e.v[js.j*8 + p] - s.cv[js.j*8 + p]))) AS BIGINT) ASC,
+         |          s.cidx ASC) AS r
+         |    FROM em e
+         |    CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+         |    CROSS JOIN pseeds s) t
+         |  WHERE r = 1),
+         |qtab AS (
+         |  SELECT q.vec_id AS q_id, js.j, s.cidx,
+         |    CAST(list_sum(list_transform(range(1, 9),
+         |      p -> (q.v[js.j*8 + p] - s.cv[js.j*8 + p])
+         |         * (q.v[js.j*8 + p] - s.cv[js.j*8 + p]))) AS BIGINT) AS d
+         |  FROM em q
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+         |  CROSS JOIN pseeds s
+         |  WHERE q.vec_id < 10),
+         |qprobe AS (
+         |  SELECT q_id, lst FROM (
+         |    SELECT e.vec_id AS q_id, s.lst, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
+         |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS r
+         |    FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id < 10) t
+         |  WHERE r <= 2),
+         |score AS (
+         |  SELECT qt.q_id, c.vec_id AS neighbor_id,
+         |    CAST(sum(qt.d) AS BIGINT) AS dist_um2
+         |  FROM codes c
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN qprobe qp ON qp.lst = a.lst
+         |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.cidx = c.cidx
+         |  WHERE c.vec_id != qt.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, neighbor_id, dist_um2, rnk FROM (
+         |  SELECT q_id, neighbor_id, dist_um2, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist_um2 ASC, neighbor_id ASC) AS rnk
+         |  FROM score) t
+         |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 10,
+        nProbe = 2)
     })
 }

@@ -278,4 +278,33 @@ class SimilaritySpec extends AnyFunSuite {
     val rec = (planted & got).size.toDouble / planted.size
     assert(rec >= 0.8, s"PQ planted near-dup recall: $rec")
   }
+
+  test("ivfPqTopK: identical copies probed and ranked first; ADC dists agree with full PQ") {
+    val spark0 = spark
+    import spark0.implicits._
+    // an identical copy shares the query's coarse cell (identical
+    // argmax path), so the query's own-cell probe always reaches it,
+    // and its ADC distance is the minimum any candidate can score
+    val copies = queries.select((col("vec_id") + 5000L).as("vec_id"),
+      col("embedding"))
+    val aug = emb.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val ivf = Similarity.ivfPqTopK(aug, queries, 10, nProbe = 2)
+    val top1 = ivf.filter(col("rnk") === 1)
+      .select("q_id", "neighbor_id").collect()
+    assert(top1.length == 10)
+    top1.foreach(r => assert(r.getLong(1) == r.getLong(0) + 5000L,
+      s"query ${r.getLong(0)} top-1 is ${r.getLong(1)}"))
+    assert(ivf.filter(col("q_id") === col("neighbor_id")).count() == 0)
+    // the probe only restricts CANDIDATES — on shared (q, neighbor)
+    // pairs the integer ADC distance must equal the full-PQ scan's
+    val pq = Similarity.pqTopK(aug, queries, 10)
+      .select("q_id", "neighbor_id", "dist_um2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivfd = ivf.select("q_id", "neighbor_id", "dist_um2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val common = pq.keySet & ivfd.keySet
+    assert(common.nonEmpty)
+    common.foreach(kk => assert(pq(kk) == ivfd(kk),
+      s"ADC distance diverged on $kk"))
+  }
 }
