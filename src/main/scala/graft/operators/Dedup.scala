@@ -1386,52 +1386,77 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val fine = semanticSeeds(df, id, emb, nClusters)
+    val cells = twoLevelCells(fine, kcOverride)
+    val bcFine = spark.sparkContext.broadcast(fine)
+    val bcCells = spark.sparkContext.broadcast(cells)
+    df.select(id.cast("long").as("vec_id"), emb.as("e"))
+      .as[(Long, Array[Float])]
+      .map { case (i, e) =>
+        (i, routeTwoLevel(bcFine.value, bcCells.value, e, 1)(0))
+      }
+      .toDF("vec_id", "lst")
+  }
+
+  /** The two-level routing table: coarse = first `kc` fine seeds
+    * (default ceil(sqrt(k))), each fine seed attached to its nearest
+    * coarse; returns the NON-EMPTY (coarse idx, sorted fine children)
+    * cells — rows only consider these (a duplicate seed can orphan a
+    * cell). Metadata-sized, computed driver-side. */
+  private[graft] def twoLevelCells(fine: Array[Array[Double]],
+      kcOverride: Int = 0): Array[(Int, Array[Int])] = {
     val kc0 =
       if (kcOverride > 0) kcOverride
       else math.max(1, math.ceil(math.sqrt(fine.length.toDouble)).toInt)
     val kc = math.min(kc0, fine.length)
     val coarse = fine.take(kc)
     val childOf = fine.map(f => Similarity.nearestListD(coarse, f))
-    // (coarse idx, sorted fine children) for every NON-EMPTY cell;
-    // rows only consider these (a duplicate seed can orphan a cell)
-    val cells: Array[(Int, Array[Int])] = fine.indices.toArray
+    fine.indices.toArray
       .groupBy(childOf).toArray
       .map { case (c, fs) => (c, fs.sorted) }
       .sortBy(_._1)
-    val bcFine = spark.sparkContext.broadcast(fine)
-    val bcCells = spark.sparkContext.broadcast(cells)
-    df.select(id.cast("long").as("vec_id"), emb.as("e"))
-      .as[(Long, Array[Float])]
-      .map { case (i, e) =>
-        val fn = bcFine.value
-        val cs = bcCells.value
-        def score(c: Array[Double]): Double = {
-          var dot = 0.0
-          var nc = 0.0
-          var p = 0
-          while (p < c.length) { dot += c(p) * e(p); nc += c(p) * c(p); p += 1 }
-          if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
-        }
-        var bi = 0
-        var bs = Double.NegativeInfinity
-        var ci = 0
-        while (ci < cs.length) { // ascending coarse idx: strict > keeps lowest on ties
-          val s = score(fn(cs(ci)._1))
-          if (s > bs) { bs = s; bi = ci }
-          ci += 1
-        }
-        val kids = cs(bi)._2
-        var bl = kids(0)
-        var bls = Double.NegativeInfinity
-        var ki = 0
-        while (ki < kids.length) {
-          val s = score(fn(kids(ki)))
-          if (s > bls) { bls = s; bl = kids(ki) }
-          ki += 1
-        }
-        (i, bl)
+  }
+
+  /** Route a vector through the two-level table: nearest non-empty
+    * coarse cell (score DESC, idx ASC ties), then that cell's children
+    * ranked the same way — the top `nProbe` fine cells (all children
+    * if fewer). `nProbe = 1` is the assignment;
+    * larger values are the IVF probe set (an identical copy of a
+    * probing vector takes the identical path, so its cell is always
+    * probed — the structural-safety contract). */
+  private[graft] def routeTwoLevel(fine: Array[Array[Double]],
+      cells: Array[(Int, Array[Int])], e: Array[Float],
+      nProbe: Int): Array[Int] = {
+    def score(c: Array[Double]): Double = {
+      var dot = 0.0
+      var nc = 0.0
+      var p = 0
+      while (p < c.length) { dot += c(p) * e(p); nc += c(p) * c(p); p += 1 }
+      if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
+    }
+    var bi = 0
+    var bs = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cells.length) { // ascending coarse idx: strict > keeps lowest on ties
+      val s = score(fine(cells(ci)._1))
+      if (s > bs) { bs = s; bi = ci }
+      ci += 1
+    }
+    val kids = cells(bi)._2
+    if (nProbe == 1) {
+      var bl = kids(0)
+      var bls = Double.NegativeInfinity
+      var ki = 0
+      while (ki < kids.length) {
+        val s = score(fine(kids(ki)))
+        if (s > bls) { bls = s; bl = kids(ki) }
+        ki += 1
       }
-      .toDF("vec_id", "lst")
+      Array(bl)
+    } else {
+      kids.map(f => (score(fine(f)), f))
+        .sortBy { case (s, f) => (-s, f) }
+        .take(nProbe).map(_._2)
+    }
   }
 
   /** EXACT distributed per-cluster centroid sums — the

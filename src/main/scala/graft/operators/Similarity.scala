@@ -654,24 +654,31 @@ object Similarity {
     * the corpus to `nProbe` of `nLists` cells, and PQ-ADC scores only
     * the probed candidates — scan cost ~ corpus * nProbe/nLists, per
     * candidate m table adds, index size m bytes/vector + one list id.
-    * Coarse cells are the md5-seeded max-cosine assignment (the
-    * semanticClusters rule — nLists derived from the corpus count, the
-    * SemDeDup k ∝ n contract); codebooks are the [[pqTopK]] md5-seeded
-    * subvector codebooks. One typed map computes BOTH the coarse list
-    * and the PQ codes per row (one corpus pass); queries broadcast
-    * their probed-cell sets with their ADC tables.
+    * Cells are the md5-seeded fine seeds (nLists derived from the
+    * corpus count — the SemDeDup k ∝ n contract) routed TWO-LEVEL
+    * (`Dedup.routeTwoLevel`): a flat row-to-cell argmax would cost
+    * n*nLists = n²/64 dots — the exact super-linearity the probe
+    * caught on emb_centroid_drift — while the two-level route costs
+    * ~2*sqrt(nLists) dots/row (measured 18.7x at n=200k, ClusterProbe).
+    * Queries probe the top `nProbe` children of their coarse cell: an
+    * identical copy of a query takes the identical route, so its cell
+    * is always probed (the structural-safety contract, spec-pinned).
+    * Codebooks are the [[pqTopK]] md5-seeded subvector codebooks. One
+    * typed map computes BOTH the cell and the PQ codes per row (one
+    * corpus pass); queries broadcast probed-cell sets with ADC tables.
     *
     * Same determinism as [[pqTopK]] (all-integer ADC, lowest-index /
-    * lowest-id ties); the coarse argmax is the replayable
-    * fixed-order double fold the SemDeDup oracles already pin. */
+    * lowest-id ties); the routing argmaxes are the replayable
+    * fixed-order double folds the SemDeDup oracles already pin. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nProbe: Int = 2, m: Int = 8, numCentroids: Int = 16,
       targetPerList: Long = 64L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nLists = Dedup.autoClusters(corpus.count(), targetPerList)
-    val coarse = Dedup.semanticSeeds(corpus, col("vec_id"),
+    val fine = Dedup.semanticSeeds(corpus, col("vec_id"),
       col("embedding"), nLists)
+    val cells = Dedup.twoLevelCells(fine)
     val um = corpus.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding")).as[(Long, Seq[Float])]
     val seeds: Array[Array[Long]] = um
@@ -685,12 +692,13 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val nSub = m
-    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcFine = spark.sparkContext.broadcast(fine)
+    val bcCells = spark.sparkContext.broadcast(cells)
     val bcSeeds = spark.sparkContext.broadcast(seeds)
-    // ONE pass: coarse list + PQ codes per row
+    // ONE pass: two-level cell + PQ codes per row
     val indexed = um.map { case (id, e) =>
       val ea = e.toArray
-      (id, nearestList(bcCoarse.value, ea),
+      (id, Dedup.routeTwoLevel(bcFine.value, bcCells.value, ea, 1)(0),
         pqEncodeRow(normalizedMicros(ea), bcSeeds.value, nSub, subDim))
     }
     val qRows = queries.select(col("vec_id").cast("long").as("vec_id"),
@@ -698,7 +706,7 @@ object Similarity {
     val probes: Array[(Long, Array[Int], Array[Array[Long]])] =
       qRows.map { case (qid, e) =>
         val ea = e.toArray
-        (qid, nearestLists(coarse, ea, nProbe),
+        (qid, Dedup.routeTwoLevel(fine, cells, ea, nProbe),
           pqTable(normalizedMicros(ea), seeds, nSub, subDim))
       }
     val bcProbes = spark.sparkContext.broadcast(probes)

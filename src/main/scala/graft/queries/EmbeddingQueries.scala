@@ -87,6 +87,38 @@ object EmbeddingQueries {
        |    FROM embeddings e CROSS JOIN seeds s) t
        |  WHERE rnk = 1)""".stripMargin
 
+  /** The TWO-LEVEL routing CTE block (extends SEMDEDUP_ASSIGN_CTES'
+    * kd/seeds/assign): coarse cells, fine-seed children, and the
+    * row-level two-level assignment `a2(vec_id, lst)` — single-sourced
+    * for emb_clusters_twolevel and the IVF-PQ oracle. */
+  private val TWOLEVEL_CTES: String =
+    """kcd AS (SELECT least(k, CAST(ceil(sqrt(k)) AS BIGINT)) AS kc FROM kd),
+      |coarse AS (SELECT lst AS cl, se AS ce FROM seeds
+      |  WHERE lst < (SELECT kc FROM kcd)),
+      |child AS (
+      |  SELECT lst AS fl, cl FROM (
+      |    SELECT s.lst, c.cl, row_number() OVER (PARTITION BY s.lst
+      |      ORDER BY list_dot_product(c.ce, s.se)
+      |        / sqrt(list_dot_product(c.ce, c.ce)) DESC, c.cl ASC) AS r
+      |    FROM seeds s CROSS JOIN coarse c) t WHERE r = 1),
+      |occ AS (SELECT DISTINCT cl FROM child),
+      |rowsc AS (
+      |  SELECT vec_id, cl FROM (
+      |    SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(c.ce, e.embedding::DOUBLE[])
+      |        / sqrt(list_dot_product(c.ce, c.ce)) DESC, c.cl ASC) AS r
+      |    FROM embeddings e CROSS JOIN (
+      |      SELECT coarse.cl, coarse.ce FROM coarse JOIN occ USING (cl)) c) t
+      |  WHERE r = 1),
+      |a2 AS (
+      |  SELECT vec_id, lst FROM (
+      |    SELECT r.vec_id, s.lst, row_number() OVER (PARTITION BY r.vec_id
+      |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
+      |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS rr
+      |    FROM rowsc r JOIN child ch ON ch.cl = r.cl
+      |    JOIN seeds s ON s.lst = ch.fl
+      |    JOIN embeddings e ON e.vec_id = r.vec_id) t WHERE rr = 1)""".stripMargin
+
   private def semdedupPairsSql(threshold: Double): String =
     s"""$SEMDEDUP_ASSIGN_CTES,
        |pairs AS (
@@ -587,32 +619,7 @@ object EmbeddingQueries {
     // DedupSpec pins two-level == flat when kc is forced to k.
     "emb_clusters_twolevel" -> QueryDef(
       s"""WITH $SEMDEDUP_ASSIGN_CTES,
-         |kcd AS (SELECT least(k, CAST(ceil(sqrt(k)) AS BIGINT)) AS kc FROM kd),
-         |coarse AS (SELECT lst AS cl, se AS ce FROM seeds
-         |  WHERE lst < (SELECT kc FROM kcd)),
-         |child AS (
-         |  SELECT lst AS fl, cl FROM (
-         |    SELECT s.lst, c.cl, row_number() OVER (PARTITION BY s.lst
-         |      ORDER BY list_dot_product(c.ce, s.se)
-         |        / sqrt(list_dot_product(c.ce, c.ce)) DESC, c.cl ASC) AS r
-         |    FROM seeds s CROSS JOIN coarse c) t WHERE r = 1),
-         |occ AS (SELECT DISTINCT cl FROM child),
-         |rowsc AS (
-         |  SELECT vec_id, cl FROM (
-         |    SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(c.ce, e.embedding::DOUBLE[])
-         |        / sqrt(list_dot_product(c.ce, c.ce)) DESC, c.cl ASC) AS r
-         |    FROM embeddings e CROSS JOIN (
-         |      SELECT coarse.cl, coarse.ce FROM coarse JOIN occ USING (cl)) c) t
-         |  WHERE r = 1),
-         |a2 AS (
-         |  SELECT vec_id, lst FROM (
-         |    SELECT r.vec_id, s.lst, row_number() OVER (PARTITION BY r.vec_id
-         |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
-         |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS rr
-         |    FROM rowsc r JOIN child ch ON ch.cl = r.cl
-         |    JOIN seeds s ON s.lst = ch.fl
-         |    JOIN embeddings e ON e.vec_id = r.vec_id) t WHERE rr = 1)
+         |$TWOLEVEL_CTES
          |SELECT a2.vec_id, a2.lst, a.lst AS lst_flat,
          |  a2.lst != a.lst AS rerouted
          |FROM a2 JOIN assign a USING (vec_id)""".stripMargin) { (s, dir) =>
@@ -681,14 +688,16 @@ object EmbeddingQueries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10)
     },
 
-    // IVF-PQ: the production ANN composition — the md5-seeded coarse
-    // inverted file (SEMDEDUP_ASSIGN_CTES: nLists = n/64 cells, the
-    // k ∝ n contract) prunes each query to its 2 nearest cells, and
-    // PQ-ADC integer scoring runs ONLY on the probed candidates.
-    // Scan ~ nProbe/nLists of the corpus, m bytes/vector resident.
-    // One typed map computes coarse list + codes together.
+    // IVF-PQ: the production ANN composition — md5-seeded fine cells
+    // (nLists = n/64, the k ∝ n contract) routed TWO-LEVEL (the
+    // TWOLEVEL_CTES chain — a flat row assignment would be the n²/64
+    // super-linearity the probes caught), queries probing the top-2
+    // children of their coarse cell, PQ-ADC integer scoring ONLY on
+    // probed candidates. Scan ~ nProbe/nLists of the corpus, m
+    // bytes/vector resident; one typed map computes cell + codes.
     "emb_ivfpq_topk" -> QueryDef(
       s"""WITH $SEMDEDUP_ASSIGN_CTES,
+         |$TWOLEVEL_CTES,
          |em AS (
          |  SELECT vec_id, list_transform(embedding::DOUBLE[],
          |    e -> CAST(round(1000000 * e / sqrt(list_dot_product(
@@ -722,18 +731,21 @@ object EmbeddingQueries {
          |  WHERE q.vec_id < 10),
          |qprobe AS (
          |  SELECT q_id, lst FROM (
-         |    SELECT e.vec_id AS q_id, s.lst, row_number() OVER (
-         |      PARTITION BY e.vec_id
+         |    SELECT r.vec_id AS q_id, s.lst, row_number() OVER (
+         |      PARTITION BY r.vec_id
          |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
-         |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS r
-         |    FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id < 10) t
-         |  WHERE r <= 2),
+         |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS rr
+         |    FROM rowsc r JOIN child ch ON ch.cl = r.cl
+         |    JOIN seeds s ON s.lst = ch.fl
+         |    JOIN embeddings e ON e.vec_id = r.vec_id
+         |    WHERE r.vec_id < 10) t
+         |  WHERE rr <= 2),
          |score AS (
          |  SELECT qt.q_id, c.vec_id AS neighbor_id,
          |    CAST(sum(qt.d) AS BIGINT) AS dist_um2
          |  FROM codes c
-         |  JOIN assign a ON a.vec_id = c.vec_id
-         |  JOIN qprobe qp ON qp.lst = a.lst
+         |  JOIN a2 ON a2.vec_id = c.vec_id
+         |  JOIN qprobe qp ON qp.lst = a2.lst
          |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.cidx = c.cidx
          |  WHERE c.vec_id != qt.q_id
          |  GROUP BY 1, 2)
