@@ -1419,6 +1419,94 @@ object DocQueries {
         .select("doc_id", "lang", "shard", "shard_pos")
     },
 
+    // SHARD MANIFEST — the reproducibility artifact a training run
+    // records next to its shards: per shard, doc/token counts, lang
+    // spread, the read-order head doc, and an ORDER-INDEPENDENT
+    // content checksum (sum of 32-bit md5 prefixes — any row change,
+    // loss, or duplication moves it; the doc_sample_hash portable-hash
+    // idiom, summable because each term < 2^32). Composes the shard
+    // assignment's shared hashBound literals.
+    "doc_shard_manifest" -> QueryDef(
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, text,
+         |    ${(1 until 8).map(i =>
+              s"(CASE WHEN substr(md5(text),1,6) >= '${Sampling.hashBound(i / 8.0)}' THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS shard
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY shard ORDER BY md5(text), doc_id) AS shard_pos
+         |  FROM sh)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($SPLIT)) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  min(CASE WHEN shard_pos = 1 THEN doc_id END) AS head_doc,
+         |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+         |    AS checksum
+         |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      Sampling.shuffleShards(Tables.documents(s, dir), col("text"),
+          col("doc_id"), 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.wordCount(col("text"))).cast("long").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(when(col("shard_pos") === 1, col("doc_id"))).as("head_doc"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .cast("long").as("checksum"))
+    },
+
+    // BM25 over CHUNKS — the RAG retrieval granularity: the corpus is
+    // chunked (32/24 stride, the doc_chunks convention), each chunk is
+    // a retrieval unit keyed doc_id*1000+idx, and the SAME
+    // integer-micro BM25 arithmetic ranks chunks for the fixed term
+    // queries. Corpus stats (N, avgdl) are CHUNK-level — retrieval
+    // quality at this granularity is what a RAG index actually serves.
+    "doc_chunk_bm25" -> QueryDef(
+      s"""WITH ch AS (
+         |  SELECT doc_id*1000 + i AS cid,
+         |    array_to_string(list_slice(ws, i*24 + 1, least(i*24 + 32, n)), ' ') AS chunk
+         |  FROM (SELECT doc_id, ws, len(ws) AS n,
+         |      unnest(range(0, (len(ws)-1)//24 + 1)) AS i
+         |    FROM (SELECT doc_id, $SPLIT AS ws FROM documents) w) s),
+         |w AS (SELECT cid, unnest(string_split(chunk, ' ')) AS word FROM ch),
+         |tf AS (SELECT cid, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dl AS (SELECT cid, sum(tf) AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |nt AS (SELECT (SELECT count(*) FROM ch) AS n,
+         |              (SELECT count(*) FROM w) AS t),
+         |q(query_id, word) AS (VALUES
+         |  (0, 'hash'), (0, 'join'), (0, 'order'),
+         |  (1, 'vector'), (1, 'scan'), (1, 'filter'),
+         |  (2, 'slow'), (2, 'merge'), (2, 'batch'), (2, 'data')),
+         |term AS (
+         |  SELECT q.query_id, t.cid,
+         |    round((nt.n - d.df + 0.5) / (d.df + 0.5)
+         |      * (t.tf * 2.2)
+         |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl * nt.n / nt.t))
+         |      * 1000000.0) AS micros
+         |  FROM tf t JOIN q ON t.word = q.word
+         |    JOIN dfq d ON t.word = d.word
+         |    JOIN dl l ON t.cid = l.cid
+         |    CROSS JOIN nt),
+         |scored AS (
+         |  SELECT query_id, cid,
+         |    CAST(sum(micros) AS BIGINT) AS score_micros,
+         |    count(*) AS terms_hit
+         |  FROM term GROUP BY 1, 2)
+         |SELECT query_id, cid AS chunk_id, score_micros, terms_hit, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_micros DESC, cid) AS rnk
+         |  FROM scored) s
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val chunks = TA.chunkWords(Tables.documents(s, dir), col("text"),
+          col("doc_id"), size = 32, stride = 24)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("chunk"))
+      TA.bm25TopK(chunks, col("chunk"), col("cid"),
+          Seq(0 -> "hash join order", 1 -> "vector scan filter",
+            2 -> "slow merge batch data"), 5)
+        .withColumnRenamed("doc_id", "chunk_id")
+    },
+
     // Class-balanced deterministic sample: the 20 smallest md5 keys per
     // language — equal per-class representation without an RNG.
     "doc_balanced_sample" -> QueryDef(
