@@ -200,4 +200,30 @@ object WindowOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sum(when(isDelimiter, 1L).otherwise(0L)).over(w)
   }
+
+  /** EXACT z-score anomaly flag over a sliding lookback — the alert a
+    * monitoring pipeline raises per event, decided in PURE INTEGER
+    * arithmetic so the boundary can never flip between engines:
+    * |x - mean| > z·sigma  ⟺  (n·x - s)² > z²·(n·ss - s²)
+    * over integer cents (s = window sum, ss = window sum of squares).
+    * No division, no sqrt, no rounded float in the comparison — the
+    * rounded-stddev variant would make borderline rows
+    * engine-dependent (the `.5`-boundary class of bug).
+    *
+    * Overflow bound: |n·x - s| < 2·n·maxCents must stay under ~3e9
+    * (square < 2^63) — n ≤ 3e4 rows/window at 1e5-cent values. Wider
+    * windows at 100 TB: pre-aggregate to coarser buckets first or use
+    * the float `volatility` path for the sigma and keep this exact
+    * test for the final gate on the (tiny) flagged subset.
+    *
+    * Returns the flag column; callers attach n for auditability. */
+  def anomalyExactFlag(cents: Column, by: Seq[Column], okey: Column,
+      lookbackUs: Long, z: Int): Column = {
+    val w = sliding(by, okey, lookbackUs)
+    val n = count(lit(1)).over(w)
+    val s = sum(cents).over(w)
+    val ss = sum(cents * cents).over(w)
+    val dev = n * cents - s
+    (dev * dev) > lit(z.toLong * z) * (n * ss - s * s)
+  }
 }

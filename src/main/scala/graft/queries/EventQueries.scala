@@ -329,6 +329,40 @@ object EventQueries {
           round(col("sd"), 4).as("volatility"))
     },
 
+    // EXACT z-score anomaly flags over the 24h sliding stats: the
+    // monitoring alert decided in PURE INTEGER arithmetic —
+    // (n·x − s)² > 9·(n·ss − s²) over cents — so a borderline event
+    // can never flip between engines (no stddev round, no sqrt, no
+    // division anywhere near the comparison). Same window family as
+    // ev_volatility_24h; the flag is the final gate a pipeline pages on.
+    "ev_anomaly_exact" -> QueryDef(
+      s"""SELECT event_id, event_type, n,
+         |  CASE WHEN (n*c - s)*(n*c - s) > 9*(n*ss - s*s)
+         |    THEN 1 ELSE 0 END AS is_anomaly
+         |FROM (
+         |  SELECT event_id, event_type, c,
+         |    CAST(count(*) OVER w AS BIGINT) AS n,
+         |    CAST(sum(c) OVER w AS BIGINT) AS s,
+         |    CAST(sum(c*c) OVER w AS BIGINT) AS ss
+         |  FROM (SELECT event_id, event_type, ts,
+         |      CAST(round(value*100) AS BIGINT) AS c FROM events) b
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY $OKEY
+         |    RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW)) t""".stripMargin) {
+      (s, dir) =>
+        val base = ev(s, dir).select(col("event_id"), col("event_type"),
+          okey.as("okey"), cents(col("value")).cast("long").as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("okey").asc)
+          .rangeBetween(-D * 1000L, 0L)
+        base
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("flag",
+            WindowOps.anomalyExactFlag(col("c"), Seq(col("event_type")),
+              col("okey"), D, z = 3))
+          .select(col("event_id"), col("event_type"), col("n"),
+            when(col("flag"), 1).otherwise(0).as("is_anomaly"))
+    },
+
     // A3 trade-volume imbalance per user over 24h lookback: buy =
     // 'purchase' notional, sell = 'view' notional, exact cents sums so
     // no rounding is needed at all.
