@@ -354,6 +354,63 @@ object Dedup {
         col("n_total"))
   }
 
+  /** BOILERPLATE passage stripping — the CCNet/RefinedWeb "remove
+    * lines repeated across many documents" step at passage
+    * granularity. Where [[paragraphDedup]] keeps the FIRST occurrence
+    * of every passage, this drops EVERY occurrence of a passage whose
+    * document frequency reaches `minDf` (navigation chrome, cookie
+    * banners, license footers — content that repeats across unrelated
+    * documents is boilerplate, not information). Documents are
+    * rebuilt from their surviving passages. Output: (doc_id,
+    * clean_text, n_kept, n_boiler, n_total); a document that is pure
+    * boilerplate comes back with clean_text = '' and n_kept = 0.
+    *
+    * 100 TB shape: the df aggregation ships (digest, doc_id) pairs —
+    * 40 bytes per passage, never bodies — through a two-phase
+    * count-distinct; the boilerplate digest set that survives
+    * `minDf` is tiny by construction (high-df passages are few
+    * distinct strings however many occurrences they have), so the
+    * flag-back join broadcasts it and passage bodies never shuffle
+    * for flagging; reconstruction then regroups only SURVIVING bodies
+    * by doc_id — one body-width shuffle, state bounded by document
+    * length. Passage unit and lowercasing are the shared chunker's
+    * ([[TextAnalysis.chunkWords]] with stride = size), so boilerplate
+    * and first-occurrence dedup agree on what a passage is.
+    * Reference anchor: svoe has no corpus operators; semantics follow
+    * the public CCNet paragraph-hash discipline (Wenzek et al. 2020).
+    */
+  def boilerplateStrip(df: DataFrame, text: Column, id: Column,
+      size: Int, minDf: Int): DataFrame = {
+    require(size > 0 && minDf >= 2, s"bad boilerplate knobs ($size, $minDf)")
+    val chunks = TextAnalysis.chunkWords(df, text, id, size, size)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        sha2(col("chunk"), 256).as("h"))
+    val boiler = chunks
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h").as("bh"))
+    val flagged = chunks
+      .join(broadcast(boiler), chunks("h") === boiler("bh"), "left")
+      .withColumn("is_boiler", col("bh").isNotNull)
+    // counts travel as (doc_id, is_boiler) — never bodies
+    val totals = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"))
+    // only SURVIVING bodies reach the reconstruction shuffle
+    val rebuilt = flagged.filter(!col("is_boiler"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_boiler"), col("n_total"))
+  }
+
   /** INCREMENTAL exact dedup — the production shape: nobody re-dedups
     * the full corpus per ingest; the daily increment dedups against a
     * persistent digest INDEX. A new document survives iff (a) its

@@ -2127,5 +2127,38 @@ object DocQueries {
             coalesce(col("c_old"), lit(0L)).as("c_old"),
             coalesce(col("c_new"), lit(0L)).as("c_new")),
         topK = 20)
+    },
+
+    // Boilerplate passage stripping (CCNet-style): 10-word
+    // non-overlapping passages; a passage appearing in >= 3 DISTINCT
+    // documents is chrome/footer boilerplate and every occurrence is
+    // dropped; documents are rebuilt from survivors. At sf0.01 the
+    // rule fires on 15 distinct passages / 54 occurrences (probed).
+    // Scale shape: the df agg ships 40-byte (digest, doc_id) pairs,
+    // the surviving-df digest set is broadcast for flagging, and only
+    // surviving bodies reach the reconstruction shuffle.
+    "doc_boilerplate_strip" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |s AS (SELECT doc_id, ws, len(ws) AS n,
+         |  unnest(range(0, (len(ws)-1)//10 + 1)) AS i FROM w),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |  array_to_string(list_slice(ws, i*10 + 1, least(i*10 + 10, n)), ' ') AS chunk
+         |  FROM s),
+         |boiler AS (SELECT chunk FROM ch GROUP BY 1
+         |  HAVING count(DISTINCT doc_id) >= 3),
+         |fl AS (SELECT c.doc_id, c.chunk_idx, c.chunk,
+         |    b.chunk IS NOT NULL AS is_boiler
+         |  FROM ch c LEFT JOIN boiler b ON c.chunk = b.chunk),
+         |tot AS (SELECT doc_id, count(*) AS n_total,
+         |    CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |  FROM fl GROUP BY 1),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+         |  FROM fl WHERE NOT is_boiler GROUP BY 1)
+         |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+         |  coalesce(r.n_kept, 0) AS n_kept, t.n_boiler, t.n_total
+         |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.boilerplateStrip(Tables.documents(s, dir), col("text"),
+        col("doc_id"), size = 10, minDf = 3)
     })
 }

@@ -282,6 +282,39 @@ class DedupSpec extends AnyFunSuite {
     assert(kept < total, "vacuous fixture: corpus has no duplicate passages")
   }
 
+  test("boilerplate strip: every occurrence of a df>=minDf passage dies") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = Seq(
+      (1L, "nav bar one two"),   // "nav bar" df=3 -> boiler; "one two" kept
+      (2L, "nav bar three four"),
+      (3L, "nav bar"),           // pure boilerplate -> empty rebuild
+      (4L, "five six"),          // untouched
+      (5L, "one two seven"))     // "one two" df=2 < 3 -> kept
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(corpus, col("text"), col("doc_id"),
+        size = 2, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> (("one two", 1L, 1L, 2L)),
+      2L -> (("three four", 1L, 1L, 2L)),
+      3L -> (("", 0L, 1L, 1L)),
+      4L -> (("five six", 1L, 0L, 1L)),
+      5L -> (("one two seven", 2L, 0L, 2L))))
+  }
+
+  test("boilerplate strip invariants: counts add up, repartition-invariant") {
+    val out = Dedup.boilerplateStrip(docs, col("text"), col("doc_id"),
+      size = 10, minDf = 2)
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(2) + r.getLong(3) == r.getLong(4)))
+    assert(rows.exists(_.getLong(3) > 0), "vacuous fixture: no boilerplate")
+    val again = Dedup.boilerplateStrip(docs.repartition(7), col("text"),
+      col("doc_id"), size = 10, minDf = 2).collect()
+    assert(rows.sortBy(_.getLong(0)).toSeq == again.sortBy(_.getLong(0)).toSeq)
+  }
+
   test("semdedup pairs = brute-force pairs restricted to co-clustered ids") {
     val pairs = Dedup.semanticDedupPairs(embs, col("vec_id"), col("embedding"),
         nClusters = 4, threshold = 0.3)
