@@ -103,6 +103,59 @@ object Trainer {
       .toDF("i", "j", "value")
   }
 
+  /** EXACT-INTEGER least squares for TWO features + intercept, solved
+    * by Cramer's rule over the collected normal equations — the fit
+    * half of the model-based quality filter
+    * ([[graft.operators.TextAnalysis.modelQualityScores]]). With
+    * integer-valued features and label, the distributed accumulation
+    * is order-independent ([[normalEquations]] scaladoc) and the
+    * driver solve is BigInt arithmetic, so the learned weights are
+    * bit-identical across engines and partitionings — no float solve
+    * anywhere. Weights come back as MICROS: `w_i = trunc(1e6 *
+    * adj(A)b_i / det(A))`, truncation toward zero sign-factored so
+    * DuckDB's positive-operand `//` replays it exactly.
+    *
+    * `acc` layout: [n, s1, s2, s11, s12, s22, sy, s1y, s2y] (A
+    * symmetric, b the last three). Magnitude bound: |adj·b|·1e6 must
+    * stay under ~1.7e38 (int128) — with features below ~1e4 that
+    * holds for seed sets up to ~1e7 rows; bound the seed with a hash
+    * sample (the DCLM shape: seeds are small, scoring is corpus-wide),
+    * not by feeding the full corpus to the fit. */
+  def cramerMicroWeights3(acc: Array[BigInt]): Array[Long] = {
+    require(acc.length == 9, s"need 9 sums, got ${acc.length}")
+    val Array(n, s1, s2, s11, s12, s22, sy, s1y, s2y) = acc
+    val c00 = s11 * s22 - s12 * s12
+    val c01 = -(s1 * s22 - s12 * s2)
+    val c02 = s1 * s12 - s11 * s2
+    val c11 = n * s22 - s2 * s2
+    val c12 = -(n * s12 - s1 * s2)
+    val c22 = n * s11 - s1 * s1
+    val det = n * c00 + s1 * c01 + s2 * c02
+    require(det != 0, "singular normal equations: features collinear on the seed")
+    val nums = Array(
+      c00 * sy + c01 * s1y + c02 * s2y,
+      c01 * sy + c11 * s1y + c12 * s2y,
+      c02 * sy + c12 * s1y + c22 * s2y)
+    nums.map { wn =>
+      val sign = if ((wn < 0) != (det < 0)) -1L else 1L
+      sign * ((wn.abs * 1000000) / det.abs).toLong
+    }
+  }
+
+  /** [[cramerMicroWeights3]] over a distributed frame: one exact
+    * treeAggregate pass (integer-valued doubles, asserted), BigInt
+    * solve on the driver. */
+  def fitExactMicros(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): Array[Long] = {
+    require(featureCols.size == 2, "exact Cramer fit supports exactly 2 features")
+    val a = accumulateNormalEquations(df, featureCols, labelCol)
+    // acc layout from accumulate: A row-major (d*d) then b (d), d=3
+    val picked = Array(a(0), a(1), a(2), a(4), a(5), a(8), a(9), a(10), a(11))
+    require(picked.forall(v => v.isWhole && math.abs(v) < 9.007199254740992e15),
+      "exact fit needs integer-valued features/label within 2^53")
+    cramerMicroWeights3(picked.map(v => BigInt(v.toLong)))
+  }
+
   def fitLinear(df: DataFrame, featureCols: Seq[String], labelCol: String,
       lambda: Double = 1e-8): LinearModel = {
     val k = featureCols.size

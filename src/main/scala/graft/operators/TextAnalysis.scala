@@ -869,4 +869,45 @@ object TextAnalysis {
       .orderBy(col("drift_ppm").desc, col("word").asc)
       .limit(topK)
   }
+
+  /** MODEL-BASED quality filtering — the DCLM/fastText-classifier
+    * shape (Li et al. 2024; Joulin et al. 2017): train a linear probe
+    * on a SEED subset with known labels, score the WHOLE corpus with
+    * it, keep what scores above threshold. The seed is a deterministic
+    * md5-prefix hash sample (`substr(md5(text),1,6) < seedBound` —
+    * bound it: the fit's exact arithmetic wants <= ~1e7 seed rows, and
+    * real quality classifiers train on small curated seeds anyway);
+    * features are per-doc (n_words, n_distinct_words) computed in ONE
+    * zero-shuffle typed map (the CollapseProject discipline); the fit
+    * is [[graft.consumers.Trainer.fitExactMicros]] — a single
+    * treeAggregate over the seed, BigInt Cramer solve, integer micro
+    * weights. Scoring is a codegen'd integer affine form per row: the
+    * 100 TB pass is scan + map, zero shuffles, weights broadcast as
+    * three literals. Output: (doc_id, n_words, n_distinct, y, is_seed,
+    * score_micro, keep) — score_micro ~ 1e6 * predicted label.
+    *
+    * Exactness: every feature/label/weight is integer; score is exact
+    * Long arithmetic; keep is an integer compare — no `.5` rounding
+    * boundary anywhere (QueryDef discipline). */
+  def modelQualityScores(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, label: Column, seedBound: String,
+      thresholdMicros: Long = 500000L): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = df.select(id.cast("long").as("doc_id"),
+        lower(text).as("t"), label.cast("long").as("y"),
+        (substring(md5(text), 1, 6) < seedBound).as("is_seed"))
+      .as[(Long, String, Long, Boolean)]
+      .map { case (did, t, y, seed) =>
+        val ws = (if (t == null) "" else t).split(" ", -1)
+        (did, ws.length.toLong, ws.distinct.length.toLong, y, seed)
+      }
+      .toDF("doc_id", "n_words", "n_distinct", "y", "is_seed")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = graft.consumers.Trainer.fitExactMicros(
+      feats.filter(col("is_seed")), Seq("n_words", "n_distinct"), "y")
+    feats.withColumn("score_micro",
+        lit(w(0)) + lit(w(1)) * col("n_words") + lit(w(2)) * col("n_distinct"))
+      .withColumn("keep", col("score_micro") >= lit(thresholdMicros))
+  }
 }

@@ -2160,5 +2160,54 @@ object DocQueries {
          |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin) { (s, dir) =>
       Dedup.boilerplateStrip(Tables.documents(s, dir), col("text"),
         col("doc_id"), size = 10, minDf = 3)
+    },
+
+    // Model-based quality filter (DCLM / fastText classifier shape):
+    // a linear probe trained on a 60% md5-hash seed (label: lang='en'
+    // as the curated-domain proxy) scores EVERY doc; keep at
+    // predicted >= 0.5. The fit is one exact-integer treeAggregate +
+    // BigInt Cramer solve to integer MICRO weights — the oracle
+    // replays the whole thing (normal equations, adjugate, det,
+    // sign-factored truncating division, affine scoring) in HUGEINT
+    // SQL; scoring is a zero-shuffle codegen'd affine map.
+    "doc_model_quality" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, text, lang, $SPLIT AS ws FROM documents),
+         |f AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+         |    substr(md5(text), 1, 6) < '${Sampling.hashBound(0.6)}' AS is_seed
+         |  FROM w),
+         |ne AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(n_words) AS HUGEINT) AS s1,
+         |    CAST(sum(n_distinct) AS HUGEINT) AS s2,
+         |    CAST(sum(n_words*n_words) AS HUGEINT) AS s11,
+         |    CAST(sum(n_words*n_distinct) AS HUGEINT) AS s12,
+         |    CAST(sum(n_distinct*n_distinct) AS HUGEINT) AS s22,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(n_words*y) AS HUGEINT) AS s1y,
+         |    CAST(sum(n_distinct*y) AS HUGEINT) AS s2y
+         |  FROM f WHERE is_seed),
+         |adj AS (SELECT *, s11*s22 - s12*s12 AS c00, -(s1*s22 - s12*s2) AS c01,
+         |    s1*s12 - s11*s2 AS c02, n*s22 - s2*s2 AS c11,
+         |    -(n*s12 - s1*s2) AS c12, n*s11 - s1*s1 AS c22 FROM ne),
+         |dt AS (SELECT *, n*c00 + s1*c01 + s2*c02 AS det FROM adj),
+         |wn AS (SELECT det, c00*sy + c01*s1y + c02*s2y AS w0n,
+         |    c01*sy + c11*s1y + c12*s2y AS w1n,
+         |    c02*sy + c12*s1y + c22*s2y AS w2n FROM dt),
+         |wm AS (SELECT
+         |    (CASE WHEN (w0n < 0) != (det < 0) THEN -1 ELSE 1 END)
+         |      * ((abs(w0n)*1000000) // abs(det)) AS w0m,
+         |    (CASE WHEN (w1n < 0) != (det < 0) THEN -1 ELSE 1 END)
+         |      * ((abs(w1n)*1000000) // abs(det)) AS w1m,
+         |    (CASE WHEN (w2n < 0) != (det < 0) THEN -1 ELSE 1 END)
+         |      * ((abs(w2n)*1000000) // abs(det)) AS w2m FROM wn)
+         |SELECT f.doc_id, f.n_words, f.n_distinct, f.y, f.is_seed,
+         |  CAST(w0m + w1m*n_words + w2m*n_distinct AS BIGINT) AS score_micro,
+         |  CAST(w0m + w1m*n_words + w2m*n_distinct AS BIGINT) >= 500000 AS keep
+         |FROM f, wm""".stripMargin) { (s, dir) =>
+      TA.modelQualityScores(Tables.documents(s, dir), col("text"),
+        col("doc_id"), (col("lang") === "en").cast("long"),
+        seedBound = Sampling.hashBound(0.6))
     })
 }

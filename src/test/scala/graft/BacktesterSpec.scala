@@ -77,6 +77,33 @@ class BacktesterSpec extends AnyFunSuite {
     assert(math.abs(m2.weights(0) - 2.0) < 1e-8)
   }
 
+  test("fitExactMicros: exact integer recovery, truncation, singular guard") {
+    val spark0 = spark
+    import spark0.implicits._
+    // exact-fit linear target -> micro weights are the coefficients x 1e6
+    val lin = (0 until 200).map { i =>
+      val x1 = (i % 13).toLong; val x2 = (i % 7).toLong
+      (x1, x2, 3L - 2L * x1 + x2)
+    }.toDF("x1", "x2", "y").repartition(8)
+    assert(Trainer.fitExactMicros(lin, Seq("x1", "x2"), "y").toSeq ==
+      Seq(3000000L, -2000000L, 1000000L))
+    // non-integer solution truncates toward zero on BOTH signs
+    val frac = Seq((0L, 0L, 0L), (3L, 1L, 1L), (6L, 5L, 2L))
+      .toDF("x1", "x2", "y")
+    assert(Trainer.fitExactMicros(frac, Seq("x1", "x2"), "y").toSeq ==
+      Seq(0L, 333333L, 0L))
+    val nfrac = Seq((0L, 0L, 0L), (3L, 1L, -1L), (6L, 5L, -2L))
+      .toDF("x1", "x2", "y")
+    assert(Trainer.fitExactMicros(nfrac, Seq("x1", "x2"), "y").toSeq ==
+      Seq(0L, -333333L, 0L))
+    // collinear features -> singular, refused
+    val sing = (0 until 10).map(i => (i.toLong, 2L * i, i.toLong))
+      .toDF("x1", "x2", "y")
+    intercept[IllegalArgumentException] {
+      Trainer.fitExactMicros(sing, Seq("x1", "x2"), "y")
+    }
+  }
+
   test("model-backed strategy drives the backtest loop (inference path)") {
     // The flagship label is the sine a quarter period ahead — linearly
     // orthogonal to the features, so this pins the trainer->inference

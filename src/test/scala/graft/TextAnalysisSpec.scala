@@ -400,4 +400,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toMap
     assert(re == out)
   }
+
+  test("modelQualityScores: trained filter is exact, affine, partition-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TA.modelQualityScores(docs, col("text"), col("doc_id"),
+        (col("lang") === "en").cast("long"),
+        seedBound = graft.operators.Sampling.hashBound(0.6))
+      .collect()
+    assert(out.length == docs.count())
+    // keep is exactly the threshold compare
+    assert(out.forall(r => r.getBoolean(6) == (r.getLong(5) >= 500000L)))
+    // the filter is non-degenerate on this corpus
+    assert(out.exists(_.getBoolean(6)) && out.exists(!_.getBoolean(6)))
+    // identical feature vectors score identically (affine form)
+    val byFeat = out.groupBy(r => (r.getLong(1), r.getLong(2)))
+    assert(byFeat.values.forall(_.map(_.getLong(5)).distinct.length == 1))
+    // bit-identical under repartition (exact integer fit + score)
+    val again = TA.modelQualityScores(docs.repartition(7), col("text"),
+        col("doc_id"), (col("lang") === "en").cast("long"),
+        seedBound = graft.operators.Sampling.hashBound(0.6))
+      .collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
