@@ -126,6 +126,38 @@ object Similarity {
     rerankTopK(scored, k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive/retrieval training: for each
+    * query vector, the top-k most-similar corpus vectors that (a)
+    * carry a DIFFERENT label (same-label neighbors are potential
+    * positives, not negatives) and (b) sit below the near-duplicate
+    * band (`cos < dupCos` — a mislabeled copy of the anchor is a FALSE
+    * negative that poisons the contrastive loss, the SemDeDup/CCNet
+    * false-negative discipline). What remains is exactly the
+    * "hardest" negatives: maximally confusable, certifiably wrong.
+    *
+    * Scale shape: queries broadcast (the mining set is small — anchors
+    * are sampled); the label-inequality + dup-band predicates run
+    * INSIDE the scored scan before the per-query top-k window, so only
+    * admissible pairs reach the rank shuffle. Brute-force scoring here
+    * is the exact baseline; with L distinct labels the candidate
+    * generation composes with [[ivfTopK]]-style probing plus this
+    * post-predicate (label inequality is not an equi-join key, so the
+    * filtered-join trick of [[bruteForceTopKFiltered]] does not
+    * apply). Output shape = [[bruteForceTopK]]. */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dupCos: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qe"), col("label").as("q_label")))
+    val scored = corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .filter(col("cos") < lit(dupCos))
+    rerankTopK(scored, k)
+  }
+
   /** FILTERED IVF-ANN: [[ivfTopK]] with the match predicate pushed
     * into the candidate join — a corpus row is scored only when it
     * shares BOTH a probed list and the query's match-column values, so

@@ -757,5 +757,32 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 10,
         nProbe = 2)
+    },
+
+    // Hard-negative mining for contrastive/retrieval training: per
+    // anchor, the top-5 most-similar DIFFERENT-label vectors below the
+    // near-duplicate band (same-label = potential positive, above-band
+    // = likely false negative; both poison the loss). The band is set
+    // at 0.35 here so it genuinely excludes candidates on this corpus
+    // (no planted cross-label dups at sf0.01 — the spec plants one).
+    "emb_hard_negatives" -> QueryDef(
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT q_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
+        |  SELECT q_id, vec_id AS neighbor_id, cos, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM (
+        |    SELECT q_id, vec_id,
+        |      list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+        |         * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cos
+        |    FROM q CROSS JOIN embeddings
+        |    WHERE vec_id != q_id AND label != q_label) s
+        |  WHERE cos < 0.35) t
+        |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5, dupCos = 0.35)
     })
 }

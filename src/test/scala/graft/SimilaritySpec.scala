@@ -307,4 +307,31 @@ class SimilaritySpec extends AnyFunSuite {
     common.foreach(kk => assert(pq(kk) == ivfd(kk),
       s"ADC distance diverged on $kk"))
   }
+
+  test("hard negatives: different-label only, dup band excludes a planted copy") {
+    val spark0 = spark
+    import spark0.implicits._
+    // plant a mislabeled identical copy of anchor 0 — a FALSE negative
+    val anchor0 = emb.filter(col("vec_id") === 0L)
+      .select("vec_id", "embedding", "label").collect()(0)
+    val copy = Seq((99999L, anchor0.getAs[Seq[Float]]("embedding").toArray,
+        (anchor0.getInt(2) + 1) % 10))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = emb.select("vec_id", "embedding", "label").unionByName(copy)
+    val qs = corpus.filter(col("vec_id") < 10)
+    val hard = Similarity.hardNegativesTopK(corpus, qs, k = 5, dupCos = 0.99)
+    val rows = hard.collect()
+    // the planted copy has a different label and cosine 1.0 — without
+    // the band it would rank 1 for anchor 0; the band kills it
+    assert(!rows.exists(r => r.getLong(0) == 0L && r.getLong(1) == 99999L))
+    // every neighbor's label differs from its query's label
+    val labels = corpus.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => labels(r.getLong(0)) != labels(r.getLong(1))))
+    // and with the band open, the copy IS the rank-1 hard negative
+    val open = Similarity.hardNegativesTopK(corpus, qs, k = 5, dupCos = 2.0)
+      .collect()
+    assert(open.exists(r => r.getLong(0) == 0L && r.getLong(1) == 99999L
+      && r.getInt(3) == 1))
+  }
 }
