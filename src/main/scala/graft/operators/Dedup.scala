@@ -382,14 +382,35 @@ object Dedup {
   def boilerplateStrip(df: DataFrame, text: Column, id: Column,
       size: Int, minDf: Int): DataFrame = {
     require(size > 0 && minDf >= 2, s"bad boilerplate knobs ($size, $minDf)")
-    val chunks = TextAnalysis.chunkWords(df, text, id, size, size)
-      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
-        sha2(col("chunk"), 256).as("h"))
+    val chunks = boilerplateChunks(df, text, id, size)
     val boiler = chunks
       .groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
       .select(col("h").as("bh"))
+    boilerplateStripTail(chunks, boiler)
+  }
+
+  /** The shared passage frame of the boilerplate family: (doc_id,
+    * chunk_idx, chunk, h=sha2(chunk)). */
+  private[graft] def boilerplateChunks(df: DataFrame, text: Column,
+      id: Column, size: Int): DataFrame =
+    TextAnalysis.chunkWords(df, text, id, size, size)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        sha2(col("chunk"), 256).as("h"))
+
+  /** [[boilerplateStrip]] against an EXTERNAL boilerplate digest set
+    * (column `digest`) — the composition point for the streaming twin
+    * (digest df accumulated by the state store, rebuild batch-side)
+    * and for a persisted boilerplate index shared across ingest
+    * batches. */
+  def boilerplateStripAgainst(df: DataFrame, text: Column, id: Column,
+      size: Int, boilerDigests: DataFrame): DataFrame =
+    boilerplateStripTail(boilerplateChunks(df, text, id, size),
+      boilerDigests.select(col("digest").as("bh")))
+
+  private def boilerplateStripTail(chunks: DataFrame,
+      boiler: DataFrame): DataFrame = {
     val flagged = chunks
       .join(broadcast(boiler), chunks("h") === boiler("bh"), "left")
       .withColumn("is_boiler", col("bh").isNotNull)

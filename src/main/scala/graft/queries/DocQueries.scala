@@ -22,6 +22,32 @@ object DocQueries {
   /** The suite's BPE configuration (merge-table size). */
   private val BpeMerges = 16
 
+  /** Single-sourced boilerplate-strip SQL (10-word passages, df >= 3)
+    * — grades BOTH the batch operator and its streaming twin (df
+    * accumulated by the state store): the arrival engine must not
+    * change what counts as boilerplate. */
+  private val BOILERPLATE_SQL: String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id, ws, len(ws) AS n,
+       |  unnest(range(0, (len(ws)-1)//10 + 1)) AS i FROM w),
+       |ch AS (SELECT doc_id, i AS chunk_idx,
+       |  array_to_string(list_slice(ws, i*10 + 1, least(i*10 + 10, n)), ' ') AS chunk
+       |  FROM s),
+       |boiler AS (SELECT chunk FROM ch GROUP BY 1
+       |  HAVING count(DISTINCT doc_id) >= 3),
+       |fl AS (SELECT c.doc_id, c.chunk_idx, c.chunk,
+       |    b.chunk IS NOT NULL AS is_boiler
+       |  FROM ch c LEFT JOIN boiler b ON c.chunk = b.chunk),
+       |tot AS (SELECT doc_id, count(*) AS n_total,
+       |    CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+       |  FROM fl GROUP BY 1),
+       |reb AS (SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+       |  FROM fl WHERE NOT is_boiler GROUP BY 1)
+       |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       |  coalesce(r.n_kept, 0) AS n_kept, t.n_boiler, t.n_total
+       |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin
+
   /** Single-sourced corpus-drift SQL — grades BOTH the batch drift
     * report and its streaming twin (the new snapshot's counts
     * accumulated by the state store): the arrival engine must not
@@ -2137,29 +2163,24 @@ object DocQueries {
     // Scale shape: the df agg ships 40-byte (digest, doc_id) pairs,
     // the surviving-df digest set is broadcast for flagging, and only
     // surviving bodies reach the reconstruction shuffle.
-    "doc_boilerplate_strip" -> QueryDef(
-      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
-         |s AS (SELECT doc_id, ws, len(ws) AS n,
-         |  unnest(range(0, (len(ws)-1)//10 + 1)) AS i FROM w),
-         |ch AS (SELECT doc_id, i AS chunk_idx,
-         |  array_to_string(list_slice(ws, i*10 + 1, least(i*10 + 10, n)), ' ') AS chunk
-         |  FROM s),
-         |boiler AS (SELECT chunk FROM ch GROUP BY 1
-         |  HAVING count(DISTINCT doc_id) >= 3),
-         |fl AS (SELECT c.doc_id, c.chunk_idx, c.chunk,
-         |    b.chunk IS NOT NULL AS is_boiler
-         |  FROM ch c LEFT JOIN boiler b ON c.chunk = b.chunk),
-         |tot AS (SELECT doc_id, count(*) AS n_total,
-         |    CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
-         |  FROM fl GROUP BY 1),
-         |reb AS (SELECT doc_id, count(*) AS n_kept,
-         |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
-         |  FROM fl WHERE NOT is_boiler GROUP BY 1)
-         |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
-         |  coalesce(r.n_kept, 0) AS n_kept, t.n_boiler, t.n_total
-         |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin) { (s, dir) =>
+    "doc_boilerplate_strip" -> QueryDef(BOILERPLATE_SQL) { (s, dir) =>
       Dedup.boilerplateStrip(Tables.documents(s, dir), col("text"),
         col("doc_id"), size = 10, minDf = 3)
+    },
+
+    // Streaming twin: the df pass runs in the STREAMING engine — per
+    // passage digest the state store holds the capped distinct-doc
+    // set (saturates at minDf = 24 B/digest + the 32 B key), drained
+    // with AvailableNow; the rebuild composes batch-side against the
+    // drained digest verdicts. Same single-sourced SQL: the arrival
+    // engine must not change what counts as boilerplate.
+    "doc_boilerplate_stream" -> QueryDef(BOILERPLATE_SQL) { (s, dir) =>
+      val drained = Streaming.runAvailableNow(
+        Streaming.boilerplateDfStream(Streaming.documentsStream(s, dir),
+          col("text"), col("doc_id"), size = 10, minDf = 3))
+      Dedup.boilerplateStripAgainst(Tables.documents(s, dir), col("text"),
+        col("doc_id"), size = 10,
+        drained.filter(col("df_capped") >= 3).select(col("digest")))
     },
 
     // Model-based quality filter (DCLM / fastText classifier shape):

@@ -260,6 +260,79 @@ object Streaming {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Capped DISTINCT-count aggregator: state is the sorted array of
+    * the `cap` SMALLEST distinct values seen — a deterministic
+    * function of the input MULTISET (order-independent,
+    * merge-associative), so the drained count is identical under any
+    * trigger slicing. |state| >= cap iff the true distinct count is
+    * >= cap (the capped set keeps smallest-first, so it fills exactly
+    * when enough distincts exist): the saturating document-frequency
+    * test of the streaming boilerplate detector, in 8*cap bytes per
+    * key no matter how hot the key (primitive Long array — the
+    * Kryo-state rule). */
+  final class DistinctCapAgg(cap: Int) extends org.apache.spark.sql.expressions
+      .Aggregator[(String, Long), Array[Long], Long] {
+    private def insert(buf: Array[Long], v: Long): Array[Long] = {
+      val n = buf.length
+      var p = 0
+      while (p < n && buf(p) < v) p += 1
+      if (p < n && buf(p) == v) return buf // already present
+      if (n == cap) {
+        if (p == n) return buf // larger than every kept value, full
+        val out = new Array[Long](cap)
+        System.arraycopy(buf, 0, out, 0, p)
+        out(p) = v
+        System.arraycopy(buf, p, out, p + 1, cap - p - 1)
+        return out
+      }
+      val out = new Array[Long](n + 1)
+      System.arraycopy(buf, 0, out, 0, p)
+      out(p) = v
+      System.arraycopy(buf, p, out, p + 1, n - p)
+      out
+    }
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], row: (String, Long)): Array[Long] =
+      insert(buf, row._2)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var out = a
+      var j = 0
+      while (j < b.length) { out = insert(out, b(j)); j += 1 }
+      out
+    }
+    def finish(r: Array[Long]): Long = r.length.toLong
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** Streaming BOILERPLATE detection — the streaming twin of
+    * [[graft.operators.Dedup.boilerplateStrip]]'s document-frequency
+    * pass, for flagging chrome/footer passages DURING ingest:
+    * documents chunk statelessly per row (the shared chunker), and
+    * per-passage-digest state accumulates the capped distinct
+    * document count ([[DistinctCapAgg]] at `cap = minDf` — the df
+    * test saturates, so state per digest is 32 B + 8*minDf bytes
+    * however many documents carry the passage). Drained output:
+    * (digest, df_capped); `df_capped >= minDf` is the boilerplate
+    * verdict, bit-equal to the batch countDistinct rule under any
+    * trigger slicing. Compose with
+    * [[graft.operators.Dedup.boilerplateStripAgainst]] for the
+    * rebuild. */
+  def boilerplateDfStream(df: DataFrame,
+      text: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column,
+      size: Int, minDf: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.operators.TextAnalysis.chunkWords(df, text, id, size, size)
+      .select(sha2(col("chunk"), 256).as("digest"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new DistinctCapAgg(minDf).toColumn.name("df_capped"))
+      .toDF("digest", "df_capped")
+  }
+
   /** Streaming per-source frequency capping — the streaming twin of
     * [[graft.operators.Sampling.sourceCap]], for capping hot domains
     * DURING ingest instead of in a batch pass: per group the state

@@ -146,6 +146,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming boilerplate df: capped distinct count crosses batches, dups don't inflate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.boilerplateDfStream(
+        input.toDS().toDF("doc_id", "text"),
+        col("text"), col("doc_id"), size = 2, minDf = 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("boiler_df_out").start()
+    try {
+      // "a b" twice in ONE doc: distinct df stays 1
+      input.addData((9L, "a b a b"))
+      q.processAllAvailable()
+      input.addData((5L, "a b x y"), (6L, "a b"))
+      q.processAllAvailable()
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = spark.table("boiler_df_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // saturates at cap=2 even though 3 distinct docs carry "a b",
+      // and doc 9's in-doc repetition contributed only one distinct
+      assert(out(digest) == 2L)
+      assert(out.values.forall(_ <= 2L))
+      // the only other passage is "x y" at df 1
+      assert(out.size == 2 && out.count(_._2 == 1L) == 1)
+    } finally q.stop()
+  }
+
   test("streaming word counts: counters accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
