@@ -22,12 +22,12 @@ object DocQueries {
   /** The suite's BPE configuration (merge-table size). */
   private val BpeMerges = 16
 
-  /** Single-sourced boilerplate-strip SQL (10-word passages, df >= 3)
-    * — grades BOTH the batch operator and its streaming twin (df
-    * accumulated by the state store): the arrival engine must not
-    * change what counts as boilerplate. */
-  private val BOILERPLATE_SQL: String =
-    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+  /** Single-sourced boilerplate-strip CTE chain (10-word passages,
+    * df >= 3) ending in `stripped(doc_id, clean_text, n_kept,
+    * n_boiler, n_total)` — shared by the batch query, its streaming
+    * twin, and the web-curation pipeline. */
+  private val BOILERPLATE_CTES: String =
+    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
        |s AS (SELECT doc_id, ws, len(ws) AS n,
        |  unnest(range(0, (len(ws)-1)//10 + 1)) AS i FROM w),
        |ch AS (SELECT doc_id, i AS chunk_idx,
@@ -43,10 +43,63 @@ object DocQueries {
        |  FROM fl GROUP BY 1),
        |reb AS (SELECT doc_id, count(*) AS n_kept,
        |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
-       |  FROM fl WHERE NOT is_boiler GROUP BY 1)
-       |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       |  FROM fl WHERE NOT is_boiler GROUP BY 1),
+       |stripped AS (SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
        |  coalesce(r.n_kept, 0) AS n_kept, t.n_boiler, t.n_total
-       |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin
+       |  FROM tot t LEFT JOIN reb r USING (doc_id))""".stripMargin
+
+  /** Single-sourced boilerplate-strip SQL — grades BOTH the batch
+    * operator and its streaming twin (df accumulated by the state
+    * store): the arrival engine must not change what counts as
+    * boilerplate. */
+  private val BOILERPLATE_SQL: String =
+    s"""WITH $BOILERPLATE_CTES
+       |SELECT doc_id, clean_text, n_kept, n_boiler, n_total FROM stripped""".stripMargin
+
+  /** Single-sourced model-quality CTE chain over a source relation
+    * `(doc_id, t, lang)` (t = the text column, any case): features,
+    * exact-integer normal equations on the md5-hash seed, adjugate /
+    * determinant / sign-factored truncating division to MICRO weights,
+    * affine scoring — the full
+    * [[graft.operators.TextAnalysis.modelQualityScores]] replay,
+    * parameterized so the standalone query and the pipeline cannot
+    * drift. Ends in `scored(doc_id, n_words, n_distinct, y, is_seed,
+    * score_micro, keep)`. */
+  private def modelQualityCtes(srcRel: String): String =
+    s"""mq_f AS (SELECT doc_id,
+       |    CAST(len(string_split(lower(t), ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(string_split(lower(t), ' '))) AS BIGINT) AS n_distinct,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    substr(md5(t), 1, 6) < '${Sampling.hashBound(0.6)}' AS is_seed
+       |  FROM $srcRel),
+       |mq_ne AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(n_words) AS HUGEINT) AS s1,
+       |    CAST(sum(n_distinct) AS HUGEINT) AS s2,
+       |    CAST(sum(n_words*n_words) AS HUGEINT) AS s11,
+       |    CAST(sum(n_words*n_distinct) AS HUGEINT) AS s12,
+       |    CAST(sum(n_distinct*n_distinct) AS HUGEINT) AS s22,
+       |    CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(n_words*y) AS HUGEINT) AS s1y,
+       |    CAST(sum(n_distinct*y) AS HUGEINT) AS s2y
+       |  FROM mq_f WHERE is_seed),
+       |mq_adj AS (SELECT *, s11*s22 - s12*s12 AS c00, -(s1*s22 - s12*s2) AS c01,
+       |    s1*s12 - s11*s2 AS c02, n*s22 - s2*s2 AS c11,
+       |    -(n*s12 - s1*s2) AS c12, n*s11 - s1*s1 AS c22 FROM mq_ne),
+       |mq_dt AS (SELECT *, n*c00 + s1*c01 + s2*c02 AS det FROM mq_adj),
+       |mq_wn AS (SELECT det, c00*sy + c01*s1y + c02*s2y AS w0n,
+       |    c01*sy + c11*s1y + c12*s2y AS w1n,
+       |    c02*sy + c12*s1y + c22*s2y AS w2n FROM mq_dt),
+       |mq_wm AS (SELECT
+       |    (CASE WHEN (w0n < 0) != (det < 0) THEN -1 ELSE 1 END)
+       |      * ((abs(w0n)*1000000) // abs(det)) AS w0m,
+       |    (CASE WHEN (w1n < 0) != (det < 0) THEN -1 ELSE 1 END)
+       |      * ((abs(w1n)*1000000) // abs(det)) AS w1m,
+       |    (CASE WHEN (w2n < 0) != (det < 0) THEN -1 ELSE 1 END)
+       |      * ((abs(w2n)*1000000) // abs(det)) AS w2m FROM mq_wn),
+       |scored AS (SELECT f.doc_id, f.n_words, f.n_distinct, f.y, f.is_seed,
+       |    CAST(w0m + w1m*n_words + w2m*n_distinct AS BIGINT) AS score_micro,
+       |    CAST(w0m + w1m*n_words + w2m*n_distinct AS BIGINT) >= 500000 AS keep
+       |  FROM mq_f f, mq_wm)""".stripMargin
 
   /** Single-sourced corpus-drift SQL — grades BOTH the batch drift
     * report and its streaming twin (the new snapshot's counts
@@ -2192,43 +2245,41 @@ object DocQueries {
     // sign-factored truncating division, affine scoring) in HUGEINT
     // SQL; scoring is a zero-shuffle codegen'd affine map.
     "doc_model_quality" -> QueryDef(
-      s"""WITH w AS (SELECT doc_id, text, lang, $SPLIT AS ws FROM documents),
-         |f AS (SELECT doc_id,
-         |    CAST(len(ws) AS BIGINT) AS n_words,
-         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
-         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
-         |    substr(md5(text), 1, 6) < '${Sampling.hashBound(0.6)}' AS is_seed
-         |  FROM w),
-         |ne AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-         |    CAST(sum(n_words) AS HUGEINT) AS s1,
-         |    CAST(sum(n_distinct) AS HUGEINT) AS s2,
-         |    CAST(sum(n_words*n_words) AS HUGEINT) AS s11,
-         |    CAST(sum(n_words*n_distinct) AS HUGEINT) AS s12,
-         |    CAST(sum(n_distinct*n_distinct) AS HUGEINT) AS s22,
-         |    CAST(sum(y) AS HUGEINT) AS sy,
-         |    CAST(sum(n_words*y) AS HUGEINT) AS s1y,
-         |    CAST(sum(n_distinct*y) AS HUGEINT) AS s2y
-         |  FROM f WHERE is_seed),
-         |adj AS (SELECT *, s11*s22 - s12*s12 AS c00, -(s1*s22 - s12*s2) AS c01,
-         |    s1*s12 - s11*s2 AS c02, n*s22 - s2*s2 AS c11,
-         |    -(n*s12 - s1*s2) AS c12, n*s11 - s1*s1 AS c22 FROM ne),
-         |dt AS (SELECT *, n*c00 + s1*c01 + s2*c02 AS det FROM adj),
-         |wn AS (SELECT det, c00*sy + c01*s1y + c02*s2y AS w0n,
-         |    c01*sy + c11*s1y + c12*s2y AS w1n,
-         |    c02*sy + c12*s1y + c22*s2y AS w2n FROM dt),
-         |wm AS (SELECT
-         |    (CASE WHEN (w0n < 0) != (det < 0) THEN -1 ELSE 1 END)
-         |      * ((abs(w0n)*1000000) // abs(det)) AS w0m,
-         |    (CASE WHEN (w1n < 0) != (det < 0) THEN -1 ELSE 1 END)
-         |      * ((abs(w1n)*1000000) // abs(det)) AS w1m,
-         |    (CASE WHEN (w2n < 0) != (det < 0) THEN -1 ELSE 1 END)
-         |      * ((abs(w2n)*1000000) // abs(det)) AS w2m FROM wn)
-         |SELECT f.doc_id, f.n_words, f.n_distinct, f.y, f.is_seed,
-         |  CAST(w0m + w1m*n_words + w2m*n_distinct AS BIGINT) AS score_micro,
-         |  CAST(w0m + w1m*n_words + w2m*n_distinct AS BIGINT) >= 500000 AS keep
-         |FROM f, wm""".stripMargin) { (s, dir) =>
+      s"""WITH src AS (SELECT doc_id, text AS t, lang FROM documents),
+         |${modelQualityCtes("src")}
+         |SELECT * FROM scored""".stripMargin) { (s, dir) =>
       TA.modelQualityScores(Tables.documents(s, dir), col("text"),
         col("doc_id"), (col("lang") === "en").cast("long"),
         seedBound = Sampling.hashBound(0.6))
+    },
+
+    // Composed WEB-CURATION pipeline (the RefinedWeb/DCLM sequencing):
+    // boilerplate-strip every document, drop the pure-boilerplate
+    // husks, then train-and-apply the model-based quality filter ON
+    // THE CLEANED TEXT (chrome stripped before features — scoring raw
+    // text would let navigation noise leak into n_words/n_distinct).
+    // Both stages are their single-sourced CTE chains, so the
+    // composition cannot drift from its parts.
+    "doc_pipeline_web" -> QueryDef(
+      s"""WITH $BOILERPLATE_CTES,
+         |src AS (SELECT st.doc_id, st.clean_text AS t, d.lang
+         |  FROM stripped st JOIN documents d USING (doc_id)
+         |  WHERE st.n_kept > 0),
+         |${modelQualityCtes("src")}
+         |SELECT sc.doc_id, st.n_kept, st.n_boiler, sc.n_words,
+         |  sc.score_micro, sc.keep
+         |FROM scored sc JOIN stripped st USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        val stripped = Dedup.boilerplateStrip(Tables.documents(s, dir),
+            col("text"), col("doc_id"), size = 10, minDf = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cleaned = stripped.filter(col("n_kept") > 0)
+          .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        TA.modelQualityScores(cleaned, col("clean_text"), col("doc_id"),
+            (col("lang") === "en").cast("long"),
+            seedBound = Sampling.hashBound(0.6))
+          .join(stripped.select("doc_id", "n_kept", "n_boiler"), "doc_id")
+          .select(col("doc_id"), col("n_kept"), col("n_boiler"),
+            col("n_words"), col("score_micro"), col("keep"))
     })
 }
