@@ -784,5 +784,49 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") < 10),
         k = 5, dupCos = 0.35)
+    },
+
+    // IN-CONTEXT packing (the In-Context Pretraining sequencing, Shi
+    // et al. 2023): pack SEMANTICALLY RELATED documents into the same
+    // context window instead of shuffling them apart — cluster
+    // assignment (auto-k md5-seeded, the shared SemDeDup half) keys
+    // the greedy 512-token bin packer, so each bin holds neighbors
+    // from one topic cluster. Composition of two single-sourced
+    // definitions: SEMDEDUP_ASSIGN_CTES + the recursive (bin, fill)
+    // pack replay partitioned by cluster. Ordering within a cluster
+    // is (doc_id) — deterministic; a similarity-chain order is a
+    // quality refinement the contract leaves open.
+    "emb_context_pack" -> QueryDef(
+      s"""WITH RECURSIVE $SEMDEDUP_ASSIGN_CTES,
+         |d AS (
+         |  SELECT a.vec_id AS doc_id, a.lst,
+         |    CAST(len(regexp_extract_all(lower(doc.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY a.lst ORDER BY a.vec_id) AS rn
+         |  FROM assign a JOIN documents doc ON doc.doc_id = a.vec_id),
+         |r AS (
+         |  SELECT lst, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+         |    n_tokens AS bin_fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lst, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+         |         THEN r.bin + 1 ELSE r.bin END,
+         |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+         |         THEN d.n_tokens ELSE r.bin_fill + d.n_tokens END
+         |  FROM r JOIN d ON d.lst = r.lst AND d.rn = r.rn + 1)
+         |SELECT doc_id, lst, n_tokens, bin, bin_fill FROM r""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val assigned = graft.operators.Dedup.semanticClusters(emb,
+          col("vec_id"), col("embedding"),
+          graft.operators.Dedup.autoClusters(emb.count()))
+        val withTokens = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.operators.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("n_tokens"))
+        val joined = assigned.join(withTokens,
+            assigned("vec_id") === withTokens("doc_id"))
+          .select(col("doc_id"), col("lst"), col("n_tokens"))
+        graft.operators.Sampling.packGreedy(joined, "n_tokens", 512L, Seq("lst"), "doc_id")
     })
 }
