@@ -892,9 +892,24 @@ object TextAnalysis {
   def modelQualityScores(df: org.apache.spark.sql.DataFrame, text: Column,
       id: Column, label: Column, seedBound: String,
       thresholdMicros: Long = 500000L): org.apache.spark.sql.DataFrame = {
+    val feats = modelFeatures(df, text, id, label, seedBound)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = graft.consumers.Trainer.fitExactMicros(
+      feats.filter(col("is_seed")), Seq("n_words", "n_distinct"), "y")
+    modelApplyWeights(feats, w, thresholdMicros)
+  }
+
+  /** The feature half of [[modelQualityScores]]: one zero-shuffle
+    * typed map emitting (doc_id, n_words, n_distinct, y, is_seed).
+    * Stateless, so it runs unchanged on a STREAMING frame (the
+    * ingest-time scoring path — no persist here; the batch fit path
+    * adds its own). */
+  private[graft] def modelFeatures(df: org.apache.spark.sql.DataFrame,
+      text: Column, id: Column, label: Column,
+      seedBound: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val feats = df.select(id.cast("long").as("doc_id"),
+    df.select(id.cast("long").as("doc_id"),
         lower(text).as("t"), label.cast("long").as("y"),
         (substring(md5(text), 1, 6) < seedBound).as("is_seed"))
       .as[(Long, String, Long, Boolean)]
@@ -903,9 +918,16 @@ object TextAnalysis {
         (did, ws.length.toLong, ws.distinct.length.toLong, y, seed)
       }
       .toDF("doc_id", "n_words", "n_distinct", "y", "is_seed")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = graft.consumers.Trainer.fitExactMicros(
-      feats.filter(col("is_seed")), Seq("n_words", "n_distinct"), "y")
+  }
+
+  /** The scoring half of [[modelQualityScores]]: a codegen'd integer
+    * affine map over the feature frame with the learned micro weights
+    * as three literals — stateless, streaming-safe (train offline on
+    * the batch seed, score every arriving document: the production
+    * deployment shape of a quality classifier). */
+  def modelApplyWeights(feats: org.apache.spark.sql.DataFrame,
+      w: Array[Long], thresholdMicros: Long): org.apache.spark.sql.DataFrame = {
+    require(w.length == 3, "need [intercept, w_words, w_distinct] micros")
     feats.withColumn("score_micro",
         lit(w(0)) + lit(w(1)) * col("n_words") + lit(w(2)) * col("n_distinct"))
       .withColumn("keep", col("score_micro") >= lit(thresholdMicros))

@@ -2253,6 +2253,29 @@ object DocQueries {
         seedBound = Sampling.hashBound(0.6))
     },
 
+    // Streaming twin: the model is FIT OFFLINE on the batch seed
+    // (the deployment shape — a quality classifier trains once, then
+    // scores every arriving document), and the scoring affine map runs
+    // in the STREAMING engine as a stateless codegen'd projection,
+    // drained append-mode. Same single-sourced SQL: arrival engine
+    // must not change scores or verdicts.
+    "doc_model_quality_stream" -> QueryDef(
+      s"""WITH src AS (SELECT doc_id, text AS t, lang FROM documents),
+         |${modelQualityCtes("src")}
+         |SELECT * FROM scored""".stripMargin) { (s, dir) =>
+      val bound = Sampling.hashBound(0.6)
+      val batchFeats = TA.modelFeatures(Tables.documents(s, dir),
+        col("text"), col("doc_id"), (col("lang") === "en").cast("long"), bound)
+      val w = graft.consumers.Trainer.fitExactMicros(
+        batchFeats.filter(col("is_seed")), Seq("n_words", "n_distinct"), "y")
+      Streaming.runAvailableNow(
+        TA.modelApplyWeights(
+          TA.modelFeatures(Streaming.documentsStream(s, dir), col("text"),
+            col("doc_id"), (col("lang") === "en").cast("long"), bound),
+          w, 500000L),
+        outputMode = "append")
+    },
+
     // Composed WEB-CURATION pipeline (the RefinedWeb/DCLM sequencing):
     // boilerplate-strip every document, drop the pure-boilerplate
     // husks, then train-and-apply the model-based quality filter ON
