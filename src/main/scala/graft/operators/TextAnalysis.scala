@@ -562,6 +562,208 @@ object TextAnalysis {
       .toDF("doc_id", "n_words", "n_sym0", "n_tokens")
   }
 
+  // ------------- Unigram-LM (SentencePiece-style) tokenizer -------------
+
+  /** Bit length of a positive Long — the INTEGER-QUANTIZED log2 weight
+    * of the unigram scorer (DuckDB twin: `length(to_base(x, 2))`).
+    * Quantizing log-probabilities to whole bits is what makes unigram
+    * training exact cross-engine: float `ln` differs between libm
+    * implementations, bit length never does (the PQ-micros determinism
+    * discipline applied to tokenizer training; resolution loss <= 1
+    * bit per piece is the documented trade). */
+  private[graft] def bitLen(x: Long): Long =
+    (64 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+
+  /** Forward-lexicographic path order (element-wise, shorter prefix
+    * first) — matches DuckDB `ORDER BY path ASC` on VARCHAR lists for
+    * BMP/ASCII pieces (UTF-16 vs UTF-8 order diverges only beyond the
+    * BMP — same caveat as the BPE family's code-point note). */
+  private[graft] def pathLess(a: IndexedSeq[String], b: IndexedSeq[String]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = a(i).compareTo(b(i))
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Viterbi segmentation of a code-point word under integer
+    * bit-length weights: maximize sum(bl(piece) - blTotal) — the
+    * quantized log-likelihood — with the DETERMINISTIC local tie rule
+    * (score DESC, piece count ASC, forward path ASC) applied at every
+    * position, exactly the `row_number` rule the SQL oracle's unrolled
+    * DP applies per dp table. Single-code-point pieces are always in
+    * the vocabulary, so segmentation never fails. */
+  private[graft] def unigramSegment(cps: Array[String],
+      weights: scala.collection.Map[String, Long], blTotal: Long,
+      maxPieceLen: Int): IndexedSeq[String] = {
+    val n = cps.length
+    if (n == 0) return Vector.empty
+    val bestScore = new Array[Long](n + 1)
+    val bestPath = new Array[Vector[String]](n + 1)
+    bestPath(0) = Vector.empty
+    var i = 1
+    while (i <= n) {
+      var bs = 0L
+      var bp: Vector[String] = null
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        if (bestPath(i - l) != null) {
+          val piece = cps.slice(i - l, i).mkString
+          weights.get(piece) match {
+            case Some(bl) =>
+              val sc = bestScore(i - l) + bl - blTotal
+              val path = bestPath(i - l) :+ piece
+              if (bp == null || sc > bs ||
+                  (sc == bs && (path.length < bp.length ||
+                    (path.length == bp.length && pathLess(path, bp))))) {
+                bs = sc; bp = path
+              }
+            case None =>
+          }
+        }
+        l += 1
+      }
+      bestScore(i) = bs
+      bestPath(i) = bp
+      i += 1
+    }
+    bestPath(n)
+  }
+
+  /** Prune rule shared by seeding and every EM round: rank candidates
+    * by (cnt DESC, piece ASC), keep rank <= cap OR single-code-point
+    * pieces (the fallback alphabet never leaves the vocabulary). */
+  private def unigramPrune(cand: scala.collection.Map[String, Long],
+      cap: Int): Map[String, Long] = {
+    val ranked = cand.toSeq.sortBy { case (p, c) => (-c, p) }
+    ranked.zipWithIndex.collect {
+      case ((p, c), rn) if rn < cap || p.codePointCount(0, p.length) == 1 =>
+        p -> c
+    }.toMap
+  }
+
+  /** One EM round over the capped word table: segment every word under
+    * the current vocabulary's bit-length weights, recount pieces from
+    * the best paths (weighted by word frequency), re-admit any
+    * fallback character the paths dropped at count 1, prune. */
+  private[graft] def unigramEmRound(tbl: Array[(Array[String], Long)],
+      vocab: Map[String, Long], chars: Set[String], maxPieceLen: Int,
+      vocabSize: Int): Map[String, Long] = {
+    val total = vocab.values.sum
+    val blTotal = bitLen(total)
+    val weights = vocab.map { case (p, c) => p -> bitLen(math.max(c, 1L)) }
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    tbl.foreach { case (cps, f) =>
+      unigramSegment(cps, weights, blTotal, maxPieceLen)
+        .foreach(p => counts.update(p, counts.getOrElse(p, 0L) + f))
+    }
+    chars.foreach(c => if (!counts.contains(c)) counts.update(c, 1L))
+    unigramPrune(counts, vocabSize)
+  }
+
+  /** UNIGRAM-LM tokenizer training — the SentencePiece shape (Kudo
+    * 2018) next to [[bpeTrain]]'s merge learning: seed a substring
+    * vocabulary, alternate (Viterbi segmentation under the current
+    * piece distribution) with (piece re-estimation from the
+    * segmentations), prune to the target size each round. Scores are
+    * INTEGER bit lengths ([[bitLen]]) — no float log anywhere, so
+    * training is bit-identical across engines and partitionings, and
+    * the whole loop unrolls into the SQL oracle (the BPE-chain
+    * discipline: fixed rounds + fixed max word length = chained CTEs).
+    *
+    * Scale shape = [[bpeTrain]]'s: the word-frequency HARVEST is
+    * distributed (one corpus pass + TakeOrdered to the `maxVocab`
+    * cap); the EM loop then runs driver-side over that capped word
+    * table — metadata-sized and corpus-independent. Output: (rank,
+    * piece, cnt, bl) — the learned vocabulary with its quantized
+    * weights. */
+  def unigramTrain(df: org.apache.spark.sql.DataFrame, text: Column,
+      maxPieceLen: Int = 4, seedSize: Int = 64, vocabSize: Int = 24,
+      emRounds: Int = 2, maxVocab: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tbl: Array[(Array[String], Long)] = df
+      .select(explode(words(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocab)
+      .as[(String, Long)].collect()
+      .map { case (w, f) => (codePointSymbols(w), f) }
+    val vocab = unigramTrainLoop(tbl, maxPieceLen, seedSize, vocabSize, emRounds)
+    vocab.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) =>
+        ((i + 1).toLong, p, c, bitLen(math.max(c, 1L))) }
+      .toDF("rank", "piece", "cnt", "bl")
+  }
+
+  /** The driver-side seed + EM loop over the capped word table. */
+  private[graft] def unigramTrainLoop(tbl: Array[(Array[String], Long)],
+      maxPieceLen: Int, seedSize: Int, vocabSize: Int,
+      emRounds: Int): Map[String, Long] = {
+    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    tbl.foreach { case (cps, f) =>
+      var i = 0
+      while (i < cps.length) {
+        var l = 1
+        val lMax = math.min(maxPieceLen, cps.length - i)
+        while (l <= lMax) {
+          val p = cps.slice(i, i + l).mkString
+          seedCounts.update(p, seedCounts.getOrElse(p, 0L) + f)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars: Set[String] = tbl.iterator.flatMap(_._1.iterator).toSet
+    var vocab = unigramPrune(seedCounts, seedSize)
+    var r = 0
+    while (r < emRounds) {
+      vocab = unigramEmRound(tbl, vocab, chars, maxPieceLen, vocabSize)
+      r += 1
+    }
+    vocab
+  }
+
+  /** Distributed unigram ENCODE — tokenize the corpus with the learned
+    * vocabulary: train ([[unigramTrain]] knobs), broadcast the
+    * (piece -> bit-length) table plus the total's bit length, then ONE
+    * map-only typed pass segments every word with the same Viterbi +
+    * tie rule as training. Emits per-doc (doc_id, n_words, n_cps,
+    * n_tokens) — code points in vs unigram tokens out, the
+    * tokens-per-doc number a pipeline budgets on, under the REAL
+    * learned tokenizer. */
+  def unigramEncodeStats(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, maxPieceLen: Int = 4, seedSize: Int = 64,
+      vocabSize: Int = 24, emRounds: Int = 2): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Map[String, Long] = unigramTrain(df, text, maxPieceLen,
+        seedSize, vocabSize, emRounds)
+      .select("piece", "cnt").as[(String, Long)].collect().toMap
+    val total = vocab.values.sum
+    val blTotal = bitLen(total)
+    val weights = vocab.map { case (p, c) => p -> bitLen(math.max(c, 1L)) }
+    val bc = spark.sparkContext.broadcast(weights)
+    df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+      .as[(Long, String)]
+      .map { case (did, t) =>
+        val ws = (if (t == null) "" else t).split(" ", -1)
+        var nCps = 0L
+        var nTok = 0L
+        ws.foreach { w =>
+          val cps = codePointSymbols(w)
+          nCps += cps.length
+          nTok += unigramSegment(cps, bc.value, blTotal, maxPieceLen).length
+        }
+        (did, ws.length.toLong, nCps, nTok)
+      }
+      .toDF("doc_id", "n_words", "n_cps", "n_tokens")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023,
     * arXiv:2302.03169 re-expressed at word granularity): score every
     * document by how much its unigram distribution looks like a

@@ -212,6 +212,83 @@ object DocQueries {
        |  FROM dw LEFT JOIN sym0 s ON dw.w = s.wk LEFT JOIN enc e ON dw.w = e.wk
        |  GROUP BY 1)""".stripMargin
 
+  /** The suite's unigram-LM tokenizer configuration. */
+  private val UniPieceLen = 4
+  private val UniSeedSize = 64
+  private val UniVocabSize = 24
+  private val UniEmRounds = 2
+  private val UniMaxWordLen = 12 // corpus max is 8; the unroll bound
+
+  /** Unrolled unigram-LM training chain (the BPE-chain discipline:
+    * fixed EM rounds + fixed max word length = chained CTEs, no
+    * recursion). Replays [[graft.operators.TextAnalysis.unigramTrain]]
+    * exactly: substring seeding, then per round a full Viterbi DP
+    * unrolled position-by-position (per dp table the SAME local tie
+    * rule `row_number() OVER (... ORDER BY score DESC, len(path) ASC,
+    * path ASC)` the Scala fold applies), piece recount from best
+    * paths, char re-admission at count 1, prune. Scores are integer
+    * bit lengths — `length(to_base(x, 2))` — so every weight, score,
+    * and tie is engine-exact. `tag` F is the final segmentation pass
+    * the encode query consumes. */
+  private def unigramDpCtes(tag: String, vocabIdx: Int): String = {
+    val bl = s"ubl$tag"
+    val wt = s"uwt$tag"
+    val head =
+      s"""$bl AS (SELECT CAST(length(to_base(CAST((SELECT sum(cnt) FROM uv$vocabIdx) AS BIGINT), 2)) AS BIGINT) AS bl),
+         |$wt AS (SELECT piece, CAST(length(to_base(greatest(cnt, 1), 2)) AS BIGINT) AS bl FROM uv$vocabIdx),
+         |udp${tag}_0 AS (SELECT wk, CAST(0 AS BIGINT) AS score, []::VARCHAR[] AS path FROM uw)""".stripMargin
+    val dps = (1 to UniMaxWordLen).map { i =>
+      val arms = (1 to math.min(UniPieceLen, i)).map { l =>
+        s"""    SELECT d.wk, d.score + v.bl - b.bl AS score,
+           |      list_append(d.path, substr(d.wk, ${i - l + 1}, $l)) AS path
+           |    FROM udp${tag}_${i - l} d
+           |    JOIN $wt v ON v.piece = substr(d.wk, ${i - l + 1}, $l)
+           |    CROSS JOIN $bl b
+           |    WHERE length(d.wk) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""udp${tag}_$i AS MATERIALIZED (SELECT wk, score, path FROM (
+         |  SELECT wk, score, path, row_number() OVER (
+         |    PARTITION BY wk ORDER BY score DESC, len(path) ASC, path ASC) AS rn
+         |  FROM (
+         |$arms) u) t WHERE rn = 1)""".stripMargin
+    }
+    val seg = (1 to UniMaxWordLen).map { i =>
+      s"  SELECT d.wk, u.freq, d.path FROM udp${tag}_$i d JOIN uw u ON u.wk = d.wk AND length(u.wk) = $i"
+    }.mkString("\n  UNION ALL\n")
+    (head +: dps :+ s"useg$tag AS MATERIALIZED (\n$seg)").mkString(",\n")
+  }
+
+  /** The shared unigram CTE chain up to the final vocabulary
+    * `uv$UniEmRounds`; `withFinalSeg` appends the F segmentation pass
+    * for the encode oracle. */
+  private def unigramCtes(withFinalSeg: Boolean): String = {
+    val base =
+      s"""uw AS MATERIALIZED (SELECT w AS wk, CAST(count(*) AS BIGINT) AS freq FROM (
+         |  SELECT unnest(string_split(coalesce(lower(text), ''), ' ')) AS w FROM documents) u
+         |  GROUP BY 1),
+         |up1 AS (SELECT wk, freq, length(wk) AS n, unnest(range(0, length(wk))) AS i FROM uw),
+         |up2 AS (SELECT wk, freq, n, i, unnest(range(1, least($UniPieceLen, n - i) + 1)) AS l FROM up1),
+         |ucand0 AS (SELECT substr(wk, i + 1, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM up2 GROUP BY 1),
+         |uchars AS (SELECT DISTINCT substr(wk, i + 1, 1) AS piece FROM up1),
+         |uv0 AS MATERIALIZED (SELECT piece, cnt FROM (
+         |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn FROM ucand0) t
+         |  WHERE rn <= $UniSeedSize OR length(piece) = 1)""".stripMargin
+    val rounds = (1 to UniEmRounds).map { r =>
+      s"""${unigramDpCtes(r.toString, r - 1)},
+         |ucnt$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(path) AS piece FROM useg$r) q GROUP BY 1),
+         |ucf$r AS (SELECT piece, cnt FROM ucnt$r UNION ALL
+         |  SELECT c.piece, CAST(1 AS BIGINT) AS cnt FROM uchars c
+         |  WHERE c.piece NOT IN (SELECT piece FROM ucnt$r)),
+         |uv$r AS MATERIALIZED (SELECT piece, cnt FROM (
+         |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn FROM ucf$r) t
+         |  WHERE rn <= $UniVocabSize OR length(piece) = 1)""".stripMargin
+    }
+    val tail = if (withFinalSeg) Seq(unigramDpCtes("F", UniEmRounds)) else Seq.empty
+    ((base +: rounds) ++ tail).mkString(",\n")
+  }
+
   /** MinHash signature + pair CTE block under the PORTABLE md5-prefix
     * base hash, 32 perms / est >= 0.6 — produces `sig(doc_id, mh0..31)`
     * and `pairs(a_id, b_id, est_jaccard)`. The affine coefficients are
@@ -2274,6 +2351,42 @@ object DocQueries {
             col("doc_id"), (col("lang") === "en").cast("long"), bound),
           w, 500000L),
         outputMode = "append")
+    },
+
+    // Unigram-LM tokenizer training (SentencePiece shape, Kudo 2018):
+    // substring seeding, 2 EM rounds of (Viterbi segmentation ->
+    // piece recount -> prune), integer BIT-LENGTH scores throughout
+    // (no float log anywhere — engine-exact). The oracle unrolls the
+    // whole loop: per round a full Viterbi DP, position by position,
+    // each dp table applying the same local tie rule as the Scala
+    // fold. The harvest is distributed; the EM loop runs driver-side
+    // over the maxVocab-capped word table (the bpeTrain defense:
+    // metadata-sized, corpus-independent).
+    "doc_unigram_vocab" -> QueryDef(
+      s"""WITH ${unigramCtes(withFinalSeg = false)}
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT) AS rank,
+         |  piece, cnt,
+         |  CAST(length(to_base(greatest(cnt, 1), 2)) AS BIGINT) AS bl
+         |FROM uv$UniEmRounds""".stripMargin) { (s, dir) =>
+      TA.unigramTrain(Tables.documents(s, dir), col("text"),
+        UniPieceLen, UniSeedSize, UniVocabSize, UniEmRounds)
+    },
+
+    // Unigram ENCODE under the trained vocabulary: one more unrolled
+    // Viterbi pass (tag F) segments every distinct word; per-doc code
+    // points in vs unigram tokens out. The Spark side is ONE map-only
+    // typed pass with the (piece -> bit-length) table broadcast.
+    "doc_unigram_encode" -> QueryDef(
+      s"""WITH ${unigramCtes(withFinalSeg = true)},
+         |dw AS (SELECT doc_id, unnest(string_split(coalesce(lower(text), ''), ' ')) AS w
+         |  FROM documents)
+         |SELECT CAST(dw.doc_id AS BIGINT) AS doc_id, count(*) AS n_words,
+         |  CAST(sum(length(dw.w)) AS BIGINT) AS n_cps,
+         |  CAST(sum(coalesce(len(s.path), 0)) AS BIGINT) AS n_tokens
+         |FROM dw LEFT JOIN usegF s ON dw.w = s.wk
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      TA.unigramEncodeStats(Tables.documents(s, dir), col("text"),
+        col("doc_id"), UniPieceLen, UniSeedSize, UniVocabSize, UniEmRounds)
     },
 
     // Composed WEB-CURATION pipeline (the RefinedWeb/DCLM sequencing):

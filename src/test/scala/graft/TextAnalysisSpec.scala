@@ -401,6 +401,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re == out)
   }
 
+  test("unigram tokenizer: frequent word compresses, chars always covered, invariant") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, "hello hello hello")) ++
+      Seq((100L, "abc xyz"), (101L, "hello there"))
+    val df = docs.toDF("doc_id", "text")
+    val vocab = TA.unigramTrain(df, col("text"), maxPieceLen = 4,
+        seedSize = 16, vocabSize = 8, emRounds = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // the fallback alphabet survives every prune
+    "abcxyzhelotr".foreach(c => assert(vocab.contains(c.toString), s"char $c"))
+    // "hell" (or another 4-piece of hello) dominates the counts
+    assert(vocab.keys.exists(_.length == 4), s"no 4-piece in ${vocab.keys}")
+    val enc = TA.unigramEncodeStats(df, col("text"), col("doc_id"),
+        maxPieceLen = 4, seedSize = 16, vocabSize = 8, emRounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "hello hello hello": 15 cps -> 2 pieces per word = 6 tokens
+    assert(enc(0L) == ((3L, 15L, 6L)), s"got ${enc(0L)}")
+    // tokens never exceed code points; never beat ceil(cps/maxLen)
+    enc.values.foreach { case (_, cps, tok) =>
+      assert(tok <= cps && tok >= (cps + 3) / 4)
+    }
+    // bit-identical under repartition (integer scores, total tie order)
+    val again = TA.unigramTrain(df.repartition(7), col("text"), 4, 16, 8, 2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(vocab == again)
+  }
+
+  test("unigramSegment: local tie rule is (score, count, lexicographic)") {
+    // vocab: "ab" and "ba" same weight; word "aba" has two 2-piece
+    // segmentations of equal score: ["ab","a"] vs ["a","ba"] — the
+    // forward-lexicographic rule picks ["a","ba"]
+    val w = Map("a" -> 3L, "b" -> 3L, "ab" -> 5L, "ba" -> 5L)
+    val seg = TA.unigramSegment(Array("a", "b", "a"), w, 6L, 4)
+    assert(seg == Vector("a", "ba"), s"got $seg")
+    // empty word -> empty path
+    assert(TA.unigramSegment(Array.empty[String], w, 6L, 4).isEmpty)
+  }
+
   test("modelQualityScores: trained filter is exact, affine, partition-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TA.modelQualityScores(docs, col("text"), col("doc_id"),
