@@ -121,36 +121,134 @@ object Preprocess {
       assumeSorted: Boolean = false): DataFrame = {
     require(!(chunkUnits > 0 && assumeSorted),
       "chunking re-partitions; it cannot honor an assumeSorted layout")
-    if (chunkUnits > 0) {
-      // TIME-CHUNKED fold: parallelism for LOW-CARDINALITY keys. The
-      // plain fold puts each key's whole timeline in one partition —
-      // with 5 event types that is 5 of N cores and one n*log(n) sort
-      // per key (the sf100eq probe's 13.9x/decade row, SCALE.md). Here
-      // the time axis splits into `chunkUnits` slices, and each
-      // (chunk, key) group ALSO reads the preceding `rangeUnits` of
-      // rows as non-emitting SEED rows (the as-of prev-block-seeding
-      // idea applied to sliding windows): every emitted row still sees
-      // its full lookback, so the output is bit-identical to the
-      // unchunked fold, while parallelism becomes keys x chunks and
-      // each sort covers one slice. Read amplification is bounded by
-      // rangeUnits/chunkUnits (= 2x at chunkUnits == rangeUnits).
-      // Requires okey >= 0 (epoch-derived keys are).
-      require(chunkUnits >= rangeUnits,
-        s"chunk ($chunkUnits) must cover the window lookback ($rangeUnits)")
-      val chunkOf = expr(s"$okeyCol div $chunkUnits") // exact integral div
-      val own = df.withColumn("__chunk", chunkOf)
-        .withColumn("__emit", lit(true))
-      val seeds = df
-        .filter(pmod(col(okeyCol), lit(chunkUnits)) >=
-          lit(chunkUnits - rangeUnits))
-        .withColumn("__chunk", chunkOf + lit(1L))
-        .withColumn("__emit", lit(false))
-      return foldStddevSorted(own.unionByName(seeds), okeyCol, centsCol,
-        rangeUnits, "__chunk" +: by, outCol, assumeSorted = false)
-        .filter(col("__emit")).drop("__chunk", "__emit")
-    }
+    if (chunkUnits > 0)
+      return withChunkSeeds(df, okeyCol, rangeUnits, chunkUnits) {
+        (seeded, by2) => foldStddevSorted(seeded, okeyCol, centsCol,
+          rangeUnits, by2 ++ by, outCol, assumeSorted = false)
+      }
     foldStddevSorted(df, okeyCol, centsCol, rangeUnits, by, outCol,
       assumeSorted)
+  }
+
+  /** TIME-CHUNKED fold harness: parallelism for LOW-CARDINALITY keys.
+    * A plain per-key fold puts each key's whole timeline in one
+    * partition — with 5 event types that is 5 of N cores and one
+    * n*log(n) sort per key (the sf100eq probe's 13.9x/decade row,
+    * SCALE.md). Here the time axis splits into `chunkUnits` slices,
+    * and each (chunk, key) group ALSO reads the preceding
+    * `rangeUnits` of rows as non-emitting SEED rows (the as-of
+    * prev-block-seeding idea applied to sliding windows): every
+    * emitted row still sees its full lookback, so the output is
+    * bit-identical to the unchunked fold, while parallelism becomes
+    * keys x chunks and each sort covers one slice. Read amplification
+    * is bounded by rangeUnits/chunkUnits (= 2x at chunkUnits ==
+    * rangeUnits). Requires okey >= 0 (epoch-derived keys are).
+    * The callback receives the seeded frame and the `__chunk` key to
+    * PREPEND to its own grouping keys. */
+  private def withChunkSeeds(df: DataFrame, okeyCol: String,
+      rangeUnits: Long, chunkUnits: Long)(
+      fold: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
+    require(chunkUnits >= rangeUnits,
+      s"chunk ($chunkUnits) must cover the window lookback ($rangeUnits)")
+    val chunkOf = expr(s"$okeyCol div $chunkUnits") // exact integral div
+    val own = df.withColumn("__chunk", chunkOf)
+      .withColumn("__emit", lit(true))
+    val seeds = df
+      .filter(pmod(col(okeyCol), lit(chunkUnits)) >=
+        lit(chunkUnits - rangeUnits))
+      .withColumn("__chunk", chunkOf + lit(1L))
+      .withColumn("__emit", lit(false))
+    fold(own.unionByName(seeds), Seq("__chunk"))
+      .filter(col("__emit")).drop("__chunk", "__emit")
+  }
+
+  /** EXACT z-score anomaly flags via the deque fold — the execution
+    * shape of [[slidingStddevCentsIncremental]] under the PURE-INTEGER
+    * decision rule of
+    * [[graft.operators.WindowOps.anomalyExactFlag]]:
+    * (n·x − s)² > z²·(n·ss − s²) over Long cents, running (n, s, ss)
+    * maintained as rows enter and leave the window — O(1)/row where
+    * the declarative RANGE frame re-scans its window per row (Spark's
+    * WindowExec has no sliding-aggregate incrementalization: measured
+    * 14.7s vs sub-second at sf0.1, the ev_volatility_24h lesson
+    * replayed). Appends (n BIGINT, is_anomaly INT); equal-okey runs
+    * are peers — every row of a run sees the whole run, exactly like
+    * the SQL frame. Same overflow bound as the declarative twin
+    * (n·maxCents bounded so the squares stay under 2^63); chunkUnits
+    * adds the time-chunked parallelism for low-cardinality keys. */
+  def anomalyExactFold(df: DataFrame, okeyCol: String, centsCol: String,
+      rangeUnits: Long, by: Seq[String], z: Int,
+      chunkUnits: Long = 0L): DataFrame = {
+    if (chunkUnits > 0)
+      return withChunkSeeds(df, okeyCol, rangeUnits, chunkUnits) {
+        (seeded, by2) => foldAnomalySorted(seeded, okeyCol, centsCol,
+          rangeUnits, by2 ++ by, z)
+      }
+    foldAnomalySorted(df, okeyCol, centsCol, rangeUnits, by, z)
+  }
+
+  private def foldAnomalySorted(df: DataFrame, okeyCol: String,
+      centsCol: String, rangeUnits: Long, by: Seq[String],
+      z: Int): DataFrame = {
+    val cols = df.columns
+    val okIdx = cols.indexOf(okeyCol)
+    val vIdx = cols.indexOf(centsCol)
+    val byIdx = by.map(c => cols.indexOf(c))
+    val zz = z.toLong * z
+    val sorted = df.repartition(by.map(col): _*)
+      .sortWithinPartitions((by.map(col) :+ col(okeyCol).asc): _*)
+    val schema = sorted.schema
+      .add(org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false))
+      .add(org.apache.spark.sql.types.StructField("is_anomaly",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val rdd = sorted.rdd.mapPartitions { iter =>
+      val it = iter.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        private var curKey: Seq[Any] = null
+        private val oks = new java.util.ArrayDeque[Long]()
+        private val vs = new java.util.ArrayDeque[Long]()
+        private var s = 0L
+        private var ss = 0L
+        private var pending: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+
+        override def hasNext: Boolean = pending.hasNext || it.hasNext
+
+        override def next(): org.apache.spark.sql.Row = {
+          if (!pending.hasNext) {
+            val key = byIdx.map(it.head.get)
+            if (curKey == null || key != curKey) {
+              curKey = key; oks.clear(); vs.clear(); s = 0L; ss = 0L
+            }
+            val ok = it.head.getLong(okIdx)
+            val run = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            while (it.hasNext && it.head.getLong(okIdx) == ok &&
+                byIdx.map(it.head.get) == key) {
+              val r = it.next()
+              val c = r.getLong(vIdx)
+              oks.addLast(ok); vs.addLast(c)
+              s += c; ss += c * c
+              run += r
+            }
+            while (oks.peekFirst() < ok - rangeUnits) {
+              oks.removeFirst()
+              val c = vs.removeFirst()
+              s -= c; ss -= c * c
+            }
+            val n = vs.size().toLong
+            val sF = s; val ssF = ss
+            pending = run.iterator.map { r =>
+              val c = r.getLong(vIdx)
+              val dev = n * c - sF
+              val flag = if (dev * dev > zz * (n * ssF - sF * sF)) 1 else 0
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n :+ flag)
+            }
+          }
+          pending.next()
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** The partition-local deque fold behind

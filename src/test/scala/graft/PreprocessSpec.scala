@@ -87,6 +87,37 @@ class PreprocessSpec extends AnyFunSuite {
     assert(elided == inc)
   }
 
+  test("anomalyExactFold equals the declarative integer window rule (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"),
+        (expr("ts div 1000") * 1000 + pmod(col("event_id"), lit(1000)))
+          .as("okey"),
+        round(col("value") * 100).cast("long").as("c"))
+    val d = 86400000000L * 1000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("okey").asc)
+      .rangeBetween(-d, 0L)
+    // z=2 so the fixture has real anomalies (40 at sf0.001; z=3 has 0
+    // here — the sf0.01 driver query's z=3 flags 178)
+    val decl = ev
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("flag", graft.operators.WindowOps.anomalyExactFlag(
+        col("c"), Seq(col("event_type")), col("okey"),
+        lookbackUs = 86400000000L, z = 2)) // micros; sliding() scales to okey
+      .select(col("event_id"), col("n"),
+        when(col("flag"), 1).otherwise(0).as("is_anomaly"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    def fold(chunk: Long) = Preprocess.anomalyExactFold(
+        ev, "okey", "c", d, Seq("event_type"), z = 2, chunkUnits = chunk)
+      .select(col("event_id"), col("n"), col("is_anomaly"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(fold(0L) == decl)
+    assert(fold(d) == decl)                 // window-sized chunks
+    assert(fold(d + 777777777L) == decl)    // misaligned odd chunks
+    assert(decl.values.exists(_._2 == 1), "vacuous fixture: no anomalies")
+  }
+
   test("slidingTvi fold equals the declarative windowed-sum formulation") {
     import graft.operators.WindowOps
     val D = 24L * 3600000000L
