@@ -646,20 +646,47 @@ object TextAnalysis {
     }.toMap
   }
 
+  /** Parallel map-reduce over slices of the capped word table: the
+    * driver-side EM work is embarrassingly parallel per word (unlike
+    * BPE's inherently sequential merge loop), and count merging is a
+    * commutative sum — deterministic under any thread scheduling. */
+  private def parCounts(tbl: Array[(Array[String], Long)])(
+      perWord: (Array[String], Long,
+        scala.collection.mutable.HashMap[String, Long]) => Unit)
+      : scala.collection.mutable.HashMap[String, Long] = {
+    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
+    val slice = math.max(1, (tbl.length + nThreads - 1) / nThreads)
+    val parts = tbl.grouped(slice).toArray
+    val results = new Array[scala.collection.mutable.HashMap[String, Long]](parts.length)
+    val threads = parts.indices.map { i =>
+      val t = new Thread(() => {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        parts(i).foreach { case (cps, f) => perWord(cps, f, m) }
+        results(i) = m
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val out = scala.collection.mutable.HashMap.empty[String, Long]
+    results.foreach(m => m.foreach { case (k, v) =>
+      out.update(k, out.getOrElse(k, 0L) + v) })
+    out
+  }
+
   /** One EM round over the capped word table: segment every word under
     * the current vocabulary's bit-length weights, recount pieces from
     * the best paths (weighted by word frequency), re-admit any
-    * fallback character the paths dropped at count 1, prune. */
+    * fallback character the paths dropped at count 1, prune. The
+    * segmentation pass is threaded across the word table. */
   private[graft] def unigramEmRound(tbl: Array[(Array[String], Long)],
       vocab: Map[String, Long], chars: Set[String], maxPieceLen: Int,
       vocabSize: Int): Map[String, Long] = {
     val total = vocab.values.sum
     val blTotal = bitLen(total)
     val weights = vocab.map { case (p, c) => p -> bitLen(math.max(c, 1L)) }
-    val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    tbl.foreach { case (cps, f) =>
+    val counts = parCounts(tbl) { (cps, f, m) =>
       unigramSegment(cps, weights, blTotal, maxPieceLen)
-        .foreach(p => counts.update(p, counts.getOrElse(p, 0L) + f))
+        .foreach(p => m.update(p, m.getOrElse(p, 0L) + f))
     }
     chars.foreach(c => if (!counts.contains(c)) counts.update(c, 1L))
     unigramPrune(counts, vocabSize)
@@ -704,15 +731,14 @@ object TextAnalysis {
   private[graft] def unigramTrainLoop(tbl: Array[(Array[String], Long)],
       maxPieceLen: Int, seedSize: Int, vocabSize: Int,
       emRounds: Int): Map[String, Long] = {
-    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
-    tbl.foreach { case (cps, f) =>
+    val seedCounts = parCounts(tbl) { (cps, f, m) =>
       var i = 0
       while (i < cps.length) {
         var l = 1
         val lMax = math.min(maxPieceLen, cps.length - i)
         while (l <= lMax) {
           val p = cps.slice(i, i + l).mkString
-          seedCounts.update(p, seedCounts.getOrElse(p, 0L) + f)
+          m.update(p, m.getOrElse(p, 0L) + f)
           l += 1
         }
         i += 1
@@ -750,16 +776,25 @@ object TextAnalysis {
     val bc = spark.sparkContext.broadcast(weights)
     df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
       .as[(Long, String)]
-      .map { case (did, t) =>
-        val ws = (if (t == null) "" else t).split(" ", -1)
-        var nCps = 0L
-        var nTok = 0L
-        ws.foreach { w =>
-          val cps = codePointSymbols(w)
-          nCps += cps.length
-          nTok += unigramSegment(cps, bc.value, blTotal, maxPieceLen).length
+      .mapPartitions { rows =>
+        // per-partition memo: corpora repeat words massively, and the
+        // segmentation of a word is a pure function of the vocabulary
+        val memo = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        rows.map { case (did, t) =>
+          val ws = (if (t == null) "" else t).split(" ", -1)
+          var nCps = 0L
+          var nTok = 0L
+          ws.foreach { w =>
+            val (c, k) = memo.getOrElseUpdate(w, {
+              val cps = codePointSymbols(w)
+              (cps.length.toLong,
+                unigramSegment(cps, bc.value, blTotal, maxPieceLen).length.toLong)
+            })
+            nCps += c
+            nTok += k
+          }
+          (did, ws.length.toLong, nCps, nTok)
         }
-        (did, ws.length.toLong, nCps, nTok)
       }
       .toDF("doc_id", "n_words", "n_cps", "n_tokens")
   }

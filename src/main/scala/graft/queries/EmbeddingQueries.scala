@@ -789,20 +789,24 @@ object EmbeddingQueries {
     // IN-CONTEXT packing (the In-Context Pretraining sequencing, Shi
     // et al. 2023): pack SEMANTICALLY RELATED documents into the same
     // context window instead of shuffling them apart — cluster
-    // assignment (auto-k md5-seeded, the shared SemDeDup half) keys
-    // the greedy 512-token bin packer, so each bin holds neighbors
-    // from one topic cluster. Composition of two single-sourced
-    // definitions: SEMDEDUP_ASSIGN_CTES + the recursive (bin, fill)
-    // pack replay partitioned by cluster. Ordering within a cluster
-    // is (doc_id) — deterministic; a similarity-chain order is a
-    // quality refinement the contract leaves open.
+    // assignment keys the greedy 512-token bin packer, so each bin
+    // holds neighbors from one topic cluster. Assignment is the
+    // TWO-LEVEL route (the flat n*k scoring is the probed n²/64
+    // quadratic — 18x at the third decade before this rewire; the
+    // oracle replays the two-level chain so the driver grades the
+    // scale-safe plan). Composition of single-sourced definitions:
+    // TWOLEVEL_CTES' a2 + the recursive (bin, fill) pack replay
+    // partitioned by cluster. Ordering within a cluster is (doc_id);
+    // a similarity-chain order is a refinement the contract leaves
+    // open.
     "emb_context_pack" -> QueryDef(
       s"""WITH RECURSIVE $SEMDEDUP_ASSIGN_CTES,
+         |$TWOLEVEL_CTES,
          |d AS (
          |  SELECT a.vec_id AS doc_id, a.lst,
          |    CAST(len(regexp_extract_all(lower(doc.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
          |    row_number() OVER (PARTITION BY a.lst ORDER BY a.vec_id) AS rn
-         |  FROM assign a JOIN documents doc ON doc.doc_id = a.vec_id),
+         |  FROM a2 a JOIN documents doc ON doc.doc_id = a.vec_id),
          |r AS (
          |  SELECT lst, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
          |    n_tokens AS bin_fill
@@ -817,7 +821,7 @@ object EmbeddingQueries {
          |SELECT doc_id, lst, n_tokens, bin, bin_fill FROM r""".stripMargin) {
       (s, dir) =>
         val emb = Tables.embeddings(s, dir)
-        val assigned = graft.operators.Dedup.semanticClusters(emb,
+        val assigned = graft.operators.Dedup.semanticClustersTwoLevel(emb,
           col("vec_id"), col("embedding"),
           graft.operators.Dedup.autoClusters(emb.count()))
         val withTokens = Tables.documents(s, dir)
