@@ -158,6 +158,26 @@ object Similarity {
     rerankTopK(scored, k)
   }
 
+  /** TRIPLET mining — the (anchor, positive, negatives) training-set
+    * builder for contrastive embedding training: per anchor, the
+    * rank-1 SAME-label neighbor as the positive
+    * ([[bruteForceTopKFiltered]] at k=1) and the top-kNeg hard
+    * negatives ([[hardNegativesTopK]]: different label, below the
+    * near-dup band). One long-format frame (role = 'pos' | 'neg') —
+    * the shape a dataloader consumes. Anchors whose label class has
+    * no second member emit negatives only (matches real mining: such
+    * anchors are dropped downstream). */
+  def tripletMine(corpus: DataFrame, queries: DataFrame, kNeg: Int,
+      dupCos: Double): DataFrame = {
+    val pos = bruteForceTopKFiltered(corpus, queries, 1, Seq("label"))
+      .withColumn("role", lit("pos"))
+    val neg = hardNegativesTopK(corpus, queries, kNeg, dupCos)
+      .withColumn("role", lit("neg"))
+    pos.unionByName(neg)
+      .select(col("q_id"), col("role"), col("neighbor_id"),
+        col("cos_sim"), col("rnk"))
+  }
+
   /** FILTERED IVF-ANN: [[ivfTopK]] with the match predicate pushed
     * into the candidate join — a corpus row is scored only when it
     * shares BOTH a probed list and the query's match-column values, so

@@ -2389,6 +2389,45 @@ object DocQueries {
         col("doc_id"), UniPieceLen, UniSeedSize, UniVocabSize, UniEmRounds)
     },
 
+    // Packing under the trained UNIGRAM tokenizer (the doc_pack_bpe
+    // composition with the second tokenizer family): per-doc token
+    // counts from the unigram encode, then the greedy 512-token
+    // packer per lang — both stages their single-sourced replays
+    // (the unrolled unigram chain's F segmentation + the recursive
+    // (bin, fill) fold).
+    "doc_pack_unigram" -> QueryDef(
+      s"""WITH RECURSIVE ${unigramCtes(withFinalSeg = true)},
+         |dw AS (SELECT doc_id, unnest(string_split(coalesce(lower(text), ''), ' ')) AS w
+         |  FROM documents),
+         |dt AS (SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+         |    CAST(sum(coalesce(len(s.path), 0)) AS BIGINT) AS n_tokens
+         |  FROM dw LEFT JOIN usegF s ON dw.w = s.wk
+         |  GROUP BY 1),
+         |d AS (SELECT dt.doc_id, doc.lang, dt.n_tokens,
+         |    row_number() OVER (PARTITION BY doc.lang ORDER BY dt.doc_id) AS rn
+         |  FROM dt JOIN documents doc USING (doc_id)),
+         |r AS (
+         |  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+         |    n_tokens AS bin_fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+         |         THEN r.bin + 1 ELSE r.bin END,
+         |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+         |         THEN d.n_tokens ELSE r.bin_fill + d.n_tokens END
+         |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+         |SELECT doc_id, lang, n_tokens, bin, bin_fill FROM r""".stripMargin) {
+      (s, dir) =>
+        val enc = TA.unigramEncodeStats(Tables.documents(s, dir),
+          col("text"), col("doc_id"),
+          UniPieceLen, UniSeedSize, UniVocabSize, UniEmRounds)
+        val withLang = enc.select(col("doc_id"), col("n_tokens"))
+          .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+        Sampling.packGreedy(withLang, "n_tokens", 512L, Seq("lang"), "doc_id")
+    },
+
     // Composed WEB-CURATION pipeline (the RefinedWeb/DCLM sequencing):
     // boilerplate-strip every document, drop the pure-boilerplate
     // husks, then train-and-apply the model-based quality filter ON

@@ -786,6 +786,40 @@ object EmbeddingQueries {
         k = 5, dupCos = 0.35)
     },
 
+    // TRIPLET mining for contrastive training: per anchor the rank-1
+    // same-label positive + the top-3 hard negatives (different
+    // label, below the 0.35 near-dup band) in one long-format frame —
+    // the dataloader shape. Both arms single-sourced: the scored
+    // cross join feeds two ranked CTEs.
+    "emb_triplet_mining" -> QueryDef(
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+        |  FROM embeddings WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q_id, q_label, vec_id, label,
+        |    list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+        |       * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cos
+        |  FROM q CROSS JOIN embeddings WHERE vec_id != q_id),
+        |pos AS (
+        |  SELECT q_id, 'pos' AS role, vec_id AS neighbor_id,
+        |    round(cos, 6) AS cos_sim, rnk FROM (
+        |    SELECT q_id, vec_id, cos, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |    FROM sc WHERE label = q_label) t WHERE rnk <= 1),
+        |neg AS (
+        |  SELECT q_id, 'neg' AS role, vec_id AS neighbor_id,
+        |    round(cos, 6) AS cos_sim, rnk FROM (
+        |    SELECT q_id, vec_id, cos, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+        |    FROM sc WHERE label != q_label AND cos < 0.35) t WHERE rnk <= 3)
+        |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        Similarity.tripletMine(emb, emb.filter(col("vec_id") < 10),
+          kNeg = 3, dupCos = 0.35)
+    },
+
     // IN-CONTEXT packing (the In-Context Pretraining sequencing, Shi
     // et al. 2023): pack SEMANTICALLY RELATED documents into the same
     // context window instead of shuffling them apart — cluster

@@ -308,6 +308,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"ADC distance diverged on $kk"))
   }
 
+  test("triplet mining: one same-label positive, hard negatives, roles disjoint") {
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.tripletMine(emb, queries, kNeg = 3, dupCos = 2.0)
+      .collect()
+    val byAnchor = rows.groupBy(_.getLong(0))
+    byAnchor.foreach { case (q, rs) =>
+      val pos = rs.filter(_.getString(1) == "pos")
+      val neg = rs.filter(_.getString(1) == "neg")
+      assert(pos.length <= 1 && neg.length <= 3)
+      pos.foreach(p => assert(labels(p.getLong(2)) == labels(q)))
+      neg.foreach(n => assert(labels(n.getLong(2)) != labels(q)))
+    }
+    assert(rows.exists(_.getString(1) == "pos") &&
+      rows.exists(_.getString(1) == "neg"))
+  }
+
   test("hard negatives: different-label only, dup band excludes a planted copy") {
     val spark0 = spark
     import spark0.implicits._
