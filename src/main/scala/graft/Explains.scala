@@ -67,7 +67,13 @@ object Explains {
       "doc_dsir_select" -> "DSIR selection: the importance stage is the doc_importance_weights shape (one tokenization, one dual-count vocab agg, broadcast totals); the selection stage is the doc_token_budget shape (histogram collapses to broadcast offsets, per-bucket windows) — no global window anywhere",
       "doc_hybrid_rrf" -> "hybrid RRF: the lexical side is a typed flatMap over the scan with the query shingle sets BROADCAST (corpus text never shuffles; only matching candidates reach the per-query window); the dense side is the brute-force broadcast-query scan; fusion is one full-outer join on bare (q_id, doc_id) + integer arithmetic",
       "emb_pq_topk" -> "PQ-ADC ANN: encode is ONE typed map over the scan (codebook broadcast — m bytes/vector leave it, embeddings do not); scoring is a typed flatMap doing m table lookups per candidate (ADC tables broadcast); only (q_id, id, dist) integer rows reach the per-query top-k window",
-      "emb_centroid_drift" -> "semantic drift: cluster assignment is a typed map with broadcast centroids (no exchange), the snapshot flag joins on bare vec_id, and counts fold into ONE k-row aggregate with broadcast totals — the report costs one corpus scan")
+      "emb_centroid_drift" -> "semantic drift: cluster assignment is a typed map with broadcast centroids (no exchange), the snapshot flag joins on bare vec_id, and counts fold into ONE k-row aggregate with broadcast totals — the report costs one corpus scan",
+      "ev_anomaly_exact" -> "exact anomaly flags via the chunked deque fold: one exchange on (__chunk, event_type) + in-partition sort + MapPartitions — NO Window node (the declarative RANGE frame re-scans its 24h window per row: 18x slower, SCALE.md); the seed-row union is the 2x read amplification that buys keys x chunks parallelism",
+      "doc_boilerplate_strip" -> "boilerplate strip: the df aggregation exchanges 40-byte (digest, doc_id) pairs (partial count-distinct map-side); the surviving digest set is the BROADCAST side of the flag join — passage bodies never shuffle for flagging; only surviving bodies reach the doc_id reconstruction exchange",
+      "doc_model_quality" -> "model-based quality filter: the feature frame is ONE typed map over the scan (persisted — InMemoryTableScan feeds both the seed treeAggregate and the scoring pass); scoring is a codegen'd integer affine projection with the three learned micro-weights as literals — zero exchanges downstream of the fit",
+      "doc_unigram_encode" -> "unigram encode: after the train collect (capped word-table metadata), the encode is a SINGLE mapPartitions pass with the (piece -> bitlen) table broadcast and a per-partition word memo — no exchange downstream of the vocabulary broadcast",
+      "emb_context_pack" -> "in-context packing: cluster routing is a typed map with the coarse+fine centroids broadcast (the TWO-LEVEL path — the flat n*k assignment probed 18x/decade); token counts join on bare doc_id; the packer is one exchange on lst + in-partition (lst, doc_id) sort + MapPartitions fold",
+      "emb_triplet_mining" -> "triplet mining: the positive arm is a broadcast HASH join on label (each corpus row scores only its own class); the negative arm filters label-inequality + the dup band INSIDE the scored scan before the per-anchor rank window; union of two narrow ranked frames")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — representative physical plans\n\n")
