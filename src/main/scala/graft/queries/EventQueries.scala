@@ -43,6 +43,24 @@ object EventQueries {
        |FROM events
        |GROUP BY event_type, bucket_us""".stripMargin
 
+  /** EXACT anomaly-flag oracle — single-sourced for the batch fold
+    * query and its streaming twin (ev_anomaly_exact /
+    * ev_anomaly_stream): the pure-integer z-score rule over the 24h
+    * sliding stats, no float anywhere near the comparison. */
+  private lazy val ANOMALY_SQL =
+    s"""SELECT event_id, event_type, n,
+       |  CASE WHEN (n*c - s)*(n*c - s) > 9*(n*ss - s*s)
+       |    THEN 1 ELSE 0 END AS is_anomaly
+       |FROM (
+       |  SELECT event_id, event_type, c,
+       |    CAST(count(*) OVER w AS BIGINT) AS n,
+       |    CAST(sum(c) OVER w AS BIGINT) AS s,
+       |    CAST(sum(c*c) OVER w AS BIGINT) AS ss
+       |  FROM (SELECT event_id, event_type, ts,
+       |      CAST(round(value*100) AS BIGINT) AS c FROM events) b
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY $OKEY
+       |    RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW)) t""".stripMargin
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
 
@@ -335,19 +353,7 @@ object EventQueries {
     // can never flip between engines (no stddev round, no sqrt, no
     // division anywhere near the comparison). Same window family as
     // ev_volatility_24h; the flag is the final gate a pipeline pages on.
-    "ev_anomaly_exact" -> QueryDef(
-      s"""SELECT event_id, event_type, n,
-         |  CASE WHEN (n*c - s)*(n*c - s) > 9*(n*ss - s*s)
-         |    THEN 1 ELSE 0 END AS is_anomaly
-         |FROM (
-         |  SELECT event_id, event_type, c,
-         |    CAST(count(*) OVER w AS BIGINT) AS n,
-         |    CAST(sum(c) OVER w AS BIGINT) AS s,
-         |    CAST(sum(c*c) OVER w AS BIGINT) AS ss
-         |  FROM (SELECT event_id, event_type, ts,
-         |      CAST(round(value*100) AS BIGINT) AS c FROM events) b
-         |  WINDOW w AS (PARTITION BY event_type ORDER BY $OKEY
-         |    RANGE BETWEEN ${D * 1000L} PRECEDING AND CURRENT ROW)) t""".stripMargin) {
+    "ev_anomaly_exact" -> QueryDef(ANOMALY_SQL) {
       (s, dir) =>
         // the deque fold, time-chunked: the declarative RANGE frame
         // re-scans its window per row (no sliding-aggregate
@@ -361,6 +367,28 @@ object EventQueries {
             D * 1000L, Seq("event_type"), z = 3, chunkUnits = D * 1000L)
           .select(col("event_id"), col("event_type"), col("n"),
             col("is_anomaly"))
+    },
+
+    // Streaming twin: the SAME pure-integer anomaly rule raised AT
+    // INGEST — per-key window deque in fMGWS state, drained with
+    // AvailableNow under the SAME single-sourced SQL as the batch
+    // fold (integer arithmetic makes stream == batch bit-exact under
+    // any trigger slicing).
+    "ev_anomaly_stream" -> QueryDef(ANOMALY_SQL) { (s, dir) =>
+      import s.implicits._
+      val src = Streaming.eventsStream(s, dir)
+        .select(col("event_type").as("key"),
+          (expr("ts div 1000") * 1000 + pmod(col("event_id"), lit(1000)))
+            .as("okey"),
+          col("event_id").as("eventId"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[Streaming.CentsEvent]
+      Streaming.runAvailableNow(
+          Streaming.anomalyExactStream(src, D * 1000L, z = 3)
+            .toDF(),
+          outputMode = "append")
+        .select(col("eventId").as("event_id"), col("key").as("event_type"),
+          col("n"), col("isAnomaly").as("is_anomaly"))
     },
 
     // A3 trade-volume imbalance per user over 24h lookback: buy =

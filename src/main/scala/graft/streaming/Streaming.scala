@@ -686,6 +686,60 @@ object Streaming {
         })
   }
 
+  case class CentsEvent(key: String, okey: Long, eventId: Long, cents: Long)
+  case class AnomalyEvent(key: String, okey: Long, eventId: Long,
+      n: Long, isAnomaly: Int)
+
+  /** Streaming twin of the EXACT z-score anomaly flag
+    * ([[graft.operators.Preprocess.anomalyExactFold]] /
+    * [[graft.operators.WindowOps.anomalyExactFlag]]) — the alert
+    * raised AT INGEST: per-key window deque in fMGWS state (okey,
+    * cents), equal-okey runs are RANGE-frame peers, and the flag is
+    * the same PURE-INTEGER rule (n·x − s)² > z²·(n·ss − s²) — no
+    * float anywhere, so the drained output is bit-equal to the batch
+    * fold under any trigger slicing, and the batch SQL oracle grades
+    * the streaming engine directly. State per key = the lookback
+    * window's rows (16 B each), bounded by lookback x per-key rate. */
+  def anomalyExactStream(ds: Dataset[CentsEvent], rangeUnits: Long,
+      z: Int): Dataset[AnomalyEvent] = {
+    import ds.sparkSession.implicits._
+    implicit val stateEnc =
+      org.apache.spark.sql.Encoders.kryo[Array[(Long, Long)]]
+    val zz = z.toLong * z
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[CentsEvent],
+         state: GroupState[Array[(Long, Long)]]) => {
+          val dq = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+          state.getOption.foreach(arr => dq.appendAll(arr))
+          val sorted = rows.toArray.sortBy(r => (r.okey, r.eventId))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyEvent]
+          var i = 0
+          while (i < sorted.length) {
+            val ok = sorted(i).okey
+            val start = i
+            while (i < sorted.length && sorted(i).okey == ok) {
+              dq.append((ok, sorted(i).cents)); i += 1
+            }
+            while (dq.head._1 < ok - rangeUnits) dq.removeHead()
+            val n = dq.length.toLong
+            var s = 0L
+            var ss = 0L
+            dq.foreach { case (_, c) => s += c; ss += c * c }
+            var j = start
+            while (j < i) {
+              val c = sorted(j).cents
+              val dev = n * c - s
+              val flag = if (dev * dev > zz * (n * ss - s * s)) 1 else 0
+              out += AnomalyEvent(key, ok, sorted(j).eventId, n, flag)
+              j += 1
+            }
+          }
+          state.update(dq.toArray)
+          out.iterator
+        })
+  }
+
   case class ThrottleEvent(key: String, tsUs: Long, seq: Long, value: Double)
 
   /** Streaming twin of the elapsed-time throttle

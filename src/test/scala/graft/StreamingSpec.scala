@@ -175,6 +175,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags: window state crosses the batch line") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.CentsEvent]
+    val q = Streaming.anomalyExactStream(input.toDS(), rangeUnits = 100L, z = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    try {
+      // batch 1: a stable window of 100-cent values
+      input.addData((1L to 6L).map(i =>
+        Streaming.CentsEvent("k", i * 10, i, 100L)): _*)
+      q.processAllAvailable()
+      // batch 2: an outlier — the window STATE from batch 1 must make
+      // it anomalous (n=7, s=1400, ss=700000: dev=4200;
+      // 4200^2=17.64M > 4*(7*700000-1400^2)=11.76M)
+      input.addData(Streaming.CentsEvent("k", 70, 7L, 800L))
+      q.processAllAvailable()
+      // and far in the future, the window has evicted everything: a
+      // lone value is its own window (n=1, dev=0 -> not anomalous)
+      input.addData(Streaming.CentsEvent("k", 500, 8L, 800L))
+      q.processAllAvailable()
+      val out = spark.table("anom_out").collect()
+        .map(r => r.getLong(2) -> ((r.getLong(3), r.getInt(4)))).toMap
+      assert(out(7L)._2 == 1, s"outlier not flagged: ${out(7L)}")
+      assert(out(7L)._1 == 7L)
+      assert(out(8L) == ((1L, 0)))
+      assert((1L to 6L).forall(out(_)._2 == 0))
+    } finally q.stop()
+  }
+
   test("streaming word counts: counters accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
