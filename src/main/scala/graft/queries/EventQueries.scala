@@ -124,6 +124,42 @@ object EventQueries {
           .select("event_id", "ts_us", "user_id", "event_type", "value")
     },
 
+    // TIME TRAVEL under the driver's oracle: weekly blocks are written
+    // as catalog versions 1..N, then COMPACTED (one more version,
+    // metadata-only supersession — old dirs stay for snapshot reads);
+    // the query reads the snapshot AS OF version 3 (the first three
+    // weeks) through scanAsOf. Oracle: the plain SQL slice restricted
+    // to the three smallest event weeks — so version stamping,
+    // snapshot meta derivation, and compaction retention are all
+    // proven row-identical to history.
+    "ev_catalog_timetravel" -> QueryDef(
+      s"""WITH wk AS (SELECT DISTINCT epoch_us(ts) // 604800000000 AS w FROM events),
+         |cut AS (SELECT max(w) AS w FROM (SELECT w FROM wk ORDER BY w LIMIT 3) t)
+         |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         |FROM events
+         |WHERE epoch_us(ts) >= $T10 AND epoch_us(ts) <= $T20
+         |  AND epoch_us(ts) // 604800000000 <= (SELECT w FROM cut)""".stripMargin) {
+      (s, dir) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_tt_q").toString
+        val cat = new graft.sources.BlockCatalog(s, root)
+        val W = 7L * 86400000000L
+        val e = ev(s, dir)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val weeks = e.select((col("ts_us") / W).cast("long").as("w"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        weeks.foreach { w =>
+          cat.write(e.filter((col("ts_us") / W).cast("long") === w),
+            "events", "all", "ts_us")
+        }
+        val verAfter3 = math.min(3L, weeks.length.toLong)
+        cat.compactSmallBlocks("events", "all", targetRows = 1L << 60,
+          tsUs = "ts_us")
+        cat.scanAsOf("events", "all", T10, T20, verAfter3)
+          .select("event_id", "ts_us", "user_id", "event_type", "value")
+    },
+
     // K2 end-to-end under the driver's oracle: the custom DSv2 replay
     // SOURCE (rate-limited micro-batches) feeds the streaming block
     // SINK (BlockWriter foreachBatch -> content-hash-idempotent

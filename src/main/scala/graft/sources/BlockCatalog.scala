@@ -47,8 +47,32 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * swallowing them would read as "no catalog" and trigger silent
     * recompute+rewrite in buildMemoized. */
   private def metaLog: DataFrame =
-    try spark.read.parquet(metaPath)
+    try {
+      // mergeSchema: log rows written before the `ver` column existed
+      // coexist with stamped rows (missing ver reads as null -> 0)
+      val log = spark.read.option("mergeSchema", "true").parquet(metaPath)
+      if (log.columns.contains("ver"))
+        log.withColumn("ver", coalesce(col("ver"), lit(0L)))
+      else if (log.columns.contains("hash")) log.withColumn("ver", lit(0L))
+      else log
+    }
     catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
+
+  /** Highest version stamped for (definition, key); 0 for an empty or
+    * pre-versioning catalog. Every meta append (one [[write]], one
+    * [[compactSmallBlocks]] pass) carries currentVersion + 1 — a
+    * compaction's tombstones and adds share ONE version, so no
+    * snapshot can observe a half-applied compaction. Version
+    * assignment follows the documented single-writer-per-
+    * (definition, key) contract (racing writers could stamp the same
+    * version; content-hash dedup keeps that harmless for adds). */
+  def currentVersion(definition: String, key: String): Long = {
+    val log = metaLog
+    if (!log.columns.contains("ver")) return 0L
+    val r = log.filter(col("definition") === definition && col("key") === key)
+      .agg(max(col("ver"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** The LIVE catalog view, derived from the log at read time:
     * op="add" rows deduplicated on (definition, key, hash) — two racing
@@ -56,9 +80,17 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * tombstoned hash. Tombstones are permanent: a content hash, once
     * compacted away, stays known forever (its rows live on inside the
     * compacted block, so re-admitting it would double-count). */
-  def meta: DataFrame = {
-    val log = metaLog
-    if (!log.columns.contains("hash")) return log
+  def meta: DataFrame = metaAsOf(Long.MaxValue)
+
+  /** The catalog view AS OF a version: the same add-minus-tombstone
+    * derivation over only the log rows stamped <= asOfVer — SNAPSHOT
+    * READS (time travel). A compaction's drops and adds share one
+    * version, so every snapshot sees either the pre-compaction blocks
+    * or the compacted ones, never a mix. */
+  def metaAsOf(asOfVer: Long): DataFrame = {
+    val log0 = metaLog
+    if (!log0.columns.contains("hash")) return log0
+    val log = log0.filter(col("ver") <= asOfVer)
     val adds = log.filter(col("op") === "add")
       .dropDuplicates("definition", "key", "hash")
     val drops = log.filter(col("op") === "drop")
@@ -109,8 +141,9 @@ class BlockCatalog(spark: SparkSession, root: String) {
     withDay.write.mode("overwrite").partitionBy("day")
       .parquet(s"${dataPath(definition, key)}/block=$hash")
     import spark.implicits._
-    Seq((definition, key, agg.getLong(1), agg.getLong(2), agg.getLong(3), hash, "add"))
-      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op")
+    val ver = currentVersion(definition, key) + 1L
+    Seq((definition, key, agg.getLong(1), agg.getLong(2), agg.getLong(3), hash, "add", ver))
+      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op", "ver")
       .write.mode("append").parquet(metaPath)
     true
   }
@@ -120,8 +153,9 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * the single source of truth: a data directory not (yet) in meta —
     * a write that crashed before its meta append, or a compaction
     * leftover — is invisible garbage, never a double-count. */
-  private def liveHashes(definition: String, key: String): Seq[String] = {
-    val m = meta
+  private def liveHashes(definition: String, key: String,
+      asOfVer: Long = Long.MaxValue): Seq[String] = {
+    val m = metaAsOf(asOfVer)
     if (!m.columns.contains("hash")) Seq.empty
     else m.filter(col("definition") === definition && col("key") === key)
       .select("hash").collect().map(_.getString(0)).toSeq
@@ -138,14 +172,51 @@ class BlockCatalog(spark: SparkSession, root: String) {
 
   /** Range scan: partition pruning on block + day + exact ts bounds. */
   def scan(definition: String, key: String, startUs: Long, endUs: Long,
-      tsUs: String = "ts_us"): DataFrame = {
-    val hs = liveHashes(definition, key)
+      tsUs: String = "ts_us"): DataFrame =
+    scanAsOf(definition, key, startUs, endUs, Long.MaxValue, tsUs)
+
+  /** SNAPSHOT range scan — time travel: the block set is the catalog
+    * view as of `asOfVer` ([[metaAsOf]]); compaction keeps superseded
+    * data directories on disk (metadata-only supersession), so every
+    * snapshot stays readable until [[vacuum]] reclaims it — the
+    * Delta-style compact/vacuum split. Reproducibility surface: a
+    * training run records (definition, key, version) and can re-read
+    * the exact corpus it trained on regardless of later ingests or
+    * compactions. */
+  def scanAsOf(definition: String, key: String, startUs: Long, endUs: Long,
+      asOfVer: Long, tsUs: String = "ts_us"): DataFrame = {
+    val hs = liveHashes(definition, key, asOfVer)
     spark.read.parquet(dataPath(definition, key))
       .filter(col("block").isin(hs: _*))
       .filter(col("day") >= date_format(timestamp_micros(lit(startUs)), "yyyy-MM-dd")
         && col("day") <= date_format(timestamp_micros(lit(endUs)), "yyyy-MM-dd"))
       .filter(col(tsUs) >= startUs && col(tsUs) <= endUs)
       .drop("block")
+  }
+
+  /** Reclaim data directories no longer live in the CURRENT view
+    * (tombstoned by compaction). After a vacuum, snapshots that
+    * referenced the reclaimed blocks are no longer readable — the
+    * retention trade every compact/vacuum design makes; vacuum when
+    * the reproducibility window has passed. Returns directories
+    * deleted. */
+  def vacuum(definition: String, key: String): Int = {
+    val live = liveHashes(definition, key).toSet
+    val log = metaLog
+    if (!log.columns.contains("hash")) return 0
+    val dropped = log
+      .filter(col("definition") === definition && col("key") === key &&
+        col("op") === "drop")
+      .select("hash").distinct().collect().map(_.getString(0))
+      .filterNot(live)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    var n = 0
+    dropped.foreach { h =>
+      val p = new org.apache.hadoop.fs.Path(s"${dataPath(definition, key)}/block=$h")
+      if (fs.exists(p)) { fs.delete(p, true); n += 1 }
+    }
+    n
   }
 
   /** Contiguous covered ranges for a (definition, key): catalog blocks
@@ -177,14 +248,15 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * compaction, the Spark-idiomatic shape). Adjacent blocks (by
     * start_ts) are greedily grouped until the group reaches
     * `targetRows`; each multi-block group is rewritten as ONE block and
-    * its members dropped from the catalog + disk. Returns the number of
-    * groups compacted.
+    * its members tombstoned in the catalog — METADATA-ONLY
+    * supersession: the old directories stay on disk so snapshot reads
+    * ([[scanAsOf]]) keep working until [[vacuum]] reclaims them.
+    * Returns the number of groups compacted.
     *
     * Crash safety: scans read only meta-LIVE blocks, so the order
-    * (write new dirs → append tombstones+adds to the log → delete old
-    * dirs) never double-counts — a crash before the log append leaves
-    * invisible new dirs that the re-run overwrites (same content hash),
-    * a crash after it leaves invisible old dirs as garbage.
+    * (write new dirs → append tombstones+adds to the log) never
+    * double-counts — a crash before the log append leaves invisible
+    * new dirs that the re-run overwrites (same content hash).
     *
     * Concurrency: the log append keeps this lock-free against
     * concurrent WRITERS — their adds land as separate part files and
@@ -193,10 +265,10 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * compactor per (definition, key) at a time: two racing compactors
     * could tombstone the same members and admit two overlapping
     * combined blocks — a documented single-compactor constraint, same
-    * as the reference's per-writer compactor. Readers racing the final
-    * dir deletion can hit a vanished block dir (plain-parquet limit; a
-    * transactional table format makes the whole step one commit at
-    * cluster scale, class scaladoc). */
+    * as the reference's per-writer compactor. Readers racing a
+    * [[vacuum]] dir deletion can hit a vanished block dir
+    * (plain-parquet limit; a transactional table format makes the
+    * whole step one commit at cluster scale, class scaladoc). */
   def compactSmallBlocks(definition: String, key: String, targetRows: Long,
       tsUs: String = "ts_us"): Int = {
     val m = meta
@@ -217,9 +289,6 @@ class BlockCatalog(spark: SparkSession, root: String) {
     val toCompact = groups.filter(_.size > 1)
     if (toCompact.isEmpty) return 0
 
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val dropped = scala.collection.mutable.Set.empty[String]
     val newRows = toCompact.map { grp =>
       val combined = grp.map(b =>
           spark.read.parquet(s"${dataPath(definition, key)}/block=${b._4}")
@@ -230,24 +299,24 @@ class BlockCatalog(spark: SparkSession, root: String) {
         date_format(timestamp_micros(col(tsUs)), "yyyy-MM-dd"))
       withDay.write.mode("overwrite").partitionBy("day")
         .parquet(s"${dataPath(definition, key)}/block=$hash")
-      grp.foreach(b => dropped += b._4)
       (definition, key, grp.map(_._1).min, grp.map(_._2).max,
         grp.map(_._3).sum, hash)
     }
     // APPEND tombstones for the compacted members + adds for the new
     // blocks — never rewrite the log (see scaladoc: a concurrent
-    // writer's append must survive this)
+    // writer's append must survive this). ONE version for the whole
+    // compaction: snapshots see pre- or post-compaction, never a mix.
+    // Superseded data DIRECTORIES stay on disk for snapshot reads
+    // ([[scanAsOf]]); [[vacuum]] reclaims them when the
+    // reproducibility window has passed.
     import spark.implicits._
+    val ver = currentVersion(definition, key) + 1L
     val tombstones = toCompact.flatten.map(b =>
-      (definition, key, b._1, b._2, b._3, b._4, "drop"))
-    (tombstones ++ newRows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, "add")))
+      (definition, key, b._1, b._2, b._3, b._4, "drop", ver))
+    (tombstones ++ newRows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, "add", ver)))
       .toSeq
-      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op")
+      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op", "ver")
       .write.mode("append").parquet(metaPath)
-    dropped.foreach { h =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${dataPath(definition, key)}/block=$h"), true)
-    }
     toCompact.size
   }
 

@@ -66,6 +66,40 @@ class BlockCatalogSpec extends AnyFunSuite {
     assert(cat.coveredRanges("trades", "ETH", maxGapUs = 0L).size == 3)
   }
 
+  test("time travel: snapshots survive compaction; vacuum reclaims, current scan intact") {
+    val root = Files.createTempDirectory("graft_tt").toString
+    val cat = new BlockCatalog(spark, root)
+    def block(startHour: Int, hours: Int) =
+      (0 until hours).map(i => (day0 + (startHour + i) * 3600000000L, (startHour + i).toDouble))
+        .toDF("ts_us", "v")
+    assert(cat.currentVersion("t", "K") == 0L)
+    assert(cat.write(block(0, 3), "t", "K", "ts_us"))
+    val v1 = cat.currentVersion("t", "K")
+    assert(cat.write(block(3, 3), "t", "K", "ts_us"))
+    val v2 = cat.currentVersion("t", "K")
+    assert(v1 == 1L && v2 == 2L)
+    // snapshot v1 sees only the first block
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("ts_us").collect().map(_.getDouble(1)).toSeq
+    val lo = day0
+    val hi = day0 + 10 * 3600000000L
+    assert(rows(cat.scanAsOf("t", "K", lo, hi, v1)) == Seq(0.0, 1.0, 2.0))
+    assert(rows(cat.scanAsOf("t", "K", lo, hi, v2)) ==
+      Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+    // compaction is one version; PRE-compaction snapshots still read
+    assert(cat.compactSmallBlocks("t", "K", targetRows = 6L) == 1)
+    val v3 = cat.currentVersion("t", "K")
+    assert(v3 == 3L)
+    assert(rows(cat.scanAsOf("t", "K", lo, hi, v1)) == Seq(0.0, 1.0, 2.0))
+    assert(rows(cat.scanAsOf("t", "K", lo, hi, v2)) ==
+      rows(cat.scanAsOf("t", "K", lo, hi, v3)))
+    // vacuum reclaims the superseded dirs; the CURRENT view unaffected
+    assert(cat.vacuum("t", "K") == 2)
+    assert(cat.vacuum("t", "K") == 0) // idempotent
+    assert(rows(cat.scan("t", "K", lo, hi)) ==
+      Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+  }
+
   test("compactSmallBlocks merges adjacent small blocks, preserving rows") {
     val root = Files.createTempDirectory("graft_compact").toString
     val cat = new BlockCatalog(spark, root)
