@@ -337,11 +337,142 @@ def expected_doc_pack_bpe(sfdir: str) -> pd.DataFrame:
                                       'bin_fill'])
 
 
+# ------------------------------------------ unigram-LM tokenizer family
+
+_UNI_PIECE_LEN, _UNI_SEED, _UNI_VOCAB, _UNI_ROUNDS = 4, 64, 24, 2
+
+
+def _uni_prune(cand: dict, cap: int) -> dict:
+    """(cnt desc, piece asc) rank; keep rank < cap OR single code point
+    (TextAnalysis.unigramPrune)."""
+    ranked = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {p: c for i, (p, c) in enumerate(ranked)
+            if i < cap or len(p) == 1}
+
+
+def _uni_segment(w: str, weights: dict, bl_total: int):
+    """Viterbi under integer bit-length weights with the local tie rule
+    (score desc, piece count asc, forward path lex asc) —
+    TextAnalysis.unigramSegment."""
+    n = len(w)
+    if n == 0:
+        return []
+    best = [None] * (n + 1)  # (score, path)
+    best[0] = (0, [])
+    for i in range(1, n + 1):
+        bp = None
+        for l in range(1, min(_UNI_PIECE_LEN, i) + 1):
+            if best[i - l] is None:
+                continue
+            piece = w[i - l:i]
+            bl = weights.get(piece)
+            if bl is None:
+                continue
+            sc = best[i - l][0] + bl - bl_total
+            path = best[i - l][1] + [piece]
+            if (bp is None or sc > bp[0] or
+                    (sc == bp[0] and (len(path) < len(bp[1]) or
+                     (len(path) == len(bp[1]) and path < bp[1])))):
+                bp = (sc, path)
+        best[i] = bp
+    return best[n][1]
+
+
+def _uni_train(sfdir: str) -> dict:
+    """The full seed + EM loop (TextAnalysis.unigramTrainLoop):
+    substring seeding, 2 rounds of (segment, recount, re-admit chars,
+    prune) on integer bit-length scores."""
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    freq = {}
+    for t in docs['text']:
+        for w in _doc_words(t):
+            freq[w] = freq.get(w, 0) + 1
+    seed = {}
+    chars = set()
+    for w, f in freq.items():
+        for i in range(len(w)):
+            chars.add(w[i])
+            for l in range(1, min(_UNI_PIECE_LEN, len(w) - i) + 1):
+                p = w[i:i + l]
+                seed[p] = seed.get(p, 0) + f
+    vocab = _uni_prune(seed, _UNI_SEED)
+    for _ in range(_UNI_ROUNDS):
+        total = sum(vocab.values())
+        bl_total = total.bit_length()
+        weights = {p: max(c, 1).bit_length() for p, c in vocab.items()}
+        counts = {}
+        for w, f in freq.items():
+            for p in _uni_segment(w, weights, bl_total):
+                counts[p] = counts.get(p, 0) + f
+        for c in chars:
+            counts.setdefault(c, 1)
+        vocab = _uni_prune(counts, _UNI_VOCAB)
+    return vocab
+
+
+def expected_doc_unigram_vocab(sfdir: str) -> pd.DataFrame:
+    vocab = _uni_train(sfdir)
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame(
+        [(i + 1, p, c, max(c, 1).bit_length())
+         for i, (p, c) in enumerate(ranked)],
+        columns=['rank', 'piece', 'cnt', 'bl'])
+
+
+def expected_doc_unigram_encode(sfdir: str) -> pd.DataFrame:
+    vocab = _uni_train(sfdir)
+    total = sum(vocab.values())
+    bl_total = total.bit_length()
+    weights = {p: max(c, 1).bit_length() for p, c in vocab.items()}
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")
+    memo = {}
+    out = []
+    for doc_id, t in zip(docs['doc_id'], docs['text']):
+        ws = _doc_words(t)
+        n_cps = n_tok = 0
+        for w in ws:
+            if w not in memo:
+                memo[w] = len(_uni_segment(w, weights, bl_total))
+            n_cps += len(w)
+            n_tok += memo[w]
+        out.append((doc_id, len(ws), n_cps, n_tok))
+    return pd.DataFrame(out, columns=['doc_id', 'n_words', 'n_cps',
+                                      'n_tokens'])
+
+
+def expected_doc_pack_unigram(sfdir: str) -> pd.DataFrame:
+    """Greedy packing (capacity 512, per-lang, doc_id order) over the
+    unigram tokenizer's counts — the doc_pack_bpe fold on the second
+    tokenizer family."""
+    capacity = 512
+    enc = expected_doc_unigram_encode(sfdir)
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet")[['doc_id', 'lang']]
+    tok = dict(zip(enc['doc_id'], enc['n_tokens']))
+    rows = sorted(((str(l), int(d), int(tok[d]))
+                   for d, l in zip(docs['doc_id'], docs['lang'])),
+                  key=lambda r: (r[0], r[1]))
+    out = []
+    cur_lang, b, fill = None, 0, 0
+    for lang, doc_id, t in rows:
+        if lang != cur_lang:
+            cur_lang, b, fill = lang, 0, 0
+        if fill > 0 and fill + t > capacity:
+            b += 1
+            fill = 0
+        fill += t
+        out.append((doc_id, lang, t, b, fill))
+    return pd.DataFrame(out, columns=['doc_id', 'lang', 'n_tokens', 'bin',
+                                      'bin_fill'])
+
+
 PY_ORACLES = {
     'doc_bpe_encode': expected_doc_bpe_encode,
     'doc_pack_bpe': expected_doc_pack_bpe,
     'doc_bpe_merges': expected_doc_bpe_merges,
     'doc_pack_greedy': expected_doc_pack_greedy,
+    'doc_unigram_vocab': expected_doc_unigram_vocab,
+    'doc_unigram_encode': expected_doc_unigram_encode,
+    'doc_pack_unigram': expected_doc_pack_unigram,
     'emb_lsh_topk': expected_emb_lsh_topk,
     'ev_throttle_elapsed': expected_ev_throttle_elapsed,
     'l2_book_replay': expected_l2_book_replay,
