@@ -2353,6 +2353,34 @@ object DocQueries {
         outputMode = "append")
     },
 
+    // Streaming FIXED-SIZE uniform sample — reservoir semantics made
+    // deterministic: keep the k=50 documents with the SMALLEST
+    // md5-prefix of their text (every doc equally likely under the
+    // hash's uniformity, the hashSample argument at fixed size
+    // instead of fixed rate). Capped-set insertion is
+    // multiset-deterministic (TopCapAgg), so the drained sample is
+    // independent of trigger slicing and arrival order — state is 16
+    // bytes x 50 however large the corpus. The batch oracle is a
+    // plain bottom-k window.
+    "doc_sample_stream" -> QueryDef(
+      """SELECT doc_id, lang, n_chars, rn FROM (
+        |  SELECT doc_id, lang, n_chars, row_number() OVER (
+        |    ORDER BY CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) ASC,
+        |      doc_id ASC) AS rn
+        |  FROM documents) t WHERE rn <= 50""".stripMargin) { (s, dir) =>
+      val drained = Streaming.runAvailableNow(
+        Streaming.sourceCapStream(
+          Streaming.documentsStream(s, dir).withColumn("__g", lit("all")),
+          col("__g"),
+          -expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)"),
+          col("doc_id"), cap = 50))
+      Streaming.unpackTopCap(drained)
+        .select(col("doc_id"), col("rn").cast("long").as("rn"))
+        .join(Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rn"))
+    },
+
     // Unigram-LM tokenizer training (SentencePiece shape, Kudo 2018):
     // substring seeding, 2 EM rounds of (Viterbi segmentation ->
     // piece recount -> prune), integer BIT-LENGTH scores throughout
