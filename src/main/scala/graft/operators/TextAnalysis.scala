@@ -1019,6 +1019,42 @@ object TextAnalysis {
   def phoneCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
 
+  /** Candidate 16-digit card numbers (digit runs; the regex is the
+    * RECALL half — [[luhnValid16]] is the precision half). */
+  val CcRe = "[0-9]{16}"
+
+  /** Luhn checksum validity of a 16-digit string — CHECKSUM-VALIDATED
+    * PII detection: a bare \\d{16} regex flags order ids, hashes and
+    * timestamps; only candidates whose Luhn sum ≡ 0 (mod 10) are
+    * actual card-shaped numbers (~10x fewer false redactions at the
+    * same recall). Pure integer HOF arithmetic — codegen'd, exact
+    * cross-engine (DuckDB twin: list_sum over the same per-position
+    * CASE). Doubling applies at odd 1-based positions (check digit at
+    * 16 undoubled — the standard rule for even-length numbers). */
+  def luhnValid16(s: Column): Column = {
+    val contribs = transform(split(s, ""), (ch, i) => {
+      val d = ascii(ch) - lit(48)
+      when((i % 2) === 0, // 0-based even = 1-based odd: doubled
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(contribs, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  def ccCandidateCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(CcRe), lit(0)))
+
+  def ccValidCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(CcRe), lit(0)),
+      c => luhnValid16(c)))
+
+  /** Redact ONLY Luhn-valid 16-digit candidates (replace-all per
+    * candidate via an aggregate fold over the validated list). */
+  def scrubCc(text: Column): Column =
+    aggregate(
+      filter(regexp_extract_all(text, lit(CcRe), lit(0)),
+        c => luhnValid16(c)),
+      text, (acc, c) => replace(acc, c, lit("<CC>")))
+
   /** Fixed-size sliding-stride word chunking — the RAG/pre-training
     * chunker: windows of `size` words every `stride` words (overlap =
     * size - stride), last chunk partial. One typed flatMap per doc

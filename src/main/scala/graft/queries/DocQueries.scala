@@ -2353,6 +2353,65 @@ object DocQueries {
         outputMode = "append")
     },
 
+    // CHECKSUM-VALIDATED PII: credit-card redaction with a Luhn
+    // precision gate — a bare 16-digit regex flags order ids and
+    // hashes; only Luhn-valid candidates are card-shaped. Each doc is
+    // AUGMENTED with one VALID and one INVALID synthetic card built
+    // from doc_id by the same integer arithmetic in both engines
+    // (check digit from the Luhn-15 sum; the invalid twin shifts it
+    // +5 mod 10), so the oracle proves the scrub fires on exactly the
+    // valid one in every row — precision AND recall, per row.
+    "doc_cc_audit" -> QueryDef(
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |    lpad(CAST((doc_id*7919) % 1000000000000000 AS VARCHAR), 15, '0') AS p15
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, p15,
+        |    list_sum(list_transform(range(1, 16), i ->
+        |      CASE WHEN i % 2 = 1
+        |        THEN CASE WHEN 2*CAST(substr(p15, i, 1) AS INT) > 9
+        |          THEN 2*CAST(substr(p15, i, 1) AS INT) - 9
+        |          ELSE 2*CAST(substr(p15, i, 1) AS INT) END
+        |        ELSE CAST(substr(p15, i, 1) AS INT) END)) AS s15
+        |  FROM a),
+        |c AS (SELECT doc_id, text, p15, (10 - s15 % 10) % 10 AS chk FROM b),
+        |d AS (SELECT doc_id,
+        |    text || ' card ' || p15 || CAST(chk AS VARCHAR)
+        |      || ' ref ' || p15 || CAST((chk + 5) % 10 AS VARCHAR) AS aug
+        |  FROM c),
+        |v AS (SELECT doc_id, aug,
+        |    regexp_extract_all(aug, '[0-9]{16}') AS cands FROM d),
+        |w AS (SELECT doc_id, aug, cands,
+        |    list_filter(cands, cc -> list_sum(list_transform(range(1, 17), i ->
+        |      CASE WHEN i % 2 = 1
+        |        THEN CASE WHEN 2*CAST(substr(cc, i, 1) AS INT) > 9
+        |          THEN 2*CAST(substr(cc, i, 1) AS INT) - 9
+        |          ELSE 2*CAST(substr(cc, i, 1) AS INT) END
+        |        ELSE CAST(substr(cc, i, 1) AS INT) END)) % 10 = 0) AS valids
+        |  FROM v)
+        |SELECT doc_id, CAST(len(cands) AS INT) AS n_cands,
+        |  CAST(len(valids) AS INT) AS n_valid,
+        |  list_reduce(list_prepend(aug, valids),
+        |    (acc, cc) -> replace(acc, cc, '<CC>')) AS scrubbed
+        |FROM w""".stripMargin) { (s, dir) =>
+      val p15 = lpad(((col("doc_id") * 7919) % 1000000000000000L)
+        .cast("string"), 15, "0")
+      val s15 = aggregate(
+        transform(split(p15, ""), (ch, i) => {
+          val d = ascii(ch) - lit(48)
+          when((i % 2) === 0,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        }), lit(0), (a, x) => a + x)
+      val chk = (lit(10) - s15 % 10) % 10
+      val aug = concat(col("text"), lit(" card "), p15, chk.cast("string"),
+        lit(" ref "), p15, ((chk + 5) % 10).cast("string"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TA.ccCandidateCount(aug).as("n_cands"),
+        TA.ccValidCount(aug).as("n_valid"),
+        TA.scrubCc(aug).as("scrubbed"))
+    },
+
     // Streaming FIXED-SIZE uniform sample — reservoir semantics made
     // deterministic: keep the k=50 documents with the SMALLEST
     // md5-prefix of their text (every doc equally likely under the

@@ -401,6 +401,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re == out)
   }
 
+  test("luhn-gated CC scrubbing: valid redacted, invalid and short runs kept") {
+    // 4111111111111111 is the canonical Luhn-valid test PAN; flipping
+    // the check digit breaks it; 15-digit runs never match the regex
+    val df = Seq(
+      (1L, "pay 4111111111111111 now"),
+      (2L, "ref 4111111111111112 id"),
+      (3L, "both 4111111111111111 and 4111111111111112"),
+      (4L, "short 411111111111111 run"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TA.ccCandidateCount(col("text")).as("nc"),
+        TA.ccValidCount(col("text")).as("nv"),
+        TA.scrubCc(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1, 1, "pay <CC> now")))
+    assert(out(2L) == ((1, 0, "ref 4111111111111112 id")))
+    assert(out(3L) == ((2, 1, "both <CC> and 4111111111111112")))
+    assert(out(4L) == ((0, 0, "short 411111111111111 run")))
+  }
+
   test("unigram tokenizer: frequent word compresses, chars always covered, invariant") {
     val docs = Seq.tabulate(40)(i => (i.toLong, "hello hello hello")) ++
       Seq((100L, "abc xyz"), (101L, "hello there"))
