@@ -179,6 +179,7 @@ object Preprocess {
   def anomalyExactFold(df: DataFrame, okeyCol: String, centsCol: String,
       rangeUnits: Long, by: Seq[String], z: Int,
       chunkUnits: Long = 0L): DataFrame = {
+    require(rangeUnits > 0 && z > 0, s"bad anomaly knobs ($rangeUnits, $z)")
     if (chunkUnits > 0)
       return withChunkSeeds(df, okeyCol, rangeUnits, chunkUnits) {
         (seeded, by2) => foldAnomalySorted(seeded, okeyCol, centsCol,

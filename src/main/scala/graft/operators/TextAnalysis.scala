@@ -731,6 +731,8 @@ object TextAnalysis {
   private[graft] def unigramTrainLoop(tbl: Array[(Array[String], Long)],
       maxPieceLen: Int, seedSize: Int, vocabSize: Int,
       emRounds: Int): Map[String, Long] = {
+    require(maxPieceLen > 0 && seedSize > 0 && vocabSize > 0 && emRounds >= 0,
+      s"bad unigram knobs ($maxPieceLen, $seedSize, $vocabSize, $emRounds)")
     val seedCounts = parCounts(tbl) { (cps, f, m) =>
       var i = 0
       while (i < cps.length) {

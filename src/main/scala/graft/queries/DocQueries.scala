@@ -2515,6 +2515,41 @@ object DocQueries {
         Sampling.packGreedy(withLang, "n_tokens", 512L, Seq("lang"), "doc_id")
     },
 
+    // Classifier EVALUATION — the confusion matrix of the quality
+    // model on its HELD-OUT docs (non-seed rows the fit never saw):
+    // exact integer counts per (y, keep) cell plus integer-ppm
+    // precision/recall (floor division — no rounded-float metric can
+    // flake the hash). The eval a pipeline runs before trusting a
+    // filter, single-sourced on the same model CTEs.
+    "doc_model_confusion" -> QueryDef(
+      s"""WITH src AS (SELECT doc_id, text AS t, lang FROM documents),
+         |${modelQualityCtes("src")},
+         |held AS (SELECT y, keep FROM scored WHERE NOT is_seed),
+         |cells AS (SELECT y, keep, count(*) AS n FROM held GROUP BY 1, 2),
+         |tot AS (SELECT
+         |    CAST(coalesce(sum(n) FILTER (y = 1 AND keep), 0) AS BIGINT) AS tp,
+         |    CAST(coalesce(sum(n) FILTER (y = 0 AND keep), 0) AS BIGINT) AS fp,
+         |    CAST(coalesce(sum(n) FILTER (y = 1 AND NOT keep), 0) AS BIGINT) AS fn,
+         |    CAST(coalesce(sum(n) FILTER (y = 0 AND NOT keep), 0) AS BIGINT) AS tn
+         |  FROM cells)
+         |SELECT tp, fp, fn, tn,
+         |  CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm,
+         |  CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm
+         |FROM tot""".stripMargin) { (s, dir) =>
+      val scored = TA.modelQualityScores(Tables.documents(s, dir),
+        col("text"), col("doc_id"), (col("lang") === "en").cast("long"),
+        seedBound = Sampling.hashBound(0.6))
+      scored.filter(!col("is_seed"))
+        .agg(
+          sum(when(col("y") === 1 && col("keep"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y") === 0 && col("keep"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1 && !col("keep"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("y") === 0 && !col("keep"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 1000000 div nullif(tp + fp, 0)").as("precision_ppm"),
+          expr("tp * 1000000 div nullif(tp + fn, 0)").as("recall_ppm"))
+    },
+
     // Composed WEB-CURATION pipeline (the RefinedWeb/DCLM sequencing):
     // boilerplate-strip every document, drop the pure-boilerplate
     // husks, then train-and-apply the model-based quality filter ON

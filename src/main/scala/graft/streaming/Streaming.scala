@@ -272,6 +272,7 @@ object Streaming {
     * Kryo-state rule). */
   final class DistinctCapAgg(cap: Int) extends org.apache.spark.sql.expressions
       .Aggregator[(String, Long), Array[Long], Long] {
+    require(cap > 0, s"cap must be positive, got $cap")
     private def insert(buf: Array[Long], v: Long): Array[Long] = {
       val n = buf.length
       var p = 0
