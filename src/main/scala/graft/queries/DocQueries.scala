@@ -2515,6 +2515,48 @@ object DocQueries {
         Sampling.packGreedy(withLang, "n_tokens", 512L, Seq("lang"), "doc_id")
     },
 
+    // Packed bins MATERIALIZED as training sequences: each (lang, bin)
+    // becomes one concatenated text (docs joined in pack order with an
+    // <eos> separator) plus its token fill — the artifact a trainer
+    // actually reads. Composition: the greedy pack fold -> per-bin
+    // string aggregation (bin membership is pack-deterministic, so the
+    // concat order is (doc_id) within the bin on both engines).
+    "doc_pack_sequences" -> QueryDef(
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+        |    n_tokens AS bin_fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+        |         THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.bin_fill > 0 AND r.bin_fill + d.n_tokens > 512
+        |         THEN d.n_tokens ELSE r.bin_fill + d.n_tokens END
+        |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+        |SELECT r.lang, r.bin, count(*) AS n_docs,
+        |  CAST(sum(r.n_tokens) AS BIGINT) AS seq_tokens,
+        |  string_agg(doc.text, '<eos>' ORDER BY r.doc_id) AS sequence
+        |FROM r JOIN documents doc USING (doc_id)
+        |GROUP BY r.lang, r.bin""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val withTokens = docs.select(col("doc_id"), col("lang"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val packed = Sampling.packGreedy(withTokens, "n_tokens", 512L,
+        Seq("lang"), "doc_id")
+      packed.join(docs.select("doc_id", "text"), "doc_id")
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "<eos>").as("sequence"))
+    },
+
     // Classifier EVALUATION — the confusion matrix of the quality
     // model on its HELD-OUT docs (non-seed rows the fit never saw):
     // exact integer counts per (y, keep) cell plus integer-ppm
