@@ -201,6 +201,36 @@ object WindowOps {
     sum(when(isDelimiter, 1L).otherwise(0L)).over(w)
   }
 
+  /** Forward-fill RESAMPLING over a complete bucket spine — the
+    * gap-filling half of resampling (a bucket with no events still
+    * emits a row carrying the last known values): per key the spine is
+    * `sequence(min_bucket, max_bucket, bucketUs)` exploded (bounded by
+    * the key's time span over the bucket width — metadata-sized per
+    * key, never data-sized), the aggregate frame left-joins it, and
+    * `fillCols` forward-fill via `last(_, ignoreNulls)` over the
+    * per-key bucket order while `zeroCols` coalesce to 0 (counts/sums
+    * of an empty bucket). Appends `is_gap`. The window partitions per
+    * key over BUCKET rows — span/width rows per key however dense the
+    * underlying data, so the per-key-timeline concern of row-level
+    * folds does not apply. */
+  def resampleFfill(agg: org.apache.spark.sql.DataFrame, key: String,
+      bucketCol: String, bucketUs: Long, fillCols: Seq[String],
+      zeroCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(bucketUs > 0 && fillCols.nonEmpty, "bad resample knobs")
+    val bounds = agg.groupBy(key)
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+    val spine = bounds.select(col(key),
+      explode(sequence(col("__lo"), col("__hi"), lit(bucketUs))).as(bucketCol))
+    val joined = spine.join(agg, Seq(key, bucketCol), "left")
+      .withColumn("is_gap", col(fillCols.head).isNull)
+    val w = Window.partitionBy(col(key)).orderBy(col(bucketCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = fillCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)) }
+    zeroCols.foldLeft(filled) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L))) }
+  }
+
   /** EXACT z-score anomaly flag over a sliding lookback — the alert a
     * monitoring pipeline raises per event, decided in PURE INTEGER
     * arithmetic so the boundary can never flip between engines:

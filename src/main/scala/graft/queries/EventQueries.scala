@@ -405,6 +405,45 @@ object EventQueries {
             col("is_anomaly"))
     },
 
+    // Forward-fill RESAMPLING: hourly close/volume per type over the
+    // COMPLETE bucket spine — a bucket with no events still emits a
+    // row carrying the last close (volume/count zero, is_gap marked).
+    // The spine is span/width rows per key (metadata-sized), the fill
+    // is one bucket-level window per key. ~40 gap buckets per type at
+    // sf0.01 (probed), so the fill genuinely fires.
+    "ev_ohlcv_ffill" -> QueryDef(
+      s"""WITH a AS (
+         |  SELECT event_type, (epoch_us(ts) // $H) * $H AS bucket_us,
+         |    arg_max(value, $OKEY) AS close,
+         |    CAST(sum(round(value*100)) AS BIGINT) AS volume_cents,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+         |  FROM a GROUP BY 1),
+         |sp AS (SELECT event_type, unnest(range(lo, hi + 1, $H)) AS bucket_us
+         |  FROM bounds),
+         |j AS (SELECT sp.event_type, sp.bucket_us, a.close, a.volume_cents, a.n
+         |  FROM sp LEFT JOIN a USING (event_type, bucket_us))
+         |SELECT event_type, bucket_us,
+         |  last_value(close IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY bucket_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+         |  coalesce(volume_cents, 0) AS volume_cents,
+         |  coalesce(n, 0) AS n,
+         |  close IS NULL AS is_gap
+         |FROM j""".stripMargin) { (s, dir) =>
+      val agg = ev(s, dir)
+        .groupBy(col("event_type"),
+          ((col("ts_us") / H).cast("long") * H).as("bucket_us"))
+        .agg(max_by(col("value"), okey).as("close"),
+          sum(cents(col("value"))).cast("long").as("volume_cents"),
+          count(lit(1)).as("n"))
+      WindowOps.resampleFfill(agg, "event_type", "bucket_us", H,
+          fillCols = Seq("close"), zeroCols = Seq("volume_cents", "n"))
+        .select(col("event_type"), col("bucket_us"), col("close"),
+          col("volume_cents"), col("n"), col("is_gap"))
+    },
+
     // Streaming twin: the SAME pure-integer anomaly rule raised AT
     // INGEST — per-key window deque in fMGWS state, drained with
     // AvailableNow under the SAME single-sourced SQL as the batch
