@@ -119,6 +119,71 @@ object EmbeddingQueries {
       |    JOIN seeds s ON s.lst = ch.fl
       |    JOIN embeddings e ON e.vec_id = r.vec_id) t WHERE rr = 1)""".stripMargin
 
+  /** The full IVF-PQ CTE chain (two-level routing + PQ codes + probe-
+    * restricted ADC scoring), ending in `ivfpq(q_id, neighbor_id,
+    * dist_um2, rnk)` — single-sourced for the top-k query and the
+    * ANN-recall evaluation. */
+  private lazy val IVFPQ_CTES: String =
+    s"""$SEMDEDUP_ASSIGN_CTES,
+       |$TWOLEVEL_CTES,
+       |em AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    e -> CAST(round(1000000 * e / sqrt(list_dot_product(
+       |      embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |pseeds AS (
+       |  SELECT rnk - 1 AS cidx, v AS cv FROM (
+       |    SELECT v, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+       |    FROM em) t WHERE rnk <= 16),
+       |codes AS (
+       |  SELECT vec_id, j, cidx FROM (
+       |    SELECT e.vec_id, js.j, s.cidx,
+       |      row_number() OVER (PARTITION BY e.vec_id, js.j
+       |        ORDER BY CAST(list_sum(list_transform(range(1, 9),
+       |          p -> (e.v[js.j*8 + p] - s.cv[js.j*8 + p])
+       |             * (e.v[js.j*8 + p] - s.cv[js.j*8 + p]))) AS BIGINT) ASC,
+       |          s.cidx ASC) AS r
+       |    FROM em e
+       |    CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+       |    CROSS JOIN pseeds s) t
+       |  WHERE r = 1),
+       |qtab AS (
+       |  SELECT q.vec_id AS q_id, js.j, s.cidx,
+       |    CAST(list_sum(list_transform(range(1, 9),
+       |      p -> (q.v[js.j*8 + p] - s.cv[js.j*8 + p])
+       |         * (q.v[js.j*8 + p] - s.cv[js.j*8 + p]))) AS BIGINT) AS d
+       |  FROM em q
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+       |  CROSS JOIN pseeds s
+       |  WHERE q.vec_id < 10),
+       |qprobe AS (
+       |  SELECT q_id, lst FROM (
+       |    SELECT r.vec_id AS q_id, s.lst, row_number() OVER (
+       |      PARTITION BY r.vec_id
+       |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
+       |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS rr
+       |    FROM rowsc r JOIN child ch ON ch.cl = r.cl
+       |    JOIN seeds s ON s.lst = ch.fl
+       |    JOIN embeddings e ON e.vec_id = r.vec_id
+       |    WHERE r.vec_id < 10) t
+       |  WHERE rr <= 2),
+       |score AS (
+       |  SELECT qt.q_id, c.vec_id AS neighbor_id,
+       |    CAST(sum(qt.d) AS BIGINT) AS dist_um2
+       |  FROM codes c
+       |  JOIN a2 ON a2.vec_id = c.vec_id
+       |  JOIN qprobe qp ON qp.lst = a2.lst
+       |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.cidx = c.cidx
+       |  WHERE c.vec_id != qt.q_id
+       |  GROUP BY 1, 2),
+       |ivfpq AS (
+       |  SELECT q_id, neighbor_id, dist_um2, rnk FROM (
+       |    SELECT q_id, neighbor_id, dist_um2, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY dist_um2 ASC, neighbor_id ASC) AS rnk
+       |    FROM score) t
+       |  WHERE rnk <= 10)""".stripMargin
+
   private def semdedupPairsSql(threshold: Double): String =
     s"""$SEMDEDUP_ASSIGN_CTES,
        |pairs AS (
@@ -696,64 +761,8 @@ object EmbeddingQueries {
     // probed candidates. Scan ~ nProbe/nLists of the corpus, m
     // bytes/vector resident; one typed map computes cell + codes.
     "emb_ivfpq_topk" -> QueryDef(
-      s"""WITH $SEMDEDUP_ASSIGN_CTES,
-         |$TWOLEVEL_CTES,
-         |em AS (
-         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-         |    e -> CAST(round(1000000 * e / sqrt(list_dot_product(
-         |      embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) AS v
-         |  FROM embeddings),
-         |pseeds AS (
-         |  SELECT rnk - 1 AS cidx, v AS cv FROM (
-         |    SELECT v, row_number() OVER (
-         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
-         |    FROM em) t WHERE rnk <= 16),
-         |codes AS (
-         |  SELECT vec_id, j, cidx FROM (
-         |    SELECT e.vec_id, js.j, s.cidx,
-         |      row_number() OVER (PARTITION BY e.vec_id, js.j
-         |        ORDER BY CAST(list_sum(list_transform(range(1, 9),
-         |          p -> (e.v[js.j*8 + p] - s.cv[js.j*8 + p])
-         |             * (e.v[js.j*8 + p] - s.cv[js.j*8 + p]))) AS BIGINT) ASC,
-         |          s.cidx ASC) AS r
-         |    FROM em e
-         |    CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
-         |    CROSS JOIN pseeds s) t
-         |  WHERE r = 1),
-         |qtab AS (
-         |  SELECT q.vec_id AS q_id, js.j, s.cidx,
-         |    CAST(list_sum(list_transform(range(1, 9),
-         |      p -> (q.v[js.j*8 + p] - s.cv[js.j*8 + p])
-         |         * (q.v[js.j*8 + p] - s.cv[js.j*8 + p]))) AS BIGINT) AS d
-         |  FROM em q
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
-         |  CROSS JOIN pseeds s
-         |  WHERE q.vec_id < 10),
-         |qprobe AS (
-         |  SELECT q_id, lst FROM (
-         |    SELECT r.vec_id AS q_id, s.lst, row_number() OVER (
-         |      PARTITION BY r.vec_id
-         |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
-         |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS rr
-         |    FROM rowsc r JOIN child ch ON ch.cl = r.cl
-         |    JOIN seeds s ON s.lst = ch.fl
-         |    JOIN embeddings e ON e.vec_id = r.vec_id
-         |    WHERE r.vec_id < 10) t
-         |  WHERE rr <= 2),
-         |score AS (
-         |  SELECT qt.q_id, c.vec_id AS neighbor_id,
-         |    CAST(sum(qt.d) AS BIGINT) AS dist_um2
-         |  FROM codes c
-         |  JOIN a2 ON a2.vec_id = c.vec_id
-         |  JOIN qprobe qp ON qp.lst = a2.lst
-         |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.cidx = c.cidx
-         |  WHERE c.vec_id != qt.q_id
-         |  GROUP BY 1, 2)
-         |SELECT q_id, neighbor_id, dist_um2, rnk FROM (
-         |  SELECT q_id, neighbor_id, dist_um2, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY dist_um2 ASC, neighbor_id ASC) AS rnk
-         |  FROM score) t
-         |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      s"""WITH $IVFPQ_CTES
+         |SELECT q_id, neighbor_id, dist_um2, rnk FROM ivfpq""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 10,
         nProbe = 2)
@@ -784,6 +793,44 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") < 10),
         k = 5, dupCos = 0.35)
+    },
+
+    // ANN QUALITY EVALUATION — recall@10 of the production IVF-PQ
+    // composition against the exact cosine top-10, per query: the
+    // "is the index good enough" number an ANN deployment watches.
+    // Both arms single-sourced (IVFPQ_CTES + the brute window);
+    // recall is an exact integer ppm (hits * 1e6 div 10).
+    "emb_ann_recall" -> QueryDef(
+      s"""WITH $IVFPQ_CTES,
+         |bsc AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+         |        (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+         |         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC,
+         |        e.vec_id ASC) AS rnk
+         |    FROM embeddings q CROSS JOIN embeddings e
+         |    WHERE q.vec_id < 10 AND e.vec_id != q.vec_id) t
+         |  WHERE rnk <= 10),
+         |hits AS (SELECT b.q_id, count(a.neighbor_id) AS hits
+         |  FROM bsc b LEFT JOIN ivfpq a
+         |    ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q_id, CAST(hits AS BIGINT) AS hits,
+         |  CAST(hits * 1000000 // 10 AS BIGINT) AS recall_ppm
+         |FROM hits""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfPqTopK(emb, q, 10, nProbe = 2)
+        .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("q_id"), col("neighbor_id"))
+        .join(approx, Seq("q_id", "neighbor_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("q_id"), col("hits"),
+          expr("hits * 1000000 div 10").as("recall_ppm"))
     },
 
     // TRIPLET mining for contrastive training: per anchor the rank-1
