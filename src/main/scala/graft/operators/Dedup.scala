@@ -795,7 +795,8 @@ object Dedup {
     val b = withNorm.select(col("id").as("b_id"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos",
-        Similarity.nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        Similarity.nativeDot(col("ea"), col("eb"))
+          / nullif(col("na") * col("nb"), lit(0.0))) // zero-norm safe (ANSI)
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
   }
@@ -834,7 +835,8 @@ object Dedup {
     a.join(b, col("a_id") < col("b_id"))
       .filter(int_dot(col("qa"), col("qb")) >= minScore)
       .withColumn("cos",
-        Similarity.nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        Similarity.nativeDot(col("ea"), col("eb"))
+          / nullif(col("na") * col("nb"), lit(0.0))) // zero-norm safe (ANSI)
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
   }
@@ -1335,7 +1337,8 @@ object Dedup {
     }
     screened
       .withColumn("cos",
-        Similarity.nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        Similarity.nativeDot(col("ea"), col("eb"))
+          / nullif(col("na") * col("nb"), lit(0.0))) // zero-norm safe (ANSI)
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
   }
@@ -1407,7 +1410,8 @@ object Dedup {
       col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("lst") === col("lstb") && col("a_id") < col("b_id"))
       .withColumn("cos",
-        Similarity.nativeDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        Similarity.nativeDot(col("ea"), col("eb"))
+          / nullif(col("na") * col("nb"), lit(0.0))) // zero-norm safe (ANSI)
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("lst"),
         round(col("cos"), 6).as("cos_sim"))

@@ -61,7 +61,10 @@ object Multimodal {
           j += 1
         }
         val (w, h) = decodeStub(r.payload)
-        MediaFeatures(r.id, r.modality, r.payload.length, sum / n, entropy, w, h)
+        // empty payload: mean 0.0, not 0/0 NaN (DuckDB's sum over zero
+        // rows is NULL — the oracle coalesces to the same 0.0)
+        val meanByte = if (n == 0) 0.0 else sum / n
+        MediaFeatures(r.id, r.modality, r.payload.length, meanByte, entropy, w, h)
       }
     }
   }

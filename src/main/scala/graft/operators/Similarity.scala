@@ -33,8 +33,16 @@ object Similarity {
   def nativeDot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dot_product(a, b)
 
+  /** Zero-norm safe: a zero vector has no direction — its cosine is
+    * NULL (nulls sort LAST under the rank windows' `cos DESC`, so
+    * zero vectors can never win a similarity rank). Spark 4 ANSI
+    * throws DIVIDE_BY_ZERO even for double division, so the unguarded
+    * form CRASHES the whole job on the first zero vector — found by
+    * the tools/stress_docs.py adversarial corpus, not by any SF of
+    * the clean testdata (100 TB corpora contain zero vectors). */
   def cosine(a: Column, b: Column): Column =
-    nativeDot(a, b) / (sqrt(nativeDot(a, a)) * sqrt(nativeDot(b, b)))
+    nativeDot(a, b) / nullif(sqrt(nativeDot(a, a)) * sqrt(nativeDot(b, b)),
+      lit(0.0))
 
   /** Exact top-k cosine neighbors for each query row (small query set,
     * broadcast) against the corpus. Output: q_id, neighbor_id, cos_sim,
@@ -569,7 +577,8 @@ object Similarity {
         col("nrm").as("ns")), "src_id")
       .join(withNorm.select(col("vid").as("neighbor_id"), col("e").as("en"),
         col("nrm").as("nn")), "neighbor_id")
-      .withColumn("cos", nativeDot(col("es"), col("en")) / (col("ns") * col("nn")))
+      .withColumn("cos", nativeDot(col("es"), col("en"))
+        / nullif(col("ns") * col("nn"), lit(0.0))) // zero-norm safe (ANSI)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("src_id"), col("neighbor_id"),

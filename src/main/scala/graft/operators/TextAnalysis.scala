@@ -1090,10 +1090,14 @@ object TextAnalysis {
     * semantics, which folds from the first element). */
   def fingerprint(text: Column): Column = {
     val codes = transform(split(text, ""), c => ascii(c).cast("long"))
-    aggregate(
-      slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
-      element_at(codes, 1),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    // empty text: NULL, not a degenerate 0 (Spark split("","") gives
+    // [""] with ascii 0 while DuckDB unicode('') is -1 — the hostile-
+    // corpus gate caught the divergence; NULL is the shared answer)
+    when(length(text) > 0,
+      aggregate(
+        slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
+        element_at(codes, 1),
+        (acc, x) => (acc * 31 + x) % 1000000007L))
   }
 
   /** Corpus DRIFT report between two snapshots — the monitoring

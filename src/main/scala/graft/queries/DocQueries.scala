@@ -188,7 +188,9 @@ object DocQueries {
          |  FROM f$r WHERE NOT consumed GROUP BY wk, freq)""".stripMargin
     }
     (s"""t0 AS MATERIALIZED (
-        |  SELECT w AS wk, freq, string_split(w, '') AS syms FROM (
+        |  SELECT w AS wk, freq,
+        |    CASE WHEN w = '' THEN []::VARCHAR[]
+        |         ELSE string_split(w, '') END AS syms FROM (
         |    SELECT w, count(*) AS freq FROM (
         |      SELECT unnest(string_split(coalesce(lower(text), ''), ' ')) AS w FROM documents) u
         |    GROUP BY 1) v)""".stripMargin +: rounds).mkString(",\n")
@@ -863,14 +865,15 @@ object DocQueries {
       """SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
         |  len(string_split(lower(text), ' ')) AS n_words,
-        |  n_chars/len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |  n_chars/NULLIF(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 0)
         |    AS chars_per_token
         |FROM documents""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
           TA.tokenCount(col("text")).as("n_tokens"),
           TA.wordCount(col("text")).as("n_words"),
-          (col("n_chars") / TA.tokenCount(col("text"))).as("chars_per_token"))
+          (col("n_chars") / nullif(TA.tokenCount(col("text")), lit(0)))
+            .as("chars_per_token")) // empty doc: NULL, not ANSI /0
     },
 
     // Vocabulary building: top-20 tokens by document frequency,
@@ -2099,9 +2102,10 @@ object DocQueries {
     // Rolling-hash document fingerprint (mod 1e9+7 polynomial).
     "doc_fingerprint" -> QueryDef(
       """SELECT doc_id,
-        |  list_reduce(list_transform(string_split(text, ''),
-        |    c -> CAST(unicode(c) AS BIGINT)),
-        |    (a, b) -> (a*31 + b) % 1000000007) AS fp
+        |  CASE WHEN length(text) = 0 THEN NULL
+        |    ELSE list_reduce(list_transform(string_split(text, ''),
+        |      c -> CAST(unicode(c) AS BIGINT)),
+        |      (a, b) -> (a*31 + b) % 1000000007) END AS fp
         |FROM documents""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))

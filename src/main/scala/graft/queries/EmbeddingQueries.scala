@@ -127,9 +127,12 @@ object EmbeddingQueries {
     s"""$SEMDEDUP_ASSIGN_CTES,
        |$TWOLEVEL_CTES,
        |em AS (
-       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-       |    e -> CAST(round(1000000 * e / sqrt(list_dot_product(
-       |      embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) AS v
+       |  SELECT vec_id, CASE
+       |    WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+       |    THEN list_transform(embedding::DOUBLE[], e -> CAST(0 AS BIGINT))
+       |    ELSE list_transform(embedding::DOUBLE[],
+       |      e -> CAST(round(1000000 * e / sqrt(list_dot_product(
+       |        embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) END AS v
        |  FROM embeddings),
        |pseeds AS (
        |  SELECT rnk - 1 AS cidx, v AS cv FROM (
@@ -708,9 +711,12 @@ object EmbeddingQueries {
     // SimilaritySpec; this grades the pipeline's determinism and shape.
     "emb_pq_topk" -> QueryDef(
       """WITH em AS (
-        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
-        |    e -> CAST(round(1000000 * e / sqrt(list_dot_product(
-        |      embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) AS v
+        |  SELECT vec_id, CASE
+        |    WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+        |    THEN list_transform(embedding::DOUBLE[], e -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding::DOUBLE[],
+        |      e -> CAST(round(1000000 * e / sqrt(list_dot_product(
+        |        embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) END AS v
         |  FROM embeddings),
         |seeds AS (
         |  SELECT rnk - 1 AS cidx, v AS cv FROM (

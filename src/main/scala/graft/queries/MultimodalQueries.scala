@@ -35,11 +35,13 @@ object MultimodalQueries {
         |  SELECT doc_id AS id,
         |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
         |    length(text) AS n_bytes,
-        |    (SELECT sum(unicode(c))*1.0/length(d.text)
-        |     FROM unnest(string_split(d.text,'')) AS u(c)) AS mean_byte,
-        |    (SELECT -sum(p * log2(p)) FROM (
+        |    coalesce((SELECT sum(unicode(c))*1.0/length(d.text)
+        |     FROM unnest(string_split(d.text,'')) AS u(c)
+        |     WHERE length(d.text) > 0), 0.0) AS mean_byte,
+        |    coalesce((SELECT -sum(p * log2(p)) FROM (
         |       SELECT count(*)*1.0/length(d.text) AS p
-        |       FROM unnest(string_split(d.text,'')) AS u(c) GROUP BY c)) AS entropy
+        |       FROM unnest(string_split(d.text,'')) AS u(c)
+        |       WHERE length(d.text) > 0 GROUP BY c)), 0.0) + 0.0 AS entropy
         |  FROM documents d) t""".stripMargin) { (s, dir) =>
       Multimodal.extractFeatures(media(s, dir)).toDF()
         .withColumn("entropy", round(col("entropy"), 4))
