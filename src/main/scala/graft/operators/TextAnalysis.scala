@@ -1021,6 +1021,26 @@ object TextAnalysis {
   def phoneCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
 
+  /** HTML -> text extraction (the trafilatura-lite step every web
+    * pipeline runs before any text operator): drop script/style blocks
+    * WITH their contents, strip remaining tags, decode the common
+    * entities, collapse whitespace runs, trim. Every pattern is
+    * RE2-safe (no lookarounds/backrefs — identical semantics in Java
+    * regex and DuckDB), so the whole chain is oracle-exact; all
+    * codegen'd `regexp_replace`/`replace`, zero shuffle. Entity order
+    * matters: `&amp;` decodes LAST so `&amp;lt;` becomes the literal
+    * `&lt;`, not `<` (the standard double-decode guard). */
+  def htmlExtract(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Candidate 16-digit card numbers (digit runs; the regex is the
     * RECALL half — [[luhnValid16]] is the precision half). */
   val CcRe = "[0-9]{16}"

@@ -2357,6 +2357,52 @@ object DocQueries {
         outputMode = "append")
     },
 
+    // HTML -> text extraction (trafilatura-lite): each doc is wrapped
+    // in deterministic markup (nav chrome, a script block whose
+    // CONTENTS must die with it, attributes, entities incl. the
+    // &amp;lt; double-decode trap) and the extractor must recover
+    // text-equivalent content: strip blocks, strip tags, decode
+    // entities in the safe order, collapse whitespace. The oracle
+    // replays the identical RE2-safe chain; `clean` is compared
+    // verbatim and `roundtrip` proves extraction recovered the
+    // original text exactly for every row.
+    "doc_html_extract" -> QueryDef(
+      """WITH aug AS (
+        |  SELECT doc_id, text,
+        |    '<html><body class="x"><nav id="n' || CAST(doc_id AS VARCHAR)
+        |      || '">Home &amp;lt; Menu</nav><script type="text/javascript">var '
+        |      || 'x = 1 &lt; 2;</script><p>' || text
+        |      || '</p><br/><div data-k="&quot;v&#39;">&gt;</div></body></html>' AS h
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(h, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |        '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM aug)
+        |SELECT doc_id, clean,
+        |  clean = 'Home &lt; Menu ' || trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |    || ' >' AS roundtrip
+        |FROM ext""".stripMargin) { (s, dir) =>
+      val h = concat(
+        lit("<html><body class=\"x\"><nav id=\"n"), col("doc_id").cast("string"),
+        lit("\">Home &amp;lt; Menu</nav><script type=\"text/javascript\">var "),
+        lit("x = 1 &lt; 2;</script><p>"), col("text"),
+        lit("</p><br/><div data-k=\"&quot;v&#39;\">&gt;</div></body></html>"))
+      val clean = TA.htmlExtract(h)
+      // attribute values live INSIDE tags — the &quot;v&#39; entity text
+      // dies with the div tag; only its &gt; body survives
+      val expected = concat(lit("Home &lt; Menu "),
+        trim(regexp_replace(col("text"), "\\s+", " ")), lit(" >"))
+      Tables.documents(s, dir).select(col("doc_id"), clean.as("clean"),
+        (clean === expected).as("roundtrip"))
+    },
+
     // CHECKSUM-VALIDATED PII: credit-card redaction with a Luhn
     // precision gate — a bare 16-digit regex flags order ids and
     // hashes; only Luhn-valid candidates are card-shaped. Each doc is

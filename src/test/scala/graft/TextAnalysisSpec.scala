@@ -401,6 +401,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(re == out)
   }
 
+  test("htmlExtract: blocks die with contents, entities decode in safe order") {
+    val df = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "<script>var x = 1 < 2;</script>after"),
+      (3L, "a &amp;lt; b &lt; c"),        // &amp;lt; -> literal &lt;
+      (4L, "  spaced \t out  "),
+      (5L, "<div class=\"k > v\">body</div>")) // attr without entities: regex
+      .toDF("doc_id", "html")               // stops at FIRST '>', 'v">' leaks
+    val out = df.select(col("doc_id"), TA.htmlExtract(col("html")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "after", s"script contents leaked: ${out(2L)}")
+    assert(out(3L) == "a &lt; b < c")
+    assert(out(4L) == "spaced out")
+    // documented limit: a raw '>' inside an attribute ends the tag
+    // early (real extractors tokenize; entities avoid it in practice)
+    assert(out(5L) == "v\">body")
+  }
+
   test("luhn-gated CC scrubbing: valid redacted, invalid and short runs kept") {
     // 4111111111111111 is the canonical Luhn-valid test PAN; flipping
     // the check digit breaks it; 15-digit runs never match the regex
