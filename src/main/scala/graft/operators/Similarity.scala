@@ -585,6 +585,52 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** INTEGER PageRank over a directed edge frame — centrality-based
+    * data selection (score documents by how often their neighbors
+    * point at them; the web-graph importance idea applied to the kNN
+    * graph: high-centrality docs are cluster cores, low-centrality
+    * ones are outliers/noise). Fixed `rounds` power iterations in
+    * PURE INTEGER micros: pr_{r+1}(v) = base + damp·Σ_u (pr_r(u) div
+    * deg(u)) div 100 with base = 1e6·(100−damp)/100 — floor division
+    * at every step, order-independent sums, so the scores are
+    * bit-identical across engines/partitionings and the whole loop
+    * unrolls into the SQL oracle (the BPE/unigram discipline).
+    * Dangling mass (nodes with no out-edges) is dropped, not
+    * redistributed — the deterministic simplification, documented.
+    *
+    * Scale shape: each round is one edge-keyed join + one
+    * neighbor-keyed sum — the CC/large-star execution family; rounds
+    * are a build-time constant. */
+  def pageRankMicros(edges: DataFrame, rounds: Int = 3,
+      dampPct: Int = 85): DataFrame = {
+    require(rounds >= 1 && dampPct > 0 && dampPct < 100, "bad pagerank knobs")
+    val e = edges.select(col("src_id").cast("long").as("src_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src_id").as("vec_id"))
+      .union(e.select(col("neighbor_id").as("vec_id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src_id").agg(count(lit(1)).as("deg"))
+    val base = 1000000L * (100 - dampPct) / 100
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    var r = 0
+    while (r < rounds) {
+      val contrib = e.join(pr, e("src_id") === pr("vec_id"))
+        .join(deg, "src_id")
+        .select(col("neighbor_id").as("vec_id"), expr("pr div deg").as("t"))
+        .groupBy("vec_id").agg(sum(col("t")).as("in_t"))
+      pr = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(base) + expr(s"$dampPct * coalesce(in_t, 0L) div 100"))
+            .as("pr"))
+      r += 1
+    }
+    pr.select(col("vec_id"), col("pr").as("pr_micro"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pr_micro").desc, col("vec_id").asc)))
+  }
+
   /** PRODUCT-QUANTIZATION top-k (Jégou et al. 2011, public knowledge) —
     * the memory-compression ANN path beyond SQ8: the vector splits
     * into `m` subspaces, each encoded as the index of its nearest

@@ -839,6 +839,45 @@ object EmbeddingQueries {
           expr("hits * 1000000 div 10").as("recall_ppm"))
     },
 
+    // Centrality-based selection: integer PageRank over the directed
+    // kNN graph — high-centrality docs are cluster cores, low ones
+    // outliers. Three power-iteration rounds UNROLLED in the oracle,
+    // every step floor-division integer micros (the BPE/unigram
+    // unroll discipline applied to graph scoring); edges are the
+    // auto-bits kNN graph's single-sourced candidate CTEs.
+    "emb_pagerank" -> QueryDef({
+      val prRounds = (1 to 3).map { r =>
+        s"""pr$r AS (SELECT n.vec_id,
+           |    CAST(150000 + (85 * coalesce(s.t, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT k.neighbor_id AS vec_id, sum(p.pr // d.deg) AS t
+           |    FROM knn k JOIN pr${r - 1} p ON p.vec_id = k.src_id
+           |    JOIN deg d ON d.src_id = k.src_id
+           |    GROUP BY 1) s USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${knnCandidateCtes(16)},
+         |knn AS (
+         |  SELECT src_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY src_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM scored) t
+         |  WHERE rnk <= 5),
+         |nodes AS (SELECT DISTINCT vec_id FROM (
+         |  SELECT src_id AS vec_id FROM knn
+         |  UNION ALL SELECT neighbor_id FROM knn) u),
+         |deg AS (SELECT src_id, count(*) AS deg FROM knn GROUP BY 1),
+         |pr0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |$prRounds
+         |SELECT vec_id, pr AS pr_micro, CAST(row_number() OVER (
+         |  ORDER BY pr DESC, vec_id ASC) AS INT) AS rnk
+         |FROM pr3""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val graph = Similarity.knnGraph(emb, 5,
+        bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64)
+      Similarity.pageRankMicros(graph.select("src_id", "neighbor_id"))
+    },
+
     // TRIPLET mining for contrastive training: per anchor the rank-1
     // same-label positive + the top-3 hard negatives (different
     // label, below the 0.35 near-dup band) in one long-format frame —

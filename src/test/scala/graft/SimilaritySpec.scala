@@ -308,6 +308,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"ADC distance diverged on $kk"))
   }
 
+  test("pageRankMicros: hand-checked star graph, integer-exact, invariant") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 2,3,4 -> 1 and 1 -> 2: after 3 integer rounds (damp 85):
+    // pr3(1)=2483250, pr3(2)=1216750, pr3(3)=pr3(4)=150000
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L))
+      .toDF("src_id", "neighbor_id")
+    val out = Similarity.pageRankMicros(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(
+      1L -> ((2483250L, 1)), 2L -> ((1216750L, 2)),
+      3L -> ((150000L, 3)), 4L -> ((150000L, 4))))
+    val again = Similarity.pageRankMicros(edges.repartition(5))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == again)
+  }
+
   test("triplet mining: one same-label positive, hard negatives, roles disjoint") {
     val labels = emb.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
