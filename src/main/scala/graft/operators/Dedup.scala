@@ -373,7 +373,11 @@ object Dedup {
     * flag-back join broadcasts it and passage bodies never shuffle
     * for flagging; reconstruction then regroups only SURVIVING bodies
     * by doc_id — one body-width shuffle, state bounded by document
-    * length. Passage unit and lowercasing are the shared chunker's
+    * length. (A pathological corpus where nearly EVERY passage crosses
+    * minDf — e.g. a pure replica set — inflates the broadcast toward
+    * the distinct-passage count; measured fine at 5M docs
+    * (SCALE.md), but drop the broadcast hint and let AQE decide if a
+    * corpus is known to be replica-dominated.) Passage unit and lowercasing are the shared chunker's
     * ([[TextAnalysis.chunkWords]] with stride = size), so boilerplate
     * and first-occurrence dedup agree on what a passage is.
     * Reference anchor: svoe has no corpus operators; semantics follow

@@ -1032,7 +1032,7 @@ object TextAnalysis {
     * `&lt;`, not `<` (the standard double-decode guard). */
   def htmlExtract(html: Column): Column = {
     val noBlocks = regexp_replace(html,
-      "<(script|style)[^>]*>.*?</(script|style)>", " ")
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val decoded = replace(replace(replace(replace(replace(noTags,
       lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),

@@ -2379,7 +2379,7 @@ object DocQueries {
         |    trim(regexp_replace(
         |      replace(replace(replace(replace(replace(
         |        regexp_replace(
-        |          regexp_replace(h, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |          regexp_replace(h, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
         |          '<[^>]*>', ' ', 'g'),
         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
         |        '&amp;', '&'),
