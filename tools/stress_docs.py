@@ -30,8 +30,9 @@ WORDS = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/doctest"
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 11
     os.makedirs(out, exist_ok=True)
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(seed)
     docs = []
 
     def add(text, lang, source):
