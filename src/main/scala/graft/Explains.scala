@@ -73,7 +73,9 @@ object Explains {
       "doc_model_quality" -> "model-based quality filter: the feature frame is ONE typed map over the scan (persisted — InMemoryTableScan feeds both the seed treeAggregate and the scoring pass); scoring is a codegen'd integer affine projection with the three learned micro-weights as literals — zero exchanges downstream of the fit",
       "doc_unigram_encode" -> "unigram encode: after the train collect (capped word-table metadata), the encode is a SINGLE mapPartitions pass with the (piece -> bitlen) table broadcast and a per-partition word memo — no exchange downstream of the vocabulary broadcast",
       "emb_context_pack" -> "in-context packing: cluster routing is a typed map with the coarse+fine centroids broadcast (the TWO-LEVEL path — the flat n*k assignment probed 18x/decade); token counts join on bare doc_id; the packer is one exchange on lst + in-partition (lst, doc_id) sort + MapPartitions fold",
-      "emb_triplet_mining" -> "triplet mining: the positive arm is a broadcast HASH join on label (each corpus row scores only its own class); the negative arm filters label-inequality + the dup band INSIDE the scored scan before the per-anchor rank window; union of two narrow ranked frames")
+      "emb_triplet_mining" -> "triplet mining: the positive arm is a broadcast HASH join on label (each corpus row scores only its own class); the negative arm filters label-inequality + the dup band INSIDE the scored scan before the per-anchor rank window; union of two narrow ranked frames",
+      "doc_html_extract" -> "HTML extraction: the whole strip/decode/collapse chain is ONE codegen'd projection over the scan — regexp_replace and replace compose without any exchange; zero shuffle end to end",
+      "emb_pagerank" -> "kNN PageRank: three power-iteration rounds, each one edge-keyed join + one neighbor-keyed HashAggregate over bare (id, long) rows — the CC execution family; the kNN graph's bucket self-join feeds it once, embeddings never enter the iteration")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — representative physical plans\n\n")
