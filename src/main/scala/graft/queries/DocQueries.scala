@@ -2311,7 +2311,8 @@ object DocQueries {
     "doc_boilerplate_stream" -> QueryDef(BOILERPLATE_SQL) { (s, dir) =>
       val drained = Streaming.runAvailableNow(
         Streaming.boilerplateDfStream(Streaming.documentsStream(s, dir),
-          col("text"), col("doc_id"), size = 10, minDf = 3))
+          col("text"), col("doc_id"), size = 10, minDf = 3),
+        rocksdbState = true) // state is passage-cardinality: corpus-sized
       Dedup.boilerplateStripAgainst(Tables.documents(s, dir), col("text"),
         col("doc_id"), size = 10,
         drained.filter(col("df_capped") >= 3).select(col("digest")))

@@ -406,7 +406,28 @@ object Streaming {
     * consumer surfaces must scale too). Production streams write
     * through foreachBatch to the block sink ([[BlockWriter]]) — same
     * shape as this drain. */
-  def runAvailableNow(df: DataFrame, outputMode: String = "complete"): DataFrame = {
+  def runAvailableNow(df: DataFrame, outputMode: String = "complete",
+      rocksdbState: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    // rocksdbState: route the query's keyed state through the RocksDB
+    // provider — REQUIRED when state cardinality is corpus-sized (the
+    // boilerplate df pass holds one entry per DISTINCT PASSAGE: ~28M at
+    // the sf100eq probe OOM'd the default memory-backed store at 16g;
+    // RocksDB spills to disk and is the production answer for big
+    // streaming state). Session conf is set for the drain and restored
+    // after (drains run serialized in Verify/Bench).
+    val StoreKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevStore = if (rocksdbState) spark.conf.getOption(StoreKey) else None
+    if (rocksdbState) spark.conf.set(StoreKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runAvailableNowInner(df, outputMode)
+    finally if (rocksdbState) prevStore match {
+      case Some(v) => spark.conf.set(StoreKey, v)
+      case None => spark.conf.unset(StoreKey)
+    }
+  }
+
+  private def runAvailableNowInner(df: DataFrame, outputMode: String): DataFrame = {
     val spark = df.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_stream_")
     val out = root.resolve("out").toString
