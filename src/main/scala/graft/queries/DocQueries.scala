@@ -711,7 +711,8 @@ object DocQueries {
       Streaming.runAvailableNow(
         Streaming.exactDedupKeepListStream(
           Streaming.documentsStream(s, dir),
-          col("text"), col("doc_id"), col("n_chars")))
+          col("text"), col("doc_id"), col("n_chars")),
+        rocksdbState = true) // digest-cardinality state: corpus-sized
     },
 
     // JSONL INGEST-TIME dedup on the STREAMING engine: the corpus is
@@ -736,7 +737,8 @@ object DocQueries {
         .filter(col("_corrupt_record").isNull)
       Streaming.runAvailableNow(
         Streaming.exactDedupKeepListStream(stream,
-          col("text"), col("doc_id"), col("n_chars")))
+          col("text"), col("doc_id"), col("n_chars")),
+        rocksdbState = true) // digest-cardinality state: corpus-sized
     },
 
     // Streaming twin of doc_para_dedup's keeper election: documents
@@ -764,7 +766,8 @@ object DocQueries {
       Streaming.runAvailableNow(
         Streaming.paragraphKeepListStream(
           Streaming.documentsStream(s, dir),
-          col("text"), col("doc_id"), size = 20))
+          col("text"), col("doc_id"), size = 20),
+        rocksdbState = true) // passage-cardinality state: corpus-sized
     },
 
     // Streaming MinHash near-dup dedup, driver-visible: the fMGWS
@@ -793,7 +796,8 @@ object DocQueries {
           bands = 16, estThreshold = 0.6, watermarkDelayMs = 31536000000L,
           baseHash = Dedup.Md5Prefix)
         Streaming.collapseNearDupVerdicts(
-            Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append"))
+            Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
+              rocksdbState = true)) // band-bucket state: corpus-sized
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
@@ -815,7 +819,8 @@ object DocQueries {
         val verdicts = Streaming.simhashDedupStream(docs, maxDist = 6,
           watermarkDelayMs = 31536000000L, baseHash = Dedup.Md5Prefix)
         Streaming.collapseNearDupVerdicts(
-            Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append"))
+            Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
+              rocksdbState = true)) // band-bucket state: corpus-sized
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
