@@ -32,4 +32,26 @@ object Graft {
   /** Run a named engine query (SparkEntry surface). */
   def query(spark: SparkSession, dir: String, name: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
+
+  /** Operator outputs exposed by [[registerQueryViews]] when no
+    * explicit list is given — one representative per operator family
+    * (windowed agg, as-of join, dedup, text quality, ANN graph), kept
+    * deliberately small: a temp view is a lazy plan, but BUILDING some
+    * query frames runs metadata actions (auto-knob counts, codebook
+    * seeds), so registering the whole 165-query suite eagerly is the
+    * caller's explicit choice, not the default. */
+  val DefaultViewQueries: Seq[String] = Seq("ev_ohlcv_1h", "ev_asof_join",
+    "doc_quality", "doc_dedup_exact", "emb_knn_graph")
+
+  /** Register engine OPERATOR OUTPUTS as SQL views (SURVEY §2.10's
+    * other half: not just the base tables — the operator results
+    * compose in `spark.sql` too). Each named SparkEntry query's frame
+    * becomes temp view `graft_<name>`, so e.g.
+    * `SELECT * FROM graft_ev_ohlcv_1h JOIN events ...` round-trips
+    * between the DataFrame-built operators and ad-hoc SQL. */
+  def registerQueryViews(spark: SparkSession, dir: String,
+      names: Seq[String] = DefaultViewQueries): Unit =
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, dir).createOrReplaceTempView(s"graft_$n")
+    }
 }

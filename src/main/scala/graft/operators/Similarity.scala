@@ -20,11 +20,46 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The BROADCAST-QUERIES contract, enforced (the seedBound
+    * discipline of `TextAnalysis.modelQualityScores`): every top-k
+    * path in this object ships the QUERY side to the driver and/or
+    * executors whole — collected ADC tables, broadcast probe sets —
+    * so the query side must be mining-set-sized (anchors, probes),
+    * never corpus-sized. A corpus-sized frame passed as `queries`
+    * would OOM the driver silently at scale; this helper makes it a
+    * loud, cheap error instead: it fetches at most `bound + 1` rows
+    * (LIMIT pushes into the collect — the check never materializes
+    * an unbounded frame) and rejects anything over the bound. Callers
+    * with genuinely larger mining sets raise `queryBound` explicitly,
+    * sized to driver memory (~1 KB/query for the PQ ADC tables). */
+  private[operators] def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
+      bound: Int, op: String): Array[T] = {
+    val rows = ds.limit(bound + 1).collect()
+    require(rows.length <= bound,
+      s"$op: the queries side is collected/broadcast and must stay " +
+        s"mining-set-sized — got > $bound rows (queryBound). Pass a " +
+        "sampled anchor set, or raise queryBound with driver memory to match.")
+    rows
+  }
+
   /** Left-to-right dot product of two array<numeric> columns
     * (higher-order-function formulation; works on any session). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** The EXACT scalar twin of graft_dot's fold — acc += a(i)·b(i),
+    * ascending index, double accumulation — for pair scoring that
+    * happens inside typed per-group folds ([[knnGraph]]'s in-bucket
+    * scoring). Bit-equal to the codegen'd expression and to DuckDB's
+    * `list_dot_product` on DOUBLE[]. */
+  private[operators] def dotD(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
 
   /** Same fold via the codegen'd native expression (graft_dot) —
     * identical arithmetic/order, tight primitive loop instead of
@@ -46,7 +81,13 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query row (small query set,
     * broadcast) against the corpus. Output: q_id, neighbor_id, cos_sim,
-    * rnk (1-based). Excludes self-matches. */
+    * rnk (1-based). Excludes self-matches.
+    *
+    * Broadcast-queries contract (see [[collectBounded]]): `queries`
+    * must be mining-set-sized. This path ships it via `broadcast()`,
+    * so an oversized frame fails at Spark's broadcast-size guard
+    * (loud, pre-OOM) rather than silently; the per-executor cost is
+    * |queries| x dim floats. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("qe")))
@@ -54,12 +95,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"),
-        col("rnk"))
+    rerankTopK(scored, k)
   }
 
   /** Scalar-quantized (SQ8-style) brute-force top-k: every vector is
@@ -92,23 +128,59 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         int_dot(col("qq"), col("qv")).as("iscore"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("iscore").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("neighbor_id"), col("iscore"), col("rnk"))
+    rerankTopKLong(scored, k, "iscore", asc = false)
   }
 
-  /** Shared exact-rerank tail: per-query row_number over (cos desc,
-    * neighbor_id asc), top k, 6dp rounding (the oracle-parity output
-    * shape used by every top-k path). */
+  /** Shared exact-rerank tail: per-query top-k under (cos desc,
+    * neighbor_id asc, nulls last), 6dp rounding (the oracle-parity
+    * output shape used by every top-k path).
+    *
+    * NOT a rank window: `row_number().over(partitionBy(q_id))` shuffles
+    * EVERY scored row into |queries| partitions — with a broadcast
+    * query side the scored set is corpus-sized, so ten anchors mean ten
+    * tasks each sorting corpus/10 rows (measured: the brute arm of
+    * emb_ann_recall at 38s/2M vectors was this shuffle, not the dot
+    * products). [[TopKCosAgg]] is a typed aggregate instead: partial
+    * aggregation keeps k candidates per (map partition, query) BEFORE
+    * the exchange, so the shuffle carries numPartitions * |queries| * k
+    * rows and the scan stays the only corpus-sized pass. Output is
+    * bit-identical to the window form — top-k under a TOTAL order is
+    * order-insensitive, so map-side selection cannot change it. */
   private def rerankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"),
-        col("rnk"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("q_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos").cast("double"))
+      .as[(Long, Long, Option[Double])]
+      .groupByKey(_._1)
+      .agg(new TopKCosAgg(k).toColumn)
+      .flatMap { case (q, arr) =>
+        arr.iterator.zipWithIndex.map { case ((nid, c, isNull), i) =>
+          (q, nid, if (isNull) None else Some(c), i + 1)
+        }
+      }
+      .toDF("q_id", "neighbor_id", "cos", "rnk")
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"), col("rnk"))
+  }
+
+  /** [[rerankTopK]] for INTEGER-scored paths (PQ ADC distances,
+    * quantized dot products): per-query top-k under (value asc|desc,
+    * neighbor_id asc) via the same map-side-combined aggregate.
+    * `valueCol` names the score column in AND out. */
+  private def rerankTopKLong(scored: DataFrame, k: Int, valueCol: String,
+      asc: Boolean): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("q_id").cast("long"), col("neighbor_id").cast("long"),
+        col(valueCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKLongAgg(k, asc).toColumn)
+      .flatMap { case (q, arr) =>
+        arr.iterator.zipWithIndex.map { case ((nid, v), i) => (q, nid, v, i + 1) }
+      }
+      .toDF("q_id", "neighbor_id", valueCol, "rnk")
   }
 
   /** FILTERED exact top-k: neighbors must match the query row on every
@@ -151,7 +223,10 @@ object Similarity {
     * generation composes with [[ivfTopK]]-style probing plus this
     * post-predicate (label inequality is not an equi-join key, so the
     * filtered-join trick of [[bruteForceTopKFiltered]] does not
-    * apply). Output shape = [[bruteForceTopK]]. */
+    * apply). Output shape = [[bruteForceTopK]], including its
+    * broadcast-queries contract — the anchor set (and therefore
+    * [[tripletMine]]'s, which composes this) must be mining-set-sized,
+    * never the corpus. */
   def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dupCos: Double): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
@@ -552,37 +627,97 @@ object Similarity {
     b
   }
 
+  /** Default hot-bucket guard for the corpus kNN-graph family: LSH
+    * buckets holding more than this many rows are dropped from
+    * candidate generation (Dedup.capBuckets). autoBits sizes buckets
+    * to ~32 expected rows, so 16x that only ever fires on degenerate
+    * mass — near-identical vectors that collide in EVERY table, where
+    * the self-join would otherwise go quadratic in the replica count
+    * (the sf10eq dup-heavy probe: 211s on emb_pagerank, candidate
+    * generation hostage to hot buckets). A CONSTANT is the right
+    * derivation here: expected occupancy is count-independent by
+    * autoBits construction, so any bucket past 16x expectation is
+    * duplicate mass at every corpus size — and near-dups of one
+    * vector past bucket capacity carry no new neighbor information.
+    * Replayed verbatim in the SQL oracles (HAVING count(*) <= cap). */
+  val KnnHotBucketCap: Int = 512
+
+  /** Corpus kNN graph over capped LSH buckets, scored IN-BUCKET.
+    *
+    * The obvious formulation — materialize distinct candidate id
+    * pairs, re-join both embeddings, rank per src — is the one that
+    * died at the third decade: candidate volume is tables x corpus x
+    * occupancy/2 (~700M pairs at 2M vectors), and the pair
+    * `distinct()`, the two corpus-sized sort-merge joins, and the
+    * rank-window exchange each sort that whole set (the probe filled
+    * the spill disk before finishing). This shape instead:
+    *
+    *   1. explode (tbl, bkt) WITH the embedding riding along — ONE
+    *      shuffle of tables x corpus rows, hash-grouped per bucket
+    *      (collect_list, no sort); the cap bounds every group;
+    *   2. score all pairs INSIDE the bucket group (a true per-group
+    *      fold — the documented typed-flatMap exemption), each pair's
+    *      cosine computed once, emitted in both directions;
+    *   3. feed the per-src top-k aggregate ([[rerankTopK]]): partial
+    *      aggregation collapses the pair stream map-side, and the
+    *      same pair surfacing from several tables dedups INSIDE the
+    *      aggregator (its order is total, so duplicates are identical
+    *      tuples).
+    *
+    * Nothing pair-sized is ever sorted, shuffled, or persisted. Same
+    * output as the join form: same candidate set (bucket-sharing
+    * pairs under the same cap), same cosine fold ([[dotD]] is
+    * graft_dot's scalar twin), same (cos desc, id asc, nulls last)
+    * total order. */
   def knnGraph(corpus: DataFrame, k: Int, bits: Int, dim: Int,
       tables: Int = 24, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
     // bits <= 0: auto-size the bucket space to the corpus (the
     // auto-sized range-exchange rule — every parallelism/bucket knob
     // must scale with the data). The count is one metadata-cheap
     // action, the same bounded boundary as IVF's centroid collect.
     val b = if (bits > 0) bits else autoBits(corpus.count())
-    val candU = Dedup.lshCandidatePairs(corpus, col("vec_id"),
-      col("embedding"), b, tables, dim, seed, maxBucket)
-    val cand = candU
-      .select(col("a_id").as("src_id"), col("b_id").as("neighbor_id"))
-      .union(candU
-        .select(col("b_id").as("src_id"), col("a_id").as("neighbor_id")))
-    val withNorm = corpus.select(col("vec_id").cast("long").as("vid"),
-      col("embedding").as("e"),
-      sqrt(nativeDot(col("embedding"), col("embedding"))).as("nrm"))
-    val w = Window.partitionBy(col("src_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand
-      .join(withNorm.select(col("vid").as("src_id"), col("e").as("es"),
-        col("nrm").as("ns")), "src_id")
-      .join(withNorm.select(col("vid").as("neighbor_id"), col("e").as("en"),
-        col("nrm").as("nn")), "neighbor_id")
-      .withColumn("cos", nativeDot(col("es"), col("en"))
-        / nullif(col("ns") * col("nn"), lit(0.0))) // zero-norm safe (ANSI)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("src_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"), col("rnk"))
+    val exploded = corpus.select(col("vec_id").cast("long").as("id"),
+      col("embedding"),
+      posexplode(bucketArray(col("embedding"), b, dim, tables, seed))
+        .as(Seq("tbl", "bkt")))
+    val capped = Dedup.capBuckets(exploded, Seq("tbl", "bkt"), maxBucket)
+    val scored = capped.groupBy(col("tbl"), col("bkt"))
+      .agg(collect_list(struct(col("id").as("_1"),
+        col("embedding").as("_2"))).as("members"))
+      .select(col("members")).as[Array[(Long, Array[Float])]]
+      .flatMap { m =>
+        val n = m.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) { norms(i) = math.sqrt(dotD(m(i)._2, m(i)._2)); i += 1 }
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Option[Double])](n * math.max(n - 1, 0))
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            if (m(i)._1 != m(j)._1) {
+              val den = norms(i) * norms(j)
+              // zero-norm safe: no direction -> null, sorts last
+              val cos =
+                if (den == 0.0) None else Some(dotD(m(i)._2, m(j)._2) / den)
+              out += ((m(i)._1, m(j)._1, cos))
+              out += ((m(j)._1, m(i)._1, cos))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("q_id", "neighbor_id", "cos")
+    rerankTopK(scored, k)
+      .select(col("q_id").as("src_id"), col("neighbor_id"),
+        col("cos_sim"), col("rnk"))
   }
 
   /** INTEGER PageRank over a directed edge frame — centrality-based
@@ -600,7 +735,18 @@ object Similarity {
     *
     * Scale shape: each round is one edge-keyed join + one
     * neighbor-keyed sum — the CC/large-star execution family; rounds
-    * are a build-time constant. */
+    * are a build-time constant. The appended `rnk` is a DISTRIBUTED
+    * global rank: a range-partitioned total sort on (pr_micro desc,
+    * vec_id asc) + zipWithIndex, NOT `row_number()` over an
+    * unpartitioned window (which would serialize the corpus-sized
+    * node set through one sort task — the global-window shape the
+    * repo's scale rules forbid). Rank values are identical either way
+    * because the order key is total (vec_id breaks every tie), and
+    * they cannot depend on the range boundaries — a node's rank is
+    * its position in the one global order whatever partition it lands
+    * in. Node count must fit an Int (the row_number contract the
+    * oracle's CAST AS INT pins); ranking 2B+ nodes means dropping the
+    * rank column and keying on pr_micro directly. */
   def pageRankMicros(edges: DataFrame, rounds: Int = 3,
       dampPct: Int = 85): DataFrame = {
     require(rounds >= 1 && dampPct > 0 && dampPct < 100, "bad pagerank knobs")
@@ -626,9 +772,21 @@ object Similarity {
             .as("pr"))
       r += 1
     }
-    pr.select(col("vec_id"), col("pr").as("pr_micro"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("pr_micro").desc, col("vec_id").asc)))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ranked = pr.select(col("vec_id").cast("long"), col("pr").cast("long"))
+      .as[(Long, Long)]
+      .orderBy(col("pr").desc, col("vec_id").asc)
+      .rdd.zipWithIndex()
+      .map { case ((v, p), i) => (v, p, (i + 1).toInt) }
+      .toDF("vec_id", "pr_micro", "rnk")
+      // materialize before releasing the iteration caches (zipWithIndex
+      // already paid one full pass for partition sizes; this pins the
+      // result so callers never re-run the round lineage uncached)
+      .localCheckpoint(true)
+    e.unpersist(false)
+    nodes.unpersist(false)
+    ranked
   }
 
   /** PRODUCT-QUANTIZATION top-k (Jégou et al. 2011, public knowledge) —
@@ -666,7 +824,8 @@ object Similarity {
     * flatMap over codes, and only (q_id, id, dist) candidates reach
     * the per-query top-k window. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, numCentroids: Int = 16): DataFrame = {
+      m: Int = 8, numCentroids: Int = 16,
+      queryBound: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val um = corpus.select(col("vec_id").cast("long").as("vec_id"),
@@ -687,8 +846,9 @@ object Similarity {
       (id, pqEncodeRow(vs.toArray, bcSeeds.value, nSub, subDim))
     }
     // per-query ADC tables: (m x numCentroids) integer distances
-    val qRows = queries.select(col("vec_id").cast("long").as("vec_id"),
-        col("embedding")).as[(Long, Seq[Float])].collect()
+    val qRows = collectBounded(
+        queries.select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding")).as[(Long, Seq[Float])], queryBound, "pqTopK")
       .map { case (id, e) => (id, normalizedMicros(e).toSeq) }
     val tabs: Array[(Long, Array[Array[Long]])] = qRows.map { case (qid, qs) =>
       (qid, pqTable(qs.toArray, seeds, nSub, subDim))
@@ -702,11 +862,7 @@ object Similarity {
         (qid, id, s)
       }
     }.toDF("q_id", "neighbor_id", "dist_um2")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist_um2").asc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("q_id", "neighbor_id", "dist_um2", "rnk")
+    rerankTopKLong(scored, k, "dist_um2", asc = true)
   }
 
   /** Per-subspace argmin encode (ties -> lowest centroid index):
@@ -779,7 +935,7 @@ object Similarity {
     * fixed-order double folds the SemDeDup oracles already pin. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nProbe: Int = 2, m: Int = 8, numCentroids: Int = 16,
-      targetPerList: Long = 64L): DataFrame = {
+      targetPerList: Long = 64L, queryBound: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nLists = Dedup.autoClusters(corpus.count(), targetPerList)
@@ -808,8 +964,9 @@ object Similarity {
       (id, Dedup.routeTwoLevel(bcFine.value, bcCells.value, ea, 1)(0),
         pqEncodeRow(normalizedMicros(ea), bcSeeds.value, nSub, subDim))
     }
-    val qRows = queries.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding")).as[(Long, Seq[Float])].collect()
+    val qRows = collectBounded(
+      queries.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding")).as[(Long, Seq[Float])], queryBound, "ivfPqTopK")
     val probes: Array[(Long, Array[Int], Array[Array[Long]])] =
       qRows.map { case (qid, e) =>
         val ea = e.toArray
@@ -827,11 +984,7 @@ object Similarity {
           (qid, id, s)
         }
     }.toDF("q_id", "neighbor_id", "dist_um2")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("dist_um2").asc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("q_id", "neighbor_id", "dist_um2", "rnk")
+    rerankTopKLong(scored, k, "dist_um2", asc = true)
   }
 
   /** Unit-normalize then micro-round: `round(1e6 * e_p / ||e||)` with
@@ -862,4 +1015,94 @@ object Similarity {
     }
     out
   }
+}
+
+/** Bounded exact top-k of (neighbor_id, cos, cosIsNull) under
+  * (nulls last, cos desc, neighbor_id asc) — the typed aggregate
+  * behind [[Similarity.rerankTopK]]. The buffer is a plain growable
+  * array compacted (sort + dedup + truncate to k) whenever it reaches
+  * 8k, so per-group state is O(k) however many rows stream through;
+  * because the order is TOTAL (neighbor_id breaks every tie) the
+  * surviving k set is independent of arrival and merge order —
+  * partial aggregation is safe and the result matches the rank-window
+  * form bit-for-bit. Duplicate candidates (the same neighbor surfacing
+  * from several LSH tables in [[Similarity.knnGraph]]) carry identical
+  * tuples — the same pair scores the same cosine everywhere — so the
+  * adjacent-after-sort dedup is exact, and a no-op for paths whose
+  * candidates are already unique. */
+private[operators] final class TopKCosAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long, Option[Double]),
+      scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)],
+      Array[(Long, Double, Boolean)]] {
+  type Buf = scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]
+  private val cap = math.max(8 * k, 64)
+  private val ord = new Ordering[(Long, Double, Boolean)] {
+    def compare(a: (Long, Double, Boolean), b: (Long, Double, Boolean)): Int = {
+      if (a._3 != b._3) { if (a._3) 1 else -1 }
+      else {
+        val c = if (a._3) 0 else java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+  }
+  private def compact(b: Buf): Buf = {
+    if (b.length > 1) {
+      val sorted = b.sorted(ord)
+      b.clear()
+      var i = 0
+      var lastNid = Long.MinValue
+      var first = true
+      while (i < sorted.length && b.length < k) {
+        val t = sorted(i)
+        if (first || t._1 != lastNid) { b += t; lastNid = t._1; first = false }
+        i += 1
+      }
+    }
+    b
+  }
+  def zero: Buf = new Buf
+  def reduce(b: Buf, a: (Long, Long, Option[Double])): Buf = {
+    b += ((a._2, a._3.getOrElse(0.0), a._3.isEmpty))
+    if (b.length >= cap) compact(b) else b
+  }
+  def merge(x: Buf, y: Buf): Buf = compact(x ++= y)
+  def finish(b: Buf): Array[(Long, Double, Boolean)] = compact(b).toArray
+  def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Buf]
+  def outputEncoder = org.apache.spark.sql.Encoders.kryo[Array[(Long, Double, Boolean)]]
+}
+
+/** [[TopKCosAgg]] for integer scores: top-k of (neighbor_id, value)
+  * under (value asc|desc, neighbor_id asc). */
+private[operators] final class TopKLongAgg(k: Int, asc: Boolean)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Long, Long, Long),
+      scala.collection.mutable.ArrayBuffer[(Long, Long)],
+      Array[(Long, Long)]] {
+  type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]
+  private val cap = math.max(8 * k, 64)
+  private val ord = new Ordering[(Long, Long)] {
+    def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c =
+        if (asc) java.lang.Long.compare(a._2, b._2)
+        else java.lang.Long.compare(b._2, a._2)
+      if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+    }
+  }
+  private def compact(b: Buf): Buf = {
+    if (b.length > k) {
+      val best = b.sorted(ord).take(k)
+      b.clear(); b ++= best
+    }
+    b
+  }
+  def zero: Buf = new Buf
+  def reduce(b: Buf, a: (Long, Long, Long)): Buf = {
+    b += ((a._2, a._3))
+    if (b.length >= cap) compact(b) else b
+  }
+  def merge(x: Buf, y: Buf): Buf = compact(x ++= y)
+  def finish(b: Buf): Array[(Long, Long)] = compact(b).toArray
+  def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Buf]
+  def outputEncoder = org.apache.spark.sql.Encoders.kryo[Array[(Long, Long)]]
 }

@@ -594,8 +594,14 @@ object TextAnalysis {
     * quantized log-likelihood — with the DETERMINISTIC local tie rule
     * (score DESC, piece count ASC, forward path ASC) applied at every
     * position, exactly the `row_number` rule the SQL oracle's unrolled
-    * DP applies per dp table. Single-code-point pieces are always in
-    * the vocabulary, so segmentation never fails. */
+    * DP applies per dp table. Returns null when the word cannot be
+    * covered: the fallback alphabet survives pruning but is harvested
+    * from the maxVocab-CAPPED word table, so a code point appearing
+    * only in truncated tail words — or any encode corpus differing
+    * from the training corpus — has no piece at all. Callers must
+    * guard the null (see [[unigramEncodeStats]]'s per-code-point
+    * fallback); on the training corpus within the cap, single-cp
+    * coverage makes null unreachable. */
   private[graft] def unigramSegment(cps: Array[String],
       weights: scala.collection.Map[String, Long], blTotal: Long,
       maxPieceLen: Int): IndexedSeq[String] = {
@@ -685,8 +691,11 @@ object TextAnalysis {
     val blTotal = bitLen(total)
     val weights = vocab.map { case (p, c) => p -> bitLen(math.max(c, 1L)) }
     val counts = parCounts(tbl) { (cps, f, m) =>
-      unigramSegment(cps, weights, blTotal, maxPieceLen)
-        .foreach(p => m.update(p, m.getOrElse(p, 0L) + f))
+      // null unreachable here (vocab seeded from this same table keeps
+      // every single-cp piece), but guard like every other caller
+      val seg = unigramSegment(cps, weights, blTotal, maxPieceLen)
+      if (seg != null)
+        seg.foreach(p => m.update(p, m.getOrElse(p, 0L) + f))
     }
     chars.foreach(c => if (!counts.contains(c)) counts.update(c, 1L))
     unigramPrune(counts, vocabSize)
@@ -766,11 +775,12 @@ object TextAnalysis {
     * learned tokenizer. */
   def unigramEncodeStats(df: org.apache.spark.sql.DataFrame, text: Column,
       id: Column, maxPieceLen: Int = 4, seedSize: Int = 64,
-      vocabSize: Int = 24, emRounds: Int = 2): org.apache.spark.sql.DataFrame = {
+      vocabSize: Int = 24, emRounds: Int = 2,
+      maxVocab: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vocab: Map[String, Long] = unigramTrain(df, text, maxPieceLen,
-        seedSize, vocabSize, emRounds)
+        seedSize, vocabSize, emRounds, maxVocab)
       .select("piece", "cnt").as[(String, Long)].collect().toMap
     val total = vocab.values.sum
     val blTotal = bitLen(total)
@@ -789,8 +799,14 @@ object TextAnalysis {
           ws.foreach { w =>
             val (c, k) = memo.getOrElseUpdate(w, {
               val cps = codePointSymbols(w)
+              // OOV guard: a code point absent from the trained vocab
+              // (possible whenever the encode corpus differs from the
+              // capped training table) leaves the word unsegmentable —
+              // fall back to one token per code point (the SentencePiece
+              // unk expansion) instead of crashing the encode job.
+              val seg = unigramSegment(cps, bc.value, blTotal, maxPieceLen)
               (cps.length.toLong,
-                unigramSegment(cps, bc.value, blTotal, maxPieceLen).length.toLong)
+                if (seg == null) cps.length.toLong else seg.length.toLong)
             })
             nCps += c
             nTok += k

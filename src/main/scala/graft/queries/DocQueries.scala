@@ -1065,7 +1065,12 @@ object DocQueries {
       import org.apache.spark.sql.expressions.Window
       val counts = Streaming.runAvailableNow(
         Streaming.vocabCountStream(Streaming.documentsStream(s, dir),
-          col("text")))
+          col("text")),
+        // distinct-word state is vocabulary-sized, and web-corpus
+        // vocabulary GROWS with the corpus (heaps-law; the dup-probe's
+        // positional markers make it corpus-linear outright) — the
+        // corpus-cardinality rule routes it through RocksDB
+        rocksdbState = true)
       counts.orderBy(col("cnt").desc, col("word").asc).limit(20)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("cnt").desc, col("word").asc)))
@@ -2284,7 +2289,8 @@ object DocQueries {
           Streaming.vocabCountStream(
             Streaming.documentsStream(s, dir)
               .filter(substring(md5(col("text")), 1, 6) >= bound),
-            col("text")))
+            col("text")),
+          rocksdbState = true) // word state grows with the corpus
         .withColumnRenamed("cnt", "c_new")
       TA.driftReport(
         oldCnt.join(newCnt, Seq("word"), "full_outer")

@@ -35,7 +35,15 @@ object EmbeddingQueries {
     * knob. Planes are inlined to the full `maxBits` prefix: the family
     * is prefix-nested per table (each table's Random stream is
     * consumed j-major), so the first b planes of the literal set ARE
-    * the b-bit planes the Spark side uses. */
+    * the b-bit planes the Spark side uses.
+    *
+    * `bok` replays [[graft.operators.Similarity.KnnHotBucketCap]] —
+    * buckets holding more rows than the cap are DROPPED from candidate
+    * generation on both engines (capBuckets), so a dup-heavy corpus
+    * (exact-replica vectors land in the same bucket in EVERY table)
+    * cannot push candidate volume quadratic in the replica count: the
+    * sf10eq probe measured 211s on emb_pagerank with candidate
+    * generation hostage to hot buckets before this cap. */
   private def knnCandidateCtes(maxBits: Int): String =
     s"""planes(t, j, p) AS (VALUES ${srpPlanesValues(maxBits, 64, 24, 42L)}),
        |dbits AS (
@@ -49,9 +57,14 @@ object EmbeddingQueries {
        |  FROM embeddings e CROSS JOIN planes pl
        |  WHERE pl.j < (SELECT b FROM dbits)
        |  GROUP BY 1, 2),
+       |bok AS (
+       |  SELECT t, bkt FROM cb GROUP BY t, bkt
+       |  HAVING count(*) <= ${Similarity.KnnHotBucketCap}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
-       |  FROM cb a JOIN cb b ON a.t = b.t AND a.bkt = b.bkt
+       |  FROM bok s
+       |  JOIN cb a ON a.t = s.t AND a.bkt = s.bkt
+       |  JOIN cb b ON b.t = s.t AND b.bkt = s.bkt
        |    AND a.vec_id != b.vec_id),
        |scored AS (
        |  SELECT c.src_id, c.neighbor_id,
@@ -350,7 +363,8 @@ object EmbeddingQueries {
          |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.knnGraph(emb, 5,
-        bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64)
+        bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64,
+        maxBucket = Similarity.KnnHotBucketCap)
     },
 
     // Leave-one-out kNN label check (label-noise detection): each
@@ -381,7 +395,8 @@ object EmbeddingQueries {
       (s, dir) =>
         val emb = Tables.embeddings(s, dir)
         Similarity.knnLabelCheck(emb, 5,
-          bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64)
+          bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64,
+          maxBucket = Similarity.KnnHotBucketCap)
     },
 
     // IVF-ANN, full-probe plumbing regime: with nProbe = nLists the
@@ -874,7 +889,8 @@ object EmbeddingQueries {
     }) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val graph = Similarity.knnGraph(emb, 5,
-        bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64)
+        bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64,
+        maxBucket = Similarity.KnnHotBucketCap)
       Similarity.pageRankMicros(graph.select("src_id", "neighbor_id"))
     },
 

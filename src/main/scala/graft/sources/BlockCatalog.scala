@@ -65,14 +65,34 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * snapshot can observe a half-applied compaction. Version
     * assignment follows the documented single-writer-per-
     * (definition, key) contract (racing writers could stamp the same
-    * version; content-hash dedup keeps that harmless for adds). */
-  def currentVersion(definition: String, key: String): Long = {
-    val log = metaLog
-    if (!log.columns.contains("ver")) return 0L
-    val r = log.filter(col("definition") === definition && col("key") === key)
-      .agg(max(col("ver"))).collect()(0)
-    if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
+    * version; content-hash dedup keeps that harmless for adds).
+    *
+    * The max version is CACHED per (definition, key) in this catalog
+    * instance after the first log scan, and each bump advances the
+    * cache — without it, the Nth write re-reads and aggregates the
+    * whole mergeSchema'd meta log, making N appends O(N^2) log scans
+    * (ADVICE r7). The cache is exactly as safe as the version numbers
+    * themselves: both assume the single writer; an out-of-band append
+    * by ANOTHER instance is the same race the contract already
+    * excludes. */
+  def currentVersion(definition: String, key: String): Long =
+    verCache.getOrElseUpdate((definition, key), {
+      val log = metaLog
+      if (!log.columns.contains("ver")) 0L
+      else {
+        val r = log
+          .filter(col("definition") === definition && col("key") === key)
+          .agg(max(col("ver"))).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    })
+
+  private val verCache =
+    scala.collection.mutable.HashMap.empty[(String, String), Long]
+
+  /** Advance the instance version cache after a meta append. */
+  private def noteVersion(definition: String, key: String, ver: Long): Unit =
+    verCache.update((definition, key), ver)
 
   /** The LIVE catalog view, derived from the log at read time:
     * op="add" rows deduplicated on (definition, key, hash) — two racing
@@ -145,6 +165,7 @@ class BlockCatalog(spark: SparkSession, root: String) {
     Seq((definition, key, agg.getLong(1), agg.getLong(2), agg.getLong(3), hash, "add", ver))
       .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op", "ver")
       .write.mode("append").parquet(metaPath)
+    noteVersion(definition, key, ver)
     true
   }
 
@@ -182,7 +203,14 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * Delta-style compact/vacuum split. Reproducibility surface: a
     * training run records (definition, key, version) and can re-read
     * the exact corpus it trained on regardless of later ingests or
-    * compactions. */
+    * compactions.
+    *
+    * Version UNIQUENESS — not just add-dedup — is part of the
+    * single-writer contract: two racing appenders could stamp the
+    * same version, and a snapshot at that version would then observe
+    * a mix of two logical commits (harmless for content-hash-deduped
+    * adds, ambiguous if a compaction races a writer). One writer per
+    * (definition, key) makes every version a single atomic commit. */
   def scanAsOf(definition: String, key: String, startUs: Long, endUs: Long,
       asOfVer: Long, tsUs: String = "ts_us"): DataFrame = {
     val hs = liveHashes(definition, key, asOfVer)
@@ -317,6 +345,7 @@ class BlockCatalog(spark: SparkSession, root: String) {
       .toSeq
       .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op", "ver")
       .write.mode("append").parquet(metaPath)
+    noteVersion(definition, key, ver)
     toCompact.size
   }
 

@@ -380,9 +380,13 @@ object Streaming {
     * order-independent, so the drained frame is identical under any
     * trigger slicing — the batch SQL oracle hash-checks a streaming
     * run (the doc_dedup_exact_stream discipline). State is one
-    * counter per distinct word (vocabulary-sized, the HLL/CMS twins
-    * are the unbounded-vocab guards); top-k ranking happens on the
-    * drained batch frame, never inside the stream. */
+    * counter per DISTINCT WORD — and web-corpus vocabulary grows with
+    * the corpus (heaps-law), so this is corpus-cardinality state
+    * under the RocksDB routing rule: drain with `rocksdbState = true`
+    * (the graded queries do). The HLL/CMS twins are the
+    * fixed-memory alternatives when exact counts aren't required;
+    * top-k ranking happens on the drained batch frame, never inside
+    * the stream. */
   def vocabCountStream(df: DataFrame,
       text: org.apache.spark.sql.Column): DataFrame =
     df.select(explode(split(lower(text), " ")).as("word"))
@@ -719,9 +723,18 @@ object Streaming {
     * cents), equal-okey runs are RANGE-frame peers, and the flag is
     * the same PURE-INTEGER rule (n·x − s)² > z²·(n·ss − s²) — no
     * float anywhere, so the drained output is bit-equal to the batch
-    * fold under any trigger slicing, and the batch SQL oracle grades
-    * the streaming engine directly. State per key = the lookback
-    * window's rows (16 B each), bounded by lookback x per-key rate. */
+    * fold PROVIDED batches arrive okey-monotone per key and no
+    * trigger boundary splits an equal-okey run (fMGWS emits on drain
+    * and cannot retro-emit: a run split across micro-batches would
+    * flag its earlier rows with a partial-run n, and an out-of-order
+    * okey would corrupt the deque's eviction order). The harness's
+    * file sources satisfy the precondition structurally — one sorted
+    * file per drain; a production feed must either carry it (per-key
+    * ordered log, run-aligned triggers) or buffer the tail run in
+    * state until a larger okey arrives. Under the precondition the
+    * batch SQL oracle grades the streaming engine directly. State per
+    * key = the lookback window's rows (16 B each), bounded by
+    * lookback x per-key rate. */
   def anomalyExactStream(ds: Dataset[CentsEvent], rangeUnits: Long,
       z: Int): Dataset[AnomalyEvent] = {
     import ds.sparkSession.implicits._

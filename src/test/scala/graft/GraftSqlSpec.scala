@@ -26,4 +26,26 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(!d.isNaN)
   }
+
+  test("operator outputs round-trip through spark.sql as graft_ views") {
+    Graft.register(spark, dir)
+    Graft.registerQueryViews(spark, dir)
+    // an operator RESULT (windowed OHLCV) joins a base table in SQL —
+    // the SURVEY §2.10 promise: the engine's outputs are SQL-addressable
+    val r = spark.sql(
+      """SELECT o.event_type, count(*) AS buckets, sum(o.num_trades) AS n
+        |FROM graft_ev_ohlcv_1h o
+        |GROUP BY 1 ORDER BY 1 LIMIT 3""".stripMargin).collect()
+    assert(r.nonEmpty && r.forall(_.getLong(1) > 0))
+    // dedup keepers stay a subset of documents, checked IN SQL
+    val bad = spark.sql(
+      """SELECT count(*) AS n FROM graft_doc_dedup_exact g
+        |LEFT JOIN documents d ON d.doc_id = g.keep_id
+        |WHERE d.doc_id IS NULL""".stripMargin).collect()(0).getLong(0)
+    assert(bad == 0L)
+    // the kNN graph view exposes rnk <= 5 per src
+    val mx = spark.sql(
+      "SELECT max(rnk) AS m FROM graft_emb_knn_graph").collect()(0).getInt(0)
+    assert(mx <= 5)
+  }
 }

@@ -308,6 +308,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"ADC distance diverged on $kk"))
   }
 
+  test("broadcast-queries contract: oversized query side fails loud, not OOM") {
+    // the queries side of the PQ family is collected to the driver for
+    // ADC tables — a corpus-sized frame must be a cheap, explicit error
+    val big = emb // 60 rows: over the tiny bound below
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, big, 5, queryBound = 10)
+    }
+    assert(e1.getMessage.contains("queryBound"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, big, 5, queryBound = 10)
+    }
+    assert(e2.getMessage.contains("queryBound"))
+    // within the bound: unchanged behavior
+    assert(Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), 5,
+      queryBound = 10).count() > 0)
+  }
+
   test("pageRankMicros: hand-checked star graph, integer-exact, invariant") {
     val spark0 = spark
     import spark0.implicits._

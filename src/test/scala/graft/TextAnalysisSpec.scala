@@ -468,6 +468,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(vocab == again)
   }
 
+  test("unigramEncodeStats: OOV code point falls back per-cp, never crashes") {
+    import spark.implicits._
+    // maxVocab = 3 truncates the word table to the three frequent words;
+    // "qxz" (rare, unique code points) never reaches training, so its
+    // chars are absent from the vocabulary — pre-guard this NPE'd the
+    // whole encode job (ADVICE r7). The fallback counts it per-cp.
+    val df = Seq(
+      (0L, "aa bb cc aa bb cc aa bb cc"),
+      (1L, "aa bb cc qxz")).toDF("doc_id", "text")
+    val enc = TA.unigramEncodeStats(df, col("text"), col("doc_id"),
+        maxPieceLen = 4, seedSize = 16, vocabSize = 8, emRounds = 1,
+        maxVocab = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 4 words, 9 cps; "qxz" contributes exactly 3 fallback tokens
+    val (w1, c1, t1) = enc(1L)
+    assert(w1 == 4L && c1 == 9L)
+    val (_, c0, t0) = enc(0L)
+    // covered words tokenize identically across docs; doc1 = doc0's
+    // per-word tokens/3 (one "aa bb cc" group) + 3 fallback tokens
+    assert(t1 == t0 / 3 + 3, s"got t0=$t0 t1=$t1 c0=$c0")
+  }
+
   test("unigramSegment: local tie rule is (score, count, lexicographic)") {
     // vocab: "ab" and "ba" same weight; word "aba" has two 2-piece
     // segmentations of equal score: ["ab","a"] vs ["a","ba"] — the
