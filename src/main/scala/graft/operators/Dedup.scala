@@ -1561,8 +1561,16 @@ object Dedup {
     * whose output is k x dim rows (metadata-sized); no driver work at
     * all until the caller collects the (tiny) centroid table. */
   def clusterCentroidsExact(df: DataFrame, id: Column, emb: Column,
-      nClusters: Int): DataFrame = {
-    val assigned = semanticClusters(df, id, emb, nClusters)
+      nClusters: Int, twoLevel: Boolean = false): DataFrame = {
+    // twoLevel: route through [[semanticClustersTwoLevel]] — with the
+    // auto-sized k ∝ n the flat argmax is n*k = n^2/64 dots (probed
+    // 29x for a 10x decade on this query before the rewire); the
+    // two-level route is ~2*sqrt(k) dots/row. Same exact-integer sums
+    // either way; only WHICH cluster a rerouted row lands in differs.
+    val assign =
+      if (twoLevel) semanticClustersTwoLevel(df, id, emb, nClusters)
+      else semanticClusters(df, id, emb, nClusters)
+    val assigned = assign
       .join(df.select(id.cast("long").as("vec_id"), emb.as("e")), "vec_id")
     assigned
       .select(col("lst"), posexplode(col("e")).as(Seq("pos", "v")))

@@ -510,14 +510,18 @@ object EmbeddingQueries {
     // vectors per cluster on any cluster size or partitioning. The
     // oracle replays seed pick + assignment + per-cluster rank.
     "emb_cluster_balanced" -> QueryDef(
-      s"""WITH $SEMDEDUP_ASSIGN_CTES
+      s"""WITH $SEMDEDUP_ASSIGN_CTES,
+         |$TWOLEVEL_CTES
          |SELECT vec_id, lst, rn FROM (
          |  SELECT vec_id, lst, row_number() OVER (PARTITION BY lst
          |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |  FROM assign) t
+         |  FROM a2) t
          |WHERE rn <= 8""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val assigned = graft.operators.Dedup.semanticClusters(emb,
+      // TWO-LEVEL assignment (round 8): the flat row-to-cell argmax is
+      // n*k = n^2/64 dots with the auto-sized k — the probe measured
+      // 29x for a 10x decade on this family before the rewire
+      val assigned = graft.operators.Dedup.semanticClustersTwoLevel(emb,
         col("vec_id"), col("embedding"),
         graft.operators.Dedup.autoClusters(emb.count()))
       graft.operators.Sampling.balancedSample(assigned, col("lst"),
@@ -532,9 +536,10 @@ object EmbeddingQueries {
     // the oracle replays assignment then unnests with ordinality.
     "emb_cluster_centroids" -> QueryDef(
       s"""WITH $SEMDEDUP_ASSIGN_CTES,
+         |$TWOLEVEL_CTES,
          |x AS (SELECT a.lst, t.i - 1 AS pos,
          |    CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS m
-         |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id,
+         |  FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id,
          |  LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t)
          |SELECT lst, pos, CAST(sum(m) AS BIGINT) AS sum_micros,
          |  count(*) AS n_vecs
@@ -542,7 +547,7 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Dedup.clusterCentroidsExact(emb,
         col("vec_id"), col("embedding"),
-        graft.operators.Dedup.autoClusters(emb.count()))
+        graft.operators.Dedup.autoClusters(emb.count()), twoLevel = true)
     },
 
     // Embedding-cosine near-dup pairs (dedup family, exact brute force;
@@ -651,6 +656,7 @@ object EmbeddingQueries {
     // monitor to the lexical drift report. All-integer ppm keys.
     "emb_centroid_drift" -> QueryDef(
       s"""WITH $SEMDEDUP_ASSIGN_CTES,
+         |$TWOLEVEL_CTES,
          |sp AS (SELECT doc_id AS vec_id,
          |  CASE WHEN substr(md5(text), 1, 6) <
          |    '${graft.operators.Sampling.hashBound(0.5)}'
@@ -658,7 +664,7 @@ object EmbeddingQueries {
          |  FROM documents),
          |cc AS (SELECT lst, CAST(sum(1 - nw) AS BIGINT) AS c_old,
          |    CAST(sum(nw) AS BIGINT) AS c_new
-         |  FROM assign JOIN sp USING (vec_id) GROUP BY 1),
+         |  FROM a2 JOIN sp USING (vec_id) GROUP BY 1),
          |tot AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
          |    CAST(sum(c_new) AS BIGINT) AS n_new FROM cc),
          |p AS (
@@ -671,7 +677,7 @@ object EmbeddingQueries {
          |FROM p""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.functions.broadcast
       val emb = Tables.embeddings(s, dir)
-      val assigned = graft.operators.Dedup.semanticClusters(emb,
+      val assigned = graft.operators.Dedup.semanticClustersTwoLevel(emb,
         col("vec_id"), col("embedding"),
         graft.operators.Dedup.autoClusters(emb.count()))
       val split = Tables.documents(s, dir).select(
