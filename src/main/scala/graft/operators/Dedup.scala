@@ -876,8 +876,14 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup exchange: hamming is computed in the
+      // join's projection (signatures ride the band rows), so filtering
+      // first makes the distinct shuffle OUTPUT-sized — candidate
+      // multiplicity (same pair from several chunk bands) never leaves
+      // the map side. Identical output: hamming is pair-deterministic,
+      // duplicates are identical rows.
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** The chunk-band form of a SimHash signature frame — one (doc_id,
@@ -1317,33 +1323,76 @@ object Dedup {
       threshold: Double, bits: Int = 2, tables: Int = 32, dim: Int = 64,
       seed: Long = 42L, maxBucket: Int = Int.MaxValue,
       quantizedScreen: Boolean = false): DataFrame = {
-    graft.functions.VectorExpressions.register(df.sparkSession)
-    import graft.functions.VectorExpressions.{int_dot, quantize_vec}
-    val base = df.select(id.cast("long").as("id"), emb.as("e"))
-    val candIds = lshCandidatePairs(df, id, emb, bits, tables, dim, seed, maxBucket)
-    val withNorm = base.select(col("id"), col("e"),
-      sqrt(Similarity.nativeDot(col("e"), col("e"))).as("nrm"))
-    val screened = if (!quantizedScreen) {
-      candIds
-        .join(withNorm.select(col("id").as("a_id"), col("e").as("ea"), col("nrm").as("na")), "a_id")
-        .join(withNorm.select(col("id").as("b_id"), col("e").as("eb"), col("nrm").as("nb")), "b_id")
-    } else {
-      val levels = 127
-      val minScore = math.ceil(levels.toDouble * levels * threshold
+    // IN-BUCKET verify (round 8, the knnGraph shape): candidates are
+    // scored inside each capped bucket group and only VERIFIED pairs
+    // (cos >= threshold) leave the fold — the pair-materialized form
+    // (id-pair distinct + two corpus-sized payload re-joins) shuffled
+    // and sorted candidate volume, which is the disk cliff the kNN
+    // probe hit at 2M vectors. The distinct here runs on verified
+    // pairs only: OUTPUT-sized by definition of the operator. A pair
+    // colliding in several tables re-verifies once per table — the
+    // explicit trade: redundant 64-dim dots are cheap, pair-sized
+    // exchanges are not. The screen (lossless integer margin, see
+    // [[embeddingNearDupPairsQuantized]]) rides the exploded rows as
+    // code arrays and kills non-candidates before any float math,
+    // exactly as it did between the join and the verify.
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    import graft.functions.VectorExpressions.quantize_vec
+    val levels = 127
+    val screen = quantizedScreen
+    val minScore =
+      if (!screen) Long.MinValue
+      else math.ceil(levels.toDouble * levels * threshold
         - 2.0 * levels * math.sqrt(dim) - dim).toLong
-      val withQ = withNorm.withColumn("q", quantize_vec(col("e"), levels))
-      candIds
-        .join(withQ.select(col("id").as("a_id"), col("e").as("ea"),
-          col("nrm").as("na"), col("q").as("qa")), "a_id")
-        .join(withQ.select(col("id").as("b_id"), col("e").as("eb"),
-          col("nrm").as("nb"), col("q").as("qb")), "b_id")
-        .filter(int_dot(col("qa"), col("qb")) >= minScore)
-    }
-    screened
-      .withColumn("cos",
-        Similarity.nativeDot(col("ea"), col("eb"))
-          / nullif(col("na") * col("nb"), lit(0.0))) // zero-norm safe (ANSI)
-      .filter(col("cos") >= threshold)
+    val thr = threshold
+    val exploded0 = df.select(id.cast("long").as("id"), emb.as("e"),
+      posexplode(Similarity.bucketArray(emb, bits, dim, tables, seed))
+        .as(Seq("tbl", "bkt")))
+    val exploded =
+      if (screen) exploded0.withColumn("q", quantize_vec(col("e"), levels))
+      else exploded0.withColumn("q", lit(null).cast("array<bigint>"))
+    capBuckets(exploded, Seq("tbl", "bkt"), maxBucket)
+      .groupBy(col("tbl"), col("bkt"))
+      .agg(collect_list(struct(col("id").as("_1"), col("e").as("_2"),
+        col("q").as("_3"))).as("ms"))
+      .select(col("ms")).as[Array[(Long, Array[Float], Array[Long])]]
+      .flatMap { m =>
+        val n = m.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          norms(i) = math.sqrt(Similarity.dotD(m(i)._2, m(i)._2)); i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            if (m(i)._1 != m(j)._1 &&
+                (!screen || Similarity.idotD(m(i)._3, m(j)._3) >= minScore)) {
+              val den = norms(i) * norms(j)
+              // den == 0: a zero vector has no direction (the old form's
+              // NULL cos), never a near-dup
+              if (den != 0.0) {
+                val cos = Similarity.dotD(m(i)._2, m(j)._2) / den
+                if (cos >= thr) {
+                  out += (
+                    if (m(i)._1 < m(j)._1) (m(i)._1, m(j)._1, cos)
+                    else (m(j)._1, m(i)._1, cos))
+                }
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("a_id", "b_id", "cos")
+      .distinct()
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
   }
 

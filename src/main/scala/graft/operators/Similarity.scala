@@ -61,6 +61,16 @@ object Similarity {
     acc
   }
 
+  /** Scalar twin of graft_idot: exact Long dot of two code arrays
+    * (the quantized-screen scorer for in-bucket pair folds). */
+  private[operators] def idotD(a: Array[Long], b: Array[Long]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   /** Same fold via the codegen'd native expression (graft_dot) —
     * identical arithmetic/order, tight primitive loop instead of
     * per-element lambda frames. Requires VectorExpressions.register
