@@ -50,7 +50,6 @@ object Explains {
       "doc_heavy_hitters_cms" -> "CMS twin: the sketch is ONE map-side-mergeable ObjectHashAggregate over the persisted word frame (fixed ~112 kB state); the exact top-k is a TakeOrderedAndProject (parallel partial top-k — the full vocab never crosses one window partition); the verdict map is a bounded-broadcast mapPartitions",
       "doc_substr_dups" -> "substring dup mass: anchors emit from one typed flatMap over the scan (no exchange); the digest group-by carries 64-byte sha2 keys (not window bodies twice); dup keys LEFT-join back and re-aggregate per doc — output-linear",
       "doc_bpe_encode" -> "BPE encode: after the train collect (bounded vocab metadata), the encode is a SINGLE map-only typed pass over the scan — no exchange anywhere downstream of the merge-table broadcast",
-      "emb_knn_graph" -> "kNN graph: corpus-to-corpus bucket SELF-join — the exchange keys are (tbl, bkt) and bare ids; embedding payloads re-attach AFTER the candidate dedup; no broadcast of either corpus side (AQE may broadcast at this tiny SF — the shape to read is the narrow candidate pipeline)",
       "doc_token_budget" -> "token budget: NO global window — the quality histogram collapses to broadcast offsets, the corpus joins them and runs per-BUCKET windows (each partition one quality value); the oracle's single-partition running sum never appears in this plan",
       "doc_importance_weights" -> "importance weights: ONE tokenization feeds one vocab agg computing ccnt AND tcnt together (the target flag folds into the same aggregate — no second corpus pass); totals ride a broadcast 1-row agg of the vocab frame",
       "doc_dedup_incremental" -> "incremental dedup: the index side is a bare digest column; the batch joins it LEFT on digest + the keeper agg — three narrow digest-keyed operators, document bodies never shuffle",

@@ -1359,37 +1359,46 @@ object Dedup {
         col("q").as("_3"))).as("ms"))
       .select(col("ms")).as[Array[(Long, Array[Float], Array[Long])]]
       .flatMap { m =>
+        // LAZY pair iterator (the knnGraph rule): a hot bucket on a
+        // dup-heavy corpus verifies O(cap^2) pairs and most PASS the
+        // threshold — buffering them per group OOM'd the heap at the
+        // fourth-decade probe. Yield one verified pair at a time.
         val n = m.length
         val norms = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          norms(i) = math.sqrt(Similarity.dotD(m(i)._2, m(i)._2)); i += 1
+        var p = 0
+        while (p < n) {
+          norms(p) = math.sqrt(Similarity.dotD(m(p)._2, m(p)._2)); p += 1
         }
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Double)]
-        i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) {
-            if (m(i)._1 != m(j)._1 &&
-                (!screen || Similarity.idotD(m(i)._3, m(j)._3) >= minScore)) {
-              val den = norms(i) * norms(j)
-              // den == 0: a zero vector has no direction (the old form's
-              // NULL cos), never a near-dup
-              if (den != 0.0) {
-                val cos = Similarity.dotD(m(i)._2, m(j)._2) / den
-                if (cos >= thr) {
-                  out += (
-                    if (m(i)._1 < m(j)._1) (m(i)._1, m(j)._1, cos)
-                    else (m(j)._1, m(i)._1, cos))
+        new Iterator[(Long, Long, Double)] {
+          private var i = 0
+          private var j = 1
+          private var nxt: (Long, Long, Double) = null
+          private def advance(): Unit = {
+            while (nxt == null && i < n - 1) {
+              if (m(i)._1 != m(j)._1 &&
+                  (!screen || Similarity.idotD(m(i)._3, m(j)._3) >= minScore)) {
+                val den = norms(i) * norms(j)
+                // den == 0: a zero vector has no direction (the old
+                // form's NULL cos), never a near-dup
+                if (den != 0.0) {
+                  val cos = Similarity.dotD(m(i)._2, m(j)._2) / den
+                  if (cos >= thr) {
+                    nxt =
+                      if (m(i)._1 < m(j)._1) (m(i)._1, m(j)._1, cos)
+                      else (m(j)._1, m(i)._1, cos)
+                  }
                 }
               }
+              j += 1
+              if (j >= n) { i += 1; j = i + 1 }
             }
-            j += 1
           }
-          i += 1
+          def hasNext: Boolean = { if (nxt == null) advance(); nxt != null }
+          def next(): (Long, Long, Double) = {
+            if (!hasNext) throw new NoSuchElementException
+            val t = nxt; nxt = null; t
+          }
         }
-        out
       }
       .toDF("a_id", "b_id", "cos")
       .distinct()

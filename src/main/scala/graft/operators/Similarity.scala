@@ -514,12 +514,7 @@ object Similarity {
         col("embedding").as("qe"))), "q_id")
       .select(col("q_id"), col("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"),
-        col("rnk"))
+    rerankTopK(cand, k)
   }
 
   /** ANN top-k via multi-table SRP-LSH: `tables` independent `bits`-bit
@@ -557,12 +552,7 @@ object Similarity {
         col("embedding").as("qe"))), "q_id")
       .select(col("q_id"), col("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"),
-        col("rnk"))
+    rerankTopK(cand, k)
   }
 
   /** CORPUS-TO-CORPUS kNN graph: every vector's top-k neighbors among
@@ -667,18 +657,25 @@ object Similarity {
     *      (collect_list, no sort); the cap bounds every group;
     *   2. score all pairs INSIDE the bucket group (a true per-group
     *      fold — the documented typed-flatMap exemption), each pair's
-    *      cosine computed once, emitted in both directions;
-    *   3. feed the per-src top-k aggregate ([[rerankTopK]]): partial
-    *      aggregation collapses the pair stream map-side, and the
-    *      same pair surfacing from several tables dedups INSIDE the
-    *      aggregator (its order is total, so duplicates are identical
-    *      tuples).
+    *      cosine computed once, credited to both members' bounded
+    *      PER-BUCKET top-k lists — so the fold emits members x k
+    *      rows, never the O(members^2) pair stream (lossless: a
+    *      neighbor outside a member's in-bucket top-k cannot enter
+    *      its cross-bucket top-k under the same total order);
+    *   3. merge the per-bucket winners with the per-src top-k
+    *      aggregate ([[rerankTopK]]); the same pair surfacing from
+    *      several tables dedups INSIDE the aggregator (its order is
+    *      total, so duplicates are identical tuples).
     *
-    * Nothing pair-sized is ever sorted, shuffled, or persisted. Same
-    * output as the join form: same candidate set (bucket-sharing
-    * pairs under the same cap), same cosine fold ([[dotD]] is
-    * graft_dot's scalar twin), same (cos desc, id asc, nulls last)
-    * total order. */
+    * Nothing pair-sized is ever sorted, shuffled, or persisted — and
+    * step 2's local cut matters beyond the shuffle: typed aggregates
+    * (ObjectHashAggregate) FALL BACK TO SORT-BASED aggregation past a
+    * small per-partition key threshold, so without it the "map-side"
+    * top-k sorts the whole pair stream on disk (~70 GB of spill at
+    * the fourth-decade probe before this cut). Same output as the
+    * join form: same candidate set (bucket-sharing pairs under the
+    * same cap), same cosine fold ([[dotD]] is graft_dot's scalar
+    * twin), same (cos desc, id asc, nulls last) total order. */
   def knnGraph(corpus: DataFrame, k: Int, bits: Int, dim: Int,
       tables: Int = 24, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
@@ -700,25 +697,65 @@ object Similarity {
         col("embedding").as("_2"))).as("members"))
       .select(col("members")).as[Array[(Long, Array[Float])]]
       .flatMap { m =>
+        // PER-BUCKET LOCAL TOP-K — the decisive volume cut. Emitting
+        // every in-bucket pair hands O(members^2) rows per bucket to
+        // the downstream aggregate, and ObjectHashAggregate FALLS BACK
+        // TO SORT-BASED past its per-partition key threshold — i.e.
+        // the "partial" top-k SORTS the whole pair stream on disk
+        // (~10^9+ pairs filled 70 GB of spill at the fourth-decade
+        // probe; the map-side-combine assumption broke exactly where
+        // it mattered). Keeping each member's k best WITHIN the bucket
+        // first is lossless for the global top-k (a neighbor outside a
+        // member's in-bucket top-k cannot enter its cross-bucket
+        // top-k: ranking is the same total order) and caps the fold's
+        // output at members x k rows — bucket memory O(members x k).
         val n = m.length
         val norms = new Array[Double](n)
+        var p = 0
+        while (p < n) { norms(p) = math.sqrt(dotD(m(p)._2, m(p)._2)); p += 1 }
+        // per-member bounded best lists, filled from each unordered
+        // pair once (cos is direction-symmetric)
+        val ord = new Ordering[(Long, Double, Boolean)] {
+          def compare(a: (Long, Double, Boolean), b: (Long, Double, Boolean)): Int = {
+            if (a._3 != b._3) { if (a._3) 1 else -1 }
+            else {
+              val c = if (a._3) 0 else java.lang.Double.compare(b._2, a._2)
+              if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+            }
+          }
+        }
+        val best = Array.fill(n)(
+          new scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)](k + 1))
+        def add(slot: Int, nid: Long, cos: Double, isNull: Boolean): Unit = {
+          val b = best(slot)
+          b += ((nid, cos, isNull))
+          if (b.length > 4 * k) {
+            val kept = b.sorted(ord).take(k)
+            b.clear(); b ++= kept
+          }
+        }
         var i = 0
-        while (i < n) { norms(i) = math.sqrt(dotD(m(i)._2, m(i)._2)); i += 1 }
-        val out = new scala.collection.mutable.ArrayBuffer[
-          (Long, Long, Option[Double])](n * math.max(n - 1, 0))
-        i = 0
         while (i < n) {
           var j = i + 1
           while (j < n) {
             if (m(i)._1 != m(j)._1) {
               val den = norms(i) * norms(j)
               // zero-norm safe: no direction -> null, sorts last
-              val cos =
-                if (den == 0.0) None else Some(dotD(m(i)._2, m(j)._2) / den)
-              out += ((m(i)._1, m(j)._1, cos))
-              out += ((m(j)._1, m(i)._1, cos))
+              val isNull = den == 0.0
+              val cos = if (isNull) 0.0 else dotD(m(i)._2, m(j)._2) / den
+              add(i, m(j)._1, cos, isNull)
+              add(j, m(i)._1, cos, isNull)
             }
             j += 1
+          }
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Option[Double])]
+        i = 0
+        while (i < n) {
+          best(i).sorted(ord).take(k).foreach { case (nid, c, isNull) =>
+            out += ((m(i)._1, nid, if (isNull) None else Some(c)))
           }
           i += 1
         }

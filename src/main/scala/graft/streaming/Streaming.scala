@@ -434,6 +434,12 @@ object Streaming {
   private def runAvailableNowInner(df: DataFrame, outputMode: String): DataFrame = {
     val spark = df.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_stream_")
+    // the drained parquet must outlive this call (the returned frame
+    // reads it lazily), so reclamation is a JVM-exit hook — without it
+    // every drain leaks its checkpoint + output on disk FOREVER across
+    // JVMs (found as 24 GB of orphaned graft_stream_ dirs after a probe
+    // campaign; at probe scale a single drain is gigabytes)
+    sweepOnExit(root)
     val out = root.resolve("out").toString
     val saveMode = if (outputMode == "complete") "overwrite" else "append"
     val q = df.writeStream.outputMode(outputMode)
@@ -449,6 +455,31 @@ object Streaming {
     else // a stream that emitted nothing: empty frame, same schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         df.schema)
+  }
+
+  /** Register one JVM shutdown hook that recursively deletes every
+    * drain directory created this session (newest-first is
+    * irrelevant; deletion failures are swallowed — a best-effort
+    * sweep of temp space, never a correctness surface). */
+  private val drainDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val drainSweeper: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.err.println(s"[graft] drain sweeper: ${drainDirs.size} dirs")
+      drainDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+              catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-drain-sweeper"))
+  }
+  private def sweepOnExit(p: java.nio.file.Path): Unit = {
+    drainSweeper
+    drainDirs.add(p)
   }
 
   case class DocEvent(docId: Long, tsUs: Long, text: String)
