@@ -201,6 +201,62 @@ object Dedup {
     j.filter(col("jaccard") >= threshold).select("a_id", "b_id", "jaccard")
   }
 
+  /** CONTAINMENT near-dup pairs — quote/excerpt detection, the
+    * asymmetric sibling of [[ngramJaccardPairs]]: symmetric Jaccard
+    * misses a short document living whole inside a long one (the
+    * intersection is small relative to the UNION), while containment
+    * C(A,B) = |S_A ∩ S_B| / |S_A| flags it — the shape of quotation,
+    * syndication, and excerpt duplication in web corpora.
+    *
+    * Computed over EVIDENCE shingles only: shingles with document
+    * frequency <= `maxDf`. The cap is semantic AND structural at
+    * once — a shingle shared by hundreds of documents is boilerplate,
+    * not quotation evidence, and it is also the quadratic regime (a
+    * df-D shingle fans into C(D,2) candidate pairs; Jaccard tames
+    * this with prefix filtering, containment has no lossless
+    * equivalent because the bound is asymmetric). Both the numerator
+    * (shared) and the denominators (per-doc evidence-shingle counts)
+    * live in the capped universe, so the ratio is self-consistent and
+    * the SQL oracle replays the cap verbatim.
+    *
+    * Determinism: exact integer counts; containment as ppm by Long
+    * floor division (`shared * 1e6 div sz`); pairs keyed a_id < b_id;
+    * emitted when EITHER direction reaches `minContPpm` (the short
+    * side is the interesting one, but the report shows both).
+    *
+    * 100 TB shape: one shingle explode (the shared
+    * [[shingleIterator]] rule, 64-bit ids), one df agg, a df-capped
+    * self-join whose fanout is <= maxDf per shingle — candidate
+    * volume is df-bounded-linear in the corpus — and a map-side
+    * combinable (a,b) count agg over bare long pairs. Docs shorter
+    * than `n` words have no shingles and appear in no pair (the
+    * Jaccard family's convention). */
+  def containmentPairs(df: DataFrame, text: Column, id: Column, n: Int,
+      maxDf: Int, minContPpm: Long): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sh = explodeShingles(df, text, id, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ev = sh
+      .join(sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf), "s")
+      .select("doc_id", "s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = ev.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = ev.as("a")
+      .join(ev.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("shared"),
+        expr("shared * 1000000 div sa").as("cont_a_ppm"),
+        expr("shared * 1000000 div sb").as("cont_b_ppm"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= minContPpm)
+  }
+
   /** Test-set DECONTAMINATION: corpus documents sharing at least
     * `minShared` distinct word-n-gram shingles with ANY benchmark
     * document — the step a training pipeline runs against its eval

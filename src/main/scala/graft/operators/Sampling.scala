@@ -289,6 +289,41 @@ object Sampling {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** PADDING-WASTE report — the sequence-length sizing study a
+    * training pipeline runs BEFORE committing to a context length:
+    * for each candidate length L, what fraction of corpus tokens is
+    * lost to truncation (docs longer than L) and what fraction of the
+    * batch tensor is padding (docs shorter than L, padded to L in the
+    * pad-to-max batch=1 model — the worst case [[packGreedy]] exists
+    * to beat, which is exactly why the report shows it). One row per
+    * L: doc/truncation counts, exact token sums, and utilization in
+    * ppm (`useful * 1e6 div (n_docs * L)`).
+    *
+    * Determinism: all exact integer sums over [[
+    * graft.operators.TextAnalysis.tokenCount]] (the shared regex
+    * tokenizer), ppm by Long floor division. 100 TB shape: ONE
+    * tokenizing scan, a |lengths|-way explode of 16-byte (L, tok)
+    * pairs, one map-combinable agg keyed by the handful of Ls. */
+  def paddingReport(df: DataFrame, text: Column,
+      lengths: Seq[Long]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ > 0), "lengths must be positive")
+    val toks = df.select(
+      graft.operators.TextAnalysis.tokenCount(text).cast("long").as("tok"))
+    toks
+      .select(col("tok"), explode(typedLit(lengths)).as("seq_len"))
+      .groupBy("seq_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("tok") > col("seq_len"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("tok")).as("tokens_total"),
+        sum(greatest(col("tok") - col("seq_len"), lit(0L))).as("tokens_lost"),
+        sum(col("seq_len") - least(col("tok"), col("seq_len"))).as("pad_tokens"))
+      .select(col("seq_len"), col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_lost"), col("pad_tokens"),
+        expr("(tokens_total - tokens_lost) * 1000000 div (n_docs * seq_len)")
+          .as("util_ppm"))
+  }
+
   /** Deterministic train/val/test split by content hash: a document's
     * split is a pure function of md5(key) — reproducible on any
     * cluster, stable under reruns and repartitioning, and stratified

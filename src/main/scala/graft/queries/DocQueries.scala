@@ -572,6 +572,60 @@ object DocQueries {
         col("doc_id"), 3, 0.8)
     },
 
+    // CONTAINMENT near-dup (quote/excerpt detection): C(A,B) =
+    // shared/|S_A| over EVIDENCE shingles (df <= 64 — hotter shingles
+    // are boilerplate, not quotation evidence, and the cap is also
+    // what bounds the self-join's fanout). Pure integer counts, ppm by
+    // floor division — the SQL replays the cap, the counts, and the
+    // division token-for-token. Catches the short-inside-long shape
+    // symmetric Jaccard structurally misses.
+    "doc_containment_pairs" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |ev AS (SELECT sh.doc_id, sh.s FROM sh JOIN (
+         |    SELECT s FROM sh GROUP BY s HAVING count(*) <= 64) d USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ev GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    count(*) AS shared
+         |  FROM ev a JOIN ev b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, shared,
+         |  CAST(shared * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm,
+         |  CAST(shared * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm
+         |FROM pr
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE greatest(shared * 1000000 // sa.sz,
+         |  shared * 1000000 // sb.sz) >= 500000""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), col("text"),
+        col("doc_id"), 3, maxDf = 64, minContPpm = 500000L)
+    },
+
+    // PADDING-WASTE report: for candidate context lengths, exact
+    // truncation loss + pad overhead + utilization ppm under the
+    // pad-to-max batch=1 model (the worst case packGreedy beats — the
+    // sizing study run before choosing a context length). One
+    // tokenizing scan, one tiny agg; all-integer sums and ppm.
+    "doc_padding_report" -> QueryDef(
+      """WITH t AS (SELECT CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tok FROM documents),
+        |x AS (SELECT tok, unnest([128, 512, 2048]) AS seq_len FROM t)
+        |SELECT CAST(seq_len AS BIGINT) AS seq_len, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN tok > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(sum(tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(greatest(tok - seq_len, 0)) AS BIGINT) AS tokens_lost,
+        |  CAST(sum(seq_len - least(tok, seq_len)) AS BIGINT) AS pad_tokens,
+        |  CAST((sum(tok) - sum(greatest(tok - seq_len, 0))) * 1000000
+        |    // (count(*) * seq_len) AS BIGINT) AS util_ppm
+        |FROM x GROUP BY seq_len""".stripMargin) { (s, dir) =>
+      Sampling.paddingReport(Tables.documents(s, dir), col("text"),
+        Seq(128L, 512L, 2048L))
+    },
+
     // Near-dup CLUSTERS: connected components over the exact-Jaccard
     // pair graph — the step that turns pairs into dedup groups (keep
     // min id per component). Oracle: recursive min-reachable-id CTE

@@ -21,6 +21,33 @@ class DedupSpec extends AnyFunSuite {
     assert(exactPairs.nonEmpty)
   }
 
+  test("containment flags a planted excerpt symmetric jaccard misses") {
+    val spark0 = spark
+    import spark0.implicits._
+    val long = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango")
+    val quote = "echo foxtrot golf hotel india juliet" // whole inside long
+    val df = Seq((1L, long), (2L, quote), (3L, "zulu yankee xray whiskey"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, col("text"), col("doc_id"),
+        n = 3, maxDf = 64, minContPpm = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // (1,2): every quote trigram is in long -> cont_b = 1e6 exactly;
+    // jaccard is 4/18 — far below any dedup threshold
+    assert(pairs.length == 1)
+    val (a, b, ca, cb) = pairs(0)
+    assert(a == 1L && b == 2L && cb == 1000000L && ca < 300000L)
+    val j = Dedup.ngramJaccardPairs(df, col("text"), col("doc_id"), 3, 0.8)
+    assert(j.count() == 0)
+    // evidence-df cap: replicate the quote into many docs -> its
+    // shingles pass df=64? no — make them hot past a TINY cap and the
+    // pair disappears (boilerplate is not quotation evidence)
+    val hot = df.unionByName((10L to 80L).map(i => (i, quote)).toDF("doc_id", "text"))
+    val capped = Dedup.containmentPairs(hot, col("text"), col("doc_id"),
+      n = 3, maxDf = 4, minContPpm = 900000L)
+    assert(!capped.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("minhash LSH recalls every exact-jaccard>=0.8 pair") {
     val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 32)
     val lsh = Dedup.minhashLshPairs(sigs, 32, 16, 0.6)

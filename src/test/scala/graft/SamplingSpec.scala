@@ -276,6 +276,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(naive.exists(_ == ("cold", 901L, 2)))
   }
 
+  test("paddingReport: hand-checked truncation/pad math, exact ppm") {
+    val spark0 = spark
+    import spark0.implicits._
+    // token counts under the regex tokenizer: "a b" -> 2, "a" x5 -> 5
+    val df = Seq((0L, "one two"), (1L, "one two three four five")).toDF("doc_id", "text")
+    val out = graft.operators.Sampling.paddingReport(df, col("text"), Seq(4L))
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // L=4: doc0 tok=2 (pad 2), doc1 tok=5 (truncate 1)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 7L && r.getLong(4) == 1L && r.getLong(5) == 2L)
+    // util = (7-1) * 1e6 div (2*4) = 750000
+    assert(r.getLong(6) == 750000L)
+  }
+
   test("sourceCap repartition-invariant on real docs") {
     val score = length(col("text")).cast("long")
     val a = Sampling.sourceCap(docs, col("source"), score, col("doc_id"), 15)
