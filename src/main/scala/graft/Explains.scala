@@ -74,6 +74,7 @@ object Explains {
       "emb_context_pack" -> "in-context packing: cluster routing is a typed map with the coarse+fine centroids broadcast (the TWO-LEVEL path — the flat n*k assignment probed 18x/decade); token counts join on bare doc_id; the packer is one exchange on lst + in-partition (lst, doc_id) sort + MapPartitions fold",
       "emb_triplet_mining" -> "triplet mining: the positive arm is a broadcast HASH join on label (each corpus row scores only its own class); the negative arm filters label-inequality + the dup band INSIDE the scored scan before the per-anchor rank window; union of two narrow ranked frames",
       "doc_html_extract" -> "HTML extraction: the whole strip/decode/collapse chain is ONE codegen'd projection over the scan — regexp_replace and replace compose without any exchange; zero shuffle end to end",
+      "doc_containment_pairs" -> "containment near-dup: one shingle explode + a df agg whose <= maxDf filter is BOTH the semantics (boilerplate is not quotation evidence) and the scale valve (join fanout <= maxDf per shingle); the self-join's (a,b) count agg is map-side combinable over bare long pairs — nothing wider than 24 bytes ever shuffles",
       "emb_pagerank" -> "kNN PageRank: three power-iteration rounds, each one edge-keyed join + one neighbor-keyed HashAggregate over bare (id, long) rows — the CC execution family; the kNN graph feeds it once via in-bucket scoring (no pair materialization), and the final rank is a RANGE-partitioned sort + zipWithIndex — no single-partition window anywhere (the plan below ends at the distributed sort; the rank map rides on its partitions)",
       "emb_knn_graph" -> "corpus kNN graph, in-bucket scoring: ONE exchange of (tbl, bkt, id, embedding) rows into an ObjectHashAggregate collect_list per capped bucket, pairwise cosines inside the bucket group (typed flatMap fold), then the map-side-combined per-src top-k aggregate — candidate pairs are never shuffled, sorted, distinct'd, or joined; the only pair-sized thing in the plan is an iterator")
 

@@ -257,6 +257,37 @@ object Dedup {
       .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= minContPpm)
   }
 
+  /** Per-document NOVELTY profile — the curation diagnostic between
+    * exact dedup and near-dup: for each document, how much of its
+    * content (distinct word n-gram shingles) appears HERE FIRST,
+    * under the deterministic first-owner rule min(doc_id) per shingle
+    * (ingestion order at a real pipeline; id order here). A replica
+    * scores 0, fresh content 1e6, and syndication/quote-heavy docs
+    * land in between — the per-doc number a selection policy
+    * thresholds when near-dup pair volume is too blunt. Output:
+    * (doc_id, n_shingles, n_novel, novelty_ppm); docs shorter than
+    * `n` words have no shingles and no row (the Jaccard family's
+    * convention).
+    *
+    * Determinism: exact integer counts, ppm by Long floor division,
+    * first-owner by min — order-independent everywhere. 100 TB shape:
+    * one shingle explode, one map-combinable min agg keyed by the
+    * 64-bit shingle id, one shingle-keyed join back, one per-doc
+    * count agg — every shuffled row is <= 24 bytes. */
+  def noveltyProfile(df: DataFrame, text: Column, id: Column,
+      n: Int): DataFrame = {
+    val sh = explodeShingles(df, text, id, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val first = sh.groupBy("s").agg(min(col("doc_id")).as("first_id"))
+    sh.join(first, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+  }
+
   /** Test-set DECONTAMINATION: corpus documents sharing at least
     * `minShared` distinct word-n-gram shingles with ANY benchmark
     * document — the step a training pipeline runs against its eval

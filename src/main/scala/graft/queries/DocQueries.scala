@@ -604,6 +604,29 @@ object DocQueries {
         col("doc_id"), 3, maxDf = 64, minContPpm = 500000L)
     },
 
+    // NOVELTY profile: per doc, the fraction of its distinct trigram
+    // shingles owned first (min doc_id) — replicas score 0, fresh
+    // content 1e6, syndication in between. The selection signal
+    // between exact dedup and near-dup pair volume; min-owner rule +
+    // integer ppm make it order-independent and exactly replayable.
+    "doc_novelty" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |f AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN sh.doc_id = f.first_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN sh.doc_id = f.first_id THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         |FROM sh JOIN f USING (s)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.noveltyProfile(Tables.documents(s, dir), col("text"),
+        col("doc_id"), 3)
+    },
+
     // PADDING-WASTE report: for candidate context lengths, exact
     // truncation loss + pad overhead + utilization ppm under the
     // pad-to-max batch=1 model (the worst case packGreedy beats — the

@@ -48,6 +48,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!capped.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("noveltyProfile: replica scores 0, fresh 1e6, first-owner by min id") {
+    val spark0 = spark
+    import spark0.implicits._
+    val t = "alpha bravo charlie delta echo foxtrot"
+    val df = Seq((5L, t), (9L, t), (20L, "zulu yankee xray whiskey victor"))
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyProfile(df, col("text"), col("doc_id"), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(5L) == ((4L, 4L, 1000000L)))  // owns all its shingles
+    assert(out(9L) == ((4L, 0L, 0L)))        // exact replica: zero novel
+    assert(out(20L) == ((3L, 3L, 1000000L)))
+    // invariant on the real corpus: ppm in [0, 1e6], seeded dups exist
+    val real = Dedup.noveltyProfile(docs, col("text"), col("doc_id"), 3)
+      .collect()
+    assert(real.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
+    assert(real.exists(_.getLong(3) == 0L)) // the seeded exact dups
+  }
+
   test("minhash LSH recalls every exact-jaccard>=0.8 pair") {
     val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 32)
     val lsh = Dedup.minhashLshPairs(sigs, 32, 16, 0.6)
