@@ -627,6 +627,42 @@ object DocQueries {
         col("doc_id"), 3)
     },
 
+    // Streaming NOVELTY: the shingle first-owner table accumulates in
+    // the state store (min/count per distinct shingle — RocksDB at
+    // design time: shingle state is corpus-cardinality by definition),
+    // and the per-doc tail joins the drained owners batch-side (the
+    // corpus-drift composition). SAME single-sourced semantics as
+    // doc_novelty: the arrival engine must not change the profile.
+    "doc_novelty_stream" -> QueryDef(
+      s"""WITH w AS (SELECT doc_id, $SPLIT AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w WHERE len(ws) >= 3),
+         |f AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN sh.doc_id = f.first_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN sh.doc_id = f.first_id THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         |FROM sh JOIN f USING (s)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val owners = Streaming.runAvailableNow(
+        Streaming.shingleOwnerStream(Streaming.documentsStream(s, dir),
+          col("text"), col("doc_id"), 3),
+        rocksdbState = true) // per-distinct-shingle state: corpus-sized
+      val sh = Dedup.explodeShingles(Tables.documents(s, dir),
+          col("text"), col("doc_id"), 3)
+        .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      sh.join(owners, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("doc_id") === col("first_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+    },
+
     // PADDING-WASTE report: for candidate context lengths, exact
     // truncation loss + pad overhead + utilization ppm under the
     // pad-to-max batch=1 model (the worst case packGreedy beats — the

@@ -190,6 +190,26 @@ object Streaming {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"),
         min(nChars).as("n_chars"))
 
+  /** Streaming SHINGLE first-owner table — the stateful half of the
+    * novelty profile ([[graft.operators.Dedup.noveltyProfile]]) run at
+    * ingest: every distinct trigram shingle's owner is a min/count
+    * aggregation on the 64-bit shingle id, exactly the
+    * [[exactDedupKeepListStream]] shape one granularity down. min and
+    * count are order-independent, so the drained table is identical
+    * under any trigger slicing — the batch SQL oracle grades the
+    * streaming engine directly. State is one (first_id, n_occ) entry
+    * per DISTINCT SHINGLE — corpus-cardinality by definition (shingles
+    * outnumber documents ~100:1), so this drain is RocksDB-routed AT
+    * DESIGN TIME, not retrofit after a probe OOM (the round-7 rule
+    * applied forward). The per-doc novelty tail is a batch join over
+    * the drained owners (the corpus-drift composition shape). */
+  def shingleOwnerStream(df: DataFrame, text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, n: Int): DataFrame =
+    graft.operators.Dedup.explodeShingles(df, text, id, n)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .groupBy("s")
+      .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("n_occ"))
+
   /** Streaming PASSAGE keep-list — the streaming twin of
     * [[graft.operators.Dedup.paragraphDedup]]'s keeper election, for
     * ingest pipelines that dedupe boilerplate passages on the fly:

@@ -146,6 +146,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming shingle owners: min owner crosses the batch line both ways") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, xxhash64, lit}
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.shingleOwnerStream(
+        input.toDS().toDF("doc_id", "text"),
+        col("text"), col("doc_id"), n = 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("shingle_own_out").start()
+    try {
+      // doc 9 arrives FIRST; when doc 4 lands later with the same
+      // trigram, the owner must flip to min(doc_id) = 4 — the batch
+      // noveltyProfile rule, independent of arrival order
+      input.addData((9L, "alpha bravo charlie"))
+      q.processAllAvailable()
+      input.addData((4L, "alpha bravo charlie delta"))
+      q.processAllAvailable()
+      val h = spark.range(1)
+        .select(xxhash64(lit("alpha bravo charlie"))).collect()(0).getLong(0)
+      val out = spark.table("shingle_own_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(out(h) == ((4L, 2L))) // owner flipped, both occurrences counted
+      assert(out.size == 2) // + "bravo charlie delta"
+    } finally q.stop()
+  }
+
   test("streaming boilerplate df: capped distinct count crosses batches, dups don't inflate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
