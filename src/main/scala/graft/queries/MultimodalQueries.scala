@@ -74,5 +74,101 @@ object MultimodalQueries {
         |FROM documents, unnest([0,1,2,3]) AS u(i)
         |WHERE length(text) >= 16""".stripMargin) { (s, dir) =>
       Multimodal.sampleFrames(media(s, dir), nFrames = 4, frameLen = 16).toDF()
+    },
+
+    // REAL WAV DECODE round-trip: per doc, a valid RIFF/WAVE PCM16
+    // file is synthesized from the integer sample formula, parsed by
+    // the REAL chunk-walking decoder, and integer audio features
+    // (duration, sum|s|, strict-sign zero crossings, peak) computed
+    // from the DECODED samples. The oracle regenerates the formula
+    // directly — a wrong endianness, chunk offset, or sample width in
+    // the parser diverges the hash. Decode is no longer a stub for
+    // uncompressed containers.
+    "mm_wav_decode" -> QueryDef(
+      """WITH s AS (
+        |  SELECT doc_id AS id, i,
+        |    CAST((doc_id * 2654435761 + i * 40503) % 65536 - 32768 AS BIGINT) AS v
+        |  FROM documents, unnest(range(0, 256)) AS r(i)),
+        |l AS (SELECT id, i, v,
+        |    lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s)
+        |SELECT id, CAST(16000 AS BIGINT) AS sample_rate,
+        |  count(*) AS n_samples,
+        |  CAST(count(*) * 1000000 // 16000 AS BIGINT) AS duration_us,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
+        |FROM l GROUP BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val a = Multimodal.decodeWav(Multimodal.synthWav(id, 256, 16000))
+          var sumAbs = 0L
+          var zc = 0L
+          var peak = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val v = a.samples(i).toLong
+            sumAbs += math.abs(v)
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && v * a.samples(i - 1).toLong < 0) zc += 1
+            i += 1
+          }
+          (id, a.sampleRate.toLong, a.samples.length.toLong,
+            a.samples.length.toLong * 1000000L / a.sampleRate, sumAbs, zc, peak)
+        }
+        .toDF("id", "sample_rate", "n_samples", "duration_us", "sum_abs",
+          "zero_crossings", "peak_abs")
+    },
+
+    // REAL BMP DECODE + RESIZE round-trip: a 13x7 24-bpp BMP (width 13
+    // FORCES 4-byte row padding; storage is bottom-up — the two layout
+    // quirks naive readers get wrong), decoded by the real parser,
+    // then nearest-neighbor resized to 4x4. The oracle recomputes the
+    // pixel formula in logical order; the POSITION-WEIGHTED checksums
+    // (sum k*b) are order-sensitive, so a decoder that misorders rows
+    // or counts padding bytes fails the hash, as does any resize
+    // source-index error.
+    "mm_bmp_decode" -> QueryDef(
+      """WITH p AS (SELECT doc_id AS id, k,
+        |    CAST(((doc_id * 31 + k) * 97) % 256 AS BIGINT) AS b
+        |  FROM documents, unnest(range(0, 273)) AS r(k)),
+        |f AS (SELECT id, CAST(sum(b) AS BIGINT) AS pix_sum,
+        |    CAST(sum(k * b) AS BIGINT) AS pix_wsum FROM p GROUP BY 1),
+        |rz AS (SELECT d.doc_id AS id, (y * 4 + x) * 3 + c AS rk,
+        |    CAST(((d.doc_id * 31 +
+        |      (((y * 7 // 4) * 13 + (x * 13 // 4)) * 3 + c)) * 97) % 256
+        |      AS BIGINT) AS b
+        |  FROM documents d, unnest(range(0, 4)) AS ry(y),
+        |    unnest(range(0, 4)) AS rx(x), unnest(range(0, 3)) AS rc(c)),
+        |rs AS (SELECT id, CAST(sum(rk * b) AS BIGINT) AS resized_wsum
+        |  FROM rz GROUP BY 1)
+        |SELECT f.id, CAST(13 AS BIGINT) AS width, CAST(7 AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS bpp, pix_sum, pix_wsum, resized_wsum
+        |FROM f JOIN rs ON rs.id = f.id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val img = Multimodal.decodeBmp(Multimodal.synthBmp(id, 13, 7))
+          val rz = Multimodal.resizeNearest(img, 4, 4)
+          var ps = 0L
+          var pw = 0L
+          var k = 0
+          while (k < img.pixels.length) {
+            val b = (img.pixels(k) & 0xFF).toLong
+            ps += b
+            pw += k * b
+            k += 1
+          }
+          var rw = 0L
+          k = 0
+          while (k < rz.pixels.length) {
+            rw += k * (rz.pixels(k) & 0xFF).toLong
+            k += 1
+          }
+          (id, img.width.toLong, img.height.toLong, img.bpp.toLong, ps, pw, rw)
+        }
+        .toDF("id", "width", "height", "bpp", "pix_sum", "pix_wsum",
+          "resized_wsum")
     })
 }

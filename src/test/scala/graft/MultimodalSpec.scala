@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** The real uncompressed-container decoders (round 8): RIFF/WAVE PCM16
+  * and 24-bpp BMP. The graded queries already oracle-check them
+  * end-to-end (synthesize → decode → features vs the SQL formula);
+  * these specs pin the parser details the oracle exercises indirectly
+  * — chunk walking, bottom-up rows, padding, malformed rejection. */
+class MultimodalSpec extends AnyFunSuite {
+
+  test("wav: synth/decode round-trip recovers every sample and the rate") {
+    val wav = Multimodal.synthWav(42L, 100, 8000)
+    val a = Multimodal.decodeWav(wav)
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.bitsPerSample == 16)
+    assert(a.samples.length == 100)
+    (0 until 100).foreach { i =>
+      assert(a.samples(i) == Multimodal.synthSample(42L, i), s"sample $i")
+    }
+  }
+
+  test("wav: unknown chunks between fmt and data are skipped, as RIFF requires") {
+    val base = Multimodal.synthWav(7L, 10, 16000)
+    // splice a 6-byte LIST chunk (odd payload length 5 -> 1 pad byte)
+    // between the fmt and data chunks
+    val insertAt = 12 + 8 + 16 // RIFF hdr + fmt hdr + fmt body
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5) ++ Array[Byte](0)
+    val spliced = base.take(insertAt) ++ junk ++ base.drop(insertAt)
+    val a = Multimodal.decodeWav(spliced)
+    assert(a.samples.toSeq == (0 until 10).map(Multimodal.synthSample(7L, _)))
+  }
+
+  test("wav: malformed payloads are loud errors, never garbage samples") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Array.fill[Byte](44)(0)) // no RIFF magic
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("RIFF".getBytes ++ Array.fill[Byte](10)(0)) // truncated
+    }
+    val wav = Multimodal.synthWav(1L, 4, 8000)
+    wav(20) = 3 // format tag -> 3 (IEEE float): not PCM
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(wav) }
+  }
+
+  test("bmp: decode un-does bottom-up rows and strips padding exactly") {
+    // w=13 -> stride 40 (one pad byte per row): the padding trap is live
+    val img = Multimodal.decodeBmp(Multimodal.synthBmp(5L, 13, 7))
+    assert(img.width == 13 && img.height == 7 && img.bpp == 24)
+    assert(img.pixels.length == 13 * 7 * 3)
+    (0 until img.pixels.length).foreach { k =>
+      assert((img.pixels(k) & 0xFF) == Multimodal.synthPixelByte(5L, k), s"byte $k")
+    }
+  }
+
+  test("bmp: nearest-neighbor resize uses exact integer source indices") {
+    val img = Multimodal.decodeBmp(Multimodal.synthBmp(9L, 13, 7))
+    val rz = Multimodal.resizeNearest(img, 4, 4)
+    assert(rz.width == 4 && rz.height == 4 && rz.pixels.length == 48)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+      val sy = y * 7 / 4
+      val sx = x * 13 / 4
+      assert((rz.pixels((y * 4 + x) * 3 + c) & 0xFF) ==
+        Multimodal.synthPixelByte(9L, (sy * 13 + sx) * 3 + c))
+    }
+  }
+
+  test("bmp: malformed payloads are loud errors") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp(Array.fill[Byte](54)(0)) // no BM magic
+    }
+    val bmp = Multimodal.synthBmp(1L, 4, 4)
+    bmp(28) = 8 // bpp -> 8: paletted, unsupported
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp(bmp) }
+  }
+}
