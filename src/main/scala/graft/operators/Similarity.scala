@@ -982,17 +982,44 @@ object Similarity {
     * fixed-order double folds the SemDeDup oracles already pin. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nProbe: Int = 2, m: Int = 8, numCentroids: Int = 16,
-      targetPerList: Long = 64L, queryBound: Int = 10000): DataFrame = {
+      targetPerList: Long = 64L, queryBound: Int = 10000): DataFrame =
+    ivfPqTopKFrom(corpus, corpus, queries, k, nProbe, m, numCentroids,
+      targetPerList, queryBound)
+
+  /** INCREMENTAL IVF-PQ insert + search — index MAINTENANCE, the
+    * production path between full rebuilds: the coarse/fine routing
+    * cells and the PQ codebooks are FROZEN from `indexCorpus` (the
+    * vectors the index was built on — rebuilding codebooks would
+    * invalidate every stored code, so a real deployment never does it
+    * per insert), and `newCorpus` rows are encoded and routed with
+    * those frozen structures, exactly as an insert API would. Search
+    * covers the union. The trade is the standard one: inserted mass
+    * shifts the data distribution away from the frozen quantizers and
+    * recall decays — `centroidDrift` is the monitor, a batch rebuild
+    * the remedy. Knobs (nLists, seed ranks) derive from the INDEX
+    * side only, so the whole operation — build, insert, search — is
+    * replayable in SQL from the index/new split rule. */
+  def ivfPqInsertTopK(indexCorpus: DataFrame, newCorpus: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 2, m: Int = 8,
+      numCentroids: Int = 16, targetPerList: Long = 64L,
+      queryBound: Int = 10000): DataFrame =
+    ivfPqTopKFrom(indexCorpus, indexCorpus.unionByName(newCorpus), queries,
+      k, nProbe, m, numCentroids, targetPerList, queryBound)
+
+  private def ivfPqTopKFrom(structSrc: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int, m: Int, numCentroids: Int,
+      targetPerList: Long, queryBound: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val nLists = Dedup.autoClusters(corpus.count(), targetPerList)
-    val fine = Dedup.semanticSeeds(corpus, col("vec_id"),
+    val nLists = Dedup.autoClusters(structSrc.count(), targetPerList)
+    val fine = Dedup.semanticSeeds(structSrc, col("vec_id"),
       col("embedding"), nLists)
     val cells = Dedup.twoLevelCells(fine)
     val um = corpus.select(col("vec_id").cast("long").as("vec_id"),
         col("embedding")).as[(Long, Seq[Float])]
-    val seeds: Array[Array[Long]] = um
-      .toDF("vec_id", "e")
+    val seeds: Array[Array[Long]] = structSrc
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").as("e"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(numCentroids)
       .as[(Long, Seq[Float])].collect()

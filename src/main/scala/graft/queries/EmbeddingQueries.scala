@@ -136,23 +136,25 @@ object EmbeddingQueries {
     * restricted ADC scoring), ending in `ivfpq(q_id, neighbor_id,
     * dist_um2, rnk)` — single-sourced for the top-k query and the
     * ANN-recall evaluation. */
-  private lazy val IVFPQ_CTES: String =
-    s"""$SEMDEDUP_ASSIGN_CTES,
-       |$TWOLEVEL_CTES,
-       |em AS (
-       |  SELECT vec_id, CASE
-       |    WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
-       |    THEN list_transform(embedding::DOUBLE[], e -> CAST(0 AS BIGINT))
-       |    ELSE list_transform(embedding::DOUBLE[],
-       |      e -> CAST(round(1000000 * e / sqrt(list_dot_product(
-       |        embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) END AS v
-       |  FROM embeddings),
-       |pseeds AS (
-       |  SELECT rnk - 1 AS cidx, v AS cv FROM (
-       |    SELECT v, row_number() OVER (
-       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
-       |    FROM em) t WHERE rnk <= 16),
-       |codes AS (
+  /** The integer-micro normalized-embedding CTE (shared by the PQ
+    * chains). */
+  private val EM_CTE: String =
+    """em AS (
+      |  SELECT vec_id, CASE
+      |    WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+      |    THEN list_transform(embedding::DOUBLE[], e -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(embedding::DOUBLE[],
+      |      e -> CAST(round(1000000 * e / sqrt(list_dot_product(
+      |        embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT)) END AS v
+      |  FROM embeddings)""".stripMargin
+
+  /** The shared PQ encode/probe/score/rank tail (codes .. ivfpq) —
+    * everything downstream of the structure CTEs (kd/seeds for
+    * routing, pseeds for codebooks), so the full-build and
+    * INSERT-with-frozen-structures chains differ only in their
+    * headers. */
+  private val IVFPQ_TAIL: String =
+    s"""codes AS (
        |  SELECT vec_id, j, cidx FROM (
        |    SELECT e.vec_id, js.j, s.cidx,
        |      row_number() OVER (PARTITION BY e.vec_id, js.j
@@ -199,6 +201,43 @@ object EmbeddingQueries {
        |      PARTITION BY q_id ORDER BY dist_um2 ASC, neighbor_id ASC) AS rnk
        |    FROM score) t
        |  WHERE rnk <= 10)""".stripMargin
+
+  private lazy val IVFPQ_CTES: String =
+    s"""$SEMDEDUP_ASSIGN_CTES,
+       |$TWOLEVEL_CTES,
+       |$EM_CTE,
+       |pseeds AS (
+       |  SELECT rnk - 1 AS cidx, v AS cv FROM (
+       |    SELECT v, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+       |    FROM em) t WHERE rnk <= 16),
+       |$IVFPQ_TAIL""".stripMargin
+
+  /** The INSERT chain: identical tail, but kd/seeds (routing cells)
+    * and pseeds (PQ codebooks) derive from the INDEX half of the
+    * md5(vec_id) split only — the frozen-structure contract of
+    * `Similarity.ivfPqInsertTopK`. `em`, `codes`, and the row-level
+    * routing still cover ALL vectors: inserted rows are encoded and
+    * routed with structures they never influenced. */
+  private def ivfPqInsertCtes(bound: String): String =
+    s"""idx AS (SELECT vec_id FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 6) < '$bound'),
+       |kd AS (SELECT greatest(2, (count(*) + 63) // 64) AS k FROM idx),
+       |seeds AS (
+       |  SELECT lst, se FROM (
+       |    SELECT row_number() OVER (
+       |        ORDER BY md5(CAST(e.vec_id AS VARCHAR)), e.vec_id) - 1 AS lst,
+       |      e.embedding::DOUBLE[] AS se
+       |    FROM embeddings e JOIN idx USING (vec_id)) t
+       |  WHERE lst < (SELECT k FROM kd)),
+       |$TWOLEVEL_CTES,
+       |$EM_CTE,
+       |pseeds AS (
+       |  SELECT rnk - 1 AS cidx, v AS cv FROM (
+       |    SELECT em.v, row_number() OVER (
+       |      ORDER BY md5(CAST(em.vec_id AS VARCHAR)), em.vec_id) AS rnk
+       |    FROM em JOIN idx USING (vec_id)) t WHERE rnk <= 16),
+       |$IVFPQ_TAIL""".stripMargin
 
   private def semdedupPairsSql(threshold: Double): String =
     s"""$SEMDEDUP_ASSIGN_CTES,
@@ -793,6 +832,25 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 10,
         nProbe = 2)
+    },
+
+    // INCREMENTAL IVF-PQ: build from the md5(vec_id) index half,
+    // INSERT the other half with the routing cells and PQ codebooks
+    // FROZEN (the production maintenance path — rebuilding codebooks
+    // invalidates every stored code), search the union. The oracle's
+    // chain derives kd/seeds/pseeds from the index half only and
+    // encodes/routes/scores ALL rows through them — the exact
+    // frozen-structure contract, hash-checked end to end.
+    "emb_ivfpq_insert" -> QueryDef(
+      s"""WITH ${ivfPqInsertCtes(graft.operators.Sampling.hashBound(0.5))}
+         |SELECT q_id, neighbor_id, dist_um2, rnk FROM ivfpq""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val sel = substring(md5(col("vec_id").cast("string")), 1, 6)
+        val bound = graft.operators.Sampling.hashBound(0.5)
+        Similarity.ivfPqInsertTopK(
+          emb.filter(sel < bound), emb.filter(sel >= bound),
+          emb.filter(col("vec_id") < 10), 10, nProbe = 2)
     },
 
     // Hard-negative mining for contrastive/retrieval training: per

@@ -308,6 +308,37 @@ class SimilaritySpec extends AnyFunSuite {
       s"ADC distance diverged on $kk"))
   }
 
+  test("ivfPqInsertTopK: frozen structures route inserted copies to rank 1") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // insert exact copies of the query vectors under NEW ids: the
+    // frozen coarse/fine routing sends an identical input down the
+    // identical path, so the copy always lands in a probed cell and
+    // shares the query's own codes — its ADC distance is the query's
+    // quantization error, the minimum any candidate can score, and
+    // the id tie-break ranks it 1 — the structural-safety contract
+    // extended to the insert path (codebooks/cells never saw the
+    // inserted rows)
+    val copies = base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val out = Similarity.ivfPqInsertTopK(base, copies,
+      base.filter(col("vec_id") < 3), 5)
+    val byQ = out.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(3))).toMap
+    (0L until 3L).foreach { q =>
+      val rows = byQ(q)
+      assert(rows.head.getLong(1) == q + 100000L, s"query $q rank1 ${rows.head}")
+      // the copy's ADC distance is the min of the whole result
+      assert(rows.forall(_.getLong(2) >= rows.head.getLong(2)))
+    }
+    // and with an EMPTY insert the search equals the plain build
+    val a = Similarity.ivfPqTopK(base, base.filter(col("vec_id") < 5), 5)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.ivfPqInsertTopK(base, base.limit(0),
+        base.filter(col("vec_id") < 5), 5)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("broadcast-queries contract: oversized query side fails loud, not OOM") {
     // the queries side of the PQ family is collected to the driver for
     // ADC tables — a corpus-sized frame must be a cheap, explicit error
