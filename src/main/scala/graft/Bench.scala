@@ -99,7 +99,22 @@ object Bench {
       "\"" + k + "\":" + gcByQuery.getOrElse(k, -1.0)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir"}""")
+    val record =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir"}"""
+    println(record)
+    // the driver archives only the LAST 2000 chars of stdout, which
+    // truncates the full per-query map at 170+ queries — regression
+    // detection below the slowest-10 cutoff was blind round-over-round.
+    // Persist the complete record (min wall + gc per query) to the repo
+    // so every round's full map is diffable; failures never block the
+    // stdout contract.
+    // subset runs (SPARK_GRAFT_ONLY) must not clobber the full record
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), record + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      }
     // compact tail summary AFTER the full record: the driver archives
     // only the LAST 2000 chars of output, and at 115+ queries the full
     // wall-time map no longer fits — this one line keeps every
@@ -108,7 +123,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"summary","total":$total,"n_queries":${results.size},"n_failed":$failed,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":$total,"n_queries":${results.size},"n_failed":$failed,"slowest":$slowest,"full_times":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

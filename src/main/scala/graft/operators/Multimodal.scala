@@ -7,11 +7,17 @@ import org.apache.spark.sql.Dataset
   * batches (the Scala twin of `mapInPandas` — one JVM pass per
   * partition, no per-row UDF dispatch).
   *
-  * The actual media decode is STUBBED (no image/audio libs in this
-  * environment): `decodeStub` derives deterministic fake dimensions
-  * from the payload, clearly marked. Everything around it — schema,
-  * partitioning, batch iteration, byte-level feature extraction, frame
-  * sampling — is real and tested. At 100 TB the payload column stays
+  * Decode is REAL for every format pure JVM code can parse: RIFF/WAVE
+  * PCM16 ([[decodeWav]]), uncompressed 24-bpp BMP ([[decodeBmp]]),
+  * and PNG ([[decodePng]] — DEFLATE via `java.util.zip.Inflater` +
+  * the four row filters, CRC-checked chunk walk), each graded by a
+  * formula-oracle hash compare that fails on any bit-level decode
+  * error. Only NATIVE-CODEC formats (JPEG/MP3/H.264 — no codec libs
+  * in this environment) still ride `decodeStub`, which derives
+  * deterministic fake dimensions from the payload, clearly marked.
+  * Everything around the stub — schema, partitioning, batch
+  * iteration, byte-level feature extraction, frame sampling — is real
+  * and tested. At 100 TB the payload column stays
   * columnar-compressed at rest, scans prune to (id, payload) only, and
   * feature extraction is embarrassingly parallel per partition.
   */
@@ -140,11 +146,18 @@ object Multimodal {
   // ------------------------------------------------------------------
 
   /** Deterministic PCM16 sample generator shared by [[synthWav]] and
-    * the SQL oracle: floorMod(key·2654435761 + i·40503, 65536) − 32768
-    * — pure integer, replayable as `(key*2654435761 + i*40503) % 65536
-    * - 32768` on non-negative keys. */
+    * the SQL oracle: floorMod(floorMod(key,65536)·2654435761 + i·40503,
+    * 65536) − 32768 — pure integer, replayable as `((key%65536) *
+    * 2654435761 + i*40503) % 65536 - 32768` on non-negative keys. The
+    * key is pre-reduced mod 65536 BEFORE the multiply (sound: (key·c)
+    * mod m == ((key mod m)·c) mod m) so the formula is overflow-free at
+    * ANY doc_id on both engines — without it the JVM wraps silently
+    * past key ≈ 3.47e9 while DuckDB's BIGINT arithmetic errors, and
+    * the engines diverge (ADVICE r8). */
   def synthSample(key: Long, i: Long): Int =
-    (java.lang.Math.floorMod(key * 2654435761L + i * 40503L, 65536L) - 32768L).toInt
+    (java.lang.Math.floorMod(
+      java.lang.Math.floorMod(key, 65536L) * 2654435761L + i * 40503L,
+      65536L) - 32768L).toInt
 
   /** A valid RIFF/WAVE file: PCM (format 1), mono, 16-bit LE, `n`
     * [[synthSample]] samples. */
@@ -309,5 +322,201 @@ object Multimodal {
       y += 1
     }
     BmpImage(tw, th, img.bpp, out)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL PNG codec (round 9): the one COMPRESSED image format pure JVM
+  // code covers completely — DEFLATE is java.util.zip, and the rest of
+  // the spec (RFC 2083: chunk layout, CRC-32, the five scanline
+  // filters) is exactly the bit-level arithmetic the formula-oracle
+  // discipline catches. The encoder cycles through ALL five filter
+  // types row by row, so a decoder that mis-implements any one of
+  // Sub/Up/Average/Paeth reconstructs wrong bytes and fails the
+  // oracle's position-weighted checksum.
+  // ------------------------------------------------------------------
+
+  private def pngChunk(buf: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+    buf.write(len, 0, 4)
+    val tb = typ.getBytes("US-ASCII")
+    buf.write(tb, 0, 4)
+    buf.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(tb); crc.update(data)
+    buf.write(java.nio.ByteBuffer.allocate(4)
+      .putInt(crc.getValue.toInt).array(), 0, 4)
+  }
+
+  /** Paeth predictor (RFC 2083 §6.6): nearest of a (left), b (above),
+    * c (above-left) to a+b−c, ties a > b > c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** A valid 8-bit RGB (color type 2) PNG of [[synthPixelByte]] pixels,
+    * scanline filters CYCLING y mod 5 through None/Sub/Up/Average/
+    * Paeth (every filter the spec defines — a decoder must invert all
+    * of them), the filtered stream zlib-deflated, and the IDAT payload
+    * SPLIT across two chunks (legal per spec; a reader that assumes
+    * one IDAT truncates the stream). */
+  def synthPng(key: Long, w: Int, h: Int): Array[Byte] = {
+    val bpr = w * 3
+    val raw = new Array[Byte](h * bpr) // unfiltered, top-down row-major
+    var k = 0
+    while (k < raw.length) { raw(k) = synthPixelByte(key, k).toByte; k += 1 }
+    val filtered = new Array[Byte](h * (bpr + 1))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      filtered(y * (bpr + 1)) = f.toByte
+      var i = 0
+      while (i < bpr) {
+        val x = raw(y * bpr + i) & 0xff
+        val a = if (i >= 3) raw(y * bpr + i - 3) & 0xff else 0
+        val b = if (y > 0) raw((y - 1) * bpr + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) raw((y - 1) * bpr + i - 3) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        filtered(y * (bpr + 1) + 1 + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered)
+    defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = zbuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    pngChunk(out, "IHDR", ihdr)
+    val cut = z.length / 2
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, cut))
+    pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(z, cut, z.length))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  case class PngImage(width: Int, height: Int, bitDepth: Int,
+      colorType: Int, pixels: Array[Byte] /* top-down row-major RGB */)
+
+  /** REAL PNG decoder (8-bit RGB, non-interlaced): validates the
+    * signature, walks the chunk list verifying EVERY chunk's CRC-32,
+    * concatenates all IDAT payloads in order, inflates the zlib
+    * stream, and reconstructs scanlines by inverting the five RFC 2083
+    * filters (None/Sub/Up/Average/Paeth, bpp = 3). Unknown ancillary
+    * chunks are skipped, as the spec requires. Malformed input — bad
+    * magic, CRC mismatch, short inflate, unsupported color — is a loud
+    * IllegalArgumentException, never garbage pixels. */
+  def decodePng(payload: Array[Byte]): PngImage = {
+    require(payload.length >= 8 + 25 + 12,
+      "png: truncated file")
+    var p = 0
+    while (p < 8) {
+      require(payload(p) == PngSig(p), "png: bad signature")
+      p += 1
+    }
+    var w = 0
+    var h = 0
+    var bitDepth = -1
+    var colorType = -1
+    var sawIhdr = false
+    var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    def be32(o: Int): Int =
+      ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+    while (!sawIend) {
+      require(p + 8 <= payload.length, "png: truncated chunk header")
+      val len = be32(p)
+      require(len >= 0 && p + 12 + len <= payload.length,
+        s"png: truncated chunk (len=$len)")
+      val typ = new String(payload, p + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(payload, p + 4, 4 + len)
+      require(crc.getValue.toInt == be32(p + 8 + len),
+        s"png: CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          require(!sawIhdr && len == 13, "png: bad IHDR")
+          w = be32(p + 8); h = be32(p + 12)
+          require(w > 0 && h > 0, "png: empty image")
+          bitDepth = payload(p + 16) & 0xff
+          colorType = payload(p + 17) & 0xff
+          require(bitDepth == 8 && colorType == 2,
+            s"png: only 8-bit RGB supported, got depth=$bitDepth color=$colorType")
+          require((payload(p + 18) & 0xff) == 0 &&
+            (payload(p + 19) & 0xff) == 0 && (payload(p + 20) & 0xff) == 0,
+            "png: unsupported compression/filter/interlace method")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "png: IDAT before IHDR")
+          idat.write(payload, p + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunk: skip
+      }
+      p += 12 + len
+    }
+    require(sawIhdr, "png: missing IHDR")
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val bpr = w * 3
+    val filtered = new Array[Byte](h * (bpr + 1))
+    var got = 0
+    try {
+      while (got < filtered.length && !infl.finished()) {
+        val n = infl.inflate(filtered, got, filtered.length - got)
+        require(n > 0 || infl.finished(), "png: inflate stalled")
+        got += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"png: bad zlib stream: ${e.getMessage}")
+    } finally infl.end()
+    require(got == filtered.length,
+      s"png: short pixel stream ($got of ${filtered.length} bytes)")
+    val out = new Array[Byte](h * bpr)
+    var y = 0
+    while (y < h) {
+      val f = filtered(y * (bpr + 1)) & 0xff
+      require(f <= 4, s"png: bad filter type $f")
+      var i = 0
+      while (i < bpr) {
+        val x = filtered(y * (bpr + 1) + 1 + i) & 0xff
+        val a = if (i >= 3) out(y * bpr + i - 3) & 0xff else 0
+        val b = if (y > 0) out((y - 1) * bpr + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) out((y - 1) * bpr + i - 3) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+        }
+        out(y * bpr + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    PngImage(w, h, bitDepth, colorType, out)
   }
 }

@@ -320,8 +320,13 @@ object Sampling {
         sum(col("seq_len") - least(col("tok"), col("seq_len"))).as("pad_tokens"))
       .select(col("seq_len"), col("n_docs"), col("n_truncated"),
         col("tokens_total"), col("tokens_lost"), col("pad_tokens"),
-        expr("(tokens_total - tokens_lost) * 1000000 div (n_docs * seq_len)")
-          .as("util_ppm"))
+        // the *1e6 numerator rides DECIMAL(38,0): on Long it overflows
+        // (ANSI throw) once corpus tokens exceed ~9.2e12 — i.e. exactly
+        // at the 100 TB scale this report targets. `div` on decimals
+        // still floors to BIGINT, so the value and schema are unchanged
+        // at every scale both engines can represent.
+        expr("cast(tokens_total - tokens_lost as decimal(38,0)) * 1000000" +
+          " div (n_docs * seq_len)").as("util_ppm"))
   }
 
   /** Deterministic train/val/test split by content hash: a document's

@@ -1047,11 +1047,23 @@ object Similarity {
         (qid, Dedup.routeTwoLevel(fine, cells, ea, nProbe),
           pqTable(normalizedMicros(ea), seeds, nSub, subDim))
       }
-    val bcProbes = spark.sparkContext.broadcast(probes)
+    // cell-keyed probe routing: group the broadcast probes by the cells
+    // they probe, so each corpus row looks up ITS cell's probes in O(1)
+    // instead of scanning the whole probe array per row (the r8 shape
+    // was O(|queries|)/row — bounded by queryBound but needlessly
+    // linear). Per-row work is now the actual probe fan-in of the
+    // row's cell; routeTwoLevel emits distinct cells, so no (q, row)
+    // pair can surface twice.
+    val probesByCell: Map[Int, Array[(Long, Array[Array[Long]])]] = probes
+      .iterator
+      .flatMap { case (qid, ls, tab) => ls.iterator.map(c => c -> (qid, tab)) }
+      .toArray.groupBy(_._1).map { case (c, a) => c -> a.map(_._2) }
+    val bcProbes = spark.sparkContext.broadcast(probesByCell)
+    val noProbes = Array.empty[(Long, Array[Array[Long]])]
     val scored = indexed.flatMap { case (id, lst, cs) =>
-      bcProbes.value.iterator
-        .filter { case (qid, ls, _) => qid != id && ls.contains(lst) }
-        .map { case (qid, _, tab) =>
+      bcProbes.value.getOrElse(lst, noProbes).iterator
+        .filter { case (qid, _) => qid != id }
+        .map { case (qid, tab) =>
           var s = 0L
           var j = 0
           while (j < nSub) { s += tab(j)(cs(j)); j += 1 }
@@ -1100,10 +1112,16 @@ object Similarity {
   * surviving k set is independent of arrival and merge order —
   * partial aggregation is safe and the result matches the rank-window
   * form bit-for-bit. Duplicate candidates (the same neighbor surfacing
-  * from several LSH tables in [[Similarity.knnGraph]]) carry identical
-  * tuples — the same pair scores the same cosine everywhere — so the
-  * adjacent-after-sort dedup is exact, and a no-op for paths whose
-  * candidates are already unique. */
+  * from several LSH tables in [[Similarity.knnGraph]]) dedup on
+  * neighbor_id REGARDLESS of score (seen-set during compaction, best-
+  * ordered tuple wins) — structural since r9, not a precondition on
+  * callers: the r8 adjacent-after-sort skip was exact only for
+  * bit-identical duplicate tuples (true of every current caller, but
+  * enforced nowhere — ADVICE r8). Best-per-id-then-truncate keeps
+  * partial aggregation order-independent even for differing-score
+  * duplicates: if an id's best tuple is ever compacted away, k
+  * better distinct ids existed in that buffer and still dominate
+  * every worse duplicate at the final merge. */
 private[operators] final class TopKCosAgg(k: Int)
     extends org.apache.spark.sql.expressions.Aggregator[
       (Long, Long, Option[Double]),
@@ -1124,12 +1142,11 @@ private[operators] final class TopKCosAgg(k: Int)
     if (b.length > 1) {
       val sorted = b.sorted(ord)
       b.clear()
+      val seen = new java.util.HashSet[java.lang.Long](k * 2)
       var i = 0
-      var lastNid = Long.MinValue
-      var first = true
       while (i < sorted.length && b.length < k) {
         val t = sorted(i)
-        if (first || t._1 != lastNid) { b += t; lastNid = t._1; first = false }
+        if (seen.add(t._1)) b += t
         i += 1
       }
     }
@@ -1163,10 +1180,21 @@ private[operators] final class TopKLongAgg(k: Int, asc: Boolean)
       if (c != 0) c else java.lang.Long.compare(a._1, b._1)
     }
   }
+  // same structural per-neighbor dedup as TopKCosAgg (best-ordered
+  // tuple wins before truncation): every current caller feeds unique
+  // (group, neighbor) candidates, so this is a no-op today, but the
+  // invariant no longer rests on callers
   private def compact(b: Buf): Buf = {
-    if (b.length > k) {
-      val best = b.sorted(ord).take(k)
-      b.clear(); b ++= best
+    if (b.length > 1) {
+      val sorted = b.sorted(ord)
+      b.clear()
+      val seen = new java.util.HashSet[java.lang.Long](k * 2)
+      var i = 0
+      while (i < sorted.length && b.length < k) {
+        val t = sorted(i)
+        if (seen.add(t._1)) b += t
+        i += 1
+      }
     }
     b
   }

@@ -87,7 +87,7 @@ object MultimodalQueries {
     "mm_wav_decode" -> QueryDef(
       """WITH s AS (
         |  SELECT doc_id AS id, i,
-        |    CAST((doc_id * 2654435761 + i * 40503) % 65536 - 32768 AS BIGINT) AS v
+        |    CAST(((doc_id % 65536) * 2654435761 + i * 40503) % 65536 - 32768 AS BIGINT) AS v
         |  FROM documents, unnest(range(0, 256)) AS r(i)),
         |l AS (SELECT id, i, v,
         |    lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s)
@@ -170,5 +170,41 @@ object MultimodalQueries {
         }
         .toDF("id", "width", "height", "bpp", "pix_sum", "pix_wsum",
           "resized_wsum")
+    },
+
+    // REAL PNG DECODE round-trip: an 11x6 8-bit RGB PNG per doc —
+    // scanline filters cycle y mod 5 through None/Sub/Up/Average/
+    // Paeth (all five the spec defines; 6 rows cover each at least
+    // once), the filtered stream zlib-DEFLATEd, the IDAT split across
+    // two chunks, every chunk CRC-stamped. The decoder must verify
+    // CRCs, concatenate IDATs, inflate, and invert every filter to
+    // reconstruct the formula's bytes — the oracle recomputes the
+    // formula directly, and the position-weighted checksum fails on
+    // any filter/inflate/chunk-walk error. The first COMPRESSED format
+    // decoded for real (WAV/BMP are uncompressed containers).
+    "mm_png_decode" -> QueryDef(
+      """WITH p AS (SELECT doc_id AS id, k,
+        |    CAST(((doc_id * 31 + k) * 97) % 256 AS BIGINT) AS b
+        |  FROM documents, unnest(range(0, 198)) AS r(k))
+        |SELECT id, CAST(11 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        |  CAST(sum(b) AS BIGINT) AS pix_sum,
+        |  CAST(sum(k * b) AS BIGINT) AS pix_wsum
+        |FROM p GROUP BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val img = Multimodal.decodePng(Multimodal.synthPng(id, 11, 6))
+          var ps = 0L
+          var pw = 0L
+          var k = 0
+          while (k < img.pixels.length) {
+            val b = (img.pixels(k) & 0xFF).toLong
+            ps += b
+            pw += k * b
+            k += 1
+          }
+          (id, img.width.toLong, img.height.toLong, ps, pw)
+        }
+        .toDF("id", "width", "height", "pix_sum", "pix_wsum")
     })
 }

@@ -67,25 +67,44 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * (definition, key) contract (racing writers could stamp the same
     * version; content-hash dedup keeps that harmless for adds).
     *
-    * The max version is CACHED per (definition, key) in this catalog
-    * instance after the first log scan, and each bump advances the
-    * cache — without it, the Nth write re-reads and aggregates the
+    * Caching is scoped to the WRITE paths (ADVICE r8): this public
+    * reader always scans the log, so a read-only instance — or one
+    * polling between another process's appends — sees every commit
+    * (the r8 instance-lifetime cache answered a reader's first scan
+    * forever, so `scanAsOf(currentVersion(...))` could silently miss
+    * newer versions). Writers instead ride [[cachedVersion]]: the
+    * first append scans once, then each bump advances the instance
+    * cache — without that, the Nth write re-reads and aggregates the
     * whole mergeSchema'd meta log, making N appends O(N^2) log scans
-    * (ADVICE r7). The cache is exactly as safe as the version numbers
-    * themselves: both assume the single writer; an out-of-band append
-    * by ANOTHER instance is the same race the contract already
-    * excludes. */
-  def currentVersion(definition: String, key: String): Long =
-    verCache.getOrElseUpdate((definition, key), {
-      val log = metaLog
-      if (!log.columns.contains("ver")) 0L
-      else {
-        val r = log
-          .filter(col("definition") === definition && col("key") === key)
-          .agg(max(col("ver"))).collect()(0)
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      }
-    })
+    * (ADVICE r7). The write cache is exactly as safe as the version
+    * numbers themselves: both assume the single writer per
+    * (definition, key); an out-of-band append by ANOTHER instance is
+    * the same race the contract already excludes. A fresh read here
+    * also refreshes the write cache forward (never backward). */
+  def currentVersion(definition: String, key: String): Long = {
+    val scanned = scanVersion(definition, key)
+    val k = (definition, key)
+    val v = math.max(scanned, verCache.getOrElse(k, 0L))
+    verCache.update(k, v)
+    v
+  }
+
+  /** Write-path version lookup: instance cache, log scan only on the
+    * first touch of (definition, key). */
+  private def cachedVersion(definition: String, key: String): Long =
+    verCache.getOrElseUpdate((definition, key),
+      scanVersion(definition, key))
+
+  private def scanVersion(definition: String, key: String): Long = {
+    val log = metaLog
+    if (!log.columns.contains("ver")) 0L
+    else {
+      val r = log
+        .filter(col("definition") === definition && col("key") === key)
+        .agg(max(col("ver"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+  }
 
   private val verCache =
     scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -161,7 +180,7 @@ class BlockCatalog(spark: SparkSession, root: String) {
     withDay.write.mode("overwrite").partitionBy("day")
       .parquet(s"${dataPath(definition, key)}/block=$hash")
     import spark.implicits._
-    val ver = currentVersion(definition, key) + 1L
+    val ver = cachedVersion(definition, key) + 1L
     Seq((definition, key, agg.getLong(1), agg.getLong(2), agg.getLong(3), hash, "add", ver))
       .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op", "ver")
       .write.mode("append").parquet(metaPath)
@@ -338,7 +357,7 @@ class BlockCatalog(spark: SparkSession, root: String) {
     // ([[scanAsOf]]); [[vacuum]] reclaims them when the
     // reproducibility window has passed.
     import spark.implicits._
-    val ver = currentVersion(definition, key) + 1L
+    val ver = cachedVersion(definition, key) + 1L
     val tombstones = toCompact.flatten.map(b =>
       (definition, key, b._1, b._2, b._3, b._4, "drop", ver))
     (tombstones ++ newRows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, "add", ver)))

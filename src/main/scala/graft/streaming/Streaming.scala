@@ -778,7 +778,12 @@ object Streaming {
     * trigger boundary splits an equal-okey run (fMGWS emits on drain
     * and cannot retro-emit: a run split across micro-batches would
     * flag its earlier rows with a partial-run n, and an out-of-order
-    * okey would corrupt the deque's eviction order). The harness's
+    * okey would corrupt the deque's eviction order). The okey-monotone
+    * half is ENFORCED at runtime since round 9: the state deque's last
+    * entry IS the key's max seen okey (appends are monotone, evictions
+    * take the head and never the current run), so a batch whose min
+    * okey regresses below it throws IllegalStateException instead of
+    * silently mis-evicting — fail loud, not wrong. The harness's
     * file sources satisfy the precondition structurally — one sorted
     * file per drain; a production feed must either carry it (per-key
     * ordered log, run-aligned triggers) or buffer the tail run in
@@ -813,6 +818,16 @@ object Streaming {
             }
           }
           val sorted = rows.toArray.sortBy(r => (r.okey, r.eventId))
+          // runtime guard on the okey-monotone precondition: the deque's
+          // tail okey is the key's max (see scaladoc); a regressing batch
+          // would evict out of order and emit silently-wrong flags
+          if (sorted.nonEmpty && dq.nonEmpty && sorted(0).okey < dq.last._1)
+            throw new IllegalStateException(
+              s"anomalyExactStream: okey regression for key '$key' — batch " +
+              s"min okey ${sorted(0).okey} < state max okey ${dq.last._1}. " +
+              "Batches must arrive okey-monotone per key (ordered log or " +
+              "run-aligned triggers); an out-of-order okey corrupts the " +
+              "window deque's eviction order.")
           val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyEvent]
           var i = 0
           while (i < sorted.length) {

@@ -48,4 +48,37 @@ class GraftSqlSpec extends AnyFunSuite {
       "SELECT max(rnk) AS m FROM graft_emb_knn_graph").collect()(0).getInt(0)
     assert(mx <= 5)
   }
+
+  test("STREAMING operator outputs round-trip through spark.sql views") {
+    Graft.register(spark, dir)
+    // a streaming query's drained output registers exactly like a batch
+    // one (runAvailableNow returns the drained frame), so the SQL
+    // surface covers the streaming half of the engine too — and the
+    // batch≡stream parity contract can be checked IN SQL: the
+    // full-outer join of the streaming OHLCV view against its batch
+    // twin must align bit-for-bit on every (bucket, type) cell
+    Graft.registerQueryViews(spark, dir,
+      Seq("ev_ohlcv_stream", "ev_ohlcv_1h"))
+    val mism = spark.sql(
+      """SELECT count(*) AS n
+        |FROM graft_ev_ohlcv_stream s
+        |FULL OUTER JOIN graft_ev_ohlcv_1h b
+        |  ON s.bucket_us = b.bucket_us AND s.event_type = b.event_type
+        |WHERE s.bucket_us IS NULL OR b.bucket_us IS NULL
+        |  OR s.num_trades IS DISTINCT FROM b.num_trades
+        |  OR s.open IS DISTINCT FROM b.open
+        |  OR s.close IS DISTINCT FROM b.close
+        |  OR s.high IS DISTINCT FROM b.high
+        |  OR s.low IS DISTINCT FROM b.low""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(mism == 0L, s"$mism stream-vs-batch cells diverge through SQL")
+    // and the streaming view composes with base tables like any other
+    val joined = spark.sql(
+      """SELECT count(*) AS n FROM graft_ev_ohlcv_stream o
+        |JOIN events e ON e.event_type = o.event_type
+        |  AND (e.ts div 1000) >= o.bucket_us
+        |  AND (e.ts div 1000) < o.bucket_us + 3600000000""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(joined > 0L)
+  }
 }

@@ -74,4 +74,56 @@ class MultimodalSpec extends AnyFunSuite {
     bmp(28) = 8 // bpp -> 8: paletted, unsupported
     intercept[IllegalArgumentException] { Multimodal.decodeBmp(bmp) }
   }
+
+  test("png: synth/decode round-trip inverts deflate and all five filters") {
+    // h=6 cycles the filter byte through 0,1,2,3,4,0: every RFC 2083
+    // filter (None/Sub/Up/Average/Paeth) must reconstruct exactly
+    val img = Multimodal.decodePng(Multimodal.synthPng(5L, 11, 6))
+    assert(img.width == 11 && img.height == 6)
+    assert(img.bitDepth == 8 && img.colorType == 2)
+    assert(img.pixels.length == 11 * 6 * 3)
+    (0 until img.pixels.length).foreach { k =>
+      assert((img.pixels(k) & 0xFF) == Multimodal.synthPixelByte(5L, k), s"byte $k")
+    }
+    // a wide image stresses the filters' left-neighbor arithmetic over
+    // long runs; a 1-wide image has NO left neighbor anywhere (a=c=0)
+    Seq((64, 5), (1, 7)).foreach { case (w, h) =>
+      val i2 = Multimodal.decodePng(Multimodal.synthPng(11L, w, h))
+      (0 until i2.pixels.length).foreach { k =>
+        assert((i2.pixels(k) & 0xFF) == Multimodal.synthPixelByte(11L, k),
+          s"${w}x$h byte $k")
+      }
+    }
+  }
+
+  test("png: CRC corruption and malformed files are loud errors") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(Array.fill[Byte](64)(0)) // no signature
+    }
+    val png = Multimodal.synthPng(1L, 8, 4)
+    // flip one bit inside the first IDAT payload: the chunk CRC must
+    // catch it BEFORE the inflate sees corrupt input
+    val idatOff = png.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    val corrupt = png.clone()
+    corrupt(idatOff + 6) = (corrupt(idatOff + 6) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodePng(corrupt)
+    }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+    // truncated: signature + half the IHDR chunk
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(png.take(20))
+    }
+    // grayscale color type: unsupported, loud. Re-stamp the IHDR CRC
+    // after the patch so the COLOR check (not the CRC check) fires.
+    val gray = Multimodal.synthPng(1L, 4, 4)
+    gray(16 + 9) = 0.toByte // IHDR data @16; color type is byte 9
+    val crc = new java.util.zip.CRC32
+    crc.update(gray, 12, 4 + 13) // chunk type @12 + 13 data bytes
+    val cv = crc.getValue.toInt
+    gray(29) = (cv >>> 24).toByte; gray(30) = (cv >>> 16).toByte
+    gray(31) = (cv >>> 8).toByte; gray(32) = cv.toByte
+    val ge = intercept[IllegalArgumentException] { Multimodal.decodePng(gray) }
+    assert(ge.getMessage.contains("RGB"), ge.getMessage)
+  }
 }

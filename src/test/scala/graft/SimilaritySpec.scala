@@ -308,6 +308,42 @@ class SimilaritySpec extends AnyFunSuite {
       s"ADC distance diverged on $kk"))
   }
 
+  test("ivfPqTopK: cell-keyed probe routing yields exactly the cell-membership candidate set") {
+    // Pins the r9 cell-keyed routing rewrite against the routing
+    // DEFINITION: a (query, row) pair is a candidate iff the row's
+    // two-level cell is among the query's nProbe probed cells (the r8
+    // per-row linear scan's predicate). With k large enough the rerank
+    // keeps every candidate, so the returned pair set must EQUAL the
+    // predicate set — a wrong cell key or a dropped probe map entry
+    // breaks this equality in either direction.
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.operators.Dedup
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val nProbe = 2
+    val nLists = Dedup.autoClusters(base.count())
+    val fine = Dedup.semanticSeeds(base, col("vec_id"), col("embedding"), nLists)
+    val cells = Dedup.twoLevelCells(fine)
+    val rows = base.as[(Long, Seq[Float])].collect()
+    val cellOf = rows.map { case (id, e) =>
+      id -> Dedup.routeTwoLevel(fine, cells, e.toArray, 1)(0) }.toMap
+    val probesOf = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (qid, e) =>
+        qid -> Dedup.routeTwoLevel(fine, cells, e.toArray, nProbe).toSet }
+    val expected = (for {
+      (qid, probed) <- probesOf.iterator
+      (id, _) <- rows.iterator
+      if id != qid && probed.contains(cellOf(id))
+    } yield (qid, id)).toSet
+    val got = Similarity.ivfPqTopK(base, queries, k = 100000, nProbe = nProbe)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"candidate sets diverge: missing=${(expected -- got).take(5)} " +
+      s"extra=${(got -- expected).take(5)}")
+  }
+
   test("ivfPqInsertTopK: frozen structures route inserted copies to rank 1") {
     val base = emb.select(col("vec_id"), col("embedding"))
     // insert exact copies of the query vectors under NEW ids: the

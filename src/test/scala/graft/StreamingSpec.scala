@@ -232,6 +232,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags: okey regression across batches fails loud") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.CentsEvent]
+    val q = Streaming.anomalyExactStream(input.toDS(), rangeUnits = 100L, z = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_reg_out").start()
+    try {
+      input.addData(Streaming.CentsEvent("k", 50, 1L, 100L))
+      q.processAllAvailable()
+      // batch 2 regresses below state's max okey (50): the monotone
+      // precondition is violated — the query must DIE with the named
+      // guard, not emit silently-wrong flags from a mis-evicted deque
+      input.addData(Streaming.CentsEvent("k", 40, 2L, 100L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("okey regression")),
+        s"expected the okey-regression guard, got: ${ex.getMessage}")
+    } finally q.stop()
+  }
+
   test("streaming word counts: counters accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
