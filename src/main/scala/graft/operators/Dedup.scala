@@ -1690,6 +1690,128 @@ object Dedup {
     }
   }
 
+  /** Integer cube-root ceiling: the smallest c >= 1 with c^3 >= k,
+    * capped at k — PURE INTEGER (no cbrt float on either engine), the
+    * same rule the SQL oracle re-derives as
+    * `min(c) FROM range WHERE c*c*c >= k`. */
+  private[graft] def autoKc3(k: Int): Int = {
+    var c = 1L
+    while (c * c * c < k) c += 1
+    math.min(c, k.toLong).toInt
+  }
+
+  /** THREE-LEVEL (coarse → mid → fine) routing table — the next rung
+    * above [[twoLevelCells]] on the assignment-cost ladder (SCALE.md):
+    * under the k ∝ n contract the flat argmax is n·k dots, two-level
+    * ~2√k per row (n^1.5 total), and this tree ~3·k^(1/3) per row
+    * (n^(4/3) total) — at the fifth decade (k ≈ 312k) that is ~200
+    * dots/row instead of ~1100. Derivation mirrors two-level
+    * prefix-style: coarse = first kc = ceil∛k md5-ranked seeds, mid =
+    * first km = min(k, kc²), each mid attaches to its nearest coarse
+    * and each fine seed to its nearest mid (both metadata-sized,
+    * driver-side). Only OCCUPIED paths survive (a mid with no fine
+    * children, or a coarse whose mids are all childless, is never
+    * offered to rows — the twoLevelCells orphan rule applied per
+    * level). Same score (dot/‖c‖) and lowest-index tie rule
+    * everywhere, so the whole table is SQL-replayable.
+    *
+    * Returns (coarse idx, its occupied (mid idx, sorted fine children)
+    * cells, sorted) — only non-empty coarse entries. */
+  private[graft] def threeLevelCells(fine: Array[Array[Double]],
+      kcOverride: Int = 0, kmOverride: Int = 0)
+      : Array[(Int, Array[(Int, Array[Int])])] = {
+    val k = fine.length
+    val kc = math.min(if (kcOverride > 0) kcOverride else autoKc3(k), k)
+    val km = math.min(if (kmOverride > 0) kmOverride
+      else math.min(kc.toLong * kc, k.toLong).toInt, k)
+    val coarse = fine.take(kc)
+    val mids = fine.take(km)
+    val midOfFine = fine.map(f => Similarity.nearestListD(mids, f))
+    val coarseOfMid = mids.map(m => Similarity.nearestListD(coarse, m))
+    val finesByMid: Map[Int, Array[Int]] = fine.indices.toArray
+      .groupBy(midOfFine).map { case (m, fs) => m -> fs.sorted }
+    finesByMid.keys.toArray
+      .groupBy(coarseOfMid).toArray
+      .map { case (c, ms) =>
+        (c, ms.sorted.map(m => (m, finesByMid(m))))
+      }
+      .sortBy(_._1)
+  }
+
+  /** Route a vector through the three-level table: nearest occupied
+    * coarse, then that coarse's occupied mids, then that mid's fine
+    * children — (score DESC, idx ASC) at every level, the
+    * [[routeTwoLevel]] rule one level deeper. Returns the fine
+    * cluster index (the assignment). */
+  private[graft] def routeThreeLevel(fine: Array[Array[Double]],
+      tree: Array[(Int, Array[(Int, Array[Int])])], e: Array[Float]): Int = {
+    def score(c: Array[Double]): Double = {
+      var dot = 0.0
+      var nc = 0.0
+      var p = 0
+      while (p < c.length) { dot += c(p) * e(p); nc += c(p) * c(p); p += 1 }
+      if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
+    }
+    var bi = 0
+    var bs = Double.NegativeInfinity
+    var ci = 0
+    while (ci < tree.length) { // ascending idx: strict > keeps lowest ties
+      val s = score(fine(tree(ci)._1))
+      if (s > bs) { bs = s; bi = ci }
+      ci += 1
+    }
+    val mids = tree(bi)._2
+    var mi = 0
+    var ms = Double.NegativeInfinity
+    var mb = 0
+    while (mi < mids.length) {
+      val s = score(fine(mids(mi)._1))
+      if (s > ms) { ms = s; mb = mi }
+      mi += 1
+    }
+    val kids = mids(mb)._2
+    var bl = kids(0)
+    var bls = Double.NegativeInfinity
+    var ki = 0
+    while (ki < kids.length) {
+      val s = score(fine(kids(ki)))
+      if (s > bls) { bls = s; bl = kids(ki) }
+      ki += 1
+    }
+    bl
+  }
+
+  /** THREE-LEVEL cluster assignment — [[semanticClustersTwoLevel]]
+    * with one more routing level: ~3·k^(1/3) dots per row instead of
+    * ~2√k, the linear-assignment rung the cluster-statistics family
+    * (centroids / balanced sample / drift) rides from round 9 (SCALE.md
+    * measured the two-level route's n^1.5 curve approaching its bound
+    * at the fourth decade). Same reroute trade as two-level, one level
+    * deeper: a row whose true nearest fine centroid lives under a
+    * different coarse or mid cell is re-routed; near-identical vectors
+    * still co-cluster (identical inputs take identical paths). With
+    * kcOverride = kmOverride = k all levels collapse and the
+    * assignment EQUALS [[semanticClusters]] exactly (DedupSpec pins
+    * the identity).
+    *
+    * 100 TB shape: unchanged from the flat path — centroids broadcast,
+    * ONE zero-shuffle typed map; only the per-row flop count drops. */
+  def semanticClustersThreeLevel(df: DataFrame, id: Column, emb: Column,
+      nClusters: Int, kcOverride: Int = 0, kmOverride: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fine = semanticSeeds(df, id, emb, nClusters)
+    val tree = threeLevelCells(fine, kcOverride, kmOverride)
+    val bcFine = spark.sparkContext.broadcast(fine)
+    val bcTree = spark.sparkContext.broadcast(tree)
+    df.select(id.cast("long").as("vec_id"), emb.as("e"))
+      .as[(Long, Array[Float])]
+      .map { case (i, e) =>
+        (i, routeThreeLevel(bcFine.value, bcTree.value, e))
+      }
+      .toDF("vec_id", "lst")
+  }
+
   /** EXACT distributed per-cluster centroid sums — the
     * oracle-comparable twin of the Lloyd mean update
     * (Similarity.refineLloyd's float means are reduce-order-sensitive;
@@ -1706,15 +1828,18 @@ object Dedup {
     * whose output is k x dim rows (metadata-sized); no driver work at
     * all until the caller collects the (tiny) centroid table. */
   def clusterCentroidsExact(df: DataFrame, id: Column, emb: Column,
-      nClusters: Int, twoLevel: Boolean = false): DataFrame = {
-    // twoLevel: route through [[semanticClustersTwoLevel]] — with the
-    // auto-sized k ∝ n the flat argmax is n*k = n^2/64 dots (probed
-    // 29x for a 10x decade on this query before the rewire); the
-    // two-level route is ~2*sqrt(k) dots/row. Same exact-integer sums
-    // either way; only WHICH cluster a rerouted row lands in differs.
-    val assign =
-      if (twoLevel) semanticClustersTwoLevel(df, id, emb, nClusters)
-      else semanticClusters(df, id, emb, nClusters)
+      nClusters: Int, levels: Int = 1): DataFrame = {
+    // levels: routing depth — with the auto-sized k ∝ n the flat
+    // argmax (levels=1) is n*k = n^2/64 dots (probed 29x for a 10x
+    // decade on this query before the r8 rewire); two-level is
+    // ~2*sqrt(k) dots/row (n^1.5), three-level ~3*k^(1/3) (n^(4/3),
+    // the r9 rung). Same exact-integer sums at every depth; only
+    // WHICH cluster a rerouted row lands in differs.
+    val assign = levels match {
+      case 3 => semanticClustersThreeLevel(df, id, emb, nClusters)
+      case 2 => semanticClustersTwoLevel(df, id, emb, nClusters)
+      case _ => semanticClusters(df, id, emb, nClusters)
+    }
     val assigned = assign
       .join(df.select(id.cast("long").as("vec_id"), emb.as("e")), "vec_id")
     assigned

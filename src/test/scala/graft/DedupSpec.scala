@@ -579,6 +579,39 @@ class DedupSpec extends AnyFunSuite {
     assert(re == two)
   }
 
+  test("semanticClustersThreeLevel: overrides collapse to flat; copies co-cluster; invariant") {
+    val emb = Tables.embeddings(spark, dir)
+    val k = Dedup.autoClusters(emb.count())
+    val flat = Dedup.semanticClusters(emb, col("vec_id"), col("embedding"), k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // with every fine seed promoted to coarse AND mid, each path is
+    // {itself} and the three passes ARE the flat argmax — exact identity
+    val collapsed = Dedup.semanticClustersThreeLevel(emb, col("vec_id"),
+        col("embedding"), k, kcOverride = k, kmOverride = k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(collapsed == flat)
+    // default cbrt/cbrt^2 tree: deterministic, bounded, copies co-cluster
+    val three = Dedup.semanticClustersThreeLevel(emb, col("vec_id"),
+        col("embedding"), k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(three.keySet == flat.keySet)
+    assert(three.values.toSet.size <= k)
+    val emb2 = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    emb2.groupBy(_._2).values.filter(_.length > 1).foreach { grp =>
+      assert(grp.map(g => three(g._1)).toSet.size == 1,
+        s"identical vectors split three-level clusters: ${grp.map(_._1).toSeq}")
+    }
+    val re = Dedup.semanticClustersThreeLevel(emb.repartition(7), col("vec_id"),
+        col("embedding"), k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == three)
+    // the integer cube-root rule the oracle re-derives
+    assert(Dedup.autoKc3(1) == 1 && Dedup.autoKc3(2) == 2 &&
+      Dedup.autoKc3(8) == 2 && Dedup.autoKc3(9) == 3 &&
+      Dedup.autoKc3(27) == 3 && Dedup.autoKc3(28) == 4)
+  }
+
   test("clusterCentroidsExact: integer sums are order-independent and complete") {
     val emb = Tables.embeddings(spark, dir)
     val k = Dedup.autoClusters(emb.count())
