@@ -416,6 +416,255 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // REAL GIF87a/89a codec (round 9): the second compressed image
+  // format pure JVM code covers — LZW is ~100 lines of integer
+  // bit-stream work (variable-width codes, clear/EOI, dictionary
+  // growth incl. the KwKwK self-reference case), and the container
+  // (logical screen descriptor, color table, sub-block framing) is
+  // plain structured bytes. The encoder is a REAL dictionary LZW
+  // compressor, so the decoder's dictionary reconstruction is
+  // exercised for real — a wrong first-free-code, a missed width
+  // bump, or a botched KwKwK entry all corrupt the pixel stream and
+  // fail the formula oracle's position-weighted checksum.
+  // ------------------------------------------------------------------
+
+  /** Deterministic 64-entry palette shared by [[synthGif]] and the SQL
+    * oracle: entry i = (floorMod(i·37, 256), floorMod(i·91 + 17, 256),
+    * floorMod(i·53 + 101, 256)). */
+  def gifPaletteByte(i: Int, c: Int): Int = c match {
+    case 0 => Math.floorMod(i * 37, 256)
+    case 1 => Math.floorMod(i * 91 + 17, 256)
+    case _ => Math.floorMod(i * 53 + 101, 256)
+  }
+
+  /** A valid GIF89a: 6-bit color depth (64-entry global table from
+    * [[gifPaletteByte]]), one image, pixel index (y·w+x) =
+    * [[synthPixelByte]](key, y·w+x) mod 64, and the index stream
+    * LZW-compressed by a REAL dictionary encoder (variable code
+    * width, clear code emitted when the table fills to 12 bits). */
+  def synthGif(key: Long, w: Int, h: Int): Array[Byte] = {
+    val nIdx = 64 // 6-bit palette
+    val minCode = 6
+    val idx = new Array[Int](w * h)
+    var k = 0
+    while (k < idx.length) { idx(k) = synthPixelByte(key, k) % nIdx; k += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(w); u16(h)
+    out.write(0x80 | ((minCode - 1) << 4) | (minCode - 1)) // GCT, 64 entries
+    out.write(0); out.write(0) // bg idx, aspect
+    var i = 0
+    while (i < nIdx) {
+      out.write(gifPaletteByte(i, 0)); out.write(gifPaletteByte(i, 1))
+      out.write(gifPaletteByte(i, 2)); i += 1
+    }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    out.write(0) // no local color table, not interlaced
+    out.write(minCode)
+    // REAL LZW: dictionary of index strings keyed by (prefixCode, next)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val dict = new java.util.HashMap[Long, Integer]()
+    var nextCode = eoi + 1
+    var width = minCode + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var cur = 0L
+    var nbits = 0
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) { bits.write((cur & 0xff).toInt); cur >>>= 8; nbits -= 8 }
+    }
+    emit(clear)
+    var prefix = idx(0)
+    i = 1
+    while (i < idx.length) {
+      val key2 = prefix.toLong << 16 | idx(i)
+      val hit = dict.get(key2)
+      if (hit != null) prefix = hit.intValue()
+      else {
+        emit(prefix)
+        dict.put(key2, Integer.valueOf(nextCode))
+        nextCode += 1
+        // width bump AFTER the add: the next emitted code must fit the
+        // grown table (codes up to nextCode-1, plus the decoder's KwKwK
+        // slot at nextCode). The decoder's mirror condition fires at
+        // nextCode == 2^width - 1 because its add-counter runs one
+        // entry BEHIND the encoder's at the same stream position (it
+        // learns entry t only upon reading code t+1) — symmetric
+        // conditions desync at every power-of-two boundary (hand-traced
+        // in MultimodalSpec's width-growth case).
+        if (nextCode == (1 << width) && width < 12) width += 1
+        if (nextCode == 4096) { // table full: reset
+          emit(clear)
+          dict.clear()
+          nextCode = eoi + 1
+          width = minCode + 1
+        }
+        prefix = idx(i)
+      }
+      i += 1
+    }
+    emit(prefix)
+    emit(eoi)
+    if (nbits > 0) bits.write((cur & 0xff).toInt)
+    // sub-block framing: <=255-byte chunks, zero terminator
+    val z = bits.toByteArray
+    var off = 0
+    while (off < z.length) {
+      val len = math.min(255, z.length - off)
+      out.write(len)
+      out.write(z, off, len)
+      off += len
+    }
+    out.write(0)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  case class GifImage(width: Int, height: Int,
+      palette: Array[Byte] /* n x RGB */ ,
+      indices: Array[Int] /* top-down row-major palette indices */) {
+    /** Decoded RGB byte at logical position k (pixel k/3, channel k%3). */
+    def rgb(k: Int): Int =
+      palette(indices(k / 3) * 3 + k % 3) & 0xff
+  }
+
+  /** REAL GIF87a/89a decoder (non-interlaced, global color table):
+    * validates the signature, reads the logical screen descriptor and
+    * color table, skips extension blocks (sub-block framing), and
+    * LZW-decodes the image data — variable-width codes, clear/EOI
+    * handling, dictionary reconstruction including the KwKwK case
+    * (code == nextCode: the string is prev + prev.head). Malformed
+    * input — bad magic, code beyond the dictionary, truncated
+    * sub-blocks, missing EOI — is a loud IllegalArgumentException. */
+  def decodeGif(payload: Array[Byte]): GifImage =
+    // every structural error is an IAE, including reads running off a
+    // truncated payload mid-field
+    try decodeGif0(payload)
+    catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("gif: truncated payload")
+    }
+
+  private def decodeGif0(payload: Array[Byte]): GifImage = {
+    require(payload.length > 13, "gif: truncated header")
+    val sig = new String(payload, 0, 6, "US-ASCII")
+    require(sig == "GIF89a" || sig == "GIF87a", s"gif: bad signature $sig")
+    var p = 6
+    def u16(): Int = {
+      val v = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8); p += 2; v
+    }
+    val sw = u16(); val sh = u16()
+    val packed = payload(p) & 0xff; p += 3 // packed, bg, aspect
+    require((packed & 0x80) != 0, "gif: global color table required")
+    val gctSize = 2 << (packed & 7)
+    require(p + gctSize * 3 <= payload.length, "gif: truncated color table")
+    val palette = java.util.Arrays.copyOfRange(payload, p, p + gctSize * 3)
+    p += gctSize * 3
+    // walk blocks to the image descriptor, skipping extensions
+    var w = 0
+    var h = 0
+    var found = false
+    while (!found) {
+      require(p < payload.length, "gif: no image descriptor")
+      val b = payload(p) & 0xff; p += 1
+      b match {
+        case 0x2c =>
+          u16(); u16() // left, top
+          w = u16(); h = u16()
+          require(w > 0 && h > 0 && w <= sw && h <= sh, "gif: bad image size")
+          val lp = payload(p) & 0xff; p += 1
+          require((lp & 0x80) == 0, "gif: local color tables unsupported")
+          require((lp & 0x40) == 0, "gif: interlaced images unsupported")
+          found = true
+        case 0x21 => // extension: label + sub-blocks
+          p += 1
+          var len = payload(p) & 0xff; p += 1
+          while (len != 0) { p += len; len = payload(p) & 0xff; p += 1 }
+        case 0x3b => throw new IllegalArgumentException("gif: trailer before image")
+        case x => throw new IllegalArgumentException(f"gif: unknown block 0x$x%02x")
+      }
+    }
+    val minCode = payload(p) & 0xff; p += 1
+    require(minCode >= 2 && minCode <= 8, s"gif: bad LZW min code $minCode")
+    // concatenate the sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var len = payload(p) & 0xff; p += 1
+    while (len != 0) {
+      require(p + len <= payload.length, "gif: truncated sub-block")
+      data.write(payload, p, len); p += len
+      len = payload(p) & 0xff; p += 1
+    }
+    val z = data.toByteArray
+    // LZW decode
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Int](w * h)
+    var outN = 0
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Int](4096)
+    var nextCode = eoi + 1
+    var width = minCode + 1
+    var cur = 0L
+    var nbits = 0
+    var zp = 0
+    var prev = -1
+    var sawEoi = false
+    val stack = new Array[Int](4096)
+    def firstOf(code0: Int): Int = {
+      var c = code0
+      while (c >= clear) c = prefixOf(c)
+      c
+    }
+    while (!sawEoi) {
+      while (nbits < width && zp < z.length) {
+        cur |= (z(zp) & 0xffL) << nbits; nbits += 8; zp += 1
+      }
+      require(nbits >= width, "gif: LZW stream ends before EOI")
+      val code = (cur & ((1L << width) - 1)).toInt
+      cur >>>= width; nbits -= width
+      if (code == clear) {
+        nextCode = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        sawEoi = true
+      } else {
+        require(code < nextCode || (code == nextCode && prev >= 0),
+          s"gif: code $code beyond dictionary ($nextCode)")
+        var sp = 0
+        if (code == nextCode) { // KwKwK: prev + first(prev)
+          stack(sp) = firstOf(prev); sp += 1
+          var c = prev
+          while (c >= clear) { stack(sp) = suffixOf(c); sp += 1; c = prefixOf(c) }
+          stack(sp) = c; sp += 1
+        } else {
+          var c = code
+          while (c >= clear) { stack(sp) = suffixOf(c); sp += 1; c = prefixOf(c) }
+          stack(sp) = c; sp += 1
+        }
+        require(outN + sp <= out.length, "gif: more pixels than w*h")
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (prev >= 0 && nextCode < 4096) {
+          prefixOf(nextCode) = prev
+          suffixOf(nextCode) = firstOf(code)
+          nextCode += 1
+          // one less than the encoder's 2^width condition: the
+          // decoder's counter is one entry behind at the same stream
+          // position (see the encoder-side comment)
+          if (nextCode == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    require(outN == w * h, s"gif: decoded $outN pixels, expected ${w * h}")
+    out.foreach(ix => require(ix * 3 + 2 < palette.length,
+      s"gif: index $ix beyond palette"))
+    GifImage(w, h, palette, out)
+  }
+
   case class PngImage(width: Int, height: Int, bitDepth: Int,
       colorType: Int, pixels: Array[Byte] /* top-down row-major RGB */)
 

@@ -206,5 +206,44 @@ object MultimodalQueries {
           (id, img.width.toLong, img.height.toLong, ps, pw)
         }
         .toDF("id", "width", "height", "pix_sum", "pix_wsum")
+    },
+
+    // REAL GIF DECODE round-trip: a 15x22 GIF89a per doc (330 noisy
+    // pixels — the LZW dictionary crosses the 128- and 256-entry
+    // boundaries, so the variable code width grows 7->8->9 bits inside
+    // every graded payload), compressed by a REAL dictionary LZW
+    // encoder and decoded by the full variable-width decoder
+    // (clear/EOI, KwKwK, sub-block framing, extension skip). The
+    // oracle recomputes palette[pixel-formula] directly; the
+    // position-weighted checksum fails on any dictionary, width-bump,
+    // or palette-indexing error.
+    "mm_gif_decode" -> QueryDef(
+      """WITH g AS (SELECT doc_id AS id, k,
+        |    ((doc_id * 31 + (k // 3)) * 97) % 256 % 64 AS ix, k % 3 AS c
+        |  FROM documents, unnest(range(0, 990)) AS r(k)),
+        |p AS (SELECT id, k, CAST(CASE c WHEN 0 THEN (ix * 37) % 256
+        |    WHEN 1 THEN (ix * 91 + 17) % 256
+        |    ELSE (ix * 53 + 101) % 256 END AS BIGINT) AS b FROM g)
+        |SELECT id, CAST(15 AS BIGINT) AS width, CAST(22 AS BIGINT) AS height,
+        |  CAST(sum(b) AS BIGINT) AS pix_sum,
+        |  CAST(sum(k * b) AS BIGINT) AS pix_wsum
+        |FROM p GROUP BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val img = Multimodal.decodeGif(Multimodal.synthGif(id, 15, 22))
+          var ps = 0L
+          var pw = 0L
+          var k = 0
+          val n = img.width * img.height * 3
+          while (k < n) {
+            val b = img.rgb(k).toLong
+            ps += b
+            pw += k * b
+            k += 1
+          }
+          (id, img.width.toLong, img.height.toLong, ps, pw)
+        }
+        .toDF("id", "width", "height", "pix_sum", "pix_wsum")
     })
 }

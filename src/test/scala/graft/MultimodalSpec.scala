@@ -75,6 +75,56 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.decodeBmp(bmp) }
   }
 
+  test("gif: synth/decode round-trip inverts real dictionary LZW") {
+    // 64x64 = 4096 noisy pixels: the dictionary crosses several
+    // variable-width boundaries (7->8->9->10 bits), so any
+    // encoder/decoder width-bump desync corrupts the stream
+    val img = Multimodal.decodeGif(Multimodal.synthGif(5L, 64, 64))
+    assert(img.width == 64 && img.height == 64)
+    assert(img.indices.length == 64 * 64)
+    (0 until img.indices.length).foreach { p =>
+      assert(img.indices(p) == Multimodal.synthPixelByte(5L, p) % 64, s"px $p")
+    }
+    (0 until 64 * 64 * 3).foreach { k =>
+      assert(img.rgb(k) ==
+        Multimodal.gifPaletteByte(Multimodal.synthPixelByte(5L, k / 3) % 64, k % 3))
+    }
+    // tiny images: single pixel (no dictionary at all), one row
+    Seq((1, 1), (7, 1), (3, 9)).foreach { case (w, h) =>
+      val i2 = Multimodal.decodeGif(Multimodal.synthGif(11L, w, h))
+      (0 until w * h).foreach { p =>
+        assert(i2.indices(p) == Multimodal.synthPixelByte(11L, p) % 64,
+          s"${w}x$h px $p")
+      }
+    }
+  }
+
+  test("gif: extension blocks are skipped; malformed files are loud errors") {
+    val base = Multimodal.synthGif(3L, 8, 8)
+    // splice a graphic-control extension (0x21 0xF9, one 4-byte
+    // sub-block, terminator) right before the image descriptor — the
+    // decoder must sub-block-walk past it
+    val imgDesc = base.indexWhere(_ == 0x2c.toByte, 13 + 64 * 3)
+    val ext = Array[Byte](0x21.toByte, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val spliced = base.take(imgDesc) ++ ext ++ base.drop(imgDesc)
+    val img = Multimodal.decodeGif(spliced)
+    (0 until 64).foreach { p =>
+      assert(img.indices(p) == Multimodal.synthPixelByte(3L, p) % 64)
+    }
+    // GIF87a signature also accepted
+    val g87 = base.clone(); g87(4) = '7'.toByte
+    assert(Multimodal.decodeGif(g87).width == 8)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGif(Array.fill[Byte](64)(0)) // no signature
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGif(base.take(base.length / 2)) // truncated stream
+    }
+    val bad = base.clone()
+    bad(1) = 'X'.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeGif(bad) }
+  }
+
   test("png: synth/decode round-trip inverts deflate and all five filters") {
     // h=6 cycles the filter byte through 0,1,2,3,4,0: every RFC 2083
     // filter (None/Sub/Up/Average/Paeth) must reconstruct exactly
