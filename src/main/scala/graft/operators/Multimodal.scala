@@ -509,6 +509,19 @@ object Multimodal {
       i += 1
     }
     emit(prefix)
+    // Mirror the decoder's dictionary add for this FINAL data code: the
+    // decoder, on reading it, adds one more entry (prev + first) that the
+    // encoder never needed — and if that add lands exactly on the
+    // decoder's bump boundary (its nextCode == 2^width - 1, which equals
+    // the encoder's nextCode here since the encoder skipped the add), the
+    // decoder reads EOI at width+1 while an unmirrored encoder wrote it
+    // at the old width. When the bitstream happened to be byte-aligned
+    // the decoder then threw "ends before EOI" on a valid payload
+    // (e.g. 2x31 at key%256==200 — pinned in MultimodalSpec). The
+    // boundary value is unreachable with zero adds since the last clear
+    // (nextCode resets to eoi+1 < 2^width - 1), so no emitted-count guard
+    // is needed: if the condition holds, the decoder's final add happens.
+    if (nextCode == (1 << width) - 1 && width < 12) width += 1
     emit(eoi)
     if (nbits > 0) bits.write((cur & 0xff).toInt)
     // sub-block framing: <=255-byte chunks, zero terminator
@@ -676,7 +689,16 @@ object Multimodal {
     * chunks are skipped, as the spec requires. Malformed input — bad
     * magic, CRC mismatch, short inflate, unsupported color — is a loud
     * IllegalArgumentException, never garbage pixels. */
-  def decodePng(payload: Array[Byte]): PngImage = {
+  def decodePng(payload: Array[Byte]): PngImage =
+    // same contract as decodeGif: any structural error, including a read
+    // running off a truncated payload mid-field, is a loud IAE
+    try decodePng0(payload)
+    catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("png: truncated payload")
+    }
+
+  private def decodePng0(payload: Array[Byte]): PngImage = {
     require(payload.length >= 8 + 25 + 12,
       "png: truncated file")
     var p = 0
@@ -697,7 +719,10 @@ object Multimodal {
     while (!sawIend) {
       require(p + 8 <= payload.length, "png: truncated chunk header")
       val len = be32(p)
-      require(len >= 0 && p + 12 + len <= payload.length,
+      // bound check in Long: a crafted len near Int.MaxValue overflows
+      // `p + 12 + len` negative and would sail past an Int comparison
+      // straight into an AIOOBE inside CRC32.update
+      require(len >= 0 && p.toLong + 12L + len <= payload.length,
         s"png: truncated chunk (len=$len)")
       val typ = new String(payload, p + 4, 4, "US-ASCII")
       val crc = new java.util.zip.CRC32

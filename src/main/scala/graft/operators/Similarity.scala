@@ -610,6 +610,95 @@ object Similarity {
         (col("label") === col("pred_label")).as("agree"))
   }
 
+  /** Deterministic anchor sample for recall evaluation: the first `n`
+    * vectors in (md5(vec_id), vec_id) order — the repo's md5-prefix
+    * sampling discipline (content-independent, engine-replayable,
+    * spread uniformly over the id space however ids were assigned, so
+    * a replicated probe corpus doesn't concentrate anchors in one
+    * replica). orderBy+limit plans as TakeOrdered (per-partition top-n
+    * then a driver merge of n-row heads), never a global sort — safe
+    * at any corpus size for mining-set-sized n.
+    *
+    * Exists because a recall ESTIMATE converges long before every
+    * query runs (SCALE.md): the brute ground-truth arm is anchors x
+    * corpus dots, so sampling anchors is the knob that keeps
+    * deep-decade recall probes affordable. */
+  def sampleAnchors(corpus: DataFrame, n: Int): DataFrame =
+    corpus.orderBy(md5(col("vec_id").cast("string")), col("vec_id").asc)
+      .limit(n)
+
+  /** Recall@k of a kNN GRAPH (src_id, neighbor_id edges, e.g.
+    * [[knnGraph]] output) against the exact cosine top-k, on `anchors`
+    * sampled anchors: per anchor, how many of the true top-k the graph
+    * found, as exact integer ppm. The graph side is pruned to the
+    * anchor set via a broadcast join BEFORE touching the (possibly
+    * corpus x k sized) edge frame, so nothing graph-sized shuffles;
+    * the brute arm pays anchors x corpus dots — the sampled cost this
+    * harness exists to bound. */
+  def graphRecallSampled(corpus: DataFrame, graph: DataFrame, k: Int,
+      anchors: Int): DataFrame = {
+    val a = sampleAnchors(corpus, anchors)
+    val anchorIds = broadcast(
+      a.select(col("vec_id").cast("long").as("q_id")))
+    val found = graph
+      .select(col("src_id").cast("long").as("q_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .join(anchorIds, "q_id")
+      .withColumn("hit", lit(1L))
+    bruteForceTopK(corpus, a, k)
+      .select(col("q_id").cast("long").as("q_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .join(found, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("hits"),
+        expr(s"hits * 1000000 div $k").as("recall_ppm"))
+  }
+
+  /** [[ivfPqTopK]] recall@k vs brute, on sampled anchors — the
+    * emb_ann_recall evaluation with the anchor set as a knob instead
+    * of the graded query's fixed vec_id < 10 slice. */
+  def annRecallSampled(corpus: DataFrame, k: Int, anchors: Int,
+      nProbe: Int = 2): DataFrame = {
+    val a = sampleAnchors(corpus, anchors)
+    val approx = ivfPqTopK(corpus, a, k, nProbe)
+      .select(col("q_id").cast("long").as("q_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    bruteForceTopK(corpus, a, k)
+      .select(col("q_id").cast("long").as("q_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("hits"),
+        expr(s"hits * 1000000 div $k").as("recall_ppm"))
+  }
+
+  /** Probe-side hot-bucket audit for the [[knnGraph]] family: per-table
+    * count of LSH buckets OVER `maxBucket` (these are dropped from
+    * candidate generation by Dedup.capBuckets) and the rows they held —
+    * the "capped-bucket log counts" a scale probe records next to its
+    * recall row, so a recall drop can be attributed to cap pressure
+    * (duplicate mass) rather than bucket-space exhaustion. One
+    * aggregation over the exploded (tbl, bkt) frame; output is
+    * tables-sized. */
+  def cappedBucketStats(corpus: DataFrame, bits: Int, dim: Int,
+      maxBucket: Int, tables: Int = 24, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val b = if (bits > 0) bits else autoBits(corpus.count())
+    corpus.select(col("vec_id").cast("long").as("id"),
+        posexplode(bucketArray(col("embedding"), b, dim, tables, seed))
+          .as(Seq("tbl", "bkt")))
+      .groupBy("tbl", "bkt").agg(count(lit(1)).as("rows"))
+      .filter(col("rows") > maxBucket)
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("capped_buckets"),
+        sum(col("rows")).as("rows_in_capped"))
+      .orderBy("tbl")
+  }
+
   /** Corpus-scaled SRP bit width: the smallest b in [1, maxBits] with
     * targetPerBucket * 2^b >= n — i.e. expected bucket occupancy at
     * most `targetPerBucket` rows per table, so LSH candidate volume

@@ -80,13 +80,83 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * numbers themselves: both assume the single writer per
     * (definition, key); an out-of-band append by ANOTHER instance is
     * the same race the contract already excludes. A fresh read here
-    * also refreshes the write cache forward (never backward). */
+    * also refreshes the write cache forward (never backward).
+    *
+    * The reader path itself is cached too (r10, recovering the r9
+    * correctness-for-speed cost — +0.3s across the two catalog queries
+    * at sf0.1, far worse at 100x catalog churn): the cache key is the
+    * meta log's FILE-LISTING fingerprint. The log is append-only
+    * parquet — every commit, from any process, materializes as new
+    * uniquely-named part files — so "the listing is unchanged" proves
+    * "no commit landed since the cached scan", which is exactly the
+    * staleness the r8 instance-lifetime cache got wrong. The listing
+    * is one driver-side filesystem call instead of a full mergeSchema
+    * parquet read + agg. */
   def currentVersion(definition: String, key: String): Long = {
-    val scanned = scanVersion(definition, key)
     val k = (definition, key)
+    val scanned = scanVersion(definition, key)
     val v = math.max(scanned, verCache.getOrElse(k, 0L))
     verCache.update(k, v)
     v
+  }
+
+  /** Names + sizes of every file under the meta log dir — the
+    * append-only contract means any commit, from any process, changes
+    * this set (new uniquely-named part files), so an unchanged listing
+    * proves the cached collected log is current. One driver-side
+    * filesystem call instead of a mergeSchema parquet read + Spark job. */
+  private def logFingerprint: String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(metaPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) "absent"
+      else {
+        val it = fs.listFiles(p, true)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val s = it.next()
+          parts += s"${s.getPath.getName}:${s.getLen}"
+        }
+        parts.sorted.mkString(",")
+      }
+    } catch { case _: java.io.IOException => s"unlistable-${System.nanoTime()}" }
+
+  /** One collected log event: (definition, key, hash, op, ver). The
+    * stats columns stay in the DataFrame views; the private helpers
+    * only ever key on these five. */
+  private case class LogRow(definition: String, key: String,
+      hash: String, op: String, ver: Long)
+
+  private var logCache: Option[(String, Seq[LogRow])] = None
+
+  /** The meta log COLLECTED, cached per listing fingerprint. The log
+    * is metadata-sized by contract (one row per block event), so a
+    * local copy is always affordable — and it converts the read-side
+    * helpers (version lookup, hash-dedup check, live-block derivation)
+    * from one Spark read + job EACH into zero jobs while the log is
+    * unchanged, one small collect when it isn't (r10: ev_catalog_scan
+    * paid ~10 mergeSchema log reads per run; the listing fingerprint
+    * keeps every cache hit exactly as fresh as a rescan). */
+  private def logRows: Seq[LogRow] = {
+    val fp = logFingerprint
+    logCache match {
+      case Some((`fp`, rows)) => rows
+      case _ =>
+        val log = metaLog
+        val rows: Seq[LogRow] =
+          if (!log.columns.contains("hash")) Seq.empty
+          else {
+            val op = if (log.columns.contains("op")) col("op")
+              else lit("add")
+            log.select(col("definition"), col("key"), col("hash"),
+                op.as("op"), col("ver"))
+              .collect().toSeq
+              .map(r => LogRow(r.getString(0), r.getString(1),
+                r.getString(2), r.getString(3), r.getLong(4)))
+          }
+        logCache = Some((fp, rows))
+        rows
+    }
   }
 
   /** Write-path version lookup: instance cache, log scan only on the
@@ -96,14 +166,8 @@ class BlockCatalog(spark: SparkSession, root: String) {
       scanVersion(definition, key))
 
   private def scanVersion(definition: String, key: String): Long = {
-    val log = metaLog
-    if (!log.columns.contains("ver")) 0L
-    else {
-      val r = log
-        .filter(col("definition") === definition && col("key") === key)
-        .agg(max(col("ver"))).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
+    val rs = logRows.filter(r => r.definition == definition && r.key == key)
+    if (rs.isEmpty) 0L else rs.map(_.ver).max
   }
 
   private val verCache =
@@ -141,13 +205,9 @@ class BlockCatalog(spark: SparkSession, root: String) {
   /** True iff the hash was EVER cataloged for (definition, key) — adds
     * and tombstones alike (tombstoned content already lives inside a
     * compacted block; re-storing it would duplicate rows). */
-  private def hashExists(definition: String, key: String, hash: String): Boolean = {
-    val m = metaLog
-    m.columns.contains("hash") && !m
-      .filter(col("definition") === definition && col("key") === key &&
-        col("hash") === hash)
-      .isEmpty
-  }
+  private def hashExists(definition: String, key: String, hash: String): Boolean =
+    logRows.exists(r =>
+      r.definition == definition && r.key == key && r.hash == hash)
 
   /** Store a ts-ordered frame as day-partitioned parquet + one metadata
     * row; skipped (false) when the identical content is already
@@ -195,10 +255,12 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * leftover — is invisible garbage, never a double-count. */
   private def liveHashes(definition: String, key: String,
       asOfVer: Long = Long.MaxValue): Seq[String] = {
-    val m = metaAsOf(asOfVer)
-    if (!m.columns.contains("hash")) Seq.empty
-    else m.filter(col("definition") === definition && col("key") === key)
-      .select("hash").collect().map(_.getString(0)).toSeq
+    // same add-minus-tombstone derivation as metaAsOf, over the cached
+    // collected log — zero Spark jobs when the log is unchanged
+    val rs = logRows.filter(r =>
+      r.definition == definition && r.key == key && r.ver <= asOfVer)
+    val drops = rs.filter(_.op == "drop").map(_.hash).toSet
+    rs.filter(_.op == "add").map(_.hash).distinct.filterNot(drops)
   }
 
   /** Full scan of a (definition, key) table (meta-listed blocks only;
@@ -249,12 +311,9 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * deleted. */
   def vacuum(definition: String, key: String): Int = {
     val live = liveHashes(definition, key).toSet
-    val log = metaLog
-    if (!log.columns.contains("hash")) return 0
-    val dropped = log
-      .filter(col("definition") === definition && col("key") === key &&
-        col("op") === "drop")
-      .select("hash").distinct().collect().map(_.getString(0))
+    val dropped = logRows
+      .filter(r => r.definition == definition && r.key == key && r.op == "drop")
+      .map(_.hash).distinct
       .filterNot(live)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)

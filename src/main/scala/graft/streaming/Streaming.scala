@@ -485,7 +485,10 @@ object Streaming {
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   private lazy val drainSweeper: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      System.err.println(s"[graft] drain sweeper: ${drainDirs.size} dirs")
+      // stdout, not stderr: sbt prefixes stderr lines with [error],
+      // which made this routine reclamation notice read as a failure
+      // in every gate log
+      println(s"[graft] drain sweeper: ${drainDirs.size} dirs")
       drainDirs.forEach { p =>
         try {
           import scala.jdk.CollectionConverters._

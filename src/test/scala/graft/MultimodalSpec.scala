@@ -99,6 +99,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gif: final-code width-bump boundary round-trips (EOI desync)") {
+    // The decoder does one extra dictionary add after the FINAL data code
+    // (the encoder never needed it); when that add lands on the decoder's
+    // width-bump boundary, an unmirrored encoder wrote EOI one bit
+    // narrower than the decoder reads it — fatal iff the stream was also
+    // byte-aligned ("ends before EOI" on a valid payload). 2x31 at
+    // key%256==200 is a known-fatal combo (found by simulation); sweep
+    // all 256 key classes on that shape plus a band of nearby shapes so
+    // both the boundary-hit and boundary-miss paths stay exercised.
+    (0 until 256).foreach { key =>
+      val img = Multimodal.decodeGif(Multimodal.synthGif(key.toLong, 2, 31))
+      (0 until 62).foreach { p =>
+        assert(img.indices(p) == Multimodal.synthPixelByte(key.toLong, p) % 64,
+          s"key $key px $p")
+      }
+    }
+    for (w <- 2 to 4; h <- 28 to 34; key <- Seq(7L, 200L, 255L)) {
+      val img = Multimodal.decodeGif(Multimodal.synthGif(key, w, h))
+      (0 until w * h).foreach { p =>
+        assert(img.indices(p) == Multimodal.synthPixelByte(key, p) % 64,
+          s"${w}x$h key $key px $p")
+      }
+    }
+  }
+
   test("gif: extension blocks are skipped; malformed files are loud errors") {
     val base = Multimodal.synthGif(3L, 8, 8)
     // splice a graphic-control extension (0x21 0xF9, one 4-byte
@@ -175,5 +200,13 @@ class MultimodalSpec extends AnyFunSuite {
     gray(31) = (cv >>> 8).toByte; gray(32) = cv.toByte
     val ge = intercept[IllegalArgumentException] { Multimodal.decodePng(gray) }
     assert(ge.getMessage.contains("RGB"), ge.getMessage)
+    // crafted chunk length near Int.MaxValue: `p + 12 + len` overflowed
+    // Int to negative, slipped past the truncation require, and surfaced
+    // as an AIOOBE from CRC32.update — must be a loud IAE instead
+    val huge = png.clone()
+    huge(8) = 0x7f.toByte; huge(9) = 0xff.toByte // IHDR len := 0x7fffffff
+    huge(10) = 0xff.toByte; huge(11) = 0xff.toByte
+    val he = intercept[IllegalArgumentException] { Multimodal.decodePng(huge) }
+    assert(he.getMessage.contains("truncated"), he.getMessage)
   }
 }

@@ -54,7 +54,16 @@ def main():
             flats.append(np.ascontiguousarray(v, dtype=np.float32).ravel())
             labels.append(label)
         rows = n * len(ids)
-        offsets = pa.array(np.arange(rows + 1, dtype=np.int32) * dim)
+        # offsets computed in int64 first: at rows*dim >= 2^31 the old
+        # int32 arange wrapped negative and ListArray.from_arrays either
+        # failed or silently corrupted the file. Offsets restart at 0 per
+        # written chunk, so int32 is safe iff THIS chunk stays under 2^31
+        # values — assert that, then downcast.
+        off64 = np.arange(rows + 1, dtype=np.int64) * dim
+        assert off64[-1] < 2**31, (
+            f"chunk too large for int32 list offsets: {rows} rows x {dim} "
+            f"dims = {off64[-1]} values; lower --chunk")
+        offsets = pa.array(off64.astype(np.int32))
         values = pa.array(np.concatenate(flats))
         lst = pa.ListArray.from_arrays(offsets, values)
         batch = pa.table({
