@@ -793,4 +793,388 @@ object Multimodal {
     }
     PngImage(w, h, bitDepth, colorType, out)
   }
+
+  // ------------------------------------------------------------------
+  // REAL baseline JPEG codec (round 10): the last real-codec rung pure
+  // JVM reaches — entropy coding (canonical Huffman over DC categories
+  // and AC run/size symbols, MSB-first bitstream with 0xFF00 byte
+  // stuffing), DC prediction, zigzag, dequantization, and a full 2D
+  // IDCT. Grayscale single-component baseline (SOF0), which is a 100%
+  // conformant JPEG; the tables ride in DQT/DHT like any real file, so
+  // the decoder's table parsing is exercised for real rather than
+  // against hard-coded Annex K constants.
+  //
+  // Oracle discipline (the PNG/GIF formula-oracle pattern, adapted to
+  // a LOSSY format): the graded payload is BLOCK-CONSTANT — every 8x8
+  // block holds one value v = 128 + 2*m with m in [-32, 31], so its
+  // DCT is DC-only (DC = 16*m), the DC quant step is exactly 16
+  // (quantized DC = m, zero rounding loss), and the IDCT reconstructs
+  // v bit-exactly. The roundtrip is therefore EXACT despite JPEG being
+  // lossy in general, and the DuckDB oracle replays the pixel formula
+  // directly. The general lossy path (AC coefficients, zigzag runs,
+  // ZRL, mid-block EOB) is exercised in MultimodalSpec against an
+  // independent reference IDCT.
+  // ------------------------------------------------------------------
+
+  /** Quantized-domain block value for the graded payload: block b of
+    * doc `key` holds pixel value 128 + 2*jpegBlockM(key, b). Shared
+    * with the SQL oracle ((synthPixelByte % 64) - 32). */
+  def jpegBlockM(key: Long, b: Long): Int = synthPixelByte(key, b) % 64 - 32
+
+  /** Quant table used by [[synthJpeg]]: DC step exactly 16 (the
+    * exactness contract above); AC steps deterministic filler — the
+    * graded payload has zero ACs, and the spec's AC cases read the
+    * steps back out of DQT, so the values only need to be valid. */
+  private[graft] val JpegQuant: Array[Int] =
+    Array.tabulate(64)(i => if (i == 0) 16 else 16 + i)
+
+  /** Canonical Huffman tables carried in DHT. DC: the 12 categories,
+    * all 4-bit codes (12 <= 16 codes, max assigned code 1011 — the
+    * all-ones code stays unused as T.81 requires). AC: all 162
+    * baseline symbols (EOB, ZRL, run 0-15 x size 1-10), all 8-bit
+    * codes (162 <= 256, max code 10100001). Self-consistent by
+    * construction: the encoder uses the same (bits, values) lists the
+    * decoder rebuilds from DHT. */
+  private val JpegDcVals: Array[Int] = (0 to 11).toArray
+  private val JpegAcVals: Array[Int] =
+    Array(0x00, 0xF0) ++
+      (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+
+  /** A valid baseline JFIF (grayscale, SOF0): w x h pixels where
+    * pixel(x, y) = 128 + 2*[[jpegBlockM]](key, blockIndex) and
+    * blockIndex = (y/8)*ceil(w/8) + (x/8) — block-constant, so the
+    * lossy roundtrip is exact (scaladoc above). Edge blocks of
+    * non-multiple-of-8 images replicate into the pad region (still
+    * constant), so crop dimensions stay exact too. */
+  def synthJpeg(key: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "jpeg: bad dims")
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val blocks = Array.tabulate(bw * bh) { b =>
+      val coeffs = new Array[Int](64)
+      coeffs(0) = jpegBlockM(key, b)
+      coeffs
+    }
+    encodeJpegBlocks(blocks, w, h)
+  }
+
+  /** Serialize quantized coefficient blocks (natural order, DC at 0) as
+    * a baseline grayscale JPEG. Split out of [[synthJpeg]] so the spec
+    * can feed hand-made AC coefficient sets (runs, ZRL, mid-block EOB)
+    * through the REAL entropy encoder. */
+  private[graft] def encodeJpegBlocks(blocks: Array[Array[Int]],
+      w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(2 + 1 + 64) // DQT: table 0, 8-bit precision
+    u8(0x00)
+    JpegZigzag.foreach(i => u8(JpegQuant(i))) // stored in zigzag order
+    marker(0xc0); u16(2 + 6 + 3) // SOF0: 8-bit, 1 component
+    u8(8); u16(h); u16(w); u8(1)
+    u8(1); u8(0x11); u8(0) // component 1, 1x1 sampling, quant table 0
+    def writeDht(cls: Int, vals: Array[Int], codeLen: Int): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      u8(cls << 4) // class (0 DC / 1 AC), table id 0
+      (1 to 16).foreach(l => u8(if (l == codeLen) vals.length else 0))
+      vals.foreach(u8)
+    }
+    writeDht(0, JpegDcVals, 4)
+    writeDht(1, JpegAcVals, 8)
+    marker(0xda); u16(2 + 1 + 2 + 3) // SOS
+    u8(1); u8(1); u8(0x00) // component 1: DC table 0, AC table 0
+    u8(0); u8(63); u8(0) // Ss, Se, AhAl
+    // entropy-coded segment: MSB-first writer with 0xFF00 stuffing
+    var acc = 0L
+    var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nb += len
+      while (nb >= 8) {
+        val b = ((acc >> (nb - 8)) & 0xff).toInt
+        u8(b)
+        if (b == 0xff) u8(0x00)
+        nb -= 8
+      }
+    }
+    // canonical codes: value at index i of an all-L-bit table has code i
+    val dcCode = JpegDcVals.zipWithIndex.toMap
+    val acCode = JpegAcVals.zipWithIndex.toMap
+    def category(v: Int): Int = { // bit length of |v| (0 for 0)
+      var s = 0
+      var a = math.abs(v)
+      while (a != 0) { s += 1; a >>= 1 }
+      s
+    }
+    def putCoeff(v: Int, s: Int): Unit =
+      if (s > 0) putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+    var prevDc = 0
+    blocks.foreach { coeffs =>
+      val diff = coeffs(0) - prevDc
+      prevDc = coeffs(0)
+      val s = category(diff)
+      putBits(dcCode(s), 4)
+      putCoeff(diff, s)
+      // AC run-length over zigzag order
+      var lastNz = 0
+      var zi = 1
+      while (zi < 64) { if (coeffs(JpegZigzag(zi)) != 0) lastNz = zi; zi += 1 }
+      var run = 0
+      zi = 1
+      while (zi <= lastNz) {
+        val v = coeffs(JpegZigzag(zi))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { putBits(acCode(0xF0), 8); run -= 16 } // ZRL
+          val sz = category(v)
+          require(sz <= 10, "jpeg: AC coefficient out of table range")
+          putBits(acCode((run << 4) | sz), 8)
+          putCoeff(v, sz)
+          run = 0
+        }
+        zi += 1
+      }
+      if (lastNz < 63) putBits(acCode(0x00), 8) // EOB
+    }
+    if (nb > 0) putBits((1 << (8 - nb)) - 1, 8 - nb) // pad with 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Zigzag scan order: JpegZigzag(i) = natural (row-major) index of
+    * the i-th zigzag position (T.81 Figure 5 traversal, generated —
+    * not transcribed — by walking the anti-diagonals). */
+  private[graft] val JpegZigzag: Array[Int] = {
+    val out = new Array[Int](64)
+    var i = 0
+    for (s <- 0 to 14) {
+      // anti-diagonal s: cells (r, s-r); even diagonals run bottom-up
+      val cells = (math.max(0, s - 7) to math.min(7, s)).map(r => (r, s - r))
+      val ordered = if (s % 2 == 0) cells.reverse else cells
+      ordered.foreach { case (r, c) => out(i) = r * 8 + c; i += 1 }
+    }
+    out
+  }
+
+  case class JpegImage(width: Int, height: Int,
+      pixels: Array[Int] /* top-down row-major gray values 0-255 */)
+
+  /** REAL baseline JPEG decoder (grayscale SOF0, one scan, no restart
+    * markers): walks the marker stream, parses DQT (8-bit precision)
+    * and DHT (canonical Huffman reconstruction from the 16 length
+    * counts — any conformant table, not just [[synthJpeg]]'s), SOF0
+    * dims, then entropy-decodes the scan (DC prediction, AC run/size
+    * with ZRL and EOB, 0xFF00 byte unstuffing), dequantizes through
+    * the zigzag, applies a full 2D IDCT with level shift + clamp, and
+    * crops the MCU grid to the declared dimensions. Malformed input is
+    * a loud IllegalArgumentException. */
+  def decodeJpeg(payload: Array[Byte]): JpegImage =
+    try decodeJpeg0(payload)
+    catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("jpeg: truncated payload")
+    }
+
+  private def decodeJpeg0(payload: Array[Byte]): JpegImage = {
+    require(payload.length >= 4 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
+      "jpeg: bad SOI")
+    var p = 2
+    def u8(): Int = { val v = payload(p) & 0xff; p += 1; v }
+    def u16(): Int = { val v = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff); p += 2; v }
+    var w = -1
+    var h = -1
+    val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    // Huffman tables keyed (class, id): value lists + canonical first
+    // code / first index per length — the T.81 DECODE procedure
+    case class Huff(minCode: Array[Int], maxCode: Array[Int],
+        valPtr: Array[Int], vals: Array[Int])
+    val huff = scala.collection.mutable.Map.empty[(Int, Int), Huff]
+    def buildHuff(counts: Array[Int], vals: Array[Int]): Huff = {
+      val minCode = new Array[Int](17)
+      val maxCode = Array.fill(17)(-1)
+      val valPtr = new Array[Int](17)
+      var code = 0
+      var k = 0
+      for (l <- 1 to 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1)
+          k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+      }
+      Huff(minCode, maxCode, valPtr, vals)
+    }
+    var dcSel = -1
+    var acSel = -1
+    var sawSos = false
+    while (!sawSos) {
+      require((u8()) == 0xff, "jpeg: expected marker")
+      var m = u8()
+      while (m == 0xff) m = u8() // fill bytes
+      m match {
+        case 0xdb => // DQT: one or more tables
+          val end = p + u16() - 2
+          while (p < end) {
+            val pq = u8()
+            require((pq >> 4) == 0, "jpeg: only 8-bit quant tables")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(JpegZigzag(i)) = u8(); i += 1 }
+            quant(pq & 0x0f) = t
+          }
+        case 0xc0 => // SOF0 baseline
+          u16()
+          require(u8() == 8, "jpeg: only 8-bit precision")
+          h = u16(); w = u16()
+          require(u8() == 1, "jpeg: only single-component (grayscale)")
+          u8() // component id
+          require(u8() == 0x11, "jpeg: subsampling unsupported")
+          require(u8() == 0, "jpeg: quant table 0 expected")
+        case 0xc4 => // DHT: one or more tables
+          val end = p + u16() - 2
+          while (p < end) {
+            val tc = u8()
+            val counts = Array.tabulate(16)(_ => u8())
+            val n = counts.sum
+            val vals = Array.tabulate(n)(_ => u8())
+            huff((tc >> 4, tc & 0x0f)) = buildHuff(counts, vals)
+          }
+        case 0xda => // SOS
+          u16()
+          require(u8() == 1, "jpeg: one scan component expected")
+          u8() // component selector
+          val tt = u8()
+          require(u8() == 0 && u8() == 63 && u8() == 0,
+            "jpeg: progressive scans unsupported")
+          dcSel = tt >> 4; acSel = tt & 0x0f
+          sawSos = true
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException(
+            f"jpeg: non-baseline SOF marker 0x$m%02x")
+        case _ => // APPn / COM / anything skippable with a length
+          val len = u16()
+          require(len >= 2 && p.toLong + len - 2 <= payload.length,
+            "jpeg: truncated segment")
+          p += len - 2
+      }
+    }
+    require(w > 0 && h > 0, "jpeg: missing SOF0 before SOS")
+    val q = quant.getOrElse(0,
+      throw new IllegalArgumentException("jpeg: missing quant table"))
+    val dcTab = huff.getOrElse((0, dcSel),
+      throw new IllegalArgumentException("jpeg: missing DC table"))
+    val acTab = huff.getOrElse((1, acSel),
+      throw new IllegalArgumentException("jpeg: missing AC table"))
+    // entropy reader: MSB-first, 0xFF00 unstuffing; any other 0xFF
+    // marker inside the scan (EOI included) means the stream ended
+    var acc = 0L
+    var nb = 0
+    def fill(): Unit = {
+      val b = payload(p) & 0xff
+      if (b == 0xff) {
+        require(p + 1 < payload.length && (payload(p + 1) & 0xff) == 0x00,
+          "jpeg: scan data exhausted before all blocks decoded")
+        p += 2
+      } else p += 1
+      acc = (acc << 8) | b
+      nb += 8
+    }
+    def getBits(n: Int): Int = {
+      while (nb < n) fill()
+      val v = ((acc >> (nb - n)) & ((1L << n) - 1)).toInt
+      nb -= n
+      v
+    }
+    def decodeSym(t: Huff): Int = {
+      var code = getBits(1)
+      var l = 1
+      while (t.maxCode(l) < 0 || code > t.maxCode(l)) {
+        require(l < 16, "jpeg: corrupt Huffman code")
+        code = (code << 1) | getBits(1)
+        l += 1
+      }
+      t.vals(t.valPtr(l) + code - t.minCode(l))
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val pixels = new Array[Int](w * h)
+    val coeffs = new Array[Int](64)
+    val cosT = Array.tabulate(8, 8) { (x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+        (if (u == 0) math.sqrt(0.5) else 1.0)
+    }
+    var prevDc = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coeffs, 0)
+        val s = decodeSym(dcTab)
+        require(s <= 11, "jpeg: bad DC category")
+        prevDc += extend(getBits(s), s)
+        coeffs(0) = prevDc * q(0)
+        var zi = 1
+        while (zi < 64) {
+          val rs = decodeSym(acTab)
+          if (rs == 0x00) zi = 64 // EOB
+          else if (rs == 0xF0) zi += 16 // ZRL
+          else {
+            zi += rs >> 4
+            require(zi < 64, "jpeg: AC run past block end")
+            val sz = rs & 0x0f
+            val nat = JpegZigzag(zi)
+            coeffs(nat) = extend(getBits(sz), sz) * q(nat)
+            zi += 1
+          }
+        }
+        // 2D IDCT, separable: rows then columns, double precision,
+        // round half up + clamp (deterministic: IEEE doubles, fixed
+        // cos table)
+        val tmp = new Array[Double](64)
+        var y0 = 0
+        while (y0 < 8) {
+          var x0 = 0
+          while (x0 < 8) {
+            var acc0 = 0.0
+            var u = 0
+            while (u < 8) { acc0 += cosT(x0)(u) * coeffs(y0 * 8 + u); u += 1 }
+            tmp(y0 * 8 + x0) = acc0 / 2.0
+            x0 += 1
+          }
+          y0 += 1
+        }
+        var x1 = 0
+        while (x1 < 8) {
+          var y1 = 0
+          while (y1 < 8) {
+            var acc1 = 0.0
+            var v = 0
+            while (v < 8) { acc1 += cosT(y1)(v) * tmp(v * 8 + x1); v += 1 }
+            val pix = math.floor(acc1 / 2.0 + 128.0 + 0.5).toInt
+            val px = bx * 8 + x1
+            val py = by * 8 + y1
+            if (px < w && py < h)
+              pixels(py * w + px) = math.max(0, math.min(255, pix))
+            y1 += 1
+          }
+          x1 += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    JpegImage(w, h, pixels)
+  }
 }

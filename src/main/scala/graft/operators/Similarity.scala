@@ -655,6 +655,67 @@ object Similarity {
         expr(s"hits * 1000000 div $k").as("recall_ppm"))
   }
 
+  /** [[graphRecallSampled]] WITHOUT materializing the graph: the
+    * fifth-decade recall probe. The full kNN graph's candidate shuffle
+    * is tables x corpus embedding-carrying rows (~170 GB at 20M
+    * vectors — past this probe box's disk), but an ANCHOR's graph row
+    * depends only on the buckets the anchor itself occupies. So:
+    * derive per-bucket sizes from a key-only aggregate (the exploded
+    * frame's groupBy projects just (tbl, bkt) — partial aggregation
+    * means the exchange carries counts, never embeddings), intersect
+    * with the anchors' own bucket keys, drop over-cap buckets from
+    * that intersection using the FULL-corpus counts (identical cap
+    * decisions to Dedup.capBuckets), and broadcast the surviving tiny
+    * key set back onto the exploded frame — a map-side prune to at
+    * most anchors x tables x cap candidate rows. Per-anchor top-k over
+    * the union of its kept buckets under the same (cos desc, id asc,
+    * nulls last) total order equals the full graph's row for that
+    * anchor BY CONSTRUCTION (buckets the anchor does not occupy
+    * contribute nothing to it; spec-pinned equal to
+    * [[knnGraph]]-then-[[graphRecallSampled]]). */
+  def graphRecallAnchorsOnly(corpus: DataFrame, k: Int, anchors: Int,
+      bits: Int = 0, dim: Int = 64, tables: Int = 24, seed: Long = 42L,
+      maxBucket: Int = KnnHotBucketCap): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val b = if (bits > 0) bits else autoBits(corpus.count())
+    val a = sampleAnchors(corpus, anchors)
+    val exploded = corpus.select(col("vec_id").cast("long").as("id"),
+      col("embedding"),
+      posexplode(bucketArray(col("embedding"), b, dim, tables, seed))
+        .as(Seq("tbl", "bkt")))
+    val sizes = exploded.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("__bsz"))
+    val aBuckets = a.select(col("vec_id").cast("long").as("q_id"),
+      posexplode(bucketArray(col("embedding"), b, dim, tables, seed))
+        .as(Seq("tbl", "bkt")))
+    val keep = sizes
+      .join(broadcast(aBuckets.select("tbl", "bkt").distinct()),
+        Seq("tbl", "bkt"))
+      .filter(col("__bsz") <= maxBucket)
+      .select("tbl", "bkt")
+    val members = exploded.join(broadcast(keep), Seq("tbl", "bkt"))
+    val scored = members
+      .join(broadcast(aBuckets), Seq("tbl", "bkt"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("neighbor_id"), col("embedding"))
+      .dropDuplicates("q_id", "neighbor_id")
+      .join(broadcast(a.select(col("vec_id").cast("long").as("q_id"),
+        col("embedding").as("qe"))), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val found = rerankTopK(scored, k)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    bruteForceTopK(corpus, a, k)
+      .select(col("q_id").cast("long").as("q_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .join(found, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("hits"),
+        expr(s"hits * 1000000 div $k").as("recall_ppm"))
+  }
+
   /** [[ivfPqTopK]] recall@k vs brute, on sampled anchors — the
     * emb_ann_recall evaluation with the anchor set as a knob instead
     * of the graded query's fixed vec_id < 10 slice. */

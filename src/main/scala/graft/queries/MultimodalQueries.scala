@@ -245,5 +245,45 @@ object MultimodalQueries {
           (id, img.width.toLong, img.height.toLong, ps, pw)
         }
         .toDF("id", "width", "height", "pix_sum", "pix_wsum")
+    },
+
+    // REAL baseline JPEG DECODE round-trip: a 20x12 grayscale JFIF per
+    // doc — marker walk, DQT/DHT table parsing (canonical Huffman
+    // reconstruction), entropy decode with DC prediction and 0xFF00
+    // unstuffing, dequant through the zigzag, full 2D IDCT, and the
+    // non-multiple-of-8 MCU crop (20x12 -> 3x2 blocks of which the
+    // right/bottom edges are cropped). The payload is BLOCK-CONSTANT
+    // with even offsets and DC quant step 16, so the lossy roundtrip
+    // is bit-exact (Multimodal scaladoc) and the oracle replays the
+    // pixel formula directly: block(x,y) = (y//8)*3 + x//8, v = 128 +
+    // 2*(synthPixelByte(id, block) % 64 - 32). The position-weighted
+    // checksum fails on any Huffman, prediction, dequant, IDCT or crop
+    // error.
+    "mm_jpeg_decode" -> QueryDef(
+      """WITH p AS (SELECT doc_id AS id, k,
+        |    CAST(64 + 2 * (((doc_id * 31
+        |        + ((k // 20) // 8) * 3 + (k % 20) // 8) * 97)
+        |      % 256 % 64) AS BIGINT) AS b
+        |  FROM documents, unnest(range(0, 240)) AS r(k))
+        |SELECT id, CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |  CAST(sum(b) AS BIGINT) AS pix_sum,
+        |  CAST(sum(k * b) AS BIGINT) AS pix_wsum
+        |FROM p GROUP BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val img = Multimodal.decodeJpeg(Multimodal.synthJpeg(id, 20, 12))
+          var ps = 0L
+          var pw = 0L
+          var k = 0
+          while (k < img.pixels.length) {
+            val b = img.pixels(k).toLong
+            ps += b
+            pw += k * b
+            k += 1
+          }
+          (id, img.width.toLong, img.height.toLong, ps, pw)
+        }
+        .toDF("id", "width", "height", "pix_sum", "pix_wsum")
     })
 }

@@ -67,12 +67,15 @@ class BlockCatalog(spark: SparkSession, root: String) {
     * (definition, key) contract (racing writers could stamp the same
     * version; content-hash dedup keeps that harmless for adds).
     *
-    * Caching is scoped to the WRITE paths (ADVICE r8): this public
-    * reader always scans the log, so a read-only instance — or one
-    * polling between another process's appends — sees every commit
+    * Caching semantics (ADVICE r8, reworked r10): this public reader
+    * reflects the CURRENT log on every call — a read-only instance, or
+    * one polling between another process's appends, sees every commit
     * (the r8 instance-lifetime cache answered a reader's first scan
     * forever, so `scanAsOf(currentVersion(...))` could silently miss
-    * newer versions). Writers instead ride [[cachedVersion]]: the
+    * newer versions). Since r10 the scan itself rides [[logRows]], the
+    * fingerprint-validated collected log, so "reflects the current
+    * log" costs a directory listing, not a Spark job, when nothing
+    * changed. Writers additionally ride [[cachedVersion]]: the
     * first append scans once, then each bump advances the instance
     * cache — without that, the Nth write re-reads and aggregates the
     * whole mergeSchema'd meta log, making N appends O(N^2) log scans

@@ -171,6 +171,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg: block-constant graded payload round-trips bit-exactly") {
+    // the lossy-format exactness contract: block-constant pixels, even
+    // offsets, DC quant step 16 -> quantized DC is exact, IDCT exact
+    for ((w, h) <- Seq((24, 16), (20, 12), (8, 8), (3, 5))) {
+      val img = Multimodal.decodeJpeg(Multimodal.synthJpeg(7L, w, h))
+      assert(img.width == w && img.height == h)
+      val bw = (w + 7) / 8
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y / 8) * bw + (x / 8)
+        val expect = 128 + 2 * Multimodal.jpegBlockM(7L, b)
+        assert(img.pixels(y * w + x) == expect, s"${w}x$h px ($x,$y)")
+      }
+    }
+  }
+
+  test("jpeg: AC runs, ZRL and mid-block EOB decode against a reference IDCT") {
+    // hand-made quantized coefficient blocks through the REAL entropy
+    // encoder, decoded and compared against an independent direct
+    // (non-separable) double IDCT with the same round-half-up + clamp
+    val blocks = Array(
+      { val c = new Array[Int](64); c(0) = 5; c(1) = 3; c(8) = -2; c },
+      { val c = new Array[Int](64); c(0) = -9; c(63) = 1; c }, // ZRL x3 path
+      { val c = new Array[Int](64); c(0) = 0; c(9) = -7; c(34) = 4; c },
+      new Array[Int](64)) // all-zero: immediate EOB
+    val payload = Multimodal.encodeJpegBlocks(blocks, 16, 16)
+    val img = Multimodal.decodeJpeg(payload)
+    assert(img.width == 16 && img.height == 16)
+    def refIdct(coeffs: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) math.sqrt(0.5) else 1.0
+          val cv = if (v == 0) math.sqrt(0.5) else 1.0
+          s += cu * cv * coeffs(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * y + 1) * v * math.Pi / 16.0)
+        }
+        val pix = math.floor(s / 4.0 + 128.0 + 0.5).toInt
+        out(y * 8 + x) = math.max(0, math.min(255, pix))
+      }
+      out
+    }
+    for (bi <- 0 until 4) {
+      val deq = Array.tabulate(64)(i => blocks(bi)(i) * Multimodal.JpegQuant(i))
+      val ref = refIdct(deq)
+      val bx = bi % 2
+      val by = bi / 2
+      for (y <- 0 until 8; x <- 0 until 8) {
+        assert(img.pixels((by * 8 + y) * 16 + bx * 8 + x) == ref(y * 8 + x),
+          s"block $bi px ($x,$y)")
+      }
+    }
+  }
+
+  test("jpeg: malformed files are loud errors") {
+    val base = Multimodal.synthJpeg(3L, 16, 8)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeJpeg(Array.fill[Byte](64)(0)) // no SOI
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeJpeg(base.take(base.length / 2)) // truncated scan
+    }
+    // progressive SOF2 rejected loudly, not mis-decoded
+    val prog = base.clone()
+    val sof = prog.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    prog(sof + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException] { Multimodal.decodeJpeg(prog) }
+    assert(e.getMessage.contains("non-baseline"), e.getMessage)
+  }
+
   test("png: CRC corruption and malformed files are loud errors") {
     intercept[IllegalArgumentException] {
       Multimodal.decodePng(Array.fill[Byte](64)(0)) // no signature

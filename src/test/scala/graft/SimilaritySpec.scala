@@ -489,6 +489,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(real.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 1000000L))
   }
 
+  test("graphRecallAnchorsOnly == full-graph recall, with and without cap pressure") {
+    // the graph-free probe path must reproduce the materialized graph's
+    // recall rows exactly — including when the cap drops real buckets
+    for (cap <- Seq(Similarity.KnnHotBucketCap, 24)) {
+      val g = Similarity.knnGraph(emb, 5,
+        bits = Similarity.autoBits(emb.count()), dim = 64, maxBucket = cap)
+      val full = Similarity.graphRecallSampled(emb, g, 5, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fast = Similarity.graphRecallAnchorsOnly(emb, 5, 16, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == full, s"cap=$cap")
+    }
+  }
+
   test("annRecallSampled: anchor-count knob honored, ppm bounded") {
     val r = Similarity.annRecallSampled(emb, k = 10, anchors = 8).collect()
     assert(r.length == 8)
