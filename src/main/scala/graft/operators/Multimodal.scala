@@ -9,11 +9,16 @@ import org.apache.spark.sql.Dataset
   *
   * Decode is REAL for every format pure JVM code can parse: RIFF/WAVE
   * PCM16 ([[decodeWav]]), uncompressed 24-bpp BMP ([[decodeBmp]]),
-  * and PNG ([[decodePng]] — DEFLATE via `java.util.zip.Inflater` +
-  * the four row filters, CRC-checked chunk walk), each graded by a
-  * formula-oracle hash compare that fails on any bit-level decode
-  * error. Only NATIVE-CODEC formats (JPEG/MP3/H.264 — no codec libs
-  * in this environment) still ride `decodeStub`, which derives
+  * PNG ([[decodePng]] — DEFLATE via `java.util.zip.Inflater` + the
+  * five row filters, CRC-checked chunk walk), GIF87a/89a
+  * ([[decodeGif]] — LZW with dynamic code widths), and baseline JPEG
+  * — grayscale ([[decodeJpeg]]) and YCbCr 4:2:0/4:4:4 color
+  * ([[decodeJpegColor]]): DQT/DHT table parsing, interleaved-MCU
+  * entropy decode with DC prediction, dequant, full 2D IDCT,
+  * fixed-point color transform — each graded by a formula-oracle hash
+  * compare that fails on any bit-level decode error. Only remaining
+  * NATIVE-CODEC formats (MP3/H.264 — no codec libs in this
+  * environment) still ride `decodeStub`, which derives
   * deterministic fake dimensions from the payload, clearly marked.
   * Everything around the stub — schema, partitioning, batch
   * iteration, byte-level feature extraction, frame sampling — is real
@@ -858,6 +863,69 @@ object Multimodal {
     encodeJpegBlocks(blocks, w, h)
   }
 
+  /** The entropy-coded-segment writer shared by the grayscale and
+    * color encoders: MSB-first bitstream with 0xFF00 byte stuffing,
+    * canonical-code Huffman block encoding (DC prediction handled by
+    * the caller passing/receiving prevDc), 1-padded flush. */
+  private final class JpegScanWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nb += len
+      while (nb >= 8) {
+        val b = ((acc >> (nb - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00)
+        nb -= 8
+      }
+    }
+    private def category(v: Int): Int = { // bit length of |v| (0 for 0)
+      var s = 0
+      var a = math.abs(v)
+      while (a != 0) { s += 1; a >>= 1 }
+      s
+    }
+    private def putCoeff(v: Int, s: Int): Unit =
+      if (s > 0) putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+    /** Encode one quantized block (natural order, DC at index 0);
+      * returns the block's DC for the caller's next prediction. */
+    def encodeBlock(coeffs: Array[Int], prevDc: Int,
+        dcCode: Map[Int, Int], acCode: Map[Int, Int]): Int = {
+      val diff = coeffs(0) - prevDc
+      val s = category(diff)
+      putBits(dcCode(s), 4)
+      putCoeff(diff, s)
+      // AC run-length over zigzag order
+      var lastNz = 0
+      var zi = 1
+      while (zi < 64) { if (coeffs(JpegZigzag(zi)) != 0) lastNz = zi; zi += 1 }
+      var run = 0
+      zi = 1
+      while (zi <= lastNz) {
+        val v = coeffs(JpegZigzag(zi))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { putBits(acCode(0xF0), 8); run -= 16 } // ZRL
+          val sz = category(v)
+          require(sz <= 10, "jpeg: AC coefficient out of table range")
+          putBits(acCode((run << 4) | sz), 8)
+          putCoeff(v, sz)
+          run = 0
+        }
+        zi += 1
+      }
+      if (lastNz < 63) putBits(acCode(0x00), 8) // EOB
+      coeffs(0)
+    }
+    def finish(): Unit =
+      if (nb > 0) putBits((1 << (8 - nb)) - 1, 8 - nb) // pad with 1s
+  }
+
+  // canonical codes: value at index i of an all-L-bit table has code i
+  private lazy val JpegDcCode: Map[Int, Int] = JpegDcVals.zipWithIndex.toMap
+  private lazy val JpegAcCode: Map[Int, Int] = JpegAcVals.zipWithIndex.toMap
+
   /** Serialize quantized coefficient blocks (natural order, DC at 0) as
     * a baseline grayscale JPEG. Split out of [[synthJpeg]] so the spec
     * can feed hand-made AC coefficient sets (runs, ZRL, mid-block EOB)
@@ -889,59 +957,148 @@ object Multimodal {
     marker(0xda); u16(2 + 1 + 2 + 3) // SOS
     u8(1); u8(1); u8(0x00) // component 1: DC table 0, AC table 0
     u8(0); u8(63); u8(0) // Ss, Se, AhAl
-    // entropy-coded segment: MSB-first writer with 0xFF00 stuffing
-    var acc = 0L
-    var nb = 0
-    def putBits(code: Int, len: Int): Unit = {
-      acc = (acc << len) | (code & ((1L << len) - 1))
-      nb += len
-      while (nb >= 8) {
-        val b = ((acc >> (nb - 8)) & 0xff).toInt
-        u8(b)
-        if (b == 0xff) u8(0x00)
-        nb -= 8
-      }
-    }
-    // canonical codes: value at index i of an all-L-bit table has code i
-    val dcCode = JpegDcVals.zipWithIndex.toMap
-    val acCode = JpegAcVals.zipWithIndex.toMap
-    def category(v: Int): Int = { // bit length of |v| (0 for 0)
-      var s = 0
-      var a = math.abs(v)
-      while (a != 0) { s += 1; a >>= 1 }
-      s
-    }
-    def putCoeff(v: Int, s: Int): Unit =
-      if (s > 0) putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+    val sw = new JpegScanWriter(out)
     var prevDc = 0
-    blocks.foreach { coeffs =>
-      val diff = coeffs(0) - prevDc
-      prevDc = coeffs(0)
-      val s = category(diff)
-      putBits(dcCode(s), 4)
-      putCoeff(diff, s)
-      // AC run-length over zigzag order
-      var lastNz = 0
-      var zi = 1
-      while (zi < 64) { if (coeffs(JpegZigzag(zi)) != 0) lastNz = zi; zi += 1 }
-      var run = 0
-      zi = 1
-      while (zi <= lastNz) {
-        val v = coeffs(JpegZigzag(zi))
-        if (v == 0) run += 1
-        else {
-          while (run >= 16) { putBits(acCode(0xF0), 8); run -= 16 } // ZRL
-          val sz = category(v)
-          require(sz <= 10, "jpeg: AC coefficient out of table range")
-          putBits(acCode((run << 4) | sz), 8)
-          putCoeff(v, sz)
-          run = 0
-        }
-        zi += 1
-      }
-      if (lastNz < 63) putBits(acCode(0x00), 8) // EOB
+    blocks.foreach(c => prevDc = sw.encodeBlock(c, prevDc, JpegDcCode, JpegAcCode))
+    sw.finish()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Chroma quant table for [[synthJpegColor]]: DC step exactly 16
+    * (the same exactness contract as luma), AC filler distinct from
+    * [[JpegQuant]]'s so a decoder that mixes up the two DQT tables
+    * fails the spec's AC cases. */
+  private[graft] val JpegQuantChroma: Array[Int] =
+    Array.tabulate(64)(i => if (i == 0) 16 else 17 + i)
+
+  /** Quantized-domain chroma DC for the graded color payload: MCU `mi`
+    * of doc `key` holds Cb = 128 + 2*jpegChromaM(key, 100000, mi) and
+    * Cr = 128 + 2*jpegChromaM(key, 200000, mi) — disjoint
+    * [[synthPixelByte]] stream offsets so Y/Cb/Cr are uncorrelated.
+    * Shared with the SQL oracle ((synthPixelByte % 64) - 32). */
+  def jpegChromaM(key: Long, stream: Long, mi: Long): Int =
+    synthPixelByte(key, stream + mi) % 64 - 32
+
+  /** A valid baseline YCbCr JFIF: 4:2:0 (Y 2x2, chroma 1x1 — the
+    * near-universal subsampling, interleaved 4-Y-blocks-then-Cb-then-Cr
+    * MCUs) by default, 4:4:4 with `chroma420 = false`. The graded
+    * payload is block-constant in every component — Y block (bx, by)
+    * of the UNPADDED ceil(w/8) x ceil(h/8) grid holds
+    * 128 + 2*[[jpegBlockM]](key, by*bw + bx) (MCU-pad blocks replicate
+    * the clamped edge block and are cropped away), and Cb/Cr are
+    * constant per MCU via [[jpegChromaM]] — so the lossy roundtrip is
+    * bit-exact in YCbCr (the [[synthJpeg]] argument per component) and
+    * the RGB conversion is the decoder's deterministic fixed-point
+    * transform, replayable in SQL. */
+  def synthJpegColor(key: Long, w: Int, h: Int,
+      chroma420: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "jpeg: bad dims")
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    def dcOnly(m: Int): Array[Int] = {
+      val c = new Array[Int](64)
+      c(0) = m
+      c
     }
-    if (nb > 0) putBits((1 << (8 - nb)) - 1, 8 - nb) // pad with 1s
+    if (chroma420) {
+      val mbw = (w + 15) / 16
+      val mbh = (h + 15) / 16
+      // Y rides the MCU grid (2*mbw x 2*mbh blocks); pad blocks beyond
+      // the real bw x bh grid replicate the clamped edge block so crop
+      // dimensions stay exact
+      val yB = Array.tabulate(2 * mbh, 2 * mbw) { (gby, gbx) =>
+        dcOnly(jpegBlockM(key,
+          math.min(gby, bh - 1).toLong * bw + math.min(gbx, bw - 1)))
+      }
+      val cbB = Array.tabulate(mbh, mbw)((mr, mc) =>
+        dcOnly(jpegChromaM(key, 100000L, mr.toLong * mbw + mc)))
+      val crB = Array.tabulate(mbh, mbw)((mr, mc) =>
+        dcOnly(jpegChromaM(key, 200000L, mr.toLong * mbw + mc)))
+      encodeJpegColor(yB, cbB, crB, w, h, chroma420 = true)
+    } else {
+      val yB = Array.tabulate(bh, bw)((by, bx) =>
+        dcOnly(jpegBlockM(key, by.toLong * bw + bx)))
+      val cbB = Array.tabulate(bh, bw)((by, bx) =>
+        dcOnly(jpegChromaM(key, 100000L, by.toLong * bw + bx)))
+      val crB = Array.tabulate(bh, bw)((by, bx) =>
+        dcOnly(jpegChromaM(key, 200000L, by.toLong * bw + bx)))
+      encodeJpegColor(yB, cbB, crB, w, h, chroma420 = false)
+    }
+  }
+
+  /** Serialize per-component quantized blocks (row-major grids; Y on
+    * the MCU grid when `chroma420`) as a baseline YCbCr JPEG: two DQT
+    * tables in one segment, SOF0 with three components (Y 2x2 or 1x1,
+    * chroma 1x1), four DHT tables (chroma selects id 1 — identical
+    * content, distinct id, so component table SELECTION is exercised,
+    * not just table parsing), one interleaved scan with per-component
+    * DC prediction. Split out so the spec can feed AC coefficients
+    * through any component. */
+  private[graft] def encodeJpegColor(yBlocks: Array[Array[Array[Int]]],
+      cbBlocks: Array[Array[Array[Int]]], crBlocks: Array[Array[Array[Int]]],
+      w: Int, h: Int, chroma420: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(2 + 2 * (1 + 64)) // DQT: tables 0 + 1, one segment
+    u8(0x00); JpegZigzag.foreach(i => u8(JpegQuant(i)))
+    u8(0x01); JpegZigzag.foreach(i => u8(JpegQuantChroma(i)))
+    marker(0xc0); u16(2 + 6 + 3 * 3) // SOF0: 8-bit, 3 components
+    u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8(if (chroma420) 0x22 else 0x11); u8(0) // Y
+    u8(2); u8(0x11); u8(1) // Cb
+    u8(3); u8(0x11); u8(1) // Cr
+    def writeDht(cls: Int, id: Int, vals: Array[Int], codeLen: Int): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      u8((cls << 4) | id)
+      (1 to 16).foreach(l => u8(if (l == codeLen) vals.length else 0))
+      vals.foreach(u8)
+    }
+    writeDht(0, 0, JpegDcVals, 4); writeDht(1, 0, JpegAcVals, 8)
+    writeDht(0, 1, JpegDcVals, 4); writeDht(1, 1, JpegAcVals, 8)
+    marker(0xda); u16(2 + 1 + 2 * 3 + 3) // SOS
+    u8(3)
+    u8(1); u8(0x00) // Y: DC table 0, AC table 0
+    u8(2); u8(0x11) // Cb: DC table 1, AC table 1
+    u8(3); u8(0x11) // Cr: DC table 1, AC table 1
+    u8(0); u8(63); u8(0) // Ss, Se, AhAl
+    val sw = new JpegScanWriter(out)
+    val mbh = cbBlocks.length
+    val mbw = cbBlocks(0).length
+    var dcY = 0
+    var dcCb = 0
+    var dcCr = 0
+    var mr = 0
+    while (mr < mbh) {
+      var mc = 0
+      while (mc < mbw) {
+        if (chroma420) {
+          var v = 0
+          while (v < 2) {
+            var hh = 0
+            while (hh < 2) {
+              dcY = sw.encodeBlock(yBlocks(mr * 2 + v)(mc * 2 + hh), dcY,
+                JpegDcCode, JpegAcCode)
+              hh += 1
+            }
+            v += 1
+          }
+        } else {
+          dcY = sw.encodeBlock(yBlocks(mr)(mc), dcY, JpegDcCode, JpegAcCode)
+        }
+        dcCb = sw.encodeBlock(cbBlocks(mr)(mc), dcCb, JpegDcCode, JpegAcCode)
+        dcCr = sw.encodeBlock(crBlocks(mr)(mc), dcCr, JpegDcCode, JpegAcCode)
+        mc += 1
+      }
+      mr += 1
+    }
+    sw.finish()
     marker(0xd9) // EOI
     out.toByteArray
   }
@@ -973,14 +1130,96 @@ object Multimodal {
     * the zigzag, applies a full 2D IDCT with level shift + clamp, and
     * crops the MCU grid to the declared dimensions. Malformed input is
     * a loud IllegalArgumentException. */
-  def decodeJpeg(payload: Array[Byte]): JpegImage =
-    try decodeJpeg0(payload)
+  def decodeJpeg(payload: Array[Byte]): JpegImage = {
+    val d = decodeJpegPlanes(payload)
+    require(d.planes.length == 1, "jpeg: expected grayscale (1 component)")
+    val pl = d.planes(0)
+    val pixels = new Array[Int](d.width * d.height)
+    var y = 0
+    while (y < d.height) {
+      var x = 0
+      while (x < d.width) {
+        pixels(y * d.width + x) = pl.samples(y * pl.stride + x)
+        x += 1
+      }
+      y += 1
+    }
+    JpegImage(d.width, d.height, pixels)
+  }
+
+  case class JpegColorImage(width: Int, height: Int,
+      rgb: Array[Int] /* top-down row-major, 3 ints (R, G, B) per pixel */)
+
+  /** Bias added before the >>16 in the fixed-point YCbCr -> RGB
+    * transform so the dividend stays non-negative: truncating and
+    * floor division then agree, which is what lets the SQL oracle
+    * replay the transform with `//` (DuckDB `//` truncates toward
+    * zero on negatives; Scala >> floors — biased, they coincide). */
+  private[graft] val JpegRgbBias: Int = 512 << 16
+
+  /** REAL baseline YCbCr JPEG decoder: the [[decodeJpeg]] machinery
+    * generalized to three components with 4:2:0 or 4:4:4 sampling —
+    * interleaved-MCU entropy decode with per-component DC prediction
+    * and quant/Huffman table selection, per-component planes on the
+    * padded MCU grid, box (nearest) chroma upsample, then the
+    * fixed-point JFIF conversion (2^16 scale, round half up, clamp):
+    * R = (65536*Y + 91881*(Cr-128) + 32768 + bias >> 16) - 512, etc. —
+    * integer-exact and replayed verbatim by the SQL oracle. */
+  def decodeJpegColor(payload: Array[Byte]): JpegColorImage = {
+    val d = decodeJpegPlanes(payload)
+    require(d.planes.length == 3, "jpeg: expected YCbCr (3 components)")
+    val py = d.planes(0)
+    val pcb = d.planes(1)
+    val pcr = d.planes(2)
+    val rgb = new Array[Int](d.width * d.height * 3)
+    def samp(p: JpegPlane, x: Int, y: Int): Int =
+      p.samples((y * p.v / d.vMax) * p.stride + (x * p.h / d.hMax))
+    var y = 0
+    while (y < d.height) {
+      var x = 0
+      while (x < d.width) {
+        val yv = samp(py, x, y)
+        val cb = samp(pcb, x, y) - 128
+        val cr = samp(pcr, x, y) - 128
+        val base = 65536 * yv + 32768 + JpegRgbBias
+        def clamp(t: Int): Int = math.max(0, math.min(255, (t >> 16) - 512))
+        val o = (y * d.width + x) * 3
+        rgb(o) = clamp(base + 91881 * cr)
+        rgb(o + 1) = clamp(base - 22554 * cb - 46802 * cr)
+        rgb(o + 2) = clamp(base + 116130 * cb)
+        x += 1
+      }
+      y += 1
+    }
+    JpegColorImage(d.width, d.height, rgb)
+  }
+
+  /** One decoded component: sampling factors, padded-MCU-grid plane
+    * and its row stride. */
+  private[graft] case class JpegPlane(h: Int, v: Int, stride: Int,
+      samples: Array[Int])
+  private[graft] case class JpegDecoded(width: Int, height: Int,
+      hMax: Int, vMax: Int, planes: Array[JpegPlane])
+
+  private lazy val JpegCosT: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+        (if (u == 0) math.sqrt(0.5) else 1.0)
+  }
+
+  /** Shared baseline decode core: marker walk, table parsing, the
+    * interleaved scan (a single-component scan is the degenerate
+    * one-block MCU), per-block dequant + IDCT into per-component
+    * planes. Wrapped so any out-of-bounds read on truncated input
+    * surfaces as the documented IllegalArgumentException. */
+  private def decodeJpegPlanes(payload: Array[Byte]): JpegDecoded =
+    try decodeJpegPlanes0(payload)
     catch {
       case _: ArrayIndexOutOfBoundsException =>
         throw new IllegalArgumentException("jpeg: truncated payload")
     }
 
-  private def decodeJpeg0(payload: Array[Byte]): JpegImage = {
+  private def decodeJpegPlanes0(payload: Array[Byte]): JpegDecoded = {
     require(payload.length >= 4 &&
       (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
       "jpeg: bad SOI")
@@ -989,6 +1228,10 @@ object Multimodal {
     def u16(): Int = { val v = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff); p += 2; v }
     var w = -1
     var h = -1
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compTq: Array[Int] = null
     val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
     // Huffman tables keyed (class, id): value lists + canonical first
     // code / first index per length — the T.81 DECODE procedure
@@ -1013,8 +1256,8 @@ object Multimodal {
       }
       Huff(minCode, maxCode, valPtr, vals)
     }
-    var dcSel = -1
-    var acSel = -1
+    var dcSel: Array[Int] = null
+    var acSel: Array[Int] = null
     var sawSos = false
     while (!sawSos) {
       require((u8()) == 0xff, "jpeg: expected marker")
@@ -1031,14 +1274,31 @@ object Multimodal {
             while (i < 64) { t(JpegZigzag(i)) = u8(); i += 1 }
             quant(pq & 0x0f) = t
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 => // SOF0 baseline: 1 (grayscale) or 3 (YCbCr) comps
           u16()
           require(u8() == 8, "jpeg: only 8-bit precision")
           h = u16(); w = u16()
-          require(u8() == 1, "jpeg: only single-component (grayscale)")
-          u8() // component id
-          require(u8() == 0x11, "jpeg: subsampling unsupported")
-          require(u8() == 0, "jpeg: quant table 0 expected")
+          val nc = u8()
+          require(nc == 1 || nc == 3, "jpeg: 1 or 3 components expected")
+          compId = new Array[Int](nc)
+          compH = new Array[Int](nc)
+          compV = new Array[Int](nc)
+          compTq = new Array[Int](nc)
+          var i = 0
+          while (i < nc) {
+            compId(i) = u8()
+            val hv = u8()
+            compH(i) = hv >> 4
+            compV(i) = hv & 0x0f
+            require(compH(i) >= 1 && compH(i) <= 2 &&
+              compV(i) >= 1 && compV(i) <= 2,
+              "jpeg: sampling factors beyond 2 unsupported")
+            compTq(i) = u8()
+            i += 1
+          }
+          if (nc == 1)
+            require(compH(0) == 1 && compV(0) == 1,
+              "jpeg: grayscale subsampling unsupported")
         case 0xc4 => // DHT: one or more tables
           val end = p + u16() - 2
           while (p < end) {
@@ -1048,14 +1308,24 @@ object Multimodal {
             val vals = Array.tabulate(n)(_ => u8())
             huff((tc >> 4, tc & 0x0f)) = buildHuff(counts, vals)
           }
-        case 0xda => // SOS
+        case 0xda => // SOS: one interleaved scan covering every comp
           u16()
-          require(u8() == 1, "jpeg: one scan component expected")
-          u8() // component selector
-          val tt = u8()
+          val ns = u8()
+          require(compId != null && ns == compId.length,
+            "jpeg: scan must cover all frame components")
+          dcSel = new Array[Int](ns)
+          acSel = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            require(u8() == compId(i),
+              "jpeg: scan component order must match the frame")
+            val tt = u8()
+            dcSel(i) = tt >> 4
+            acSel(i) = tt & 0x0f
+            i += 1
+          }
           require(u8() == 0 && u8() == 63 && u8() == 0,
             "jpeg: progressive scans unsupported")
-          dcSel = tt >> 4; acSel = tt & 0x0f
           sawSos = true
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
@@ -1069,12 +1339,13 @@ object Multimodal {
       }
     }
     require(w > 0 && h > 0, "jpeg: missing SOF0 before SOS")
-    val q = quant.getOrElse(0,
-      throw new IllegalArgumentException("jpeg: missing quant table"))
-    val dcTab = huff.getOrElse((0, dcSel),
-      throw new IllegalArgumentException("jpeg: missing DC table"))
-    val acTab = huff.getOrElse((1, acSel),
-      throw new IllegalArgumentException("jpeg: missing AC table"))
+    val nc = compId.length
+    val qs = Array.tabulate(nc)(i => quant.getOrElse(compTq(i),
+      throw new IllegalArgumentException("jpeg: missing quant table")))
+    val dcTabs = Array.tabulate(nc)(i => huff.getOrElse((0, dcSel(i)),
+      throw new IllegalArgumentException("jpeg: missing DC table")))
+    val acTabs = Array.tabulate(nc)(i => huff.getOrElse((1, acSel(i)),
+      throw new IllegalArgumentException("jpeg: missing AC table")))
     // entropy reader: MSB-first, 0xFF00 unstuffing; any other 0xFF
     // marker inside the scan (EOI included) means the stream ended
     var acc = 0L
@@ -1107,74 +1378,91 @@ object Multimodal {
     }
     def extend(v: Int, s: Int): Int =
       if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val pixels = new Array[Int](w * h)
+    val hMax = compH.max
+    val vMax = compV.max
+    val mcuCols = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuRows = (h + 8 * vMax - 1) / (8 * vMax)
+    val planes = Array.tabulate(nc) { i =>
+      val stride = mcuCols * 8 * compH(i)
+      JpegPlane(compH(i), compV(i), stride,
+        new Array[Int](stride * mcuRows * 8 * compV(i)))
+    }
     val coeffs = new Array[Int](64)
-    val cosT = Array.tabulate(8, 8) { (x, u) =>
-      math.cos((2 * x + 1) * u * math.Pi / 16.0) *
-        (if (u == 0) math.sqrt(0.5) else 1.0)
-    }
-    var prevDc = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        java.util.Arrays.fill(coeffs, 0)
-        val s = decodeSym(dcTab)
-        require(s <= 11, "jpeg: bad DC category")
-        prevDc += extend(getBits(s), s)
-        coeffs(0) = prevDc * q(0)
-        var zi = 1
-        while (zi < 64) {
-          val rs = decodeSym(acTab)
-          if (rs == 0x00) zi = 64 // EOB
-          else if (rs == 0xF0) zi += 16 // ZRL
-          else {
-            zi += rs >> 4
-            require(zi < 64, "jpeg: AC run past block end")
-            val sz = rs & 0x0f
-            val nat = JpegZigzag(zi)
-            coeffs(nat) = extend(getBits(sz), sz) * q(nat)
-            zi += 1
-          }
+    // 2D IDCT, separable: rows then columns, double precision, round
+    // half up + clamp (deterministic: IEEE doubles, fixed cos table);
+    // writes the full 8x8 into the padded plane — the crop to declared
+    // dimensions happens in the wrappers
+    def idctInto(dst: Array[Int], stride: Int, px0: Int, py0: Int): Unit = {
+      val tmp = new Array[Double](64)
+      var y0 = 0
+      while (y0 < 8) {
+        var x0 = 0
+        while (x0 < 8) {
+          var acc0 = 0.0
+          var u = 0
+          while (u < 8) { acc0 += JpegCosT(x0)(u) * coeffs(y0 * 8 + u); u += 1 }
+          tmp(y0 * 8 + x0) = acc0 / 2.0
+          x0 += 1
         }
-        // 2D IDCT, separable: rows then columns, double precision,
-        // round half up + clamp (deterministic: IEEE doubles, fixed
-        // cos table)
-        val tmp = new Array[Double](64)
-        var y0 = 0
-        while (y0 < 8) {
-          var x0 = 0
-          while (x0 < 8) {
-            var acc0 = 0.0
-            var u = 0
-            while (u < 8) { acc0 += cosT(x0)(u) * coeffs(y0 * 8 + u); u += 1 }
-            tmp(y0 * 8 + x0) = acc0 / 2.0
-            x0 += 1
-          }
-          y0 += 1
-        }
-        var x1 = 0
-        while (x1 < 8) {
-          var y1 = 0
-          while (y1 < 8) {
-            var acc1 = 0.0
-            var v = 0
-            while (v < 8) { acc1 += cosT(y1)(v) * tmp(v * 8 + x1); v += 1 }
-            val pix = math.floor(acc1 / 2.0 + 128.0 + 0.5).toInt
-            val px = bx * 8 + x1
-            val py = by * 8 + y1
-            if (px < w && py < h)
-              pixels(py * w + px) = math.max(0, math.min(255, pix))
-            y1 += 1
-          }
-          x1 += 1
-        }
-        bx += 1
+        y0 += 1
       }
-      by += 1
+      var x1 = 0
+      while (x1 < 8) {
+        var y1 = 0
+        while (y1 < 8) {
+          var acc1 = 0.0
+          var v = 0
+          while (v < 8) { acc1 += JpegCosT(y1)(v) * tmp(v * 8 + x1); v += 1 }
+          val pix = math.floor(acc1 / 2.0 + 128.0 + 0.5).toInt
+          dst((py0 + y1) * stride + px0 + x1) = math.max(0, math.min(255, pix))
+          y1 += 1
+        }
+        x1 += 1
+      }
     }
-    JpegImage(w, h, pixels)
+    val prevDc = new Array[Int](nc)
+    var mr = 0
+    while (mr < mcuRows) {
+      var mc = 0
+      while (mc < mcuCols) {
+        var i = 0
+        while (i < nc) {
+          val q = qs(i)
+          var bv = 0
+          while (bv < compV(i)) {
+            var bhh = 0
+            while (bhh < compH(i)) {
+              java.util.Arrays.fill(coeffs, 0)
+              val s = decodeSym(dcTabs(i))
+              require(s <= 11, "jpeg: bad DC category")
+              prevDc(i) += extend(getBits(s), s)
+              coeffs(0) = prevDc(i) * q(0)
+              var zi = 1
+              while (zi < 64) {
+                val rs = decodeSym(acTabs(i))
+                if (rs == 0x00) zi = 64 // EOB
+                else if (rs == 0xF0) zi += 16 // ZRL
+                else {
+                  zi += rs >> 4
+                  require(zi < 64, "jpeg: AC run past block end")
+                  val sz = rs & 0x0f
+                  val nat = JpegZigzag(zi)
+                  coeffs(nat) = extend(getBits(sz), sz) * q(nat)
+                  zi += 1
+                }
+              }
+              idctInto(planes(i).samples, planes(i).stride,
+                (mc * compH(i) + bhh) * 8, (mr * compV(i) + bv) * 8)
+              bhh += 1
+            }
+            bv += 1
+          }
+          i += 1
+        }
+        mc += 1
+      }
+      mr += 1
+    }
+    JpegDecoded(w, h, hMax, vMax, planes)
   }
 }

@@ -285,5 +285,61 @@ object MultimodalQueries {
           (id, img.width.toLong, img.height.toLong, ps, pw)
         }
         .toDF("id", "width", "height", "pix_sum", "pix_wsum")
+    },
+
+    // REAL baseline COLOR JPEG (YCbCr 4:2:0) DECODE round-trip: a
+    // 24x20 three-component JFIF per doc — interleaved 4-Y+Cb+Cr MCUs,
+    // per-component DC prediction and quant/Huffman table SELECTION
+    // (chroma rides table id 1), box chroma upsample, fixed-point
+    // YCbCr->RGB. The payload is block-constant per component (Y per
+    // 8x8 block of the unpadded 3x3 grid, chroma per 16x16 MCU of the
+    // 2x2 grid), so the lossy YCbCr roundtrip is bit-exact (the
+    // synthJpeg argument per component) and the RGB transform is
+    // integer arithmetic the oracle replays verbatim: the dividend is
+    // biased by 512<<16 so truncating (DuckDB //) and flooring
+    // (Scala >>) division coincide. The position-weighted RGB checksum
+    // fails on any interleave, prediction, table-selection, upsample
+    // or transform error.
+    "mm_jpeg_color_decode" -> QueryDef(
+      """WITH p AS (SELECT doc_id AS id, k, k % 24 AS x, k // 24 AS y
+        |  FROM documents, unnest(range(0, 480)) AS r(k)),
+        |c AS (SELECT id, k,
+        |    64 + 2 * (((id * 31 + (y // 8) * 3 + x // 8) * 97)
+        |      % 256 % 64) AS yv,
+        |    64 + 2 * (((id * 31 + 100000 + (y // 16) * 2 + x // 16) * 97)
+        |      % 256 % 64) - 128 AS cb,
+        |    64 + 2 * (((id * 31 + 200000 + (y // 16) * 2 + x // 16) * 97)
+        |      % 256 % 64) - 128 AS cr
+        |  FROM p),
+        |g AS (SELECT id, k,
+        |    greatest(0, least(255, (65536 * yv + 32768 + 33554432
+        |      + 91881 * cr) // 65536 - 512)) AS r,
+        |    greatest(0, least(255, (65536 * yv + 32768 + 33554432
+        |      - 22554 * cb - 46802 * cr) // 65536 - 512)) AS g,
+        |    greatest(0, least(255, (65536 * yv + 32768 + 33554432
+        |      + 116130 * cb) // 65536 - 512)) AS b
+        |  FROM c)
+        |SELECT id, CAST(24 AS BIGINT) AS width, CAST(20 AS BIGINT) AS height,
+        |  CAST(sum(r + g + b) AS BIGINT) AS pix_sum,
+        |  CAST(sum((3 * k) * r + (3 * k + 1) * g + (3 * k + 2) * b)
+        |    AS BIGINT) AS pix_wsum
+        |FROM g GROUP BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val img =
+            Multimodal.decodeJpegColor(Multimodal.synthJpegColor(id, 24, 20))
+          var ps = 0L
+          var pw = 0L
+          var k = 0
+          while (k < img.rgb.length) {
+            val b = img.rgb(k).toLong
+            ps += b
+            pw += k * b
+            k += 1
+          }
+          (id, img.width.toLong, img.height.toLong, ps, pw)
+        }
+        .toDF("id", "width", "height", "pix_sum", "pix_wsum")
     })
 }

@@ -43,7 +43,10 @@ object KnnProbe {
     val emb = graft.Tables.embeddings(spark, dir)
     val n = emb.count()
     val bits = Similarity.autoBits(n)
-    val cap = Similarity.KnnHotBucketCap
+    // cap override for attribution sweeps (recall vs cap pressure on
+    // the replica-heavy probe corpus); production stays KnnHotBucketCap
+    val cap = sys.env.get("KNN_PROBE_CAP").map(_.toInt)
+      .getOrElse(Similarity.KnnHotBucketCap)
 
     // cap pressure first (one exploded agg, no graph state retained)
     val capStats = Similarity.cappedBucketStats(emb, bits, dim = 64,

@@ -242,6 +242,108 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-baseline"), e.getMessage)
   }
 
+  test("jpeg color: 4:2:0 graded payload round-trips bit-exactly") {
+    // YCbCr exactness is the grayscale argument per component; RGB is
+    // the decoder's fixed-point transform, recomputed here from the
+    // block formulas (pad-replicated edge MCUs + crop included: 3x5
+    // is a single MCU that is mostly pad)
+    for ((w, h) <- Seq((24, 20), (16, 16), (8, 8), (3, 5), (20, 12))) {
+      val img = Multimodal.decodeJpegColor(Multimodal.synthJpegColor(9L, w, h))
+      assert(img.width == w && img.height == h)
+      val bw = (w + 7) / 8
+      val mbw = (w + 15) / 16
+      def cl(t: Int) = math.max(0, math.min(255, (t >> 16) - 512))
+      for (y <- 0 until h; x <- 0 until w) {
+        val yv = 128 + 2 * Multimodal.jpegBlockM(9L, (y / 8).toLong * bw + x / 8)
+        val mi = (y / 16).toLong * mbw + x / 16
+        val cb = 2 * Multimodal.jpegChromaM(9L, 100000L, mi)
+        val cr = 2 * Multimodal.jpegChromaM(9L, 200000L, mi)
+        val base = 65536 * yv + 32768 + Multimodal.JpegRgbBias
+        val o = (y * w + x) * 3
+        assert(img.rgb(o) == cl(base + 91881 * cr), s"${w}x$h R ($x,$y)")
+        assert(img.rgb(o + 1) == cl(base - 22554 * cb - 46802 * cr),
+          s"${w}x$h G ($x,$y)")
+        assert(img.rgb(o + 2) == cl(base + 116130 * cb), s"${w}x$h B ($x,$y)")
+      }
+    }
+  }
+
+  test("jpeg color: 4:4:4 (no subsampling) carries per-block chroma") {
+    val w = 20
+    val h = 12
+    val img = Multimodal.decodeJpegColor(
+      Multimodal.synthJpegColor(4L, w, h, chroma420 = false))
+    assert(img.width == w && img.height == h)
+    val bw = (w + 7) / 8
+    def cl(t: Int) = math.max(0, math.min(255, (t >> 16) - 512))
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (y / 8).toLong * bw + x / 8
+      val yv = 128 + 2 * Multimodal.jpegBlockM(4L, b)
+      val cb = 2 * Multimodal.jpegChromaM(4L, 100000L, b)
+      val cr = 2 * Multimodal.jpegChromaM(4L, 200000L, b)
+      val base = 65536 * yv + 32768 + Multimodal.JpegRgbBias
+      val o = (y * w + x) * 3
+      assert(img.rgb(o) == cl(base + 91881 * cr), s"R ($x,$y)")
+      assert(img.rgb(o + 1) == cl(base - 22554 * cb - 46802 * cr), s"G ($x,$y)")
+      assert(img.rgb(o + 2) == cl(base + 116130 * cb), s"B ($x,$y)")
+    }
+  }
+
+  test("jpeg color: AC coefficients in chroma decode via the CHROMA quant table") {
+    // an AC-carrying Cb block through the real interleaved encoder,
+    // checked against an independent non-separable IDCT dequantized
+    // with JpegQuantChroma — a decoder that selects the luma table for
+    // chroma (or mixes up per-component prediction) fails here
+    def dc(m: Int) = { val c = new Array[Int](64); c(0) = m; c }
+    val cbC = { val c = new Array[Int](64); c(0) = 3; c(1) = 4; c(17) = -5; c }
+    val payload = Multimodal.encodeJpegColor(
+      Array(Array(dc(10))), Array(Array(cbC)), Array(Array(dc(-6))),
+      8, 8, chroma420 = false)
+    val img = Multimodal.decodeJpegColor(payload)
+    def refIdct(coeffs: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) math.sqrt(0.5) else 1.0
+          val cv = if (v == 0) math.sqrt(0.5) else 1.0
+          s += cu * cv * coeffs(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * y + 1) * v * math.Pi / 16.0)
+        }
+        val pix = math.floor(s / 4.0 + 128.0 + 0.5).toInt
+        out(y * 8 + x) = math.max(0, math.min(255, pix))
+      }
+      out
+    }
+    val cbPlane = refIdct(
+      Array.tabulate(64)(i => cbC(i) * Multimodal.JpegQuantChroma(i)))
+    def cl(t: Int) = math.max(0, math.min(255, (t >> 16) - 512))
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val yv = 128 + 2 * 10
+      val cb = cbPlane(y * 8 + x) - 128
+      val cr = 2 * -6
+      val base = 65536 * yv + 32768 + Multimodal.JpegRgbBias
+      val o = (y * 8 + x) * 3
+      assert(img.rgb(o) == cl(base + 91881 * cr), s"R ($x,$y)")
+      assert(img.rgb(o + 1) == cl(base - 22554 * cb - 46802 * cr), s"G ($x,$y)")
+      assert(img.rgb(o + 2) == cl(base + 116130 * cb), s"B ($x,$y)")
+    }
+  }
+
+  test("jpeg color: wrong-component wrappers and bad sampling are loud") {
+    val color = Multimodal.synthJpegColor(2L, 16, 16)
+    intercept[IllegalArgumentException] { Multimodal.decodeJpeg(color) }
+    val gray = Multimodal.synthJpeg(2L, 16, 8)
+    intercept[IllegalArgumentException] { Multimodal.decodeJpegColor(gray) }
+    // sampling factor 3 rejected loudly: patch Y's HV byte inside SOF0
+    // (ff c0 len2 prec h2 w2 nc, then id/hv/tq per component)
+    val bad = color.clone()
+    val sof = bad.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    bad(sof + 11) = 0x33.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeJpegColor(bad) }
+  }
+
   test("png: CRC corruption and malformed files are loud errors") {
     intercept[IllegalArgumentException] {
       Multimodal.decodePng(Array.fill[Byte](64)(0)) // no signature
