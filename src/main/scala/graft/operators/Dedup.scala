@@ -708,7 +708,7 @@ object Dedup {
       signatures
         .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
         .select(col("doc_id"), col("band.bidx").as("bidx"), col("band.bhash").as("bhash")),
-      Seq("bidx", "bhash"), maxBucket)
+      Seq("bidx", "bhash"), maxBucket, col("doc_id"))
     val a = exploded.as("a")
     val b = exploded.as("b")
     val cand = a.join(b, col("a.bidx") === col("b.bidx") &&
@@ -952,11 +952,12 @@ object Dedup {
     *
     * `maxBucket` is the hot-chunk guard: a degenerate band value
     * shared by B docs yields B^2/2 candidates; buckets above the cap
-    * are dropped (with a logged count) rather than joined. */
+    * are subsampled to `maxBucket` members (md5-prefix rank, see
+    * capBuckets) before the join. */
   def simhashPairs(sigs: DataFrame, maxDist: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val exploded = capBuckets(simhashChunks(sigs, maxDist),
-      Seq("cidx", "cval"), maxBucket)
+      Seq("cidx", "cval"), maxBucket, col("doc_id"))
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
@@ -1331,26 +1332,53 @@ object Dedup {
       maxBucket: Int = Int.MaxValue, baseHash: BaseHash = XxHash): DataFrame =
     survivors(df, id, simhashPairs(simhash(df, text, id, baseHash), maxDist))
 
-  /** Hot-bucket guard for LSH band joins: drops (band, hash) buckets
-    * holding more than `maxBucket` rows before the self-join, so one
-    * degenerate band value (all-identical docs, an adversarial hash
-    * collision, a boilerplate chunk) cannot produce a quadratic
-    * candidate set. Lossy ONLY for the dropped buckets — pairs there
-    * are typically recalled via their other bands — and the dropped
-    * bucket count is logged for observability. Zero plan overhead at
-    * the default (uncapped) setting. */
+  /** Hot-bucket guard for LSH band joins: (band, hash) buckets holding
+    * more than `maxBucket` rows are SUBSAMPLED down to exactly
+    * `maxBucket` members — the deterministic md5-prefix rank used by
+    * every sampler in this repo (Sampling.hashSample): keep the rows
+    * whose (md5(sampleKey), sampleKey) sorts first. So one degenerate
+    * band value (all-identical docs, an adversarial hash collision, a
+    * boilerplate chunk) still cannot produce more than a cap^2/2
+    * candidate set, but a saturated bucket degrades to a uniform
+    * content-hash sample of itself instead of vanishing — an anchor in
+    * a hot bucket keeps ~cap candidates rather than zero (drop-bucket
+    * measured recall@5 0.45 at 20M vectors / 27% capped rows;
+    * SCALE.md). Replayable in SQL as
+    * `row_number() OVER (PARTITION BY keys ORDER BY md5(CAST(key AS
+    * VARCHAR)), key) <= maxBucket`, and stable under reruns and
+    * repartitioning (no RNG, `sampleKey` is unique per bucket row).
+    *
+    * Cost: one narrow count aggregate; if no bucket is over the cap
+    * (the common case — autoBits sizes buckets at ~32 rows) the
+    * exploded frame passes through UNTOUCHED. Otherwise one exchange
+    * on `keys` routes rows, and only the over-cap slice pays a
+    * per-bucket sort (the window reuses the join's hash partitioning,
+    * so no second exchange). Zero plan overhead at the default
+    * (uncapped) setting. */
   private[graft] def capBuckets(exploded: DataFrame, keys: Seq[String],
-      maxBucket: Int): DataFrame =
+      maxBucket: Int, sampleKey: Column): DataFrame =
     if (maxBucket == Int.MaxValue) exploded
     else {
       val sizes = exploded.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__bsz"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dropped = sizes.filter(col("__bsz") > maxBucket).count()
-      if (dropped > 0)
+      val hotBuckets = sizes.filter(col("__bsz") > maxBucket).count()
+      if (hotBuckets == 0) { sizes.unpersist(); exploded }
+      else {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"capBuckets: dropped $dropped LSH buckets holding > $maxBucket rows")
-      exploded.join(sizes.filter(col("__bsz") <= maxBucket), keys).drop("__bsz")
+          s"capBuckets: subsampled $hotBuckets LSH buckets holding > " +
+            s"$maxBucket rows down to $maxBucket")
+        val joined = exploded.join(sizes, keys)
+        val ok = joined.filter(col("__bsz") <= maxBucket).drop("__bsz")
+        val hot = joined.filter(col("__bsz") > maxBucket)
+          .withColumn("__brn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*)
+              .orderBy(md5(sampleKey.cast("string")).asc, sampleKey.asc)))
+          .filter(col("__brn") <= maxBucket)
+          .drop("__bsz", "__brn")
+        ok.unionByName(hot)
+      }
     }
 
   /** Embedding near-dup pairs via SRP-LSH candidates + exact cosine
@@ -1389,7 +1417,7 @@ object Dedup {
       df.select(id.cast("long").as("id"),
         posexplode(Similarity.bucketArray(emb, bits, dim, tables, seed))
           .as(Seq("tbl", "bkt"))),
-      Seq("tbl", "bkt"), maxBucket)
+      Seq("tbl", "bkt"), maxBucket, col("id"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -1440,7 +1468,7 @@ object Dedup {
     val exploded =
       if (screen) exploded0.withColumn("q", quantize_vec(col("e"), levels))
       else exploded0.withColumn("q", lit(null).cast("array<bigint>"))
-    capBuckets(exploded, Seq("tbl", "bkt"), maxBucket)
+    capBuckets(exploded, Seq("tbl", "bkt"), maxBucket, col("id"))
       .groupBy(col("tbl"), col("bkt"))
       .agg(collect_list(struct(col("id").as("_1"), col("e").as("_2"),
         col("q").as("_3"))).as("ms"))
@@ -1549,7 +1577,7 @@ object Dedup {
       .as[(Long, Array[Float])]
       .map { case (i, e) => (i, e, Similarity.nearestList(bc.value, e)) }
       .toDF("id", "e", "lst")
-    val capped = capBuckets(assigned, Seq("lst"), maxCluster)
+    val capped = capBuckets(assigned, Seq("lst"), maxCluster, col("id"))
       // norms hoisted per row (oracle-equal; see embeddingNearDupPairs)
       .select(col("id"), col("lst"), col("e"),
         sqrt(Similarity.nativeDot(col("e"), col("e"))).as("nrm"))

@@ -37,8 +37,8 @@ object Multimodal {
   case class Frame(id: Long, frame_idx: Int, frame_md5: String)
 
   /** STUB decode — stands in for an image/audio codec. Deterministic
-    * fake dimensions derived from payload size (??? in a real deploy:
-    * swap for the actual decoder; the pipeline shape is unchanged). */
+    * fake dimensions derived from payload size (a real deploy swaps in
+    * the actual decoder; the pipeline shape is unchanged). */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     val w = 64 + (payload.length % 512)
     val h = 64 + ((payload.length / 2) % 512)
@@ -1331,6 +1331,17 @@ object Multimodal {
              0xcb | 0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
             f"jpeg: non-baseline SOF marker 0x$m%02x")
+        case 0xdd | 0xd0 | 0xd1 | 0xd2 | 0xd3 | 0xd4 | 0xd5 | 0xd6 |
+             0xd7 => // DRI / RST0-7: restart intervals are not decoded,
+          // and RSTn carries NO length word — falling into the
+          // length-skipping default would misread two scan bytes as a
+          // segment length. Fail loud and specific instead.
+          throw new IllegalArgumentException(
+            f"jpeg: restart markers unsupported (0x$m%02x)")
+        case 0x01 | 0xd9 => // TEM / EOI: length-less markers that are
+          // never valid before SOS in a decodable baseline stream
+          throw new IllegalArgumentException(
+            f"jpeg: unexpected length-less marker 0x$m%02x before SOS")
         case _ => // APPn / COM / anything skippable with a length
           val len = u16()
           require(len >= 2 && p.toLong + len - 2 <= payload.length,

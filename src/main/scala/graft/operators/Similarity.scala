@@ -536,7 +536,7 @@ object Similarity {
     val bucketed = Dedup.capBuckets(
       corpus.select(col("vec_id"),
         posexplode(bucketCols(col("embedding"))).as(Seq("tbl", "bkt"))),
-      Seq("tbl", "bkt"), maxBucket)
+      Seq("tbl", "bkt"), maxBucket, col("vec_id"))
     val qb = queries
       .select(col("vec_id").as("q_id"),
         posexplode(bucketCols(col("embedding"))).as(Seq("qtbl", "qbkt")))
@@ -644,6 +644,10 @@ object Similarity {
       .select(col("src_id").cast("long").as("q_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
       .join(anchorIds, "q_id")
+      // robust to non-distinct edge inputs (a graph written twice, a
+      // union'd graph): duplicate edges would multiply brute rows
+      // through the left join and push recall_ppm past 1,000,000
+      .dropDuplicates("q_id", "neighbor_id")
       .withColumn("hit", lit(1L))
     bruteForceTopK(corpus, a, k)
       .select(col("q_id").cast("long").as("q_id"),
@@ -660,19 +664,19 @@ object Similarity {
     * is tables x corpus embedding-carrying rows (~170 GB at 20M
     * vectors — past this probe box's disk), but an ANCHOR's graph row
     * depends only on the buckets the anchor itself occupies. So:
-    * derive per-bucket sizes from a key-only aggregate (the exploded
-    * frame's groupBy projects just (tbl, bkt) — partial aggregation
-    * means the exchange carries counts, never embeddings), intersect
-    * with the anchors' own bucket keys, drop over-cap buckets from
-    * that intersection using the FULL-corpus counts (identical cap
-    * decisions to Dedup.capBuckets), and broadcast the surviving tiny
-    * key set back onto the exploded frame — a map-side prune to at
-    * most anchors x tables x cap candidate rows. Per-anchor top-k over
-    * the union of its kept buckets under the same (cos desc, id asc,
-    * nulls last) total order equals the full graph's row for that
-    * anchor BY CONSTRUCTION (buckets the anchor does not occupy
-    * contribute nothing to it; spec-pinned equal to
-    * [[knnGraph]]-then-[[graphRecallSampled]]). */
+    * broadcast the anchors' own bucket keys onto the exploded frame (a
+    * map-side prune to whole anchor-occupied buckets), then replay
+    * Dedup.capBuckets' md5-prefix subsample rank WITHIN those buckets —
+    * the bucket-key join keeps buckets whole, so the ranks (and thus
+    * the kept member sets) are identical to the full graph build's.
+    * An anchor participates in a bucket only if it itself survived the
+    * subsample there (knnGraph forms pairs among survivors only).
+    * Per-anchor top-k over the union of its kept buckets under the
+    * same (cos desc, id asc, nulls last) total order equals the full
+    * graph's row for that anchor BY CONSTRUCTION (buckets the anchor
+    * does not occupy contribute nothing to it; spec-pinned equal to
+    * [[knnGraph]]-then-[[graphRecallSampled]] with and without cap
+    * pressure). */
   def graphRecallAnchorsOnly(corpus: DataFrame, k: Int, anchors: Int,
       bits: Int = 0, dim: Int = 64, tables: Int = 24, seed: Long = 42L,
       maxBucket: Int = KnnHotBucketCap): DataFrame = {
@@ -684,19 +688,31 @@ object Similarity {
       col("embedding"),
       posexplode(bucketArray(col("embedding"), b, dim, tables, seed))
         .as(Seq("tbl", "bkt")))
-    val sizes = exploded.groupBy(col("tbl"), col("bkt"))
-      .agg(count(lit(1)).as("__bsz"))
     val aBuckets = a.select(col("vec_id").cast("long").as("q_id"),
       posexplode(bucketArray(col("embedding"), b, dim, tables, seed))
         .as(Seq("tbl", "bkt")))
-    val keep = sizes
-      .join(broadcast(aBuckets.select("tbl", "bkt").distinct()),
-        Seq("tbl", "bkt"))
-      .filter(col("__bsz") <= maxBucket)
-      .select("tbl", "bkt")
-    val members = exploded.join(broadcast(keep), Seq("tbl", "bkt"))
+    // WHOLE anchor-occupied buckets (no size filter: over-cap buckets
+    // subsample rather than drop, so their kept members still count),
+    // then the exact capBuckets keep rule — md5-prefix rank within the
+    // full bucket. maxBucket == Int.MaxValue keeps everything and the
+    // rank filter is a no-op.
+    val members0 = exploded.join(
+      broadcast(aBuckets.select("tbl", "bkt").distinct()), Seq("tbl", "bkt"))
+    val members =
+      (if (maxBucket == Int.MaxValue) members0
+       else members0.withColumn("__brn", row_number().over(
+           Window.partitionBy(col("tbl"), col("bkt"))
+             .orderBy(md5(col("id").cast("string")).asc, col("id").asc)))
+         .filter(col("__brn") <= maxBucket).drop("__brn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (tbl, bkt, q_id) buckets where the anchor ITSELF survived the
+    // subsample — pairs in knnGraph form among survivors only, so a
+    // capped-out anchor gets nothing from that bucket
+    val anchorKept = members
+      .select(col("tbl"), col("bkt"), col("id").as("q_id"))
+      .join(broadcast(aBuckets), Seq("tbl", "bkt", "q_id"))
     val scored = members
-      .join(broadcast(aBuckets), Seq("tbl", "bkt"))
+      .join(broadcast(anchorKept), Seq("tbl", "bkt"))
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("neighbor_id"), col("embedding"))
       .dropDuplicates("q_id", "neighbor_id")
@@ -737,8 +753,8 @@ object Similarity {
   }
 
   /** Probe-side hot-bucket audit for the [[knnGraph]] family: per-table
-    * count of LSH buckets OVER `maxBucket` (these are dropped from
-    * candidate generation by Dedup.capBuckets) and the rows they held —
+    * count of LSH buckets OVER `maxBucket` (these are subsampled down
+    * to the cap by Dedup.capBuckets) and the rows they held —
     * the "capped-bucket log counts" a scale probe records next to its
     * recall row, so a recall drop can be attributed to cap pressure
     * (duplicate mass) rather than bucket-space exhaustion. One
@@ -778,18 +794,21 @@ object Similarity {
   }
 
   /** Default hot-bucket guard for the corpus kNN-graph family: LSH
-    * buckets holding more than this many rows are dropped from
-    * candidate generation (Dedup.capBuckets). autoBits sizes buckets
-    * to ~32 expected rows, so 16x that only ever fires on degenerate
-    * mass — near-identical vectors that collide in EVERY table, where
-    * the self-join would otherwise go quadratic in the replica count
-    * (the sf10eq dup-heavy probe: 211s on emb_pagerank, candidate
-    * generation hostage to hot buckets). A CONSTANT is the right
-    * derivation here: expected occupancy is count-independent by
+    * buckets holding more than this many rows are SUBSAMPLED down to
+    * the cap by md5-prefix rank (Dedup.capBuckets). autoBits sizes
+    * buckets to ~32 expected rows, so 16x that only ever fires on
+    * degenerate mass — near-identical vectors that collide in EVERY
+    * table, where the self-join would otherwise go quadratic in the
+    * replica count (the sf10eq dup-heavy probe: 211s on emb_pagerank,
+    * candidate generation hostage to hot buckets). A CONSTANT is the
+    * right derivation here: expected occupancy is count-independent by
     * autoBits construction, so any bucket past 16x expectation is
-    * duplicate mass at every corpus size — and near-dups of one
-    * vector past bucket capacity carry no new neighbor information.
-    * Replayed verbatim in the SQL oracles (HAVING count(*) <= cap). */
+    * duplicate mass at every corpus size — and a cap-sized
+    * content-hash sample of that mass keeps ~cap candidates per
+    * surviving anchor (drop-bucket cost recall@5 0.45 at 20M vectors /
+    * 27% capped rows, SCALE.md). Replayed verbatim in the SQL oracles
+    * (row_number() OVER (PARTITION BY t, bkt ORDER BY md5(vec_id),
+    * vec_id) <= cap). */
   val KnnHotBucketCap: Int = 512
 
   /** Corpus kNN graph over capped LSH buckets, scored IN-BUCKET.
@@ -841,7 +860,8 @@ object Similarity {
       col("embedding"),
       posexplode(bucketArray(col("embedding"), b, dim, tables, seed))
         .as(Seq("tbl", "bkt")))
-    val capped = Dedup.capBuckets(exploded, Seq("tbl", "bkt"), maxBucket)
+    val capped = Dedup.capBuckets(exploded, Seq("tbl", "bkt"), maxBucket,
+      col("id"))
     val scored = capped.groupBy(col("tbl"), col("bkt"))
       .agg(collect_list(struct(col("id").as("_1"),
         col("embedding").as("_2"))).as("members"))

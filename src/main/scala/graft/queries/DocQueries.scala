@@ -647,9 +647,17 @@ object DocQueries {
          |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          |FROM sh JOIN f USING (s)
          |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val owners = Streaming.runAvailableNow(
+      // bucketed drain: the owner table lands hash-bucketed on the
+      // shingle digest (aligned with the state shuffle — no extra
+      // exchange at write), so the per-doc tail join below plans ONE
+      // exchange (the exploded doc side) instead of two
+      val owners = Streaming.runAvailableNowBucketed(
         Streaming.shingleOwnerStream(Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), 3),
+        table = "graft_novelty_owners",
+        keys = Seq("s"),
+        buckets = s.conf.get("spark.sql.shuffle.partitions").toInt,
+        sortCols = Seq("s"),
         rocksdbState = true) // per-distinct-shingle state: corpus-sized
       val sh = Dedup.explodeShingles(Tables.documents(s, dir),
           col("text"), col("doc_id"), 3)

@@ -47,13 +47,18 @@ object EmbeddingQueries {
     * plane-filter `pl.j < b` keeps the cross join sized by the DERIVED
     * bits, so grading-scale oracle work is unchanged.
     *
-    * `bok` replays [[graft.operators.Similarity.KnnHotBucketCap]] —
-    * buckets holding more rows than the cap are DROPPED from candidate
-    * generation on both engines (capBuckets), so a dup-heavy corpus
-    * (exact-replica vectors land in the same bucket in EVERY table)
-    * cannot push candidate volume quadratic in the replica count: the
-    * sf10eq probe measured 211s on emb_pagerank with candidate
-    * generation hostage to hot buckets before this cap. */
+    * `cbk` replays [[graft.operators.Similarity.KnnHotBucketCap]] —
+    * buckets holding more rows than the cap are SUBSAMPLED to the cap
+    * by md5-prefix rank on both engines (capBuckets' keep rule,
+    * `row_number() OVER (PARTITION BY t, bkt ORDER BY md5(vec_id),
+    * vec_id) <= cap` — under-cap buckets pass whole since rank <= size
+    * there), so a dup-heavy corpus (exact-replica vectors land in the
+    * same bucket in EVERY table) cannot push candidate volume
+    * quadratic in the replica count: the sf10eq probe measured 211s on
+    * emb_pagerank with candidate generation hostage to hot buckets
+    * before this cap — while a saturated bucket still contributes a
+    * deterministic cap-sized sample instead of vanishing (drop-bucket
+    * cost recall@5 0.45 at 20M vectors, SCALE.md). */
   private def knnCandidateCtes(maxBits: Int): String =
     s"""planes(t, j, p) AS (VALUES ${srpPlanesValues(maxBits, 64, 24, 42L)}),
        |dbits AS (
@@ -67,14 +72,17 @@ object EmbeddingQueries {
        |  FROM embeddings e CROSS JOIN planes pl
        |  WHERE pl.j < (SELECT b FROM dbits)
        |  GROUP BY 1, 2),
-       |bok AS (
-       |  SELECT t, bkt FROM cb GROUP BY t, bkt
-       |  HAVING count(*) <= ${Similarity.KnnHotBucketCap}),
+       |cbk AS (
+       |  SELECT vec_id, t, bkt FROM (
+       |    SELECT vec_id, t, bkt, row_number() OVER (
+       |      PARTITION BY t, bkt
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS brn
+       |    FROM cb) s
+       |  WHERE brn <= ${Similarity.KnnHotBucketCap}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
-       |  FROM bok s
-       |  JOIN cb a ON a.t = s.t AND a.bkt = s.bkt
-       |  JOIN cb b ON b.t = s.t AND b.bkt = s.bkt
+       |  FROM cbk a
+       |  JOIN cbk b ON b.t = a.t AND b.bkt = a.bkt
        |    AND a.vec_id != b.vec_id),
        |scored AS (
        |  SELECT c.src_id, c.neighbor_id,

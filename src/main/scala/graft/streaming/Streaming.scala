@@ -85,7 +85,7 @@ object Streaming {
       .drop(tsCol)
     l.join(r,
       col(key) === col("r_key") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${lookbackUs / 1000000L} SECONDS") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookbackUs MICROSECOND") &&
         col("r_ts") <= col("l_ts"))
   }
 
@@ -449,6 +449,59 @@ object Streaming {
       case Some(v) => spark.conf.set(StoreKey, v)
       case None => spark.conf.unset(StoreKey)
     }
+  }
+
+  /** [[runAvailableNow]] whose drain lands in a [[graft.sources
+    * .BucketedStore]] table hash-bucketed on `keys` — for
+    * drain-then-join compositions (the novelty/boilerplate corpus-
+    * drift shape) where the drained table is the PERSISTENT side of a
+    * corpus-sized tail join: the bucketed scan reports its
+    * partitioning, so the tail join plans ONE exchange (the per-doc
+    * side) instead of two. The bucketing itself is free of extra
+    * exchanges BY ALIGNMENT: the drained frame arrives hash-partitioned
+    * on the state key (the streaming agg's own shuffle), and
+    * `bucketBy(shufflePartitions, stateKey)` uses the same murmur3
+    * pmod routing, so each drain task writes exactly one bucket file —
+    * which also makes `sortCols` metadata usable by downstream
+    * sort-merge joins (one file per bucket = no re-sort). Complete
+    * mode only (each AvailableNow batch overwrites the table with the
+    * full state snapshot, exactly like the parquet drain).
+    *
+    * At 100 TB this is the difference between shuffling the drained
+    * owner table on EVERY downstream pass and paying its placement
+    * once at drain time: the 15M-doc novelty probe's tail join
+    * shuffled ~90 GB of which the owner side re-shuffles for free
+    * here (measured rows in SCALE.md). */
+  def runAvailableNowBucketed(df: DataFrame, table: String,
+      keys: Seq[String], buckets: Int, sortCols: Seq[String] = Nil,
+      rocksdbState: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft_bdrain_")
+    sweepOnExit(root)
+    val path = root.resolve("tbl").toString
+    val StoreKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevStore = if (rocksdbState) spark.conf.getOption(StoreKey) else None
+    if (rocksdbState) spark.conf.set(StoreKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = df.writeStream.outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.BucketedStore.write(batch, table, path, keys,
+            buckets, sortCols)
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (rocksdbState) prevStore match {
+      case Some(v) => spark.conf.set(StoreKey, v)
+      case None => spark.conf.unset(StoreKey)
+    }
+    if (spark.catalog.tableExists(table))
+      graft.sources.BucketedStore.read(spark, table)
+    else // a stream that emitted nothing: empty frame, same schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        df.schema)
   }
 
   private def runAvailableNowInner(df: DataFrame, outputMode: String): DataFrame = {

@@ -77,7 +77,9 @@ object KnnProbe {
       }
     val recall = recallDf
       .agg(avg(col("recall_ppm")), count(lit(1))).collect()(0)
-    val recallMean = recall.getDouble(0)
+    // avg over zero rows is NULL (empty/undersized embeddings table):
+    // report n=0 instead of NPE-ing the probe
+    val recallMean = if (recall.isNullAt(0)) 0.0 else recall.getDouble(0)
     val nAnchors = recall.getLong(1)
 
     println(f"""{"dir":"$dir","n":$n,"bits":$bits,"k":$k,"cap":$cap,""" +

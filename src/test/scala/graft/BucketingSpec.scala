@@ -186,4 +186,52 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_app_sigs")
     }
   }
+
+  test("bucketed stream drain: the novelty tail join drops one exchange") {
+    import graft.streaming.Streaming
+    val docs = Tables.documents(spark, dir)
+    // drain the shingle-owner stream straight into a bucketed table
+    val owners = Streaming.runAvailableNowBucketed(
+      Streaming.shingleOwnerStream(Streaming.documentsStream(spark, dir),
+        col("text"), col("doc_id"), 3),
+      table = "graft_novelty_owners_spec", keys = Seq("s"), buckets = 4,
+      sortCols = Seq("s"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val sh = Dedup.explodeShingles(docs, col("text"), col("doc_id"), 3)
+        .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      def tail(f: org.apache.spark.sql.DataFrame) = sh.join(f, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("doc_id") === col("first_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+      val bucketed = tail(owners)
+      val p = plan(bucketed)
+      assert(p.contains("Bucketed: true"), s"owner scan not bucketed:\n$p")
+      // unbucketed owners: exchange(sh) + exchange(owners) + exchange
+      // for the doc_id agg = 3; bucketed owners: the owner side reads
+      // its placement from the scan = 2
+      val control = tail(owners.sparkSession.read.parquet(
+        spark.sql("DESCRIBE FORMATTED graft_novelty_owners_spec")
+          .filter(col("col_name") === "Location")
+          .head.getString(1)))
+      assert(exchanges(control) == 3,
+        s"control plan should shuffle both join sides + agg:\n${plan(control)}")
+      assert(exchanges(bucketed) == 2,
+        s"owner-side exchange survived bucketing:\n$p")
+      // semantics unchanged: equal to the batch novelty profile
+      val a = bucketed.collect().map(_.toSeq).toSet
+      val b = Dedup.noveltyProfile(docs, col("text"), col("doc_id"), 3)
+        .collect().map(_.toSeq).toSet
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_novelty_owners_spec")
+    }
+  }
 }

@@ -224,19 +224,34 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
-  test("hot-bucket cap bounds candidates on an all-identical corpus") {
+  test("hot-bucket cap subsamples candidates on an all-identical corpus") {
     val spark0 = spark
     import spark0.implicits._
     val same = (0L until 100L).map(i => (i, "the same boilerplate words repeated here"))
       .toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(same, col("text"), col("doc_id"), 32)
-    val uncapped = Dedup.minhashLshPairs(sigs, 32, 16, 0.0).count()
-    assert(uncapped == 100L * 99L / 2, s"expected all pairs, got $uncapped")
-    val capped = Dedup.minhashLshPairs(sigs, 32, 16, 0.0, maxBucket = 10).count()
-    assert(capped == 0, s"capped candidates should be 0, got $capped")
-    // simhash path: identical docs share every 8-bit chunk
+    def pairs(mb: Int) = Dedup.minhashLshPairs(sigs, 32, 16, 0.0, maxBucket = mb)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.size == 100 * 99 / 2, s"expected all pairs, got ${uncapped.size}")
+    // cap 10: every band keeps the SAME md5-prefix-ranked 10 docs, so
+    // candidates degrade to the sample's 10*9/2 pairs — a subset of
+    // the uncapped pairs, not zero (the pre-r11 drop-bucket behavior)
+    val capped = pairs(10)
+    assert(capped.size == 10 * 9 / 2, s"capped pairs: ${capped.size}")
+    assert(capped.subsetOf(uncapped))
+    // deterministic run to run (md5 rank, no RNG)
+    assert(pairs(10) == capped)
+    // the kept ids are exactly the corpus's md5-prefix top-10 — the
+    // same rule Sampling.hashSample / the SQL oracles replay
+    val keep = same.select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    assert(capped.flatMap(p => Set(p._1, p._2)) == keep)
+    // simhash path: identical docs share every 8-bit chunk; same sample
     val ssigs = Dedup.simhash(same, col("text"), col("doc_id"))
-    assert(Dedup.simhashPairs(ssigs, 6, maxBucket = 10).count() == 0)
+    assert(Dedup.simhashPairs(ssigs, 6, maxBucket = 10).count() == 10L * 9 / 2)
   }
 
   private lazy val embs = Tables.embeddings(spark, dir)
@@ -402,10 +417,22 @@ class DedupSpec extends AnyFunSuite {
       "each identical pair should keep exactly the original")
   }
 
-  test("semdedup hot-cluster cap drops oversized clusters only") {
-    val capped = Dedup.semanticDedupPairs(embs, col("vec_id"),
-      col("embedding"), nClusters = 2, threshold = -1.0, maxCluster = 10)
-    assert(capped.count() == 0, "2 clusters over 50 vecs must exceed cap 10")
+  test("semdedup hot-cluster cap subsamples oversized clusters") {
+    def pairs(mc: Int) = Dedup.semanticDedupPairs(embs, col("vec_id"),
+        col("embedding"), nClusters = 2, threshold = -1.0, maxCluster = mc)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(10)
+    // every over-cap cluster degrades to its md5-prefix 10-sample (not
+    // to zero, the pre-r11 drop behavior): <= 10 distinct members per
+    // cluster => per-cluster pair count <= 45, pairs a subset of the
+    // uncapped run's, deterministically
+    assert(capped.nonEmpty && capped.size <= 2 * 45,
+      s"capped pair count ${capped.size}")
+    assert(capped.subsetOf(pairs(Int.MaxValue)))
+    assert(pairs(10) == capped, "subsample must be deterministic")
+    val members = capped.flatMap(p => Set(p._1, p._2))
+    assert(members.size <= 20, s"kept members ${members.size} exceed 2 caps")
   }
 
   test("incrementalDedup: index blocks, batch keeper elected, fresh content keeps") {

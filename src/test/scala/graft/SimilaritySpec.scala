@@ -179,13 +179,20 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (v <- ids.take(20))
       assert(ga1(v) == v + 1000000L, s"auto-bits: src $v top = ${ga1.get(v)}")
-    // the hot-bucket cap silences an all-identical corpus entirely
+    // the hot-bucket cap SUBSAMPLES an all-identical corpus: every
+    // table's bucket keeps the same md5-prefix-ranked 10 ids, so the
+    // graph is the sample's 10 survivors x top-3, not empty
     val one = emb.filter(col("vec_id") === 0).select(col("embedding")).head
       .getAs[scala.collection.Seq[Float]](0)
     import spark.implicits._
     val flat = (0L until 50L).map(i => (i, one.toArray)).toDF("vec_id", "embedding")
-    assert(Similarity.knnGraph(flat, 3, bits = 6, dim = 64, maxBucket = 10)
-      .count() == 0, "50 identical vectors exceed cap 10 in every bucket")
+    val gflat = Similarity.knnGraph(flat, 3, bits = 6, dim = 64, maxBucket = 10)
+      .collect()
+    assert(gflat.length == 30, s"10 survivors x top-3, got ${gflat.length}")
+    val keep = flat.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    assert(gflat.forall(r => keep(r.getLong(0)) && keep(r.getLong(1))))
   }
 
   test("quantize_vec: hand-checked codes, zero vector, interpreted == codegen") {
@@ -491,7 +498,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("graphRecallAnchorsOnly == full-graph recall, with and without cap pressure") {
     // the graph-free probe path must reproduce the materialized graph's
-    // recall rows exactly — including when the cap drops real buckets
+    // recall rows exactly — including when the cap subsamples real
+    // buckets (the anchor itself may or may not survive the sample)
     for (cap <- Seq(Similarity.KnnHotBucketCap, 24)) {
       val g = Similarity.knnGraph(emb, 5,
         bits = Similarity.autoBits(emb.count()), dim = 64, maxBucket = cap)

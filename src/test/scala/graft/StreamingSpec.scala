@@ -789,4 +789,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSet == Set((8L, 1, false), (7L, 2, true)))
     } finally q.stop()
   }
+
+  test("interval join stream: fractional-second lookback is not truncated") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val t0 = 1704067200000000L
+    // 1.5 s lookback: whole-second truncation (the pre-r11 bug,
+    // INTERVAL lookbackUs/1e6 SECONDS) would silently shrink it to
+    // 1 s and drop the pair 1.2 s apart
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long)]
+    val joined = Streaming.intervalJoinStream(
+        lIn.toDS().toDF("user_id", "ts_us", "l_id"),
+        rIn.toDS().toDF("user_id", "ts_us", "r_id"),
+        "user_id", "ts_us", lookbackUs = 1500000L,
+        watermarkDelay = "1 minute")
+      .select(col("l_id"), col("r_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_frac_out").start()
+    try {
+      lIn.addData((1L, t0 + 2000000L, 10L))
+      rIn.addData(
+        (1L, t0 + 800000L, 20L),  // 1.2 s before: inside 1.5 s, outside 1 s
+        (1L, t0 + 400000L, 21L),  // 1.6 s before: outside
+        (1L, t0 + 2000000L, 22L)) // same instant: inside
+      q.processAllAvailable()
+      val got = spark.table("ij_frac_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 20L), (10L, 22L)))
+    } finally q.stop()
+  }
 }
