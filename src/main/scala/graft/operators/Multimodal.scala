@@ -494,15 +494,18 @@ object Multimodal {
         emit(prefix)
         dict.put(key2, Integer.valueOf(nextCode))
         nextCode += 1
-        // width bump AFTER the add: the next emitted code must fit the
-        // grown table (codes up to nextCode-1, plus the decoder's KwKwK
-        // slot at nextCode). The decoder's mirror condition fires at
-        // nextCode == 2^width - 1 because its add-counter runs one
-        // entry BEHIND the encoder's at the same stream position (it
-        // learns entry t only upon reading code t+1) — symmetric
-        // conditions desync at every power-of-two boundary (hand-traced
-        // in MultimodalSpec's width-growth case).
-        if (nextCode == (1 << width) && width < 12) width += 1
+        // width bump AFTER the add, one entry LATER than the naive
+        // symmetric condition: the decoder's add-counter runs one
+        // entry behind the encoder's at the same stream position (it
+        // learns entry t only upon reading code t+1), so the decoder
+        // bumps when ITS counter hits 2^width — which is when the
+        // encoder's hits 2^width + 1. This is the conformant GIF
+        // pairing (Appendix F; what giflib and the JDK implement) —
+        // r11's ImageIO differential gate caught the earlier
+        // one-code-early variant, which round-tripped against its own
+        // decoder but silently desynced every conformant reader at
+        // the first power-of-two boundary.
+        if (nextCode == (1 << width) + 1 && width < 12) width += 1
         if (nextCode == 4096) { // table full: reset
           emit(clear)
           dict.clear()
@@ -517,16 +520,16 @@ object Multimodal {
     // Mirror the decoder's dictionary add for this FINAL data code: the
     // decoder, on reading it, adds one more entry (prev + first) that the
     // encoder never needed — and if that add lands exactly on the
-    // decoder's bump boundary (its nextCode == 2^width - 1, which equals
+    // decoder's bump boundary (its nextCode == 2^width, which equals
     // the encoder's nextCode here since the encoder skipped the add), the
     // decoder reads EOI at width+1 while an unmirrored encoder wrote it
     // at the old width. When the bitstream happened to be byte-aligned
     // the decoder then threw "ends before EOI" on a valid payload
     // (e.g. 2x31 at key%256==200 — pinned in MultimodalSpec). The
     // boundary value is unreachable with zero adds since the last clear
-    // (nextCode resets to eoi+1 < 2^width - 1), so no emitted-count guard
+    // (nextCode resets to eoi+1 < 2^width), so no emitted-count guard
     // is needed: if the condition holds, the decoder's final add happens.
-    if (nextCode == (1 << width) - 1 && width < 12) width += 1
+    if (nextCode == (1 << width) && width < 12) width += 1
     emit(eoi)
     if (nbits > 0) bits.write((cur & 0xff).toInt)
     // sub-block framing: <=255-byte chunks, zero terminator
@@ -669,10 +672,11 @@ object Multimodal {
           prefixOf(nextCode) = prev
           suffixOf(nextCode) = firstOf(code)
           nextCode += 1
-          // one less than the encoder's 2^width condition: the
-          // decoder's counter is one entry behind at the same stream
+          // the conformant decoder bump (Appendix F): grow when the
+          // counter fills the current width — one entry behind the
+          // encoder's 2^width + 1 condition at the same stream
           // position (see the encoder-side comment)
-          if (nextCode == (1 << width) - 1 && width < 12) width += 1
+          if (nextCode == (1 << width) && width < 12) width += 1
         }
         prev = code
       }
