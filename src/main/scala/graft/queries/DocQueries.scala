@@ -647,17 +647,18 @@ object DocQueries {
          |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
          |FROM sh JOIN f USING (s)
          |GROUP BY 1""".stripMargin) { (s, dir) =>
-      // bucketed drain: the owner table lands hash-bucketed on the
-      // shingle digest (aligned with the state shuffle — no extra
-      // exchange at write), so the per-doc tail join below plans ONE
-      // exchange (the exploded doc side) instead of two
-      val owners = Streaming.runAvailableNowBucketed(
+      // PLAIN drain, deliberately: the bucketed-drain variant
+      // (runAvailableNowBucketed) was measured against this exact
+      // query at 15M docs in a same-day three-way control (r11,
+      // SCALE.md) and LOST — 1043s plain vs 1132s bucketed-unsorted
+      // vs 1200s bucketed-sorted. For a drain whose owner table is
+      // joined ONCE, the bucketed write's own overhead exceeds the
+      // single saved join exchange; bucketing pays only when the
+      // placement amortizes over repeated reads (the BucketedStore
+      // incremental-index pattern, which keeps it).
+      val owners = Streaming.runAvailableNow(
         Streaming.shingleOwnerStream(Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), 3),
-        table = "graft_novelty_owners",
-        keys = Seq("s"),
-        buckets = s.conf.get("spark.sql.shuffle.partitions").toInt,
-        sortCols = Seq("s"),
         rocksdbState = true) // per-distinct-shingle state: corpus-sized
       val sh = Dedup.explodeShingles(Tables.documents(s, dir),
           col("text"), col("doc_id"), 3)

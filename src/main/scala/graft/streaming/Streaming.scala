@@ -467,11 +467,15 @@ object Streaming {
     * mode only (each AvailableNow batch overwrites the table with the
     * full state snapshot, exactly like the parquet drain).
     *
-    * At 100 TB this is the difference between shuffling the drained
-    * owner table on EVERY downstream pass and paying its placement
-    * once at drain time: the 15M-doc novelty probe's tail join
-    * shuffled ~90 GB of which the owner side re-shuffles for free
-    * here (measured rows in SCALE.md). */
+    * WHEN IT PAYS — measured, not assumed (r11 same-day three-way
+    * control at 15M docs, SCALE.md): for a drain whose table is
+    * joined ONCE, the bucketed write's own overhead EXCEEDS the one
+    * saved join exchange (plain 1043s vs bucketed-unsorted 1132s vs
+    * bucketed-sorted 1200s on doc_novelty_stream), so the graded
+    * novelty query deliberately stays on the plain drain. Use this
+    * variant when the drained table is the PERSISTENT side of
+    * repeated downstream joins (the BucketedStore incremental-index
+    * shape) — placement paid once, amortized over every read. */
   def runAvailableNowBucketed(df: DataFrame, table: String,
       keys: Seq[String], buckets: Int, sortCols: Seq[String] = Nil,
       rocksdbState: Boolean = false): DataFrame = {
