@@ -554,14 +554,18 @@ object Multimodal {
       palette(indices(k / 3) * 3 + k % 3) & 0xff
   }
 
-  /** REAL GIF87a/89a decoder (non-interlaced, global color table):
-    * validates the signature, reads the logical screen descriptor and
-    * color table, skips extension blocks (sub-block framing), and
-    * LZW-decodes the image data — variable-width codes, clear/EOI
-    * handling, dictionary reconstruction including the KwKwK case
-    * (code == nextCode: the string is prev + prev.head). Malformed
-    * input — bad magic, code beyond the dictionary, truncated
-    * sub-blocks, missing EOI — is a loud IllegalArgumentException. */
+  /** REAL GIF87a/89a decoder: validates the signature, reads the
+    * logical screen descriptor and color table (global, or a local
+    * table overriding it — r11, required by JDK-written GIFs), skips
+    * extension blocks (sub-block framing), LZW-decodes the image data
+    * — variable-width codes, clear/EOI handling, dictionary
+    * reconstruction including the KwKwK case (code == nextCode: the
+    * string is prev + prev.head) — and un-does four-pass interlacing
+    * (r11: the JDK writer interlaces BY DEFAULT, so any pipeline
+    * reading foreign GIFs meets it; pinned by ForeignEncoderSpec).
+    * Malformed input — bad magic, code beyond the dictionary,
+    * truncated sub-blocks, missing EOI — is a loud
+    * IllegalArgumentException. */
   def decodeGif(payload: Array[Byte]): GifImage =
     // every structural error is an IAE, including reads running off a
     // truncated payload mid-field
@@ -581,14 +585,17 @@ object Multimodal {
     }
     val sw = u16(); val sh = u16()
     val packed = payload(p) & 0xff; p += 3 // packed, bg, aspect
-    require((packed & 0x80) != 0, "gif: global color table required")
-    val gctSize = 2 << (packed & 7)
-    require(p + gctSize * 3 <= payload.length, "gif: truncated color table")
-    val palette = java.util.Arrays.copyOfRange(payload, p, p + gctSize * 3)
-    p += gctSize * 3
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) { // global color table (optional per spec)
+      val gctSize = 2 << (packed & 7)
+      require(p + gctSize * 3 <= payload.length, "gif: truncated color table")
+      palette = java.util.Arrays.copyOfRange(payload, p, p + gctSize * 3)
+      p += gctSize * 3
+    }
     // walk blocks to the image descriptor, skipping extensions
     var w = 0
     var h = 0
+    var interlaced = false
     var found = false
     while (!found) {
       require(p < payload.length, "gif: no image descriptor")
@@ -599,8 +606,14 @@ object Multimodal {
           w = u16(); h = u16()
           require(w > 0 && h > 0 && w <= sw && h <= sh, "gif: bad image size")
           val lp = payload(p) & 0xff; p += 1
-          require((lp & 0x80) == 0, "gif: local color tables unsupported")
-          require((lp & 0x40) == 0, "gif: interlaced images unsupported")
+          if ((lp & 0x80) != 0) { // local color table overrides global
+            val lctSize = 2 << (lp & 7)
+            require(p + lctSize * 3 <= payload.length,
+              "gif: truncated local color table")
+            palette = java.util.Arrays.copyOfRange(payload, p, p + lctSize * 3)
+            p += lctSize * 3
+          }
+          interlaced = (lp & 0x40) != 0
           found = true
         case 0x21 => // extension: label + sub-blocks
           p += 1
@@ -610,6 +623,8 @@ object Multimodal {
         case x => throw new IllegalArgumentException(f"gif: unknown block 0x$x%02x")
       }
     }
+    require(palette != null,
+      "gif: no color table (neither global nor local)")
     val minCode = payload(p) & 0xff; p += 1
     require(minCode >= 2 && minCode <= 8, s"gif: bad LZW min code $minCode")
     // concatenate the sub-blocks
@@ -684,7 +699,21 @@ object Multimodal {
     require(outN == w * h, s"gif: decoded $outN pixels, expected ${w * h}")
     out.foreach(ix => require(ix * 3 + 2 < palette.length,
       s"gif: index $ix beyond palette"))
-    GifImage(w, h, palette, out)
+    // interlaced streams carry rows in four passes (0,8,16.. / 4,12..
+    // / 2,6.. / 1,3,5..); reorder file rows back to top-down
+    val pixels =
+      if (!interlaced) out
+      else {
+        val deint = new Array[Int](w * h)
+        var fileRow = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+             y <- start until h by step) {
+          System.arraycopy(out, fileRow * w, deint, y * w, w)
+          fileRow += 1
+        }
+        deint
+      }
+    GifImage(w, h, palette, pixels)
   }
 
   case class PngImage(width: Int, height: Int, bitDepth: Int,
