@@ -443,6 +443,24 @@ object Multimodal {
     case _ => Math.floorMod(i * 53 + 101, 256)
   }
 
+  /** GIF89a signature + logical screen descriptor + the 64-entry
+    * global color table from [[gifPaletteByte]] — the container
+    * prefix shared by [[synthGif]] and [[synthGifAnimated]]. */
+  private def writeGifHeader(out: java.io.ByteArrayOutputStream,
+      w: Int, h: Int, minCode: Int): Unit = {
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(w); u16(h)
+    out.write(0x80 | ((minCode - 1) << 4) | (minCode - 1)) // GCT
+    out.write(0); out.write(0) // bg idx, aspect
+    val nIdx = 1 << minCode
+    var i = 0
+    while (i < nIdx) {
+      out.write(gifPaletteByte(i, 0)); out.write(gifPaletteByte(i, 1))
+      out.write(gifPaletteByte(i, 2)); i += 1
+    }
+  }
+
   /** A valid GIF89a: 6-bit color depth (64-entry global table from
     * [[gifPaletteByte]]), one image, pixel index (y·w+x) =
     * [[synthPixelByte]](key, y·w+x) mod 64, and the index stream
@@ -455,21 +473,55 @@ object Multimodal {
     var k = 0
     while (k < idx.length) { idx(k) = synthPixelByte(key, k) % nIdx; k += 1 }
     val out = new java.io.ByteArrayOutputStream()
-    out.write("GIF89a".getBytes("US-ASCII"))
+    writeGifHeader(out, w, h, minCode)
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    u16(w); u16(h)
-    out.write(0x80 | ((minCode - 1) << 4) | (minCode - 1)) // GCT, 64 entries
-    out.write(0); out.write(0) // bg idx, aspect
-    var i = 0
-    while (i < nIdx) {
-      out.write(gifPaletteByte(i, 0)); out.write(gifPaletteByte(i, 1))
-      out.write(gifPaletteByte(i, 2)); i += 1
-    }
     out.write(0x2c) // image descriptor
     u16(0); u16(0); u16(w); u16(h)
     out.write(0) // no local color table, not interlaced
+    writeGifImageData(out, idx, minCode)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Frame `f` of the animated synth payload: pixel index (y·w+x) =
+    * [[synthPixelByte]](key, f·w·h + y·w + x) mod 64 — the frame
+    * offset keeps every frame's content distinct, so a decoder that
+    * returns frame 0 N times (or desyncs the LZW dictionary across
+    * image blocks) fails the position-weighted oracle checksum. */
+  def synthGifAnimated(key: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(frames >= 1, "gif: at least one frame")
+    val minCode = 6
+    val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, w, h, minCode)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    var f = 0
+    while (f < frames) {
+      // graphic control extension per frame (delay 10cs, no disposal,
+      // no transparency) — what animation writers emit
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); u16(10); out.write(0); out.write(0)
+      out.write(0x2c) // full-frame image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0)
+      val idx = new Array[Int](w * h)
+      var k = 0
+      while (k < idx.length) {
+        idx(k) = synthPixelByte(key, f.toLong * w * h + k) % 64; k += 1
+      }
+      writeGifImageData(out, idx, minCode)
+      f += 1
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** LZW-compress one image's index stream and write it as GIF image
+    * data: min-code byte, <=255-byte sub-blocks, zero terminator.
+    * Shared by the single-image and animated encoders.
+    * REAL LZW: dictionary of index strings keyed by (prefixCode, next). */
+  private def writeGifImageData(out: java.io.ByteArrayOutputStream,
+      idx: Array[Int], minCode: Int): Unit = {
     out.write(minCode)
-    // REAL LZW: dictionary of index strings keyed by (prefixCode, next)
     val clear = 1 << minCode
     val eoi = clear + 1
     val dict = new java.util.HashMap[Long, Integer]()
@@ -485,7 +537,7 @@ object Multimodal {
     }
     emit(clear)
     var prefix = idx(0)
-    i = 1
+    var i = 1
     while (i < idx.length) {
       val key2 = prefix.toLong << 16 | idx(i)
       val hit = dict.get(key2)
@@ -542,8 +594,6 @@ object Multimodal {
       off += len
     }
     out.write(0)
-    out.write(0x3b) // trailer
-    out.toByteArray
   }
 
   case class GifImage(width: Int, height: Int,
@@ -568,14 +618,30 @@ object Multimodal {
     * IllegalArgumentException. */
   def decodeGif(payload: Array[Byte]): GifImage =
     // every structural error is an IAE, including reads running off a
-    // truncated payload mid-field
-    try decodeGif0(payload)
+    // truncated payload mid-field. First image only (trailing blocks
+    // untouched) — the historical single-image contract.
+    try decodeGifFrames0(payload, maxFrames = 1).head
     catch {
       case _: ArrayIndexOutOfBoundsException =>
         throw new IllegalArgumentException("gif: truncated payload")
     }
 
-  private def decodeGif0(payload: Array[Byte]): GifImage = {
+  /** ALL image blocks of an animated GIF, in stream order — each
+    * frame stands alone (per-frame local color table and interlacing
+    * honored; graphic-control disposal/transparency compositing is
+    * NOT attempted — the synth/JDK animation shape is full-frame
+    * replacement, and partial-frame compositing would silently guess
+    * at semantics this engine has no oracle for). The per-frame LZW
+    * dictionary resets at each image block, as the spec requires. */
+  def decodeGifFrames(payload: Array[Byte]): IndexedSeq[GifImage] =
+    try decodeGifFrames0(payload, maxFrames = Int.MaxValue)
+    catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        throw new IllegalArgumentException("gif: truncated payload")
+    }
+
+  private def decodeGifFrames0(payload: Array[Byte],
+      maxFrames: Int): IndexedSeq[GifImage] = {
     require(payload.length > 13, "gif: truncated header")
     val sig = new String(payload, 0, 6, "US-ASCII")
     require(sig == "GIF89a" || sig == "GIF87a", s"gif: bad signature $sig")
@@ -592,128 +658,137 @@ object Multimodal {
       palette = java.util.Arrays.copyOfRange(payload, p, p + gctSize * 3)
       p += gctSize * 3
     }
-    // walk blocks to the image descriptor, skipping extensions
-    var w = 0
-    var h = 0
-    var interlaced = false
-    var found = false
-    while (!found) {
-      require(p < payload.length, "gif: no image descriptor")
+    // decode the image block whose 0x2c byte was just consumed: the
+    // descriptor (with optional local color table + interlace flag),
+    // then the LZW-coded index stream — per-frame, dictionary reset
+    def decodeOneImage(): GifImage = {
+      u16(); u16() // left, top
+      val w = u16(); val h = u16()
+      require(w > 0 && h > 0 && w <= sw && h <= sh, "gif: bad image size")
+      val lp = payload(p) & 0xff; p += 1
+      var framePal = palette
+      if ((lp & 0x80) != 0) { // local color table overrides global
+        val lctSize = 2 << (lp & 7)
+        require(p + lctSize * 3 <= payload.length,
+          "gif: truncated local color table")
+        framePal = java.util.Arrays.copyOfRange(payload, p, p + lctSize * 3)
+        p += lctSize * 3
+      }
+      val interlaced = (lp & 0x40) != 0
+      require(framePal != null,
+        "gif: no color table (neither global nor local)")
+      val minCode = payload(p) & 0xff; p += 1
+      require(minCode >= 2 && minCode <= 8, s"gif: bad LZW min code $minCode")
+      // concatenate the sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
+      var len = payload(p) & 0xff; p += 1
+      while (len != 0) {
+        require(p + len <= payload.length, "gif: truncated sub-block")
+        data.write(payload, p, len); p += len
+        len = payload(p) & 0xff; p += 1
+      }
+      val z = data.toByteArray
+      // LZW decode
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val out = new Array[Int](w * h)
+      var outN = 0
+      val prefixOf = new Array[Int](4096)
+      val suffixOf = new Array[Int](4096)
+      var nextCode = eoi + 1
+      var width = minCode + 1
+      var cur = 0L
+      var nbits = 0
+      var zp = 0
+      var prev = -1
+      var sawEoi = false
+      val stack = new Array[Int](4096)
+      def firstOf(code0: Int): Int = {
+        var c = code0
+        while (c >= clear) c = prefixOf(c)
+        c
+      }
+      while (!sawEoi) {
+        while (nbits < width && zp < z.length) {
+          cur |= (z(zp) & 0xffL) << nbits; nbits += 8; zp += 1
+        }
+        require(nbits >= width, "gif: LZW stream ends before EOI")
+        val code = (cur & ((1L << width) - 1)).toInt
+        cur >>>= width; nbits -= width
+        if (code == clear) {
+          nextCode = eoi + 1; width = minCode + 1; prev = -1
+        } else if (code == eoi) {
+          sawEoi = true
+        } else {
+          require(code < nextCode || (code == nextCode && prev >= 0),
+            s"gif: code $code beyond dictionary ($nextCode)")
+          var sp = 0
+          if (code == nextCode) { // KwKwK: prev + first(prev)
+            stack(sp) = firstOf(prev); sp += 1
+            var c = prev
+            while (c >= clear) { stack(sp) = suffixOf(c); sp += 1; c = prefixOf(c) }
+            stack(sp) = c; sp += 1
+          } else {
+            var c = code
+            while (c >= clear) { stack(sp) = suffixOf(c); sp += 1; c = prefixOf(c) }
+            stack(sp) = c; sp += 1
+          }
+          require(outN + sp <= out.length, "gif: more pixels than w*h")
+          while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+          if (prev >= 0 && nextCode < 4096) {
+            prefixOf(nextCode) = prev
+            suffixOf(nextCode) = firstOf(code)
+            nextCode += 1
+            // the conformant decoder bump (Appendix F): grow when the
+            // counter fills the current width — one entry behind the
+            // encoder's 2^width + 1 condition at the same stream
+            // position (see the encoder-side comment)
+            if (nextCode == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      require(outN == w * h, s"gif: decoded $outN pixels, expected ${w * h}")
+      out.foreach(ix => require(ix * 3 + 2 < framePal.length,
+        s"gif: index $ix beyond palette"))
+      // interlaced streams carry rows in four passes (0,8,16.. / 4,12..
+      // / 2,6.. / 1,3,5..); reorder file rows back to top-down
+      val pixels =
+        if (!interlaced) out
+        else {
+          val deint = new Array[Int](w * h)
+          var fileRow = 0
+          for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+               y <- start until h by step) {
+            System.arraycopy(out, fileRow * w, deint, y * w, w)
+            fileRow += 1
+          }
+          deint
+        }
+      GifImage(w, h, framePal, pixels)
+    }
+    // walk the block stream: extensions skipped, every image block
+    // decoded (up to maxFrames), trailer ends the walk
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifImage]
+    var done = false
+    while (!done && frames.length < maxFrames) {
+      require(p < payload.length,
+        if (frames.isEmpty) "gif: no image descriptor"
+        else "gif: missing trailer")
       val b = payload(p) & 0xff; p += 1
       b match {
-        case 0x2c =>
-          u16(); u16() // left, top
-          w = u16(); h = u16()
-          require(w > 0 && h > 0 && w <= sw && h <= sh, "gif: bad image size")
-          val lp = payload(p) & 0xff; p += 1
-          if ((lp & 0x80) != 0) { // local color table overrides global
-            val lctSize = 2 << (lp & 7)
-            require(p + lctSize * 3 <= payload.length,
-              "gif: truncated local color table")
-            palette = java.util.Arrays.copyOfRange(payload, p, p + lctSize * 3)
-            p += lctSize * 3
-          }
-          interlaced = (lp & 0x40) != 0
-          found = true
+        case 0x2c => frames += decodeOneImage()
         case 0x21 => // extension: label + sub-blocks
           p += 1
           var len = payload(p) & 0xff; p += 1
           while (len != 0) { p += len; len = payload(p) & 0xff; p += 1 }
-        case 0x3b => throw new IllegalArgumentException("gif: trailer before image")
+        case 0x3b =>
+          require(frames.nonEmpty, "gif: trailer before image")
+          done = true
         case x => throw new IllegalArgumentException(f"gif: unknown block 0x$x%02x")
       }
     }
-    require(palette != null,
-      "gif: no color table (neither global nor local)")
-    val minCode = payload(p) & 0xff; p += 1
-    require(minCode >= 2 && minCode <= 8, s"gif: bad LZW min code $minCode")
-    // concatenate the sub-blocks
-    val data = new java.io.ByteArrayOutputStream()
-    var len = payload(p) & 0xff; p += 1
-    while (len != 0) {
-      require(p + len <= payload.length, "gif: truncated sub-block")
-      data.write(payload, p, len); p += len
-      len = payload(p) & 0xff; p += 1
-    }
-    val z = data.toByteArray
-    // LZW decode
-    val clear = 1 << minCode
-    val eoi = clear + 1
-    val out = new Array[Int](w * h)
-    var outN = 0
-    val prefixOf = new Array[Int](4096)
-    val suffixOf = new Array[Int](4096)
-    var nextCode = eoi + 1
-    var width = minCode + 1
-    var cur = 0L
-    var nbits = 0
-    var zp = 0
-    var prev = -1
-    var sawEoi = false
-    val stack = new Array[Int](4096)
-    def firstOf(code0: Int): Int = {
-      var c = code0
-      while (c >= clear) c = prefixOf(c)
-      c
-    }
-    while (!sawEoi) {
-      while (nbits < width && zp < z.length) {
-        cur |= (z(zp) & 0xffL) << nbits; nbits += 8; zp += 1
-      }
-      require(nbits >= width, "gif: LZW stream ends before EOI")
-      val code = (cur & ((1L << width) - 1)).toInt
-      cur >>>= width; nbits -= width
-      if (code == clear) {
-        nextCode = eoi + 1; width = minCode + 1; prev = -1
-      } else if (code == eoi) {
-        sawEoi = true
-      } else {
-        require(code < nextCode || (code == nextCode && prev >= 0),
-          s"gif: code $code beyond dictionary ($nextCode)")
-        var sp = 0
-        if (code == nextCode) { // KwKwK: prev + first(prev)
-          stack(sp) = firstOf(prev); sp += 1
-          var c = prev
-          while (c >= clear) { stack(sp) = suffixOf(c); sp += 1; c = prefixOf(c) }
-          stack(sp) = c; sp += 1
-        } else {
-          var c = code
-          while (c >= clear) { stack(sp) = suffixOf(c); sp += 1; c = prefixOf(c) }
-          stack(sp) = c; sp += 1
-        }
-        require(outN + sp <= out.length, "gif: more pixels than w*h")
-        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
-        if (prev >= 0 && nextCode < 4096) {
-          prefixOf(nextCode) = prev
-          suffixOf(nextCode) = firstOf(code)
-          nextCode += 1
-          // the conformant decoder bump (Appendix F): grow when the
-          // counter fills the current width — one entry behind the
-          // encoder's 2^width + 1 condition at the same stream
-          // position (see the encoder-side comment)
-          if (nextCode == (1 << width) && width < 12) width += 1
-        }
-        prev = code
-      }
-    }
-    require(outN == w * h, s"gif: decoded $outN pixels, expected ${w * h}")
-    out.foreach(ix => require(ix * 3 + 2 < palette.length,
-      s"gif: index $ix beyond palette"))
-    // interlaced streams carry rows in four passes (0,8,16.. / 4,12..
-    // / 2,6.. / 1,3,5..); reorder file rows back to top-down
-    val pixels =
-      if (!interlaced) out
-      else {
-        val deint = new Array[Int](w * h)
-        var fileRow = 0
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
-             y <- start until h by step) {
-          System.arraycopy(out, fileRow * w, deint, y * w, w)
-          fileRow += 1
-        }
-        deint
-      }
-    GifImage(w, h, palette, pixels)
+    frames.toIndexedSeq
   }
 
   case class PngImage(width: Int, height: Int, bitDepth: Int,

@@ -247,6 +247,56 @@ object MultimodalQueries {
         .toDF("id", "width", "height", "pix_sum", "pix_wsum")
     },
 
+    // REAL ANIMATED GIF decode (r11): a 4-frame 11x9 GIF89a per doc —
+    // per-frame graphic-control extensions, four image blocks, the LZW
+    // dictionary reset at every block. Frame f's pixel (y·w+x) rides
+    // the frame-OFFSET formula synthPixelByte(id, f·w·h + y·w+x) mod
+    // 64, so a decoder that repeats frame 0, miscounts frames, or
+    // leaks dictionary state across blocks fails the position-weighted
+    // checksum over the concatenated frame bytes (global byte position
+    // k = f·w·h·3 + in-frame byte). The oracle replays palette[formula]
+    // directly, exactly like mm_gif_decode with the frame dimension
+    // unrolled into the range.
+    "mm_gif_frames" -> QueryDef(
+      """WITH g AS (SELECT doc_id AS id, k, k // 297 AS f,
+        |    ((doc_id * 31 + ((k // 297) * 99 + (k % 297) // 3)) * 97)
+        |      % 256 % 64 AS ix, k % 3 AS c
+        |  FROM documents, unnest(range(0, 1188)) AS r(k)),
+        |p AS (SELECT id, k, CAST(CASE c WHEN 0 THEN (ix * 37) % 256
+        |    WHEN 1 THEN (ix * 91 + 17) % 256
+        |    ELSE (ix * 53 + 101) % 256 END AS BIGINT) AS b FROM g)
+        |SELECT id, CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(11 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height,
+        |  CAST(sum(b) AS BIGINT) AS pix_sum,
+        |  CAST(sum(k * b) AS BIGINT) AS pix_wsum
+        |FROM p GROUP BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = Multimodal.decodeGifFrames(
+            Multimodal.synthGifAnimated(id, 11, 9, 4))
+          var ps = 0L
+          var pw = 0L
+          var f = 0
+          while (f < frames.length) {
+            val img = frames(f)
+            val n = img.width * img.height * 3
+            var kb = 0
+            while (kb < n) {
+              val b = img.rgb(kb).toLong
+              val k = f.toLong * n + kb
+              ps += b
+              pw += k * b
+              kb += 1
+            }
+            f += 1
+          }
+          (id, frames.length.toLong, frames(0).width.toLong,
+            frames(0).height.toLong, ps, pw)
+        }
+        .toDF("id", "n_frames", "width", "height", "pix_sum", "pix_wsum")
+    },
+
     // REAL baseline JPEG DECODE round-trip: a 20x12 grayscale JFIF per
     // doc — marker walk, DQT/DHT table parsing (canonical Huffman
     // reconstruction), entropy decode with DC prediction and 0xFF00

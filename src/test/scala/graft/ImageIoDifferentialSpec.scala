@@ -116,6 +116,31 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("animated gif: every frame matches ImageIO's frame-indexed reads bit-exactly") {
+    for (key <- Seq(3L, 42L); (w, h, n) <- Seq((11, 9, 4), (16, 16, 3), (2, 31, 5))) {
+      val bytes = Multimodal.synthGifAnimated(key, w, h, n)
+      val ours = Multimodal.decodeGifFrames(bytes)
+      assert(ours.length == n, s"frame count $key ${w}x$h")
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+      reader.setInput(in)
+      assert(reader.getNumImages(true) == n, s"jdk frame count $key")
+      for (f <- 0 until n) {
+        val jdk = reader.read(f)
+        assert(jdk.getWidth == w && jdk.getHeight == h, s"dims $key f$f")
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = jdk.getRGB(x, y)
+          val k = (y * w + x) * 3
+          assert(ours(f).rgb(k) == ((rgb >> 16) & 0xff), s"R $key f$f ($x,$y)")
+          assert(ours(f).rgb(k + 1) == ((rgb >> 8) & 0xff), s"G $key f$f ($x,$y)")
+          assert(ours(f).rgb(k + 2) == (rgb & 0xff), s"B $key f$f ($x,$y)")
+        }
+      }
+      reader.dispose()
+    }
+  }
+
   test("wav: hand decoder matches javax.sound.sampled bit-exactly") {
     // same differential discipline for the audio codec: the JDK ships
     // an independent RIFF/WAVE reader (AudioSystem); PCM16 is lossless

@@ -124,6 +124,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gif: animated frames round-trip; decodeGif keeps first-frame contract") {
+    // per-frame content is frame-offset distinct, so a decoder that
+    // repeats frame 0 or leaks LZW dictionary state across image
+    // blocks fails on frame 1's first divergent pixel
+    val w = 11; val h = 9; val n = 4
+    val frames = Multimodal.decodeGifFrames(
+      Multimodal.synthGifAnimated(17L, w, h, n))
+    assert(frames.length == n)
+    for (f <- 0 until n; p <- 0 until w * h)
+      assert(frames(f).indices(p) ==
+        Multimodal.synthPixelByte(17L, f.toLong * w * h + p) % 64,
+        s"frame $f px $p")
+    // single-image decode of an animated payload = exactly frame 0
+    val first = Multimodal.decodeGif(Multimodal.synthGifAnimated(17L, w, h, n))
+    assert(first.indices.toSeq == frames(0).indices.toSeq)
+    // width-bump boundary shapes, animated (the EOI-desync sweep's
+    // known-hostile 2x31 shape per frame)
+    for (key <- Seq(7L, 200L, 255L)) {
+      val fs = Multimodal.decodeGifFrames(
+        Multimodal.synthGifAnimated(key, 2, 31, 3))
+      for (f <- 0 until 3; p <- 0 until 62)
+        assert(fs(f).indices(p) ==
+          Multimodal.synthPixelByte(key, f * 62L + p) % 64,
+          s"key $key frame $f px $p")
+    }
+    // a truncated animation (trailer lost) is a loud error
+    val anim = Multimodal.synthGifAnimated(17L, w, h, n)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGifFrames(anim.dropRight(1))
+    }
+  }
+
   test("gif: extension blocks are skipped; malformed files are loud errors") {
     val base = Multimodal.synthGif(3L, 8, 8)
     // splice a graphic-control extension (0x21 0xF9, one 4-byte
