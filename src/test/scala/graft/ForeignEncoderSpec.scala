@@ -93,6 +93,31 @@ class ForeignEncoderSpec extends AnyFunSuite {
     }
   }
 
+  test("wav: JDK-written files (mono and stereo) decode bit-exactly") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    for (key <- keys; channels <- Seq(1, 2); n <- Seq(1, 1000); rate <- Seq(8000, 44100)) {
+      // interleaved PCM16LE frames from the synth formula
+      val raw = new Array[Byte](n * channels * 2)
+      for (i <- 0 until n * channels) {
+        val v = Multimodal.synthSample(key, i)
+        raw(2 * i) = (v & 0xff).toByte
+        raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      val ours = Multimodal.decodeWav(out.toByteArray)
+      assert(ours.sampleRate == rate && ours.channels == channels &&
+        ours.bitsPerSample == 16, s"format $key ${channels}ch $n@$rate")
+      assert(ours.samples.length == n * channels, s"count $key ${channels}ch")
+      for (i <- 0 until n * channels)
+        assert(ours.samples(i) == Multimodal.synthSample(key, i),
+          s"wav $key ${channels}ch sample $i")
+    }
+  }
+
   test("jpeg gray: JDK-encoded real-AC streams decode within cross-IDCT tolerance") {
     // the JDK encoder quantizes real AC coefficients through its
     // standard tables — this exercises our AC run/size + ZRL + EOB
