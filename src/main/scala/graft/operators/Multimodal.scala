@@ -446,10 +446,16 @@ object Multimodal {
   /** GIF89a signature + logical screen descriptor + the 64-entry
     * global color table from [[gifPaletteByte]] — the container
     * prefix shared by [[synthGif]] and [[synthGifAnimated]]. */
+  /** GIF's little-endian 16-bit field writer, shared by every
+    * container-emitting helper below. */
+  private def gifU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+
   private def writeGifHeader(out: java.io.ByteArrayOutputStream,
       w: Int, h: Int, minCode: Int): Unit = {
     out.write("GIF89a".getBytes("US-ASCII"))
-    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u16(v: Int): Unit = gifU16(out, v)
     u16(w); u16(h)
     out.write(0x80 | ((minCode - 1) << 4) | (minCode - 1)) // GCT
     out.write(0); out.write(0) // bg idx, aspect
@@ -474,7 +480,7 @@ object Multimodal {
     while (k < idx.length) { idx(k) = synthPixelByte(key, k) % nIdx; k += 1 }
     val out = new java.io.ByteArrayOutputStream()
     writeGifHeader(out, w, h, minCode)
-    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u16(v: Int): Unit = gifU16(out, v)
     out.write(0x2c) // image descriptor
     u16(0); u16(0); u16(w); u16(h)
     out.write(0) // no local color table, not interlaced
@@ -493,7 +499,7 @@ object Multimodal {
     val minCode = 6
     val out = new java.io.ByteArrayOutputStream()
     writeGifHeader(out, w, h, minCode)
-    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u16(v: Int): Unit = gifU16(out, v)
     var f = 0
     while (f < frames) {
       // graphic control extension per frame (delay 10cs, no disposal,

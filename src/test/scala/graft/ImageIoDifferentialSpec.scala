@@ -138,6 +138,28 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
         }
       }
       reader.dispose()
+      in.close()
+    }
+  }
+
+  test("gif: streams crossing the 4096 table-full LZW reset survive both gates") {
+    // a 128x128 noise image grows the dictionary past 4096 several
+    // times, so the clear-code reset interacts with the width-bump
+    // pairing — the one LZW path the small differential shapes never
+    // reach. Pin it both ways: round-trip vs the formula AND the JDK's
+    // independent read of our bytes.
+    val key = 77L
+    val bytes = Multimodal.synthGif(key, 128, 128)
+    val ours = Multimodal.decodeGif(bytes)
+    for (p <- 0 until 128 * 128)
+      assert(ours.indices(p) == Multimodal.synthPixelByte(key, p) % 64, s"px $p")
+    val jdk = readImg(bytes)
+    for (y <- 0 until 128; x <- 0 until 128) {
+      val rgb = jdk.getRGB(x, y)
+      val k = (y * 128 + x) * 3
+      assert(ours.rgb(k) == ((rgb >> 16) & 0xff), s"R ($x,$y)")
+      assert(ours.rgb(k + 1) == ((rgb >> 8) & 0xff), s"G ($x,$y)")
+      assert(ours.rgb(k + 2) == (rgb & 0xff), s"B ($x,$y)")
     }
   }
 
