@@ -952,8 +952,8 @@ object Dedup {
     *
     * `maxBucket` is the hot-chunk guard: a degenerate band value
     * shared by B docs yields B^2/2 candidates; buckets above the cap
-    * are subsampled to `maxBucket` members (md5-prefix rank, see
-    * capBuckets) before the join. */
+    * are subsampled to ~`maxBucket` expected members (md5 threshold,
+    * see capBuckets) before the join. */
   def simhashPairs(sigs: DataFrame, maxDist: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val exploded = capBuckets(simhashChunks(sigs, maxDist),
@@ -1332,53 +1332,86 @@ object Dedup {
       maxBucket: Int = Int.MaxValue, baseHash: BaseHash = XxHash): DataFrame =
     survivors(df, id, simhashPairs(simhash(df, text, id, baseHash), maxDist))
 
-  /** Hot-bucket guard for LSH band joins: (band, hash) buckets holding
-    * more than `maxBucket` rows are SUBSAMPLED down to exactly
-    * `maxBucket` members — the deterministic md5-prefix rank used by
-    * every sampler in this repo (Sampling.hashSample): keep the rows
-    * whose (md5(sampleKey), sampleKey) sorts first. So one degenerate
-    * band value (all-identical docs, an adversarial hash collision, a
-    * boilerplate chunk) still cannot produce more than a cap^2/2
-    * candidate set, but a saturated bucket degrades to a uniform
-    * content-hash sample of itself instead of vanishing — an anchor in
-    * a hot bucket keeps ~cap candidates rather than zero (drop-bucket
-    * measured recall@5 0.45 at 20M vectors / 27% capped rows;
-    * SCALE.md). Replayable in SQL as
-    * `row_number() OVER (PARTITION BY keys ORDER BY md5(CAST(key AS
-    * VARCHAR)), key) <= maxBucket`, and stable under reruns and
-    * repartitioning (no RNG, `sampleKey` is unique per bucket row).
+  /** Bits of md5 prefix the hot-bucket keep rule thresholds on: 6 hex
+    * chars = 24 bits keeps the Long product `hash * bucket_size`
+    * overflow-free up to 2^39 rows in ONE bucket (beyond any plausible
+    * degenerate bucket) while quantizing the keep probability at
+    * 2^-24 — sub-percent of cap even at cap 512 over a 10^9-row
+    * bucket. */
+  private[graft] val KeepHashBits = 24
+
+  /** The ONE hot-bucket keep predicate (r12, rank-free): row survives
+    * its bucket iff
     *
-    * Cost: one narrow count aggregate; if no bucket is over the cap
-    * (the common case — autoBits sizes buckets at ~32 rows) the
-    * exploded frame passes through UNTOUCHED. Otherwise one exchange
-    * on `keys` routes rows, and only the over-cap slice pays a
-    * per-bucket sort (the window reuses the join's hash partitioning,
-    * so no second exchange). Zero plan overhead at the default
-    * (uncapped) setting. */
+    *   `hv * bucket_size < cap * 2^24`,  hv = first 6 md5 hex chars of
+    *   the row's sample key, parsed base-16 (uniform on [0, 2^24))
+    *
+    * i.e. an md5-threshold subsample whose expected kept count is the
+    * cap. Properties the capped operators rely on:
+    *
+    *   - under-cap buckets pass WHOLE: bsz <= cap forces
+    *     hv·bsz < 2^24·bsz <= 2^24·cap for every hv < 2^24;
+    *   - deterministic and partitioning-independent (pure function of
+    *     the key and the bucket size — no RNG, no sort, no window), so
+    *     the SQL oracle replays it verbatim ([[md5KeepSql]]) and a
+    *     rerun keeps the identical set;
+    *   - monotone in cap: kept(cap1) ⊆ kept(cap2) for cap1 <= cap2;
+    *   - a key appearing in several buckets is judged per bucket
+    *     (bucket sizes differ), but within one bucket family a shared
+    *     size gives coherent verdicts across bands — an all-identical
+    *     corpus keeps the SAME ~cap member sample in every band.
+    *
+    * Unlike the pre-r12 `row_number` rank (keep the cap-smallest md5
+    * prefixes), the kept count in a hot bucket is binomial with mean
+    * cap rather than exactly cap — the price for removing the
+    * per-bucket single-task sort a degenerate bucket would funnel
+    * through one core at 100 TB (the r11 verdict's scale finding). */
+  private[graft] def md5Keeps(sampleKey: Column, bucketSize: Column,
+      cap: Int): Column =
+    conv(substring(md5(sampleKey.cast("string")), 1, 6), 16, 10)
+      .cast("long") * bucketSize.cast("long") <
+      lit(cap.toLong << KeepHashBits)
+
+  /** DuckDB twin of [[md5Keeps]] — splice into an oracle's WHERE with
+    * the key/bucket-size SQL expressions. Single-sourced here so the
+    * engine rule and every replay stay textually coupled. */
+  private[graft] def md5KeepSql(keyExpr: String, bszExpr: String,
+      cap: Int): String =
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 6)) " +
+      s"AS BIGINT) * ($bszExpr) < ${cap.toLong << KeepHashBits}"
+
+  /** Hot-bucket guard for LSH band joins: (band, hash) buckets holding
+    * more than `maxBucket` rows are SUBSAMPLED to ~`maxBucket`
+    * expected members by the [[md5Keeps]] threshold rule. So one
+    * degenerate band value (all-identical docs, an adversarial hash
+    * collision, a boilerplate chunk) still cannot produce more than a
+    * ~cap^2/2 candidate set, but a saturated bucket degrades to a
+    * uniform content-hash sample of itself instead of vanishing — an
+    * anchor in a hot bucket keeps ~cap candidates rather than zero
+    * (drop-bucket measured recall@5 0.45 at 20M vectors / 27% capped
+    * rows; SCALE.md).
+    *
+    * Plan shape (r12): ONE lazy plan — a bucket-size aggregate
+    * filtered to the over-cap buckets, left-joined back, rows kept by
+    * `__bsz IS NULL OR md5Keeps` — no driver action, no persist (the
+    * pre-r12 eager count leaked its cached size table, r11 verdict
+    * finding #1), and NO per-bucket sort: the rank-based keep funneled
+    * a degenerate bucket's whole row set through one task, this
+    * filter is embarrassingly parallel. The hot-size side is
+    * hot-bucket-count-sized (<= n/cap rows), so AQE broadcasts it in
+    * the common case; use [[graft.operators.Similarity.cappedBucketStats]]
+    * for cap-pressure observability (the old code path's warn log). */
   private[graft] def capBuckets(exploded: DataFrame, keys: Seq[String],
       maxBucket: Int, sampleKey: Column): DataFrame =
     if (maxBucket == Int.MaxValue) exploded
     else {
-      val sizes = exploded.groupBy(keys.map(col): _*)
+      val hotSizes = exploded.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__bsz"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hotBuckets = sizes.filter(col("__bsz") > maxBucket).count()
-      if (hotBuckets == 0) { sizes.unpersist(); exploded }
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"capBuckets: subsampled $hotBuckets LSH buckets holding > " +
-            s"$maxBucket rows down to $maxBucket")
-        val joined = exploded.join(sizes, keys)
-        val ok = joined.filter(col("__bsz") <= maxBucket).drop("__bsz")
-        val hot = joined.filter(col("__bsz") > maxBucket)
-          .withColumn("__brn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(keys.map(col): _*)
-              .orderBy(md5(sampleKey.cast("string")).asc, sampleKey.asc)))
-          .filter(col("__brn") <= maxBucket)
-          .drop("__bsz", "__brn")
-        ok.unionByName(hot)
-      }
+        .filter(col("__bsz") > maxBucket)
+      exploded.join(hotSizes, keys, "left")
+        .filter(col("__bsz").isNull ||
+          md5Keeps(sampleKey, col("__bsz"), maxBucket))
+        .drop("__bsz")
     }
 
   /** Embedding near-dup pairs via SRP-LSH candidates + exact cosine

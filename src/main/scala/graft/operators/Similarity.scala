@@ -665,10 +665,11 @@ object Similarity {
     * vectors — past this probe box's disk), but an ANCHOR's graph row
     * depends only on the buckets the anchor itself occupies. So:
     * broadcast the anchors' own bucket keys onto the exploded frame (a
-    * map-side prune to whole anchor-occupied buckets), then replay
-    * Dedup.capBuckets' md5-prefix subsample rank WITHIN those buckets —
-    * the bucket-key join keeps buckets whole, so the ranks (and thus
-    * the kept member sets) are identical to the full graph build's.
+    * map-side prune to whole anchor-occupied buckets), then apply
+    * Dedup.capBuckets ITSELF (r12: the one shared keep rule, no inline
+    * re-derivation) — the bucket-key join keeps buckets whole, so the
+    * bucket sizes (and thus the kept member sets) are identical to the
+    * full graph build's.
     * An anchor participates in a bucket only if it itself survived the
     * subsample there (knnGraph forms pairs among survivors only).
     * Per-anchor top-k over the union of its kept buckets under the
@@ -693,17 +694,13 @@ object Similarity {
         .as(Seq("tbl", "bkt")))
     // WHOLE anchor-occupied buckets (no size filter: over-cap buckets
     // subsample rather than drop, so their kept members still count),
-    // then the exact capBuckets keep rule — md5-prefix rank within the
-    // full bucket. maxBucket == Int.MaxValue keeps everything and the
-    // rank filter is a no-op.
+    // then THE capBuckets keep rule — each pruned bucket is complete,
+    // so its size (and every member's keep verdict) matches the full
+    // graph build's. maxBucket == Int.MaxValue passes through.
     val members0 = exploded.join(
       broadcast(aBuckets.select("tbl", "bkt").distinct()), Seq("tbl", "bkt"))
-    val members =
-      (if (maxBucket == Int.MaxValue) members0
-       else members0.withColumn("__brn", row_number().over(
-           Window.partitionBy(col("tbl"), col("bkt"))
-             .orderBy(md5(col("id").cast("string")).asc, col("id").asc)))
-         .filter(col("__brn") <= maxBucket).drop("__brn"))
+    val members = graft.operators.Dedup
+      .capBuckets(members0, Seq("tbl", "bkt"), maxBucket, col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (tbl, bkt, q_id) buckets where the anchor ITSELF survived the
     // subsample — pairs in knnGraph form among survivors only, so a
@@ -794,8 +791,8 @@ object Similarity {
   }
 
   /** Default hot-bucket guard for the corpus kNN-graph family: LSH
-    * buckets holding more than this many rows are SUBSAMPLED down to
-    * the cap by md5-prefix rank (Dedup.capBuckets). autoBits sizes
+    * buckets holding more than this many rows are SUBSAMPLED to ~cap
+    * expected members by md5 threshold (Dedup.capBuckets). autoBits sizes
     * buckets to ~32 expected rows, so 16x that only ever fires on
     * degenerate mass — near-identical vectors that collide in EVERY
     * table, where the self-join would otherwise go quadratic in the

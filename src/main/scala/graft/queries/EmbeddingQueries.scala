@@ -48,17 +48,19 @@ object EmbeddingQueries {
     * bits, so grading-scale oracle work is unchanged.
     *
     * `cbk` replays [[graft.operators.Similarity.KnnHotBucketCap]] —
-    * buckets holding more rows than the cap are SUBSAMPLED to the cap
-    * by md5-prefix rank on both engines (capBuckets' keep rule,
-    * `row_number() OVER (PARTITION BY t, bkt ORDER BY md5(vec_id),
-    * vec_id) <= cap` — under-cap buckets pass whole since rank <= size
-    * there), so a dup-heavy corpus (exact-replica vectors land in the
-    * same bucket in EVERY table) cannot push candidate volume
-    * quadratic in the replica count: the sf10eq probe measured 211s on
-    * emb_pagerank with candidate generation hostage to hot buckets
-    * before this cap — while a saturated bucket still contributes a
-    * deterministic cap-sized sample instead of vanishing (drop-bucket
-    * cost recall@5 0.45 at 20M vectors, SCALE.md). */
+    * buckets holding more rows than the cap are SUBSAMPLED to ~cap
+    * expected members by the md5-threshold keep rule on both engines
+    * (capBuckets' [[graft.operators.Dedup.md5Keeps]], spliced here
+    * verbatim via [[graft.operators.Dedup.md5KeepSql]] so the two
+    * replays cannot drift; under-cap buckets pass whole because
+    * hv < 2^24 forces hv·bsz < 2^24·cap when bsz <= cap), so a
+    * dup-heavy corpus (exact-replica vectors land in the same bucket
+    * in EVERY table) cannot push candidate volume quadratic in the
+    * replica count: the sf10eq probe measured 211s on emb_pagerank
+    * with candidate generation hostage to hot buckets before this cap
+    * — while a saturated bucket still contributes a deterministic
+    * ~cap-sized sample instead of vanishing (drop-bucket cost recall@5
+    * 0.45 at 20M vectors, SCALE.md). */
   private def knnCandidateCtes(maxBits: Int): String =
     s"""planes(t, j, p) AS (VALUES ${srpPlanesValues(maxBits, 64, 24, 42L)}),
        |dbits AS (
@@ -72,13 +74,13 @@ object EmbeddingQueries {
        |  FROM embeddings e CROSS JOIN planes pl
        |  WHERE pl.j < (SELECT b FROM dbits)
        |  GROUP BY 1, 2),
+       |cbsz AS (
+       |  SELECT t, bkt, count(*) AS bsz FROM cb GROUP BY 1, 2),
        |cbk AS (
-       |  SELECT vec_id, t, bkt FROM (
-       |    SELECT vec_id, t, bkt, row_number() OVER (
-       |      PARTITION BY t, bkt
-       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS brn
-       |    FROM cb) s
-       |  WHERE brn <= ${Similarity.KnnHotBucketCap}),
+       |  SELECT cb.vec_id, cb.t, cb.bkt
+       |  FROM cb JOIN cbsz USING (t, bkt)
+       |  WHERE ${graft.operators.Dedup.md5KeepSql("cb.vec_id", "bsz",
+                   Similarity.KnnHotBucketCap)}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
        |  FROM cbk a

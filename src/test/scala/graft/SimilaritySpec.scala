@@ -180,18 +180,20 @@ class SimilaritySpec extends AnyFunSuite {
     for (v <- ids.take(20))
       assert(ga1(v) == v + 1000000L, s"auto-bits: src $v top = ${ga1.get(v)}")
     // the hot-bucket cap SUBSAMPLES an all-identical corpus: every
-    // table's bucket keeps the same md5-prefix-ranked 10 ids, so the
-    // graph is the sample's 10 survivors x top-3, not empty
+    // table's bucket keeps the same md5-threshold sample (all buckets
+    // share size 50, so verdicts agree across tables/bands), and the
+    // graph is that sample's survivors x top-3, not empty. The kept
+    // set is replayed in pure Scala, independent of the engine.
     val one = emb.filter(col("vec_id") === 0).select(col("embedding")).head
       .getAs[scala.collection.Seq[Float]](0)
     import spark.implicits._
     val flat = (0L until 50L).map(i => (i, one.toArray)).toDF("vec_id", "embedding")
     val gflat = Similarity.knnGraph(flat, 3, bits = 6, dim = 64, maxBucket = 10)
       .collect()
-    assert(gflat.length == 30, s"10 survivors x top-3, got ${gflat.length}")
-    val keep = flat.select(col("vec_id"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(10).collect().map(_.getLong(0)).toSet
+    val keep = (0L until 50L).filter(TestSpark.md5Keeps(_, 50L, 10L)).toSet
+    assert(keep.size >= 4, s"threshold sample too small: ${keep.size}")
+    assert(gflat.length == keep.size * 3,
+      s"${keep.size} survivors x top-3, got ${gflat.length}")
     assert(gflat.forall(r => keep(r.getLong(0)) && keep(r.getLong(1))))
   }
 
