@@ -245,6 +245,19 @@ object Multimodal {
     * reader gets wrong, which is exactly why the oracle checks a
     * position-weighted checksum, not just a sum. */
   def synthBmp(key: Long, w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte](w * h * 3)
+    var k = 0
+    while (k < raw.length) { raw(k) = synthPixelByte(key, k).toByte; k += 1 }
+    encodeBmp(w, h, raw)
+  }
+
+  /** REAL BMP encoder (r12) from an arbitrary logical top-down
+    * row-major pixel array — the write half of [[decodeBmp]], byte
+    * format identical to the historical [[synthBmp]] (which now
+    * delegates here): BITMAPINFOHEADER, 24 bpp, bottom-up rows,
+    * 4-byte row padding. */
+  def encodeBmp(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * 3, "bmp encode: pixels != w*h*3")
     val stride = (w * 3 + 3) / 4 * 4
     val dataLen = stride * h
     val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
@@ -256,15 +269,7 @@ object Multimodal {
     var fileRow = 0
     while (fileRow < h) {
       val y = h - 1 - fileRow // bottom-up
-      var x = 0
-      while (x < w) {
-        var c = 0
-        while (c < 3) {
-          buf.put(synthPixelByte(key, (y.toLong * w + x) * 3 + c).toByte)
-          c += 1
-        }
-        x += 1
-      }
+      buf.put(pixels, y * w * 3, w * 3)
       var pad = stride - w * 3
       while (pad > 0) { buf.put(0.toByte); pad -= 1 }
       fileRow += 1
@@ -330,6 +335,105 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Perceptual hashing (r12): the image half of the near-dup family —
+  // a 64-bit difference hash over DECODED pixels, fed into the
+  // existing banded-Hamming machinery (Dedup.simhashPairs: chunk-pair
+  // bands, pigeonhole-exact to hamming 6, capped-bucket verify). The
+  // whole chain is integer arithmetic, so the SQL oracle replays the
+  // hash formula over the synth pixel formulas exactly
+  // (mm_phash_dups).
+  // ------------------------------------------------------------------
+
+  /** 64-bit difference hash (dHash) of a decoded RGB image: the image
+    * is shrunk to a 9x8 grid by [[resizeNearest]]'s exact integer
+    * source-index rule (src = dst·srcDim div dstDim), each cell
+    * reduced to integer luma `(299·c0 + 587·c1 + 114·c2) div 1000`,
+    * and bit (y·8 + x) set iff luma(y, x+1) > luma(y, x) — horizontal
+    * gradient signs, the classic dHash. Properties the dedup family
+    * relies on:
+    *
+    *   - CODEC-INVARIANT for lossless formats: the same pixels
+    *     re-encoded via PNG and BMP decode to the same byte triplets
+    *     (both decoders emit logical top-down rows), so their hashes
+    *     are EQUAL — a content-level dedup key no byte-level digest
+    *     gives (the container bytes differ completely);
+    *   - small pixel perturbations flip only the gradient bits whose
+    *     sampled cells change — near-dups land within a small Hamming
+    *     radius and banded LSH finds them without an all-pairs scan;
+    *   - pure integer arithmetic over decoded bytes: deterministic,
+    *     replayable in SQL, zero floats.
+    *
+    * Channel note: luma weights are applied to the decoded triplet in
+    * STORAGE order (PNG: RGB, BMP: BGR). Grayscale content (r = g = b,
+    * the corpus contract for the graded query — and the common case
+    * for perceptual dedup after a luma transform) is layout-proof
+    * since 299 + 587 + 114 = 1000 makes luma = the channel value
+    * exactly; full-color cross-layout hashing would need a channel
+    * swap the caller owns. */
+  def dhash64(width: Int, height: Int, pixels: Array[Byte]): Long = {
+    require(pixels.length == width * height * 3,
+      "dhash: pixels != w*h*3")
+    require(width >= 9 && height >= 8,
+      s"dhash: image ${width}x$height smaller than the 9x8 grid")
+    val g = resizeNearest(BmpImage(width, height, 24, pixels), 9, 8)
+    def luma(x: Int, y: Int): Int = {
+      val o = (y * 9 + x) * 3
+      ((g.pixels(o) & 0xff) * 299 + (g.pixels(o + 1) & 0xff) * 587 +
+        (g.pixels(o + 2) & 0xff) * 114) / 1000
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Pixel formula for the perceptual-dedup synth family. NOT
+    * [[synthPixelByte]]: that one is AFFINE in (key, i), so a dHash —
+    * which only sees the mod-256 offset `key·31·97` — takes at most
+    * 256 distinct values over all keys and unrelated images collide
+    * within the match radius. The quadratic term breaks the affinity;
+    * measured over 250 keys: zero unrelated pairs within hamming 3,
+    * mean pairwise distance ~32 (ideal for 64 bits). */
+  def phashPixelByte(key: Long, i: Long): Int =
+    java.lang.Math.floorMod(
+      (key * 31L + i) * 97L + (key * 7L + 13L) * i * i, 256L).toInt
+
+  /** Synthetic GRAYSCALE pixel array for the perceptual-dedup oracle
+    * family: pixel i carries [[phashPixelByte]](key, i) on ALL THREE
+    * channels (so luma == the formula value on any channel layout),
+    * with an optional single-cell perturbation `(cy, cx)` — the pixel
+    * the 9x8 dHash grid samples for that cell gets `(v + 128) mod
+    * 256`, flipping at most the two gradient bits adjacent to the
+    * cell. The SQL oracle replays both the base formula and the
+    * perturbation rule verbatim. */
+  def synthGrayImage(key: Long, w: Int, h: Int,
+      perturbCell: Option[(Int, Int)] = None): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val v = phashPixelByte(key, i)
+      px(3 * i) = v.toByte; px(3 * i + 1) = v.toByte; px(3 * i + 2) = v.toByte
+      i += 1
+    }
+    perturbCell.foreach { case (cy, cx) =>
+      // the source pixel resizeNearest(9x8) samples for grid (cy, cx)
+      val sy = cy * h / 8
+      val sx = cx * w / 9
+      val p = sy * w + sx
+      val v = (phashPixelByte(key, p) + 128) % 256
+      px(3 * p) = v.toByte; px(3 * p + 1) = v.toByte; px(3 * p + 2) = v.toByte
+    }
+    px
+  }
+
+  // ------------------------------------------------------------------
   // REAL PNG codec (round 9): the one COMPRESSED image format pure JVM
   // code covers completely — DEFLATE is java.util.zip, and the rest of
   // the spec (RFC 2083: chunk layout, CRC-32, the five scanline
@@ -373,10 +477,20 @@ object Multimodal {
     * SPLIT across two chunks (legal per spec; a reader that assumes
     * one IDAT truncates the stream). */
   def synthPng(key: Long, w: Int, h: Int): Array[Byte] = {
-    val bpr = w * 3
-    val raw = new Array[Byte](h * bpr) // unfiltered, top-down row-major
+    val raw = new Array[Byte](w * h * 3)
     var k = 0
     while (k < raw.length) { raw(k) = synthPixelByte(key, k).toByte; k += 1 }
+    encodePng(w, h, raw)
+  }
+
+  /** REAL PNG encoder (r12) from an arbitrary logical top-down
+    * row-major RGB pixel array — the write half of [[decodePng]],
+    * byte format identical to the historical [[synthPng]] (which now
+    * delegates here): filters cycling y mod 5, zlib DEFLATE, IDAT
+    * split in two. */
+  def encodePng(w: Int, h: Int, raw: Array[Byte]): Array[Byte] = {
+    require(raw.length == w * h * 3, "png encode: pixels != w*h*3")
+    val bpr = w * 3
     val filtered = new Array[Byte](h * (bpr + 1))
     var y = 0
     while (y < h) {
@@ -443,15 +557,15 @@ object Multimodal {
     case _ => Math.floorMod(i * 53 + 101, 256)
   }
 
-  /** GIF89a signature + logical screen descriptor + the 64-entry
-    * global color table from [[gifPaletteByte]] — the container
-    * prefix shared by [[synthGif]] and [[synthGifAnimated]]. */
   /** GIF's little-endian 16-bit field writer, shared by every
     * container-emitting helper below. */
   private def gifU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
   }
 
+  /** GIF89a signature + logical screen descriptor + the 64-entry
+    * global color table from [[gifPaletteByte]] — the container
+    * prefix shared by [[synthGif]] and [[synthGifAnimated]]. */
   private def writeGifHeader(out: java.io.ByteArrayOutputStream,
       w: Int, h: Int, minCode: Int): Unit = {
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -604,7 +718,11 @@ object Multimodal {
 
   case class GifImage(width: Int, height: Int,
       palette: Array[Byte] /* n x RGB */ ,
-      indices: Array[Int] /* top-down row-major palette indices */) {
+      indices: Array[Int] /* top-down row-major palette indices */ ,
+      /* frame placement on the logical screen (r12): carried so a
+       * partial-frame animation's offsets are not silently lost even
+       * though compositing is out of contract (see decodeGifFrames) */
+      left: Int = 0, top: Int = 0) {
     /** Decoded RGB byte at logical position k (pixel k/3, channel k%3). */
     def rgb(k: Int): Int =
       palette(indices(k / 3) * 3 + k % 3) & 0xff
@@ -668,9 +786,13 @@ object Multimodal {
     // descriptor (with optional local color table + interlace flag),
     // then the LZW-coded index stream — per-frame, dictionary reset
     def decodeOneImage(): GifImage = {
-      u16(); u16() // left, top
+      val left = u16(); val top = u16()
       val w = u16(); val h = u16()
-      require(w > 0 && h > 0 && w <= sw && h <= sh, "gif: bad image size")
+      // the frame must sit INSIDE the logical screen including its
+      // offset (r12 — a frame with left+w > sw is malformed and fails
+      // loudly like every other structural error)
+      require(w > 0 && h > 0 && left + w <= sw && top + h <= sh,
+        "gif: bad image size")
       val lp = payload(p) & 0xff; p += 1
       var framePal = palette
       if ((lp & 0x80) != 0) { // local color table overrides global
@@ -771,7 +893,7 @@ object Multimodal {
           }
           deint
         }
-      GifImage(w, h, framePal, pixels)
+      GifImage(w, h, framePal, pixels, left, top)
     }
     // walk the block stream: extensions skipped, every image block
     // decoded (up to maxFrames), trailer ends the walk

@@ -278,17 +278,20 @@ object MultimodalQueries {
           var ps = 0L
           var pw = 0L
           var f = 0
+          var base = 0L // running global byte offset (r12: correct even
+          //              for mixed-size frames — never f * current n)
           while (f < frames.length) {
             val img = frames(f)
             val n = img.width * img.height * 3
             var kb = 0
             while (kb < n) {
               val b = img.rgb(kb).toLong
-              val k = f.toLong * n + kb
+              val k = base + kb
               ps += b
               pw += k * b
               kb += 1
             }
+            base += n
             f += 1
           }
           (id, frames.length.toLong, frames(0).width.toLong,
@@ -391,5 +394,79 @@ object MultimodalQueries {
           (id, img.width.toLong, img.height.toLong, ps, pw)
         }
         .toDF("id", "width", "height", "pix_sum", "pix_wsum")
+    },
+
+    // PERCEPTUAL IMAGE NEAR-DUP (r12): the operator that connects the
+    // real codecs to the banded-Hamming dedup family. Per doc, a 19x17
+    // grayscale image keyed by gid = doc_id/2 (so consecutive docs
+    // PAIR on content) is encoded through a DIFFERENT codec per parity
+    // — even docs PNG, odd docs BMP — decoded by the REAL decoders,
+    // dHashed (Multimodal.dhash64: 9x8 nearest-resize grid, integer
+    // luma, horizontal gradient sign bits), and near-dup pairs found
+    // by Dedup.simhashPairs' 16-bit chunk-pair banding + popcount
+    // verify at hamming <= 3. Every 5th gid additionally perturbs the
+    // ODD twin's one sampled cell by +128 mod 256, so the graded
+    // output exercises hamming > 0 matches, not only exact collisions.
+    //
+    // The oracle replays the integer hash formula over the synth pixel
+    // formulas (the mm_gif_frames discipline): sampled-grid luma ==
+    // the pixel formula at src = (cy*17//8, cx*19//9) (channels equal,
+    // 299+587+114 = 1000 => luma == v exactly), gradient bits, ALL-
+    // pairs hamming <= 3 — no banding replay needed because chunk-pair
+    // banding is pigeonhole-EXACT for hamming <= 6 (the simhashPairs
+    // theorem) and the 1024 cap cannot trip below 1024 colliding docs.
+    // A decoder that misorders rows, botches a filter, or breaks the
+    // resize index rule hashes differently on the SPARK side only and
+    // fails the compare; so does any dHash/banding drift.
+    "mm_phash_dups" -> QueryDef(
+      """WITH q AS (
+        |  SELECT doc_id AS id, doc_id // 2 AS gid,
+        |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
+        |  FROM documents),
+        |v AS (
+        |  SELECT q.id, q.gid, q.pert, cy, cx,
+        |    (cy * 17 // 8) * 19 + (cx * 19 // 9) AS i
+        |  FROM q, unnest(range(0, 8)) AS ry(cy), unnest(range(0, 9)) AS rx(cx)),
+        |g AS (
+        |  SELECT id, cy, cx,
+        |    CASE WHEN pert AND cy = gid % 8 AND cx = gid % 9
+        |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
+        |            + 128) % 256
+        |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
+        |    END AS l
+        |  FROM v),
+        |b AS (
+        |  SELECT a.id, a.cy * 8 + a.cx AS i,
+        |    CASE WHEN b2.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b2 ON b2.id = a.id AND b2.cy = a.cy
+        |    AND b2.cx = a.cx + 1
+        |  WHERE a.cx < 8)
+        |SELECT x.id AS a_id, y.id AS b_id,
+        |  CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hamming
+        |FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
+        |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Dedup
+      val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val gid = id / 2
+          val pcell =
+            if (id % 2 == 1 && gid % 5 == 0)
+              Some(((gid % 8).toInt, (gid % 9).toInt))
+            else None
+          val px = Multimodal.synthGrayImage(gid, 19, 17, pcell)
+          val (w, h, pixels) =
+            if (id % 2 == 0) {
+              val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
+              (p.width, p.height, p.pixels)
+            } else {
+              val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
+              (b.width, b.height, b.pixels)
+            }
+          (id, Multimodal.dhash64(w, h, pixels))
+        }.toDF("doc_id", "simhash")
+      Dedup.simhashPairs(hashes, maxDist = 3, maxBucket = 1024)
+        .withColumn("hamming", col("hamming").cast("long"))
     })
 }
