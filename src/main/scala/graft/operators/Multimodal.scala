@@ -722,7 +722,12 @@ object Multimodal {
       /* frame placement on the logical screen (r12): carried so a
        * partial-frame animation's offsets are not silently lost even
        * though compositing is out of contract (see decodeGifFrames) */
-      left: Int = 0, top: Int = 0) {
+      left: Int = 0, top: Int = 0,
+      /* graphic-control state (r12): disposal method (0 none /
+       * 1 leave / 2 restore-to-background / 3 restore-to-previous)
+       * and the transparent palette index (-1 = opaque frame) — the
+       * inputs compositeGifFrames replays */
+      disposal: Int = 0, transparentIndex: Int = -1) {
     /** Decoded RGB byte at logical position k (pixel k/3, channel k%3). */
     def rgb(k: Int): Int =
       palette(indices(k / 3) * 3 + k % 3) & 0xff
@@ -744,7 +749,7 @@ object Multimodal {
     // every structural error is an IAE, including reads running off a
     // truncated payload mid-field. First image only (trailing blocks
     // untouched) — the historical single-image contract.
-    try decodeGifFrames0(payload, maxFrames = 1).head
+    try decodeGifFrames0(payload, maxFrames = 1).frames.head
     catch {
       case _: ArrayIndexOutOfBoundsException =>
         throw new IllegalArgumentException("gif: truncated payload")
@@ -758,14 +763,152 @@ object Multimodal {
     * at semantics this engine has no oracle for). The per-frame LZW
     * dictionary resets at each image block, as the spec requires. */
   def decodeGifFrames(payload: Array[Byte]): IndexedSeq[GifImage] =
-    try decodeGifFrames0(payload, maxFrames = Int.MaxValue)
+    try decodeGifFrames0(payload, maxFrames = Int.MaxValue).frames
     catch {
       case _: ArrayIndexOutOfBoundsException =>
         throw new IllegalArgumentException("gif: truncated payload")
     }
 
+  /** Parsed GIF container: logical screen, background index, global
+    * color table (null when absent), and the raw frames in stream
+    * order — everything [[compositeGifFrames]] needs. */
+  private[graft] case class GifStream(screenW: Int, screenH: Int,
+      bgIndex: Int, globalPalette: Array[Byte], frames: IndexedSeq[GifImage])
+
+  /** COMPOSITED animation frames (r12, opt-in — [[decodeGifFrames]]
+    * keeps the raw per-frame contract): each returned raster is the
+    * full logical screen as a viewer would present it after frame f —
+    * frames drawn at their (left, top) offsets, transparent-index
+    * pixels leaving the canvas through, and the GCE disposal methods
+    * replayed between frames (1/none = leave; 2 = restore the frame's
+    * RECT to the background color; 3 = restore the canvas to its
+    * pre-frame state). The backdrop starts as the logical-screen
+    * background color (global palette at the header's bg index; black
+    * when no global table) — the one deterministic choice available
+    * without an alpha channel, documented rather than guessed per
+    * viewer. Output is RGB ([[BmpImage]] rasters, bpp 24): composited
+    * frames cannot stay palette-indexed because frames may carry
+    * different local color tables. */
+  def compositeGifFrames(payload: Array[Byte]): IndexedSeq[BmpImage] = {
+    val s =
+      try decodeGifFrames0(payload, maxFrames = Int.MaxValue)
+      catch {
+        case _: ArrayIndexOutOfBoundsException =>
+          throw new IllegalArgumentException("gif: truncated payload")
+      }
+    val n = s.screenW * s.screenH * 3
+    val canvas = new Array[Byte](n)
+    if (s.globalPalette != null) {
+      require(s.bgIndex * 3 + 2 < s.globalPalette.length,
+        s"gif: background index ${s.bgIndex} beyond the global palette")
+      var i = 0
+      while (i < n) { canvas(i) = s.globalPalette(s.bgIndex * 3 + i % 3); i += 1 }
+    }
+    val out = IndexedSeq.newBuilder[BmpImage]
+    s.frames.foreach { fr =>
+      val before =
+        if (fr.disposal == 3) java.util.Arrays.copyOf(canvas, n) else null
+      var y = 0
+      while (y < fr.height) {
+        var x = 0
+        while (x < fr.width) {
+          val ix = fr.indices(y * fr.width + x)
+          if (ix != fr.transparentIndex) {
+            val d = ((fr.top + y) * s.screenW + (fr.left + x)) * 3
+            canvas(d) = fr.palette(ix * 3)
+            canvas(d + 1) = fr.palette(ix * 3 + 1)
+            canvas(d + 2) = fr.palette(ix * 3 + 2)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out += BmpImage(s.screenW, s.screenH, 24,
+        java.util.Arrays.copyOf(canvas, n))
+      fr.disposal match {
+        case 2 => // restore the frame RECT to the background color
+          var yy = 0
+          while (yy < fr.height) {
+            var xx = 0
+            while (xx < fr.width) {
+              val d = ((fr.top + yy) * s.screenW + (fr.left + xx)) * 3
+              var c = 0
+              while (c < 3) {
+                canvas(d + c) =
+                  if (s.globalPalette != null)
+                    s.globalPalette(s.bgIndex * 3 + c)
+                  else 0.toByte
+                c += 1
+              }
+              xx += 1
+            }
+            yy += 1
+          }
+        case 3 => System.arraycopy(before, 0, canvas, 0, n)
+        case _ => // 0/1: leave the canvas as presented
+      }
+    }
+    out.result()
+  }
+
+  /** Synthetic COMPOSITED animation for the mm_gif_composite oracle: a
+    * 4-frame GIF89a on a `sw`x`sh` logical screen exercising every
+    * disposal method and transparency —
+    *
+    *   frame 0: full screen at (0,0), disposal 1 (leave), opaque;
+    *   frame 1: 7x5 rect at (3,2), disposal 2 (restore rect to
+    *            background), TRANSPARENT index 63;
+    *   frame 2: 6x4 rect at (5,4), disposal 3 (restore to previous),
+    *            opaque;
+    *   frame 3: swx3 strip at (0,8), disposal 1, TRANSPARENT index 63.
+    *
+    * Frame f's pixel at GLOBAL screen cell (gy, gx) carries index
+    * [[synthPixelByte]](key, f·sw·sh + gy·sw + gx) mod 64 — keyed by
+    * global coordinates so the SQL oracle replays rect membership and
+    * the composite rule without a local-coordinate transform.
+    * Requires sw >= 10, sh >= 11 so the rects fit. */
+  def synthGifComposited(key: Long, sw: Int, sh: Int): Array[Byte] = {
+    require(sw >= 10 && sh >= 11, s"gif composite synth: screen ${sw}x$sh too small")
+    val minCode = 6
+    val rects = Array( // (left, top, w, h, disposal, transparent)
+      (0, 0, sw, sh, 1, false),
+      (3, 2, 7, 5, 2, true),
+      (5, 4, 6, 4, 3, false),
+      (0, 8, sw, 3, 1, true))
+    val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, sw, sh, minCode)
+    def u16(v: Int): Unit = gifU16(out, v)
+    var f = 0
+    while (f < rects.length) {
+      val (left, top, w, h, disposal, transparent) = rects(f)
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((disposal << 2) | (if (transparent) 1 else 0))
+      u16(10)
+      out.write(if (transparent) 63 else 0)
+      out.write(0)
+      out.write(0x2c)
+      u16(left); u16(top); u16(w); u16(h)
+      out.write(0)
+      val idx = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          idx(y * w + x) = synthPixelByte(key,
+            f.toLong * sw * sh + (top + y).toLong * sw + (left + x)) % 64
+          x += 1
+        }
+        y += 1
+      }
+      writeGifImageData(out, idx, minCode)
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   private def decodeGifFrames0(payload: Array[Byte],
-      maxFrames: Int): IndexedSeq[GifImage] = {
+      maxFrames: Int): GifStream = {
     require(payload.length > 13, "gif: truncated header")
     val sig = new String(payload, 0, 6, "US-ASCII")
     require(sig == "GIF89a" || sig == "GIF87a", s"gif: bad signature $sig")
@@ -774,7 +917,9 @@ object Multimodal {
       val v = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8); p += 2; v
     }
     val sw = u16(); val sh = u16()
-    val packed = payload(p) & 0xff; p += 3 // packed, bg, aspect
+    val packed = payload(p) & 0xff
+    val bgIndex = payload(p + 1) & 0xff
+    p += 3 // packed, bg, aspect
     var palette: Array[Byte] = null
     if ((packed & 0x80) != 0) { // global color table (optional per spec)
       val gctSize = 2 << (packed & 7)
@@ -782,6 +927,9 @@ object Multimodal {
       palette = java.util.Arrays.copyOfRange(payload, p, p + gctSize * 3)
       p += gctSize * 3
     }
+    // graphic-control state scoping the next image block (r12)
+    var pendingDisposal = 0
+    var pendingTransparent = -1
     // decode the image block whose 0x2c byte was just consumed: the
     // descriptor (with optional local color table + interlace flag),
     // then the LZW-coded index stream — per-frame, dictionary reset
@@ -893,10 +1041,13 @@ object Multimodal {
           }
           deint
         }
-      GifImage(w, h, framePal, pixels, left, top)
+      GifImage(w, h, framePal, pixels, left, top,
+        pendingDisposal, pendingTransparent)
     }
-    // walk the block stream: extensions skipped, every image block
-    // decoded (up to maxFrames), trailer ends the walk
+    // walk the block stream: extensions skipped EXCEPT the graphic
+    // control extension (label 0xF9), whose disposal/transparency
+    // fields scope the next image block (r12 — compositing inputs);
+    // every image block decoded (up to maxFrames), trailer ends the walk
     val frames = scala.collection.mutable.ArrayBuffer.empty[GifImage]
     var done = false
     while (!done && frames.length < maxFrames) {
@@ -905,18 +1056,30 @@ object Multimodal {
         else "gif: missing trailer")
       val b = payload(p) & 0xff; p += 1
       b match {
-        case 0x2c => frames += decodeOneImage()
+        case 0x2c =>
+          frames += decodeOneImage()
+          pendingDisposal = 0; pendingTransparent = -1 // GCE scope ends
         case 0x21 => // extension: label + sub-blocks
-          p += 1
+          val label = payload(p) & 0xff; p += 1
+          var first = true
           var len = payload(p) & 0xff; p += 1
-          while (len != 0) { p += len; len = payload(p) & 0xff; p += 1 }
+          while (len != 0) {
+            if (label == 0xf9 && first && len == 4) {
+              val packed = payload(p) & 0xff
+              pendingDisposal = (packed >> 2) & 7
+              pendingTransparent =
+                if ((packed & 1) != 0) payload(p + 3) & 0xff else -1
+            }
+            first = false
+            p += len; len = payload(p) & 0xff; p += 1
+          }
         case 0x3b =>
           require(frames.nonEmpty, "gif: trailer before image")
           done = true
         case x => throw new IllegalArgumentException(f"gif: unknown block 0x$x%02x")
       }
     }
-    frames.toIndexedSeq
+    GifStream(sw, sh, bgIndex, palette, frames.toIndexedSeq)
   }
 
   case class PngImage(width: Int, height: Int, bitDepth: Int,

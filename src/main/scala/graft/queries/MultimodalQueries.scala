@@ -396,6 +396,80 @@ object MultimodalQueries {
         .toDF("id", "width", "height", "pix_sum", "pix_wsum")
     },
 
+    // COMPOSITED ANIMATED GIF (r12): the viewer-facing half of the
+    // animation contract — decodeGifFrames' raw frames REPLAYED onto
+    // the logical screen with graphic-control semantics: frames drawn
+    // at their (left, top) offsets, transparent-index pixels leaving
+    // the canvas through, disposal 1/2/3 (leave / restore rect to
+    // background / restore to previous) applied between frames. The
+    // synth exercises ALL of it in 4 frames: a full-screen opaque
+    // base, a transparent partial frame that disposes to background,
+    // an opaque partial frame that disposes to previous, and a
+    // transparent strip. The oracle replays the composite rule as a
+    // closed-form CASE over rect membership + the transparency
+    // condition (disposal-2's rect restore makes the post-f1 canvas
+    // "rect1 -> bg index 0, else frame-0 formula"; disposal-3 restores
+    // exactly that canvas after f2) — any offset, transparency-skip,
+    // or disposal error on the Spark side diverges the
+    // position-weighted checksum over the concatenated 13x11 canvases.
+    "mm_gif_composite" -> QueryDef(
+      """WITH cell AS (
+        |  SELECT doc_id AS id, f, y, x,
+        |    ((doc_id*31 + (y*13 + x))*97) % 256 % 64 AS i0,
+        |    ((doc_id*31 + (143 + y*13 + x))*97) % 256 % 64 AS i1,
+        |    ((doc_id*31 + (286 + y*13 + x))*97) % 256 % 64 AS i2,
+        |    ((doc_id*31 + (429 + y*13 + x))*97) % 256 % 64 AS i3,
+        |    (x BETWEEN 3 AND 9 AND y BETWEEN 2 AND 6) AS r1,
+        |    (x BETWEEN 5 AND 10 AND y BETWEEN 4 AND 7) AS r2,
+        |    (y BETWEEN 8 AND 10) AS r3
+        |  FROM documents, unnest(range(0, 4)) AS rf(f),
+        |    unnest(range(0, 11)) AS ry(y), unnest(range(0, 13)) AS rx(x)),
+        |vw AS (
+        |  SELECT id, f, y, x,
+        |    CASE f
+        |      WHEN 0 THEN i0
+        |      WHEN 1 THEN CASE WHEN r1 AND i1 != 63 THEN i1 ELSE i0 END
+        |      WHEN 2 THEN CASE WHEN r2 THEN i2 WHEN r1 THEN 0 ELSE i0 END
+        |      ELSE CASE WHEN r3 AND i3 != 63 THEN i3
+        |        WHEN r1 THEN 0 ELSE i0 END
+        |    END AS v
+        |  FROM cell),
+        |p AS (
+        |  SELECT id, f*429 + (y*13 + x)*3 + c AS k,
+        |    CAST(CASE c WHEN 0 THEN (v*37) % 256
+        |      WHEN 1 THEN (v*91 + 17) % 256
+        |      ELSE (v*53 + 101) % 256 END AS BIGINT) AS b
+        |  FROM vw, unnest(range(0, 3)) AS rc(c))
+        |SELECT id, CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(13 AS BIGINT) AS width, CAST(11 AS BIGINT) AS height,
+        |  CAST(sum(b) AS BIGINT) AS pix_sum,
+        |  CAST(sum(k * b) AS BIGINT) AS pix_wsum
+        |FROM p GROUP BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = Multimodal.compositeGifFrames(
+            Multimodal.synthGifComposited(id, 13, 11))
+          var ps = 0L
+          var pw = 0L
+          var base = 0L
+          frames.foreach { img =>
+            val n = img.width * img.height * 3
+            var kb = 0
+            while (kb < n) {
+              val b = (img.pixels(kb) & 0xff).toLong
+              ps += b
+              pw += (base + kb) * b
+              kb += 1
+            }
+            base += n
+          }
+          (id, frames.length.toLong, frames(0).width.toLong,
+            frames(0).height.toLong, ps, pw)
+        }
+        .toDF("id", "n_frames", "width", "height", "pix_sum", "pix_wsum")
+    },
+
     // PERCEPTUAL IMAGE NEAR-DUP (r12): the operator that connects the
     // real codecs to the banded-Hamming dedup family. Per doc, a 19x17
     // grayscale image keyed by gid = doc_id/2 (so consecutive docs

@@ -209,4 +209,41 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
       assert(compared > 0, s"no interior pixels compared for ${w}x$h")
     }
   }
+
+  test("gif compositing inputs match ImageIO metadata (disposal, transparency, offsets)") {
+    // the compositor's INPUTS — per-frame disposal method, transparent
+    // index, and placement — cross-checked against the JDK's own parse
+    // of the same container, so a GCE bit-position mistake cannot hide
+    // behind a matching encoder/decoder pair
+    val bytes = Multimodal.synthGifComposited(11L, 13, 11)
+    val ours = Multimodal.decodeGifFrames(bytes)
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+    reader.setInput(in)
+    assert(reader.getNumImages(true) == 4)
+    val jdkNames = Seq("doNotDispose", "restoreToBackgroundColor",
+      "restoreToPrevious", "doNotDispose")
+    for (f <- 0 until 4) {
+      val tree = reader.getImageMetadata(f)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val gce = tree.getElementsByTagName("GraphicControlExtension")
+        .item(0).asInstanceOf[org.w3c.dom.Element]
+      assert(gce.getAttribute("disposalMethod") == jdkNames(f), s"f$f disposal")
+      val transparent = gce.getAttribute("transparentColorFlag") == "TRUE"
+      assert(transparent == (ours(f).transparentIndex >= 0), s"f$f trans flag")
+      if (transparent)
+        assert(gce.getAttribute("transparentColorIndex").toInt ==
+          ours(f).transparentIndex, s"f$f trans index")
+      val desc = tree.getElementsByTagName("ImageDescriptor")
+        .item(0).asInstanceOf[org.w3c.dom.Element]
+      assert(desc.getAttribute("imageLeftPosition").toInt == ours(f).left, s"f$f left")
+      assert(desc.getAttribute("imageTopPosition").toInt == ours(f).top, s"f$f top")
+      assert(desc.getAttribute("imageWidth").toInt == ours(f).width, s"f$f w")
+      assert(desc.getAttribute("imageHeight").toInt == ours(f).height, s"f$f h")
+    }
+    reader.dispose()
+    in.close()
+  }
 }

@@ -415,6 +415,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(he.getMessage.contains("truncated"), he.getMessage)
   }
 
+  test("gif compositing: disposal/transparency replay matches the closed-form rule") {
+    // independent replay of the composite semantics (the same rule the
+    // SQL oracle encodes): rect membership + transparency condition,
+    // disposal-2's rect restore, disposal-3's canvas restore
+    for (key <- Seq(0L, 7L, 99L)) {
+      val frames = Multimodal.compositeGifFrames(
+        Multimodal.synthGifComposited(key, 13, 11))
+      assert(frames.length == 4)
+      assert(frames.forall(f => f.width == 13 && f.height == 11))
+      def idx(f: Int, y: Int, x: Int) =
+        Multimodal.synthPixelByte(key, f * 143 + y * 13 + x) % 64
+      for (f <- 0 until 4; y <- 0 until 11; x <- 0 until 13) {
+        val r1 = x >= 3 && x <= 9 && y >= 2 && y <= 6
+        val r2 = x >= 5 && x <= 10 && y >= 4 && y <= 7
+        val r3 = y >= 8
+        val v = f match {
+          case 0 => idx(0, y, x)
+          case 1 => if (r1 && idx(1, y, x) != 63) idx(1, y, x) else idx(0, y, x)
+          case 2 => if (r2) idx(2, y, x) else if (r1) 0 else idx(0, y, x)
+          case _ => if (r3 && idx(3, y, x) != 63) idx(3, y, x)
+            else if (r1) 0 else idx(0, y, x)
+        }
+        for (c <- 0 until 3)
+          assert((frames(f).pixels((y * 13 + x) * 3 + c) & 0xff) ==
+            Multimodal.gifPaletteByte(v, c), s"key $key f$f ($x,$y) c$c")
+      }
+    }
+    // the raw decode contract is unchanged: per-frame rasters with
+    // offsets and graphic-control fields carried, no compositing
+    val raw = Multimodal.decodeGifFrames(
+      Multimodal.synthGifComposited(5L, 13, 11))
+    assert(raw.map(fr => (fr.left, fr.top, fr.width, fr.height,
+        fr.disposal, fr.transparentIndex)) ==
+      IndexedSeq((0, 0, 13, 11, 1, -1), (3, 2, 7, 5, 2, 63),
+        (5, 4, 6, 4, 3, -1), (0, 8, 13, 3, 1, 63)))
+    // an out-of-screen frame placement is loud (left + w > sw). The
+    // first image descriptor sits at a structural offset: 13-byte
+    // header + 192-byte global table + 8-byte GCE = byte 213 (0x2c),
+    // left u16 at 214.
+    val bad = Multimodal.synthGifComposited(5L, 13, 11).clone()
+    assert((bad(213) & 0xff) == 0x2c, "descriptor offset drifted")
+    bad(214) = 9 // left 0 -> 9; 9 + 13 > 13
+    intercept[IllegalArgumentException] { Multimodal.decodeGifFrames(bad) }
+  }
+
   test("encoders from arbitrary pixels round-trip; synth delegation intact") {
     val px = Array.tabulate[Byte](10 * 9 * 3)(i => ((i * 7 + 3) % 256).toByte)
     val viaPng = Multimodal.decodePng(Multimodal.encodePng(10, 9, px))
