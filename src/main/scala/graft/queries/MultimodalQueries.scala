@@ -540,6 +540,12 @@ object MultimodalQueries {
             }
           (id, Multimodal.dhash64(w, h, pixels))
         }.toDF("doc_id", "simhash")
+        // persist: decode+hash is the expensive pass, and the band
+        // self-join + the cap guard's size aggregate consume the frame
+        // up to four times (the doc_ngram_jaccard persisted-shingle
+        // pattern; pinned in EXPLAINS.md — one MapElements, the rest
+        // InMemoryTableScans)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.simhashPairs(hashes, maxDist = 3, maxBucket = 1024)
         .withColumn("hamming", col("hamming").cast("long"))
     })
