@@ -520,6 +520,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("dhash64 crosses the LOSSY boundary: block-constant JPEG == PNG") {
+    // the block-constant JPEG contract round-trips bit-exactly, so the
+    // same content hashes identically through a LOSSY codec and a
+    // lossless one — the perceptual-dedup claim extended to the third
+    // codec family. 72x64 puts every 9x8 dHash grid cell on a distinct
+    // 8x8 block corner (sx = 8x, sy = 8y).
+    for (key <- Seq(1L, 17L, 123L)) {
+      val jp = Multimodal.decodeJpeg(Multimodal.synthJpeg(key, 72, 64))
+      val rgbJ = new Array[Byte](72 * 64 * 3)
+      var i = 0
+      while (i < 72 * 64) {
+        val v = jp.pixels(i).toByte
+        rgbJ(3 * i) = v; rgbJ(3 * i + 1) = v; rgbJ(3 * i + 2) = v
+        i += 1
+      }
+      val rgbP = new Array[Byte](72 * 64 * 3)
+      for (y <- 0 until 64; x <- 0 until 72) {
+        val v = (64 + 2 * (Multimodal.synthPixelByte(key,
+          (y / 8) * 9 + x / 8) % 64)).toByte
+        val p = (y * 72 + x) * 3
+        rgbP(p) = v; rgbP(p + 1) = v; rgbP(p + 2) = v
+      }
+      val viaPng = Multimodal.decodePng(Multimodal.encodePng(72, 64, rgbP))
+      assert(Multimodal.dhash64(72, 64, rgbJ) ==
+        Multimodal.dhash64(viaPng.width, viaPng.height, viaPng.pixels),
+        s"key $key: jpeg-decoded dhash != png-decoded dhash")
+    }
+  }
+
   test("phash near-dup pipeline finds planted cross-codec pairs only") {
     val spark = TestSpark.session
     import spark.implicits._
