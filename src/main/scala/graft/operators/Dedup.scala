@@ -974,6 +974,65 @@ object Dedup {
       .distinct()
   }
 
+  /** [[simhashPairs]] with IN-BUCKET scoring — IDENTICAL output
+    * (spec-pinned equal), built for SKEWED hash populations. dHash/
+    * SimHash bits are not independent (adjacent gradient bits share a
+    * cell — a Markov chain, so a few chunk patterns are population-
+    * heavy, the image analog of boilerplate), which makes the band
+    * SELF-JOIN's input a sort of tables x corpus rows and its output
+    * sum-of-bucket-squares pairs: the 15M-doc probe FILLED THE DISK in
+    * sort spill before producing a row (SCALE.md r12). This variant is
+    * the [[graft.operators.Similarity.knnGraph]] shape instead: ONE
+    * exchange of bare (doc_id, simhash) rows into a per-capped-bucket
+    * collect_list, pairs popcount-verified INSIDE the bucket group by
+    * a streaming iterator — candidate pairs are never shuffled,
+    * sorted, or joined; the only pair-sized thing in the plan is the
+    * iterator, and only hamming <= maxDist survivors reach the
+    * (output-sized) distinct exchange. Per-bucket work is
+    * O(min(B, cap)^2) popcounts — bounded by the cap, embarrassingly
+    * parallel across buckets. Same pigeonhole-exactness as
+    * [[simhashPairs]] (identical banding). */
+  def simhashPairsBucketed(sigs: DataFrame, maxDist: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val capped = capBuckets(simhashChunks(sigs, maxDist),
+      Seq("cidx", "cval"), maxBucket, col("doc_id"))
+    capped.groupBy(col("cidx"), col("cval"))
+      .agg(collect_list(struct(col("doc_id").as("_1"),
+        col("simhash").as("_2"))).as("m"))
+      .select(col("m")).as[Array[(Long, Long)]]
+      .flatMap { m0 =>
+        // ids are unique within a bucket (one band row per doc), so
+        // sorting by id makes every emitted pair (a < b) by position
+        val m = m0.sortBy(_._1)
+        val n = m.length
+        new Iterator[(Long, Long, Int)] {
+          private var i = 0
+          private var j = 1
+          private var nextPair: (Long, Long, Int) = _
+          advance()
+          private def advance(): Unit = {
+            nextPair = null
+            while (nextPair == null && i < n - 1) {
+              while (nextPair == null && j < n) {
+                val d = java.lang.Long.bitCount(m(i)._2 ^ m(j)._2)
+                if (d <= maxDist) nextPair = (m(i)._1, m(j)._1, d)
+                j += 1
+              }
+              if (nextPair == null) { i += 1; j = i + 1 }
+            }
+          }
+          def hasNext: Boolean = nextPair != null
+          def next(): (Long, Long, Int) = {
+            val r = nextPair; advance(); r
+          }
+        }
+      }
+      .toDF("a_id", "b_id", "hamming")
+      .distinct()
+  }
+
   /** The chunk-band form of a SimHash signature frame — one (doc_id,
     * simhash, cidx, cval) row per band key (C(8,2) 16-bit chunk pairs
     * for maxDist <= 6, single 8-bit chunks for 7): the exploded table

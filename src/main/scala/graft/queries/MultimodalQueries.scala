@@ -546,7 +546,13 @@ object MultimodalQueries {
         // pattern; pinned in EXPLAINS.md — one MapElements, the rest
         // InMemoryTableScans)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.simhashPairs(hashes, maxDist = 3, maxBucket = 1024)
+      // IN-BUCKET pair scoring, not the band self-join: dHash bits are
+      // Markov-correlated (adjacent bits share a grid cell), so a few
+      // chunk patterns are population-heavy and the join form's
+      // sort+pair volume goes quadratic on them — the bucketed form
+      // verifies pairs inside each capped bucket group and only
+      // survivors ever shuffle (measured at 15M docs, SCALE.md r12)
+      Dedup.simhashPairsBucketed(hashes, maxDist = 3, maxBucket = 1024)
         .withColumn("hamming", col("hamming").cast("long"))
     })
 }

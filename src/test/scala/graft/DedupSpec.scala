@@ -257,6 +257,33 @@ class DedupSpec extends AnyFunSuite {
       keep.size.toLong * (keep.size - 1) / 2)
   }
 
+  test("simhashPairsBucketed == simhashPairs, uncapped and under cap pressure") {
+    val spark0 = spark
+    import spark0.implicits._
+    // real corpus signatures (near-dups + noise)
+    val sigs = Dedup.simhash(docs, col("text"), col("doc_id"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong)).toSet
+    assert(norm(Dedup.simhashPairsBucketed(sigs, 6)) ==
+      norm(Dedup.simhashPairs(sigs, 6)))
+    // all-identical corpus under a tripping cap: the two forms share
+    // capBuckets, so the kept sample — and therefore the pair set —
+    // must coincide exactly
+    val same = (0L until 60L).map(i => (i, "the very same text every time"))
+      .toDF("doc_id", "text")
+    val ssigs = Dedup.simhash(same, col("text"), col("doc_id"))
+    assert(norm(Dedup.simhashPairsBucketed(ssigs, 6, maxBucket = 10)) ==
+      norm(Dedup.simhashPairs(ssigs, 6, maxBucket = 10)))
+    // and the planted phash shape: distinct hashes, radius matches
+    val hs = (0L until 40L).map(i =>
+      (i, graft.operators.Multimodal.dhash64(19, 17,
+        graft.operators.Multimodal.synthGrayImage(i / 2, 19, 17))))
+      .toDF("doc_id", "simhash")
+    assert(norm(Dedup.simhashPairsBucketed(hs, 3)) ==
+      norm(Dedup.simhashPairs(hs, 3)))
+  }
+
   test("capBuckets retains no persisted RDD after a capped query") {
     // r11 verdict #1: the pre-r12 eager-count path parked a cached
     // size aggregate per capped query; the r12 single-lazy-plan form
