@@ -938,7 +938,10 @@ object Dedup {
     * TWO chunks, and for d = 7 on at least one. Band keys are chosen
     * accordingly:
     *
-    *   - maxDist <= 6 (the suite's setting): all C(8,2)=28 ordered
+    *   - maxDist <= 3: FOUR disjoint chunk pairs (r12) — d corrupted
+    *     chunks touch at most d <= 3 of them, one pair stays intact;
+    *     exact at 1/7 the band rows of the C(8,2) set.
+    *   - maxDist in [4, 6] (the suite's setting): all C(8,2)=28 ordered
     *     chunk PAIRS, 16-bit keys — still EXACT (some intact 2-chunk
     *     combo must match), but 65536 possible values per band instead
     *     of 256. This is the 100 TB-critical choice: with single 8-bit
@@ -1044,7 +1047,21 @@ object Dedup {
     def chunkOf(c: Int) =
       shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(0xFFL)
     val chunks =
-      if (maxDist <= 6) {
+      if (maxDist <= 3) {
+        // 4 DISJOINT chunk pairs (r12): d <= 3 corrupted chunks can
+        // touch at most 3 of 4 disjoint pairs, so one pair survives
+        // intact — still pigeonhole-EXACT, at 4 band rows per doc
+        // instead of C(8,2) = 28 (which only d in [4,6] needs). The
+        // 7x row cut is what keeps banding affordable on POPULATION-
+        // SKEWED hashes (dHash), where band-row volume, not bucket
+        // width, is the binding cost (the 15M-doc phash probe,
+        // SCALE.md r12).
+        (0 until 4).map { i =>
+          struct(lit(i).as("cidx"),
+            (shiftleft(chunkOf(2 * i), 8).bitwiseOR(chunkOf(2 * i + 1)))
+              .as("cval"))
+        }
+      } else if (maxDist <= 6) {
         val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
         combos.zipWithIndex.map { case ((i, j), idx) =>
           struct(lit(idx).as("cidx"),
