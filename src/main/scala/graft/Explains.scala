@@ -76,7 +76,8 @@ object Explains {
       "doc_html_extract" -> "HTML extraction: the whole strip/decode/collapse chain is ONE codegen'd projection over the scan — regexp_replace and replace compose without any exchange; zero shuffle end to end",
       "doc_containment_pairs" -> "containment near-dup: one shingle explode + a df agg whose <= maxDf filter is BOTH the semantics (boilerplate is not quotation evidence) and the scale valve (join fanout <= maxDf per shingle); the self-join's (a,b) count agg is map-side combinable over bare long pairs — nothing wider than 24 bytes ever shuffles",
       "emb_pagerank" -> "kNN PageRank: three power-iteration rounds, each one edge-keyed join + one neighbor-keyed HashAggregate over bare (id, long) rows — the CC execution family; the kNN graph feeds it once via in-bucket scoring (no pair materialization), and the final rank is a RANGE-partitioned sort + zipWithIndex — no single-partition window anywhere (the plan below ends at the distributed sort; the rank map rides on its partitions)",
-      "mm_phash_dups" -> "perceptual image near-dup: decode + dHash runs ONCE — the (doc_id, simhash) frame is persisted, so the band self-join's two sides and the cap guard's size aggregate are all InMemoryTableScans over one MapElements pass; the 28 chunk-pair bands explode from the 64-bit hash in a codegen'd projection, the popcount verify sits INSIDE the join projection so only hamming<=3 survivors reach the distinct exchange, and the r12 rank-free cap guard adds NO window sort anywhere",
+      "mm_phash_dups" -> "perceptual image near-dup: decode + dHash runs ONCE — the (doc_id, simhash) frame is persisted, so the band machinery's consumers are all InMemoryTableScans over one MapElements pass; at the hamming<=3 radius the 4 DISJOINT chunk-pair bands explode from the 64-bit hash in a codegen'd projection (1/7 the band rows of the C(8,2) set), pairs are popcount-verified INSIDE each capped bucket's collect_list group (the knnGraph shape — candidates never shuffled, sorted, or joined), and the rank-free cap guard adds NO window sort anywhere",
+      "mm_keyframes" -> "keyframe detection: the WHOLE operator is one SerializeFromObject <- MapPartitions <- DeserializeToObject pipeline over the documents scan — a clip's frames arrive as one row, so decode, per-frame dHash, and the temporal lag all happen inside the typed flatMap with ZERO exchanges; the scan reads only doc_id (pruned ReadSchema)",
       "emb_knn_graph" -> "corpus kNN graph, in-bucket scoring: ONE exchange of (tbl, bkt, id, embedding) rows into an ObjectHashAggregate collect_list per capped bucket, pairwise cosines inside the bucket group (typed flatMap fold), then the map-side-combined per-src top-k aggregate — candidate pairs are never shuffled, sorted, distinct'd, or joined; the only pair-sized thing in the plan is an iterator")
 
     val sb = new StringBuilder

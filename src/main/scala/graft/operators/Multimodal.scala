@@ -164,9 +164,13 @@ object Multimodal {
       java.lang.Math.floorMod(key, 65536L) * 2654435761L + i * 40503L,
       65536L) - 32768L).toInt
 
-  /** A valid RIFF/WAVE file: PCM (format 1), mono, 16-bit LE, `n`
-    * [[synthSample]] samples. */
-  def synthWav(key: Long, n: Int, sampleRate: Int): Array[Byte] = {
+  /** REAL WAV encoder (r12) from an arbitrary mono PCM16 sample array
+    * — the write half of the codec ([[encodePng]]/[[encodeBmp]] for
+    * audio): RIFF/WAVE header + LE 16-bit data chunk. Samples must fit
+    * Int16 (loud error, never silent wraparound — a wrapped sample
+    * would desync the formula oracle invisibly). */
+  def encodeWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
     val dataLen = n * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -178,9 +182,19 @@ object Multimodal {
       .putShort(2).putShort(16) // block align, bits
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < n) { buf.putShort(synthSample(key, i).toShort); i += 1 }
+    while (i < n) {
+      val s = samples(i)
+      require(s >= -32768 && s <= 32767, s"wav: sample $i out of Int16: $s")
+      buf.putShort(s.toShort)
+      i += 1
+    }
     buf.array()
   }
+
+  /** A valid RIFF/WAVE file: PCM (format 1), mono, 16-bit LE, `n`
+    * [[synthSample]] samples. */
+  def synthWav(key: Long, n: Int, sampleRate: Int): Array[Byte] =
+    encodeWav(Array.tabulate(n)(i => synthSample(key, i)), sampleRate)
 
   case class WavAudio(sampleRate: Int, channels: Int, bitsPerSample: Int,
       samples: Array[Int])
@@ -232,6 +246,76 @@ object Multimodal {
     }
     require(sampleRate > 0 && samples != null, "wav: missing fmt or data chunk")
     WavAudio(sampleRate, channels, bits, samples)
+  }
+
+  /** EVEN-valued PCM16 sample generator for the audio-fingerprint
+    * corpus ([[audioFingerprint64]]'s graded query): with kr =
+    * floorMod(key, 32768), sample i = 2·floorMod(kr·2654435761 +
+    * i·40503 + (kr·7 + 13)·i², 16384) − 16384, range [−16384, 16380].
+    * Every sample EVEN so the gain-half twin (s >> 1) is an EXACT
+    * scaling — energies scale by exactly 4 and the fingerprint's
+    * gradient signs are provably invariant, not just probably; and the
+    * perturbation headroom never leaves Int16. The KEY-DEPENDENT
+    * QUADRATIC term is load-bearing (the [[phashPixelByte]] lesson): a
+    * phase-only key dependence makes every clip the same sawtooth
+    * shifted, and block ENERGIES — phase-insensitive by construction —
+    * collide across keys within the banding radius. Key pre-reduced
+    * mod 32768 for the same overflow-freedom as [[synthSample]]
+    * (max term kr·2654435761 ≈ 8.7e13, quadratic ≈ 3.9e11 at i =
+    * 1300: Long- and BIGINT-safe). */
+  def synthSampleEven(key: Long, i: Long): Int = {
+    val kr = java.lang.Math.floorMod(key, 32768L)
+    (2L * java.lang.Math.floorMod(
+      kr * 2654435761L + i * 40503L + (kr * 7L + 13L) * i * i,
+      16384L) - 16384L).toInt
+  }
+
+  /** 64-bit GAIN-INVARIANT audio fingerprint of decoded PCM samples —
+    * the audio half of the perceptual near-dup family ([[dhash64]] on
+    * the time axis; cf. the derivative-sign bits of Haitsma & Kalker
+    * 2002): the clip is split into 65 contiguous blocks by the exact
+    * integer rule (block k = samples [k·n/65, (k+1)·n/65)), each
+    * reduced to its energy E_k = Σ s², and bit k set iff E_{k+1} > E_k
+    * — the temporal energy-envelope gradient signs. Properties the
+    * dedup family relies on:
+    *
+    *   - GAIN-INVARIANT: uniform gain c scales every energy by c² and
+    *     leaves every comparison unchanged (a requantized/normalized
+    *     copy of the same recording fingerprints identically); on
+    *     exactly-halved even PCM the invariance is exact in INTEGER
+    *     arithmetic too, which is what the graded oracle pins;
+    *   - localized edits move only the touched blocks' energies —
+    *     near-dups land within a small Hamming radius and the banded
+    *     machinery ([[graft.operators.Dedup.simhashPairsBucketed]])
+    *     finds them without an all-pairs scan;
+    *   - pure Long arithmetic (E_k <= n·32768²: overflow-safe past
+    *     8.5e9 samples — two and a half DAYS of 44.1 kHz audio),
+    *     replayable in SQL. */
+  def audioFingerprint64(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n >= 65, s"fingerprint needs >= 65 samples, got $n")
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      val from = (k.toLong * n / 65).toInt
+      val to = ((k + 1).toLong * n / 65).toInt
+      var acc = 0L
+      var i = from
+      while (i < to) {
+        val s = samples(i).toLong
+        acc += s * s
+        i += 1
+      }
+      e(k) = acc
+      k += 1
+    }
+    var h = 0L
+    k = 0
+    while (k < 64) {
+      if (e(k + 1) > e(k)) h |= 1L << k
+      k += 1
+    }
+    h
   }
 
   /** Deterministic pixel-byte generator shared by [[synthBmp]] and the
@@ -394,6 +478,111 @@ object Multimodal {
     h
   }
 
+  /** The fixed-point DCT-II basis shared by [[phashDct64]] and the SQL
+    * oracle: entry (u·32 + x) = rint(cos(π·(2x+1)·u/64) · 2^14), u in
+    * 0..7, x in 0..31. Computed via StrictMath (bit-identical on every
+    * JVM) and inlined into the oracle as VALUES literals (the SRP
+    * hyperplane discipline), so both engines multiply the SAME
+    * integers — no trig evaluation ever happens cross-engine. */
+  val dctCosQ14: Array[Long] = {
+    val t = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 32) {
+        t(u * 32 + x) = StrictMath.rint(
+          StrictMath.cos(Math.PI * (2 * x + 1) * u / 64.0) * 16384.0).toLong
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** 64-bit perceptual DCT hash (pHash) of a decoded RGB image — the
+    * LOSSY-boundary companion to [[dhash64]]: the image is shrunk (or
+    * grown) to a 32x32 grid by [[resizeNearest]]'s exact integer rule,
+    * reduced to integer luma, transformed by a SEPARABLE fixed-point
+    * 2D DCT-II over [[dctCosQ14]], and bit (u·8 + v − 1) set iff
+    * low-frequency coefficient (u, v) exceeds the MEDIAN of the 63
+    * non-DC coefficients (the 32nd smallest — an exact integer order
+    * statistic, no quantile-interpolation ambiguity).
+    *
+    * Why a second perceptual hash: dHash compares ADJACENT cell lumas,
+    * so high-frequency pixel noise — exactly what lossy JPEG
+    * quantization injects — sits directly in its decision variable and
+    * flips gradient bits wherever neighbors are close. The DCT hash
+    * thresholds LOW-frequency coefficients against their median:
+    * quantization noise spreads across the high-frequency coefficients
+    * the hash never reads, and a uniform brightness shift lands in the
+    * excluded DC term (the AC basis rows sum to ~0), so JPEG re-encodes
+    * and luma offsets perturb few bits (MultimodalSpec pins both, with
+    * dHash diverging on the same noisy inputs). All arithmetic is
+    * exact-integer Long: |s1| <= 255·32·2^14 and |coef| <= that ·32·2^14
+    * ≈ 7.0e16 < 2^63, so the SQL oracle replays the transform verbatim.
+    *
+    * Exactly 31 bits are set when the 63 coefficients are distinct
+    * (strictly-greater-than-median); bit 63 is always 0, so the hash is
+    * non-negative on both engines. Feeds [[graft.operators.Dedup]]'s
+    * banded-Hamming machinery unchanged. */
+  def phashDct64(width: Int, height: Int, pixels: Array[Byte]): Long = {
+    require(pixels.length == width * height * 3,
+      "phash: pixels != w*h*3")
+    val g = resizeNearest(BmpImage(width, height, 24, pixels), 32, 32)
+    val lum = new Array[Long](32 * 32)
+    var i = 0
+    while (i < 1024) {
+      val o = 3 * i
+      lum(i) = ((g.pixels(o) & 0xff) * 299 + (g.pixels(o + 1) & 0xff) * 587 +
+        (g.pixels(o + 2) & 0xff) * 114) / 1000
+      i += 1
+    }
+    // separable DCT: s1(u, y) = Σ_x lum(y, x)·C(u, x); coef(u, v) =
+    // Σ_y s1(u, y)·C(v, y) — 8·32 dot products instead of 64·1024
+    val s1 = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var acc = 0L
+        var x = 0
+        while (x < 32) {
+          acc += lum(y * 32 + x) * dctCosQ14(u * 32 + x)
+          x += 1
+        }
+        s1(u * 32 + y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var y = 0
+        while (y < 32) {
+          acc += s1(u * 32 + y) * dctCosQ14(v * 32 + y)
+          y += 1
+        }
+        coef(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var h = 0L
+    i = 1
+    while (i < 64) {
+      if (coef(i) > med) h |= 1L << (i - 1)
+      i += 1
+    }
+    h
+  }
+
   /** Pixel formula for the perceptual-dedup synth family. NOT
     * [[synthPixelByte]]: that one is AFFINE in (key, i), so a dHash —
     * which only sees the mod-256 offset `key·31·97` — takes at most
@@ -409,12 +598,15 @@ object Multimodal {
     * family: pixel i carries [[phashPixelByte]](key, i) on ALL THREE
     * channels (so luma == the formula value on any channel layout),
     * with an optional single-cell perturbation `(cy, cx)` — the pixel
-    * the 9x8 dHash grid samples for that cell gets `(v + 128) mod
-    * 256`, flipping at most the two gradient bits adjacent to the
-    * cell. The SQL oracle replays both the base formula and the
-    * perturbation rule verbatim. */
+    * the 9x8 dHash grid samples for that cell gets `(v + perturbDelta)
+    * mod 256` (default 128, flipping at most the two gradient bits
+    * adjacent to the cell; the DCT-hash query uses a SMALL delta so the
+    * low-frequency coefficient shifts stay within its match radius).
+    * The SQL oracle replays both the base formula and the perturbation
+    * rule verbatim. */
   def synthGrayImage(key: Long, w: Int, h: Int,
-      perturbCell: Option[(Int, Int)] = None): Array[Byte] = {
+      perturbCell: Option[(Int, Int)] = None,
+      perturbDelta: Int = 128): Array[Byte] = {
     val px = new Array[Byte](w * h * 3)
     var i = 0
     while (i < w * h) {
@@ -427,7 +619,7 @@ object Multimodal {
       val sy = cy * h / 8
       val sx = cx * w / 9
       val p = sy * w + sx
-      val v = (phashPixelByte(key, p) + 128) % 256
+      val v = (phashPixelByte(key, p) + perturbDelta) % 256
       px(3 * p) = v.toByte; px(3 * p + 1) = v.toByte; px(3 * p + 2) = v.toByte
     }
     px
@@ -632,6 +824,55 @@ object Multimodal {
       f += 1
     }
     out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** SCENE-STRUCTURED animated synth payload for the keyframe-
+    * detection query (`mm_keyframes` via the per-frame [[dhash64]]
+    * lag): frame f belongs to scene sc = f/sceneLen, and its palette
+    * index at pixel k is [[phashPixelByte]](key·131 + sc, k) mod 64 —
+    * constant WITHIN a scene, fresh content at every scene boundary.
+    * The QUADRATIC generator is load-bearing here exactly as it is for
+    * the dHash corpus: under the affine [[synthPixelByte]] a constant
+    * key delta is a near-constant BYTE SHIFT of the whole image (the
+    * mod-64/palette wraps scramble only a minority of cells), so
+    * consecutive scenes could land within the keyframe threshold; the
+    * key-dependent quadratic term decorrelates them per-pixel.
+    * The scene's second frame (f mod sceneLen == 1) additionally
+    * jitters ONE pixel — the source pixel the 9x8 dHash grid samples
+    * for cell (sc mod 8, sc mod 9) gets (idx + 32) mod 64 — so the
+    * within-scene frames are NEAR-dups (<= 2 gradient bits apart, a
+    * camera wobble), not byte-identical: the keyframe rule must
+    * tolerate jitter without firing. All integer, replayed verbatim by
+    * the SQL oracle. */
+  def synthGifScenes(key: Long, w: Int, h: Int, frames: Int,
+      sceneLen: Int): Array[Byte] = {
+    require(frames >= 1 && sceneLen >= 1, "gif: bad scene shape")
+    val minCode = 6
+    val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, w, h, minCode)
+    def u16(v: Int): Unit = gifU16(out, v)
+    var f = 0
+    while (f < frames) {
+      val sc = f / sceneLen
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); u16(10); out.write(0); out.write(0)
+      out.write(0x2c)
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0)
+      val idx = new Array[Int](w * h)
+      var k = 0
+      while (k < idx.length) {
+        idx(k) = phashPixelByte(key * 131L + sc, k) % 64; k += 1
+      }
+      if (f % sceneLen == 1) {
+        val p = ((sc % 8) * h / 8) * w + (sc % 9) * w / 9
+        idx(p) = (idx(p) + 32) % 64
+      }
+      writeGifImageData(out, idx, minCode)
+      f += 1
+    }
+    out.write(0x3b)
     out.toByteArray
   }
 

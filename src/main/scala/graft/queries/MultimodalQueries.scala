@@ -12,6 +12,48 @@ import graft.operators.Multimodal.MediaRow
   */
 object MultimodalQueries {
 
+  /** The fixed-point DCT-II basis as a DuckDB VALUES literal (the SRP
+    * hyperplane discipline, EmbeddingQueries.srpPlanesValues): 256 rows
+    * (u, x, c) straight from [[Multimodal.dctCosQ14]], so both engines
+    * multiply the SAME integers and no trig ever evaluates in SQL. */
+  private def dctCosValues: String =
+    (for (u <- 0 until 8; x <- 0 until 32)
+      yield s"($u,$x,${Multimodal.dctCosQ14(u * 32 + x)})").mkString(",")
+
+  /** Shared corpus constructor for the perceptual-hash dedup queries:
+    * per doc, a 19x17 grayscale synth image keyed gid = doc_id/2 (so
+    * consecutive docs pair on content) is encoded through a DIFFERENT
+    * real codec per parity — even docs PNG, odd docs BMP — decoded by
+    * the REAL decoders, and hashed; every 5th gid perturbs the ODD
+    * twin's one sampled cell by +delta mod 256. Persisted: decode+hash
+    * is the expensive pass, and the band machinery consumes the frame
+    * up to four times (the doc_ngram_jaccard persisted-shingle
+    * pattern; pinned in EXPLAINS.md). */
+  private def perceptualHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String, delta: Int,
+      hash: (Int, Int, Array[Byte]) => Long) = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val gid = id / 2
+        val pcell =
+          if (id % 2 == 1 && gid % 5 == 0)
+            Some(((gid % 8).toInt, (gid % 9).toInt))
+          else None
+        val px = Multimodal.synthGrayImage(gid, 19, 17, pcell, delta)
+        val (w, h, pixels) =
+          if (id % 2 == 0) {
+            val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
+            (p.width, p.height, p.pixels)
+          } else {
+            val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
+            (b.width, b.height, b.pixels)
+          }
+        (id, hash(w, h, pixels))
+      }.toDF("doc_id", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   private def media(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -520,39 +562,229 @@ object MultimodalQueries {
         |    AS hamming
         |FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
         |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin) { (s, dir) =>
-      import s.implicits._
       import graft.operators.Dedup
-      val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .map { id =>
-          val gid = id / 2
-          val pcell =
-            if (id % 2 == 1 && gid % 5 == 0)
-              Some(((gid % 8).toInt, (gid % 9).toInt))
-            else None
-          val px = Multimodal.synthGrayImage(gid, 19, 17, pcell)
-          val (w, h, pixels) =
-            if (id % 2 == 0) {
-              val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
-              (p.width, p.height, p.pixels)
-            } else {
-              val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
-              (b.width, b.height, b.pixels)
-            }
-          (id, Multimodal.dhash64(w, h, pixels))
-        }.toDF("doc_id", "simhash")
-        // persist: decode+hash is the expensive pass, and the band
-        // self-join + the cap guard's size aggregate consume the frame
-        // up to four times (the doc_ngram_jaccard persisted-shingle
-        // pattern; pinned in EXPLAINS.md — one MapElements, the rest
-        // InMemoryTableScans)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // IN-BUCKET pair scoring, not the band self-join: dHash bits are
       // Markov-correlated (adjacent bits share a grid cell), so a few
       // chunk patterns are population-heavy and the join form's
       // sort+pair volume goes quadratic on them — the bucketed form
       // verifies pairs inside each capped bucket group and only
       // survivors ever shuffle (measured at 15M docs, SCALE.md r12)
+      Dedup.simhashPairsBucketed(
+        perceptualHashes(s, dir, 128, Multimodal.dhash64),
+        maxDist = 3, maxBucket = 1024)
+        .withColumn("hamming", col("hamming").cast("long"))
+    },
+
+    // PERCEPTUAL DCT HASH NEAR-DUP (r12): the LOSSY-boundary companion
+    // to mm_phash_dups. Same corpus shape (gid-paired docs, PNG vs BMP
+    // per parity, every 5th gid's odd twin perturbed — here by a SMALL
+    // +24 so the low-frequency coefficient shifts stay within the
+    // radius on most gids; the ones that escape drop out of BOTH
+    // engines identically), but the hash is Multimodal.phashDct64: a
+    // separable fixed-point 2D DCT-II over a 32x32 nearest-resize,
+    // bits = coefficient > median of the 63 non-DC coefficients. The
+    // oracle is the deepest formula replay in the multimodal family:
+    // the 32x32 sampled-luma grid (src = (gy*17//32)*19 + gx*19//32),
+    // the ROW pass s1(u, gy) = sum_gx l*C(u, gx) and COLUMN pass
+    // co(u, v) = sum_gy s1*C(v, gy) against the SAME 256 integer
+    // cosine literals the Scala side uses (dctCosValues — the SRP
+    // hyperplane discipline), the median as an exact order statistic
+    // (row_number = 32 of 63, no quantile-interpolation ambiguity),
+    // and ALL-pairs hamming <= 3 — exact vs the engine's 4-band
+    // disjoint-pair banding by pigeonhole, and the 1024 cap cannot
+    // trip below 1024 colliding docs. Every arithmetic step is exact
+    // integer (|co| <= 255*32^2*2^28 ~ 7.0e16 < 2^63 on the JVM;
+    // DuckDB sums in HUGEINT), so the hash compare is bit-exact.
+    "mm_phash_dct_dups" -> QueryDef(
+      s"""WITH ct(u, x, c) AS (VALUES $dctCosValues),
+        |q AS (
+        |  SELECT doc_id AS id, doc_id // 2 AS gid,
+        |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
+        |  FROM documents),
+        |v AS (
+        |  SELECT q.id, q.gid, q.pert, gy, gx,
+        |    (gy * 17 // 32) * 19 + (gx * 19 // 32) AS i,
+        |    ((q.gid % 8) * 17 // 8) * 19 + ((q.gid % 9) * 19 // 9) AS pidx
+        |  FROM q, unnest(range(0, 32)) AS ry(gy), unnest(range(0, 32)) AS rx(gx)),
+        |g AS (
+        |  SELECT id, gy, gx,
+        |    CASE WHEN pert AND i = pidx
+        |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
+        |            + 24) % 256
+        |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
+        |    END AS l
+        |  FROM v),
+        |s1 AS (
+        |  SELECT g.id, ct.u, g.gy, sum(g.l * ct.c) AS s
+        |  FROM g JOIN ct ON ct.x = g.gx GROUP BY 1, 2, 3),
+        |co AS (
+        |  SELECT s1.id, s1.u, ct.u AS v2, sum(s1.s * ct.c) AS co
+        |  FROM s1 JOIN ct ON ct.x = s1.gy GROUP BY 1, 2, 3),
+        |ac AS (
+        |  SELECT id, u, v2, co,
+        |    row_number() OVER (PARTITION BY id ORDER BY co) AS rn
+        |  FROM co WHERE NOT (u = 0 AND v2 = 0)),
+        |med AS (SELECT id, co AS m FROM ac WHERE rn = 32),
+        |b AS (
+        |  SELECT ac.id, ac.u * 8 + ac.v2 - 1 AS i,
+        |    CASE WHEN ac.co > med.m THEN 1 ELSE 0 END AS bit
+        |  FROM ac JOIN med ON med.id = ac.id)
+        |SELECT x.id AS a_id, y.id AS b_id,
+        |  CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hamming
+        |FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
+        |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      Dedup.simhashPairsBucketed(
+        perceptualHashes(s, dir, 24, Multimodal.phashDct64),
+        maxDist = 3, maxBucket = 1024)
+        .withColumn("hamming", col("hamming").cast("long"))
+    },
+
+    // AUDIO FINGERPRINT NEAR-DUP (r12): the WAV decoder joins the
+    // perceptual-dedup family — what dhash64 did for the image codecs,
+    // audioFingerprint64 (65-block energy-envelope gradient signs,
+    // gain-invariant) does for audio. Per doc, a 1300-sample EVEN-
+    // valued synth clip keyed gid = doc_id/2 is REAL-encoded to
+    // RIFF/WAVE and REAL-decoded back; the odd twin is GAIN-HALVED
+    // (every sample even, so s >> 1 is an exact scaling and the
+    // fingerprint is provably identical — the gain-invariance claim as
+    // a graded equality, not a tolerance); every 5th gid additionally
+    // perturbs ONE energy block of the odd twin (+4000 per sample),
+    // moving at most the two gradient bits adjacent to that block.
+    // Banded pairing as in the image queries (disjoint-pair tier,
+    // pigeonhole-exact at hamming <= 3). The oracle replays sample
+    // formula, halving (// 2 exact on even values), perturbation,
+    // block energies, and gradient bits verbatim; block k of sample i
+    // is i*65//1300 — exact because 1300 = 20*65 (the Scala side's
+    // generic k*n/65 bounds coincide).
+    "mm_audio_dups" -> QueryDef(
+      """WITH q AS (
+        |  SELECT doc_id AS id, doc_id // 2 AS gid,
+        |    doc_id % 2 = 1 AS halved,
+        |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
+        |  FROM documents),
+        |sm AS (
+        |  SELECT id, i * 65 // 1300 AS k,
+        |    CASE WHEN halved
+        |      THEN (2 * (((gid % 32768) * 2654435761 + i * 40503
+        |                  + ((gid % 32768) * 7 + 13) * i * i) % 16384)
+        |            - 16384) // 2
+        |      ELSE 2 * (((gid % 32768) * 2654435761 + i * 40503
+        |                  + ((gid % 32768) * 7 + 13) * i * i) % 16384)
+        |            - 16384
+        |    END
+        |    + CASE WHEN pert AND i * 65 // 1300 = 1 + gid % 63
+        |        THEN 4000 ELSE 0 END AS s
+        |  FROM q, unnest(range(0, 1300)) AS r(i)),
+        |e AS (SELECT id, k, sum(s * s) AS e FROM sm GROUP BY 1, 2),
+        |b AS (
+        |  SELECT a.id, a.k AS i,
+        |    CASE WHEN b2.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e b2 ON b2.id = a.id AND b2.k = a.k + 1
+        |  WHERE a.k < 64)
+        |SELECT x.id AS a_id, y.id AS b_id,
+        |  CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hamming
+        |FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
+        |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Dedup
+      val n = 1300
+      val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val gid = id / 2
+          val raw = Array.tabulate(n)(i =>
+            Multimodal.synthSampleEven(gid, i.toLong))
+          val base = if (id % 2 == 1) raw.map(_ >> 1) else raw
+          val clip =
+            if (id % 2 == 1 && gid % 5 == 0) {
+              val b = (1 + gid % 63).toInt
+              val lo = b * n / 65
+              val hi = (b + 1) * n / 65
+              Array.tabulate(n)(i =>
+                if (i >= lo && i < hi) base(i) + 4000 else base(i))
+            } else base
+          val dec = Multimodal.decodeWav(Multimodal.encodeWav(clip, 8000))
+          (id, Multimodal.audioFingerprint64(dec.samples))
+        }.toDF("doc_id", "simhash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.simhashPairsBucketed(hashes, maxDist = 3, maxBucket = 1024)
         .withColumn("hamming", col("hamming").cast("long"))
+    },
+
+    // KEYFRAME / SCENE-CUT DETECTION (r12): the smarter sibling of
+    // mm_frame_sample's uniform sampling — what a video-curation
+    // pipeline actually wants is one frame per SCENE. Per doc, a
+    // 9-frame scene-structured animated GIF (3 scenes of 3 frames;
+    // the middle frame of each scene carries a one-pixel jitter — a
+    // camera wobble the rule must tolerate) is REAL-decoded frame by
+    // frame, each frame dHashed, and the inter-frame Hamming distance
+    // computed as a LAG inside the same typed map (the temporal window
+    // needs no shuffle: a clip's frames arrive as one row). Keyframe
+    // rule: frame 0, or distance > 3 to the previous frame — jitter
+    // frames (<= 2 gradient bits) never fire, scene boundaries (~32
+    // bits of fresh content) always do. The oracle replays palette
+    // formula, scene/jitter rules, sampled-grid luma, per-frame
+    // gradient bits, and the frame-lag XOR in SQL.
+    "mm_keyframes" -> QueryDef(
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+        |v AS (
+        |  SELECT id, f, f // 3 AS sc, cy, cx,
+        |    (cy * 17 // 8) * 19 + (cx * 19 // 9) AS p
+        |  FROM d, unnest(range(0, 9)) AS rf(f),
+        |    unnest(range(0, 8)) AS ry(cy), unnest(range(0, 9)) AS rx(cx)),
+        |ix AS (
+        |  SELECT id, f, cy, cx,
+        |    CASE WHEN f % 3 = 1
+        |        AND p = ((sc % 8) * 17 // 8) * 19 + ((sc % 9) * 19 // 9)
+        |      THEN (((((id * 131 + sc) * 31 + p) * 97
+        |             + ((id * 131 + sc) * 7 + 13) * p * p) % 256) % 64
+        |            + 32) % 64
+        |      ELSE ((((id * 131 + sc) * 31 + p) * 97
+        |             + ((id * 131 + sc) * 7 + 13) * p * p) % 256) % 64
+        |    END AS idx
+        |  FROM v),
+        |g AS (
+        |  SELECT id, f, cy, cx,
+        |    (299 * ((idx * 37) % 256) + 587 * ((idx * 91 + 17) % 256)
+        |     + 114 * ((idx * 53 + 101) % 256)) // 1000 AS l
+        |  FROM ix),
+        |b AS (
+        |  SELECT a.id, a.f, a.cy * 8 + a.cx AS i,
+        |    CASE WHEN b2.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b2 ON b2.id = a.id AND b2.f = a.f
+        |    AND b2.cy = a.cy AND b2.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |hd AS (
+        |  SELECT x.id, x.f,
+        |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dist
+        |  FROM b x JOIN b y ON y.id = x.id AND y.f = x.f - 1 AND y.i = x.i
+        |  WHERE x.f > 0 GROUP BY 1, 2)
+        |SELECT fr.id AS doc_id, fr.f AS frame,
+        |  coalesce(hd.dist, -1) AS dist,
+        |  CAST(CASE WHEN fr.f = 0 OR hd.dist > 3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_key
+        |FROM (SELECT DISTINCT id, f FROM v) fr
+        |LEFT JOIN hd ON hd.id = fr.id AND hd.f = fr.f""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val frames = Multimodal.decodeGifFrames(
+            Multimodal.synthGifScenes(id, 19, 17, 9, 3))
+          val hashes = frames.map { fr =>
+            val rgb = new Array[Byte](fr.width * fr.height * 3)
+            var k = 0
+            while (k < rgb.length) { rgb(k) = fr.rgb(k).toByte; k += 1 }
+            Multimodal.dhash64(fr.width, fr.height, rgb)
+          }
+          hashes.zipWithIndex.map { case (hsh, f) =>
+            val dist =
+              if (f == 0) -1L
+              else java.lang.Long.bitCount(hsh ^ hashes(f - 1)).toLong
+            (id, f.toLong, dist, if (f == 0 || dist > 3) 1L else 0L)
+          }
+        }.toDF("doc_id", "frame", "dist", "is_key")
     })
 }

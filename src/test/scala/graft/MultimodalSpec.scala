@@ -549,6 +549,237 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phashDct64: cross-codec collision, perturbation radius, divergence") {
+    // lossless cross-codec invariance: the same pixels through PNG and
+    // BMP hash identically (the dhash64 property, on the DCT hash)
+    for (gid <- 0L until 8L) {
+      val px = Multimodal.synthGrayImage(gid, 19, 17)
+      val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
+      val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
+      assert(Multimodal.phashDct64(p.width, p.height, p.pixels) ==
+        Multimodal.phashDct64(b.width, b.height, b.pixels),
+        s"gid $gid: png-path dct hash != bmp-path dct hash")
+    }
+    // the graded query's +24 single-cell perturbation: PhashProbe
+    // measured the fixture range — gids 0..7 flip 0, gid 8 and 11
+    // flip 2 (the probe's full 2500-gid histogram: 69% flip 0, 24%
+    // flip 2, 7% escape the radius — escapees drop out of BOTH
+    // engines identically)
+    var flipped = 0
+    for (gid <- 0L until 12L) {
+      val base = Multimodal.phashDct64(19, 17,
+        Multimodal.synthGrayImage(gid, 19, 17))
+      val pert = Multimodal.phashDct64(19, 17,
+        Multimodal.synthGrayImage(gid, 19, 17,
+          Some(((gid % 8).toInt, (gid % 9).toInt)), 24))
+      val d = java.lang.Long.bitCount(base ^ pert)
+      assert(d <= 2, s"gid $gid: +24 perturbation flipped $d bits")
+      if (d > 0) flipped += 1
+    }
+    assert(flipped > 0, "no fixture gid flipped — radius untested")
+    // unrelated content diverges far beyond the radius (median
+    // thresholding keeps exactly 31 bits set when coefficients are
+    // distinct, so XOR popcounts are EVEN and concentrate near 32)
+    val h = (0L until 40L).map { gid =>
+      Multimodal.phashDct64(19, 17, Multimodal.synthGrayImage(gid, 19, 17))
+    }
+    val dists = for (i <- h.indices; j <- i + 1 until h.length)
+      yield java.lang.Long.bitCount(h(i) ^ h(j))
+    assert(dists.count(_ <= 3) == 0,
+      s"${dists.count(_ <= 3)} unrelated pairs within radius 3")
+    assert(dists.sum.toDouble / dists.size > 20.0,
+      "unrelated DCT hashes should differ in ~32 bits on average")
+    assert(dists.forall(_ % 2 == 0), "31-of-63 balance makes XOR even")
+    // the hash is non-negative (bit 63 unused) on every fixture input
+    assert(h.forall(_ >= 0L), "dct hash must stay in [0, 2^63)")
+  }
+
+  test("phashDct64 vs dhash64 across the REAL lossy boundary (JDK JPEG)") {
+    import java.awt.image.BufferedImage
+    // shared rig: synthesize grayscale content, round-trip it through
+    // (a) our lossless PNG codec and (b) a JDK-ENCODED real-AC JPEG
+    // read by OUR baseline decoder, then hash both rasters.
+    def roundtrip(sw: Int, sh: Int, lum: (Int, Int) => Int): (Int, Int) = {
+      val rgb = new Array[Byte](sw * sh * 3)
+      for (y <- 0 until sh; x <- 0 until sw) {
+        val v = lum(x, y).toByte
+        val p = (y * sw + x) * 3
+        rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+      }
+      val viaPng = Multimodal.decodePng(Multimodal.encodePng(sw, sh, rgb))
+      val img = new BufferedImage(sw, sh, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until sh; x <- 0 until sw)
+        img.getRaster.setSample(x, y, 0, lum(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out), "no jpg writer")
+      val jp = Multimodal.decodeJpeg(out.toByteArray)
+      val rgbJ = new Array[Byte](sw * sh * 3)
+      for (k <- 0 until sw * sh) {
+        val v = jp.pixels(k).toByte
+        rgbJ(3 * k) = v; rgbJ(3 * k + 1) = v; rgbJ(3 * k + 2) = v
+      }
+      (java.lang.Long.bitCount(
+        Multimodal.phashDct64(sw, sh, viaPng.pixels) ^
+          Multimodal.phashDct64(sw, sh, rgbJ)),
+        java.lang.Long.bitCount(
+          Multimodal.dhash64(sw, sh, viaPng.pixels) ^
+            Multimodal.dhash64(sw, sh, rgbJ)))
+    }
+    // regime (a): BROADBAND texture (blurred contrast-stretched noise —
+    // the natural-image regime pHash targets). Every low-frequency
+    // coefficient carries real signal, so quantization noise cannot
+    // reach the median boundary: the DCT hash stays at/near collision
+    // while dHash drifts (probe-measured: phash 0/0/4/4, dhash 7/5/2/6).
+    var phashSum = 0
+    var dhashSum = 0
+    for (key <- Seq(1L, 7L, 42L, 99L)) {
+      def blur(x: Int, y: Int): Int = {
+        var acc = 0
+        for (dy <- -2 to 2; dx <- -2 to 2) {
+          val px = math.max(0, math.min(31, x + dx))
+          val py = math.max(0, math.min(31, y + dy))
+          acc += Multimodal.phashPixelByte(key, py * 32 + px)
+        }
+        acc / 25
+      }
+      val (p, d) = roundtrip(32, 32,
+        (x, y) => math.max(0, math.min(255, 2 * (blur(x, y) - 128) + 128)))
+      assert(p <= 4, s"broadband key=$key: dct hash flipped $p bits")
+      phashSum += p; dhashSum += d
+    }
+    assert(phashSum < dhashSum,
+      s"broadband: dct ($phashSum total) should beat dhash ($dhashSum)")
+    // regime (b): LOW-CONTRAST ramp + high-frequency checker. JPEG
+    // kills the checker, so the JPEG raster is near the bare ramp:
+    // dHash — whose decision variable IS the adjacent-cell difference,
+    // here sub-noise — collapses to near-random (40 of 64 bits), while
+    // the DCT hash degrades but keeps 3/4 of its bits (sparse-spectrum
+    // content parks most coefficients at the median — its documented
+    // weak regime). The two hashes are complementary BY REGIME; a
+    // production near-dup pass over mixed corpora runs both.
+    val (pLo, dLo) = roundtrip(64, 64,
+      (x, y) => 120 + (x + y) / 8 + ((x + y) % 2) * 3)
+    assert(pLo <= 20, s"low-contrast: dct flipped $pLo bits (probe: 16)")
+    assert(dLo >= 32, s"low-contrast: dhash flipped only $dLo bits (probe: 40)")
+    // uniform brightness shift lands in the excluded DC coefficient:
+    // near-invariant for the DCT hash (and exactly invariant for
+    // dHash, whose gradient signs survive any monotone luma map)
+    for (gid <- Seq(3L, 7L)) {
+      val a = Multimodal.synthGrayImage(gid, 19, 17)
+      val b = a.map(v => math.min(255, (v & 0xff) + 20).toByte)
+      assert(java.lang.Long.bitCount(Multimodal.phashDct64(19, 17, a) ^
+        Multimodal.phashDct64(19, 17, b)) <= 2, s"brightness gid=$gid dct")
+      assert((Multimodal.dhash64(19, 17, a) ^
+        Multimodal.dhash64(19, 17, b)) == 0L, s"brightness gid=$gid dhash")
+    }
+  }
+
+  test("encodeWav: arbitrary samples round-trip; out-of-range is loud") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345, 100, 99)
+    val dec = Multimodal.decodeWav(Multimodal.encodeWav(samples, 44100))
+    assert(dec.sampleRate == 44100 && dec.channels == 1 &&
+      dec.bitsPerSample == 16)
+    assert(dec.samples.sameElements(samples), "roundtrip mismatch")
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeWav(Array(32768), 8000)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeWav(Array(-32769), 8000)
+    }
+    // synthWav is the same writer applied to the synth formula
+    assert(Multimodal.synthWav(7L, 50, 8000).sameElements(
+      Multimodal.encodeWav(Array.tabulate(50)(i =>
+        Multimodal.synthSample(7L, i.toLong)), 8000)))
+  }
+
+  test("audioFingerprint64: gain invariance, perturbation radius, divergence") {
+    val n = 1300
+    def clip(gid: Long): Array[Int] =
+      Array.tabulate(n)(i => Multimodal.synthSampleEven(gid, i.toLong))
+    // EXACT gain invariance on even PCM: the halved clip (s >> 1 is an
+    // exact /2) fingerprints IDENTICALLY — integer equality, not a
+    // tolerance (this is the graded query's unperturbed-pair claim)
+    for (gid <- 0L until 20L) {
+      val c = clip(gid)
+      assert(c.forall(s => s % 2 == 0), s"gid $gid: odd synth sample")
+      assert(Multimodal.audioFingerprint64(c) ==
+        Multimodal.audioFingerprint64(c.map(_ >> 1)),
+        s"gid $gid: halved clip fingerprint differs")
+    }
+    // one perturbed energy block moves at most its two adjacent
+    // gradient bits; some gid must actually flip
+    var flipped = 0
+    for (gid <- 0L until 20L) {
+      val base = clip(gid).map(_ >> 1)
+      val b = (1 + gid % 63).toInt
+      val lo = b * n / 65
+      val hi = (b + 1) * n / 65
+      val pert = Array.tabulate(n)(i =>
+        if (i >= lo && i < hi) base(i) + 4000 else base(i))
+      val d = java.lang.Long.bitCount(
+        Multimodal.audioFingerprint64(base) ^
+          Multimodal.audioFingerprint64(pert))
+      assert(d <= 2, s"gid $gid: block perturbation flipped $d bits")
+      if (d > 0) flipped += 1
+    }
+    assert(flipped > 0, "no fixture gid flipped — radius untested")
+    // unrelated clips diverge far beyond the banding radius
+    val h = (0L until 40L).map(gid => Multimodal.audioFingerprint64(clip(gid)))
+    val dists = for (i <- h.indices; j <- i + 1 until h.length)
+      yield java.lang.Long.bitCount(h(i) ^ h(j))
+    assert(dists.count(_ <= 3) == 0,
+      s"${dists.count(_ <= 3)} unrelated clips within radius 3")
+    assert(dists.sum.toDouble / dists.size > 20.0,
+      "unrelated fingerprints should differ in ~32 bits on average")
+    // the generic block rule holds when 65 does not divide n
+    val odd = Array.tabulate(97)(i => Multimodal.synthSampleEven(3L, i.toLong))
+    assert(Multimodal.audioFingerprint64(odd) ==
+      Multimodal.audioFingerprint64(odd.map(_ >> 1)),
+      "gain invariance must not depend on n % 65 == 0")
+    intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprint64(new Array[Int](64))
+    }
+  }
+
+  test("synthGifScenes: keyframes at scene cuts, jitter tolerated") {
+    for (id <- 0L until 8L) {
+      val frames = Multimodal.decodeGifFrames(
+        Multimodal.synthGifScenes(id, 19, 17, 9, 3))
+      assert(frames.length == 9, s"id $id: ${frames.length} frames")
+      val hashes = frames.map { fr =>
+        val rgb = new Array[Byte](fr.width * fr.height * 3)
+        var k = 0
+        while (k < rgb.length) { rgb(k) = fr.rgb(k).toByte; k += 1 }
+        Multimodal.dhash64(fr.width, fr.height, rgb)
+      }
+      for (f <- 1 until 9) {
+        val d = java.lang.Long.bitCount(hashes(f) ^ hashes(f - 1))
+        if (f % 3 == 0)
+          assert(d > 3, s"id $id frame $f: scene cut only $d bits away")
+        else
+          assert(d <= 2, s"id $id frame $f: within-scene jitter $d bits")
+      }
+      // the scene's third frame returns EXACTLY to the base content:
+      // the jitter is a one-frame wobble, not a drift
+      assert(hashes(0) == hashes(2), s"id $id: frame 2 drifted")
+    }
+    // the jitter must actually move SOME frame pair's hash (a jitter
+    // that never flips a gradient bit would leave the tolerance
+    // untested)
+    val moved = (0L until 8L).exists { id =>
+      val frames = Multimodal.decodeGifFrames(
+        Multimodal.synthGifScenes(id, 19, 17, 9, 3))
+      val hashes = frames.map { fr =>
+        val rgb = new Array[Byte](fr.width * fr.height * 3)
+        var k = 0
+        while (k < rgb.length) { rgb(k) = fr.rgb(k).toByte; k += 1 }
+        Multimodal.dhash64(fr.width, fr.height, rgb)
+      }
+      (1 until 9).exists(f => f % 3 != 0 && hashes(f) != hashes(f - 1))
+    }
+    assert(moved, "no jitter frame flipped any bit across the fixture")
+  }
+
   test("phash near-dup pipeline finds planted cross-codec pairs only") {
     val spark = TestSpark.session
     import spark.implicits._
