@@ -78,6 +78,7 @@ object Explains {
       "emb_pagerank" -> "kNN PageRank: three power-iteration rounds, each one edge-keyed join + one neighbor-keyed HashAggregate over bare (id, long) rows — the CC execution family; the kNN graph feeds it once via in-bucket scoring (no pair materialization), and the final rank is a RANGE-partitioned sort + zipWithIndex — no single-partition window anywhere (the plan below ends at the distributed sort; the rank map rides on its partitions)",
       "mm_phash_dups" -> "perceptual image near-dup: decode + dHash runs ONCE — the (doc_id, simhash) frame is persisted, so the band machinery's consumers are all InMemoryTableScans over one MapElements pass; at the hamming<=3 radius the 4 DISJOINT chunk-pair bands explode from the 64-bit hash in a codegen'd projection (1/7 the band rows of the C(8,2) set), pairs are popcount-verified INSIDE each capped bucket's collect_list group (the knnGraph shape — candidates never shuffled, sorted, or joined), and the rank-free cap guard adds NO window sort anywhere",
       "mm_keyframes" -> "keyframe detection: the WHOLE operator is one SerializeFromObject <- MapPartitions <- DeserializeToObject pipeline over the documents scan — a clip's frames arrive as one row, so decode, per-frame dHash, and the temporal lag all happen inside the typed flatMap with ZERO exchanges; the scan reads only doc_id (pruned ReadSchema)",
+      "mm_video_dups" -> "video-level near-dup: keyframe extraction (decode + per-frame dHash + detection rule) is the same zero-exchange typed flatMap as mm_keyframes, emitting only ~3 (video, keyframe-hash) rows per clip; those ride the shared in-bucket band machinery (one exchange into capped collect_list groups), and the video-pair rollup is one hash aggregate over bare (a_vid, b_vid) longs — the temporal dimension never shuffles, the corpus scales by |scenes| not |frames|",
       "emb_knn_graph" -> "corpus kNN graph, in-bucket scoring: ONE exchange of (tbl, bkt, id, embedding) rows into an ObjectHashAggregate collect_list per capped bucket, pairwise cosines inside the bucket group (typed flatMap fold), then the map-side-combined per-src top-k aggregate — candidate pairs are never shuffled, sorted, distinct'd, or joined; the only pair-sized thing in the plan is an iterator")
 
     val sb = new StringBuilder

@@ -830,42 +830,61 @@ object Multimodal {
   /** SCENE-STRUCTURED animated synth payload for the keyframe-
     * detection query (`mm_keyframes` via the per-frame [[dhash64]]
     * lag): frame f belongs to scene sc = f/sceneLen, and its palette
-    * index at pixel k is [[phashPixelByte]](key·131 + sc, k) mod 64 —
-    * constant WITHIN a scene, fresh content at every scene boundary.
+    * index at pixel k is ([[phashPixelByte]](key2, k) + (key2 div 256)
+    * ·(53k + 11)) mod 256 mod 64 with key2 = key·131 + sc — constant
+    * WITHIN a scene, fresh content at every scene boundary.
     * The QUADRATIC generator is load-bearing here exactly as it is for
     * the dHash corpus: under the affine [[synthPixelByte]] a constant
     * key delta is a near-constant BYTE SHIFT of the whole image (the
     * mod-64/palette wraps scramble only a minority of cells), so
     * consecutive scenes could land within the keyframe threshold; the
-    * key-dependent quadratic term decorrelates them per-pixel.
-    * The scene's second frame (f mod sceneLen == 1) additionally
-    * jitters ONE pixel — the source pixel the 9x8 dHash grid samples
-    * for cell (sc mod 8, sc mod 9) gets (idx + 32) mod 64 — so the
-    * within-scene frames are NEAR-dups (<= 2 gradient bits apart, a
-    * camera wobble), not byte-identical: the keyframe rule must
-    * tolerate jitter without firing. All integer, replayed verbatim by
-    * the SQL oracle. */
+    * key-dependent quadratic term decorrelates them per-pixel. The
+    * (key2 div 256) mixing term widens the content alphabet from
+    * phashPixelByte's intrinsic 256 key classes to 65536: without it a
+    * video corpus's scene instances (3 per clip) pile ~30 deep per
+    * content class by sf0.1 and the video-level near-dup's verified
+    * pair volume goes QUADRATIC in that depth — 1.75M pairs, 6.9 s,
+    * the slowest query on the board; with it, cross-video collisions
+    * are rare and the pair volume is output-shaped (SCALE.md r12).
+    * The scene's `jitterFrame`-th frame (f mod sceneLen == jitterFrame,
+    * default 1) additionally jitters ONE pixel — the source pixel the
+    * 9x8 dHash grid samples for cell (sc mod 8, sc mod 9) gets
+    * (idx + 32) mod 64 — so the within-scene frames are NEAR-dups
+    * (<= 2 gradient bits apart, a camera wobble), not byte-identical:
+    * the keyframe rule must tolerate jitter without firing.
+    *
+    * `scenePerm` ROTATES the scene contents (the content key for the
+    * scene shown at position q is (q + scenePerm) mod numScenes) — the
+    * RE-EDITED VIDEO for the video-level near-dup query: same scenes,
+    * different cut order, so whole-file digests and frame-aligned
+    * compares both miss it while scene-agnostic keyframe matching does
+    * not. All integer, replayed verbatim by the SQL oracles. */
   def synthGifScenes(key: Long, w: Int, h: Int, frames: Int,
-      sceneLen: Int): Array[Byte] = {
+      sceneLen: Int, scenePerm: Int = 0, jitterFrame: Int = 1): Array[Byte] = {
     require(frames >= 1 && sceneLen >= 1, "gif: bad scene shape")
+    val numScenes = (frames + sceneLen - 1) / sceneLen
     val minCode = 6
     val out = new java.io.ByteArrayOutputStream()
     writeGifHeader(out, w, h, minCode)
     def u16(v: Int): Unit = gifU16(out, v)
     var f = 0
     while (f < frames) {
-      val sc = f / sceneLen
+      val sc = (f / sceneLen + scenePerm) % numScenes
       out.write(0x21); out.write(0xf9); out.write(4)
       out.write(0); u16(10); out.write(0); out.write(0)
       out.write(0x2c)
       u16(0); u16(0); u16(w); u16(h)
       out.write(0)
+      val key2 = key * 131L + sc
       val idx = new Array[Int](w * h)
       var k = 0
       while (k < idx.length) {
-        idx(k) = phashPixelByte(key * 131L + sc, k) % 64; k += 1
+        idx(k) = (java.lang.Math.floorMod(
+          phashPixelByte(key2, k) + (key2 / 256L) * (53L * k + 11L),
+          256L) % 64L).toInt
+        k += 1
       }
-      if (f % sceneLen == 1) {
+      if (f % sceneLen == jitterFrame) {
         val p = ((sc % 8) * h / 8) * w + (sc % 9) * w / 9
         idx(p) = (idx(p) + 32) % 64
       }

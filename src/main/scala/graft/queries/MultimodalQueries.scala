@@ -20,39 +20,80 @@ object MultimodalQueries {
     (for (u <- 0 until 8; x <- 0 until 32)
       yield s"($u,$x,${Multimodal.dctCosQ14(u * 32 + x)})").mkString(",")
 
-  /** Shared corpus constructor for the perceptual-hash dedup queries:
-    * per doc, a 19x17 grayscale synth image keyed gid = doc_id/2 (so
-    * consecutive docs pair on content) is encoded through a DIFFERENT
-    * real codec per parity — even docs PNG, odd docs BMP — decoded by
-    * the REAL decoders, and hashed; every 5th gid perturbs the ODD
-    * twin's one sampled cell by +delta mod 256. Persisted: decode+hash
-    * is the expensive pass, and the band machinery consumes the frame
-    * up to four times (the doc_ngram_jaccard persisted-shingle
-    * pattern; pinned in EXPLAINS.md). */
+  /** The per-doc corpus rule of the perceptual queries as a pure
+    * function (shared by the batch frame and the streaming twin's
+    * ingest map): a 19x17 grayscale synth image keyed gid = doc_id/2
+    * (so consecutive docs pair on content) is encoded through a
+    * DIFFERENT real codec per parity — even docs PNG, odd docs BMP —
+    * decoded by the REAL decoders, and hashed; every 5th gid perturbs
+    * the ODD twin's one sampled cell by +delta mod 256. */
+  private def perceptualHashOf(id: Long, delta: Int,
+      hash: (Int, Int, Array[Byte]) => Long): Long = {
+    val gid = id / 2
+    val pcell =
+      if (id % 2 == 1 && gid % 5 == 0)
+        Some(((gid % 8).toInt, (gid % 9).toInt))
+      else None
+    val px = Multimodal.synthGrayImage(gid, 19, 17, pcell, delta)
+    if (id % 2 == 0) {
+      val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
+      hash(p.width, p.height, p.pixels)
+    } else {
+      val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
+      hash(b.width, b.height, b.pixels)
+    }
+  }
+
+  /** [[perceptualHashOf]] over the documents table as a persisted
+    * (doc_id, simhash) frame: decode+hash is the expensive pass, and
+    * the band machinery consumes the frame up to four times (the
+    * doc_ngram_jaccard persisted-shingle pattern; pinned in
+    * EXPLAINS.md). */
   private def perceptualHashes(s: org.apache.spark.sql.SparkSession,
       dir: String, delta: Int,
       hash: (Int, Int, Array[Byte]) => Long) = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .map { id =>
-        val gid = id / 2
-        val pcell =
-          if (id % 2 == 1 && gid % 5 == 0)
-            Some(((gid % 8).toInt, (gid % 9).toInt))
-          else None
-        val px = Multimodal.synthGrayImage(gid, 19, 17, pcell, delta)
-        val (w, h, pixels) =
-          if (id % 2 == 0) {
-            val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
-            (p.width, p.height, p.pixels)
-          } else {
-            val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
-            (b.width, b.height, b.pixels)
-          }
-        (id, hash(w, h, pixels))
-      }.toDF("doc_id", "simhash")
+      .map(id => (id, perceptualHashOf(id, delta, hash)))
+      .toDF("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** Single-sourced CTE chain for the dHash near-dup pair set —
+    * consumed by BOTH the batch query (mm_phash_dups) and the
+    * streaming twin's min-fold (mm_phash_stream), so the two oracles
+    * cannot drift. `pairs` = all (a_id < b_id) within hamming 3 of the
+    * replayed corpus rule (gid-paired docs, every 5th gid's odd twin
+    * perturbed +128 at its sampled cell). */
+  private val PHASH_PAIRS_CTES: String =
+    """q AS (
+      |  SELECT doc_id AS id, doc_id // 2 AS gid,
+      |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
+      |  FROM documents),
+      |v AS (
+      |  SELECT q.id, q.gid, q.pert, cy, cx,
+      |    (cy * 17 // 8) * 19 + (cx * 19 // 9) AS i
+      |  FROM q, unnest(range(0, 8)) AS ry(cy), unnest(range(0, 9)) AS rx(cx)),
+      |g AS (
+      |  SELECT id, cy, cx,
+      |    CASE WHEN pert AND cy = gid % 8 AND cx = gid % 9
+      |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
+      |            + 128) % 256
+      |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
+      |    END AS l
+      |  FROM v),
+      |b AS (
+      |  SELECT a.id, a.cy * 8 + a.cx AS i,
+      |    CASE WHEN b2.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM g a JOIN g b2 ON b2.id = a.id AND b2.cy = a.cy
+      |    AND b2.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |pairs AS (
+      |  SELECT x.id AS a_id, y.id AS b_id,
+      |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
+      |  GROUP BY 1, 2 HAVING hamming <= 3)""".stripMargin
 
   private def media(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
@@ -535,33 +576,8 @@ object MultimodalQueries {
     // resize index rule hashes differently on the SPARK side only and
     // fails the compare; so does any dHash/banding drift.
     "mm_phash_dups" -> QueryDef(
-      """WITH q AS (
-        |  SELECT doc_id AS id, doc_id // 2 AS gid,
-        |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
-        |  FROM documents),
-        |v AS (
-        |  SELECT q.id, q.gid, q.pert, cy, cx,
-        |    (cy * 17 // 8) * 19 + (cx * 19 // 9) AS i
-        |  FROM q, unnest(range(0, 8)) AS ry(cy), unnest(range(0, 9)) AS rx(cx)),
-        |g AS (
-        |  SELECT id, cy, cx,
-        |    CASE WHEN pert AND cy = gid % 8 AND cx = gid % 9
-        |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
-        |            + 128) % 256
-        |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
-        |    END AS l
-        |  FROM v),
-        |b AS (
-        |  SELECT a.id, a.cy * 8 + a.cx AS i,
-        |    CASE WHEN b2.l > a.l THEN 1 ELSE 0 END AS bit
-        |  FROM g a JOIN g b2 ON b2.id = a.id AND b2.cy = a.cy
-        |    AND b2.cx = a.cx + 1
-        |  WHERE a.cx < 8)
-        |SELECT x.id AS a_id, y.id AS b_id,
-        |  CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS hamming
-        |FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
-        |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin) { (s, dir) =>
+      s"""WITH $PHASH_PAIRS_CTES
+        |SELECT a_id, b_id, hamming FROM pairs""".stripMargin) { (s, dir) =>
       import graft.operators.Dedup
       // IN-BUCKET pair scoring, not the band self-join: dHash bits are
       // Markov-correlated (adjacent bits share a grid cell), so a few
@@ -639,6 +655,39 @@ object MultimodalQueries {
         perceptualHashes(s, dir, 24, Multimodal.phashDct64),
         maxDist = 3, maxBucket = 1024)
         .withColumn("hamming", col("hamming").cast("long"))
+    },
+
+    // STREAMING PERCEPTUAL DEDUP (r12): the image near-dup at INGEST
+    // time — the Kappa twin of mm_phash_dups, the way
+    // doc_simhash_stream twins doc_simhash. Documents arrive as a
+    // stream; each is decoded through the real codecs and dHashed in
+    // the stateless map (Streaming.hashDedupStream's caller side: the
+    // expensive decode is embarrassingly parallel at ingest), band
+    // rows enter the fMGWS bucket state (4 DISJOINT chunk-pair bands —
+    // the hamming<=3 tier), and each doc reports dup_of = the smallest
+    // earlier doc within the radius, null for survivors. The oracle is
+    // the SAME single-sourced pair CTE chain as the batch query,
+    // folded to min(a_id) per b_id — the arrival engine must not
+    // change the pair set (banding pigeonhole-exact, so the expected
+    // frame is ALL pairs within the distance).
+    "mm_phash_stream" -> QueryDef(
+      s"""WITH $PHASH_PAIRS_CTES,
+        |m AS (SELECT b_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
+        |SELECT d.doc_id, m.dup_of
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.b_id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        import graft.streaming.Streaming
+        val hashes = Streaming.documentsStream(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, (id + 1) * 1000000L,
+            perceptualHashOf(id, 128, Multimodal.dhash64)))
+        val verdicts = Streaming.hashDedupStream(hashes, maxDist = 3,
+          watermarkDelayMs = 31536000000L)
+        Streaming.collapseNearDupVerdicts(
+            Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
+              rocksdbState = true)) // band-bucket state: corpus-sized
+          .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
     // AUDIO FINGERPRINT NEAR-DUP (r12): the WAV decoder joins the
@@ -739,10 +788,12 @@ object MultimodalQueries {
         |    CASE WHEN f % 3 = 1
         |        AND p = ((sc % 8) * 17 // 8) * 19 + ((sc % 9) * 19 // 9)
         |      THEN (((((id * 131 + sc) * 31 + p) * 97
-        |             + ((id * 131 + sc) * 7 + 13) * p * p) % 256) % 64
+        |             + ((id * 131 + sc) * 7 + 13) * p * p
+        |             + ((id * 131 + sc) // 256) * (53 * p + 11)) % 256) % 64
         |            + 32) % 64
         |      ELSE ((((id * 131 + sc) * 31 + p) * 97
-        |             + ((id * 131 + sc) * 7 + 13) * p * p) % 256) % 64
+        |             + ((id * 131 + sc) * 7 + 13) * p * p
+        |             + ((id * 131 + sc) // 256) * (53 * p + 11)) % 256) % 64
         |    END AS idx
         |  FROM v),
         |g AS (
@@ -786,5 +837,113 @@ object MultimodalQueries {
             (id, f.toLong, dist, if (f == 0 || dist > 3) 1L else 0L)
           }
         }.toDF("doc_id", "frame", "dist", "is_key")
+    },
+
+    // VIDEO-LEVEL NEAR-DUP (r12): the composition the two pieces above
+    // exist for — RE-EDITED video detection. Per doc, a scene-
+    // structured clip keyed gid = doc_id/2; the ODD twin is the same
+    // three scenes CUT IN A DIFFERENT ORDER (scenePerm 1) with its
+    // camera wobble on the scene-OPENING frames (jitterFrame 0), so
+    // whole-file digests miss it (different bytes), frame-aligned
+    // compares miss it (different order), and only scene-AGNOSTIC
+    // keyframe matching finds it: extract keyframes by the
+    // mm_keyframes detection rule (frame 0 or dHash lag > 3 — NOT a
+    // positional shortcut: the oracle replays the full rule), band the
+    // keyframe hashes through the shared Hamming machinery, decode
+    // (video, keyframe) pairs, and report video pairs sharing >= 2
+    // near-matching keyframes. The synthetic corpus's content-key
+    // periodicity means some NON-twin videos genuinely share scene
+    // content — those are real content-level matches and both engines
+    // report them identically. Twins match on all 3 scenes at hamming
+    // <= 2 (the odd twin's keyframes carry the jitter).
+    "mm_video_dups" -> QueryDef(
+      """WITH d AS (
+        |  SELECT doc_id AS id, doc_id // 2 AS gid, doc_id % 2 AS par
+        |  FROM documents),
+        |v AS (
+        |  SELECT id, gid, par, f, ((f // 3) + par) % 3 AS s, cy, cx,
+        |    (cy * 17 // 8) * 19 + (cx * 19 // 9) AS p
+        |  FROM d, unnest(range(0, 9)) AS rf(f),
+        |    unnest(range(0, 8)) AS ry(cy), unnest(range(0, 9)) AS rx(cx)),
+        |ix AS (
+        |  SELECT id, f, cy, cx,
+        |    CASE WHEN f % 3 = 1 - par
+        |        AND p = ((s % 8) * 17 // 8) * 19 + ((s % 9) * 19 // 9)
+        |      THEN (((((gid * 131 + s) * 31 + p) * 97
+        |             + ((gid * 131 + s) * 7 + 13) * p * p
+        |             + ((gid * 131 + s) // 256) * (53 * p + 11)) % 256) % 64
+        |            + 32) % 64
+        |      ELSE ((((gid * 131 + s) * 31 + p) * 97
+        |             + ((gid * 131 + s) * 7 + 13) * p * p
+        |             + ((gid * 131 + s) // 256) * (53 * p + 11)) % 256) % 64
+        |    END AS idx
+        |  FROM v),
+        |g AS (
+        |  SELECT id, f, cy, cx,
+        |    (299 * ((idx * 37) % 256) + 587 * ((idx * 91 + 17) % 256)
+        |     + 114 * ((idx * 53 + 101) % 256)) // 1000 AS l
+        |  FROM ix),
+        |b AS (
+        |  SELECT a.id, a.f, a.cy * 8 + a.cx AS i,
+        |    CASE WHEN b2.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b2 ON b2.id = a.id AND b2.f = a.f
+        |    AND b2.cy = a.cy AND b2.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |hd AS (
+        |  SELECT x.id, x.f,
+        |    sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS dist
+        |  FROM b x JOIN b y ON y.id = x.id AND y.f = x.f - 1 AND y.i = x.i
+        |  WHERE x.f > 0 GROUP BY 1, 2),
+        |kf AS (
+        |  SELECT fr.id, fr.f
+        |  FROM (SELECT DISTINCT id, f FROM v) fr
+        |  LEFT JOIN hd ON hd.id = fr.id AND hd.f = fr.f
+        |  WHERE fr.f = 0 OR hd.dist > 3),
+        |kb AS (SELECT b.id, b.f, b.i, b.bit FROM b JOIN kf
+        |  ON kf.id = b.id AND kf.f = b.f),
+        |pr AS (
+        |  SELECT x.id AS a_id, x.f AS a_f, y.id AS b_id, y.f AS b_f,
+        |    sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM kb x JOIN kb y ON y.i = x.i AND x.id < y.id
+        |  GROUP BY 1, 2, 3, 4 HAVING hamming <= 3)
+        |SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS matches,
+        |  CAST(min(hamming) AS BIGINT) AS min_hamming
+        |FROM pr GROUP BY 1, 2 HAVING matches >= 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Dedup
+      val keyframeHashes = Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val gid = id / 2
+          val par = (id % 2).toInt
+          val frames = Multimodal.decodeGifFrames(
+            Multimodal.synthGifScenes(gid, 19, 17, 9, 3,
+              scenePerm = par, jitterFrame = 1 - par))
+          val hashes = frames.map { fr =>
+            val rgb = new Array[Byte](fr.width * fr.height * 3)
+            var k = 0
+            while (k < rgb.length) { rgb(k) = fr.rgb(k).toByte; k += 1 }
+            Multimodal.dhash64(fr.width, fr.height, rgb)
+          }
+          // the mm_keyframes DETECTION rule, then a per-video sequence
+          // number packs (video, keyframe) into one band-joinable id
+          val kf = hashes.zipWithIndex.filter { case (hsh, f) =>
+            f == 0 || java.lang.Long.bitCount(hsh ^ hashes(f - 1)) > 3
+          }
+          require(kf.length <= 16, s"video $id: ${kf.length} keyframes")
+          kf.zipWithIndex.map { case ((hsh, _), q) => (id * 16 + q, hsh) }
+        }.toDF("doc_id", "simhash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.simhashPairsBucketed(keyframeHashes, maxDist = 3,
+          maxBucket = 1024)
+        .select(expr("a_id div 16").as("a_vid"),
+          expr("b_id div 16").as("b_vid"), col("hamming"))
+        // a_id < b_id on packed ids implies a_vid <= b_vid; equality is
+        // the same video's own keyframes (distinct scenes, excluded)
+        .filter(col("a_vid") =!= col("b_vid"))
+        .groupBy(col("a_vid").as("a_id"), col("b_vid").as("b_id"))
+        .agg(count(lit(1)).cast("long").as("matches"),
+          min(col("hamming")).cast("long").as("min_hamming"))
+        .filter(col("matches") >= 2)
     })
 }

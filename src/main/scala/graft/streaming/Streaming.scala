@@ -682,6 +682,41 @@ object Streaming {
     bandDedupStream(bandRows, match_, watermarkDelayMs, maxBucket)
   }
 
+  /** Streaming near-dup dedup over PRECOMPUTED 64-bit Hamming
+    * signatures — the perceptual-media leg of the Kappa twin family:
+    * where [[simhashDedupStream]] signs TEXT in its stateless map, the
+    * caller here has already decoded media and hashed it (image dHash
+    * / DCT hash, audio fingerprint — the expensive part, embarrassingly
+    * parallel, still ingest-side), and this operator supplies the band
+    * state. Banding follows the batch `Dedup.simhashChunks` tier rule:
+    * 4 DISJOINT chunk pairs for maxDist <= 3 (pigeonhole-exact, 1/7
+    * the band rows — the tier the skewed perceptual-hash populations
+    * need), C(8,2) pairs for <= 6. A doc matches when any bucket holds
+    * an earlier doc within `maxDist` — the batch pair set restricted
+    * to a_id < b_id, the same min-fold oracle as the text twins. */
+  def hashDedupStream(ds: Dataset[(Long, Long, Long)] /* docId, tsUs, hash */ ,
+      maxDist: Int, watermarkDelayMs: Long,
+      maxBucket: Int = Int.MaxValue): Dataset[BandVerdict] = {
+    import ds.sparkSession.implicits._
+    require(maxDist <= 6, "chunk-pair banding is exact only to hamming 6")
+    val combos =
+      if (maxDist <= 3) Array.tabulate(4)(i => (2 * i, 2 * i + 1))
+      else (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)).toArray
+    val bandRows = ds.flatMap { case (did, tsUs, sig) =>
+      combos.iterator.zipWithIndex.map { case ((i, j), idx) =>
+        val cval = (((sig >>> (i * 8)) & 0xFFL) << 8) | ((sig >>> (j * 8)) & 0xFFL)
+        (idx.toLong << 16 | cval, idx, did, tsUs, Array(sig),
+          new java.sql.Timestamp(tsUs / 1000))
+      }
+    }.toDF("bucket", "bidx", "docId", "tsUs", "sig", "eventTs")
+      .withWatermark("eventTs", s"$watermarkDelayMs milliseconds")
+      .as[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)]
+    val md = maxDist
+    val match_ : (Array[Long], Array[Long]) => Boolean =
+      (a, b) => java.lang.Long.bitCount(a(0) ^ b(0)) <= md
+    bandDedupStream(bandRows, match_, watermarkDelayMs, maxBucket)
+  }
+
   /** The shared band-bucket dedup engine behind [[minhashDedupStream]]
     * and [[simhashDedupStream]]: keyed fMGWS over (bucket -> in-window
     * signatures), emitting one [[BandVerdict]] per (doc, band) row.

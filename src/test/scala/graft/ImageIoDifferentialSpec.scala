@@ -142,6 +142,36 @@ class ImageIoDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("scene gif: ImageIO frame-indexed reads match the keyframe corpus bit-exactly") {
+    // the mm_keyframes / mm_video_dups container (per-frame GCE +
+    // scene-keyed content + one-pixel jitter, both cut orders) through
+    // the JDK's independent reader — the conformance pin for the
+    // newest GIF-emitting synth
+    for (key <- Seq(3L, 42L, 300L); (perm, jf) <- Seq((0, 1), (1, 0))) {
+      val bytes = Multimodal.synthGifScenes(key, 19, 17, 9, 3, perm, jf)
+      val ours = Multimodal.decodeGifFrames(bytes)
+      assert(ours.length == 9, s"frame count $key perm$perm")
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+      reader.setInput(in)
+      assert(reader.getNumImages(true) == 9, s"jdk frame count $key perm$perm")
+      for (f <- 0 until 9) {
+        val jdk = reader.read(f)
+        for (y <- 0 until 17; x <- 0 until 19) {
+          val rgb = jdk.getRGB(x, y)
+          val k = (y * 19 + x) * 3
+          assert(ours(f).rgb(k) == ((rgb >> 16) & 0xff) &&
+            ours(f).rgb(k + 1) == ((rgb >> 8) & 0xff) &&
+            ours(f).rgb(k + 2) == (rgb & 0xff),
+            s"scene gif $key perm$perm f$f ($x,$y)")
+        }
+      }
+      reader.dispose()
+      in.close()
+    }
+  }
+
   test("gif: streams crossing the 4096 table-full LZW reset survive both gates") {
     // a 128x128 noise image grows the dictionary past 4096 several
     // times, so the clear-code reset interacts with the width-bump

@@ -780,6 +780,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(moved, "no jitter frame flipped any bit across the fixture")
   }
 
+  test("video near-dup: re-edited twin shares all scenes, scene-agnostic") {
+    def frameHashes(key: Long, perm: Int, jf: Int): IndexedSeq[Long] =
+      Multimodal.decodeGifFrames(
+        Multimodal.synthGifScenes(key, 19, 17, 9, 3, perm, jf)).map { fr =>
+        val rgb = new Array[Byte](fr.width * fr.height * 3)
+        var k = 0
+        while (k < rgb.length) { rgb(k) = fr.rgb(k).toByte; k += 1 }
+        Multimodal.dhash64(fr.width, fr.height, rgb)
+      }
+    for (gid <- 0L until 6L) {
+      val even = frameHashes(gid, 0, 1) // original cut, mid-scene wobble
+      val odd = frameHashes(gid, 1, 0) // re-edit: rotated scenes, keyframe wobble
+      // the re-edit is REAL: frame-aligned comparison fails (position 0
+      // carries scene 1's content in the odd cut)...
+      assert(java.lang.Long.bitCount(even(0) ^ odd(0)) > 3,
+        s"gid $gid: re-edit did not change the opening frame")
+      // ...but every odd keyframe (scene openings at 0, 3, 6) is within
+      // the jitter radius of SOME even keyframe — scene-agnostic match
+      val evenKf = Seq(0, 3, 6).map(even)
+      for (q <- Seq(0, 3, 6)) {
+        val best = evenKf.map(h =>
+          java.lang.Long.bitCount(h ^ odd(q))).min
+        assert(best <= 2, s"gid $gid keyframe $q: nearest even kf $best bits")
+      }
+      // keyframe DETECTION still fires exactly at scene openings on the
+      // re-edited cut (the jitter moved to frame 0; frames 1-2 are base)
+      for (f <- 1 until 9) {
+        val d = java.lang.Long.bitCount(odd(f) ^ odd(f - 1))
+        if (f % 3 == 0) assert(d > 3, s"gid $gid odd f$f: cut $d bits")
+        else assert(d <= 2, s"gid $gid odd f$f: within-scene $d bits")
+      }
+    }
+  }
+
   test("phash near-dup pipeline finds planted cross-codec pairs only") {
     val spark = TestSpark.session
     import spark.implicits._

@@ -359,6 +359,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hash dedup (perceptual leg): batch pair parity across the batch line") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Multimodal
+    // the mm_phash_dups corpus rule over 60 ids, image decode + dHash
+    // BEFORE the stream (the caller-side contract of hashDedupStream)
+    def hashOf(id: Long): Long = {
+      val gid = id / 2
+      val pcell =
+        if (id % 2 == 1 && gid % 5 == 0)
+          Some(((gid % 8).toInt, (gid % 9).toInt))
+        else None
+      val px = Multimodal.synthGrayImage(gid, 19, 17, pcell)
+      val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
+      Multimodal.dhash64(p.width, p.height, p.pixels)
+    }
+    val rows = (0L until 60L).map(id => (id, (id + 1) * 1000000L, hashOf(id)))
+    // batch expectation: min matching a_id per b_id over ALL pairs
+    val expect = (for {
+      b <- rows; a <- rows if a._1 < b._1 &&
+        java.lang.Long.bitCount(a._3 ^ b._3) <= 3
+    } yield (b._1, a._1)).groupBy(_._1).map { case (b, as) =>
+      b -> as.map(_._2).min
+    }
+    assert(expect.nonEmpty, "fixture must contain planted near-dups")
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = Streaming.hashDedupStream(input.toDS(), maxDist = 3,
+        watermarkDelayMs = 365L * 24 * 3600 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hashdup_out").start()
+    try {
+      // the twin pair (2g, 2g+1) straddles the batch line at id 31
+      input.addData(rows.take(31): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(31): _*)
+      q.processAllAvailable()
+      val got = Streaming.collapseNearDupVerdicts(spark.table("hashdup_out"))
+        .filter(col("dup_of").isNotNull)
+        .select("docId", "dup_of").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect,
+        s"stream-only: ${got.toSet -- expect.toSet}, batch-only: ${expect.toSet -- got.toSet}")
+    } finally q.stop()
+  }
+
   test("streaming minhash dedup hot-bucket cap: bounded state still flags dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
