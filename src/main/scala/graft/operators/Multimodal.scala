@@ -595,22 +595,31 @@ object Multimodal {
       (key * 31L + i) * 97L + (key * 7L + 13L) * i * i, 256L).toInt
 
   /** Synthetic GRAYSCALE pixel array for the perceptual-dedup oracle
-    * family: pixel i carries [[phashPixelByte]](key, i) on ALL THREE
-    * channels (so luma == the formula value on any channel layout),
-    * with an optional single-cell perturbation `(cy, cx)` — the pixel
-    * the 9x8 dHash grid samples for that cell gets `(v + perturbDelta)
-    * mod 256` (default 128, flipping at most the two gradient bits
-    * adjacent to the cell; the DCT-hash query uses a SMALL delta so the
+    * family: pixel i carries ([[phashPixelByte]](key, i) + (key div
+    * 256)·(59i + 17)) mod 256 on ALL THREE channels (so luma == the
+    * formula value on any channel layout), with an optional
+    * single-cell perturbation `(cy, cx)` — the pixel the 9x8 dHash
+    * grid samples for that cell gets `(v + perturbDelta) mod 256`
+    * (default 128, flipping at most the two gradient bits adjacent to
+    * the cell; the DCT-hash query uses a SMALL delta so the
     * low-frequency coefficient shifts stay within its match radius).
-    * The SQL oracle replays both the base formula and the perturbation
-    * rule verbatim. */
+    * The (key div 256) mixing term widens the content alphabet from
+    * phashPixelByte's intrinsic 256 key classes to 65536 — without it
+    * a 25k-gid corpus (sf1eq) piles ~98 image replicas per class and
+    * the graded pair queries go output-quadratic in that depth
+    * (measured 21x for 10x docs; the mm_video_dups lesson). It
+    * vanishes for key < 256, so every small-gid fixture, probe
+    * histogram, and spec pin is unchanged. The SQL oracle replays
+    * base formula, mixing term, and perturbation rule verbatim. */
   def synthGrayImage(key: Long, w: Int, h: Int,
       perturbCell: Option[(Int, Int)] = None,
       perturbDelta: Int = 128): Array[Byte] = {
     val px = new Array[Byte](w * h * 3)
+    def value(i: Int): Int = java.lang.Math.floorMod(
+      phashPixelByte(key, i) + (key / 256L) * (59L * i + 17L), 256L).toInt
     var i = 0
     while (i < w * h) {
-      val v = phashPixelByte(key, i)
+      val v = value(i)
       px(3 * i) = v.toByte; px(3 * i + 1) = v.toByte; px(3 * i + 2) = v.toByte
       i += 1
     }
@@ -619,7 +628,7 @@ object Multimodal {
       val sy = cy * h / 8
       val sx = cx * w / 9
       val p = sy * w + sx
-      val v = (phashPixelByte(key, p) + perturbDelta) % 256
+      val v = (value(p) + perturbDelta) % 256
       px(3 * p) = v.toByte; px(3 * p + 1) = v.toByte; px(3 * p + 2) = v.toByte
     }
     px

@@ -77,9 +77,10 @@ object MultimodalQueries {
       |g AS (
       |  SELECT id, cy, cx,
       |    CASE WHEN pert AND cy = gid % 8 AND cx = gid % 9
-      |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
-      |            + 128) % 256
-      |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
+      |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
+      |             + (gid // 256) * (59 * i + 17)) % 256 + 128) % 256
+      |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
+      |             + (gid // 256) * (59 * i + 17)) % 256
       |    END AS l
       |  FROM v),
       |b AS (
@@ -625,9 +626,10 @@ object MultimodalQueries {
         |g AS (
         |  SELECT id, gy, gx,
         |    CASE WHEN pert AND i = pidx
-        |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
-        |            + 24) % 256
-        |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i) % 256
+        |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
+        |             + (gid // 256) * (59 * i + 17)) % 256 + 24) % 256
+        |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
+        |             + (gid // 256) * (59 * i + 17)) % 256
         |    END AS l
         |  FROM v),
         |s1 AS (

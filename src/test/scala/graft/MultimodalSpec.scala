@@ -562,9 +562,10 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // the graded query's +24 single-cell perturbation: PhashProbe
     // measured the fixture range — gids 0..7 flip 0, gid 8 and 11
-    // flip 2 (the probe's full 2500-gid histogram: 69% flip 0, 24%
-    // flip 2, 7% escape the radius — escapees drop out of BOTH
-    // engines identically)
+    // flip 2 (the probe's full 2500-gid histogram under the widened
+    // alphabet: 67% flip 0, 25% flip 2, 8% escape the radius —
+    // escapees drop out of BOTH engines identically; unrelated DCT
+    // pairs: ZERO within radius 3, min distance 8)
     var flipped = 0
     for (gid <- 0L until 12L) {
       val base = Multimodal.phashDct64(19, 17,
