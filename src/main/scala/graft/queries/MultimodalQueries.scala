@@ -96,6 +96,63 @@ object MultimodalQueries {
       |  FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
       |  GROUP BY 1, 2 HAVING hamming <= 3)""".stripMargin
 
+  /** The per-doc corpus rule of the audio queries as a pure function
+    * (batch frame + streaming twin): 1300-sample even synth clip keyed
+    * gid = doc_id/2, odd twin GAIN-HALVED (exact: samples even), every
+    * 5th gid's odd twin gets +4000 on one energy block; REAL WAV
+    * encode/decode round trip, then the 65-block fingerprint. */
+  private def audioFingerprintOf(id: Long): Long = {
+    val n = 1300
+    val gid = id / 2
+    val raw = Array.tabulate(n)(i => Multimodal.synthSampleEven(gid, i.toLong))
+    val base = if (id % 2 == 1) raw.map(_ >> 1) else raw
+    val clip =
+      if (id % 2 == 1 && gid % 5 == 0) {
+        val b = (1 + gid % 63).toInt
+        val lo = b * n / 65
+        val hi = (b + 1) * n / 65
+        Array.tabulate(n)(i =>
+          if (i >= lo && i < hi) base(i) + 4000 else base(i))
+      } else base
+    val dec = Multimodal.decodeWav(Multimodal.encodeWav(clip, 8000))
+    Multimodal.audioFingerprint64(dec.samples)
+  }
+
+  /** Single-sourced CTE chain for the audio-fingerprint pair set —
+    * consumed by the batch query (mm_audio_dups) and the streaming
+    * twin's min-fold (mm_audio_stream). */
+  private val AUDIO_PAIRS_CTES: String =
+    """q AS (
+      |  SELECT doc_id AS id, doc_id // 2 AS gid,
+      |    doc_id % 2 = 1 AS halved,
+      |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
+      |  FROM documents),
+      |sm AS (
+      |  SELECT id, i * 65 // 1300 AS k,
+      |    CASE WHEN halved
+      |      THEN (2 * (((gid % 32768) * 2654435761 + i * 40503
+      |                  + ((gid % 32768) * 7 + 13) * i * i) % 16384)
+      |            - 16384) // 2
+      |      ELSE 2 * (((gid % 32768) * 2654435761 + i * 40503
+      |                  + ((gid % 32768) * 7 + 13) * i * i) % 16384)
+      |            - 16384
+      |    END
+      |    + CASE WHEN pert AND i * 65 // 1300 = 1 + gid % 63
+      |        THEN 4000 ELSE 0 END AS s
+      |  FROM q, unnest(range(0, 1300)) AS r(i)),
+      |e AS (SELECT id, k, sum(s * s) AS e FROM sm GROUP BY 1, 2),
+      |b AS (
+      |  SELECT a.id, a.k AS i,
+      |    CASE WHEN b2.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM e a JOIN e b2 ON b2.id = a.id AND b2.k = a.k + 1
+      |  WHERE a.k < 64),
+      |pairs AS (
+      |  SELECT x.id AS a_id, y.id AS b_id,
+      |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
+      |  GROUP BY 1, 2 HAVING hamming <= 3)""".stripMargin
+
   private def media(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -710,58 +767,41 @@ object MultimodalQueries {
     // is i*65//1300 — exact because 1300 = 20*65 (the Scala side's
     // generic k*n/65 bounds coincide).
     "mm_audio_dups" -> QueryDef(
-      """WITH q AS (
-        |  SELECT doc_id AS id, doc_id // 2 AS gid,
-        |    doc_id % 2 = 1 AS halved,
-        |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
-        |  FROM documents),
-        |sm AS (
-        |  SELECT id, i * 65 // 1300 AS k,
-        |    CASE WHEN halved
-        |      THEN (2 * (((gid % 32768) * 2654435761 + i * 40503
-        |                  + ((gid % 32768) * 7 + 13) * i * i) % 16384)
-        |            - 16384) // 2
-        |      ELSE 2 * (((gid % 32768) * 2654435761 + i * 40503
-        |                  + ((gid % 32768) * 7 + 13) * i * i) % 16384)
-        |            - 16384
-        |    END
-        |    + CASE WHEN pert AND i * 65 // 1300 = 1 + gid % 63
-        |        THEN 4000 ELSE 0 END AS s
-        |  FROM q, unnest(range(0, 1300)) AS r(i)),
-        |e AS (SELECT id, k, sum(s * s) AS e FROM sm GROUP BY 1, 2),
-        |b AS (
-        |  SELECT a.id, a.k AS i,
-        |    CASE WHEN b2.e > a.e THEN 1 ELSE 0 END AS bit
-        |  FROM e a JOIN e b2 ON b2.id = a.id AND b2.k = a.k + 1
-        |  WHERE a.k < 64)
-        |SELECT x.id AS a_id, y.id AS b_id,
-        |  CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS hamming
-        |FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
-        |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin) { (s, dir) =>
+      s"""WITH $AUDIO_PAIRS_CTES
+        |SELECT a_id, b_id, hamming FROM pairs""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.Dedup
-      val n = 1300
       val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .map { id =>
-          val gid = id / 2
-          val raw = Array.tabulate(n)(i =>
-            Multimodal.synthSampleEven(gid, i.toLong))
-          val base = if (id % 2 == 1) raw.map(_ >> 1) else raw
-          val clip =
-            if (id % 2 == 1 && gid % 5 == 0) {
-              val b = (1 + gid % 63).toInt
-              val lo = b * n / 65
-              val hi = (b + 1) * n / 65
-              Array.tabulate(n)(i =>
-                if (i >= lo && i < hi) base(i) + 4000 else base(i))
-            } else base
-          val dec = Multimodal.decodeWav(Multimodal.encodeWav(clip, 8000))
-          (id, Multimodal.audioFingerprint64(dec.samples))
-        }.toDF("doc_id", "simhash")
+        .map(id => (id, audioFingerprintOf(id)))
+        .toDF("doc_id", "simhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.simhashPairsBucketed(hashes, maxDist = 3, maxBucket = 1024)
         .withColumn("hamming", col("hamming").cast("long"))
+    },
+
+    // STREAMING AUDIO DEDUP (r12): the audio leg of the ingest-time
+    // Kappa twins — mm_phash_stream for clips. Same shared band-bucket
+    // engine (Streaming.hashDedupStream), same single-sourced pair
+    // CTEs folded to min(a_id): the arrival engine must not change the
+    // pair set. The gain-halved twins dedup at ingest EXACTLY (integer
+    // gain invariance), perturbed twins within the radius.
+    "mm_audio_stream" -> QueryDef(
+      s"""WITH $AUDIO_PAIRS_CTES,
+        |m AS (SELECT b_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
+        |SELECT d.doc_id, m.dup_of
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.b_id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        import graft.streaming.Streaming
+        val hashes = Streaming.documentsStream(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, (id + 1) * 1000000L, audioFingerprintOf(id)))
+        val verdicts = Streaming.hashDedupStream(hashes, maxDist = 3,
+          watermarkDelayMs = 31536000000L)
+        Streaming.collapseNearDupVerdicts(
+            Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
+              rocksdbState = true)) // band-bucket state: corpus-sized
+          .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
     // KEYFRAME / SCENE-CUT DETECTION (r12): the smarter sibling of
