@@ -1042,28 +1042,31 @@ object Dedup {
     * the simhash band join consumes, exposed so a persistent index can
     * store it bucketed on (cidx, cval) — the [[minhashBands]] story
     * for the hamming family. */
+  /** The chunk-pair band set for a Hamming radius — single-sourced for
+    * the batch explode ([[simhashChunks]]) and BOTH streaming twins
+    * (Streaming.simhashDedupStream / hashDedupStream): 4 DISJOINT
+    * pairs for maxDist <= 3 (pigeonhole-exact at 1/7 the band rows),
+    * all C(8,2) = 28 pairs for <= 6. */
+  def chunkPairCombos(maxDist: Int): Array[(Int, Int)] = {
+    require(maxDist <= 6, "chunk-pair banding is exact only to hamming 6")
+    if (maxDist <= 3) Array.tabulate(4)(i => (2 * i, 2 * i + 1))
+    else (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)).toArray
+  }
+
   def simhashChunks(sigs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 7, s"8-chunk banding is exact only to hamming 7, got $maxDist")
     def chunkOf(c: Int) =
       shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(0xFFL)
     val chunks =
-      if (maxDist <= 3) {
-        // 4 DISJOINT chunk pairs (r12): d <= 3 corrupted chunks can
-        // touch at most 3 of 4 disjoint pairs, so one pair survives
-        // intact — still pigeonhole-EXACT, at 4 band rows per doc
-        // instead of C(8,2) = 28 (which only d in [4,6] needs). The
-        // 7x row cut is what keeps banding affordable on POPULATION-
-        // SKEWED hashes (dHash), where band-row volume, not bucket
-        // width, is the binding cost (the 15M-doc phash probe,
-        // SCALE.md r12).
-        (0 until 4).map { i =>
-          struct(lit(i).as("cidx"),
-            (shiftleft(chunkOf(2 * i), 8).bitwiseOR(chunkOf(2 * i + 1)))
-              .as("cval"))
-        }
-      } else if (maxDist <= 6) {
-        val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
-        combos.zipWithIndex.map { case ((i, j), idx) =>
+      if (maxDist <= 6) {
+        // tier rule lives in chunkPairCombos: 4 DISJOINT chunk pairs
+        // for d <= 3 (d corrupted chunks touch at most 3 of 4 disjoint
+        // pairs, so one survives intact — pigeonhole-EXACT at 4 band
+        // rows per doc; the 7x row cut keeps banding affordable on
+        // POPULATION-SKEWED hashes like dHash, where band-row volume,
+        // not bucket width, is the binding cost — the 15M-doc phash
+        // probe, SCALE.md r12), all 28 pairs only for d in [4, 6].
+        chunkPairCombos(maxDist).toSeq.zipWithIndex.map { case ((i, j), idx) =>
           struct(lit(idx).as("cidx"),
             (shiftleft(chunkOf(i), 8).bitwiseOR(chunkOf(j))).as("cval"))
         }

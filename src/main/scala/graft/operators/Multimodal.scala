@@ -251,7 +251,7 @@ object Multimodal {
   /** EVEN-valued PCM16 sample generator for the audio-fingerprint
     * corpus ([[audioFingerprint64]]'s graded query): with kr =
     * floorMod(key, 32768), sample i = 2·floorMod(kr·2654435761 +
-    * i·40503 + (kr·7 + 13)·i², 16384) − 16384, range [−16384, 16380].
+    * i·40503 + (kr·7 + 13)·i², 16384) − 16384, range [−16384, 16382].
     * Every sample EVEN so the gain-half twin (s >> 1) is an EXACT
     * scaling — energies scale by exactly 4 and the fingerprint's
     * gradient signs are provably invariant, not just probably; and the

@@ -659,8 +659,9 @@ object Streaming {
         graft.operators.Dedup.XxHash): Dataset[BandVerdict] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.unsafe.types.UTF8String
-    require(maxDist <= 6, "2-of-8 chunk-pair banding is exact only to hamming 6")
-    val combos = (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)).toArray
+    // tier rule single-sourced with the batch explode: 4 disjoint
+    // pairs at radius <= 3, C(8,2) at <= 6 (requires <= 6 internally)
+    val combos = graft.operators.Dedup.chunkPairCombos(maxDist)
     val bandRows = ds.flatMap { d =>
       if (d.text == null) Iterator.empty
       else {
@@ -698,10 +699,7 @@ object Streaming {
       maxDist: Int, watermarkDelayMs: Long,
       maxBucket: Int = Int.MaxValue): Dataset[BandVerdict] = {
     import ds.sparkSession.implicits._
-    require(maxDist <= 6, "chunk-pair banding is exact only to hamming 6")
-    val combos =
-      if (maxDist <= 3) Array.tabulate(4)(i => (2 * i, 2 * i + 1))
-      else (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)).toArray
+    val combos = graft.operators.Dedup.chunkPairCombos(maxDist)
     val bandRows = ds.flatMap { case (did, tsUs, sig) =>
       combos.iterator.zipWithIndex.map { case ((i, j), idx) =>
         val cval = (((sig >>> (i * 8)) & 0xFFL) << 8) | ((sig >>> (j * 8)) & 0xFFL)

@@ -44,24 +44,11 @@ object AudioScaleProbe {
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
-    val clipLen = 1300
+    // the SINGLE-SOURCED mm_audio_dups corpus rule — the probe can
+    // never measure a stale shape
     val hashes = spark.range(n).as[Long]
-      .map { id =>
-        val gid = id / 2
-        val raw = Array.tabulate(clipLen)(i =>
-          Multimodal.synthSampleEven(gid, i.toLong))
-        val base = if (id % 2 == 1) raw.map(_ >> 1) else raw
-        val clip =
-          if (id % 2 == 1 && gid % 5 == 0) {
-            val b = (1 + gid % 63).toInt
-            val lo = b * clipLen / 65
-            val hi = (b + 1) * clipLen / 65
-            Array.tabulate(clipLen)(i =>
-              if (i >= lo && i < hi) base(i) + 4000 else base(i))
-          } else base
-        val dec = Multimodal.decodeWav(Multimodal.encodeWav(clip, 8000))
-        (id, Multimodal.audioFingerprint64(dec.samples))
-      }.toDF("doc_id", "simhash")
+      .map(id => (id, graft.queries.MultimodalQueries.audioFingerprintOf(id)))
+      .toDF("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val t0 = System.nanoTime()

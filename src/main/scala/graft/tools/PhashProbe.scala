@@ -80,7 +80,7 @@ object PhashProbe {
     }
     println(s"dhash unrelated: min=$dmin within3=$dwithin")
     // per-gid flips at delta 24 for the spec's small fixture range
-    val f24 = (0 until 12).map { gid =>
+    val f24 = (0 until math.min(12, n)).map { gid =>
       val hp = Multimodal.phashDct64(w, h,
         Multimodal.synthGrayImage(gid.toLong, w, h,
           Some(((gid % 8), (gid % 9))), 24))

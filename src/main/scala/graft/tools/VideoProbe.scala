@@ -27,25 +27,11 @@ object VideoProbe {
       r
     }
 
+    // the SINGLE-SOURCED mm_video_dups extraction rule
     val keyframeHashes = graft.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
-      .flatMap { id =>
-        val gid = id / 2
-        val par = (id % 2).toInt
-        val frames = Multimodal.decodeGifFrames(
-          Multimodal.synthGifScenes(gid, 19, 17, 9, 3,
-            scenePerm = par, jitterFrame = 1 - par))
-        val hashes = frames.map { fr =>
-          val rgb = new Array[Byte](fr.width * fr.height * 3)
-          var k = 0
-          while (k < rgb.length) { rgb(k) = fr.rgb(k).toByte; k += 1 }
-          Multimodal.dhash64(fr.width, fr.height, rgb)
-        }
-        val kf = hashes.zipWithIndex.filter { case (hsh, f) =>
-          f == 0 || java.lang.Long.bitCount(hsh ^ hashes(f - 1)) > 3
-        }
-        kf.zipWithIndex.map { case ((hsh, _), q) => (id * 16 + q, hsh) }
-      }.toDF("doc_id", "simhash")
+      .flatMap(id => graft.queries.MultimodalQueries.videoKeyframeHashes(id))
+      .toDF("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     time("flatMap count (populates cache)") { keyframeHashes.count() }
