@@ -719,7 +719,7 @@ object Similarity {
         cosine(col("qe"), col("embedding")).as("cos"))
     val found = rerankTopK(scored, k)
       .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1L))
-    bruteForceTopK(corpus, a, k)
+    val result = bruteForceTopK(corpus, a, k)
       .select(col("q_id").cast("long").as("q_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
       .join(found, Seq("q_id", "neighbor_id"), "left")
@@ -727,6 +727,14 @@ object Similarity {
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .select(col("q_id"), col("hits"),
         expr(s"hits * 1000000 div $k").as("recall_ppm"))
+    // r12 verdict #2 (the capBuckets-leak class, probe-path edition):
+    // materialize the anchors-sized result, THEN drop the cached
+    // exploded frame — the connectedComponents lifecycle — so a
+    // long-lived session calling the probe repeatedly parks nothing.
+    val rows = result.collect().toSeq
+    members.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), result.schema)
   }
 
   /** [[ivfPqTopK]] recall@k vs brute, on sampled anchors — the

@@ -265,7 +265,9 @@ class DedupSpec extends AnyFunSuite {
     def norm(df: org.apache.spark.sql.DataFrame) = df
       .select("a_id", "b_id", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toLong)).toSet
-    assert(norm(Dedup.simhashPairsBucketed(sigs, 6)) ==
+    // explicit opt-out of the default hot-bucket guard: this is the
+    // exact-definition comparison, both forms genuinely uncapped
+    assert(norm(Dedup.simhashPairsBucketed(sigs, 6, Int.MaxValue)) ==
       norm(Dedup.simhashPairs(sigs, 6)))
     // all-identical corpus under a tripping cap: the two forms share
     // capBuckets, so the kept sample — and therefore the pair set —
@@ -282,6 +284,27 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "simhash")
     assert(norm(Dedup.simhashPairsBucketed(hs, 3)) ==
       norm(Dedup.simhashPairs(hs, 3)))
+  }
+
+  test("simhashPairsBucketed default cap bounds a degenerate bucket") {
+    // r12 verdict #3: the default used to be Int.MaxValue, so a
+    // degenerate bucket (every doc one band value) collect_list'd its
+    // whole membership into one task. The default is now
+    // SimhashHotBucketCap; a corpus of identical signatures larger
+    // than the cap must keep only ~cap survivors (md5Keeps is binomial
+    // with MEAN cap, not exactly cap — allow 10% slack; the count is
+    // deterministic across runs since md5 is a pure function of the
+    // ids) instead of collecting all n into one task.
+    val spark0 = spark
+    import spark0.implicits._
+    val n = Dedup.SimhashHotBucketCap * 4
+    val sigs = spark0.range(n.toLong).select(
+      col("id").as("doc_id"), lit(0x5A5A5A5A5A5AL).as("simhash"))
+    val nPairs = Dedup.simhashPairsBucketed(sigs, 3).count()
+    val slack = Dedup.SimhashHotBucketCap.toLong * 11 / 10
+    assert(nPairs <= slack * (slack - 1) / 2,
+      s"degenerate bucket emitted $nPairs pairs — default cap did not bite")
+    assert(nPairs > 0)
   }
 
   test("capBuckets retains no persisted RDD after a capped query") {

@@ -513,6 +513,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("graphRecallAnchorsOnly retains no persisted RDD (r12 verdict #2)") {
+    // the probe path caches its exploded `members` frame; it must
+    // materialize the anchors-sized result and unpersist before
+    // returning, so a long-lived session calling the probe repeatedly
+    // parks nothing (the connectedComponents lifecycle)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Similarity.graphRecallAnchorsOnly(emb, 5, 8).collect()
+    assert(r.length == 8)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "recall probe must not retain new persisted RDDs")
+  }
+
   test("annRecallSampled: anchor-count knob honored, ppm bounded") {
     val r = Similarity.annRecallSampled(emb, k = 10, anchors = 8).collect()
     assert(r.length == 8)
