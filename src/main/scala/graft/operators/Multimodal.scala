@@ -1531,6 +1531,101 @@ object Multimodal {
     encodeJpegBlocks(blocks, w, h)
   }
 
+  /** Wide-alphabet block value for the LOSSY-boundary perceptual-dedup
+    * corpus (mm_phash_lossy_dups). NOT [[jpegBlockM]]: that one is
+    * AFFINE in (key, b) mod 64 — key contributes only the additive
+    * offset key·31·97, so over all keys an image takes at most 64
+    * distinct shapes per block layout and unrelated keys collide
+    * within a perceptual-hash match radius (the [[phashPixelByte]]
+    * lesson, here in the quantized DC domain).
+    *
+    * The mix runs MOD THE PRIME 251, folded to the 64-level DC
+    * alphabet only at the end. A power-of-2 modulus here is a trap the
+    * first draft of this rule hit: on a 32-wide block grid b = 32·gy +
+    * gx, b² ≡ gx² (mod 64) — the 1024·gy² and 64·gy·gx terms VANISH —
+    * so the quadratic "mixing" left the block matrix near-periodic in
+    * gy, the DCT spectrum degenerate (many exactly-zero coefficients
+    * tying at the median), and measured corpora showed hamming-0
+    * collisions between unrelated keys plus 25-bit flips from
+    * one-pixel perturbations. Mod 251 a quadratic has no power-of-2
+    * degeneracy; keys fall into distinct content classes until
+    * key ≡ key' (mod 251) AND key/251 ≡ key'/251 (mod 251) — a 63001-
+    * key period, past sf1eq-scale corpora (the mm_video_dups
+    * output-quadratic lesson). Blocks b and b + 251 intentionally
+    * share a value (b enters mod 251): a fixed repetition pattern
+    * common to every key, which costs entropy only beyond 251·6 bits
+    * per image. All terms are nonnegative for nonnegative (key, b), so
+    * DuckDB `%` replays floorMod verbatim. */
+  def jpegBlockMWide(key: Long, b: Long): Int =
+    (java.lang.Math.floorMod(
+      (key * 31L + b) * 97L + (key * 7L + 13L) * b * b
+        + (key / 251L) * (59L * b + 17L), 251L) % 64L).toInt - 32
+
+  /** [[synthJpeg]] with the wide-alphabet block rule: a valid baseline
+    * grayscale JFIF where pixel(x, y) = 128 + 2·[[jpegBlockMWide]](key,
+    * (y/8)·ceil(w/8) + x/8). Block-constant DC-only payload, so the
+    * lossy roundtrip is bit-exact (DC quant step 16 — the synthJpeg
+    * exactness contract) and a SQL oracle replays the decoded pixels
+    * from the block formula alone. */
+  def synthJpegWide(key: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "jpeg: bad dims")
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val blocks = Array.tabulate(bw * bh) { b =>
+      val coeffs = new Array[Int](64)
+      coeffs(0) = jpegBlockMWide(key, b)
+      coeffs
+    }
+    encodeJpegBlocks(blocks, w, h)
+  }
+
+  /** The pixels [[synthJpegWide]] decodes to, as a 3-channel grayscale
+    * array (all channels equal, so luma == the formula value) — the
+    * LOSSLESS twin's source in the cross-codec perceptual-dedup
+    * corpus: one parity round-trips synthJpegWide through the REAL
+    * JPEG decoder, the other encodes THESE pixels through the REAL
+    * PNG codec, and an intact perceptual hash must pair them.
+    * `perturbCell` is a (gy, gx) cell of [[phashDct64]]'s 32x32
+    * sampled grid; the SOURCE pixel that cell samples under
+    * [[resizeNearest]]'s rule (sy = gy·h/32, sx = gx·w/32) gets
+    * +`perturbDelta` — no mod-256 wrap as long as delta <= 65
+    * (values are 128 + 2m <= 190), which keeps the oracle's replay a
+    * plain addition. For w, h >= 32 the resize map is injective, so
+    * the perturbation lands in exactly one grid cell. */
+  def jpegWidePixels(key: Long, w: Int, h: Int,
+      perturbCell: Option[(Int, Int)] = None,
+      perturbDelta: Int = 24): Array[Byte] = {
+    require(perturbDelta >= 0 && perturbDelta <= 65, "delta would wrap")
+    val bw = (w + 7) / 8
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val b = (i / w / 8) * bw + (i % w) / 8
+      val v = (128 + 2 * jpegBlockMWide(key, b.toLong)).toByte
+      px(3 * i) = v; px(3 * i + 1) = v; px(3 * i + 2) = v
+      i += 1
+    }
+    perturbCell.foreach { case (gy, gx) =>
+      val p = (gy.toLong * h / 32).toInt * w + (gx.toLong * w / 32).toInt
+      val v = ((px(3 * p) & 0xff) + perturbDelta).toByte
+      px(3 * p) = v; px(3 * p + 1) = v; px(3 * p + 2) = v
+    }
+    px
+  }
+
+  /** Grayscale decode output (one int per pixel) as the 3-equal-channel
+    * byte layout the perceptual hashes consume. */
+  def grayToRgb(pixels: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](pixels.length * 3)
+    var i = 0
+    while (i < pixels.length) {
+      val v = pixels(i).toByte
+      out(3 * i) = v; out(3 * i + 1) = v; out(3 * i + 2) = v
+      i += 1
+    }
+    out
+  }
+
   /** The entropy-coded-segment writer shared by the grayscale and
     * color encoders: MSB-first bitstream with 0xFF00 byte stuffing,
     * canonical-code Huffman block encoding (DC prediction handled by

@@ -96,6 +96,36 @@ object MultimodalQueries {
       |  FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
       |  GROUP BY 1, 2 HAVING hamming <= 3)""".stripMargin
 
+  /** The per-doc corpus rule of the LOSSY-boundary perceptual query
+    * (mm_phash_lossy_dups) as a pure function: gid = doc_id/2 pairs
+    * one REAL-JPEG twin with one REAL-PNG twin of the same content.
+    * Even docs round-trip Multimodal.synthJpegWide (a 256x256
+    * grayscale baseline JFIF, block-constant DC-only so the lossy
+    * roundtrip is bit-exact) through the REAL JPEG decoder — Huffman,
+    * DC prediction, dequant, IDCT; odd docs encode the SAME pixels
+    * (Multimodal.jpegWidePixels) through the REAL PNG codec. 256x256
+    * with 8-pixel blocks means phashDct64's 32x32 sampled grid reads
+    * one pixel from a DISTINCT block per cell — a full-entropy grid,
+    * the synthGrayImage discipline (a 64x40 draft had 40 content DoF
+    * and measured 7.5k unrelated-gid pairs at 2500 gids; SCALE.md
+    * r13). Every 5th gid perturbs the ODD twin's one sampled pixel by
+    * +24 — hamming > 0 matches ACROSS the codec boundary. */
+  private def lossyHashOf(id: Long): Long = {
+    val gid = id / 2
+    if (id % 2 == 0) {
+      val img = Multimodal.decodeJpeg(Multimodal.synthJpegWide(gid, 256, 256))
+      Multimodal.phashDct64(img.width, img.height,
+        Multimodal.grayToRgb(img.pixels))
+    } else {
+      val pcell =
+        if (gid % 5 == 0) Some(((gid % 32).toInt, ((gid * 7) % 32).toInt))
+        else None
+      val px = Multimodal.jpegWidePixels(gid, 256, 256, pcell, 24)
+      val p = Multimodal.decodePng(Multimodal.encodePng(256, 256, px))
+      Multimodal.phashDct64(p.width, p.height, p.pixels)
+    }
+  }
+
   /** The per-doc corpus rule of the audio queries as a pure function
     * (batch frame + streaming twin): 1300-sample even synth clip keyed
     * gid = doc_id/2, odd twin GAIN-HALVED (exact: samples even), every
@@ -741,6 +771,78 @@ object MultimodalQueries {
       Dedup.simhashPairsBucketed(
         perceptualHashes(s, dir, 24, Multimodal.phashDct64),
         maxDist = 3, maxBucket = 1024)
+        .withColumn("hamming", col("hamming").cast("long"))
+    },
+
+    // LOSSY-BOUNDARY PERCEPTUAL NEAR-DUP (r13): the DCT hash graded at
+    // the thing it exists for — pairing a REAL JPEG against a REAL PNG
+    // of the same content. mm_phash_dct_dups pairs PNG vs BMP (both
+    // lossless); here even docs round-trip synthJpegWide through the
+    // real JPEG decoder (Huffman, DC prediction, dequant, IDCT, crop)
+    // and odd docs encode the same pixels (jpegWidePixels) through the
+    // real PNG codec, gid-paired on content. The payload is 256x256
+    // block-constant DC-only (quant step 16), so the JPEG roundtrip is
+    // bit-exact and the oracle replays the decoded pixels from the
+    // block formula alone — jpegBlockMWide, a quadratic mix MOD THE
+    // PRIME 251 folded to the 64-level DC alphabet (a mod-64 draft
+    // collapsed: b^2 on a 32-wide block grid loses all gy terms mod
+    // 64, giving degenerate spectra, unrelated-gid hamming-0
+    // collisions, and 25-bit one-pixel perturbation flips; measured,
+    // SCALE.md r13). 256x256 makes phashDct64's 32x32 grid sample one
+    // pixel per DISTINCT block (b = gy*32 + gx), so the sampled grid
+    // is full-entropy; measured at 2500 gids: ZERO unrelated pairs
+    // within radius, min cross distance 6. Every 5th gid perturbs the
+    // odd twin's one sampled pixel by +24 (no mod-256 wrap: values <=
+    // 190 + 24): typically ONE low-frequency coefficient crosses the
+    // median, flipping that bit plus a median-rank partner — hamming-2
+    // matches ACROSS the codec boundary (172 of 500 perturbed at sf0.1
+    // scale; escapes > 3 drop out of BOTH engines identically). The
+    // DCT/median/all-pairs tail is the mm_phash_dct_dups chain
+    // verbatim; banding is pigeonhole-exact at hamming <= 3 and the
+    // 1024 cap cannot trip below 1024 docs sharing a band value.
+    "mm_phash_lossy_dups" -> QueryDef(
+      s"""WITH ct(u, x, c) AS (VALUES $dctCosValues),
+        |q AS (
+        |  SELECT doc_id AS id, doc_id // 2 AS gid,
+        |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
+        |  FROM documents),
+        |v AS (
+        |  SELECT q.id, q.gid, q.pert, gy, gx, gy * 32 + gx AS b
+        |  FROM q, unnest(range(0, 32)) AS ry(gy), unnest(range(0, 32)) AS rx(gx)),
+        |g AS (
+        |  SELECT id, gy, gx,
+        |    64 + 2 * ((((gid * 31 + b) * 97 + (gid * 7 + 13) * b * b
+        |        + (gid // 251) * (59 * b + 17)) % 251) % 64)
+        |      + CASE WHEN pert AND gy = gid % 32 AND gx = (gid * 7) % 32
+        |          THEN 24 ELSE 0 END AS l
+        |  FROM v),
+        |s1 AS (
+        |  SELECT g.id, ct.u, g.gy, sum(g.l * ct.c) AS s
+        |  FROM g JOIN ct ON ct.x = g.gx GROUP BY 1, 2, 3),
+        |co AS (
+        |  SELECT s1.id, s1.u, ct.u AS v2, sum(s1.s * ct.c) AS co
+        |  FROM s1 JOIN ct ON ct.x = s1.gy GROUP BY 1, 2, 3),
+        |ac AS (
+        |  SELECT id, u, v2, co,
+        |    row_number() OVER (PARTITION BY id ORDER BY co) AS rn
+        |  FROM co WHERE NOT (u = 0 AND v2 = 0)),
+        |med AS (SELECT id, co AS m FROM ac WHERE rn = 32),
+        |b AS (
+        |  SELECT ac.id, ac.u * 8 + ac.v2 - 1 AS i,
+        |    CASE WHEN ac.co > med.m THEN 1 ELSE 0 END AS bit
+        |  FROM ac JOIN med ON med.id = ac.id)
+        |SELECT x.id AS a_id, y.id AS b_id,
+        |  CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hamming
+        |FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
+        |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Dedup
+      val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, lossyHashOf(id)))
+        .toDF("doc_id", "simhash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.simhashPairsBucketed(hashes, maxDist = 3, maxBucket = 1024)
         .withColumn("hamming", col("hamming").cast("long"))
     },
 

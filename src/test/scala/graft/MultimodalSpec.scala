@@ -549,6 +549,44 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("synthJpegWide/jpegWidePixels: exact roundtrip, full-entropy grid") {
+    // the r13 lossy-dups corpus contract, at the unit level:
+    // (a) the REAL JPEG decode of synthJpegWide equals jpegWidePixels
+    //     byte-for-byte (DC-only block-constant payload, quant step 16)
+    for (key <- Seq(0L, 17L, 250L, 63002L)) {
+      val jp = Multimodal.decodeJpeg(Multimodal.synthJpegWide(key, 256, 256))
+      assert(jp.width == 256 && jp.height == 256)
+      val viaJpeg = Multimodal.grayToRgb(jp.pixels)
+      val png = Multimodal.decodePng(Multimodal.encodePng(256, 256,
+        Multimodal.jpegWidePixels(key, 256, 256)))
+      assert(java.util.Arrays.equals(viaJpeg, png.pixels),
+        s"key $key: jpeg-decoded pixels != png-decoded jpegWidePixels")
+      // (b) the DCT hashes therefore agree ACROSS the lossy boundary
+      assert(Multimodal.phashDct64(256, 256, viaJpeg) ==
+        Multimodal.phashDct64(png.width, png.height, png.pixels))
+    }
+    // (c) the perturbation hits exactly ONE pixel — the one the 32x32
+    //     grid samples — and no mod-256 wrap occurs
+    val base = Multimodal.jpegWidePixels(5L, 256, 256)
+    val pert = Multimodal.jpegWidePixels(5L, 256, 256, Some((5, 3)), 24)
+    val diffs = (0 until 256 * 256).filter(i =>
+      base(3 * i) != pert(3 * i))
+    assert(diffs == Seq((5 * 256 / 32) * 256 + 3 * 256 / 32))
+    assert((pert(3 * diffs.head) & 0xff) ==
+      (base(3 * diffs.head) & 0xff) + 24)
+    // (d) the mod-251 mix keeps unrelated keys far apart — the mod-64
+    //     draft measured hamming-0 collisions at 250 keys (SCALE.md
+    //     r13); here every consecutive-key distance must clear the
+    //     match radius decisively
+    val hs = (0L until 32L).map { k =>
+      val img = Multimodal.decodeJpeg(Multimodal.synthJpegWide(k, 256, 256))
+      Multimodal.phashDct64(256, 256, Multimodal.grayToRgb(img.pixels))
+    }
+    val minD = (for (i <- hs.indices; j <- i + 1 until hs.size)
+      yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minD > 3, s"unrelated wide-rule keys within radius (min $minD)")
+  }
+
   test("phashDct64: cross-codec collision, perturbation radius, divergence") {
     // lossless cross-codec invariance: the same pixels through PNG and
     // BMP hash identically (the dhash64 property, on the DCT hash)
