@@ -60,16 +60,17 @@ object MultimodalQueries {
   }
 
   /** Single-sourced CTE chain for the dHash near-dup pair set —
-    * consumed by BOTH the batch query (mm_phash_dups) and the
-    * streaming twin's min-fold (mm_phash_stream), so the two oracles
-    * cannot drift. `pairs` = all (a_id < b_id) within hamming 3 of the
-    * replayed corpus rule (gid-paired docs, every 5th gid's odd twin
-    * perturbed +128 at its sampled cell). */
-  private val PHASH_PAIRS_CTES: String =
-    """q AS (
+    * consumed by the batch query (mm_phash_dups), the streaming twin's
+    * min-fold (mm_phash_stream), and the cross-modal verdict report
+    * (image leg, via `pred`), so the oracles cannot drift. `pairs` =
+    * all (a_id < b_id) within hamming 3 of the replayed corpus rule
+    * (gid-paired docs, every 5th gid's odd twin perturbed +128 at its
+    * sampled cell). `pred` filters the doc universe (default: all). */
+  private def PHASH_PAIRS_CTES(pred: String = "TRUE"): String =
+    s"""q AS (
       |  SELECT doc_id AS id, doc_id // 2 AS gid,
       |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
-      |  FROM documents),
+      |  FROM documents WHERE $pred),
       |v AS (
       |  SELECT q.id, q.gid, q.pert, cy, cx,
       |    (cy * 17 // 8) * 19 + (cx * 19 // 9) AS i
@@ -149,14 +150,15 @@ object MultimodalQueries {
   }
 
   /** Single-sourced CTE chain for the audio-fingerprint pair set —
-    * consumed by the batch query (mm_audio_dups) and the streaming
-    * twin's min-fold (mm_audio_stream). */
-  private val AUDIO_PAIRS_CTES: String =
-    """q AS (
+    * consumed by the batch query (mm_audio_dups), the streaming twin's
+    * min-fold (mm_audio_stream), and the cross-modal verdict report
+    * (audio leg, via `pred`). */
+  private def AUDIO_PAIRS_CTES(pred: String = "TRUE"): String =
+    s"""q AS (
       |  SELECT doc_id AS id, doc_id // 2 AS gid,
       |    doc_id % 2 = 1 AS halved,
       |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
-      |  FROM documents),
+      |  FROM documents WHERE $pred),
       |sm AS (
       |  SELECT id, i * 65 // 1300 AS k,
       |    CASE WHEN halved
@@ -206,6 +208,86 @@ object MultimodalQueries {
     }
     require(kf.length <= 16, s"video $id: ${kf.length} keyframes")
     kf.zipWithIndex.map { case ((hsh, _), q) => (id * 16 + q, hsh) }
+  }
+
+  /** Single-sourced CTE chain for the cross-video KEYFRAME pair set —
+    * the mm_video_dups replay (re-edit corpus rule, scene/jitter
+    * palette, per-frame dHash bits, the mm_keyframes detection rule,
+    * cross-video keyframe pairs within hamming <= 3) up to `pr`
+    * (a_id, a_f, b_id, b_f, hamming). Consumed by mm_video_dups
+    * (matches >= 2 / min-hamming roll-up) and the cross-modal verdict
+    * report (video leg: max-hamming exact tier, via `pred`). */
+  private def VIDEO_PAIRS_CTES(pred: String = "TRUE"): String =
+    s"""d AS (
+      |  SELECT doc_id AS id, doc_id // 2 AS gid, doc_id % 2 AS par
+      |  FROM documents WHERE $pred),
+      |v AS (
+      |  SELECT id, gid, par, f, ((f // 3) + par) % 3 AS s, cy, cx,
+      |    (cy * 17 // 8) * 19 + (cx * 19 // 9) AS p
+      |  FROM d, unnest(range(0, 9)) AS rf(f),
+      |    unnest(range(0, 8)) AS ry(cy), unnest(range(0, 9)) AS rx(cx)),
+      |ix AS (
+      |  SELECT id, f, cy, cx,
+      |    CASE WHEN f % 3 = 1 - par
+      |        AND p = ((s % 8) * 17 // 8) * 19 + ((s % 9) * 19 // 9)
+      |      THEN (((((gid * 131 + s) * 31 + p) * 97
+      |             + ((gid * 131 + s) * 7 + 13) * p * p
+      |             + ((gid * 131 + s) // 256) * (53 * p + 11)) % 256) % 64
+      |            + 32) % 64
+      |      ELSE ((((gid * 131 + s) * 31 + p) * 97
+      |             + ((gid * 131 + s) * 7 + 13) * p * p
+      |             + ((gid * 131 + s) // 256) * (53 * p + 11)) % 256) % 64
+      |    END AS idx
+      |  FROM v),
+      |g AS (
+      |  SELECT id, f, cy, cx,
+      |    (299 * ((idx * 37) % 256) + 587 * ((idx * 91 + 17) % 256)
+      |     + 114 * ((idx * 53 + 101) % 256)) // 1000 AS l
+      |  FROM ix),
+      |b AS (
+      |  SELECT a.id, a.f, a.cy * 8 + a.cx AS i,
+      |    CASE WHEN b2.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM g a JOIN g b2 ON b2.id = a.id AND b2.f = a.f
+      |    AND b2.cy = a.cy AND b2.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |hd AS (
+      |  SELECT x.id, x.f,
+      |    sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS dist
+      |  FROM b x JOIN b y ON y.id = x.id AND y.f = x.f - 1 AND y.i = x.i
+      |  WHERE x.f > 0 GROUP BY 1, 2),
+      |kf AS (
+      |  SELECT fr.id, fr.f
+      |  FROM (SELECT DISTINCT id, f FROM v) fr
+      |  LEFT JOIN hd ON hd.id = fr.id AND hd.f = fr.f
+      |  WHERE fr.f = 0 OR hd.dist > 3),
+      |kb AS (SELECT b.id, b.f, b.i, b.bit FROM b JOIN kf
+      |  ON kf.id = b.id AND kf.f = b.f),
+      |pr AS (
+      |  SELECT x.id AS a_id, x.f AS a_f, y.id AS b_id, y.f AS b_f,
+      |    sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM kb x JOIN kb y ON y.i = x.i AND x.id < y.id
+      |  GROUP BY 1, 2, 3, 4 HAVING hamming <= 3)""".stripMargin
+
+  /** Spark side of [[VIDEO_PAIRS_CTES]]: keyframe extraction
+    * ([[videoKeyframeHashes]] — decode + dHash + lag in ONE typed
+    * flatMap, zero exchange on the temporal dimension), banded
+    * in-bucket Hamming pairing over the packed (video, keyframe) ids,
+    * unpacked to cross-video keyframe pairs. Shared by mm_video_dups
+    * and the verdict report's video leg. */
+  private def videoKeyframePairs(s: org.apache.spark.sql.SparkSession,
+      vids: org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    import graft.operators.Dedup
+    val keyframeHashes = vids.select(col("doc_id")).as[Long]
+      .flatMap(id => videoKeyframeHashes(id)).toDF("doc_id", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.simhashPairsBucketed(keyframeHashes, maxDist = 3,
+        maxBucket = 1024)
+      .select(expr("a_id div 16").as("a_vid"),
+        expr("b_id div 16").as("b_vid"), col("hamming"))
+      // a_id < b_id on packed ids implies a_vid <= b_vid; equality is
+      // the same video's own keyframes (distinct scenes, excluded)
+      .filter(col("a_vid") =!= col("b_vid"))
   }
 
   private def media(s: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -691,7 +773,7 @@ object MultimodalQueries {
     // resize index rule hashes differently on the SPARK side only and
     // fails the compare; so does any dHash/banding drift.
     "mm_phash_dups" -> QueryDef(
-      s"""WITH $PHASH_PAIRS_CTES
+      s"""WITH ${PHASH_PAIRS_CTES()}
         |SELECT a_id, b_id, hamming FROM pairs""".stripMargin) { (s, dir) =>
       import graft.operators.Dedup
       // IN-BUCKET pair scoring, not the band self-join: dHash bits are
@@ -860,7 +942,7 @@ object MultimodalQueries {
     // change the pair set (banding pigeonhole-exact, so the expected
     // frame is ALL pairs within the distance).
     "mm_phash_stream" -> QueryDef(
-      s"""WITH $PHASH_PAIRS_CTES,
+      s"""WITH ${PHASH_PAIRS_CTES()},
         |m AS (SELECT b_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
         |SELECT d.doc_id, m.dup_of
         |FROM documents d LEFT JOIN m ON d.doc_id = m.b_id""".stripMargin) {
@@ -897,7 +979,7 @@ object MultimodalQueries {
     // is i*65//1300 — exact because 1300 = 20*65 (the Scala side's
     // generic k*n/65 bounds coincide).
     "mm_audio_dups" -> QueryDef(
-      s"""WITH $AUDIO_PAIRS_CTES
+      s"""WITH ${AUDIO_PAIRS_CTES()}
         |SELECT a_id, b_id, hamming FROM pairs""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.Dedup
@@ -916,7 +998,7 @@ object MultimodalQueries {
     // pair set. The gain-halved twins dedup at ingest EXACTLY (integer
     // gain invariance), perturbed twins within the radius.
     "mm_audio_stream" -> QueryDef(
-      s"""WITH $AUDIO_PAIRS_CTES,
+      s"""WITH ${AUDIO_PAIRS_CTES()},
         |m AS (SELECT b_id, min(a_id) AS dup_of FROM pairs GROUP BY 1)
         |SELECT d.doc_id, m.dup_of
         |FROM documents d LEFT JOIN m ON d.doc_id = m.b_id""".stripMargin) {
@@ -1029,74 +1111,119 @@ object MultimodalQueries {
     // report them identically. Twins match on all 3 scenes at hamming
     // <= 2 (the odd twin's keyframes carry the jitter).
     "mm_video_dups" -> QueryDef(
-      """WITH d AS (
-        |  SELECT doc_id AS id, doc_id // 2 AS gid, doc_id % 2 AS par
-        |  FROM documents),
-        |v AS (
-        |  SELECT id, gid, par, f, ((f // 3) + par) % 3 AS s, cy, cx,
-        |    (cy * 17 // 8) * 19 + (cx * 19 // 9) AS p
-        |  FROM d, unnest(range(0, 9)) AS rf(f),
-        |    unnest(range(0, 8)) AS ry(cy), unnest(range(0, 9)) AS rx(cx)),
-        |ix AS (
-        |  SELECT id, f, cy, cx,
-        |    CASE WHEN f % 3 = 1 - par
-        |        AND p = ((s % 8) * 17 // 8) * 19 + ((s % 9) * 19 // 9)
-        |      THEN (((((gid * 131 + s) * 31 + p) * 97
-        |             + ((gid * 131 + s) * 7 + 13) * p * p
-        |             + ((gid * 131 + s) // 256) * (53 * p + 11)) % 256) % 64
-        |            + 32) % 64
-        |      ELSE ((((gid * 131 + s) * 31 + p) * 97
-        |             + ((gid * 131 + s) * 7 + 13) * p * p
-        |             + ((gid * 131 + s) // 256) * (53 * p + 11)) % 256) % 64
-        |    END AS idx
-        |  FROM v),
-        |g AS (
-        |  SELECT id, f, cy, cx,
-        |    (299 * ((idx * 37) % 256) + 587 * ((idx * 91 + 17) % 256)
-        |     + 114 * ((idx * 53 + 101) % 256)) // 1000 AS l
-        |  FROM ix),
-        |b AS (
-        |  SELECT a.id, a.f, a.cy * 8 + a.cx AS i,
-        |    CASE WHEN b2.l > a.l THEN 1 ELSE 0 END AS bit
-        |  FROM g a JOIN g b2 ON b2.id = a.id AND b2.f = a.f
-        |    AND b2.cy = a.cy AND b2.cx = a.cx + 1
-        |  WHERE a.cx < 8),
-        |hd AS (
-        |  SELECT x.id, x.f,
-        |    sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS dist
-        |  FROM b x JOIN b y ON y.id = x.id AND y.f = x.f - 1 AND y.i = x.i
-        |  WHERE x.f > 0 GROUP BY 1, 2),
-        |kf AS (
-        |  SELECT fr.id, fr.f
-        |  FROM (SELECT DISTINCT id, f FROM v) fr
-        |  LEFT JOIN hd ON hd.id = fr.id AND hd.f = fr.f
-        |  WHERE fr.f = 0 OR hd.dist > 3),
-        |kb AS (SELECT b.id, b.f, b.i, b.bit FROM b JOIN kf
-        |  ON kf.id = b.id AND kf.f = b.f),
-        |pr AS (
-        |  SELECT x.id AS a_id, x.f AS a_f, y.id AS b_id, y.f AS b_f,
-        |    sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS hamming
-        |  FROM kb x JOIN kb y ON y.i = x.i AND x.id < y.id
-        |  GROUP BY 1, 2, 3, 4 HAVING hamming <= 3)
+      s"""WITH ${VIDEO_PAIRS_CTES()}
         |SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS matches,
         |  CAST(min(hamming) AS BIGINT) AS min_hamming
         |FROM pr GROUP BY 1, 2 HAVING matches >= 2""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      import graft.operators.Dedup
-      val keyframeHashes = Tables.documents(s, dir).select(col("doc_id"))
-        .as[Long]
-        .flatMap(id => videoKeyframeHashes(id)).toDF("doc_id", "simhash")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.simhashPairsBucketed(keyframeHashes, maxDist = 3,
-          maxBucket = 1024)
-        .select(expr("a_id div 16").as("a_vid"),
-          expr("b_id div 16").as("b_vid"), col("hamming"))
-        // a_id < b_id on packed ids implies a_vid <= b_vid; equality is
-        // the same video's own keyframes (distinct scenes, excluded)
-        .filter(col("a_vid") =!= col("b_vid"))
+      videoKeyframePairs(s, Tables.documents(s, dir))
         .groupBy(col("a_vid").as("a_id"), col("b_vid").as("b_id"))
         .agg(count(lit(1)).cast("long").as("matches"),
           min(col("hamming")).cast("long").as("min_hamming"))
         .filter(col("matches") >= 2)
+    },
+
+    // CROSS-MODAL DEDUP VERDICT REPORT (r13): the media family's
+    // single roll-up — what doc_dedup_verdict_report is for text, this
+    // is for a MIXED-MEDIA corpus. The corpus partitions by content
+    // group: gid = doc_id/2 pairs consecutive docs on content, and
+    // gid % 3 assigns each GROUP a modality (0 image, 1 audio,
+    // 2 video), so every twin pair lives inside one modality and each
+    // leg runs its own perceptual dedup end-to-end over REAL codecs:
+    // image = PNG/BMP encode+decode -> dhash64; audio = WAV round-trip
+    // -> audioFingerprint64 (odd twin gain-halved); video = scene-GIF
+    // decode -> keyframe rule -> cross-video keyframe matching
+    // (matches >= 2). Per doc, verdicts fold with the dedup keep
+    // discipline (earlier doc keeps) and PRECEDENCE exact > near:
+    //   exact = an earlier same-modality partner at hamming 0 (image/
+    //           audio) or with >= 2 matched keyframes ALL at hamming 0
+    //           (video) — subsumes byte-exact: identical decoded
+    //           content hashes identically;
+    //   near  = an earlier partner within the radius (hamming <= 3 /
+    //           matches >= 2);
+    //   keep  = no earlier partner.
+    // dup_of = the smallest earlier partner OF THE WINNING TIER (an
+    // exact doc reports its earliest exact partner even when a nearer-
+    // id near partner exists). Oracle: the three single-sourced pair
+    // chains spliced verbatim as nested-WITH CTEs with the modality
+    // predicate pushed into each chain's doc scan (image/audio doc ids
+    // are disjoint, so their folds share one UNION ALL), then the same
+    // tier fold in SQL. All columns integer/string — exact compare.
+    "mm_dedup_verdict_report" -> QueryDef(
+      s"""WITH imgp AS (
+        |  WITH ${PHASH_PAIRS_CTES("(doc_id // 2) % 3 = 0")}
+        |  SELECT a_id, b_id, hamming FROM pairs),
+        |audp AS (
+        |  WITH ${AUDIO_PAIRS_CTES("(doc_id // 2) % 3 = 1")}
+        |  SELECT a_id, b_id, hamming FROM pairs),
+        |vidp AS (
+        |  WITH ${VIDEO_PAIRS_CTES("(doc_id // 2) % 3 = 2")}
+        |  SELECT a_id, b_id, count(*) AS matches, max(hamming) AS maxh
+        |  FROM pr GROUP BY 1, 2 HAVING matches >= 2),
+        |fold AS (
+        |  SELECT b_id AS doc_id,
+        |    min(CASE WHEN hamming = 0 THEN a_id END) AS dup0,
+        |    min(a_id) AS dupn
+        |  FROM (SELECT a_id, b_id, hamming FROM imgp
+        |        UNION ALL SELECT a_id, b_id, hamming FROM audp) u
+        |  GROUP BY 1),
+        |vfold AS (
+        |  SELECT b_id AS doc_id,
+        |    min(CASE WHEN maxh = 0 THEN a_id END) AS dup0,
+        |    min(a_id) AS dupn
+        |  FROM vidp GROUP BY 1),
+        |allf AS (SELECT * FROM fold UNION ALL SELECT * FROM vfold)
+        |SELECT d.doc_id,
+        |  CASE (d.doc_id // 2) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |  CASE WHEN f.dup0 IS NOT NULL THEN 'exact'
+        |       WHEN f.dupn IS NOT NULL THEN 'near' ELSE 'keep' END AS verdict,
+        |  CASE WHEN f.dup0 IS NOT NULL THEN f.dup0 ELSE f.dupn END AS dup_of
+        |FROM documents d LEFT JOIN allf f ON d.doc_id = f.doc_id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        import graft.operators.Dedup
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+
+        // image/audio legs share the signature->pairs->tier-fold shape;
+        // only the decode+hash map differs (the expensive, zero-shuffle
+        // pass). Pairs already arrive a_id < b_id, so min(a_id) IS the
+        // earliest-earlier-partner keep rule.
+        def sigLeg(mod: Int, name: String, hashOf: Long => Long) = {
+          val ids = docs.filter(expr(s"(doc_id div 2) % 3 = $mod"))
+          val hashes = ids.as[Long].map(id => (id, hashOf(id)))
+            .toDF("doc_id", "simhash")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val fold = Dedup.simhashPairsBucketed(hashes, maxDist = 3,
+              maxBucket = 1024)
+            .groupBy(col("b_id").as("doc_id"))
+            .agg(min(when(col("hamming") === 0, col("a_id"))).as("dup0"),
+              min(col("a_id")).as("dupn"))
+          ids.join(fold, Seq("doc_id"), "left")
+            .select(col("doc_id"), lit(name).as("modality"),
+              when(col("dup0").isNotNull, lit("exact"))
+                .when(col("dupn").isNotNull, lit("near"))
+                .otherwise(lit("keep")).as("verdict"),
+              coalesce(col("dup0"), col("dupn")).as("dup_of"))
+        }
+        val img = sigLeg(0, "image",
+          id => perceptualHashOf(id, 128, Multimodal.dhash64))
+        val aud = sigLeg(1, "audio", id => audioFingerprintOf(id))
+
+        val vids = docs.filter(expr("(doc_id div 2) % 3 = 2"))
+        val vfold = videoKeyframePairs(s, vids)
+          .groupBy("a_vid", "b_vid")
+          .agg(count(lit(1)).as("matches"), max(col("hamming")).as("maxh"))
+          .filter(col("matches") >= 2)
+          .groupBy(col("b_vid").as("doc_id"))
+          .agg(min(when(col("maxh") === 0, col("a_vid"))).as("dup0"),
+            min(col("a_vid")).as("dupn"))
+        val vid = vids.join(vfold, Seq("doc_id"), "left")
+          .select(col("doc_id"), lit("video").as("modality"),
+            when(col("dup0").isNotNull, lit("exact"))
+              .when(col("dupn").isNotNull, lit("near"))
+              .otherwise(lit("keep")).as("verdict"),
+            coalesce(col("dup0"), col("dupn")).as("dup_of"))
+
+        img.unionByName(aud).unionByName(vid)
     })
 }

@@ -891,4 +891,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 / 2 % 5 == 0),
       "perturbed pairs must still be found within the radius")
   }
+
+  // Independent replay of the cross-modal verdict report at sf0.001:
+  // recompute every modality's signatures OUTSIDE the query path
+  // (image hashes straight from the codec functions — not the query's
+  // private corpus helper — audio/video via their private[graft]
+  // corpus rules), fold the exact>near>keep tiers in plain Scala, and
+  // require the engine's frame to match row-for-row. Pins the
+  // precedence rule (an exact doc reports its earliest EXACT partner),
+  // the earlier-doc keep discipline, and the modality split.
+  test("mm_dedup_verdict_report: independent tier replay at sf0.001") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ids = Tables.documents(spark, dir)
+      .select("doc_id").as[Long].collect().sorted
+
+    def imgHash(id: Long): Long = {
+      val gid = id / 2
+      val pcell =
+        if (id % 2 == 1 && gid % 5 == 0)
+          Some(((gid % 8).toInt, (gid % 9).toInt))
+        else None
+      val px = Multimodal.synthGrayImage(gid, 19, 17, pcell, 128)
+      if (id % 2 == 0) {
+        val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
+        Multimodal.dhash64(p.width, p.height, p.pixels)
+      } else {
+        val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
+        Multimodal.dhash64(b.width, b.height, b.pixels)
+      }
+    }
+    // exact>near precedence fold over a per-doc 64-bit signature
+    def sigTier(sub: Array[Long], hash: Long => Long)
+        : Map[Long, (String, Option[Long])] = {
+      val hs = sub.map(id => id -> hash(id)).toMap
+      sub.map { id =>
+        val earlier = sub.filter(_ < id)
+        val exact = earlier.filter(p => hs(p) == hs(id)).minOption
+        val near = earlier.filter(p =>
+          java.lang.Long.bitCount(hs(p) ^ hs(id)) <= 3).minOption
+        id -> (if (exact.isDefined) ("exact", exact)
+               else if (near.isDefined) ("near", near)
+               else ("keep", None))
+      }.toMap
+    }
+    val imgExp = sigTier(ids.filter(id => (id / 2) % 3 == 0), imgHash)
+    val audExp = sigTier(ids.filter(id => (id / 2) % 3 == 1),
+      graft.queries.MultimodalQueries.audioFingerprintOf)
+
+    val vidsIds = ids.filter(id => (id / 2) % 3 == 2)
+    val kf = vidsIds.map(id => id ->
+      graft.queries.MultimodalQueries.videoKeyframeHashes(id)
+        .map(_._2)).toMap
+    val vidExp = vidsIds.map { v =>
+      val cand = vidsIds.filter(_ < v).flatMap { u =>
+        val hs = for { a <- kf(u); b <- kf(v)
+          d = java.lang.Long.bitCount(a ^ b) if d <= 3 } yield d
+        if (hs.length >= 2) Some((u, hs.max)) else None
+      }
+      val exact = cand.filter(_._2 == 0).map(_._1).minOption
+      val near = cand.map(_._1).minOption
+      v -> (if (exact.isDefined) ("exact", exact)
+            else if (near.isDefined) ("near", near)
+            else ("keep", None))
+    }.toMap
+
+    val expected = (imgExp.map { case (id, v) => (id, "image", v) } ++
+      audExp.map { case (id, v) => (id, "audio", v) } ++
+      vidExp.map { case (id, v) => (id, "video", v) })
+      .map { case (id, m, (verdict, dup)) => (id, m, verdict, dup) }.toSet
+
+    val got = graft.queries.MultimodalQueries
+      .defs("mm_dedup_verdict_report").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got.size == ids.length, "one verdict row per doc")
+    assert(got == expected)
+    // the corpus must exercise every tier in at least one modality
+    Seq("exact", "near", "keep").foreach { v =>
+      assert(got.exists(_._3 == v), s"tier $v never fired at sf0.001")
+    }
+  }
 }
