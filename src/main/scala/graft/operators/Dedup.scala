@@ -1065,6 +1065,20 @@ object Dedup {
     else (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)).toArray
   }
 
+  /** The chunk-pair band VALUE of a signature for combo (i, j) — the
+    * scalar twin of [[simhashChunks]]'s Column expression (chunk i in
+    * the high byte, chunk j low), single-sourced for the streaming
+    * legs (Streaming.simhashDedupStream / hashDedupStream) so the bit
+    * layout cannot drift from the batch explode; DedupSpec pins the
+    * Column-vs-scalar equality. */
+  def chunkPairVal(sig: Long, i: Int, j: Int): Long =
+    (((sig >>> (i * 8)) & 0xFFL) << 8) | ((sig >>> (j * 8)) & 0xFFL)
+
+  /** One packed bucket key per (band idx, band value) — the streaming
+    * engine's composite state key. cval occupies 16 bits (a
+    * [[chunkPairVal]]), so idx << 16 is collision-free across bands. */
+  def packBandKey(idx: Int, cval: Long): Long = idx.toLong << 16 | cval
+
   /** The chunk-band form of a SimHash signature frame — one (doc_id,
     * simhash, cidx, cval) row per band key from [[chunkPairCombos]]'s
     * tier rule (4 disjoint 16-bit chunk pairs for maxDist <= 3, all

@@ -668,9 +668,12 @@ object Streaming {
         val lowered = UTF8String.fromString(d.text).toLowerCase.toString
         val sig = graft.operators.Dedup.simhashOf(lowered, baseHash)
         combos.iterator.zipWithIndex.map { case ((i, j), idx) =>
-          val cval = (((sig >>> (i * 8)) & 0xFFL) << 8) | ((sig >>> (j * 8)) & 0xFFL)
-          // composite bucket key: comboIdx in the high bits, collision-free
-          (idx.toLong << 16 | cval, idx, d.docId, d.tsUs, Array(sig),
+          // composite bucket key: comboIdx in the high bits, collision-
+          // free; bit layout single-sourced in Dedup.chunkPairVal/
+          // packBandKey (the batch simhashChunks layout)
+          (graft.operators.Dedup.packBandKey(idx,
+              graft.operators.Dedup.chunkPairVal(sig, i, j)),
+            idx, d.docId, d.tsUs, Array(sig),
             new java.sql.Timestamp(d.tsUs / 1000))
         }
       }
@@ -702,8 +705,9 @@ object Streaming {
     val combos = graft.operators.Dedup.chunkPairCombos(maxDist)
     val bandRows = ds.flatMap { case (did, tsUs, sig) =>
       combos.iterator.zipWithIndex.map { case ((i, j), idx) =>
-        val cval = (((sig >>> (i * 8)) & 0xFFL) << 8) | ((sig >>> (j * 8)) & 0xFFL)
-        (idx.toLong << 16 | cval, idx, did, tsUs, Array(sig),
+        (graft.operators.Dedup.packBandKey(idx,
+            graft.operators.Dedup.chunkPairVal(sig, i, j)),
+          idx, did, tsUs, Array(sig),
           new java.sql.Timestamp(tsUs / 1000))
       }
     }.toDF("bucket", "bidx", "docId", "tsUs", "sig", "eventTs")

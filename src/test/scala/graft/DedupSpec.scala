@@ -854,4 +854,36 @@ class DedupSpec extends AnyFunSuite {
     assert(passed < allPairs / 100,
       s"screen passed $passed of $allPairs pairs — no pruning")
   }
+
+  // The band bit layout exists twice by necessity — a Column
+  // expression in the batch explode (simhashChunks) and a scalar in
+  // the streaming legs (chunkPairVal/packBandKey) — so this spec is
+  // the bridge: for hostile signatures and BOTH tier rules, the
+  // explode's (cidx, cval) rows must equal the scalar replay, and the
+  // packed key must round-trip idx/cval collision-free.
+  test("chunkPairVal/packBandKey: scalar layout == simhashChunks explode") {
+    import spark.implicits._
+    val sigs = Seq(0L, -1L, Long.MinValue, Long.MaxValue,
+      0x0123456789ABCDEFL, 0xFF00FF00FF00FF00L, 42L, -42L)
+    val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "simhash")
+    for (maxDist <- Seq(3, 6)) {
+      val combos = Dedup.chunkPairCombos(maxDist)
+      val got = Dedup.simhashChunks(df, maxDist)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+      val want = (for {
+        (s, i) <- sigs.zipWithIndex
+        ((ci, cj), idx) <- combos.zipWithIndex
+      } yield (i.toLong, idx, Dedup.chunkPairVal(s, ci, cj))).toSet
+      assert(got == want, s"maxDist=$maxDist layout drift")
+      // packed keys: idx and the 16-bit cval unpack losslessly, so
+      // distinct (idx, cval) can never share a bucket
+      want.foreach { case (_, idx, cv) =>
+        val k = Dedup.packBandKey(idx, cv)
+        assert((k >> 16).toInt == idx && (k & 0xFFFFL) == cv,
+          s"pack($idx, $cv) = $k does not round-trip")
+      }
+    }
+  }
 }
