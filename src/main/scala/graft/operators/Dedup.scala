@@ -956,7 +956,24 @@ object Dedup {
     * `maxBucket` is the hot-chunk guard: a degenerate band value
     * shared by B docs yields B^2/2 candidates; buckets above the cap
     * are subsampled to ~`maxBucket` expected members (md5 threshold,
-    * see capBuckets) before the join. */
+    * see capBuckets) before the join.
+    *
+    * FORM SELECTION RULE (r13, measured — tools/SimhashSkewProbe): for
+    * SELF-pair mining prefer [[simhashPairsBucketed]]. On the text
+    * tier (radius 6, both forms capped at [[SimhashHotBucketCap]]) the
+    * two forms measure within ±30% of each other across 100k/1M/5M
+    * docs and clean/boilerplate regimes (join/bucketed wall ratio
+    * 1.88, 2.65, 0.95, 1.29, 1.23, 0.98) — the capped candidate
+    * volume, identical in both plans, is the binding cost, not the
+    * plan form. What decides: REAL text-simhash populations are
+    * extremely skewed (sf0.1 corpus: per-bit marginal |p-0.5| up to
+    * 0.494, one band bucket holding 9.2% of all docs), and on such
+    * populations the UNCAPPED join is the form that filled the disk at
+    * 15M docs (SCALE.md r12) — the bucketed form is capped BY DEFAULT,
+    * this form is unbounded by default. The join form remains the
+    * right shape where the two sides differ (the incremental
+    * index-vs-batch family: the index enters the plan only via the
+    * band join, no collect_list of index buckets). */
   def simhashPairs(sigs: DataFrame, maxDist: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val exploded = capBuckets(simhashChunks(sigs, maxDist),
@@ -1438,11 +1455,16 @@ object Dedup {
     survivors(df, id, minhashLshPairs(sigs, perms, bands, estThreshold, maxBucket))
   }
 
-  /** SimHash keep-list: [[simhash]] -> [[simhashPairs]] ->
-    * [[survivors]]. */
+  /** SimHash keep-list: [[simhash]] -> [[simhashPairsBucketed]] ->
+    * [[survivors]] — the in-bucket form per the r13 self-pair rule
+    * (see [[simhashPairs]]); r13 also fixed `maxBucket` being silently
+    * dropped (it was never forwarded to the pair miner) and gave it
+    * the family's capped default. */
   def simhashSurvivors(df: DataFrame, text: Column, id: Column, maxDist: Int,
-      maxBucket: Int = Int.MaxValue, baseHash: BaseHash = XxHash): DataFrame =
-    survivors(df, id, simhashPairs(simhash(df, text, id, baseHash), maxDist))
+      maxBucket: Int = SimhashHotBucketCap,
+      baseHash: BaseHash = XxHash): DataFrame =
+    survivors(df, id,
+      simhashPairsBucketed(simhash(df, text, id, baseHash), maxDist, maxBucket))
 
   /** Bits of md5 prefix the hot-bucket keep rule thresholds on: 6 hex
     * chars = 24 bits keeps the Long product `hash * bucket_size`

@@ -814,12 +814,16 @@ object DocQueries {
 
     // SimHash near-dups: hamming <= 6 over chunk-pair bands (exact
     // coverage by pigeonhole), portable hash, brute-force oracle.
+    // r13: IN-BUCKET form per the measured self-pair rule (text
+    // populations are cap-dependent skewed — Dedup.simhashPairs
+    // scaladoc / SCALE.md r13); the default cap cannot trip below
+    // 4096 docs sharing a band value, so the brute oracle stays exact.
     "doc_simhash" -> QueryDef(
       s"""WITH $SIMHASH_PAIRS_CTES
          |SELECT a_id, b_id, hamming FROM pairs""".stripMargin) { (s, dir) =>
       val sigs = Dedup.simhash(Tables.documents(s, dir), col("text"),
         col("doc_id"), baseHash = Dedup.Md5Prefix)
-      Dedup.simhashPairs(sigs, maxDist = 6)
+      Dedup.simhashPairsBucketed(sigs, maxDist = 6)
     },
 
     // Streaming twin of doc_dedup_exact under the driver's EXACT

@@ -64,9 +64,12 @@ object MultimodalQueries {
     * min-fold (mm_phash_stream), and the cross-modal verdict report
     * (image leg, via `pred`), so the oracles cannot drift. `pairs` =
     * all (a_id < b_id) within hamming 3 of the replayed corpus rule
-    * (gid-paired docs, every 5th gid's odd twin perturbed +128 at its
-    * sampled cell). `pred` filters the doc universe (default: all). */
-  private def PHASH_PAIRS_CTES(pred: String = "TRUE"): String =
+    * (gid-paired docs, every 5th gid's odd twin perturbed +`delta` at
+    * its sampled cell — 128 for the dHash corpus, 24 when the
+    * agreement query reads the DCT corpus with both hashes). `pred`
+    * filters the doc universe (default: all). */
+  private def PHASH_PAIRS_CTES(pred: String = "TRUE",
+      delta: Int = 128): String =
     s"""q AS (
       |  SELECT doc_id AS id, doc_id // 2 AS gid,
       |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
@@ -79,7 +82,7 @@ object MultimodalQueries {
       |  SELECT id, cy, cx,
       |    CASE WHEN pert AND cy = gid % 8 AND cx = gid % 9
       |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
-      |             + (gid // 256) * (59 * i + 17)) % 256 + 128) % 256
+      |             + (gid // 256) * (59 * i + 17)) % 256 + $delta) % 256
       |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
       |             + (gid // 256) * (59 * i + 17)) % 256
       |    END AS l
@@ -90,6 +93,59 @@ object MultimodalQueries {
       |  FROM g a JOIN g b2 ON b2.id = a.id AND b2.cy = a.cy
       |    AND b2.cx = a.cx + 1
       |  WHERE a.cx < 8),
+      |pairs AS (
+      |  SELECT x.id AS a_id, y.id AS b_id,
+      |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
+      |  GROUP BY 1, 2 HAVING hamming <= 3)""".stripMargin
+
+  /** Single-sourced CTE chain for the DCT-hash near-dup pair set over
+    * the delta=24 corpus (gid-paired docs, PNG vs BMP per parity,
+    * every 5th gid's odd twin perturbed +24 at one sampled cell) — the
+    * deepest formula replay in the family: the 32x32 sampled-luma
+    * grid, the separable fixed-point DCT-II against the SAME 256
+    * integer cosine literals the Scala side uses ([[dctCosValues]]),
+    * the median as an exact order statistic (row_number 32 of 63), and
+    * ALL-pairs hamming <= 3. Consumed by mm_phash_dct_dups and the
+    * dHash/DCT agreement query. Every arithmetic step is exact integer
+    * (|co| <= 255*32^2*2^28 ~ 7.0e16 < 2^63 on the JVM; DuckDB sums in
+    * HUGEINT), so the hash compare is bit-exact. */
+  private def DCT_PAIRS_CTES(pred: String = "TRUE"): String =
+    s"""ct(u, x, c) AS (VALUES $dctCosValues),
+      |q AS (
+      |  SELECT doc_id AS id, doc_id // 2 AS gid,
+      |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
+      |  FROM documents WHERE $pred),
+      |v AS (
+      |  SELECT q.id, q.gid, q.pert, gy, gx,
+      |    (gy * 17 // 32) * 19 + (gx * 19 // 32) AS i,
+      |    ((q.gid % 8) * 17 // 8) * 19 + ((q.gid % 9) * 19 // 9) AS pidx
+      |  FROM q, unnest(range(0, 32)) AS ry(gy), unnest(range(0, 32)) AS rx(gx)),
+      |g AS (
+      |  SELECT id, gy, gx,
+      |    CASE WHEN pert AND i = pidx
+      |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
+      |             + (gid // 256) * (59 * i + 17)) % 256 + 24) % 256
+      |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
+      |             + (gid // 256) * (59 * i + 17)) % 256
+      |    END AS l
+      |  FROM v),
+      |s1 AS (
+      |  SELECT g.id, ct.u, g.gy, sum(g.l * ct.c) AS s
+      |  FROM g JOIN ct ON ct.x = g.gx GROUP BY 1, 2, 3),
+      |co AS (
+      |  SELECT s1.id, s1.u, ct.u AS v2, sum(s1.s * ct.c) AS co
+      |  FROM s1 JOIN ct ON ct.x = s1.gy GROUP BY 1, 2, 3),
+      |ac AS (
+      |  SELECT id, u, v2, co,
+      |    row_number() OVER (PARTITION BY id ORDER BY co) AS rn
+      |  FROM co WHERE NOT (u = 0 AND v2 = 0)),
+      |med AS (SELECT id, co AS m FROM ac WHERE rn = 32),
+      |b AS (
+      |  SELECT ac.id, ac.u * 8 + ac.v2 - 1 AS i,
+      |    CASE WHEN ac.co > med.m THEN 1 ELSE 0 END AS bit
+      |  FROM ac JOIN med ON med.id = ac.id),
       |pairs AS (
       |  SELECT x.id AS a_id, y.id AS b_id,
       |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
@@ -796,59 +852,14 @@ object MultimodalQueries {
     // engines identically), but the hash is Multimodal.phashDct64: a
     // separable fixed-point 2D DCT-II over a 32x32 nearest-resize,
     // bits = coefficient > median of the 63 non-DC coefficients. The
-    // oracle is the deepest formula replay in the multimodal family:
-    // the 32x32 sampled-luma grid (src = (gy*17//32)*19 + gx*19//32),
-    // the ROW pass s1(u, gy) = sum_gx l*C(u, gx) and COLUMN pass
-    // co(u, v) = sum_gy s1*C(v, gy) against the SAME 256 integer
-    // cosine literals the Scala side uses (dctCosValues — the SRP
-    // hyperplane discipline), the median as an exact order statistic
-    // (row_number = 32 of 63, no quantile-interpolation ambiguity),
-    // and ALL-pairs hamming <= 3 — exact vs the engine's 4-band
+    // oracle is the single-sourced DCT_PAIRS_CTES formula replay —
+    // ALL-pairs hamming <= 3, exact vs the engine's 4-band
     // disjoint-pair banding by pigeonhole, and the 1024 cap cannot
     // trip below 1024 docs sharing a band value (impossible at the
-    // 500-doc grading corpus). Every arithmetic step is exact
-    // integer (|co| <= 255*32^2*2^28 ~ 7.0e16 < 2^63 on the JVM;
-    // DuckDB sums in HUGEINT), so the hash compare is bit-exact.
+    // 500-doc grading corpus).
     "mm_phash_dct_dups" -> QueryDef(
-      s"""WITH ct(u, x, c) AS (VALUES $dctCosValues),
-        |q AS (
-        |  SELECT doc_id AS id, doc_id // 2 AS gid,
-        |    (doc_id % 2 = 1 AND (doc_id // 2) % 5 = 0) AS pert
-        |  FROM documents),
-        |v AS (
-        |  SELECT q.id, q.gid, q.pert, gy, gx,
-        |    (gy * 17 // 32) * 19 + (gx * 19 // 32) AS i,
-        |    ((q.gid % 8) * 17 // 8) * 19 + ((q.gid % 9) * 19 // 9) AS pidx
-        |  FROM q, unnest(range(0, 32)) AS ry(gy), unnest(range(0, 32)) AS rx(gx)),
-        |g AS (
-        |  SELECT id, gy, gx,
-        |    CASE WHEN pert AND i = pidx
-        |      THEN (((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
-        |             + (gid // 256) * (59 * i + 17)) % 256 + 24) % 256
-        |      ELSE ((gid * 31 + i) * 97 + (gid * 7 + 13) * i * i
-        |             + (gid // 256) * (59 * i + 17)) % 256
-        |    END AS l
-        |  FROM v),
-        |s1 AS (
-        |  SELECT g.id, ct.u, g.gy, sum(g.l * ct.c) AS s
-        |  FROM g JOIN ct ON ct.x = g.gx GROUP BY 1, 2, 3),
-        |co AS (
-        |  SELECT s1.id, s1.u, ct.u AS v2, sum(s1.s * ct.c) AS co
-        |  FROM s1 JOIN ct ON ct.x = s1.gy GROUP BY 1, 2, 3),
-        |ac AS (
-        |  SELECT id, u, v2, co,
-        |    row_number() OVER (PARTITION BY id ORDER BY co) AS rn
-        |  FROM co WHERE NOT (u = 0 AND v2 = 0)),
-        |med AS (SELECT id, co AS m FROM ac WHERE rn = 32),
-        |b AS (
-        |  SELECT ac.id, ac.u * 8 + ac.v2 - 1 AS i,
-        |    CASE WHEN ac.co > med.m THEN 1 ELSE 0 END AS bit
-        |  FROM ac JOIN med ON med.id = ac.id)
-        |SELECT x.id AS a_id, y.id AS b_id,
-        |  CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS hamming
-        |FROM b x JOIN b y ON y.i = x.i AND x.id < y.id
-        |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin) { (s, dir) =>
+      s"""WITH ${DCT_PAIRS_CTES()}
+        |SELECT a_id, b_id, hamming FROM pairs""".stripMargin) { (s, dir) =>
       import graft.operators.Dedup
       Dedup.simhashPairsBucketed(
         perceptualHashes(s, dir, 24, Multimodal.phashDct64),
@@ -926,6 +937,53 @@ object MultimodalQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.simhashPairsBucketed(hashes, maxDist = 3, maxBucket = 1024)
         .withColumn("hamming", col("hamming").cast("long"))
+    },
+
+    // dHASH vs DCT AGREEMENT (r13): the method-agreement discipline of
+    // doc_dedup_verdict_report applied to the image family — r12's JDK
+    // differential showed the two hashes complementary BY REGIME
+    // (dHash tracks local gradients, DCT low-frequency structure), and
+    // this grades that claim per pair: ONE corpus (the DCT query's
+    // delta=24 rule) hashed BOTH ways, each hash's near-dup pair set
+    // mined through the same banded machinery, full-outer-joined. The
+    // production read: (T,T) pairs are safe under either hash, (T,F)/
+    // (F,T) pairs are what switching hashes would gain/lose. On this
+    // corpus the +24 single-pixel class lands 245 (T,T) + 5 (T,F) at
+    // sf0.01 — dHash tolerates small luma shifts that push the DCT
+    // spectrum past the radius; the (F,T) regime (blur/low-frequency-
+    // preserving edits) is pinned by the r12 JDK-differential spec,
+    // which is unit-level by necessity (JDK JPEG is not SQL-replayable).
+    // Oracle: the two single-sourced chains (PHASH_PAIRS_CTES at delta
+    // 24, DCT_PAIRS_CTES) spliced as nested-WITH CTEs, same outer join.
+    "mm_phash_agreement" -> QueryDef(
+      s"""WITH dp AS (
+        |  WITH ${PHASH_PAIRS_CTES("TRUE", 24)}
+        |  SELECT a_id, b_id, hamming FROM pairs),
+        |cp AS (
+        |  WITH ${DCT_PAIRS_CTES()}
+        |  SELECT a_id, b_id, hamming FROM pairs)
+        |SELECT coalesce(d.a_id, c.a_id) AS a_id,
+        |  coalesce(d.b_id, c.b_id) AS b_id,
+        |  d.a_id IS NOT NULL AS dhash_dup, c.a_id IS NOT NULL AS dct_dup,
+        |  d.hamming AS d_hamming, c.hamming AS c_hamming
+        |FROM dp d FULL OUTER JOIN cp c
+        |  ON d.a_id = c.a_id AND d.b_id = c.b_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      val dh = Dedup.simhashPairsBucketed(
+          perceptualHashes(s, dir, 24, Multimodal.dhash64),
+          maxDist = 3, maxBucket = 1024)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("long").as("d_hamming"))
+      val ch = Dedup.simhashPairsBucketed(
+          perceptualHashes(s, dir, 24, Multimodal.phashDct64),
+          maxDist = 3, maxBucket = 1024)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("long").as("c_hamming"))
+      dh.join(ch, Seq("a_id", "b_id"), "full_outer")
+        .select(col("a_id"), col("b_id"),
+          col("d_hamming").isNotNull.as("dhash_dup"),
+          col("c_hamming").isNotNull.as("dct_dup"),
+          col("d_hamming"), col("c_hamming"))
     },
 
     // STREAMING PERCEPTUAL DEDUP (r12): the image near-dup at INGEST
