@@ -1143,9 +1143,29 @@ object Dedup {
     * keep unconditionally. */
   def incrementalNearDupSimhash(newDocs: DataFrame, text: Column, id: Column,
       indexSigs: DataFrame, maxDist: Int = 6, baseHash: BaseHash = XxHash,
-      indexChunks: Option[DataFrame] = None): DataFrame = {
-    val bsig = simhash(newDocs, text, id, baseHash)
-    val bb = simhashChunks(bsig, maxDist)
+      indexChunks: Option[DataFrame] = None): DataFrame =
+    incrementalNearDupHashes(simhash(newDocs, text, id, baseHash),
+      indexSigs, maxDist, indexChunks,
+      // null-text docs have no signature row but still keep
+      // unconditionally: the verdict universe is ALL new docs
+      universe = Some(newDocs.select(id.cast("long").as("doc_id"))))
+
+  /** [[incrementalNearDupSimhash]] over PRECOMPUTED 64-bit Hamming
+    * signatures — the perceptual-media leg of the incremental family
+    * (what [[Streaming.hashDedupStream]]'s precomputed-signature leg
+    * is to the streaming twins): the caller has already decoded media
+    * and hashed it (image dHash / DCT hash, audio fingerprint), and
+    * this supplies the index-vs-batch verdict. Both frames are
+    * (doc_id, simhash). The index enters the plan ONLY via the
+    * (cidx, cval) band join (the join form — the shape the r13
+    * self-pair rule explicitly keeps for two-sided legs); signatures
+    * ride the band rows, so no signature re-join. `universe`
+    * (optional) is the verdict frame — docs present there but absent
+    * from `batchSigs` (unsignable) keep unconditionally. */
+  def incrementalNearDupHashes(batchSigs: DataFrame, indexSigs: DataFrame,
+      maxDist: Int, indexChunks: Option[DataFrame] = None,
+      universe: Option[DataFrame] = None): DataFrame = {
+    val bb = simhashChunks(batchSigs, maxDist)
     val ib = indexChunks.getOrElse(simhashChunks(indexSigs, maxDist))
       .select(col("doc_id").as("i_id"), col("simhash").as("i_sim"),
         col("cidx").as("i_cidx"), col("cval").as("i_cval"))
@@ -1166,7 +1186,7 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("doc_id")).distinct()
       .withColumn("dup_batch", lit(true))
-    newDocs.select(id.cast("long").as("doc_id"))
+    universe.getOrElse(batchSigs).select(col("doc_id"))
       .join(idxDup, Seq("doc_id"), "left")
       .join(selfDup, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -986,6 +986,47 @@ object MultimodalQueries {
           col("d_hamming"), col("c_hamming"))
     },
 
+    // INCREMENTAL PERCEPTUAL DEDUP (r13): the persistent-index leg the
+    // media family was missing — what doc_dedup_incremental_simhash is
+    // for text, this is for images: an accumulated perceptual index
+    // (decode+dHash of the already-ingested side, bucketable on the
+    // band keys) meets a new batch, and each batch doc reports
+    // dup_of_index / dup_of_batch_earlier / keep. The side split is
+    // the doc family's md5 rule (replayable in SQL); the batch-side
+    // hashes are dHashes of real-codec decodes (the mm_phash_dups
+    // corpus). The index enters the plan ONLY via the band join (the
+    // r13 form rule's two-sided shape); banding is pigeonhole-exact at
+    // hamming <= 3, so the oracle compares ALL pairs from the
+    // single-sourced chain with no banding replay, split by side.
+    "mm_phash_incremental" -> QueryDef(
+      s"""WITH ${PHASH_PAIRS_CTES()},
+        |side AS (SELECT doc_id,
+        |    substr(md5(doc_id::VARCHAR), 1, 1) < 'a' AS is_idx
+        |  FROM documents),
+        |pboth AS (SELECT a_id AS x, b_id AS y FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |di AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+        |  JOIN side sx ON p.x = sx.doc_id
+        |  JOIN side sy ON p.y = sy.doc_id
+        |  WHERE NOT sx.is_idx AND sy.is_idx),
+        |db AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+        |  JOIN side sa ON a_id = sa.doc_id
+        |  JOIN side sb2 ON b_id = sb2.doc_id
+        |  WHERE NOT sa.is_idx AND NOT sb2.is_idx)
+        |SELECT d.doc_id,
+        |  d.doc_id IN (SELECT doc_id FROM di) AS dup_of_index,
+        |  d.doc_id IN (SELECT doc_id FROM db) AS dup_of_batch_earlier,
+        |  d.doc_id NOT IN (SELECT doc_id FROM di)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM db) AS keep
+        |FROM documents d JOIN side ON d.doc_id = side.doc_id
+        |WHERE NOT side.is_idx""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      val hashes = perceptualHashes(s, dir, 128, Multimodal.dhash64)
+      val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Dedup.incrementalNearDupHashes(hashes.filter(side >= "a"),
+        hashes.filter(side < "a"), maxDist = 3)
+    },
+
     // STREAMING PERCEPTUAL DEDUP (r12): the image near-dup at INGEST
     // time — the Kappa twin of mm_phash_dups, the way
     // doc_simhash_stream twins doc_simhash. Documents arrive as a

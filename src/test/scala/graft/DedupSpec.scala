@@ -855,6 +855,28 @@ class DedupSpec extends AnyFunSuite {
       s"screen passed $passed of $allPairs pairs — no pruning")
   }
 
+  test("incrementalNearDupHashes: index/earlier-batch/keep + universe rule") {
+    import spark.implicits._
+    val idx = Seq((100L, 0L)).toDF("doc_id", "simhash")
+    val batch = Seq(
+      (1L, 0L),                    // hamming 0 vs index
+      (2L, 7L),                    // hamming 3 vs index AND vs batch doc 1
+      (3L, 0x5555555555555555L)    // far from everything
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.incrementalNearDupHashes(batch, idx, maxDist = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((true, false, false)))  // index dup, no earlier batch
+    assert(got(2L) == ((true, true, false)))   // both legs fire
+    assert(got(3L) == ((false, false, true)))  // keeper
+    // universe rule: a doc with no signature row keeps unconditionally
+    val universe = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val withU = Dedup.incrementalNearDupHashes(batch, idx, maxDist = 3,
+        universe = Some(universe))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(withU.keySet == Set(1L, 2L, 3L, 4L) && withU(4L))
+  }
+
   // The band bit layout exists twice by necessity — a Column
   // expression in the batch explode (simhashChunks) and a scalar in
   // the streaming legs (chunkPairVal/packBandKey) — so this spec is
