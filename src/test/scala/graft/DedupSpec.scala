@@ -877,6 +877,37 @@ class DedupSpec extends AnyFunSuite {
     assert(withU.keySet == Set(1L, 2L, 3L, 4L) && withU(4L))
   }
 
+  // The production shape of the perceptual index: the BANDED index
+  // table (simhashChunks) lives in a BucketedStore bucketed on its
+  // join keys, and the incremental verdict consumes it via
+  // indexChunks. Passing an EMPTY indexSigs alongside proves the index
+  // enters the plan only through the chunks frame.
+  test("incrementalNearDupHashes consumes a stored bucketed band index") {
+    import spark.implicits._
+    val idxHashes = (0 until 40)
+      .map(i => (1000L + i, i.toLong * 0x9E3779B97F4A7C15L ^ (i.toLong << 7)))
+      .toDF("doc_id", "simhash")
+    val h5 = 5L * 0x9E3779B97F4A7C15L ^ (5L << 7)
+    val batch = Seq(
+      (1L, h5),            // exact vs index doc 1005
+      (2L, h5 ^ 0x13L),    // hamming 3 vs index doc 1005
+      (3L, 0x0F0F0F0F0F0F0F0FL)).toDF("doc_id", "simhash")
+    val direct = Dedup.incrementalNearDupHashes(batch, idxHashes, maxDist = 3)
+      .collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    graft.sources.BucketedStore.write(
+      Dedup.simhashChunks(idxHashes, maxDist = 3),
+      "graft_test_phash_idx", s"$tmp/idx", Seq("cidx", "cval"), buckets = 4)
+    val emptySigs = Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+    val viaStore = Dedup.incrementalNearDupHashes(batch, emptySigs,
+        maxDist = 3, indexChunks = Some(
+          graft.sources.BucketedStore.read(spark, "graft_test_phash_idx")))
+      .collect().map(_.toSeq).toSet
+    assert(viaStore == direct)
+    assert(direct.exists(r => r(0) == 1L && r(1) == true),
+      "exact index dup must be flagged")
+  }
+
   // The band bit layout exists twice by necessity — a Column
   // expression in the batch explode (simhashChunks) and a scalar in
   // the streaming legs (chunkPairVal/packBandKey) — so this spec is

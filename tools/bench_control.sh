@@ -28,9 +28,12 @@ trap 'cd "$REPO" && git worktree remove --force "$WT" 2>/dev/null || true' EXIT
 
 cd "$WT"
 # sbt in the worktree reuses the shared coursier/ivy caches; the build
-# itself is the previous round's bytes, bit-for-bit.
-SPARK_GRAFT_SF_DIR="$SF_DIR" sbt --error "runMain graft.Bench" \
-  | grep '"metric"' > /tmp/bench_base_r${ROUND}.out
+# itself is the previous round's bytes, bit-for-bit. NOTE: do not use
+# `sbt --error` here — it suppresses the forked run's [info]-level
+# stdout, so the metric lines never appear (r13 lesson: the first
+# control run burned 24 minutes and grep'd nothing).
+SPARK_GRAFT_SF_DIR="$SF_DIR" sbt --batch "runMain graft.Bench" \
+  | grep '"metric"' | sed 's/^\[info\] //' > /tmp/bench_base_r${ROUND}.out
 
 head -1 /tmp/bench_base_r${ROUND}.out > "$REPO/BENCH_BASE_r${ROUND}.json"
 echo "[control] wrote BENCH_BASE_r${ROUND}.json ($(
