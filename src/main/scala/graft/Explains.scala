@@ -78,9 +78,9 @@ object Explains {
       "emb_pagerank" -> "kNN PageRank: three power-iteration rounds, each one edge-keyed join + one neighbor-keyed HashAggregate over bare (id, long) rows — the CC execution family; the kNN graph feeds it once via in-bucket scoring (no pair materialization), and the final rank is a RANGE-partitioned sort + zipWithIndex — no single-partition window anywhere (the plan below ends at the distributed sort; the rank map rides on its partitions)",
       "mm_phash_dups" -> "perceptual image near-dup: decode + dHash runs ONCE — the (doc_id, simhash) frame is persisted, so the band machinery's consumers are all InMemoryTableScans over one MapElements pass; at the hamming<=3 radius the 4 DISJOINT chunk-pair bands explode from the 64-bit hash in a codegen'd projection (1/7 the band rows of the C(8,2) set), pairs are popcount-verified INSIDE each capped bucket's collect_list group (the knnGraph shape — candidates never shuffled, sorted, or joined), and the rank-free cap guard adds NO window sort anywhere",
       "mm_keyframes" -> "keyframe detection: the WHOLE operator is one SerializeFromObject <- MapPartitions <- DeserializeToObject pipeline over the documents scan — a clip's frames arrive as one row, so decode, per-frame dHash, and the temporal lag all happen inside the typed flatMap with ZERO exchanges; the scan reads only doc_id (pruned ReadSchema)",
-      "mm_video_dups" -> "video-level near-dup: keyframe extraction (decode + per-frame dHash + detection rule) is the same zero-exchange typed flatMap as mm_keyframes, emitting only ~3 (video, keyframe-hash) rows per clip; those ride the shared in-bucket band machinery (one exchange into capped collect_list groups), and the video-pair rollup is one hash aggregate over bare (a_vid, b_vid) longs — the temporal dimension never shuffles, the corpus scales by |scenes| not |frames|",
+      "mm_video_dups" -> "video-level near-dup: keyframe extraction (decode + per-frame dHash + detection rule) is the mm_keyframes typed flatMap planned on a bare-id spread exchange (r13: the grading corpus is ONE scan partition, so the expensive decode map must take the session's parallelism, not the scan's — SCALE.md), emitting only ~3 (video, keyframe-hash) rows per clip; those ride the shared in-bucket band machinery (one exchange into capped collect_list groups), and the video-pair rollup is one hash aggregate over bare (a_vid, b_vid) longs — a clip's frames still never shuffle, the corpus scales by |scenes| not |frames|",
       "emb_knn_graph" -> "corpus kNN graph, in-bucket scoring: ONE exchange of (tbl, bkt, id, embedding) rows into an ObjectHashAggregate collect_list per capped bucket, pairwise cosines inside the bucket group (typed flatMap fold), then the map-side-combined per-src top-k aggregate — candidate pairs are never shuffled, sorted, distinct'd, or joined; the only pair-sized thing in the plan is an iterator",
-      "mm_dedup_verdict_report" -> "cross-modal dedup verdict roll-up: three modality legs over ONE documents scan family, each a pruned doc_id-only scan -> typed decode+hash map -> the shared in-bucket band machinery -> a per-doc tier fold (two min aggregates) -> left join on bare ids; the legs union AFTER folding, so nothing wider than (doc_id, two longs) crosses a leg's last exchange and the three decode maps never see each other's rows",
+      "mm_dedup_verdict_report" -> "cross-modal dedup verdict roll-up: three modality legs over ONE documents scan family, each a pruned doc_id-only scan -> bare-id spread exchange (the decode map takes the session's parallelism, not the single-file scan's) -> typed decode+hash map -> the shared in-bucket band machinery -> a per-doc tier fold (two min aggregates) -> left join on bare ids; the legs union AFTER folding, so nothing wider than (doc_id, two longs) crosses a leg's last exchange and the three decode maps never see each other's rows",
       "mm_phash_agreement" -> "dHash/DCT agreement: the SAME corpus decoded twice (two independent persisted hash frames — the two decode passes are the honest cost of hashing two ways), each feeding the shared banded in-bucket miner, then ONE full-outer SortMergeJoin on bare (a_id, b_id) pairs — output-sized inputs on both sides; no decode or hash work downstream of the two persisted frames",
       "mm_phash_incremental" -> "incremental perceptual dedup: ONE persisted decode+hash frame feeds both sides (InMemoryTableScans), the index enters the plan ONLY via the (cidx, cval) band join — signatures ride the band rows, no signature re-join anywhere — and verdict assembly is two left joins on bare ids; at production scale the index side is the band table stored bucketed on its join keys, so it never re-shuffles")
 

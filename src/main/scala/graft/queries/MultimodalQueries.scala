@@ -44,6 +44,20 @@ object MultimodalQueries {
     }
   }
 
+  /** Document ids SPREAD ACROSS the session's full parallelism —
+    * mandatory in front of every expensive per-doc decode map (r13):
+    * the grading corpus is ONE small parquet file = one scan
+    * partition, so a decode map planned directly on the scan runs
+    * single-threaded — invisible on cheap maps, a measured 30x wall
+    * penalty on real-codec decodes (mm_phash_lossy_dups 15.5 -> ~1 s;
+    * SCALE.md r13). The exchange ships bare longs, hash-placed on
+    * doc_id (deterministic). At production scale the scan has native
+    * partitions and this is noise. */
+  private def docIdsSpread(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   /** [[perceptualHashOf]] over the documents table as a persisted
     * (doc_id, simhash) frame: decode+hash is the expensive pass, and
     * the band machinery consumes the frame up to four times (the
@@ -53,7 +67,7 @@ object MultimodalQueries {
       dir: String, delta: Int,
       hash: (Int, Int, Array[Byte]) => Long) = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    docIdsSpread(s, dir).as[Long]
       .map(id => (id, perceptualHashOf(id, delta, hash)))
       .toDF("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -334,7 +348,9 @@ object MultimodalQueries {
       vids: org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     import graft.operators.Dedup
-    val keyframeHashes = vids.select(col("doc_id")).as[Long]
+    val keyframeHashes = vids.select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .flatMap(id => videoKeyframeHashes(id)).toDF("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.simhashPairsBucketed(keyframeHashes, maxDist = 3,
@@ -931,7 +947,7 @@ object MultimodalQueries {
         |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.Dedup
-      val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val hashes = docIdsSpread(s, dir).as[Long]
         .map(id => (id, lossyHashOf(id)))
         .toDF("doc_id", "simhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1082,7 +1098,7 @@ object MultimodalQueries {
         |SELECT a_id, b_id, hamming FROM pairs""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.Dedup
-      val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      val hashes = docIdsSpread(s, dir).as[Long]
         .map(id => (id, audioFingerprintOf(id)))
         .toDF("doc_id", "simhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1289,7 +1305,9 @@ object MultimodalQueries {
         // earliest-earlier-partner keep rule.
         def sigLeg(mod: Int, name: String, hashOf: Long => Long) = {
           val ids = docs.filter(expr(s"(doc_id div 2) % 3 = $mod"))
-          val hashes = ids.as[Long].map(id => (id, hashOf(id)))
+          val hashes = ids
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .as[Long].map(id => (id, hashOf(id)))
             .toDF("doc_id", "simhash")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val fold = Dedup.simhashPairsBucketed(hashes, maxDist = 3,
