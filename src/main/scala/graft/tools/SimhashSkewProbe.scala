@@ -38,7 +38,7 @@ import graft.operators.Dedup
 object SimhashSkewProbe {
 
   /** splitmix64 — deterministic per-(doc, bit) randomness. */
-  private def mix(x: Long): Long = {
+  private[tools] def mix(x: Long): Long = {
     var z = x + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -47,7 +47,7 @@ object SimhashSkewProbe {
 
   /** A 64-bit signature with independent per-bit marginals `pQ32(i)`
     * (bias as a Q32 threshold), keyed by `key`. */
-  private def biasedSig(key: Long, pQ32: Array[Long]): Long = {
+  private[tools] def biasedSig(key: Long, pQ32: Array[Long]): Long = {
     var sig = 0L
     var i = 0
     while (i < 64) {

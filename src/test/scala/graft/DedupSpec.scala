@@ -875,6 +875,23 @@ class DedupSpec extends AnyFunSuite {
         universe = Some(universe))
       .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
     assert(withU.keySet == Set(1L, 2L, 3L, 4L) && withU(4L))
+    // cap monotonicity on a degenerate bucket: every index and batch
+    // doc sharing ONE hash (one band value per band holds everything).
+    // A tiny cap must stay bounded, emit one verdict per batch doc,
+    // and only ever turn dup verdicts into keep — never the reverse.
+    val degIdx = (0 until 30).map(i => (100L + i, 42L)).toDF("doc_id", "simhash")
+    val degBatch = (0 until 20).map(i => (i.toLong, 42L)).toDF("doc_id", "simhash")
+    val unc = Dedup.incrementalNearDupHashes(degBatch, degIdx, maxDist = 3,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), (r.getBoolean(1), r.getBoolean(2)))).toMap
+    val cap = Dedup.incrementalNearDupHashes(degBatch, degIdx, maxDist = 3,
+        maxBucket = 8)
+      .collect().map(r => (r.getLong(0), (r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(cap.keySet == unc.keySet && cap.size == 20)
+    cap.foreach { case (id, (di, db)) =>
+      assert(!di || unc(id)._1, s"cap invented an index dup for $id")
+      assert(!db || unc(id)._2, s"cap invented a batch dup for $id")
+    }
   }
 
   // The production shape of the perceptual index: the BANDED index
