@@ -763,6 +763,15 @@ object Dedup {
     * bucketed on (bidx, bhash) (`BucketedStore`), and every future
     * batch's band join plans no exchange over the index
     * (BucketingSpec pins the plan). */
+  /** One (doc_id, bidx, bhash) row per LSH band — band key = xxhash64
+    * over the band's row-minima. NOTE on capping (r13, measured): the
+    * 64-bit band keyspace cannot be concentrated by biased signature
+    * bits, so unlike the 16-bit chunk bands the MinHash legs carry NO
+    * default hot-bucket cap — on the probe corpus max band occupancy
+    * is 13 of 5000 docs vs 458 for chunk bands (SCALE.md r13). Hot
+    * MinHash buckets ARE replica clusters; route those through the
+    * dedup-first sequencing, or the explicit maxBucket valve on
+    * [[minhashLshPairs]]. */
   def minhashBands(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
     require(bands * rows == perms, "perms must divide into bands")

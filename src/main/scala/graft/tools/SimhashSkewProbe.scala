@@ -91,6 +91,22 @@ object SimhashSkewProbe {
       f"max occupancy ${prof._1}%d, mean ${prof._2}%.2f")
     real.unpersist()
 
+    // ---- Stage A': the MINHASH band population on the same corpus —
+    // decides whether the minhash incremental leg needs the cap the
+    // chunk-band legs got in r13. MinHash band keys are xxhash64 over
+    // r row-mins (a 64-bit keyspace), so unlike 16-bit chunk values
+    // they cannot be population-skewed by biased BITS; only true
+    // replica/near-replica groups (identical shingle sets) collide.
+    val mhSigs = Dedup.minhashSignatures(
+      graft.Tables.documents(spark, sfDir), col("text"), col("doc_id"),
+      perms = 32, shingleN = 3)
+    val mprof = Dedup.minhashBands(mhSigs, perms = 32, bands = 16)
+      .groupBy("bidx", "bhash").agg(count(lit(1)).as("b"))
+      .select(max(col("b")), avg(col("b")), count(lit(1)))
+      .as[(Long, Double, Long)].head()
+    println(f"[probe] real minhash 16-band profile: ${mprof._3}%d buckets, " +
+      f"max occupancy ${mprof._1}%d, mean ${mprof._2}%.2f")
+
     // carry the measured biases into the synthetic population
     val pQ32 = bias.map(p => (p * (1L << 32)).toLong)
 
