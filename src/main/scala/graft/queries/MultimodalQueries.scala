@@ -373,6 +373,35 @@ object MultimodalQueries {
       .as[MediaRow]
   }
 
+  /** Shared verdict oracle for the incremental perceptual pair
+    * (mm_phash_incremental / mm_phash_index_roundtrip): all pairs
+    * from the single-sourced dHash chain, split into index /
+    * earlier-batch legs by the doc family's md5 side rule.
+    * Persistence must not change one verdict, so both queries grade
+    * against the SAME SQL (the EXACT_KEEP_SQL discipline). */
+  private def MM_PHASH_INCR_SQL: String =
+    s"""WITH ${PHASH_PAIRS_CTES()},
+      |side AS (SELECT doc_id,
+      |    substr(md5(doc_id::VARCHAR), 1, 1) < 'a' AS is_idx
+      |  FROM documents),
+      |pboth AS (SELECT a_id AS x, b_id AS y FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |di AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+      |  JOIN side sx ON p.x = sx.doc_id
+      |  JOIN side sy ON p.y = sy.doc_id
+      |  WHERE NOT sx.is_idx AND sy.is_idx),
+      |db AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+      |  JOIN side sa ON a_id = sa.doc_id
+      |  JOIN side sb2 ON b_id = sb2.doc_id
+      |  WHERE NOT sa.is_idx AND NOT sb2.is_idx)
+      |SELECT d.doc_id,
+      |  d.doc_id IN (SELECT doc_id FROM di) AS dup_of_index,
+      |  d.doc_id IN (SELECT doc_id FROM db) AS dup_of_batch_earlier,
+      |  d.doc_id NOT IN (SELECT doc_id FROM di)
+      |    AND d.doc_id NOT IN (SELECT doc_id FROM db) AS keep
+      |FROM documents d JOIN side ON d.doc_id = side.doc_id
+      |WHERE NOT side.is_idx""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Typed batch feature extraction over binary payloads. Entropy is
@@ -1014,33 +1043,44 @@ object MultimodalQueries {
     // r13 form rule's two-sided shape); banding is pigeonhole-exact at
     // hamming <= 3, so the oracle compares ALL pairs from the
     // single-sourced chain with no banding replay, split by side.
-    "mm_phash_incremental" -> QueryDef(
-      s"""WITH ${PHASH_PAIRS_CTES()},
-        |side AS (SELECT doc_id,
-        |    substr(md5(doc_id::VARCHAR), 1, 1) < 'a' AS is_idx
-        |  FROM documents),
-        |pboth AS (SELECT a_id AS x, b_id AS y FROM pairs
-        |  UNION ALL SELECT b_id, a_id FROM pairs),
-        |di AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
-        |  JOIN side sx ON p.x = sx.doc_id
-        |  JOIN side sy ON p.y = sy.doc_id
-        |  WHERE NOT sx.is_idx AND sy.is_idx),
-        |db AS (SELECT DISTINCT b_id AS doc_id FROM pairs
-        |  JOIN side sa ON a_id = sa.doc_id
-        |  JOIN side sb2 ON b_id = sb2.doc_id
-        |  WHERE NOT sa.is_idx AND NOT sb2.is_idx)
-        |SELECT d.doc_id,
-        |  d.doc_id IN (SELECT doc_id FROM di) AS dup_of_index,
-        |  d.doc_id IN (SELECT doc_id FROM db) AS dup_of_batch_earlier,
-        |  d.doc_id NOT IN (SELECT doc_id FROM di)
-        |    AND d.doc_id NOT IN (SELECT doc_id FROM db) AS keep
-        |FROM documents d JOIN side ON d.doc_id = side.doc_id
-        |WHERE NOT side.is_idx""".stripMargin) { (s, dir) =>
+    // The SQL is shared with mm_phash_index_roundtrip (the stored-
+    // bucketed-index path must produce the identical verdict frame —
+    // the EXACT_KEEP_SQL discipline).
+    "mm_phash_incremental" -> QueryDef(MM_PHASH_INCR_SQL) { (s, dir) =>
       import graft.operators.Dedup
       val hashes = perceptualHashes(s, dir, 128, Multimodal.dhash64)
       val side = substring(md5(col("doc_id").cast("string")), 1, 1)
       Dedup.incrementalNearDupHashes(hashes.filter(side >= "a"),
         hashes.filter(side < "a"), maxDist = 3)
+    },
+
+    // PERCEPTUAL INDEX PERSISTENCE ROUND-TRIP (r13): the production
+    // shape of the incremental leg, driver-graded — the banded index
+    // table (simhashChunks of the index side) is WRITTEN to a
+    // BucketedStore bucketed on its (cidx, cval) join keys, read back
+    // through the table catalog, and fed to the verdict via
+    // indexChunks, with an EMPTY indexSigs frame proving the stored
+    // chunks are the only index input (the ev_catalog_scan round-trip
+    // discipline applied to the dedup index). Oracle: the SAME shared
+    // SQL as mm_phash_incremental — persistence must not change one
+    // verdict. At 15M docs the stored index cut verdict wall 45.2 ->
+    // 16.3 s (tools/IncrementalScaleProbe; SCALE.md r13).
+    "mm_phash_index_roundtrip" -> QueryDef(MM_PHASH_INCR_SQL) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Dedup
+      val hashes = perceptualHashes(s, dir, 128, Multimodal.dhash64)
+      val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_phash_idx_rt").toString
+      graft.sources.BucketedStore.write(
+        Dedup.simhashChunks(hashes.filter(side < "a"), maxDist = 3),
+        "graft_phash_index_rt", s"$tmp/idx", Seq("cidx", "cval"),
+        buckets = 8)
+      val emptySigs = Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+      Dedup.incrementalNearDupHashes(hashes.filter(side >= "a"),
+        emptySigs, maxDist = 3,
+        indexChunks = Some(
+          graft.sources.BucketedStore.read(s, "graft_phash_index_rt")))
     },
 
     // STREAMING PERCEPTUAL DEDUP (r12): the image near-dup at INGEST
