@@ -82,7 +82,8 @@ object Explains {
       "emb_knn_graph" -> "corpus kNN graph, in-bucket scoring: ONE exchange of (tbl, bkt, id, embedding) rows into an ObjectHashAggregate collect_list per capped bucket, pairwise cosines inside the bucket group (typed flatMap fold), then the map-side-combined per-src top-k aggregate — candidate pairs are never shuffled, sorted, distinct'd, or joined; the only pair-sized thing in the plan is an iterator",
       "mm_dedup_verdict_report" -> "cross-modal dedup verdict roll-up: three modality legs over ONE documents scan family, each a pruned doc_id-only scan -> bare-id spread exchange (the decode map takes the session's parallelism, not the single-file scan's) -> typed decode+hash map -> the shared in-bucket band machinery -> a per-doc tier fold (two min aggregates) -> left join on bare ids; the legs union AFTER folding, so nothing wider than (doc_id, two longs) crosses a leg's last exchange and the three decode maps never see each other's rows",
       "mm_phash_agreement" -> "dHash/DCT agreement: the SAME corpus decoded twice (two independent persisted hash frames — the two decode passes are the honest cost of hashing two ways), each feeding the shared banded in-bucket miner, then ONE full-outer SortMergeJoin on bare (a_id, b_id) pairs — output-sized inputs on both sides; no decode or hash work downstream of the two persisted frames",
-      "mm_phash_incremental" -> "incremental perceptual dedup: ONE persisted decode+hash frame feeds both sides (InMemoryTableScans), the index enters the plan ONLY via the (cidx, cval) band join — signatures ride the band rows, no signature re-join anywhere — and verdict assembly is two left joins on bare ids; at production scale the index side is the band table stored bucketed on its join keys, so it never re-shuffles")
+      "mm_phash_incremental" -> "incremental perceptual dedup: ONE persisted decode+hash frame feeds both sides (InMemoryTableScans), the index enters the plan ONLY via the (cidx, cval) band join — signatures ride the band rows, no signature re-join anywhere — and verdict assembly is two left joins on bare ids; at production scale the index side is the band table stored bucketed on its join keys, so it never re-shuffles",
+      "mm_phash_index_roundtrip" -> "the stored-index shape of the same verdict: the index enters the plan as a scan of the BucketedStore catalog table — at this tiny SF, AQE (correctly) broadcasts the band table, so the bucketing is invisible here; the property it buys — the index-side scan reporting the join's HashPartitioning so no index exchange is ever planned at scale — is pinned by BucketingSpec and measured at a 15M-doc index by tools/IncrementalScaleProbe (45.2 -> 16.3 s)")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — representative physical plans\n\n")
