@@ -382,7 +382,7 @@ object DocQueries {
     * oracles (Jaccard / MinHash / SimHash): recursive closure over an
     * undirected `pairs` edge list, component = min reachable id, every
     * document keeps iff it is its component's min (or off-graph). */
-  private val SURVIVORS_TAIL =
+  private[queries] val SURVIVORS_TAIL =
     s"""edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
        |  UNION SELECT b_id, a_id FROM pairs),
        |reach AS (SELECT src, dst FROM edges

@@ -1083,6 +1083,25 @@ object MultimodalQueries {
           graft.sources.BucketedStore.read(s, "graft_phash_index_rt")))
     },
 
+    // PERCEPTUAL SURVIVOR ELECTION (r13): the media family's cluster
+    // roll-up — what doc_simhash_survivors is for text: the dHash pair
+    // graph -> connected components (min-reachable-id canonical
+    // cluster) -> one keeper per component (the earliest doc), one row
+    // per doc. Catches CHAINED near-dups the pairwise verdicts cannot
+    // (a~b, b~c, a!~c still lands a, b, c in ONE cluster). Pairs come
+    // from the shared banded machinery; the oracle reuses the doc
+    // family's recursive-CTE survivors tail verbatim on the
+    // single-sourced dHash chain.
+    "mm_phash_survivors" -> QueryDef(
+      s"""WITH RECURSIVE ${PHASH_PAIRS_CTES()},
+        |${DocQueries.SURVIVORS_TAIL}""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      Dedup.survivors(Tables.documents(s, dir), col("doc_id"),
+        Dedup.simhashPairsBucketed(
+          perceptualHashes(s, dir, 128, Multimodal.dhash64),
+          maxDist = 3, maxBucket = 1024))
+    },
+
     // STREAMING PERCEPTUAL DEDUP (r12): the image near-dup at INGEST
     // time — the Kappa twin of mm_phash_dups, the way
     // doc_simhash_stream twins doc_simhash. Documents arrive as a
