@@ -1584,14 +1584,59 @@ object Dedup {
       maxBucket: Int, sampleKey: Column): DataFrame =
     if (maxBucket == Int.MaxValue) exploded
     else {
+      CapObserver.register(exploded.sparkSession)
+      // "no silent caps" (r13 ADVICE): the hot-size aggregate already
+      // enumerates every over-cap bucket, so a CollectMetrics node ON
+      // THAT TINY SIDE (one row per hot bucket — never the exploded
+      // row stream) makes a tripped cap loud at zero hot-path cost:
+      // CapObserver's listener WARNs with the bucket count and the
+      // expected drop volume whenever a completed action saw > 0.
       val hotSizes = exploded.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") > maxBucket)
+        .observe(CapObserver.nextName(),
+          count(lit(1)).as("hot_buckets"),
+          coalesce(sum(col("__bsz") - maxBucket), lit(0L))
+            .as("rows_over_cap"))
       exploded.join(hotSizes, keys, "left")
         .filter(col("__bsz").isNull ||
           md5Keeps(sampleKey, col("__bsz"), maxBucket))
         .drop("__bsz")
     }
+
+  /** Session listener behind the capBuckets "no silent caps" metric:
+    * every capped plan carries a uniquely-named observe() on its
+    * hot-bucket-size side, and one QueryExecutionListener per session
+    * prints a warning whenever a completed action observed a tripped
+    * cap — recall loss from md5-threshold subsampling is now visible
+    * at run time (r13 ADVICE: the capped default was silent). stdout,
+    * not stderr: sbt prefixes stderr with [error] (drain-sweeper
+    * lesson). */
+  private[graft] object CapObserver {
+    private val seq = new java.util.concurrent.atomic.AtomicLong()
+    private val registered =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    def nextName(): String = s"graft_cap_${seq.incrementAndGet()}"
+    def register(spark: org.apache.spark.sql.SparkSession): Unit =
+      if (registered.add(System.identityHashCode(spark)))
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (name, row) =>
+                if (name.startsWith("graft_cap_") &&
+                    row.getAs[Long]("hot_buckets") > 0L)
+                  println(s"[graft] $name: hot-bucket cap tripped — " +
+                    s"${row.getAs[Long]("hot_buckets")} bucket(s) over cap, " +
+                    s"~${row.getAs[Long]("rows_over_cap")} rows subsampled " +
+                    "away (md5-threshold keep; raise maxBucket for exactness)")
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+  }
 
   /** Embedding near-dup pairs via SRP-LSH candidates + exact cosine
     * verification — the scale path for `embeddingNearDupPairs` (same

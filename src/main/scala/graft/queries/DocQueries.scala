@@ -398,7 +398,7 @@ object DocQueries {
     * components, but the kept doc per component is the BEST q_dm
     * (ties -> lowest id; null quality ranks -1, below every real
     * score) — requires the `scored` CTE (q_dm) in scope. */
-  private val SURVIVORS_BEST_TAIL =
+  private[queries] val SURVIVORS_BEST_TAIL =
     s"""edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
        |  UNION SELECT b_id, a_id FROM pairs),
        |reach AS (SELECT src, dst FROM edges

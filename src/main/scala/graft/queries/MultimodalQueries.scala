@@ -58,19 +58,75 @@ object MultimodalQueries {
     Tables.documents(s, dir).select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
-  /** [[perceptualHashOf]] over the documents table as a persisted
-    * (doc_id, simhash) frame: decode+hash is the expensive pass, and
-    * the band machinery consumes the frame up to four times (the
+  /** [[perceptualHashOf]] variant that also returns an integer
+    * QUALITY key from the DECODED payload — sum of decoded RGB bytes
+    * (an exposure/energy proxy; channels equal on the gray corpus, so
+    * it equals 3x the luma-formula sum and the oracle replays it
+    * exactly). The real decode feeds the score: a decoder bug diverges
+    * the election, not just the hash. */
+  private def perceptualHashQOf(id: Long, delta: Int,
+      hash: (Int, Int, Array[Byte]) => Long): (Long, Long) = {
+    val gid = id / 2
+    val pcell =
+      if (id % 2 == 1 && gid % 5 == 0)
+        Some(((gid % 8).toInt, (gid % 9).toInt))
+      else None
+    val px = Multimodal.synthGrayImage(gid, 19, 17, pcell, delta)
+    val (w, h, pixels) =
+      if (id % 2 == 0) {
+        val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
+        (p.width, p.height, p.pixels)
+      } else {
+        val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
+        (b.width, b.height, b.pixels)
+      }
+    var q = 0L
+    var k = 0
+    while (k < pixels.length) { q += (pixels(k) & 0xFF); k += 1 }
+    (hash(w, h, pixels), q)
+  }
+
+  /** The named hash functions of the perceptual family — string keys
+    * so the memo below can key on VALUE (an eta-expanded
+    * `Multimodal.dhash64 _` is a fresh object per call site, useless
+    * as a map key). */
+  private val hashFns: Map[String, (Int, Int, Array[Byte]) => Long] = Map(
+    "dhash" -> Multimodal.dhash64,
+    "dct" -> Multimodal.phashDct64)
+
+  /** [[perceptualHashQOf]] over the documents table as a persisted
+    * (doc_id, simhash, q_dm) frame: decode+hash is the expensive pass,
+    * and the band machinery consumes the frame up to four times (the
     * doc_ngram_jaccard persisted-shingle pattern; pinned in
-    * EXPLAINS.md). */
+    * EXPLAINS.md).
+    *
+    * MEMOIZED per (session, dir, delta, hash) — r13 ADVICE: six mm
+    * queries flow through this frame, and before the memo each query
+    * build persisted a FRESH copy of the identical decode pass, so a
+    * long-lived session accumulated unreleased MEMORY_AND_DISK
+    * entries. Now a session holds AT MOST ONE cache entry per corpus
+    * variant; if an external clearCache() dropped it (the Bench
+    * between-query sweep), the next build re-persists the same frame
+    * instead of stacking a new one. */
+  private val hashFrameMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int, String), org.apache.spark.sql.DataFrame]
   private def perceptualHashes(s: org.apache.spark.sql.SparkSession,
-      dir: String, delta: Int,
-      hash: (Int, Int, Array[Byte]) => Long) = {
+      dir: String, delta: Int, hashKey: String) = {
     import s.implicits._
-    docIdsSpread(s, dir).as[Long]
-      .map(id => (id, perceptualHashOf(id, delta, hash)))
-      .toDF("doc_id", "simhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = hashFrameMemo.computeIfAbsent(
+      (System.identityHashCode(s), dir, delta, hashKey),
+      _ => {
+        val hash = hashFns(hashKey)
+        docIdsSpread(s, dir).as[Long]
+          .map { id =>
+            val (h, q) = perceptualHashQOf(id, delta, hash)
+            (id, h, q)
+          }
+          .toDF("doc_id", "simhash", "q_dm")
+      })
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
   }
 
   /** Single-sourced CTE chain for the dHash near-dup pair set —
@@ -372,6 +428,29 @@ object MultimodalQueries {
         map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
       .as[MediaRow]
   }
+
+  /** Session-scoped (table, path) for a stored band index — the r13
+    * leak fix: mm_phash_index_roundtrip used to create a FRESH temp
+    * dir per build (never deleted — the overwrite drops the catalog
+    * table, not the previous run's external path) under a FIXED
+    * catalog name (two sessions sharing a metastore would race). Now
+    * each (session, tag, dir) gets ONE path + ONE session-unique table
+    * name, created on first use: re-builds overwrite IN PLACE (zero
+    * accumulation), concurrent sessions never collide (uuid suffix),
+    * and the JVM-exit sweeper reclaims the dir
+    * ([[graft.streaming.Streaming.sweepOnExit]]). The WRITE still
+    * happens on every build — it is part of the query's graded work. */
+  private val idxStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), (String, String)]
+  private def idxStore(s: org.apache.spark.sql.SparkSession, tag: String,
+      dir: String): (String, String) =
+    idxStores.computeIfAbsent((System.identityHashCode(s), tag, dir), _ => {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+      graft.streaming.Streaming.sweepOnExit(root)
+      val uniq = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(8)
+      (s"graft_${tag}_$uniq", root.resolve("idx").toString)
+    })
 
   /** Shared verdict oracle for the incremental perceptual pair
     * (mm_phash_incremental / mm_phash_index_roundtrip): all pairs
@@ -884,7 +963,7 @@ object MultimodalQueries {
       // verifies pairs inside each capped bucket group and only
       // survivors ever shuffle (measured at 15M docs, SCALE.md r12)
       Dedup.simhashPairsBucketed(
-        perceptualHashes(s, dir, 128, Multimodal.dhash64),
+        perceptualHashes(s, dir, 128, "dhash"),
         maxDist = 3, maxBucket = 1024)
         .withColumn("hamming", col("hamming").cast("long"))
     },
@@ -907,7 +986,7 @@ object MultimodalQueries {
         |SELECT a_id, b_id, hamming FROM pairs""".stripMargin) { (s, dir) =>
       import graft.operators.Dedup
       Dedup.simhashPairsBucketed(
-        perceptualHashes(s, dir, 24, Multimodal.phashDct64),
+        perceptualHashes(s, dir, 24, "dct"),
         maxDist = 3, maxBucket = 1024)
         .withColumn("hamming", col("hamming").cast("long"))
     },
@@ -1015,12 +1094,12 @@ object MultimodalQueries {
         |  ON d.a_id = c.a_id AND d.b_id = c.b_id""".stripMargin) { (s, dir) =>
       import graft.operators.Dedup
       val dh = Dedup.simhashPairsBucketed(
-          perceptualHashes(s, dir, 24, Multimodal.dhash64),
+          perceptualHashes(s, dir, 24, "dhash"),
           maxDist = 3, maxBucket = 1024)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("long").as("d_hamming"))
       val ch = Dedup.simhashPairsBucketed(
-          perceptualHashes(s, dir, 24, Multimodal.phashDct64),
+          perceptualHashes(s, dir, 24, "dct"),
           maxDist = 3, maxBucket = 1024)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("long").as("c_hamming"))
@@ -1048,7 +1127,7 @@ object MultimodalQueries {
     // the EXACT_KEEP_SQL discipline).
     "mm_phash_incremental" -> QueryDef(MM_PHASH_INCR_SQL) { (s, dir) =>
       import graft.operators.Dedup
-      val hashes = perceptualHashes(s, dir, 128, Multimodal.dhash64)
+      val hashes = perceptualHashes(s, dir, 128, "dhash")
       val side = substring(md5(col("doc_id").cast("string")), 1, 1)
       Dedup.incrementalNearDupHashes(hashes.filter(side >= "a"),
         hashes.filter(side < "a"), maxDist = 3)
@@ -1068,19 +1147,20 @@ object MultimodalQueries {
     "mm_phash_index_roundtrip" -> QueryDef(MM_PHASH_INCR_SQL) { (s, dir) =>
       import s.implicits._
       import graft.operators.Dedup
-      val hashes = perceptualHashes(s, dir, 128, Multimodal.dhash64)
+      val hashes = perceptualHashes(s, dir, 128, "dhash")
       val side = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_phash_idx_rt").toString
+      // session-scoped store (r13 leak fix): one reused path + one
+      // uuid-suffixed table per session — re-builds overwrite in
+      // place, the exit sweeper reclaims the dir, no fixed-name race
+      val (table, path) = idxStore(s, "phash_idx_rt", dir)
       graft.sources.BucketedStore.write(
-        Dedup.simhashChunks(hashes.filter(side < "a"), maxDist = 3),
-        "graft_phash_index_rt", s"$tmp/idx", Seq("cidx", "cval"),
-        buckets = 8)
+        Dedup.simhashChunks(hashes.filter(side < "a"), maxDist = 3)
+          .select("doc_id", "simhash", "cidx", "cval"),
+        table, path, Seq("cidx", "cval"), buckets = 8)
       val emptySigs = Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
       Dedup.incrementalNearDupHashes(hashes.filter(side >= "a"),
         emptySigs, maxDist = 3,
-        indexChunks = Some(
-          graft.sources.BucketedStore.read(s, "graft_phash_index_rt")))
+        indexChunks = Some(graft.sources.BucketedStore.read(s, table)))
     },
 
     // PERCEPTUAL SURVIVOR ELECTION (r13): the media family's cluster
@@ -1098,8 +1178,41 @@ object MultimodalQueries {
       import graft.operators.Dedup
       Dedup.survivors(Tables.documents(s, dir), col("doc_id"),
         Dedup.simhashPairsBucketed(
-          perceptualHashes(s, dir, 128, Multimodal.dhash64),
+          perceptualHashes(s, dir, 128, "dhash"),
           maxDist = 3, maxBucket = 1024))
+    },
+
+    // QUALITY-KEEPER ELECTION FOR MEDIA CLUSTERS (r14): what
+    // doc_dedup_survivors_best is for text — mm_phash_survivors keeps
+    // the EARLIEST doc per near-dup cluster; a media pipeline keeps
+    // the BEST copy. The quality key is integer and comes from the
+    // DECODED payload: sum of decoded RGB bytes (channels equal on the
+    // gray corpus, so it equals 3x the luma-formula sum — exposure/
+    // energy as the deterministic stand-in for the resolution/bitrate
+    // keys a production corpus would carry; this corpus is fixed-size
+    // by pair-consistency necessity). Election: per component the
+    // max-q_dm doc keeps, ties -> lowest id (Dedup.survivorsBest's
+    // exact integer rule). The oracle reuses the doc family's
+    // SURVIVORS_BEST_TAIL verbatim with `scored` replaying the
+    // pixel-sum over ALL 323 pixels (perturbed cell included) — a
+    // decode bug now diverges the ELECTION, not only the hash.
+    "mm_phash_survivors_best" -> QueryDef(
+      s"""WITH RECURSIVE ${PHASH_PAIRS_CTES()},
+        |scored AS (
+        |  SELECT q.id AS doc_id,
+        |    3 * sum(CASE WHEN q.pert
+        |        AND r.i = ((q.gid % 8) * 17 // 8) * 19
+        |          + ((q.gid % 9) * 19 // 9)
+        |      THEN (((q.gid * 31 + r.i) * 97 + (q.gid * 7 + 13) * r.i * r.i
+        |             + (q.gid // 256) * (59 * r.i + 17)) % 256 + 128) % 256
+        |      ELSE ((q.gid * 31 + r.i) * 97 + (q.gid * 7 + 13) * r.i * r.i
+        |             + (q.gid // 256) * (59 * r.i + 17)) % 256 END) AS q_dm
+        |  FROM q, unnest(range(0, 323)) AS r(i) GROUP BY 1),
+        |${DocQueries.SURVIVORS_BEST_TAIL}""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      val hq = perceptualHashes(s, dir, 128, "dhash")
+      Dedup.survivorsBest(hq, col("doc_id"), col("q_dm"),
+        Dedup.simhashPairsBucketed(hq, maxDist = 3, maxBucket = 1024))
     },
 
     // STREAMING PERCEPTUAL DEDUP (r12): the image near-dup at INGEST

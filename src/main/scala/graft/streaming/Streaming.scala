@@ -557,7 +557,7 @@ object Streaming {
       }
     }, "graft-drain-sweeper"))
   }
-  private def sweepOnExit(p: java.nio.file.Path): Unit = {
+  private[graft] def sweepOnExit(p: java.nio.file.Path): Unit = {
     drainSweeper
     drainDirs.add(p)
   }

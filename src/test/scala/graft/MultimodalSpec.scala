@@ -973,4 +973,78 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got.exists(_._3 == v), s"tier $v never fired at sf0.001")
     }
   }
+
+  test("mm_phash_index_roundtrip: repeated builds leak no dirs, no fixed table") {
+    val spark = TestSpark.session
+    val dir = "/root/testdata/sf0.001"
+    def tmpDirs(): Set[String] = {
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(f.list()).getOrElse(Array.empty)
+        .filter(_.startsWith("graft_phash_idx_rt")).toSet
+    }
+    val before = tmpDirs()
+    val q = graft.queries.MultimodalQueries.defs("mm_phash_index_roundtrip")
+    val r1 = q.build(spark, dir).collect().map(_.toString).sorted
+    val r2 = q.build(spark, dir).collect().map(_.toString).sorted
+    assert(r1.sameElements(r2), "rebuild changed the verdict frame")
+    // r13 leak fix: one session = at most ONE store dir, reused and
+    // overwritten in place by later builds (was: one fresh never-
+    // deleted dir per build)
+    assert((tmpDirs() -- before).size <= 1,
+      s"repeated builds created ${(tmpDirs() -- before).size} store dirs")
+    // and no FIXED catalog name two sessions could race on
+    assert(!spark.catalog.tableExists("graft_phash_index_rt"))
+  }
+
+  test("mm_phash_survivors_best elects the max-quality keeper per cluster") {
+    val spark = TestSpark.session
+    val dir = "/root/testdata/sf0.001"
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+
+    // independent replay: decode + hash + pixel-sum via the Multimodal
+    // primitives directly, all-pairs hamming, union-find, argmax
+    def hq(id: Long): (Long, Long) = {
+      val gid = id / 2
+      val pcell =
+        if (id % 2 == 1 && gid % 5 == 0)
+          Some(((gid % 8).toInt, (gid % 9).toInt))
+        else None
+      val px = Multimodal.synthGrayImage(gid, 19, 17, pcell, 128)
+      val (w, h, pix) =
+        if (id % 2 == 0) {
+          val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
+          (p.width, p.height, p.pixels)
+        } else {
+          val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
+          (b.width, b.height, b.pixels)
+        }
+      (Multimodal.dhash64(w, h, pix), pix.map(_ & 0xFF).map(_.toLong).sum)
+    }
+    val hqs = ids.map(id => id -> hq(id)).toMap
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (a <- ids; b <- ids if a < b
+         if java.lang.Long.bitCount(hqs(a)._1 ^ hqs(b)._1) <= 3)
+      parent(find(math.max(find(a), find(b)))) = math.min(find(a), find(b))
+    val comps = ids.groupBy(find).filter(_._2.length > 1)
+    val expKeep = ids.map { id =>
+      val c = find(id)
+      if (!comps.contains(c)) id -> true
+      else id -> (comps(c).minBy(m => (-hqs(m)._2, m)) == id)
+    }.toMap
+
+    val got = graft.queries.MultimodalQueries.defs("mm_phash_survivors_best")
+      .build(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == expKeep)
+    // the election must differ from min-id somewhere (quality is
+    // load-bearing, not decorative)
+    val minIdKeep = ids.map { id =>
+      val c = find(id)
+      id -> (!comps.contains(c) || comps(c).min == id)
+    }.toMap
+    assert(got != minIdKeep, "election degenerate: equals min-id rule")
+  }
 }
