@@ -1202,14 +1202,16 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("doc_id")).distinct()
       .withColumn("dup_idx", lit(true))
-    val selfDup = bb.as("x")
-      .join(bb.as("y"),
-        col("x.cidx") === col("y.cidx") && col("x.cval") === col("y.cval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("y.doc_id").as("doc_id"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("doc_id")).distinct()
+    // self-pair mining INSIDE the batch is exactly the case the r13
+    // form rule routes through the in-bucket form (simhashPairsBucketed
+    // — identical output, same capBuckets keep set): the join form here
+    // consumed the capped batch band frame TWICE more (a self-join),
+    // re-running the cap aggregate+join per consumption — the r14 A/B
+    // attributed doc_dedup_incremental_simhash's 1.4x-vs-control delta
+    // to those recomputed cap passes (SCALE.md r14). The index leg
+    // stays the two-sided join — the shape the form rule keeps.
+    val selfDup = simhashPairsBucketed(batchSigs, maxDist, maxBucket)
+      .select(col("b_id").as("doc_id")).distinct()
       .withColumn("dup_batch", lit(true))
     universe.getOrElse(batchSigs).select(col("doc_id"))
       .join(idxDup, Seq("doc_id"), "left")
