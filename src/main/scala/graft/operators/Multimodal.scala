@@ -611,6 +611,42 @@ object Multimodal {
     * vanishes for key < 256, so every small-gid fixture, probe
     * histogram, and spec pin is unchanged. The SQL oracle replays
     * base formula, mixing term, and perturbation rule verbatim. */
+  /** Exact-integer horizontal 1-2-1 blur over an RGB frame —
+    * out(x) = (in(x-1) + 2*in(x) + in(x+1)) // 4 per channel, x
+    * CLAMPED at the borders. The canonical low-frequency-preserving
+    * edit of the perceptual family (r14): it attacks exactly what
+    * dHash keys on (adjacent-pixel gradients — measured mean dHash
+    * drift 6.8 bits on the synth corpus) while the DCT hash's low
+    * 8x8 spectrum survives (mean 5.0 bits, and 16% of content groups
+    * land dHash > 3 && DCT <= 3 — the (F,T) agreement regime;
+    * tools/BlurRegimeProbe compares the 1x3/1-2-1/3x3 candidates).
+    * Floor division and clamping are replayed verbatim by the SQL
+    * oracle (greatest/least + //). */
+  def blurH121(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      "blurH121: pixels != w*h*3")
+    val out = new Array[Byte](pixels.length)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val xl = math.max(0, x - 1)
+        val xr = math.min(width - 1, x + 1)
+        var ch = 0
+        while (ch < 3) {
+          val l = pixels((y * width + xl) * 3 + ch) & 0xFF
+          val c = pixels((y * width + x) * 3 + ch) & 0xFF
+          val r = pixels((y * width + xr) * 3 + ch) & 0xFF
+          out((y * width + x) * 3 + ch) = ((l + 2 * c + r) / 4).toByte
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def synthGrayImage(key: Long, w: Int, h: Int,
       perturbCell: Option[(Int, Int)] = None,
       perturbDelta: Int = 128): Array[Byte] = {

@@ -109,25 +109,59 @@ object MultimodalQueries {
     * between-query sweep), the next build re-persists the same frame
     * instead of stacking a new one. */
   private val hashFrameMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int, String), org.apache.spark.sql.DataFrame]
-  private def perceptualHashes(s: org.apache.spark.sql.SparkSession,
-      dir: String, delta: Int, hashKey: String) = {
-    import s.implicits._
+    (Int, String, String), org.apache.spark.sql.DataFrame]
+  private def memoPersisted(s: org.apache.spark.sql.SparkSession,
+      dir: String, key: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val df = hashFrameMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir, delta, hashKey),
-      _ => {
-        val hash = hashFns(hashKey)
-        docIdsSpread(s, dir).as[Long]
-          .map { id =>
-            val (h, q) = perceptualHashQOf(id, delta, hash)
-            (id, h, q)
-          }
-          .toDF("doc_id", "simhash", "q_dm")
-      })
+      (System.identityHashCode(s), dir, key), _ => build)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
   }
+  private def perceptualHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String, delta: Int, hashKey: String) =
+    memoPersisted(s, dir, s"synth:$delta:$hashKey") {
+      import s.implicits._
+      val hash = hashFns(hashKey)
+      docIdsSpread(s, dir).as[Long]
+        .map { id =>
+          val (h, q) = perceptualHashQOf(id, delta, hash)
+          (id, h, q)
+        }
+        .toDF("doc_id", "simhash", "q_dm")
+    }
+
+  /** The per-doc corpus rule of the BLUR agreement query as a pure
+    * function: gid = doc_id/2 pairs an untouched even twin (PNG)
+    * with an ODD twin run through [[Multimodal.blurH121]] (BMP) — the
+    * low-frequency-preserving edit elected by tools/BlurRegimeProbe
+    * (dHash drifts past its radius on ~16% of content groups while
+    * the DCT hash stays inside — the (F,T) regime the r13 agreement
+    * matrix could only pin at unit level). Both twins still cross a
+    * REAL codec. */
+  private def blurHashOf(id: Long,
+      hash: (Int, Int, Array[Byte]) => Long): Long = {
+    val gid = id / 2
+    val base = Multimodal.synthGrayImage(gid, 19, 17)
+    if (id % 2 == 0) {
+      val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, base))
+      hash(p.width, p.height, p.pixels)
+    } else {
+      val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17,
+        Multimodal.blurH121(19, 17, base)))
+      hash(b.width, b.height, b.pixels)
+    }
+  }
+  private def blurHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String, hashKey: String) =
+    memoPersisted(s, dir, s"blur:$hashKey") {
+      import s.implicits._
+      val hash = hashFns(hashKey)
+      docIdsSpread(s, dir).as[Long]
+        .map(id => (id, blurHashOf(id, hash)))
+        .toDF("doc_id", "simhash")
+    }
 
   /** Single-sourced CTE chain for the dHash near-dup pair set —
     * consumed by the batch query (mm_phash_dups), the streaming twin's
@@ -428,6 +462,93 @@ object MultimodalQueries {
         map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
       .as[MediaRow]
   }
+
+  /** The synth gray-pixel formula at index expression `i` for content
+    * key expression `g` — the one base rule every perceptual CTE
+    * replays, as a splice helper for chains that need it at SEVERAL
+    * indices per row (the blur chains evaluate it at x-1/x/x+1). */
+  private def pixF(g: String, i: String): String =
+    s"((($g * 31 + $i) * 97 + ($g * 7 + 13) * $i * $i" +
+      s" + ($g // 256) * (59 * $i + 17)) % 256)"
+
+  /** The blurred-or-original sampled luma as a CASE splice: odd docs
+    * (par = 1) read the 1-2-1 horizontal blur of the formula plane
+    * (x CLAMPED via greatest/least — [[Multimodal.blurH121]]
+    * verbatim), even docs the plane itself. `sy`/`sx` are the sampled
+    * pixel's row/col expressions. */
+  private def blurLum(sy: String, sx: String): String =
+    s"""CASE WHEN par = 1 THEN
+      |      (${pixF("gid", s"(($sy) * 19 + greatest(($sx) - 1, 0))")}
+      |       + 2 * ${pixF("gid", s"(($sy) * 19 + ($sx))")}
+      |       + ${pixF("gid", s"(($sy) * 19 + least(($sx) + 1, 18))")}) // 4
+      |    ELSE ${pixF("gid", s"(($sy) * 19 + ($sx))")} END""".stripMargin
+
+  /** Oracle for mm_phash_agreement_blur: both perceptual hash chains
+    * (dHash 9x8 gradient bits; fixed-point 32x32 DCT-II vs exact
+    * median) replayed over the blur corpus — the odd twin's pixels
+    * are the 1-2-1 clamped floor blur of the even twin's formula
+    * plane — then ALL-pairs hamming <= 3 per hash, full-outer-joined
+    * on the pair key. Single-sourced splices: [[pixF]] (the base
+    * plane), [[blurLum]] (the edit), [[dctCosValues]] (the integer
+    * cosine literals). */
+  private def BLUR_AGREEMENT_SQL: String =
+    s"""WITH ct(u, x, c) AS (VALUES $dctCosValues),
+      |q AS (
+      |  SELECT doc_id AS id, doc_id // 2 AS gid, doc_id % 2 AS par
+      |  FROM documents),
+      |vd AS (
+      |  SELECT id, gid, par, cy, cx,
+      |    cy * 17 // 8 AS sy, cx * 19 // 9 AS sx
+      |  FROM q, unnest(range(0, 8)) AS ry(cy), unnest(range(0, 9)) AS rx(cx)),
+      |gd AS (
+      |  SELECT id, cy, cx, ${blurLum("sy", "sx")} AS l
+      |  FROM vd),
+      |bd AS (
+      |  SELECT a.id, a.cy * 8 + a.cx AS i,
+      |    CASE WHEN b2.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM gd a JOIN gd b2 ON b2.id = a.id AND b2.cy = a.cy
+      |    AND b2.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |dp AS (
+      |  SELECT x.id AS a_id, y.id AS b_id,
+      |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM bd x JOIN bd y ON y.i = x.i AND x.id < y.id
+      |  GROUP BY 1, 2 HAVING hamming <= 3),
+      |vc AS (
+      |  SELECT id, gid, par, gy, gx,
+      |    gy * 17 // 32 AS sy, gx * 19 // 32 AS sx
+      |  FROM q, unnest(range(0, 32)) AS ry(gy), unnest(range(0, 32)) AS rx(gx)),
+      |gc AS (
+      |  SELECT id, gy, gx, ${blurLum("sy", "sx")} AS l
+      |  FROM vc),
+      |s1 AS (
+      |  SELECT gc.id, ct.u, gc.gy, sum(gc.l * ct.c) AS s
+      |  FROM gc JOIN ct ON ct.x = gc.gx GROUP BY 1, 2, 3),
+      |co AS (
+      |  SELECT s1.id, s1.u, ct.u AS v2, sum(s1.s * ct.c) AS co
+      |  FROM s1 JOIN ct ON ct.x = s1.gy GROUP BY 1, 2, 3),
+      |ac AS (
+      |  SELECT id, u, v2, co,
+      |    row_number() OVER (PARTITION BY id ORDER BY co) AS rn
+      |  FROM co WHERE NOT (u = 0 AND v2 = 0)),
+      |med AS (SELECT id, co AS m FROM ac WHERE rn = 32),
+      |bc AS (
+      |  SELECT ac.id, ac.u * 8 + ac.v2 - 1 AS i,
+      |    CASE WHEN ac.co > med.m THEN 1 ELSE 0 END AS bit
+      |  FROM ac JOIN med ON med.id = ac.id),
+      |cp AS (
+      |  SELECT x.id AS a_id, y.id AS b_id,
+      |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM bc x JOIN bc y ON y.i = x.i AND x.id < y.id
+      |  GROUP BY 1, 2 HAVING hamming <= 3)
+      |SELECT coalesce(d.a_id, c.a_id) AS a_id,
+      |  coalesce(d.b_id, c.b_id) AS b_id,
+      |  d.a_id IS NOT NULL AS dhash_dup, c.a_id IS NOT NULL AS dct_dup,
+      |  d.hamming AS d_hamming, c.hamming AS c_hamming
+      |FROM dp d FULL OUTER JOIN cp c
+      |  ON d.a_id = c.a_id AND d.b_id = c.b_id""".stripMargin
 
   /** Session-scoped (table, path) for a stored band index — the r13
     * leak fix: mm_phash_index_roundtrip used to create a FRESH temp
@@ -1100,6 +1221,37 @@ object MultimodalQueries {
           col("hamming").cast("long").as("d_hamming"))
       val ch = Dedup.simhashPairsBucketed(
           perceptualHashes(s, dir, 24, "dct"),
+          maxDist = 3, maxBucket = 1024)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("long").as("c_hamming"))
+      dh.join(ch, Seq("a_id", "b_id"), "full_outer")
+        .select(col("a_id"), col("b_id"),
+          col("d_hamming").isNotNull.as("dhash_dup"),
+          col("c_hamming").isNotNull.as("dct_dup"),
+          col("d_hamming"), col("c_hamming"))
+    },
+
+    // dHASH vs DCT AGREEMENT, BLUR REGIME (r14; closes the r13
+    // verdict's (F,T) gap): the agreement matrix's missing cell —
+    // "DCT catches what dHash misses" — graded end-to-end instead of
+    // unit-pinned. The corpus pairs each even doc with an odd twin
+    // run through the exact-integer 1-2-1 horizontal blur
+    // (Multimodal.blurH121, elected by tools/BlurRegimeProbe: it
+    // attacks the adjacent-pixel gradients dHash keys on while the
+    // low 8x8 DCT spectrum survives). At sf0.01 the twins land ~43
+    // (F,T) + ~32 (T,F) + ~4 (T,T) — every observable cell fires,
+    // and the (F,T) rows are the measured evidence for the
+    // production rule "near-dup mining over blur-class edits needs
+    // the DCT leg". Oracle: both hash chains replayed over the
+    // formula pixels with the blur spliced as greatest/least-clamped
+    // floor arithmetic, same full-outer join as mm_phash_agreement.
+    "mm_phash_agreement_blur" -> QueryDef(BLUR_AGREEMENT_SQL) { (s, dir) =>
+      import graft.operators.Dedup
+      val dh = Dedup.simhashPairsBucketed(blurHashes(s, dir, "dhash"),
+          maxDist = 3, maxBucket = 1024)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("long").as("d_hamming"))
+      val ch = Dedup.simhashPairsBucketed(blurHashes(s, dir, "dct"),
           maxDist = 3, maxBucket = 1024)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("long").as("c_hamming"))
