@@ -1183,24 +1183,39 @@ object Dedup {
     * batch. The default is the family guard; the cap cannot trip
     * below `maxBucket` docs sharing one band value, so grading-scale
     * results are exact. Pass Int.MaxValue to opt out. */
-  def incrementalNearDupHashes(batchSigs: DataFrame, indexSigs: DataFrame,
-      maxDist: Int, indexChunks: Option[DataFrame] = None,
-      universe: Option[DataFrame] = None,
-      maxBucket: Int = SimhashHotBucketCap): DataFrame = {
+  /** Distinct batch doc_ids within `maxDist` of ANY index signature —
+    * the INDEX leg of [[incrementalNearDupHashes]], factored out so
+    * the streaming composition's per-micro-batch fold
+    * ([[graft.streaming.Streaming.hashDedupIncrementalStream]]) joins
+    * the SAME plan shape against the same stored band table: batch
+    * sigs explode to chunk bands, both sides capBuckets-guarded, one
+    * (cidx, cval) join, popcount verify, bare-id distinct. Store
+    * `indexChunks` bucketed on (cidx, cval) and the index side never
+    * re-shuffles. */
+  def hashIndexDupIds(batchSigs: DataFrame, indexChunks: DataFrame,
+      maxDist: Int, maxBucket: Int = SimhashHotBucketCap): DataFrame = {
     val bb = capBuckets(simhashChunks(batchSigs, maxDist),
       Seq("cidx", "cval"), maxBucket, col("doc_id"))
-    val ib = capBuckets(
-        indexChunks.getOrElse(simhashChunks(indexSigs, maxDist)),
-        Seq("cidx", "cval"), maxBucket, col("doc_id"))
+    val ib = capBuckets(indexChunks, Seq("cidx", "cval"), maxBucket,
+        col("doc_id"))
       .select(col("doc_id").as("i_id"), col("simhash").as("i_sim"),
         col("cidx").as("i_cidx"), col("cval").as("i_cval"))
-    val idxDup = bb.as("x")
+    bb.as("x")
       .join(ib, col("x.cidx") === col("i_cidx") &&
         col("x.cval") === col("i_cval"))
       .select(col("x.doc_id").as("doc_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("i_sim"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_id")).distinct()
+  }
+
+  def incrementalNearDupHashes(batchSigs: DataFrame, indexSigs: DataFrame,
+      maxDist: Int, indexChunks: Option[DataFrame] = None,
+      universe: Option[DataFrame] = None,
+      maxBucket: Int = SimhashHotBucketCap): DataFrame = {
+    val idxDup = hashIndexDupIds(batchSigs,
+        indexChunks.getOrElse(simhashChunks(indexSigs, maxDist)),
+        maxDist, maxBucket)
       .withColumn("dup_idx", lit(true))
     // self-pair mining INSIDE the batch is exactly the case the r13
     // form rule routes through the in-bucket form (simhashPairsBucketed

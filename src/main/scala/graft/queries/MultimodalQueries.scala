@@ -1315,6 +1315,41 @@ object MultimodalQueries {
         indexChunks = Some(graft.sources.BucketedStore.read(s, table)))
     },
 
+    // STREAMING-vs-PERSISTENT-INDEX COMPOSITION (r14; r13 verdict #1):
+    // the production ingest path — documents ARRIVE as a stream, each
+    // is decoded + dHashed in the stateless map, and every arrival is
+    // checked BOTH against the stored (cidx, cval)-bucketed band index
+    // (the already-ingested side, persisted via BucketedStore) and
+    // against earlier arrivals (the fMGWS band state, spanning
+    // micro-batches) — hashDedupStream and incrementalNearDupHashes
+    // composed through foreachBatch (the K2/BlockWriter discipline
+    // applied to the dedup index). Graded under the SAME shared SQL as
+    // mm_phash_incremental / mm_phash_index_roundtrip: neither the
+    // arrival engine nor index persistence may change one verdict.
+    "mm_phash_incremental_stream" -> QueryDef(MM_PHASH_INCR_SQL) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.Streaming
+      import graft.operators.Dedup
+      val hashes = perceptualHashes(s, dir, 128, "dhash")
+      val sideCol = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val (table, path) = idxStore(s, "phash_idx_st", dir)
+      graft.sources.BucketedStore.write(
+        Dedup.simhashChunks(hashes.filter(sideCol < "a"), maxDist = 3),
+        table, path, Seq("cidx", "cval"), buckets = 8)
+      // arrivals: the batch side streams in (same md5 side rule,
+      // evaluated on the stream), decode+hash in the stateless map
+      val arrivals = Streaming.documentsStream(s, dir)
+        .select(col("doc_id"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) >= "a")
+        .as[Long]
+        .map(id => (id, (id + 1) * 1000000L,
+          perceptualHashOf(id, 128, Multimodal.dhash64)))
+      Streaming.hashDedupIncrementalStream(arrivals, maxDist = 3,
+        watermarkDelayMs = 31536000000L,
+        indexChunks = graft.sources.BucketedStore.read(s, table),
+        rocksdbState = true) // band-bucket state: corpus-sized
+    },
+
     // PERCEPTUAL SURVIVOR ELECTION (r13): the media family's cluster
     // roll-up — what doc_simhash_survivors is for text: the dHash pair
     // graph -> connected components (min-reachable-id canonical

@@ -719,6 +719,135 @@ object Streaming {
     bandDedupStream(bandRows, match_, watermarkDelayMs, maxBucket)
   }
 
+  /** The in-stream half of [[hashDedupIncrementalStream]] — the
+    * [[hashDedupStream]] band state with the SIGNATURE riding each
+    * verdict row: (docId, tsUs, bidx, matchedId, sig). Exposed
+    * separately so a spec (or a custom sink) can drive its own
+    * multi-trigger query and feed each micro-batch to
+    * [[incrementalBatchFold]]. */
+  def hashDedupIncrementalVerdicts(
+      ds: Dataset[(Long, Long, Long)] /* docId, tsUs, hash */ ,
+      maxDist: Int, watermarkDelayMs: Long,
+      stateMaxBucket: Int = Int.MaxValue)
+      : Dataset[(Long, Long, Int, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    val combos = graft.operators.Dedup.chunkPairCombos(maxDist)
+    val bandRows = ds.flatMap { case (did, tsUs, sig) =>
+      combos.iterator.zipWithIndex.map { case ((i, j), idx) =>
+        (graft.operators.Dedup.packBandKey(idx,
+            graft.operators.Dedup.chunkPairVal(sig, i, j)),
+          idx, did, tsUs, Array(sig),
+          new java.sql.Timestamp(tsUs / 1000))
+      }
+    }.toDF("bucket", "bidx", "docId", "tsUs", "sig", "eventTs")
+      .withWatermark("eventTs", s"$watermarkDelayMs milliseconds")
+      .as[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)]
+    val md = maxDist
+    val match_ : (Array[Long], Array[Long]) => Boolean =
+      (a, b) => java.lang.Long.bitCount(a(0) ^ b(0)) <= md
+    bandDedupStreamGen(bandRows, match_, watermarkDelayMs, stateMaxBucket,
+      (did, ts, bidx, matched, sig) => (did, ts, bidx, matched, sig(0)))
+  }
+
+  /** The per-micro-batch fold of [[hashDedupIncrementalStream]]: from
+    * one trigger's (docId, tsUs, bidx, matchedId, sig) band verdicts,
+    * the batch's per-doc incremental verdict frame — dup_of_index via
+    * [[graft.operators.Dedup.hashIndexDupIds]] against the STORED
+    * band index (the same plan shape as the batch operator: store the
+    * index bucketed on (cidx, cval) and it never re-shuffles),
+    * dup_of_batch_earlier by collapsing the fMGWS band verdicts (which
+    * cover BOTH earlier micro-batches and earlier arrivals inside this
+    * one). A doc's band rows never split across triggers, so the fold
+    * is complete per batch and verdict frames append across triggers
+    * into exactly one row per arriving doc. */
+  def incrementalBatchFold(batch: DataFrame, indexChunks: DataFrame,
+      maxDist: Int,
+      maxBucket: Int = graft.operators.Dedup.SimhashHotBucketCap)
+      : DataFrame = {
+    val dupBatch = batch.groupBy(col("docId").as("doc_id"))
+      .agg(max(col("matchedId") >= 0).as("dup_of_batch_earlier"))
+    val dupIdx = graft.operators.Dedup.hashIndexDupIds(
+        batch.select(col("docId").as("doc_id"), col("sig").as("simhash"))
+          .distinct(),
+        indexChunks, maxDist, maxBucket)
+      .withColumn("dup_idx", lit(true))
+    dupBatch.join(dupIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_idx"), lit(false)).as("dup_of_index"),
+        col("dup_of_batch_earlier"),
+        (!coalesce(col("dup_idx"), lit(false))
+          && !col("dup_of_batch_earlier")).as("keep"))
+  }
+
+  /** INGEST-TIME incremental perceptual dedup — the composition the
+    * two r13 pieces exist for (r13 verdict #1): each arriving media
+    * hash is checked against a PERSISTED band index (the
+    * BucketedStore table an earlier ingest built —
+    * [[graft.operators.Dedup.simhashChunks]] stored bucketed on its
+    * (cidx, cval) join keys) AND against earlier arrivals (the
+    * [[hashDedupStream]] fMGWS band state, spanning micro-batches).
+    * The K2/BlockWriter discipline applied to the dedup index: the
+    * stream drains through foreachBatch, each trigger's verdicts fold
+    * via [[incrementalBatchFold]] and append; the result is one
+    * (doc_id, dup_of_index, dup_of_batch_earlier, keep) row per
+    * arriving doc — the SAME verdict frame (and the same shared SQL
+    * oracle) as the batch `incrementalNearDupHashes`: the arrival
+    * engine must not change one verdict.
+    *
+    * Scale shape: the decode+hash ran upstream in the caller's
+    * stateless map (embarrassingly parallel at ingest); in-stream
+    * state is sharded by band bucket (RocksDB for corpus-sized
+    * drains); the index join shuffles ONLY the micro-batch side
+    * because the stored index scan reports the join's partitioning.
+    * Index MAINTENANCE stays with the caller (append keepers' chunks
+    * via BucketedStore.append after the drain — the
+    * ev_stream_block_sink compaction policy applies). */
+  def hashDedupIncrementalStream(ds: Dataset[(Long, Long, Long)],
+      maxDist: Int, watermarkDelayMs: Long, indexChunks: DataFrame,
+      maxBucket: Int = graft.operators.Dedup.SimhashHotBucketCap,
+      stateMaxBucket: Int = Int.MaxValue,
+      rocksdbState: Boolean = false): DataFrame = {
+    val spark = ds.sparkSession
+    val verdicts = hashDedupIncrementalVerdicts(ds, maxDist,
+        watermarkDelayMs, stateMaxBucket)
+      .toDF("docId", "tsUs", "bidx", "matchedId", "sig")
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_stream_")
+    sweepOnExit(root)
+    val out = root.resolve("out").toString
+    val StoreKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevStore = if (rocksdbState) spark.conf.getOption(StoreKey) else None
+    if (rocksdbState) spark.conf.set(StoreKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = verdicts.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          incrementalBatchFold(batch, indexChunks, maxDist, maxBucket)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (rocksdbState) prevStore match {
+      case Some(v) => spark.conf.set(StoreKey, v)
+      case None => spark.conf.unset(StoreKey)
+    }
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+      spark.read.parquet(out)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dup_of_index",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("dup_of_batch_earlier",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("keep",
+            org.apache.spark.sql.types.BooleanType))))
+  }
+
   /** The shared band-bucket dedup engine behind [[minhashDedupStream]]
     * and [[simhashDedupStream]]: keyed fMGWS over (bucket -> in-window
     * signatures), emitting one [[BandVerdict]] per (doc, band) row.
@@ -734,6 +863,26 @@ object Streaming {
       matches: (Array[Long], Array[Long]) => Boolean,
       watermarkDelayMs: Long, maxBucket: Int): Dataset[BandVerdict] = {
     import bandRows.sparkSession.implicits._
+    bandDedupStreamGen(bandRows, matches, watermarkDelayMs, maxBucket,
+      (did, ts, bidx, matched, _) => BandVerdict(did, ts, bidx, matched))
+  }
+
+  /** The band-bucket engine generalized over its OUTPUT shape: `emit`
+    * builds one row per (doc, band) from (docId, tsUs, bidx,
+    * matchedId, signature). The incremental-stream composition needs
+    * the signature to RIDE the verdict (its foreachBatch fold band-
+    * joins the micro-batch against a stored index — re-deriving the
+    * hash downstream would re-decode media); the text twins drop it
+    * at zero cost via [[bandDedupStream]]. One engine, one state
+    * discipline — the emit shape cannot drift from the matching
+    * logic. */
+  private def bandDedupStreamGen[
+      O: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
+      bandRows: Dataset[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)],
+      matches: (Array[Long], Array[Long]) => Boolean,
+      watermarkDelayMs: Long, maxBucket: Int,
+      emit: (Long, Long, Int, Long, Array[Long]) => O): Dataset[O] = {
+    import bandRows.sparkSession.implicits._
     implicit val stateEnc =
       org.apache.spark.sql.Encoders.kryo[Array[(Long, Long, Array[Long])]]
     bandRows
@@ -746,7 +895,8 @@ object Streaming {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wmMs = state.getCurrentWatermarkMs()
-            var seen = state.getOption.getOrElse(Array.empty)
+            var seen = state.getOption
+              .getOrElse(Array.empty[(Long, Long, Array[Long])])
               .filter { case (_, ts, _) => ts / 1000 >= wmMs }
             val sorted = rs.toArray.sortBy(r => (r._4, r._3))
             val out = sorted.map { case (_, bidx, did, ts, sig, _) =>
@@ -756,7 +906,7 @@ object Streaming {
                   matches(ssig, sig)) matched = sid
               }
               if (seen.length < maxBucket) seen = seen :+ ((did, ts, sig))
-              BandVerdict(did, ts, bidx, matched)
+              emit(did, ts, bidx, matched, sig)
             }
             state.update(seen)
             if (seen.nonEmpty) {

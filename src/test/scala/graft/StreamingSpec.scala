@@ -405,6 +405,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental hash dedup == batch (cross-batch + stored-index join)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    // deterministic splitmix-style signature per id, with planted
+    // cross-side and cross-trigger near-dups; expectation is the BATCH
+    // operator (pure parity — accidental near collisions land in both)
+    def mix(id: Long): Long = {
+      var z = id + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val idxIds = 0L until 30L
+    val batchIds = 30L until 100L
+    val sig = scala.collection.mutable.Map[Long, Long]()
+    (idxIds ++ batchIds).foreach(i => sig(i) = mix(i))
+    sig(60L) = sig(5L) // exact index dup
+    sig(50L) = sig(10L) ^ 3L // 2-bit index near-dup
+    sig(71L) = sig(45L) ^ 1L // batch near-dup STRADDLING the trigger line
+    sig(66L) = sig(65L) ^ (1L << 40) // in-trigger batch near-dup
+    val idxSigs = idxIds.map(i => (i, sig(i))).toDF("doc_id", "simhash")
+    val batchSigs = batchIds.map(i => (i, sig(i))).toDF("doc_id", "simhash")
+    val expect = Dedup.incrementalNearDupHashes(batchSigs, idxSigs, maxDist = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).toSet
+    assert(expect.exists(_._2), "fixture planted no index dup")
+    assert(expect.exists(_._3), "fixture planted no batch dup")
+
+    val indexChunks = Dedup.simhashChunks(idxSigs, maxDist = 3)
+    val input = MemoryStream[(Long, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Boolean, Boolean)]
+    val q = Streaming.hashDedupIncrementalVerdicts(input.toDS(), maxDist = 3,
+        watermarkDelayMs = 365L * 24 * 3600 * 1000)
+      .toDF("docId", "tsUs", "bidx", "matchedId", "sig")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = Streaming.incrementalBatchFold(b, indexChunks, maxDist = 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+            r.getBoolean(3)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    try {
+      val rows = batchIds.map(i => (i, (i + 1) * 1000000L, sig(i)))
+      val (b1, b2) = rows.splitAt(40) // 30..69 | 70..99: 45~71 straddles
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == batchIds.size, "one verdict per arriving doc")
+    assert(got.toSet == expect,
+      s"stream-only: ${got.toSet -- expect}, batch-only: ${expect -- got.toSet}")
+  }
+
   test("streaming minhash dedup hot-bucket cap: bounded state still flags dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
