@@ -1596,6 +1596,45 @@ object MultimodalQueries {
         .filter(col("matches") >= 2)
     },
 
+    // STREAMING VIDEO DEDUP (r14): the last modality without an
+    // ingest-time leg. Clips ARRIVE as a stream; keyframe extraction
+    // (decode + per-frame dHash + the detection rule) happens in the
+    // stateless flatMap — one clip in, <= 16 packed (video*16+q,
+    // hash) keyframe rows out — and the band state answers "which
+    // EARLIER keyframes sit within hamming <= 3" via hashMatchStream
+    // (the all-matches engine leg: the video rollup counts matched
+    // keyframes per video PAIR, which a min-fold cannot). The collapse
+    // replays the batch rollup: distinct matched keyframe pairs ->
+    // video pairs -> matches >= 2 -> dup_of = smallest earlier
+    // qualifying video. Oracle: the single-sourced VIDEO_PAIRS_CTES
+    // folded exactly that way — the arrival engine must not change
+    // the pair set.
+    "mm_video_stream" -> QueryDef(
+      s"""WITH ${VIDEO_PAIRS_CTES()},
+        |vp AS (SELECT a_id, b_id, count(*) AS matches
+        |  FROM pr GROUP BY 1, 2 HAVING matches >= 2),
+        |m AS (SELECT b_id, min(a_id) AS dup_of FROM vp GROUP BY 1)
+        |SELECT d.doc_id, m.dup_of
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.b_id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        import graft.streaming.Streaming
+        val kfs = Streaming.documentsStream(s, dir)
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            videoKeyframeHashes(id).map { case (pid, hsh) =>
+              (pid, (id + 1) * 1000000L, hsh)
+            }
+          }
+        val verdicts = Streaming.hashMatchStream(kfs, maxDist = 3,
+          watermarkDelayMs = 31536000000L)
+        Streaming.collapseVideoDupVerdicts(
+          Streaming.runAvailableNow(
+            verdicts.toDF("docId", "tsUs", "bidx", "matched"),
+            outputMode = "append",
+            rocksdbState = true)) // band-bucket state: corpus-sized
+    },
+
     // CROSS-MODAL DEDUP VERDICT REPORT (r13): the media family's
     // single roll-up — what doc_dedup_verdict_report is for text, this
     // is for a MIXED-MEDIA corpus. The corpus partitions by content

@@ -746,7 +746,62 @@ object Streaming {
     val match_ : (Array[Long], Array[Long]) => Boolean =
       (a, b) => java.lang.Long.bitCount(a(0) ^ b(0)) <= md
     bandDedupStreamGen(bandRows, match_, watermarkDelayMs, stateMaxBucket,
-      (did, ts, bidx, matched, sig) => (did, ts, bidx, matched, sig(0)))
+      (did, ts, bidx, matched, _, sig) => (did, ts, bidx, matched, sig(0)))
+  }
+
+  /** [[hashDedupStream]]'s ALL-MATCHES sibling: one row per (doc,
+    * band) carrying EVERY earlier in-state id within `maxDist` — the
+    * engine leg for verdicts that are not a min-fold, e.g. the video
+    * rollup ("earlier video sharing >= minMatches keyframes"), where
+    * a per-row min would undercount multi-keyframe evidence. Same
+    * banding tier, same state discipline as [[hashDedupStream]]. */
+  def hashMatchStream(ds: Dataset[(Long, Long, Long)] /* docId, tsUs, hash */ ,
+      maxDist: Int, watermarkDelayMs: Long,
+      maxBucket: Int = Int.MaxValue)
+      : Dataset[(Long, Long, Int, Array[Long])] = {
+    import ds.sparkSession.implicits._
+    val combos = graft.operators.Dedup.chunkPairCombos(maxDist)
+    val bandRows = ds.flatMap { case (did, tsUs, sig) =>
+      combos.iterator.zipWithIndex.map { case ((i, j), idx) =>
+        (graft.operators.Dedup.packBandKey(idx,
+            graft.operators.Dedup.chunkPairVal(sig, i, j)),
+          idx, did, tsUs, Array(sig),
+          new java.sql.Timestamp(tsUs / 1000))
+      }
+    }.toDF("bucket", "bidx", "docId", "tsUs", "sig", "eventTs")
+      .withWatermark("eventTs", s"$watermarkDelayMs milliseconds")
+      .as[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)]
+    val md = maxDist
+    val match_ : (Array[Long], Array[Long]) => Boolean =
+      (a, b) => java.lang.Long.bitCount(a(0) ^ b(0)) <= md
+    bandDedupStreamGen(bandRows, match_, watermarkDelayMs, maxBucket,
+      (did, ts, bidx, _, all, _) => (did, ts, bidx, all),
+      collectAll = true)
+  }
+
+  /** Per-video collapse of [[hashMatchStream]] verdicts over PACKED
+    * (video*16 + keyframe) ids — the ingest-time twin of the
+    * mm_video_dups rollup: distinct matched keyframe pairs, unpacked
+    * to video pairs (own-video pairs excluded), counted per
+    * (earlier, arriving) video pair; dup_of = the smallest earlier
+    * video sharing >= `minMatches` near-matching keyframes, null for
+    * survivors. Stateless per drained frame (a video's keyframes and
+    * all their matches land in its arrival trigger). */
+  def collapseVideoDupVerdicts(verdicts: DataFrame,
+      minMatches: Int = 2): DataFrame = {
+    val m = verdicts
+      .select(col("docId"), explode(col("matched")).as("m"))
+      .distinct() // same packed pair can match in several bands
+      .select(expr("docId div 16").as("b_vid"), expr("m div 16").as("a_vid"))
+      .filter(col("a_vid") =!= col("b_vid"))
+      .groupBy(col("b_vid"), col("a_vid"))
+      .agg(count(lit(1)).as("matches"))
+      .filter(col("matches") >= minMatches)
+      .groupBy(col("b_vid").as("doc_id"))
+      .agg(min(col("a_vid")).as("dup_of"))
+    verdicts.select(expr("docId div 16").as("doc_id")).distinct()
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"))
   }
 
   /** The per-micro-batch fold of [[hashDedupIncrementalStream]]: from
@@ -864,24 +919,28 @@ object Streaming {
       watermarkDelayMs: Long, maxBucket: Int): Dataset[BandVerdict] = {
     import bandRows.sparkSession.implicits._
     bandDedupStreamGen(bandRows, matches, watermarkDelayMs, maxBucket,
-      (did, ts, bidx, matched, _) => BandVerdict(did, ts, bidx, matched))
+      (did, ts, bidx, matched, _, _) => BandVerdict(did, ts, bidx, matched))
   }
 
   /** The band-bucket engine generalized over its OUTPUT shape: `emit`
     * builds one row per (doc, band) from (docId, tsUs, bidx,
-    * matchedId, signature). The incremental-stream composition needs
-    * the signature to RIDE the verdict (its foreachBatch fold band-
-    * joins the micro-batch against a stored index — re-deriving the
-    * hash downstream would re-decode media); the text twins drop it
-    * at zero cost via [[bandDedupStream]]. One engine, one state
-    * discipline — the emit shape cannot drift from the matching
-    * logic. */
+    * matchedId, allMatches, signature). The incremental-stream
+    * composition needs the signature to RIDE the verdict (its
+    * foreachBatch fold band-joins the micro-batch against a stored
+    * index — re-deriving the hash downstream would re-decode media);
+    * the video twin needs ALL matched earlier ids (its rollup counts
+    * matched keyframes per video PAIR — a min cannot); the text twins
+    * drop both at zero cost via [[bandDedupStream]]. One engine, one
+    * state discipline — the emit shape cannot drift from the matching
+    * logic. `collectAll` gates the per-row match-list allocation so
+    * min-only callers pay nothing. */
   private def bandDedupStreamGen[
       O: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
       bandRows: Dataset[(Long, Int, Long, Long, Array[Long], java.sql.Timestamp)],
       matches: (Array[Long], Array[Long]) => Boolean,
       watermarkDelayMs: Long, maxBucket: Int,
-      emit: (Long, Long, Int, Long, Array[Long]) => O): Dataset[O] = {
+      emit: (Long, Long, Int, Long, Array[Long], Array[Long]) => O,
+      collectAll: Boolean = false): Dataset[O] = {
     import bandRows.sparkSession.implicits._
     implicit val stateEnc =
       org.apache.spark.sql.Encoders.kryo[Array[(Long, Long, Array[Long])]]
@@ -901,12 +960,23 @@ object Streaming {
             val sorted = rs.toArray.sortBy(r => (r._4, r._3))
             val out = sorted.map { case (_, bidx, did, ts, sig, _) =>
               var matched = -1L
+              var all: scala.collection.mutable.ArrayBuffer[Long] = null
               seen.foreach { case (sid, _, ssig) =>
-                if (sid < did && (matched < 0 || sid < matched) &&
-                  matches(ssig, sig)) matched = sid
+                // min-only callers keep the old short-circuit: skip the
+                // compare when sid cannot improve the current min
+                if (sid < did && (collectAll || matched < 0 || sid < matched)
+                    && matches(ssig, sig)) {
+                  if (matched < 0 || sid < matched) matched = sid
+                  if (collectAll) {
+                    if (all == null)
+                      all = scala.collection.mutable.ArrayBuffer.empty[Long]
+                    all += sid
+                  }
+                }
               }
               if (seen.length < maxBucket) seen = seen :+ ((did, ts, sig))
-              emit(did, ts, bidx, matched, sig)
+              emit(did, ts, bidx, matched,
+                if (all == null) Array.empty[Long] else all.toArray, sig)
             }
             state.update(seen)
             if (seen.nonEmpty) {

@@ -405,6 +405,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming video dedup == batch keyframe rollup (cross-batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the mm_video_dups corpus over 40 clips: keyframes extracted by
+    // the SAME rule as the batch query (decode + dHash + lag), batch
+    // expectation computed from all packed pairs
+    val vids = 0L until 40L
+    val kf = vids.map(v =>
+      v -> graft.queries.MultimodalQueries.videoKeyframeHashes(v)).toMap
+    val packed = vids.flatMap(kf(_))
+    val expect: Map[Long, Long] = (for {
+      (pa, ha) <- packed; (pb, hb) <- packed
+      if pa < pb && pa / 16 != pb / 16 &&
+        java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (pa / 16, pb / 16))
+      .groupBy(identity).collect { case ((a, b), hits) if hits.size >= 2 =>
+        (b, a)
+      }
+      .groupBy(_._1).map { case (b, as) => b -> as.map(_._2).min }
+    assert(expect.nonEmpty, "fixture has no re-edited twins")
+
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = Streaming.hashMatchStream(input.toDS(), maxDist = 3,
+        watermarkDelayMs = 365L * 24 * 3600 * 1000)
+      .toDF("docId", "tsUs", "bidx", "matched")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vidmatch_out").start()
+    try {
+      val rows = vids.flatMap(v =>
+        kf(v).map { case (pid, h) => (pid, (v + 1) * 1000000L, h) })
+      // twin pair (20, 21) straddles the trigger line
+      val (b1, b2) = rows.partition(_._1 / 16 <= 20)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = Streaming.collapseVideoDupVerdicts(spark.table("vidmatch_out"))
+        .collect()
+        .flatMap(r => if (r.isNullAt(1)) None
+                      else Some(r.getLong(0) -> r.getLong(1))).toMap
+      assert(got == expect,
+        s"stream-only: ${got.toSet -- expect.toSet}, batch-only: ${expect.toSet -- got.toSet}")
+    } finally q.stop()
+  }
+
   test("streaming incremental hash dedup == batch (cross-batch + stored-index join)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
