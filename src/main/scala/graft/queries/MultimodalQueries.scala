@@ -1350,6 +1350,95 @@ object MultimodalQueries {
         rocksdbState = true) // band-bucket state: corpus-sized
     },
 
+    // INDEX MAINTENANCE CYCLE (r14): the full production loop the
+    // pieces above compose into — ingest batch 1 against the stored
+    // index, elect its keepers, APPEND their band chunks to the index
+    // (BucketedStore.append — each append adds one file per touched
+    // bucket, co-location preserved by the restated spec), then ingest
+    // batch 2 against the UPDATED index. Batch 2's dup_of_index now
+    // covers original index docs AND batch-1 keepers — the semantics
+    // that make incremental dedup converge across days. Three-way md5
+    // split (0-7 index / 8-b batch1 / c-f batch2); oracle replays the
+    // keeper election and the updated-index membership in SQL.
+    "mm_phash_index_maintenance" -> QueryDef(
+      s"""WITH ${PHASH_PAIRS_CTES()},
+        |side AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '8' THEN 0
+        |         WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 1
+        |         ELSE 2 END AS g
+        |  FROM documents),
+        |pboth AS (SELECT a_id AS x, b_id AS y FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |d1i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+        |  JOIN side sx ON p.x = sx.doc_id
+        |  JOIN side sy ON p.y = sy.doc_id
+        |  WHERE sx.g = 1 AND sy.g = 0),
+        |d1b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+        |  JOIN side sa ON a_id = sa.doc_id
+        |  JOIN side sb2 ON b_id = sb2.doc_id
+        |  WHERE sa.g = 1 AND sb2.g = 1),
+        |v1 AS (SELECT d.doc_id,
+        |    d.doc_id IN (SELECT doc_id FROM d1i) AS dup_of_index,
+        |    d.doc_id IN (SELECT doc_id FROM d1b) AS dup_of_batch_earlier
+        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+        |  WHERE side.g = 1),
+        |keep1 AS (SELECT doc_id FROM v1
+        |  WHERE NOT dup_of_index AND NOT dup_of_batch_earlier),
+        |d2i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+        |  JOIN side sx ON p.x = sx.doc_id
+        |  JOIN side sy ON p.y = sy.doc_id
+        |  WHERE sx.g = 2 AND (sy.g = 0
+        |    OR p.y IN (SELECT doc_id FROM keep1))),
+        |d2b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+        |  JOIN side sa ON a_id = sa.doc_id
+        |  JOIN side sb2 ON b_id = sb2.doc_id
+        |  WHERE sa.g = 2 AND sb2.g = 2),
+        |v2 AS (SELECT d.doc_id,
+        |    d.doc_id IN (SELECT doc_id FROM d2i) AS dup_of_index,
+        |    d.doc_id IN (SELECT doc_id FROM d2b) AS dup_of_batch_earlier
+        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+        |  WHERE side.g = 2),
+        |u AS (SELECT 1 AS stage, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2)
+        |SELECT doc_id, CAST(stage AS BIGINT) AS stage, dup_of_index,
+        |  dup_of_batch_earlier,
+        |  NOT dup_of_index AND NOT dup_of_batch_earlier AS keep
+        |FROM u""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Dedup
+      val hashes = perceptualHashes(s, dir, 128, "dhash")
+      val c = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val idxSide = hashes.filter(c < "8")
+      val b1 = hashes.filter(c >= "8" && c < "c")
+      val b2 = hashes.filter(c >= "c")
+      val (table, path) = idxStore(s, "phash_idx_maint", dir)
+      graft.sources.BucketedStore.write(
+        Dedup.simhashChunks(idxSide, maxDist = 3),
+        table, path, Seq("cidx", "cval"), buckets = 8)
+      val emptySigs = Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+      def verdict(batch: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalNearDupHashes(batch, emptySigs, maxDist = 3,
+          indexChunks = Some(graft.sources.BucketedStore.read(s, table)))
+      // batch 1's verdict is FROZEN (eager localCheckpoint) before the
+      // append mutates the table it reads: re-executing v1's plan
+      // after maintenance would let every keeper find ITSELF in the
+      // updated index and flip to dup_of_index — the read-your-own-
+      // writes trap of any mutate-what-you-scan cycle
+      val v1 = verdict(b1).localCheckpoint()
+      // MAINTENANCE: append batch-1 keepers' band chunks — the updated
+      // index is what batch 2 reads through the same catalog table
+      graft.sources.BucketedStore.append(
+        Dedup.simhashChunks(
+          b1.join(v1.filter(col("keep")).select("doc_id"), Seq("doc_id")),
+          maxDist = 3),
+        table)
+      val v2 = verdict(b2)
+      v1.withColumn("stage", lit(1L)).unionByName(
+          v2.withColumn("stage", lit(2L)))
+        .select("doc_id", "stage", "dup_of_index", "dup_of_batch_earlier",
+          "keep")
+    },
+
     // PERCEPTUAL SURVIVOR ELECTION (r13): the media family's cluster
     // roll-up — what doc_simhash_survivors is for text: the dHash pair
     // graph -> connected components (min-reachable-id canonical
