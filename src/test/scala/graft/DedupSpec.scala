@@ -613,6 +613,44 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L)._2 == 1L && out(3L)._2 == 1L) // min-id component label
   }
 
+  test("capBuckets observability: a tripped cap surfaces a named metric") {
+    import spark.implicits._
+    // degenerate population: 64 docs share ONE simhash -> every band
+    // bucket holds 64 rows, far over cap 8
+    val sigs = (0L until 64L).map(i => (i, 0x0123456789ABCDEFL))
+      .toDF("doc_id", "simhash")
+    val observed = new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_cap_"))
+            observed.put(name, (row.getAs[Long]("hot_buckets"),
+              row.getAs[Long]("rows_over_cap")))
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = Dedup.simhashPairsBucketed(sigs, maxDist = 3, maxBucket = 8)
+        .count()
+      // wait for the async QueryExecutionListener dispatch
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (observed.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(!observed.isEmpty, "no graft_cap_ metric observed")
+      val (hot, over) = observed.values().iterator().next()
+      assert(hot == 4L, s"expected 4 hot band buckets, saw $hot")
+      assert(over == 4L * (64 - 8), s"rows over cap: $over")
+      // the kept sample still pairs: ~cap members per bucket survive
+      assert(n > 0, "cap must subsample, not drop the bucket")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("survivorsBest with constant scores equals min-id survivors") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), 3, 0.8)
       .persist()
