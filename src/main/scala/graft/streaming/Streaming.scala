@@ -954,9 +954,18 @@ object Streaming {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wmMs = state.getCurrentWatermarkMs()
-            var seen = state.getOption
-              .getOrElse(Array.empty[(Long, Long, Array[Long])])
-              .filter { case (_, ts, _) => ts / 1000 >= wmMs }
+            // buffer, not `seen :+ row`: the immutable append copied
+            // the WHOLE bucket array per retained arrival — O(k^2)
+            // bytes per hot bucket per trigger. Measured NEUTRAL at the
+            // 1M-arrival probe's 4k-rows-per-trigger buckets (67.6 ->
+            // 67.1 s — state-store I/O dominates there; SCALE.md r14),
+            // kept because a degenerate boilerplate bucket at 100k rows
+            // would copy 10^11 bytes under the old form
+            val seen = scala.collection.mutable
+              .ArrayBuffer.empty[(Long, Long, Array[Long])]
+            state.getOption.foreach(_.foreach { e =>
+              if (e._2 / 1000 >= wmMs) seen += e
+            })
             val sorted = rs.toArray.sortBy(r => (r._4, r._3))
             val out = sorted.map { case (_, bidx, did, ts, sig, _) =>
               var matched = -1L
@@ -974,15 +983,16 @@ object Streaming {
                   }
                 }
               }
-              if (seen.length < maxBucket) seen = seen :+ ((did, ts, sig))
+              if (seen.length < maxBucket) seen += ((did, ts, sig))
               emit(did, ts, bidx, matched,
                 if (all == null) Array.empty[Long] else all.toArray, sig)
             }
-            state.update(seen)
+            state.update(seen.toArray)
             if (seen.nonEmpty) {
-              val maxMs = seen.map(_._2).max / 1000
+              var maxTs = Long.MinValue
+              seen.foreach { e => if (e._2 > maxTs) maxTs = e._2 }
               state.setTimeoutTimestamp(
-                math.max(maxMs + watermarkDelayMs, wmMs + 1))
+                math.max(maxTs / 1000 + watermarkDelayMs, wmMs + 1))
             }
             out.iterator
           }
