@@ -2785,6 +2785,81 @@ object DocQueries {
     // husks, then train-and-apply the model-based quality filter ON
     // THE CLEANED TEXT (chrome stripped before features — scoring raw
     // text would let navigation noise leak into n_words/n_distinct).
+    // UNICODE NFC NORMALIZATION (r14): the canonicalization pass a
+    // multilingual pipeline runs BEFORE any digest/shingle/signature
+    // operator — U+0065 U+0301 and U+00E9 render identically and must
+    // dedup identically. The ASCII corpus is made combining-mark-
+    // bearing by a deterministic injection both engines replay
+    // (every 'a' -> 'a' + U+0301, which NFC composes to U+00E1);
+    // graft_nfc is a codegen'd Catalyst expression over
+    // java.text.Normalizer, graded bit-for-bit against DuckDB's
+    // utf8proc nfc_normalize — a genuine CROSS-LIBRARY differential:
+    // two independent Unicode implementations must agree on every
+    // byte of every normalized doc (md5) and every codepoint count.
+    "doc_nfc_normalize" -> QueryDef(
+      """SELECT doc_id,
+        |  md5(nfc_normalize(replace(text, 'a', 'a' || chr(769))))
+        |    AS norm_md5,
+        |  length(replace(text, 'a', 'a' || chr(769))) AS n_injected,
+        |  length(nfc_normalize(replace(text, 'a', 'a' || chr(769))))
+        |    AS n_normalized,
+        |  nfc_normalize(replace(text, 'a', 'a' || chr(769)))
+        |    != replace(text, 'a', 'a' || chr(769)) AS changed
+        |FROM documents""".stripMargin) { (s, dir) =>
+      graft.functions.TextExpressions.register(s)
+      import graft.functions.TextExpressions.nfc_normalize
+      val injected = call_function("replace", col("text"), lit("a"),
+        lit("a\u0301"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(nfc_normalize(injected).cast("binary")).as("norm_md5"),
+        length(injected).cast("long").as("n_injected"),
+        length(nfc_normalize(injected)).cast("long").as("n_normalized"),
+        (nfc_normalize(injected) =!= injected).as("changed"))
+    },
+
+    // ACCENT-INSENSITIVE DEDUP KEY (r14): the use the normalizers
+    // exist for — an exact-dedup keep-list whose digest is computed
+    // over the accent-FOLDED text (NFD -> drop combining marks ->
+    // NFC), so copies differing only in diacritics land in one group.
+    // The corpus (distinct ASCII texts, no exact dups) is made
+    // adversarial by UNIONING an accent-injected copy of itself (ids
+    // +1e6): every original must absorb its accented twin — keeper =
+    // the original, n_dups = 2 for every group — which happens ONLY
+    // if graft_strip_accents removes EXACTLY the injected marks and
+    // reproduces the pre-injection bytes. Null text folds to a
+    // sentinel key (total function — the join never drops docs).
+    "doc_accent_fold" -> QueryDef(
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, replace(text, 'a', 'a' || chr(769))
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    coalesce(md5(strip_accents(nfc_normalize(text))), 'NULL') AS k
+        |  FROM c),
+        |g AS (SELECT k, min(doc_id) AS keeper, count(*) AS n
+        |  FROM f GROUP BY k)
+        |SELECT f.doc_id, f.k AS fold_md5, f.doc_id = g.keeper AS keep,
+        |  g.n AS n_dups
+        |FROM f JOIN g ON f.k = g.k""".stripMargin) { (s, dir) =>
+      graft.functions.TextExpressions.register(s)
+      import graft.functions.TextExpressions.{nfc_normalize, strip_accents}
+      val docs = Tables.documents(s, dir)
+      val c = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          call_function("replace", col("text"), lit("a"),
+            lit("a\u0301")).as("text")))
+      val f = c.select(col("doc_id"),
+        coalesce(md5(strip_accents(nfc_normalize(col("text")))
+          .cast("binary")), lit("NULL")).as("k"))
+      val g = f.groupBy("k")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+      f.join(g, "k")
+        .select(col("doc_id"), col("k").as("fold_md5"),
+          (col("doc_id") === col("keeper")).as("keep"),
+          col("n").as("n_dups"))
+    },
+
     // Both stages are their single-sourced CTE chains, so the
     // composition cannot drift from its parts.
     "doc_pipeline_web" -> QueryDef(

@@ -523,4 +523,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect()
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("NfcNormalize / StripAccents: composition, idempotence, nulls, codegen") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextExpressions
+    TextExpressions.register(spark)
+    // decomposed e + U+0301 composes to U+00E9; ligature survives NFC
+    // (compatibility folding is NFKC territory); space + combining
+    // mark has no precomposed form and must pass through unchanged
+    val rows = Seq(
+      (1L, "caf\u0065\u0301"), (2L, "caf\u00e9"), (3L, " \u0301x"),
+      (4L, "\ufb01sh"), (5L, null.asInstanceOf[String]), (6L, ""))
+      .toDF("id", "s")
+    val out = rows.select(col("id"),
+        TextExpressions.nfc_normalize(col("s")).as("n"),
+        TextExpressions.strip_accents(col("s")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(out(1L)._1.get == "caf\u00e9", "NFC must compose e+0301")
+    assert(out(1L)._1 == out(2L)._1, "decomposed == precomposed after NFC")
+    assert(out(1L)._2.get == "cafe" && out(2L)._2.get == "cafe",
+      "accent folding strips the acute from both forms")
+    assert(out(3L)._1.get == " \u0301x", "non-composing pair passes through")
+    assert(out(3L)._2.get == " x", "the bare combining mark still folds away")
+    assert(out(4L)._1.get == "\ufb01sh", "NFC never folds ligatures")
+    assert(out(5L)._1.isEmpty && out(5L)._2.isEmpty, "null in, null out")
+    assert(out(6L)._1.get == "" && out(6L)._2.get == "")
+    // idempotence over the whole fixture
+    val twice = rows.select(col("id"), TextExpressions.nfc_normalize(
+        TextExpressions.nfc_normalize(col("s"))).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(twice == out.map { case (k, (n, _)) => k -> n })
+  }
 }
