@@ -86,6 +86,8 @@ object Explains {
       "mm_phash_index_roundtrip" -> "the stored-index shape of the same verdict: the index enters the plan as a scan of the BucketedStore catalog table — at this tiny SF, AQE (correctly) broadcasts the band table, so the bucketing is invisible here; the property it buys — the index-side scan reporting the join's HashPartitioning so no index exchange is ever planned at scale — is pinned by BucketingSpec and measured at a 15M-doc index by tools/IncrementalScaleProbe (45.2 -> 16.3 s)",
       "mm_phash_agreement_blur" -> "the (F,T) agreement regime graded (r14): the blur corpus hashed both ways through the SAME persisted-frame + in-bucket-miner shape as mm_phash_agreement; what the plan shows is the two memoized decode frames (InMemoryTableScans) meeting in one full-outer SortMergeJoin on bare pair ids — the regime evidence (dHash misses, DCT catches) is in the OUTPUT cells, the plan cost is unchanged from the base agreement query",
       "mm_phash_incremental_stream" -> "the ingest-time composition (r14): the displayed plan is the drain scan — the work happened in the streaming query it reads: arrivals decode+dHash in the stateless map, fMGWS band state answers 'earlier arrival within radius' (RocksDB-backed, sharded by band bucket), and each trigger's foreachBatch fold band-joins the micro-batch's (doc_id, sig) against the STORED BucketedStore index — the same hashIndexDupIds plan as the batch operator, so the index side never re-shuffles at scale; graded under the SAME shared SQL as mm_phash_incremental (the arrival engine changes no verdict)",
+      "doc_nfc_normalize" -> "Unicode NFC as a native Expression: the whole query is ONE codegen'd projection over the scan — replace, graft_nfc, md5, lengths all in a single WholeStageCodegen span, zero exchanges after the spread; a UDF here would add a serialization boundary per row",
+      "doc_accent_fold" -> "accent-insensitive dedup key: union of the corpus with its accent-injected copy, fold chain (graft_nfc -> graft_strip_accents -> md5) computed ONCE per row inside codegen, then a single key-partitioned Window (exchange + in-partition sort) answers keeper AND group size — no agg+self-join, the fold never re-evaluates",
       "mm_phash_index_maintenance" -> "the maintenance cycle: two verdict plans against ONE catalog table whose contents CHANGE between them — batch 1 reads the written index, its keepers append (one file per touched bucket, spec restated from the catalog), batch 2 reads the union; batch 1's half of the displayed union is an eager localCheckpoint scan (frozen BEFORE the append — re-executing it after would let keepers match themselves), batch 2's half is the live bucketed-scan join")
 
     val sb = new StringBuilder
