@@ -25,6 +25,9 @@ object StreamIncrementalProbe {
     val nIdx = if (args.length > 0) args(0).toLong else 15000000L
     val nBatch = if (args.length > 1) args(1).toLong else 1000000L
     val triggers = if (args.length > 2) args(2).toInt else 4
+    // 5th arg "memstore" keeps the default in-memory state store —
+    // the r14 store-choice A/B (SCALE.md); anything else = RocksDB
+    val memStore = args.length > 4 && args(4) == "memstore"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,12 +35,13 @@ object StreamIncrementalProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_sincprobe_wh")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
+    if (!memStore) spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val real = Dedup.simhash(
       graft.Tables.documents(spark,
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
