@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Stable tokens for SESSION-SCOPED caches (r14 ADVICE): keying a
+  * memo on `System.identityHashCode(spark)` has two failure modes —
+  * the hash can collide (a recycled/colliding identity would hand a
+  * new session a persisted DataFrame or temp-table path bound to a
+  * dead one), and entries are never evicted when a session stops.
+  * `token` mints one UUID per session (held weakly, so it can never
+  * be handed to a different session, and vanishes with the session —
+  * Spark's own `sessionUUID` is private[sql]) and records a
+  * WeakReference so [[sweepDead]] can evict cache entries whose
+  * session is gone — each cache site calls it on insert, keeping
+  * long-lived JVMs (notebook servers, Verify/Bench loops across
+  * sessions) flat. */
+object Sessions {
+
+  private val live = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[SparkSession]]
+
+  // WeakHashMap: the entry disappears when the session becomes
+  // unreachable; a NEW session always gets a FRESH uuid (the
+  // identity-hash-recycling hazard is unrepresentable here)
+  private val tokens = new java.util.WeakHashMap[SparkSession, String]
+
+  /** The stable unique key for `s` — minted on first sight. */
+  def token(s: SparkSession): String = {
+    val t = tokens.synchronized {
+      tokens.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+    }
+    live.putIfAbsent(t, new java.lang.ref.WeakReference(s))
+    t
+  }
+
+  /** True when the token's session is unreachable or its context has
+    * stopped — its cache entries are unusable garbage. */
+  def dead(t: String): Boolean = {
+    val r = live.get(t)
+    r == null || {
+      val s = r.get
+      s == null || s.sparkContext.isStopped
+    }
+  }
+
+  /** Evict every entry of `m` whose key's session token (per
+    * `tokenOf`) is dead — called by cache sites on insert, so
+    * eviction needs no session-end listener and costs one pass over
+    * a handful of keys. Also drops the dead tokens themselves. */
+  def sweepDead[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V])(
+      tokenOf: K => String): Unit = {
+    val it = m.keySet().iterator()
+    while (it.hasNext) if (dead(tokenOf(it.next()))) it.remove()
+    val lt = live.entrySet().iterator()
+    while (lt.hasNext) { if (dead(lt.next().getKey)) lt.remove() }
+  }
+}

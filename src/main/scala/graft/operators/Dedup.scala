@@ -1193,10 +1193,41 @@ object Dedup {
     * `indexChunks` bucketed on (cidx, cval) and the index side never
     * re-shuffles. */
   def hashIndexDupIds(batchSigs: DataFrame, indexChunks: DataFrame,
-      maxDist: Int, maxBucket: Int = SimhashHotBucketCap): DataFrame = {
+      maxDist: Int, maxBucket: Int = SimhashHotBucketCap,
+      indexPrefilter: Boolean = true): DataFrame = {
     val bb = capBuckets(simhashChunks(batchSigs, maxDist),
       Seq("cidx", "cval"), maxBucket, col("doc_id"))
-    val ib = capBuckets(indexChunks, Seq("cidx", "cval"), maxBucket,
+    // INDEX-SIDE PRUNING (r15, the r14 amortization decade's named
+    // lever): a broadcast LEFT-SEMI prefilter keeps only index band
+    // rows whose (cidx, cval) the batch can touch, so the verdict
+    // join's index feed shrinks from O(index) to
+    // O(index x batch_distinct_keys / 65536) per band — the
+    // proportional win for small ingest batches against a huge index.
+    // Three properties make it exact and always safe:
+    //  - the semi key set comes from the UNCAPPED batch bands (a
+    //    superset of the capped frame's keys, and computing it off
+    //    the raw explode avoids re-running the cap aggregate — the
+    //    r14 recomputed-cap lesson);
+    //  - it removes index (cidx, cval) GROUPS atomically, so
+    //    capBuckets' per-bucket counts on the surviving groups are
+    //    unchanged — verdicts identical even in the CAPPED regime;
+    //  - the key space is BOUNDED at bands x 2^16 (<= 1.8M packed
+    //    values at the 28-band tier), so the broadcast hint can never
+    //    blow up, whatever the batch size.
+    // BroadcastHashJoin(LeftSemi) preserves the streamed side's
+    // partitioning, so a bucketed stored index STILL plans no
+    // exchange downstream. FILE-level skipping is intentionally NOT
+    // attempted: with 16-bit band values a batch of b docs touches
+    // ~min(b, 65536) slots per band, saturating any file/bucket
+    // granularity for b beyond a few thousand (SCALE.md r15 math);
+    // rows, not files, are the prunable unit here.
+    val ibSrc =
+      if (!indexPrefilter) indexChunks
+      else indexChunks.join(
+        broadcast(simhashChunks(batchSigs, maxDist)
+          .select(col("cidx"), col("cval")).distinct()),
+        Seq("cidx", "cval"), "left_semi")
+    val ib = capBuckets(ibSrc, Seq("cidx", "cval"), maxBucket,
         col("doc_id"))
       .select(col("doc_id").as("i_id"), col("simhash").as("i_sim"),
         col("cidx").as("i_cidx"), col("cval").as("i_cval"))
@@ -1212,10 +1243,11 @@ object Dedup {
   def incrementalNearDupHashes(batchSigs: DataFrame, indexSigs: DataFrame,
       maxDist: Int, indexChunks: Option[DataFrame] = None,
       universe: Option[DataFrame] = None,
-      maxBucket: Int = SimhashHotBucketCap): DataFrame = {
+      maxBucket: Int = SimhashHotBucketCap,
+      indexPrefilter: Boolean = true): DataFrame = {
     val idxDup = hashIndexDupIds(batchSigs,
         indexChunks.getOrElse(simhashChunks(indexSigs, maxDist)),
-        maxDist, maxBucket)
+        maxDist, maxBucket, indexPrefilter)
       .withColumn("dup_idx", lit(true))
     // self-pair mining INSIDE the batch is exactly the case the r13
     // form rule routes through the in-bucket form (simhashPairsBucketed
@@ -1632,10 +1664,14 @@ object Dedup {
   private[graft] object CapObserver {
     private val seq = new java.util.concurrent.atomic.AtomicLong()
     private val registered =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def nextName(): String = s"graft_cap_${seq.incrementAndGet()}"
-    def register(spark: org.apache.spark.sql.SparkSession): Unit =
-      if (registered.add(System.identityHashCode(spark)))
+    // sessionUUID, not identityHashCode (r14 ADVICE): a recycled
+    // identity hash would silently skip registering the listener for
+    // a NEW session; dead tokens are swept so the set stays bounded
+    def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+      registered.removeIf(t => graft.core.Sessions.dead(t))
+      if (registered.add(graft.core.Sessions.token(spark)))
         spark.listenerManager.register(
           new org.apache.spark.sql.util.QueryExecutionListener {
             override def onSuccess(funcName: String,
@@ -1653,6 +1689,7 @@ object Dedup {
                 qe: org.apache.spark.sql.execution.QueryExecution,
                 exception: Exception): Unit = ()
           })
+    }
   }
 
   /** Embedding near-dup pairs via SRP-LSH candidates + exact cosine

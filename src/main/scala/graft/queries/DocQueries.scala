@@ -2866,6 +2866,54 @@ object DocQueries {
         count(lit(1)).over(w).as("n_dups"))
     },
 
+    // CASE-INSENSITIVE DEDUP KEY (r15): the third canonicalization of
+    // the normalizer family (nfc -> strip_accents -> lower), graded
+    // with the doc_accent_fold absorb discipline: two corpus legs that
+    // differ ONLY in case must fold together. Leg 1 injects lowercase
+    // ä (chr 228) for 'a' and plain i for 'o'; leg 2 (ids +1e6)
+    // injects uppercase Ä (196) and DOTTED CAPITAL İ (304) — the
+    // adversarial pick: graft_lower and DuckDB lower both map İ to
+    // plain i (per-codepoint SIMPLE lowercase), while Spark's builtin
+    // lower() takes the String.toLowerCase full-mapping path and emits
+    // i + COMBINING DOT ABOVE — a builtin-backed fold would
+    // hash-mismatch every İ-bearing group, so the custom expression is
+    // provably load-bearing. Absorb happens ONLY if every injected
+    // uppercase folds to leg 1's exact bytes.
+    "doc_case_fold" -> QueryDef(
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, 'a', chr(228)), 'o', 'i') AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    replace(replace(text, 'a', chr(196)), 'o', chr(304)) AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, coalesce(md5(lower(text)), 'NULL') AS k
+        |  FROM c),
+        |g AS (SELECT k, min(doc_id) AS keeper, count(*) AS n
+        |  FROM f GROUP BY k)
+        |SELECT f.doc_id, f.k AS fold_md5, f.doc_id = g.keeper AS keep,
+        |  g.n AS n_dups
+        |FROM f JOIN g ON f.k = g.k""".stripMargin) { (s, dir) =>
+      graft.functions.TextExpressions.register(s)
+      import graft.functions.TextExpressions.codepoint_lower
+      val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      def rep(c: org.apache.spark.sql.Column, from: String, to: String) =
+        call_function("replace", c, lit(from), lit(to))
+      val c = docs.select(col("doc_id"),
+          rep(rep(col("text"), "a", "\u00E4"), "o", "i").as("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          rep(rep(col("text"), "a", "\u00C4"), "o", "\u0130").as("text")))
+      val f = c.select(col("doc_id"),
+        coalesce(md5(codepoint_lower(col("text")).cast("binary")),
+          lit("NULL")).as("k"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      f.select(col("doc_id"), col("k").as("fold_md5"),
+        (col("doc_id") === min("doc_id").over(w)).as("keep"),
+        count(lit(1)).over(w).as("n_dups"))
+    },
+
     // Both stages are their single-sourced CTE chains, so the
     // composition cannot drift from its parts.
     "doc_pipeline_web" -> QueryDef(

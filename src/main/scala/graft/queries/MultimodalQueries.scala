@@ -109,12 +109,16 @@ object MultimodalQueries {
     * between-query sweep), the next build re-persists the same frame
     * instead of stacking a new one. */
   private val hashFrameMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String), org.apache.spark.sql.DataFrame]
+    (String, String, String), org.apache.spark.sql.DataFrame]
   private def memoPersisted(s: org.apache.spark.sql.SparkSession,
       dir: String, key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // sessionUUID key + dead-session sweep (r14 ADVICE): identity
+    // hashes can recycle across sessions, and stopped sessions'
+    // persisted frames would otherwise pin heap forever
+    graft.core.Sessions.sweepDead(hashFrameMemo)(_._1)
     val df = hashFrameMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir, key), _ => build)
+      (graft.core.Sessions.token(s), dir, key), _ => build)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
@@ -550,6 +554,122 @@ object MultimodalQueries {
       |FROM dp d FULL OUTER JOIN cp c
       |  ON d.a_id = c.a_id AND d.b_id = c.b_id""".stripMargin
 
+  /** The jpegWide formula plane's luma at pixel (y, x) of the 256x256
+    * 32-blocks-wide corpus — [[Multimodal.jpegBlockMWide]] folded into
+    * pixel = 128 + 2*(m) = 64 + 2*((...) % 251 % 64), the same splice
+    * the mm_phash_lossy_dups oracle uses, here parameterized over
+    * PIXEL coordinates because the blur chain evaluates it at
+    * x-1/x/x+1 (the [[pixF]] pattern for the lossy plane). */
+  private def jpegPixF(g: String, y: String, x: String): String = {
+    val b = s"((($y) // 8) * 32 + (($x) // 8))"
+    s"(64 + 2 * (((($g * 31 + $b) * 97 + ($g * 7 + 13) * $b * $b" +
+      s" + ($g // 251) * (59 * $b + 17)) % 251) % 64))"
+  }
+
+  /** [[blurLum]] for the 256x256 jpegWide plane: odd docs read the
+    * 1-2-1 clamped floor blur of the block formula, even docs the
+    * plane itself. */
+  private def jpegBlurLum(sy: String, sx: String): String =
+    s"""CASE WHEN par = 1 THEN
+      |      (${jpegPixF("gid", s"($sy)", s"greatest(($sx) - 1, 0)")}
+      |       + 2 * ${jpegPixF("gid", s"($sy)", s"($sx)")}
+      |       + ${jpegPixF("gid", s"($sy)", s"least(($sx) + 1, 255)")}) // 4
+      |    ELSE ${jpegPixF("gid", s"($sy)", s"($sx)")} END""".stripMargin
+
+  /** Oracle for mm_phash_agreement_blur_lossy — the BLUR_AGREEMENT
+    * chain transplanted onto the REAL-CODEC lossy corpus: both hash
+    * chains replayed over the jpegWide formula plane (even docs: the
+    * plane the real JPEG roundtrip reproduces bit-exactly; odd docs:
+    * its 1-2-1 clamped blur, what the PNG twin encodes), sample
+    * combs at the 256x256 resize rule (dHash sx = cx*256//9, DCT
+    * sx = gx*8). */
+  private def BLUR_LOSSY_AGREEMENT_SQL: String =
+    s"""WITH ct(u, x, c) AS (VALUES $dctCosValues),
+      |q AS (
+      |  SELECT doc_id AS id, doc_id // 2 AS gid, doc_id % 2 AS par
+      |  FROM documents),
+      |vd AS (
+      |  SELECT id, gid, par, cy, cx,
+      |    cy * 32 AS sy, cx * 256 // 9 AS sx
+      |  FROM q, unnest(range(0, 8)) AS ry(cy), unnest(range(0, 9)) AS rx(cx)),
+      |gd AS (
+      |  SELECT id, cy, cx, ${jpegBlurLum("sy", "sx")} AS l
+      |  FROM vd),
+      |bd AS (
+      |  SELECT a.id, a.cy * 8 + a.cx AS i,
+      |    CASE WHEN b2.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM gd a JOIN gd b2 ON b2.id = a.id AND b2.cy = a.cy
+      |    AND b2.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |dp AS (
+      |  SELECT x.id AS a_id, y.id AS b_id,
+      |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM bd x JOIN bd y ON y.i = x.i AND x.id < y.id
+      |  GROUP BY 1, 2 HAVING hamming <= 3),
+      |vc AS (
+      |  SELECT id, gid, par, gy, gx, gy * 8 AS sy, gx * 8 AS sx
+      |  FROM q, unnest(range(0, 32)) AS ry(gy), unnest(range(0, 32)) AS rx(gx)),
+      |gc AS (
+      |  SELECT id, gy, gx, ${jpegBlurLum("sy", "sx")} AS l
+      |  FROM vc),
+      |s1 AS (
+      |  SELECT gc.id, ct.u, gc.gy, sum(gc.l * ct.c) AS s
+      |  FROM gc JOIN ct ON ct.x = gc.gx GROUP BY 1, 2, 3),
+      |co AS (
+      |  SELECT s1.id, s1.u, ct.u AS v2, sum(s1.s * ct.c) AS co
+      |  FROM s1 JOIN ct ON ct.x = s1.gy GROUP BY 1, 2, 3),
+      |ac AS (
+      |  SELECT id, u, v2, co,
+      |    row_number() OVER (PARTITION BY id ORDER BY co) AS rn
+      |  FROM co WHERE NOT (u = 0 AND v2 = 0)),
+      |med AS (SELECT id, co AS m FROM ac WHERE rn = 32),
+      |bc AS (
+      |  SELECT ac.id, ac.u * 8 + ac.v2 - 1 AS i,
+      |    CASE WHEN ac.co > med.m THEN 1 ELSE 0 END AS bit
+      |  FROM ac JOIN med ON med.id = ac.id),
+      |cp AS (
+      |  SELECT x.id AS a_id, y.id AS b_id,
+      |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM bc x JOIN bc y ON y.i = x.i AND x.id < y.id
+      |  GROUP BY 1, 2 HAVING hamming <= 3)
+      |SELECT coalesce(d.a_id, c.a_id) AS a_id,
+      |  coalesce(d.b_id, c.b_id) AS b_id,
+      |  d.a_id IS NOT NULL AS dhash_dup, c.a_id IS NOT NULL AS dct_dup,
+      |  d.hamming AS d_hamming, c.hamming AS c_hamming
+      |FROM dp d FULL OUTER JOIN cp c
+      |  ON d.a_id = c.a_id AND d.b_id = c.b_id""".stripMargin
+
+  /** The per-doc rule of the blur-ACROSS-the-lossy-boundary corpus:
+    * even docs round-trip [[Multimodal.synthJpegWide]] through the
+    * REAL JPEG decoder (unedited); odd docs take the SAME content's
+    * pixel plane, blur it ([[Multimodal.blurH121]] — blur BEFORE
+    * encode, the re-encode-an-edited-image pipeline), and round-trip
+    * the blurred plane through the REAL PNG codec. */
+  private def lossyBlurHashOf(id: Long,
+      hash: (Int, Int, Array[Byte]) => Long): Long = {
+    val gid = id / 2
+    if (id % 2 == 0) {
+      val img = Multimodal.decodeJpeg(Multimodal.synthJpegWide(gid, 256, 256))
+      hash(img.width, img.height, Multimodal.grayToRgb(img.pixels))
+    } else {
+      val px = Multimodal.blurH121(256, 256,
+        Multimodal.jpegWidePixels(gid, 256, 256))
+      val p = Multimodal.decodePng(Multimodal.encodePng(256, 256, px))
+      hash(p.width, p.height, p.pixels)
+    }
+  }
+  private def lossyBlurHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String, hashKey: String) =
+    memoPersisted(s, dir, s"lossyblur:$hashKey") {
+      import s.implicits._
+      val hash = hashFns(hashKey)
+      docIdsSpread(s, dir).as[Long]
+        .map(id => (id, lossyBlurHashOf(id, hash)))
+        .toDF("doc_id", "simhash")
+    }
+
   /** Session-scoped (table, path) for a stored band index — the r13
     * leak fix: mm_phash_index_roundtrip used to create a FRESH temp
     * dir per build (never deleted — the overwrite drops the catalog
@@ -562,16 +682,54 @@ object MultimodalQueries {
     * ([[graft.streaming.Streaming.sweepOnExit]]). The WRITE still
     * happens on every build — it is part of the query's graded work. */
   private val idxStores = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String), (String, String)]
+    (String, String, String), (String, String)]
   private def idxStore(s: org.apache.spark.sql.SparkSession, tag: String,
-      dir: String): (String, String) =
-    idxStores.computeIfAbsent((System.identityHashCode(s), tag, dir), _ => {
+      dir: String): (String, String) = {
+    graft.core.Sessions.sweepDead(idxStores)(_._1)
+    idxStores.computeIfAbsent((graft.core.Sessions.token(s), tag, dir), _ => {
       val root = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
       graft.streaming.Streaming.sweepOnExit(root)
       val uniq = java.util.UUID.randomUUID().toString
         .replace("-", "").take(8)
       (s"graft_${tag}_$uniq", root.resolve("idx").toString)
     })
+  }
+
+  /** Stage each frame as EXACTLY ONE parquet file (b00, b01, ...) in a
+    * fresh swept temp dir, modTimes pinned 10 s apart in list order —
+    * the deterministic-trigger-slicing harness for file-source streams
+    * read with maxFilesPerTrigger=1 (FileStreamSource orders pending
+    * files by modTime): file i IS trigger i, so a multi-trigger oracle
+    * can replay per-trigger state exactly. Fresh dir per call — a
+    * re-build must not see the previous run's files. */
+  private def stageIdFiles(s: org.apache.spark.sql.SparkSession,
+      tag: String, parts: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+    graft.streaming.Streaming.sweepOnExit(stage)
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = stage.resolve(s"_stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      require(src != null, s"no parquet part written under $tmp")
+      val dest = stage.resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.move(src, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + i * 10000L))
+      // drop the writer scaffolding (_SUCCESS, crc, the dir itself) so
+      // the file source sees ONLY the staged files
+      val rest = java.nio.file.Files.walk(tmp).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      rest.close()
+    }
+    stage.toString
+  }
 
   /** Shared verdict oracle for the incremental perceptual pair
     * (mm_phash_incremental / mm_phash_index_roundtrip): all pairs
@@ -1262,6 +1420,40 @@ object MultimodalQueries {
           col("d_hamming"), col("c_hamming"))
     },
 
+    // BLUR ACROSS THE LOSSY BOUNDARY (r15; r14 verdict #7): the blur
+    // agreement discipline composed with the REAL-codec corpus — even
+    // docs are real JPEG decodes of synthJpegWide (unedited), odd docs
+    // blur the same content's plane BEFORE a real PNG round-trip (the
+    // re-encode-an-edited-image pipeline), both hashed BOTH ways. The
+    // measured lesson INVERTS the 19x17 synthetic-plane regime and is
+    // itself the point: on block-structured content the DCT's 32x32
+    // sample comb lands on block-LEFT-edge pixels (sx = 8*gx), exactly
+    // the pixels a horizontal blur mixes across block boundaries,
+    // while dHash's 256//9 comb mostly samples block interiors a
+    // 1-2-1 blur leaves untouched — so (T,F) dominates (108 cells at
+    // 250 gids) and (F,T) shrinks to 29 (vs 43-of-75 dominance on the
+    // gradient-rich plane; numpy census r15, replayed exactly by this
+    // oracle). Production read: blur-robustness of a perceptual hash
+    // is a CONTENT-CLASS property, not a hash property — elect the
+    // hash per corpus, which is what the agreement matrix measures.
+    "mm_phash_agreement_blur_lossy" -> QueryDef(BLUR_LOSSY_AGREEMENT_SQL) {
+      (s, dir) =>
+      import graft.operators.Dedup
+      val dh = Dedup.simhashPairsBucketed(lossyBlurHashes(s, dir, "dhash"),
+          maxDist = 3, maxBucket = 1024)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("long").as("d_hamming"))
+      val ch = Dedup.simhashPairsBucketed(lossyBlurHashes(s, dir, "dct"),
+          maxDist = 3, maxBucket = 1024)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("long").as("c_hamming"))
+      dh.join(ch, Seq("a_id", "b_id"), "full_outer")
+        .select(col("a_id"), col("b_id"),
+          col("d_hamming").isNotNull.as("dhash_dup"),
+          col("c_hamming").isNotNull.as("dct_dup"),
+          col("d_hamming"), col("c_hamming"))
+    },
+
     // INCREMENTAL PERCEPTUAL DEDUP (r13): the persistent-index leg the
     // media family was missing — what doc_dedup_incremental_simhash is
     // for text, this is for images: an accumulated perceptual index
@@ -1437,6 +1629,89 @@ object MultimodalQueries {
           v2.withColumn("stage", lit(2L)))
         .select("doc_id", "stage", "dup_of_index", "dup_of_batch_earlier",
           "keep")
+    },
+
+    // STREAMING MAINTENANCE LOOP (r15, r14 verdict #6): the
+    // batch-batch cycle above run at INGEST CADENCE —
+    // hashDedupMaintStream drains the g1/g2 arrivals as TWO pinned
+    // triggers (one staged file per trigger, modTime-ordered), each
+    // trigger folding against the index table's CURRENT files and
+    // appending its keepers' band chunks before the next trigger
+    // fires (read-frozen per trigger: fold localCheckpoints before
+    // the append). Differences from the batch-batch cycle the oracle
+    // replays exactly: g2's dup_of_index covers g0 AND g1's keepers
+    // (the in-loop append — 30 docs at sf0.01 flip only via it), and
+    // dup_of_batch_earlier comes from the CROSS-TRIGGER band state,
+    // so a g2 doc near a smaller-id g1 dup (keeper or not) carries it
+    // too — the d2b leg spans g IN (1,2), not g=2 alone.
+    "mm_phash_maintenance_stream" -> QueryDef(
+      s"""WITH ${PHASH_PAIRS_CTES()},
+        |side AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '8' THEN 0
+        |         WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 1
+        |         ELSE 2 END AS g
+        |  FROM documents),
+        |pboth AS (SELECT a_id AS x, b_id AS y FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |d1i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+        |  JOIN side sx ON p.x = sx.doc_id
+        |  JOIN side sy ON p.y = sy.doc_id
+        |  WHERE sx.g = 1 AND sy.g = 0),
+        |d1b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+        |  JOIN side sa ON a_id = sa.doc_id
+        |  JOIN side sb2 ON b_id = sb2.doc_id
+        |  WHERE sa.g = 1 AND sb2.g = 1),
+        |v1 AS (SELECT d.doc_id,
+        |    d.doc_id IN (SELECT doc_id FROM d1i) AS dup_of_index,
+        |    d.doc_id IN (SELECT doc_id FROM d1b) AS dup_of_batch_earlier
+        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+        |  WHERE side.g = 1),
+        |keep1 AS (SELECT doc_id FROM v1
+        |  WHERE NOT dup_of_index AND NOT dup_of_batch_earlier),
+        |d2i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+        |  JOIN side sx ON p.x = sx.doc_id
+        |  JOIN side sy ON p.y = sy.doc_id
+        |  WHERE sx.g = 2 AND (sy.g = 0
+        |    OR p.y IN (SELECT doc_id FROM keep1))),
+        |d2b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+        |  JOIN side sa ON a_id = sa.doc_id
+        |  JOIN side sb2 ON b_id = sb2.doc_id
+        |  WHERE sb2.g = 2 AND sa.g IN (1, 2)),
+        |v2 AS (SELECT d.doc_id,
+        |    d.doc_id IN (SELECT doc_id FROM d2i) AS dup_of_index,
+        |    d.doc_id IN (SELECT doc_id FROM d2b) AS dup_of_batch_earlier
+        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+        |  WHERE side.g = 2),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT doc_id, dup_of_index, dup_of_batch_earlier,
+        |  NOT dup_of_index AND NOT dup_of_batch_earlier AS keep
+        |FROM u""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Dedup
+      import graft.streaming.Streaming
+      val hashes = perceptualHashes(s, dir, 128, "dhash")
+      val c = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val (table, path) = idxStore(s, "phash_idx_mstream", dir)
+      graft.sources.BucketedStore.write(
+        Dedup.simhashChunks(hashes.filter(c < "8"), maxDist = 3),
+        table, path, Seq("cidx", "cval"), buckets = 8)
+      val dc = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val stage = stageIdFiles(s, "maint_arrivals", Seq(
+        Tables.documents(s, dir).select(col("doc_id"))
+          .filter(dc >= "8" && dc < "c"),
+        Tables.documents(s, dir).select(col("doc_id"))
+          .filter(dc >= "c")))
+      val arrivals = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .as[Long]
+        .map(id => (id, (id + 1) * 1000000L,
+          perceptualHashOf(id, 128, Multimodal.dhash64)))
+      Streaming.hashDedupMaintStream(arrivals, maxDist = 3,
+        watermarkDelayMs = 31536000000L, indexTable = table)
     },
 
     // PERCEPTUAL SURVIVOR ELECTION (r13): the media family's cluster

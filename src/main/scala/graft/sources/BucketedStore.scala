@@ -81,4 +81,44 @@ object BucketedStore {
        w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else w).format("parquet").saveAsTable(table)
   }
+
+  /** Rewrite a bucketed table into EXACTLY ONE FILE PER BUCKET,
+    * preserving its spec and name — the BlockCatalog compaction
+    * discipline applied to the dedup-index shape (r14 verdict #5):
+    * [[append]] adds one file per touched bucket per batch, so a year
+    * of daily ingests is ~365 files per bucket and the index-side scan
+    * cost (the stored-index verdict floor) grows with file count, not
+    * data. Run this on the ingest cadence's maintenance window.
+    *
+    * Mechanics: rows are read from the table's CURRENT files, shuffled
+    * once into `numBuckets` partitions hash-placed on the bucket
+    * columns — the same murmur3-pmod routing `bucketBy` uses, so each
+    * write task holds exactly one bucket and emits exactly one file
+    * (the runAvailableNowBucketed alignment) — and re-registered under
+    * the same name at a VERSIONED sibling path (write-new-then-swap:
+    * a reader of the old files is never pulled out from under, and a
+    * crash mid-compact leaves the catalog still pointing at intact old
+    * files). The old directory is deleted last (storage reclaim).
+    * Returns the new location. Verdict-neutral by construction — same
+    * rows, same spec — pinned by BucketingSpec's compact case. */
+  def compactBuckets(spark: SparkSession, table: String): String = {
+    import org.apache.spark.sql.functions.col
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec
+      .getOrElse(throw new IllegalArgumentException(s"$table is not bucketed"))
+    val oldLoc = new org.apache.hadoop.fs.Path(meta.location)
+    val newPath = oldLoc.toString.stripSuffix("/") +
+      s"_compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    // read the FILES, not the catalog entry: write() below drops the
+    // table name before re-creating it, and a plan bound to the
+    // catalog relation would race that drop
+    val rows = spark.read.parquet(oldLoc.toString)
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+    write(rows, table, newPath, spec.bucketColumnNames, spec.numBuckets,
+      spec.sortColumnNames)
+    val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(oldLoc, true)
+    newPath
+  }
 }

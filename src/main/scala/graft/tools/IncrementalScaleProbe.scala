@@ -115,6 +115,85 @@ object IncrementalScaleProbe {
       "stored-index verdict differs from direct")
     println(f"[probe] band-index store write: $tWrite%.1f s; " +
       f"capped verdict (stored index): $tStored%.1f s")
+
+    // 4. INDEX-SIDE PREFILTER A/B (r15, the r14 amortization decade's
+    //    named lever): the broadcast left-semi keeps only index band
+    //    rows whose (cidx, cval) the batch touches. Selectivity first
+    //    (what fraction of the stored index can the verdict join even
+    //    see), then alternated off/on wall times (host drift makes
+    //    single reads unreadable — the r14 alternation discipline).
+    val stored = graft.sources.BucketedStore.read(spark, "graft_probe_inc_idx")
+    val bKeys = Dedup.simhashChunks(batch, maxDist = 3)
+      .select("cidx", "cval").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKeys = bKeys.count()
+    val idxRows = stored.count()
+    val surviving = stored.join(broadcast(bKeys), Seq("cidx", "cval"),
+      "left_semi").count()
+    println(f"[probe] prefilter selectivity: batch touches $nKeys%d of " +
+      f"${4 * 65536}%d band slots; surviving index rows $surviving%d of " +
+      f"$idxRows%d (${100.0 * surviving / idxRows}%.1f%%)")
+    def storedVerdict(pf: Boolean): (Double, Set[Seq[Any]]) = {
+      val t = System.nanoTime()
+      val r = Dedup.incrementalNearDupHashes(batch, emptySigs, maxDist = 3,
+          indexChunks = Some(
+            graft.sources.BucketedStore.read(spark, "graft_probe_inc_idx")),
+          indexPrefilter = pf)
+        .groupBy("dup_of_index", "dup_of_batch_earlier", "keep")
+        .agg(count(lit(1)).as("n")).collect()
+      ((System.nanoTime() - t) / 1e9, r.map(_.toSeq).toSet)
+    }
+    val (offA, cOffA) = storedVerdict(false)
+    val (onA, cOnA) = storedVerdict(true)
+    val (offB, _) = storedVerdict(false)
+    val (onB, _) = storedVerdict(true)
+    require(cOffA == v.map(_.toSeq).toSet && cOnA == cOffA,
+      "prefilter changed verdicts")
+    println(f"[probe] stored verdict alternation: prefilter OFF " +
+      f"$offA%.1f / $offB%.1f s, ON $onA%.1f / $onB%.1f s " +
+      f"(verdicts identical all four)")
+
+    // 5. file-count growth + compactBuckets recovery (r15 verdict #5):
+    //    N simulated daily ingests append one file per touched bucket
+    //    each; measure the fragmented stored verdict, compact to one
+    //    file per bucket, measure again — same rows, same verdicts,
+    //    file count collapsed. Opt-in: probe ... compact [nAppends]
+    if (args.length > 2 && args(2) == "compact") {
+      val nApp = if (args.length > 3) args(3).toInt else 10
+      var k = 0
+      while (k < nApp) {
+        // distinct doc ids per simulated day (same sig population —
+        // content of the rows is irrelevant to scan/file cost)
+        graft.sources.BucketedStore.append(
+          Dedup.simhashChunks(batch.select(
+            (col("doc_id") + lit((k + 1) * 1000000000L)).as("doc_id"),
+            col("simhash")), maxDist = 3),
+          "graft_probe_inc_idx")
+        k += 1
+      }
+      def nFiles(): Int = {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(
+              "graft_probe_inc_idx")).location)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(loc).count(s => s.getPath.getName.startsWith("part-"))
+      }
+      val fFrag = nFiles()
+      val (tFrag1, cFrag) = storedVerdict(true)
+      val (tFrag2, _) = storedVerdict(true)
+      val tc = System.nanoTime()
+      graft.sources.BucketedStore.compactBuckets(spark, "graft_probe_inc_idx")
+      val tCompact = (System.nanoTime() - tc) / 1e9
+      val fComp = nFiles()
+      val (tComp1, cComp) = storedVerdict(true)
+      val (tComp2, _) = storedVerdict(true)
+      require(cComp == cFrag, "compaction changed verdicts")
+      println(f"[probe] compact recovery: $nApp appends -> $fFrag%d files, " +
+        f"verdict $tFrag1%.1f / $tFrag2%.1f s; compact ($tCompact%.1f s) -> " +
+        f"$fComp%d files, verdict $tComp1%.1f / $tComp2%.1f s " +
+        f"(verdicts identical)")
+    }
     spark.stop()
   }
 }

@@ -187,6 +187,103 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("hashIndexDupIds prefilter: broadcast left-semi, no index-side shuffle added") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val idxSigs = Dedup.simhash(docs.filter(side < "a"),
+      col("text"), col("doc_id"))
+    BucketedStore.write(Dedup.simhashChunks(idxSigs, 3), "graft_pf_idx",
+      tmp("graft_pf"), Seq("cidx", "cval"), buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast threshold OFF: the semi must broadcast via the
+      // EXPLICIT hint (bounded key space), not a size estimate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val batch = Dedup.simhash(docs.filter(side >= "a"),
+        col("text"), col("doc_id"))
+      def dup(pf: Boolean) = Dedup.hashIndexDupIds(batch,
+        BucketedStore.read(spark, "graft_pf_idx"), maxDist = 3,
+        indexPrefilter = pf)
+      val withPf = dup(true)
+      val withoutPf = dup(false)
+      val p = withPf.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+        s"prefilter must plan a broadcast left-semi:\n$p")
+      assert(p.contains("Bucketed: true"),
+        "the index scan must stay bucketed under the prefilter")
+      // exactly ONE extra hashpartitioning exchange is allowed: the
+      // distinct over the batch's band keys (bounded at bands x 2^16
+      // rows — metadata, never the index)
+      assert(exchanges(withPf) == exchanges(withoutPf) + 1,
+        s"prefilter shuffles: ${exchanges(withPf)} vs ${exchanges(withoutPf)}")
+      val a = withPf.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = withoutPf.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(a == b, "prefilter changed verdicts")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_pf_idx")
+    }
+  }
+
+  test("compactBuckets: appends collapse to one file per bucket, verdicts identical") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val side = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val idxSigs = Dedup.simhash(docs.filter(side < "a"),
+      col("text"), col("doc_id"))
+    // three ingest days: one write + two appends
+    val g = col("doc_id") % 3
+    BucketedStore.write(Dedup.simhashChunks(idxSigs.filter(g === 0), 3),
+      "graft_cmp_idx", tmp("graft_cmp"), Seq("cidx", "cval"), buckets = 8)
+    BucketedStore.append(Dedup.simhashChunks(idxSigs.filter(g === 1), 3),
+      "graft_cmp_idx")
+    BucketedStore.append(Dedup.simhashChunks(idxSigs.filter(g === 2), 3),
+      "graft_cmp_idx")
+    def location(): java.nio.file.Path = java.nio.file.Paths.get(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_cmp_idx"))
+        .location)
+    def partFiles(p: java.nio.file.Path): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .toSeq
+      finally st.close()
+    }
+    try {
+      val batch = Dedup.simhash(docs.filter(side >= "a"),
+        col("text"), col("doc_id"))
+      def verdict() = Dedup.incrementalNearDupHashes(batch,
+          Seq.empty[(Long, Long)].toDF("doc_id", "simhash"), maxDist = 3,
+          indexChunks = Some(BucketedStore.read(spark, "graft_cmp_idx")))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val before = verdict()
+      val oldLoc = location()
+      val nBefore = partFiles(oldLoc).size
+      assert(nBefore > 8,
+        s"fixture must accumulate multiple files per bucket, got $nBefore")
+      val newLoc = BucketedStore.compactBuckets(spark, "graft_cmp_idx")
+      val after = partFiles(java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(newLoc).toUri.getPath))
+      assert(after.size == 8, s"expected one file per bucket, got $after")
+      assert(location().toString.contains("_compact_"),
+        "catalog must point at the compacted location")
+      assert(!java.nio.file.Files.exists(oldLoc),
+        "old directory must be reclaimed")
+      // still bucketed (no index-side exchange downstream), same rows
+      assert(plan(BucketedStore.read(spark, "graft_cmp_idx")
+        .groupBy("cidx", "cval").count()).contains("Bucketed: true"))
+      assert(verdict() == before,
+        "compaction changed verdicts — it must be a pure rewrite")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cmp_idx")
+  }
+
   test("bucketed stream drain: the novelty tail join drops one exchange") {
     import graft.streaming.Streaming
     val docs = Tables.documents(spark, dir)

@@ -510,6 +510,94 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only: ${got.toSet -- expect}, batch-only: ${expect -- got.toSet}")
   }
 
+  test("slicing law above the cap: uncapped stream ⊇ capped batch on batch-earlier dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    // 60 docs sharing ONE signature — every band bucket holds 60 rows,
+    // far over the batch operator's maxBucket=8, so its md5-threshold
+    // keep subsamples the bucket and flags only pairs among kept rows;
+    // the stream's fMGWS state (uncapped default) is exact. The
+    // documented direction (hashDedupStream scaladoc, SCALE.md r14):
+    // stream verdicts are a SUPERSET of the capped batch's — capped
+    // recall is a lower bound, flagged dups are real either way.
+    val ids = 100L until 160L
+    val sigs = ids.map(i => (i, 0xDEADBEEFL)).toDF("doc_id", "simhash")
+    val emptyIdx = Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+    val batchDup = Dedup.incrementalNearDupHashes(sigs, emptyIdx,
+        maxDist = 3, maxBucket = 8)
+      .filter(col("dup_of_batch_earlier"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchDup.nonEmpty && batchDup.size < ids.size - 1,
+      s"cap must actually subsample (flagged ${batchDup.size} of 59)")
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = Streaming.hashDedupStream(input.toDS(), maxDist = 3,
+        watermarkDelayMs = 365L * 24 * 3600 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("slicing_law_out").start()
+    val streamDup = try {
+      input.addData(ids.map(i => (i, (i + 1) * 1000000L, 0xDEADBEEFL)): _*)
+      q.processAllAvailable()
+      Streaming.collapseNearDupVerdicts(spark.table("slicing_law_out"))
+        .filter(col("dup_of").isNotNull)
+        .select("docId").collect().map(_.getLong(0)).toSet
+    } finally q.stop()
+    assert(streamDup == ids.drop(1).toSet,
+      "uncapped stream state must flag every doc but the first")
+    assert(batchDup.subsetOf(streamDup),
+      s"documented direction violated: batch-only ${batchDup -- streamDup}")
+  }
+
+  test("hashDedupIncrementalStream default: RocksDB state actually used, conf restored") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val StoreKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(StoreKey)
+    // a file-backed two-doc stream through the DEFAULT-parameter path
+    val stage = java.nio.file.Files.createTempDirectory("graft_rocks_spec_")
+    val tmpOut = stage.resolve("w")
+    Seq(1L, 2L).toDF("doc_id").coalesce(1)
+      .write.parquet(tmpOut.toString)
+    val arrivals = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(tmpOut.toString)
+      .as[Long].map(id => (id, (id + 1) * 1000000L, 0x1234L))
+    val idxChunks = Dedup.simhashChunks(
+      Seq((0L, 0x1234L)).toDF("doc_id", "simhash"), maxDist = 3)
+    // snapshot the tmp root before, to find THIS run's drain dir
+    import scala.jdk.CollectionConverters._
+    def incrDirs: Set[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      try st.iterator().asScala.filter(
+        _.getFileName.toString.startsWith("graft_incr_stream_")).toSet
+      finally st.close()
+    }
+    val before = incrDirs
+    val out = Streaming.hashDedupIncrementalStream(arrivals, maxDist = 3,
+      watermarkDelayMs = 365L * 24 * 3600 * 1000, indexChunks = idxChunks)
+    assert(out.count() == 2L)
+    // the provider ACTUALLY USED: RocksDB checkpoints its state as
+    // .zip snapshots / .changelog files; the default HDFS-backed store
+    // writes .delta/.snapshot — assert the artifacts, not just a conf
+    val fresh = (incrDirs -- before).toSeq
+    assert(fresh.size == 1, s"expected one new drain dir, got $fresh")
+    val stateDir = fresh.head.resolve("ckpt").resolve("state")
+    val st = java.nio.file.Files.walk(stateDir)
+    val names = try st.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally st.close()
+    assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"no RocksDB state artifacts under $stateDir: $names")
+    assert(!names.exists(_.endsWith(".delta")),
+      "HDFS-backed state artifacts found — default did not route to RocksDB")
+    // session conf restored after the drain
+    assert(spark.conf.getOption(StoreKey) == prev,
+      "withStateStore must restore the previous provider conf")
+  }
+
   test("streaming minhash dedup hot-bucket cap: bounded state still flags dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -557,4 +557,53 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(twice == out.map { case (k, (n, _)) => k -> n })
   }
+
+  test("StripAccents strips Mn+Mc+Me like utf8proc; CodepointLower is simple 1:1") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextExpressions
+    TextExpressions.register(spark)
+    // Expected values are PINNED FROM DUCKDB (strip_accents /
+    // lower, measured 2026-08, r15): the r14 ADVICE claimed utf8proc
+    // strips only Mn — measurably false; STRIPMARK drops Mc
+    // (Devanagari vowel sign U+093E) and Me (enclosing circle
+    // U+20DD) too, and this expression must keep matching it.
+    val rows = Seq(
+      // क ा(Mc) ग ज ़(Mn): DuckDB -> 915 917 91C (Mc AND Mn gone)
+      (1L, "\u0915\u093E\u0917\u091C\u093C"),
+      (2L, "a\u20DDb"), // Me enclosing mark: DuckDB -> "ab"
+      (3L, "\u0130stanbul"), // dotted capital I
+      (4L, "\u03A3\u0399\u0393\u039C\u0391"), // SIGMA IOTA GAMMA MU ALPHA
+      (5L, "STRASSE \u00DF"), // sharp s: no simple-lowercase change
+      (6L, "A\uA7C7B") // U+A7C7: JDK maps, utf8proc passes through
+    ).toDF("id", "s")
+    val out = rows.select(col("id"),
+        TextExpressions.strip_accents(
+          TextExpressions.nfc_normalize(col("s"))).as("f"),
+        TextExpressions.codepoint_lower(col("s")).as("l"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L)._1 == "\u0915\u0917\u091C",
+      "Mc vowel sign + Mn nukta both stripped (utf8proc STRIPMARK)")
+    assert(out(2L)._1 == "ab", "Me enclosing mark stripped")
+    // strip of dotted-I: NFD = I + 0307(Mn) -> drop -> "I" (DuckDB
+    // agrees)
+    assert(out(3L)._1 == "Istanbul")
+    // simple lowercase: dotted-I -> SINGLE i (DuckDB lower agrees;
+    // Spark's builtin lower gives i + U+0307 via String.toLowerCase
+    // — the trap CodepointLower exists to avoid)
+    assert(out(3L)._2 == "istanbul")
+    assert(out(3L)._2 !=
+      "\u0130stanbul".toLowerCase(java.util.Locale.ROOT),
+      "full-mapping toLowerCase diverges on dotted-I — builtin path differs")
+    assert(out(4L)._2 == "\u03C3\u03B9\u03B3\u03BC\u03B1",
+      "Greek simple lowercase (final-sigma is a FULL-mapping rule; " +
+        "simple keeps medial sigma)")
+    assert(out(5L)._2 == "strasse \u00DF",
+      "sharp s unchanged under simple lower")
+    // the ONE pinned divergence class vs DuckDB (Unicode-13 skew,
+    // tools/case_differential.py): JDK lowers U+A7C7 -> U+A7C8
+    assert(out(6L)._2 == "a\uA7C8b")
+  }
 }
