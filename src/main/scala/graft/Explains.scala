@@ -90,7 +90,7 @@ object Explains {
       "doc_accent_fold" -> "accent-insensitive dedup key: union of the corpus with its accent-injected copy, fold chain (graft_nfc -> graft_strip_accents -> md5) computed ONCE per row inside codegen, then a single key-partitioned Window (exchange + in-partition sort) answers keeper AND group size — no agg+self-join, the fold never re-evaluates",
       "mm_phash_index_maintenance" -> "the maintenance cycle: two verdict plans against ONE catalog table whose contents CHANGE between them — batch 1 reads the written index, its keepers append (one file per touched bucket, spec restated from the catalog), batch 2 reads the union; batch 1's half of the displayed union is an eager localCheckpoint scan (frozen BEFORE the append — re-executing it after would let keepers match themselves), batch 2's half is the live bucketed-scan join",
       "doc_case_fold" -> "case-insensitive dedup key (r15): the fold is graft_lower — per-codepoint SIMPLE lowercase as a codegen'd Expression (Spark's builtin lower takes String.toLowerCase's full default-LOCALE path on non-ASCII and emits TWO codepoints for dotted-capital-I, a nondeterministic dedup key across deployments); same one-window shape as doc_accent_fold — union, one codegen'd fold per row, ONE key-partitioned Window for keeper and group size",
-      "mm_phash_maintenance_stream" -> "the streaming maintenance loop (r15): the displayed plan is the drain scan — per trigger the foreachBatch fold read the index table's CURRENT files (hashIndexDupIds with the r15 broadcast left-semi prefilter — only band groups the trigger touches enter the join), FROZE the verdict (eager localCheckpoint, the per-trigger read-your-own-writes discipline), then appended the trigger's keepers' band chunks so the NEXT trigger's dup_of_index covers them; trigger slicing pinned by one staged file per trigger (maxFilesPerTrigger=1, modTime order)",
+      "mm_phash_maintenance_stream" -> "the streaming maintenance loop (r15): the displayed plan is the drain scan — per trigger the foreachBatch fold read the index table's CURRENT files via the same hashIndexDupIds plan as the batch operator, FROZE the verdict (eager localCheckpoint, the per-trigger read-your-own-writes discipline), then appended the trigger's keepers' band chunks so the NEXT trigger's dup_of_index covers them; trigger slicing pinned by one staged file per trigger (maxFilesPerTrigger=1, modTime order); apply compactBuckets on the maintenance cadence — appends grow file count and the fragmented-index scan cost with it (measured, SCALE.md r15)",
       "mm_phash_agreement_blur_lossy" -> "blur across the lossy boundary (r15): same persisted-two-frames + in-bucket-miner + full-outer shape as the other agreement queries — the plan cost is the two real-codec decode passes (JPEG decode of the unedited twin, blur + PNG round-trip of the edited twin); the finding is in the OUTPUT census: on block-constant content the DCT's 32x32 sample comb sits exactly on the block-edge pixels a horizontal blur mixes, so (T,F) dominates 108:29 — blur-robustness is a content-class property, not a hash property")
 
     val sb = new StringBuilder

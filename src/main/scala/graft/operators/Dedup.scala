@@ -1194,33 +1194,34 @@ object Dedup {
     * re-shuffles. */
   def hashIndexDupIds(batchSigs: DataFrame, indexChunks: DataFrame,
       maxDist: Int, maxBucket: Int = SimhashHotBucketCap,
-      indexPrefilter: Boolean = true): DataFrame = {
+      indexPrefilter: Boolean = false): DataFrame = {
     val bb = capBuckets(simhashChunks(batchSigs, maxDist),
       Seq("cidx", "cval"), maxBucket, col("doc_id"))
-    // INDEX-SIDE PRUNING (r15, the r14 amortization decade's named
-    // lever): a broadcast LEFT-SEMI prefilter keeps only index band
-    // rows whose (cidx, cval) the batch can touch, so the verdict
-    // join's index feed shrinks from O(index) to
-    // O(index x batch_distinct_keys / 65536) per band — the
-    // proportional win for small ingest batches against a huge index.
-    // Three properties make it exact and always safe:
-    //  - the semi key set comes from the UNCAPPED batch bands (a
-    //    superset of the capped frame's keys, and computing it off
-    //    the raw explode avoids re-running the cap aggregate — the
-    //    r14 recomputed-cap lesson);
-    //  - it removes index (cidx, cval) GROUPS atomically, so
-    //    capBuckets' per-bucket counts on the surviving groups are
-    //    unchanged — verdicts identical even in the CAPPED regime;
-    //  - the key space is BOUNDED at bands x 2^16 (<= 1.8M packed
-    //    values at the 28-band tier), so the broadcast hint can never
-    //    blow up, whatever the batch size.
-    // BroadcastHashJoin(LeftSemi) preserves the streamed side's
-    // partitioning, so a bucketed stored index STILL plans no
-    // exchange downstream. FILE-level skipping is intentionally NOT
-    // attempted: with 16-bit band values a batch of b docs touches
-    // ~min(b, 65536) slots per band, saturating any file/bucket
-    // granularity for b beyond a few thousand (SCALE.md r15 math);
-    // rows, not files, are the prunable unit here.
+    // INDEX-SIDE VALUE PRUNING — built, measured, DEFAULT OFF (r15).
+    // The r14 amortization decade named "skip index band data a
+    // batch's band values cannot touch" as the next lever; this is
+    // that lever as a broadcast LEFT-SEMI of the index against the
+    // batch's distinct (cidx, cval) keys. It is EXACT (whole index
+    // groups removed atomically, so capBuckets' surviving counts —
+    // and therefore verdicts — are unchanged even in the capped
+    // regime; BucketingSpec pins equality), always broadcast-safe
+    // (key space bounded at bands x 2^16), and preserves the
+    // bucketed scan's no-exchange property. But on SKEW-MODELED
+    // perceptual-hash populations it is a measured LOSS at every
+    // realistic batch size (IncrementalScaleProbe, 50M index,
+    // SCALE.md r15): row mass concentrates in the hot slots every
+    // batch touches — a 1M batch hits 24% of slots holding 99.7% of
+    // rows, a 10k batch 3.8% of slots holding 88.1% — so <= 12% of
+    // the join feed is ever prunable while the semi pass itself is
+    // paid once per consumption of this frame (capBuckets reads it
+    // twice). Alternated walls: OFF 19-30 s vs ON 45-56 s at both
+    // batch sizes. FILE-level variants die earlier still (the 16-bit
+    // saturation math, SCALE.md r15). Opt in only for hash families
+    // whose band-value population is near-uniform AND whose batches
+    // are small — there selectivity is ~(touched slots / 65536) per
+    // band and can actually bite. The levers that DO pay on skewed
+    // populations: file-count hygiene (BucketedStore.compactBuckets,
+    // measured ~2x recovery after 10 appends) and the hot-bucket cap.
     val ibSrc =
       if (!indexPrefilter) indexChunks
       else indexChunks.join(
@@ -1244,7 +1245,7 @@ object Dedup {
       maxDist: Int, indexChunks: Option[DataFrame] = None,
       universe: Option[DataFrame] = None,
       maxBucket: Int = SimhashHotBucketCap,
-      indexPrefilter: Boolean = true): DataFrame = {
+      indexPrefilter: Boolean = false): DataFrame = {
     val idxDup = hashIndexDupIds(batchSigs,
         indexChunks.getOrElse(simhashChunks(indexSigs, maxDist)),
         maxDist, maxBucket, indexPrefilter)
