@@ -84,14 +84,14 @@ object Explains {
       "mm_phash_agreement" -> "dHash/DCT agreement: the SAME corpus decoded twice (two independent persisted hash frames — the two decode passes are the honest cost of hashing two ways), each feeding the shared banded in-bucket miner, then ONE full-outer SortMergeJoin on bare (a_id, b_id) pairs — output-sized inputs on both sides; no decode or hash work downstream of the two persisted frames",
       "mm_phash_incremental" -> "incremental perceptual dedup: ONE persisted decode+hash frame feeds both sides (InMemoryTableScans), the index enters the plan ONLY via the (cidx, cval) band join — signatures ride the band rows, no signature re-join anywhere — and verdict assembly is two left joins on bare ids; at production scale the index side is the band table stored bucketed on its join keys, so it never re-shuffles",
       "mm_phash_index_roundtrip" -> "the stored-index shape of the same verdict: the index enters the plan as a scan of the BucketedStore catalog table — at this tiny SF, AQE (correctly) broadcasts the band table, so the bucketing is invisible here; the property it buys — the index-side scan reporting the join's HashPartitioning so no index exchange is ever planned at scale — is pinned by BucketingSpec and measured at a 15M-doc index by tools/IncrementalScaleProbe (45.2 -> 16.3 s)",
-      "mm_phash_agreement_blur" -> "the (F,T) agreement regime graded (r14): the blur corpus hashed both ways through the SAME persisted-frame + in-bucket-miner shape as mm_phash_agreement; what the plan shows is the two memoized decode frames (InMemoryTableScans) meeting in one full-outer SortMergeJoin on bare pair ids — the regime evidence (dHash misses, DCT catches) is in the OUTPUT cells, the plan cost is unchanged from the base agreement query",
+      "mm_phash_agreement_blur" -> "the (F,T) agreement regime graded (r14): the blur corpus hashed both ways through the SAME persisted-frame + in-bucket-miner shape as mm_phash_agreement — since r15 from ONE dual-hash decode frame (doc_id, dh, ch): both miner legs are InMemoryTableScans over a single decode pass (decode-once-hash-twice; the codec pass dominates, the second 64-bit hash is noise), meeting in one full-outer SortMergeJoin on bare pair ids",
       "mm_phash_incremental_stream" -> "the ingest-time composition (r14): the displayed plan is the drain scan — the work happened in the streaming query it reads: arrivals decode+dHash in the stateless map, fMGWS band state answers 'earlier arrival within radius' (RocksDB-backed, sharded by band bucket), and each trigger's foreachBatch fold band-joins the micro-batch's (doc_id, sig) against the STORED BucketedStore index — the same hashIndexDupIds plan as the batch operator, so the index side never re-shuffles at scale; graded under the SAME shared SQL as mm_phash_incremental (the arrival engine changes no verdict)",
       "doc_nfc_normalize" -> "Unicode NFC as a native Expression: the whole query is ONE codegen'd projection over the scan — replace, graft_nfc, md5, lengths all in a single WholeStageCodegen span, zero exchanges after the spread; a UDF here would add a serialization boundary per row",
       "doc_accent_fold" -> "accent-insensitive dedup key: union of the corpus with its accent-injected copy, fold chain (graft_nfc -> graft_strip_accents -> md5) computed ONCE per row inside codegen, then a single key-partitioned Window (exchange + in-partition sort) answers keeper AND group size — no agg+self-join, the fold never re-evaluates",
       "mm_phash_index_maintenance" -> "the maintenance cycle: two verdict plans against ONE catalog table whose contents CHANGE between them — batch 1 reads the written index, its keepers append (one file per touched bucket, spec restated from the catalog), batch 2 reads the union; batch 1's half of the displayed union is an eager localCheckpoint scan (frozen BEFORE the append — re-executing it after would let keepers match themselves), batch 2's half is the live bucketed-scan join",
       "doc_case_fold" -> "case-insensitive dedup key (r15): the fold is graft_lower — per-codepoint SIMPLE lowercase as a codegen'd Expression (Spark's builtin lower takes String.toLowerCase's full default-LOCALE path on non-ASCII and emits TWO codepoints for dotted-capital-I, a nondeterministic dedup key across deployments); same one-window shape as doc_accent_fold — union, one codegen'd fold per row, ONE key-partitioned Window for keeper and group size",
       "mm_phash_maintenance_stream" -> "the streaming maintenance loop (r15): the displayed plan is the drain scan — per trigger the foreachBatch fold read the index table's CURRENT files via the same hashIndexDupIds plan as the batch operator, FROZE the verdict (eager localCheckpoint, the per-trigger read-your-own-writes discipline), then appended the trigger's keepers' band chunks so the NEXT trigger's dup_of_index covers them; trigger slicing pinned by one staged file per trigger (maxFilesPerTrigger=1, modTime order); apply compactBuckets on the maintenance cadence — appends grow file count and the fragmented-index scan cost with it (measured, SCALE.md r15)",
-      "mm_phash_agreement_blur_lossy" -> "blur across the lossy boundary (r15): same persisted-two-frames + in-bucket-miner + full-outer shape as the other agreement queries — the plan cost is the two real-codec decode passes (JPEG decode of the unedited twin, blur + PNG round-trip of the edited twin); the finding is in the OUTPUT census: on block-constant content the DCT's 32x32 sample comb sits exactly on the block-edge pixels a horizontal blur mixes, so (T,F) dominates 108:29 — blur-robustness is a content-class property, not a hash property")
+      "mm_phash_agreement_blur_lossy" -> "blur across the lossy boundary (r15): ONE dual-hash decode frame (real JPEG decode of the unedited twin, blur + real PNG round-trip of the edited twin — decode-once-hash-twice measured 17.2 -> 8.6 s at sf1eq 10x vs the two-frame draft) feeding both in-bucket miner legs + the full-outer agreement join; the finding is in the OUTPUT census: on block-constant content the DCT's 32x32 sample comb sits exactly on the block-edge pixels a horizontal blur mixes, so (T,F) dominates 108:29 — blur-robustness is a content-class property, not a hash property")
 
     val sb = new StringBuilder
     sb.append("# EXPLAINS — representative physical plans\n\n")

@@ -144,27 +144,34 @@ object MultimodalQueries {
     * the DCT hash stays inside — the (F,T) regime the r13 agreement
     * matrix could only pin at unit level). Both twins still cross a
     * REAL codec. */
-  private def blurHashOf(id: Long,
-      hash: (Int, Int, Array[Byte]) => Long): Long = {
+  private def blurTwinPixels(id: Long): (Int, Int, Array[Byte]) = {
     val gid = id / 2
     val base = Multimodal.synthGrayImage(gid, 19, 17)
     if (id % 2 == 0) {
       val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, base))
-      hash(p.width, p.height, p.pixels)
+      (p.width, p.height, p.pixels)
     } else {
       val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17,
         Multimodal.blurH121(19, 17, base)))
-      hash(b.width, b.height, b.pixels)
+      (b.width, b.height, b.pixels)
     }
   }
-  private def blurHashes(s: org.apache.spark.sql.SparkSession,
-      dir: String, hashKey: String) =
-    memoPersisted(s, dir, s"blur:$hashKey") {
+
+  /** BOTH hashes of the blur corpus from ONE decode pass — the
+    * agreement queries are this frame's only consumers, so
+    * decode-once-hash-twice halves their dominant cost vs two
+    * per-hash frames (r15; the codec pass is the expensive part, the
+    * two 64-bit hashes over decoded pixels are noise next to it). */
+  private def blurHashes2(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    memoPersisted(s, dir, "blur2") {
       import s.implicits._
-      val hash = hashFns(hashKey)
       docIdsSpread(s, dir).as[Long]
-        .map(id => (id, blurHashOf(id, hash)))
-        .toDF("doc_id", "simhash")
+        .map { id =>
+          val (w, h, px) = blurTwinPixels(id)
+          (id, Multimodal.dhash64(w, h, px), Multimodal.phashDct64(w, h, px))
+        }
+        .toDF("doc_id", "dh", "ch")
     }
 
   /** Single-sourced CTE chain for the dHash near-dup pair set —
@@ -647,27 +654,33 @@ object MultimodalQueries {
     * pixel plane, blur it ([[Multimodal.blurH121]] — blur BEFORE
     * encode, the re-encode-an-edited-image pipeline), and round-trip
     * the blurred plane through the REAL PNG codec. */
-  private def lossyBlurHashOf(id: Long,
-      hash: (Int, Int, Array[Byte]) => Long): Long = {
+  private def lossyBlurTwinPixels(id: Long): (Int, Int, Array[Byte]) = {
     val gid = id / 2
     if (id % 2 == 0) {
       val img = Multimodal.decodeJpeg(Multimodal.synthJpegWide(gid, 256, 256))
-      hash(img.width, img.height, Multimodal.grayToRgb(img.pixels))
+      (img.width, img.height, Multimodal.grayToRgb(img.pixels))
     } else {
       val px = Multimodal.blurH121(256, 256,
         Multimodal.jpegWidePixels(gid, 256, 256))
       val p = Multimodal.decodePng(Multimodal.encodePng(256, 256, px))
-      hash(p.width, p.height, p.pixels)
+      (p.width, p.height, p.pixels)
     }
   }
-  private def lossyBlurHashes(s: org.apache.spark.sql.SparkSession,
-      dir: String, hashKey: String) =
-    memoPersisted(s, dir, s"lossyblur:$hashKey") {
+
+  /** BOTH hashes of the blur-across-the-lossy-boundary corpus from
+    * ONE real-codec pass ([[blurHashes2]]'s rationale at 256x256
+    * payloads, where the decode dominates even more — sf1eq measured
+    * the two-frame draft at 17.2 s/10x, decode-bound). */
+  private def lossyBlurHashes2(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    memoPersisted(s, dir, "lossyblur2") {
       import s.implicits._
-      val hash = hashFns(hashKey)
       docIdsSpread(s, dir).as[Long]
-        .map(id => (id, lossyBlurHashOf(id, hash)))
-        .toDF("doc_id", "simhash")
+        .map { id =>
+          val (w, h, px) = lossyBlurTwinPixels(id)
+          (id, Multimodal.dhash64(w, h, px), Multimodal.phashDct64(w, h, px))
+        }
+        .toDF("doc_id", "dh", "ch")
     }
 
   /** Session-scoped (table, path) for a stored band index — the r13
@@ -1405,11 +1418,14 @@ object MultimodalQueries {
     // floor arithmetic, same full-outer join as mm_phash_agreement.
     "mm_phash_agreement_blur" -> QueryDef(BLUR_AGREEMENT_SQL) { (s, dir) =>
       import graft.operators.Dedup
-      val dh = Dedup.simhashPairsBucketed(blurHashes(s, dir, "dhash"),
+      val both = blurHashes2(s, dir)
+      val dh = Dedup.simhashPairsBucketed(
+          both.select(col("doc_id"), col("dh").as("simhash")),
           maxDist = 3, maxBucket = 1024)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("long").as("d_hamming"))
-      val ch = Dedup.simhashPairsBucketed(blurHashes(s, dir, "dct"),
+      val ch = Dedup.simhashPairsBucketed(
+          both.select(col("doc_id"), col("ch").as("simhash")),
           maxDist = 3, maxBucket = 1024)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("long").as("c_hamming"))
@@ -1439,11 +1455,14 @@ object MultimodalQueries {
     "mm_phash_agreement_blur_lossy" -> QueryDef(BLUR_LOSSY_AGREEMENT_SQL) {
       (s, dir) =>
       import graft.operators.Dedup
-      val dh = Dedup.simhashPairsBucketed(lossyBlurHashes(s, dir, "dhash"),
+      val both = lossyBlurHashes2(s, dir)
+      val dh = Dedup.simhashPairsBucketed(
+          both.select(col("doc_id"), col("dh").as("simhash")),
           maxDist = 3, maxBucket = 1024)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("long").as("d_hamming"))
-      val ch = Dedup.simhashPairsBucketed(lossyBlurHashes(s, dir, "dct"),
+      val ch = Dedup.simhashPairsBucketed(
+          both.select(col("doc_id"), col("ch").as("simhash")),
           maxDist = 3, maxBucket = 1024)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("long").as("c_hamming"))
