@@ -750,6 +750,59 @@ object MultimodalQueries {
     * earlier-batch legs by the doc family's md5 side rule.
     * Persistence must not change one verdict, so both queries grade
     * against the SAME SQL (the EXACT_KEEP_SQL discipline). */
+  /** Shared oracle for the batch-batch maintenance cycle
+    * (mm_phash_index_maintenance) AND its compacted twin
+    * (mm_phash_maintenance_compacted): ingest b1 vs stored index ->
+    * keeper election -> append -> ingest b2 vs the UPDATED index.
+    * The compacted twin runs compactBuckets between the append and
+    * b2 — grading, through the driver's exact hash gate, that a
+    * one-file-per-bucket rewrite changes NO verdict (the
+    * EXACT_KEEP_SQL discipline, compaction edition). */
+  private def MM_PHASH_MAINT_SQL: String =
+    s"""WITH ${PHASH_PAIRS_CTES()},
+        |side AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '8' THEN 0
+        |         WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 1
+        |         ELSE 2 END AS g
+        |  FROM documents),
+        |pboth AS (SELECT a_id AS x, b_id AS y FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |d1i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+        |  JOIN side sx ON p.x = sx.doc_id
+        |  JOIN side sy ON p.y = sy.doc_id
+        |  WHERE sx.g = 1 AND sy.g = 0),
+        |d1b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+        |  JOIN side sa ON a_id = sa.doc_id
+        |  JOIN side sb2 ON b_id = sb2.doc_id
+        |  WHERE sa.g = 1 AND sb2.g = 1),
+        |v1 AS (SELECT d.doc_id,
+        |    d.doc_id IN (SELECT doc_id FROM d1i) AS dup_of_index,
+        |    d.doc_id IN (SELECT doc_id FROM d1b) AS dup_of_batch_earlier
+        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+        |  WHERE side.g = 1),
+        |keep1 AS (SELECT doc_id FROM v1
+        |  WHERE NOT dup_of_index AND NOT dup_of_batch_earlier),
+        |d2i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+        |  JOIN side sx ON p.x = sx.doc_id
+        |  JOIN side sy ON p.y = sy.doc_id
+        |  WHERE sx.g = 2 AND (sy.g = 0
+        |    OR p.y IN (SELECT doc_id FROM keep1))),
+        |d2b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+        |  JOIN side sa ON a_id = sa.doc_id
+        |  JOIN side sb2 ON b_id = sb2.doc_id
+        |  WHERE sa.g = 2 AND sb2.g = 2),
+        |v2 AS (SELECT d.doc_id,
+        |    d.doc_id IN (SELECT doc_id FROM d2i) AS dup_of_index,
+        |    d.doc_id IN (SELECT doc_id FROM d2b) AS dup_of_batch_earlier
+        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+        |  WHERE side.g = 2),
+        |u AS (SELECT 1 AS stage, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2)
+        |SELECT doc_id, CAST(stage AS BIGINT) AS stage, dup_of_index,
+        |  dup_of_batch_earlier,
+        |  NOT dup_of_index AND NOT dup_of_batch_earlier AS keep
+        |FROM u""".stripMargin
+
   private def MM_PHASH_INCR_SQL: String =
     s"""WITH ${PHASH_PAIRS_CTES()},
       |side AS (SELECT doc_id,
@@ -1572,49 +1625,7 @@ object MultimodalQueries {
     // split (0-7 index / 8-b batch1 / c-f batch2); oracle replays the
     // keeper election and the updated-index membership in SQL.
     "mm_phash_index_maintenance" -> QueryDef(
-      s"""WITH ${PHASH_PAIRS_CTES()},
-        |side AS (SELECT doc_id,
-        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '8' THEN 0
-        |         WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 1
-        |         ELSE 2 END AS g
-        |  FROM documents),
-        |pboth AS (SELECT a_id AS x, b_id AS y FROM pairs
-        |  UNION ALL SELECT b_id, a_id FROM pairs),
-        |d1i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
-        |  JOIN side sx ON p.x = sx.doc_id
-        |  JOIN side sy ON p.y = sy.doc_id
-        |  WHERE sx.g = 1 AND sy.g = 0),
-        |d1b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
-        |  JOIN side sa ON a_id = sa.doc_id
-        |  JOIN side sb2 ON b_id = sb2.doc_id
-        |  WHERE sa.g = 1 AND sb2.g = 1),
-        |v1 AS (SELECT d.doc_id,
-        |    d.doc_id IN (SELECT doc_id FROM d1i) AS dup_of_index,
-        |    d.doc_id IN (SELECT doc_id FROM d1b) AS dup_of_batch_earlier
-        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
-        |  WHERE side.g = 1),
-        |keep1 AS (SELECT doc_id FROM v1
-        |  WHERE NOT dup_of_index AND NOT dup_of_batch_earlier),
-        |d2i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
-        |  JOIN side sx ON p.x = sx.doc_id
-        |  JOIN side sy ON p.y = sy.doc_id
-        |  WHERE sx.g = 2 AND (sy.g = 0
-        |    OR p.y IN (SELECT doc_id FROM keep1))),
-        |d2b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
-        |  JOIN side sa ON a_id = sa.doc_id
-        |  JOIN side sb2 ON b_id = sb2.doc_id
-        |  WHERE sa.g = 2 AND sb2.g = 2),
-        |v2 AS (SELECT d.doc_id,
-        |    d.doc_id IN (SELECT doc_id FROM d2i) AS dup_of_index,
-        |    d.doc_id IN (SELECT doc_id FROM d2b) AS dup_of_batch_earlier
-        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
-        |  WHERE side.g = 2),
-        |u AS (SELECT 1 AS stage, * FROM v1
-        |  UNION ALL SELECT 2, * FROM v2)
-        |SELECT doc_id, CAST(stage AS BIGINT) AS stage, dup_of_index,
-        |  dup_of_batch_earlier,
-        |  NOT dup_of_index AND NOT dup_of_batch_earlier AS keep
-        |FROM u""".stripMargin) { (s, dir) =>
+      MM_PHASH_MAINT_SQL) { (s, dir) =>
       import s.implicits._
       import graft.operators.Dedup
       val hashes = perceptualHashes(s, dir, 128, "dhash")
@@ -1643,6 +1654,48 @@ object MultimodalQueries {
           b1.join(v1.filter(col("keep")).select("doc_id"), Seq("doc_id")),
           maxDist = 3),
         table)
+      val v2 = verdict(b2)
+      v1.withColumn("stage", lit(1L)).unionByName(
+          v2.withColumn("stage", lit(2L)))
+        .select("doc_id", "stage", "dup_of_index", "dup_of_batch_earlier",
+          "keep")
+    },
+
+    // MAINTENANCE + COMPACTION (r15): the cycle above with
+    // BucketedStore.compactBuckets run between the append and batch 2
+    // — the file-count hygiene pass the 50M probe measured (~2x
+    // verdict-wall recovery after 10 fragmenting appends) graded for
+    // VERDICT NEUTRALITY through the driver's exact hash gate: the
+    // oracle is the SAME MM_PHASH_MAINT_SQL, so the one-file-per-
+    // bucket rewrite (write-new-then-swap, catalog repointed, old dir
+    // reclaimed) must change NOTHING batch 2 can see.
+    "mm_phash_maintenance_compacted" -> QueryDef(MM_PHASH_MAINT_SQL) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.operators.Dedup
+      val hashes = perceptualHashes(s, dir, 128, "dhash")
+      val c = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val idxSide = hashes.filter(c < "8")
+      val b1 = hashes.filter(c >= "8" && c < "c")
+      val b2 = hashes.filter(c >= "c")
+      val (table, path) = idxStore(s, "phash_idx_maintc", dir)
+      graft.sources.BucketedStore.write(
+        Dedup.simhashChunks(idxSide, maxDist = 3),
+        table, path, Seq("cidx", "cval"), buckets = 8)
+      val emptySigs = Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+      def verdict(batch: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalNearDupHashes(batch, emptySigs, maxDist = 3,
+          indexChunks = Some(graft.sources.BucketedStore.read(s, table)))
+      val v1 = verdict(b1).localCheckpoint()
+      graft.sources.BucketedStore.append(
+        Dedup.simhashChunks(
+          b1.join(v1.filter(col("keep")).select("doc_id"), Seq("doc_id")),
+          maxDist = 3),
+        table)
+      // the r15 piece: collapse write+append fragmentation to one
+      // file per bucket BEFORE batch 2 reads — a maintenance-window
+      // pass, invisible to every verdict by construction
+      graft.sources.BucketedStore.compactBuckets(s, table)
       val v2 = verdict(b2)
       v1.withColumn("stage", lit(1L)).unionByName(
           v2.withColumn("stage", lit(2L)))

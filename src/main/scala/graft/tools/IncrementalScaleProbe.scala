@@ -23,11 +23,17 @@ import graft.operators.Dedup
   *      the index never recomputes its chunks.
   *
   * Run: sbt "runMain graft.tools.IncrementalScaleProbe 15000000 1000000"
+  *      args(2): "compact" (adds step 5, appends+compactBuckets) or
+  *      "uniform" (UNBIASED 64-bit sigs instead of the corpus-skew
+  *      model — the r15 prefilter's documented opt-in regime, where
+  *      rows spread evenly over band slots and value pruning can
+  *      actually bite; measures the claim instead of asserting it)
   */
 object IncrementalScaleProbe {
   def main(args: Array[String]): Unit = {
     val nIdx = if (args.length > 0) args(0).toLong else 15000000L
     val nBatch = if (args.length > 1) args(1).toLong else 1000000L
+    val uniform = args.length > 2 && args(2) == "uniform"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -50,8 +56,11 @@ object IncrementalScaleProbe {
         * (1L << 32)).toLong
     }
 
+    def baseSig(id: Long): Long =
+      if (uniform) SimhashSkewProbe.mix(id) else
+        SimhashSkewProbe.biasedSig(id, pQ32)
     val idx = spark.range(nIdx).as[Long]
-      .map(id => (id, SimhashSkewProbe.biasedSig(id, pQ32)))
+      .map(id => (id, baseSig(id)))
       .toDF("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batch = spark.range(nBatch).as[Long]
@@ -60,7 +69,7 @@ object IncrementalScaleProbe {
         val sig =
           if (j % 5 == 0) {
             // planted near-dup of an index doc: 0-3 flips
-            var s = SimhashSkewProbe.biasedSig((j * 13) % nIdx, pQ32)
+            var s = baseSig((j * 13) % nIdx)
             val k = (j % 4).toInt
             var q = 0
             while (q < k) {
@@ -68,7 +77,7 @@ object IncrementalScaleProbe {
               q += 1
             }
             s
-          } else SimhashSkewProbe.biasedSig(id, pQ32)
+          } else baseSig(id)
         (id, sig)
       }.toDF("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
