@@ -2914,6 +2914,65 @@ object DocQueries {
         count(lit(1)).over(w).as("n_dups"))
     },
 
+    // THE FULL CANONICAL KEY (r15): the three normalizers composed in
+    // pipeline order — NFC, then accent strip, then simple lowercase —
+    // as ONE dedup key, graded by a four-leg absorb: the original
+    // corpus plus an accent-injected twin (+1e6: a -> a + combining
+    // acute; nfc composes it, strip removes it), a case-injected twin
+    // (+2e6: e -> E; lower restores it), and a COMBINED twin (+3e6:
+    // a -> Ä and e -> E — Ä exercises all three passes on one
+    // character: NFD splits to A + umlaut(Mn), strip drops the mark,
+    // lower folds the A). Every original must absorb all three twins:
+    // keeper = original, n_dups = 4 per group, which holds only if
+    // each pass reproduces the exact pre-injection bytes AND the
+    // composition order is right (strip before lower is safe either
+    // way here, but lower-before-nfc would break the +1e6 leg on
+    // any uppercase base letter carrying the mark).
+    "doc_canonical_key" -> QueryDef(
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, replace(text, 'a', 'a' || chr(769))
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, replace(text, 'e', 'E')
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    replace(replace(text, 'a', chr(196)), 'e', 'E')
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    coalesce(md5(lower(strip_accents(nfc_normalize(text)))),
+        |      'NULL') AS k
+        |  FROM c),
+        |g AS (SELECT k, min(doc_id) AS keeper, count(*) AS n
+        |  FROM f GROUP BY k)
+        |SELECT f.doc_id, f.k AS fold_md5, f.doc_id = g.keeper AS keep,
+        |  g.n AS n_dups
+        |FROM f JOIN g ON f.k = g.k""".stripMargin) { (s, dir) =>
+      graft.functions.TextExpressions.register(s)
+      import graft.functions.TextExpressions.{codepoint_lower,
+        nfc_normalize, strip_accents}
+      val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      def rep2(c: org.apache.spark.sql.Column, from: String, to: String) =
+        call_function("replace", c, lit(from), lit(to))
+      val c = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          rep2(col("text"), "a", "a\u0301").as("text")))
+        .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          rep2(col("text"), "e", "E").as("text")))
+        .unionByName(docs.select((col("doc_id") + 3000000L).as("doc_id"),
+          rep2(rep2(col("text"), "a", "\u00C4"), "e", "E").as("text")))
+      val f = c.select(col("doc_id"),
+        coalesce(md5(codepoint_lower(strip_accents(nfc_normalize(
+          col("text")))).cast("binary")), lit("NULL")).as("k"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      f.select(col("doc_id"), col("k").as("fold_md5"),
+        (col("doc_id") === min("doc_id").over(w)).as("keep"),
+        count(lit(1)).over(w).as("n_dups"))
+    },
+
     // Both stages are their single-sourced CTE chains, so the
     // composition cannot drift from its parts.
     "doc_pipeline_web" -> QueryDef(
