@@ -91,6 +91,8 @@ object Explains {
       "mm_phash_index_maintenance" -> "the maintenance cycle: two verdict plans against ONE catalog table whose contents CHANGE between them — batch 1 reads the written index, its keepers append (one file per touched bucket, spec restated from the catalog), batch 2 reads the union; batch 1's half of the displayed union is an eager localCheckpoint scan (frozen BEFORE the append — re-executing it after would let keepers match themselves), batch 2's half is the live bucketed-scan join",
       "doc_case_fold" -> "case-insensitive dedup key (r15): the fold is graft_lower — per-codepoint SIMPLE lowercase as a codegen'd Expression (Spark's builtin lower takes String.toLowerCase's full default-LOCALE path on non-ASCII and emits TWO codepoints for dotted-capital-I, a nondeterministic dedup key across deployments); same one-window shape as doc_accent_fold — union, one codegen'd fold per row, ONE key-partitioned Window for keeper and group size",
       "mm_phash_maintenance_stream" -> "the streaming maintenance loop (r15): the displayed plan is the drain scan — per trigger the foreachBatch fold read the index table's CURRENT files via the same hashIndexDupIds plan as the batch operator, FROZE the verdict (eager localCheckpoint, the per-trigger read-your-own-writes discipline), then appended the trigger's keepers' band chunks so the NEXT trigger's dup_of_index covers them; trigger slicing pinned by one staged file per trigger (maxFilesPerTrigger=1, modTime order); apply compactBuckets on the maintenance cadence — appends grow file count and the fragmented-index scan cost with it (measured, SCALE.md r15)",
+      "doc_canonical_key" -> "the full canonical dedup key (r15): nfc -> strip_accents -> lower composed as ONE codegen'd projection per row (three UnaryExpressions nest inside a single WholeStageCodegen span — no UDF boundary between passes), four corpus legs unioned, then the one key-partitioned Window; the absorb property (n_dups = 4 for every group) is the output-level proof each pass reproduced exact bytes",
+      "mm_phash_maintenance_compacted" -> "maintenance + compaction (r15): identical verdict plans to mm_phash_index_maintenance — the compactBuckets rewrite between append and batch 2 is INVISIBLE here by design (same rows, same bucket spec, catalog repointed to one file per bucket); the displayed batch-2 scan reads the compacted files, and the shared oracle SQL proves the rewrite changed nothing",
       "mm_phash_agreement_blur_lossy" -> "blur across the lossy boundary (r15): ONE dual-hash decode frame (real JPEG decode of the unedited twin, blur + real PNG round-trip of the edited twin — decode-once-hash-twice measured 17.2 -> 8.6 s at sf1eq 10x vs the two-frame draft) feeding both in-bucket miner legs + the full-outer agreement join; the finding is in the OUTPUT census: on block-constant content the DCT's 32x32 sample comb sits exactly on the block-edge pixels a horizontal blur mixes, so (T,F) dominates 108:29 — blur-robustness is a content-class property, not a hash property")
 
     val sb = new StringBuilder

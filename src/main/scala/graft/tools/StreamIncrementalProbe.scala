@@ -109,13 +109,32 @@ object StreamIncrementalProbe {
       .toDF("docId", "tsUs", "bidx", "matchedId", "sig")
       .writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        val rows = graft.streaming.Streaming
-          .incrementalBatchFold(b, stored, maxDist = 3)
+        // "maint" (r15): the hashDedupMaintStream discipline at probe
+        // scale — fold against the table's CURRENT files, freeze,
+        // append this trigger's keepers' chunks before the next one
+        val maint = args.contains("maint")
+        val idxFrame =
+          if (maint)
+            graft.sources.BucketedStore.read(spark, "graft_probe_sinc_idx")
+          else stored
+        val fold0 = graft.streaming.Streaming
+          .incrementalBatchFold(b, idxFrame, maxDist = 3)
+        val fold = if (maint) fold0.localCheckpoint() else fold0
+        val rows = fold
           .groupBy("dup_of_index", "dup_of_batch_earlier", "keep")
           .agg(count(lit(1)).as("n")).collect()
         rows.foreach { r =>
           counts.merge((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)),
             r.getLong(3), (a, bv) => a + bv)
+        }
+        if (maint) {
+          val keepers = b
+            .select(col("docId").as("doc_id"), col("sig").as("simhash"))
+            .distinct()
+            .join(fold.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+          graft.sources.BucketedStore.append(
+            Dedup.simhashChunks(keepers, maxDist = 3),
+            "graft_probe_sinc_idx")
         }
         nTrig += 1
         ()

@@ -598,6 +598,81 @@ class StreamingSpec extends AnyFunSuite {
       "withStateStore must restore the previous provider conf")
   }
 
+  test("hashDedupMaintStream: in-loop appends promote later-trigger matches to dup_of_index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    // hand-sized cross-trigger fixture: index doc 0; trigger 1 brings
+    // a fresh KEEPER (10) and an index dup (11 == sig of 0); trigger 2
+    // brings 20 == sig of 10 (matches ONLY the trigger-1 keeper) and
+    // 21, a fresh survivor. Expected: 20 is dup_of_index (via the
+    // in-loop append of 10's chunks) AND dup_of_batch_earlier (via the
+    // cross-trigger band state); without the append it would carry
+    // only the batch-earlier flag.
+    def sig(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val idxSigs = Seq((0L, sig(0))).toDF("doc_id", "simhash")
+    val table = "graft_maint_spec_idx"
+    val root = java.nio.file.Files.createTempDirectory("graft_maint_spec_")
+    Streaming.sweepOnExit(root)
+    graft.sources.BucketedStore.write(
+      Dedup.simhashChunks(idxSigs, maxDist = 3), table,
+      root.resolve("idx").toString, Seq("cidx", "cval"), buckets = 4)
+    // two staged arrival files = two pinned triggers
+    val b1 = Seq((10L, sig(10)), (11L, sig(0)))
+    val b2 = Seq((20L, sig(10)), (21L, sig(21)))
+    Seq(("t0", b1), ("t1", b2)).zipWithIndex.foreach { case ((_, rows), i) =>
+      val tmp = root.resolve(s"w$i")
+      rows.toDF("doc_id", "simhash").coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      val dest = root.resolve("stage").resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(src, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + i * 10000L))
+    }
+    try {
+      val arrivals = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("simhash",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.resolve("stage").toString)
+        .as[(Long, Long)]
+        .map { case (id, h) => (id, (id + 1) * 1000000L, h) }
+      val out = Streaming.hashDedupMaintStream(arrivals, maxDist = 3,
+          watermarkDelayMs = 365L * 24 * 3600 * 1000, indexTable = table)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+      assert(out == Map(
+        10L -> ((false, false, true)),  // fresh keeper
+        11L -> ((true, false, false)),  // dup of the ORIGINAL index
+        // the load-bearing row: matched the trigger-1 keeper in BOTH
+        // the appended index and the cross-trigger band state
+        20L -> ((true, true, false)),
+        21L -> ((false, false, true))), s"got $out")
+      // and the keepers of BOTH triggers were appended: the final
+      // index knows sig(10), sig(21) and the original sig(0)
+      val idxNow = graft.sources.BucketedStore.read(spark, table)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idxNow == Set(0L, 10L, 21L), s"index docs: $idxNow")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming minhash dedup hot-bucket cap: bounded state still flags dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
