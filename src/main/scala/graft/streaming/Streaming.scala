@@ -907,9 +907,16 @@ object Streaming {
     val out = root.resolve("out").toString
     withStateStore(spark, rocksdbState) {
       val q = verdicts.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          incrementalBatchFold(batch, indexChunks, maxDist, maxBucket)
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          // persist the trigger's verdicts ONCE: the fold consumes
+          // them twice (per-doc agg + the index-join leg), and each
+          // un-persisted consumption re-runs the whole fMGWS state
+          // pass — measured 64.3 -> 47.3 s (-26%) on the 15M x 1M
+          // 4-trigger probe (SCALE.md r15), censuses identical
+          val batch = batch0.persist()
+          try incrementalBatchFold(batch, indexChunks, maxDist, maxBucket)
             .write.mode("append").parquet(out)
+          finally batch.unpersist()
         }
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -976,20 +983,26 @@ object Streaming {
     val out = root.resolve("out").toString
     withStateStore(spark, rocksdbState) {
       val q = verdicts.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val s = batch.sparkSession
-          val fold = incrementalBatchFold(batch,
-              graft.sources.BucketedStore.read(s, indexTable),
-              maxDist, maxBucket)
-            .localCheckpoint() // EAGER: freeze before the append below
-          fold.write.mode("append").parquet(out)
-          val keeperSigs = batch
-            .select(col("docId").as("doc_id"), col("sig").as("simhash"))
-            .distinct()
-            .join(fold.filter(col("keep")).select("doc_id"), Seq("doc_id"))
-          graft.sources.BucketedStore.append(
-            graft.operators.Dedup.simhashChunks(keeperSigs, maxDist),
-            indexTable)
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          val s = batch0.sparkSession
+          // one materialization instead of THREE state passes (fold
+          // consumes the trigger twice, the keeper join a third time)
+          // — measured 77.7 -> 59.7 s (-23%) at the 15M probe
+          val batch = batch0.persist()
+          try {
+            val fold = incrementalBatchFold(batch,
+                graft.sources.BucketedStore.read(s, indexTable),
+                maxDist, maxBucket)
+              .localCheckpoint() // EAGER: freeze before the append below
+            fold.write.mode("append").parquet(out)
+            val keeperSigs = batch
+              .select(col("docId").as("doc_id"), col("sig").as("simhash"))
+              .distinct()
+              .join(fold.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+            graft.sources.BucketedStore.append(
+              graft.operators.Dedup.simhashChunks(keeperSigs, maxDist),
+              indexTable)
+          } finally batch.unpersist()
         }
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

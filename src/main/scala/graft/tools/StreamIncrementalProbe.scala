@@ -108,7 +108,13 @@ object StreamIncrementalProbe {
         watermarkDelayMs = 365L * 24 * 3600 * 1000)
       .toDF("docId", "tsUs", "bidx", "matchedId", "sig")
       .writeStream.outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (b0: org.apache.spark.sql.DataFrame, _: Long) =>
+        // "persist" (r15 A/B): the fold consumes the micro-batch
+        // TWICE (dupBatch agg + the index-join leg) and maint a third
+        // time (keepers) — each consumption re-runs the fMGWS state
+        // pass; one persist trades that for a materialization
+        val doPersist = args.contains("persist")
+        val b = if (doPersist) b0.persist() else b0
         // "maint" (r15): the hashDedupMaintStream discipline at probe
         // scale — fold against the table's CURRENT files, freeze,
         // append this trigger's keepers' chunks before the next one
@@ -136,6 +142,7 @@ object StreamIncrementalProbe {
             Dedup.simhashChunks(keepers, maxDist = 3),
             "graft_probe_sinc_idx")
         }
+        if (doPersist) b.unpersist()
         nTrig += 1
         ()
       }
