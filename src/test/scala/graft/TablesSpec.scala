@@ -17,6 +17,26 @@ class TablesSpec extends AnyFunSuite {
   // one instant: 2021-03-02T00:00:01.5Z
   private val us = 1614643201500000L
 
+  test("Sessions: stable unique token per session, live entries survive the sweep") {
+    import graft.core.Sessions
+    val t1 = Sessions.token(spark)
+    assert(t1 == Sessions.token(spark), "token must be stable per session")
+    assert(!Sessions.dead(t1), "a reachable, running session is live")
+    // a sweep over a cache keyed by live tokens evicts nothing
+    val m = new java.util.concurrent.ConcurrentHashMap[(String, Int), String]
+    m.put((t1, 1), "a"); m.put((t1, 2), "b")
+    Sessions.sweepDead(m)(_._1)
+    assert(m.size == 2, "live-session entries must survive sweepDead")
+    // an unknown token (a session this JVM never registered — the
+    // recycled-identity stand-in) is dead and its entries evicted
+    val ghost = java.util.UUID.randomUUID().toString
+    m.put((ghost, 3), "c")
+    assert(Sessions.dead(ghost))
+    Sessions.sweepDead(m)(_._1)
+    assert(m.keySet().size == 2 && !m.containsKey((ghost, 3)),
+      "dead-token entries must be evicted, live ones kept")
+  }
+
   test("normalizeTs: all three physical encodings yield the same nanos Long") {
     val spark0 = spark
     import spark0.implicits._
