@@ -1195,8 +1195,8 @@ object Dedup {
   def hashIndexDupIds(batchSigs: DataFrame, indexChunks: DataFrame,
       maxDist: Int, maxBucket: Int = SimhashHotBucketCap,
       indexPrefilter: Boolean = false): DataFrame = {
-    val bb = capBuckets(simhashChunks(batchSigs, maxDist),
-      Seq("cidx", "cval"), maxBucket, col("doc_id"))
+    val bchunks = simhashChunks(batchSigs, maxDist)
+    val bb = capBuckets(bchunks, Seq("cidx", "cval"), maxBucket, col("doc_id"))
     // INDEX-SIDE VALUE PRUNING — built, measured, DEFAULT OFF (r15).
     // The r14 amortization decade named "skip index band data a
     // batch's band values cannot touch" as the next lever; this is
@@ -1225,8 +1225,11 @@ object Dedup {
     val ibSrc =
       if (!indexPrefilter) indexChunks
       else indexChunks.join(
-        broadcast(simhashChunks(batchSigs, maxDist)
-          .select(col("cidx"), col("cval")).distinct()),
+        // one banding pass: the broadcast key set derives from the SAME
+        // bchunks frame as the batch side above — re-banding batchSigs
+        // here doubled the batch pass on a path already measured
+        // marginal (r15 ADVICE)
+        broadcast(bchunks.select(col("cidx"), col("cval")).distinct()),
         Seq("cidx", "cval"), "left_semi")
     val ib = capBuckets(ibSrc, Seq("cidx", "cval"), maxBucket,
         col("doc_id"))

@@ -115,8 +115,13 @@ object MultimodalQueries {
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // sessionUUID key + dead-session sweep (r14 ADVICE): identity
     // hashes can recycle across sessions, and stopped sessions'
-    // persisted frames would otherwise pin heap forever
-    graft.core.Sessions.sweepDead(hashFrameMemo)(_._1)
+    // persisted frames would otherwise pin heap forever. Eviction
+    // unpersists when the owning context still runs (r15 ADVICE —
+    // a stopped context dropped its blocks already; Sessions scaladoc
+    // has the shared-context caveat)
+    graft.core.Sessions.sweepDead(hashFrameMemo)(_._1,
+      (df: org.apache.spark.sql.DataFrame) =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist())
     val df = hashFrameMemo.computeIfAbsent(
       (graft.core.Sessions.token(s), dir, key), _ => build)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
@@ -722,12 +727,15 @@ object MultimodalQueries {
     parts.zipWithIndex.foreach { case (df, i) =>
       val tmp = stage.resolve(s"_stage$i")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator()
+      val listing = java.nio.file.Files.list(tmp)
       var src: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
-      }
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+      } finally listing.close() // taking only the iterator leaks the dir fd
       require(src != null, s"no parquet part written under $tmp")
       val dest = stage.resolve(f"b$i%02d.parquet")
       java.nio.file.Files.move(src, dest)
@@ -802,6 +810,95 @@ object MultimodalQueries {
         |  dup_of_batch_earlier,
         |  NOT dup_of_index AND NOT dup_of_batch_earlier AS keep
         |FROM u""".stripMargin
+
+  /** Shared oracle for the STREAMING maintenance drain
+    * (mm_phash_maintenance_stream) AND its self-compacting twin
+    * (mm_phash_maintenance_stream_compacted): vs MM_PHASH_MAINT_SQL,
+    * no stage column and d2b spans g IN (1, 2) — the cross-trigger
+    * band state sees g1 arrivals whether or not they kept. The
+    * compacted twin grading against the SAME SQL is the point: an
+    * in-loop rewrite between triggers must change no verdict. */
+  private def MM_PHASH_MAINT_STREAM_SQL: String =
+    s"""WITH ${PHASH_PAIRS_CTES()},
+      |side AS (SELECT doc_id,
+      |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '8' THEN 0
+      |         WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 1
+      |         ELSE 2 END AS g
+      |  FROM documents),
+      |pboth AS (SELECT a_id AS x, b_id AS y FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
+      |d1i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+      |  JOIN side sx ON p.x = sx.doc_id
+      |  JOIN side sy ON p.y = sy.doc_id
+      |  WHERE sx.g = 1 AND sy.g = 0),
+      |d1b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+      |  JOIN side sa ON a_id = sa.doc_id
+      |  JOIN side sb2 ON b_id = sb2.doc_id
+      |  WHERE sa.g = 1 AND sb2.g = 1),
+      |v1 AS (SELECT d.doc_id,
+      |    d.doc_id IN (SELECT doc_id FROM d1i) AS dup_of_index,
+      |    d.doc_id IN (SELECT doc_id FROM d1b) AS dup_of_batch_earlier
+      |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+      |  WHERE side.g = 1),
+      |keep1 AS (SELECT doc_id FROM v1
+      |  WHERE NOT dup_of_index AND NOT dup_of_batch_earlier),
+      |d2i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
+      |  JOIN side sx ON p.x = sx.doc_id
+      |  JOIN side sy ON p.y = sy.doc_id
+      |  WHERE sx.g = 2 AND (sy.g = 0
+      |    OR p.y IN (SELECT doc_id FROM keep1))),
+      |d2b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
+      |  JOIN side sa ON a_id = sa.doc_id
+      |  JOIN side sb2 ON b_id = sb2.doc_id
+      |  WHERE sb2.g = 2 AND sa.g IN (1, 2)),
+      |v2 AS (SELECT d.doc_id,
+      |    d.doc_id IN (SELECT doc_id FROM d2i) AS dup_of_index,
+      |    d.doc_id IN (SELECT doc_id FROM d2b) AS dup_of_batch_earlier
+      |  FROM documents d JOIN side ON d.doc_id = side.doc_id
+      |  WHERE side.g = 2),
+      |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |SELECT doc_id, dup_of_index, dup_of_batch_earlier,
+      |  NOT dup_of_index AND NOT dup_of_batch_earlier AS keep
+      |FROM u""".stripMargin
+
+  /** Shared build of the streaming maintenance drain: g0 -> stored
+    * bucketed index; g1/g2 staged as one file per trigger
+    * (modTime-pinned slicing); decode+hash in the stateless map;
+    * hashDedupMaintStream folds each trigger against the CURRENT
+    * index files and appends its keepers' chunks in-loop.
+    * `compactAt` threads to compactAtFilesPerBucket — Some(0) makes
+    * compactIfFragmented fire after every trigger's append. */
+  private def maintStreamBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String,
+      compactAt: Option[Int]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.Streaming
+    val hashes = perceptualHashes(s, dir, 128, "dhash")
+    val c = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val (table, path) = idxStore(s, tag, dir)
+    graft.sources.BucketedStore.write(
+      Dedup.simhashChunks(hashes.filter(c < "8"), maxDist = 3),
+      table, path, Seq("cidx", "cval"), buckets = 8)
+    val dc = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val stage = stageIdFiles(s, "maint_arrivals", Seq(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .filter(dc >= "8" && dc < "c"),
+      Tables.documents(s, dir).select(col("doc_id"))
+        .filter(dc >= "c")))
+    val arrivals = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .as[Long]
+      .map(id => (id, (id + 1) * 1000000L,
+        perceptualHashOf(id, 128, Multimodal.dhash64)))
+    Streaming.hashDedupMaintStream(arrivals, maxDist = 3,
+      watermarkDelayMs = 31536000000L, indexTable = table,
+      compactAtFilesPerBucket = compactAt)
+  }
 
   private def MM_PHASH_INCR_SQL: String =
     s"""WITH ${PHASH_PAIRS_CTES()},
@@ -1717,73 +1814,25 @@ object MultimodalQueries {
     // so a g2 doc near a smaller-id g1 dup (keeper or not) carries it
     // too — the d2b leg spans g IN (1,2), not g=2 alone.
     "mm_phash_maintenance_stream" -> QueryDef(
-      s"""WITH ${PHASH_PAIRS_CTES()},
-        |side AS (SELECT doc_id,
-        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < '8' THEN 0
-        |         WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'c' THEN 1
-        |         ELSE 2 END AS g
-        |  FROM documents),
-        |pboth AS (SELECT a_id AS x, b_id AS y FROM pairs
-        |  UNION ALL SELECT b_id, a_id FROM pairs),
-        |d1i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
-        |  JOIN side sx ON p.x = sx.doc_id
-        |  JOIN side sy ON p.y = sy.doc_id
-        |  WHERE sx.g = 1 AND sy.g = 0),
-        |d1b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
-        |  JOIN side sa ON a_id = sa.doc_id
-        |  JOIN side sb2 ON b_id = sb2.doc_id
-        |  WHERE sa.g = 1 AND sb2.g = 1),
-        |v1 AS (SELECT d.doc_id,
-        |    d.doc_id IN (SELECT doc_id FROM d1i) AS dup_of_index,
-        |    d.doc_id IN (SELECT doc_id FROM d1b) AS dup_of_batch_earlier
-        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
-        |  WHERE side.g = 1),
-        |keep1 AS (SELECT doc_id FROM v1
-        |  WHERE NOT dup_of_index AND NOT dup_of_batch_earlier),
-        |d2i AS (SELECT DISTINCT p.x AS doc_id FROM pboth p
-        |  JOIN side sx ON p.x = sx.doc_id
-        |  JOIN side sy ON p.y = sy.doc_id
-        |  WHERE sx.g = 2 AND (sy.g = 0
-        |    OR p.y IN (SELECT doc_id FROM keep1))),
-        |d2b AS (SELECT DISTINCT b_id AS doc_id FROM pairs
-        |  JOIN side sa ON a_id = sa.doc_id
-        |  JOIN side sb2 ON b_id = sb2.doc_id
-        |  WHERE sb2.g = 2 AND sa.g IN (1, 2)),
-        |v2 AS (SELECT d.doc_id,
-        |    d.doc_id IN (SELECT doc_id FROM d2i) AS dup_of_index,
-        |    d.doc_id IN (SELECT doc_id FROM d2b) AS dup_of_batch_earlier
-        |  FROM documents d JOIN side ON d.doc_id = side.doc_id
-        |  WHERE side.g = 2),
-        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-        |SELECT doc_id, dup_of_index, dup_of_batch_earlier,
-        |  NOT dup_of_index AND NOT dup_of_batch_earlier AS keep
-        |FROM u""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      import graft.operators.Dedup
-      import graft.streaming.Streaming
-      val hashes = perceptualHashes(s, dir, 128, "dhash")
-      val c = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val (table, path) = idxStore(s, "phash_idx_mstream", dir)
-      graft.sources.BucketedStore.write(
-        Dedup.simhashChunks(hashes.filter(c < "8"), maxDist = 3),
-        table, path, Seq("cidx", "cval"), buckets = 8)
-      val dc = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val stage = stageIdFiles(s, "maint_arrivals", Seq(
-        Tables.documents(s, dir).select(col("doc_id"))
-          .filter(dc >= "8" && dc < "c"),
-        Tables.documents(s, dir).select(col("doc_id"))
-          .filter(dc >= "c")))
-      val arrivals = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType))))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-        .as[Long]
-        .map(id => (id, (id + 1) * 1000000L,
-          perceptualHashOf(id, 128, Multimodal.dhash64)))
-      Streaming.hashDedupMaintStream(arrivals, maxDist = 3,
-        watermarkDelayMs = 31536000000L, indexTable = table)
+      MM_PHASH_MAINT_STREAM_SQL) { (s, dir) =>
+      maintStreamBuild(s, dir, "phash_idx_mstream", compactAt = None)
+    },
+
+    // SELF-COMPACTING MAINTENANCE DRAIN (r16, r15 verdict #2): the
+    // loop above with compactAtFilesPerBucket = Some(0), so
+    // BucketedStore.compactIfFragmented FIRES MID-DRAIN after EVERY
+    // trigger's append (threshold 0 = any file fragments it — the
+    // deterministic-firing setting; production uses the measured
+    // O(10) rule) and vacuumBuckets reclaims the superseded dirs at
+    // drain end. Graded under the SAME oracle as the uncompacted
+    // drain: through the driver's exact hash gate, an in-loop
+    // one-file-per-bucket rewrite between triggers must change NO
+    // verdict — the EXACT_KEEP_SQL discipline, now covering rewrites
+    // that race the drain's own appends. StreamingSpec pins that the
+    // compactions actually fired (location changes per trigger).
+    "mm_phash_maintenance_stream_compacted" -> QueryDef(
+      MM_PHASH_MAINT_STREAM_SQL) { (s, dir) =>
+      maintStreamBuild(s, dir, "phash_idx_mstreamc", compactAt = Some(0))
     },
 
     // PERCEPTUAL SURVIVOR ELECTION (r13): the media family's cluster

@@ -968,12 +968,28 @@ object Streaming {
     * [[hashDedupIncrementalStream]] applies, plus one more by design:
     * trigger boundaries decide WHICH verdict flags a cross-trigger
     * dup carries (index vs batch-earlier), so the graded query pins
-    * its slicing with one file per trigger. */
+    * its slicing with one file per trigger.
+    *
+    * `compactAtFilesPerBucket` (r15 verdict #2) makes the drain
+    * SELF-COMPACTING: every append adds one file per touched bucket,
+    * so a long-running drain walks straight into the measured
+    * file-count wall (~2x verdict scan after 10 appends at 50M,
+    * SCALE.md r15) — Some(k) runs
+    * [[graft.sources.BucketedStore.compactIfFragmented]] after each
+    * trigger's append (compaction is verdict-neutral by construction
+    * and the trigger's fold is already frozen, so mid-drain rewrites
+    * change nothing a later trigger can see except scan cost), and
+    * the drain vacuums superseded dirs once the stream terminates —
+    * safe because a MAINTAINING drain is the table's single writer
+    * and its own reads re-resolve per trigger; an external reader
+    * must not overlap a maintaining drain anyway (appends move its
+    * verdict base). */
   def hashDedupMaintStream(ds: Dataset[(Long, Long, Long)],
       maxDist: Int, watermarkDelayMs: Long, indexTable: String,
       maxBucket: Int = graft.operators.Dedup.SimhashHotBucketCap,
       stateMaxBucket: Int = Int.MaxValue,
-      rocksdbState: Boolean = true): DataFrame = {
+      rocksdbState: Boolean = true,
+      compactAtFilesPerBucket: Option[Int] = None): DataFrame = {
     val spark = ds.sparkSession
     val verdicts = hashDedupIncrementalVerdicts(ds, maxDist,
         watermarkDelayMs, stateMaxBucket)
@@ -1002,6 +1018,11 @@ object Streaming {
             graft.sources.BucketedStore.append(
               graft.operators.Dedup.simhashChunks(keeperSigs, maxDist),
               indexTable)
+            // in-loop hygiene: the next trigger re-resolves the table,
+            // so a fired compact changes only its scan cost
+            compactAtFilesPerBucket.foreach(k =>
+              graft.sources.BucketedStore.compactIfFragmented(s,
+                indexTable, k))
           } finally batch.unpersist()
         }
         .option("checkpointLocation", root.resolve("ckpt").toString)
@@ -1009,6 +1030,8 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
+    if (compactAtFilesPerBucket.isDefined)
+      graft.sources.BucketedStore.vacuumBuckets(spark, indexTable)
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
       spark.read.parquet(out)
     else emptyVerdictFrame(spark)

@@ -268,19 +268,40 @@ class BucketingSpec extends AnyFunSuite {
       val nBefore = partFiles(oldLoc).size
       assert(nBefore > 8,
         s"fixture must accumulate multiple files per bucket, got $nBefore")
+      // a reader RESOLVED before compaction — its plan's file list is
+      // bound to the old location; the compact/vacuum split (r15
+      // verdict #1) exists so this plan survives the swap
+      val preReader = spark.read.parquet(oldLoc.toString)
+      val preCount = preReader.count()
       val newLoc = BucketedStore.compactBuckets(spark, "graft_cmp_idx")
       val after = partFiles(java.nio.file.Paths.get(
         new org.apache.hadoop.fs.Path(newLoc).toUri.getPath))
       assert(after.size == 8, s"expected one file per bucket, got $after")
       assert(location().toString.contains("_compact_"),
         "catalog must point at the compacted location")
-      assert(!java.nio.file.Files.exists(oldLoc),
-        "old directory must be reclaimed")
+      // delete is DEFERRED: the superseded dir survives until vacuum,
+      // and the pre-compaction reader still collects over it
+      assert(java.nio.file.Files.exists(oldLoc),
+        "compaction must not delete the superseded directory")
+      assert(preReader.count() == preCount,
+        "a plan resolved before compaction must survive it")
       // still bucketed (no index-side exchange downstream), same rows
       assert(plan(BucketedStore.read(spark, "graft_cmp_idx")
         .groupBy("cidx", "cval").count()).contains("Bucketed: true"))
       assert(verdict() == before,
         "compaction changed verdicts — it must be a pure rewrite")
+      // vacuum = the explicit reclaim step: superseded dir deleted,
+      // record cleared, table untouched
+      val vacuumed = BucketedStore.vacuumBuckets(spark, "graft_cmp_idx")
+      assert(vacuumed == Seq(oldLoc.toString) ||
+        vacuumed.map(p => java.nio.file.Paths.get(
+          new org.apache.hadoop.fs.Path(p).toUri.getPath)) == Seq(oldLoc),
+        s"vacuum must report the superseded dir, got $vacuumed")
+      assert(!java.nio.file.Files.exists(oldLoc),
+        "vacuum must reclaim the superseded directory")
+      assert(BucketedStore.vacuumBuckets(spark, "graft_cmp_idx").isEmpty,
+        "second vacuum must be a no-op")
+      assert(verdict() == before, "vacuum changed verdicts")
     } finally spark.sql("DROP TABLE IF EXISTS graft_cmp_idx")
   }
 

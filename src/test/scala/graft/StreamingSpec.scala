@@ -629,12 +629,15 @@ class StreamingSpec extends AnyFunSuite {
       val tmp = root.resolve(s"w$i")
       rows.toDF("doc_id", "simhash").coalesce(1)
         .write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator()
+      val listing = java.nio.file.Files.list(tmp)
       var src: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
-      }
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+      } finally listing.close() // taking only the iterator leaks the dir fd
       val dest = root.resolve("stage").resolve(f"b$i%02d.parquet")
       java.nio.file.Files.createDirectories(dest.getParent)
       java.nio.file.Files.move(src, dest)
@@ -667,6 +670,95 @@ class StreamingSpec extends AnyFunSuite {
         21L -> ((false, false, true))), s"got $out")
       // and the keepers of BOTH triggers were appended: the final
       // index knows sig(10), sig(21) and the original sig(0)
+      val idxNow = graft.sources.BucketedStore.read(spark, table)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idxNow == Set(0L, 10L, 21L), s"index docs: $idxNow")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("hashDedupMaintStream self-compacting: mid-drain compaction fires, verdicts unchanged, superseded dirs vacuumed") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the cross-trigger fixture of the plain maint-stream spec, run
+    // with compactAtFilesPerBucket = Some(0): compactIfFragmented must
+    // FIRE after each trigger's append (threshold 0 = any file trips
+    // it), verdicts must be byte-identical to the uncompacted run's
+    // expectations, and drain end must vacuum every superseded dir
+    def sig(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val idxSigs = Seq((0L, sig(0))).toDF("doc_id", "simhash")
+    val table = "graft_maintc_spec_idx"
+    val root = java.nio.file.Files.createTempDirectory("graft_maintc_spec_")
+    Streaming.sweepOnExit(root)
+    val origPath = root.resolve("idx").toString
+    graft.sources.BucketedStore.write(
+      Dedup.simhashChunks(idxSigs, maxDist = 3), table,
+      origPath, Seq("cidx", "cval"), buckets = 4)
+    val b1 = Seq((10L, sig(10)), (11L, sig(0)))
+    val b2 = Seq((20L, sig(10)), (21L, sig(21)))
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = root.resolve(s"w$i")
+      rows.toDF("doc_id", "simhash").coalesce(1)
+        .write.parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      var src: java.nio.file.Path = null
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+      } finally listing.close()
+      val dest = root.resolve("stage").resolve(f"b$i%02d.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.move(src, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + i * 10000L))
+    }
+    try {
+      val arrivals = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("simhash",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.resolve("stage").toString)
+        .as[(Long, Long)]
+        .map { case (id, h) => (id, (id + 1) * 1000000L, h) }
+      val out = Streaming.hashDedupMaintStream(arrivals, maxDist = 3,
+          watermarkDelayMs = 365L * 24 * 3600 * 1000, indexTable = table,
+          compactAtFilesPerBucket = Some(0))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+      // verdicts identical to the uncompacted drain — in-loop rewrites
+      // are invisible to every fold
+      assert(out == Map(
+        10L -> ((false, false, true)),
+        11L -> ((true, false, false)),
+        20L -> ((true, true, false)),
+        21L -> ((false, false, true))), s"got $out")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      // the compaction FIRED mid-drain: the catalog now points at a
+      // _compact_ sibling, not the original write location
+      assert(meta.location.toString.contains("_compact_"),
+        s"compaction never fired: table still at ${meta.location}")
+      // drain-end vacuum: superseded record cleared AND the original
+      // (first-superseded) directory reclaimed
+      assert(!meta.properties.contains(
+        graft.sources.BucketedStore.SupersededProp),
+        "drain end must vacuum the superseded-locations record")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(origPath)),
+        "drain end must reclaim the original index directory")
+      // index content unchanged by compaction: keepers of both
+      // triggers + the original doc
       val idxNow = graft.sources.BucketedStore.read(spark, table)
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       assert(idxNow == Set(0L, 10L, 21L), s"index docs: $idxNow")
