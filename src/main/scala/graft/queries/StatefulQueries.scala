@@ -113,7 +113,136 @@ object StatefulQueries {
          |FROM wk e LEFT JOIN agg a
          |  ON a.instrument = e.instrument AND a.bucket_us = e.bucket_us""".stripMargin
 
+  // ----- ml_tree_fit / ml_tree_predict (r16): the exact-tree oracle -----
+  // The depth-bounded integer-exact regression tree (Trainer.fitTree;
+  // the nonlinear trainer leg, svoe trainer_manager.py:128-141) under
+  // the driver's hash gate. The oracle UNROLLS the 3 greedy split
+  // levels as chained MATERIALIZED CTEs (the BPE-merge discipline):
+  // per level, a per-(node, feature, value) histogram with prefix-sum
+  // windows enumerates every candidate threshold, integer-mean SSE
+  // scores it ( // on nonnegative sums = trunc = floor in both
+  // engines), row_number picks the (sse, fi, v) argmin, and a LEFT
+  // JOIN reassigns rows to heap children. Designed + cross-checked in
+  // tools/design_tree.py (DuckDB chain == pure-python replay, 15
+  // node rows at sf0.01) BEFORE the Scala implementation existed.
+
+  private val TREE_D = 3
+
+  private val TREE_BASE_SQL =
+    """
+    |  SELECT CAST(round(value) AS BIGINT) AS f1,
+    |         event_id % 97 AS f2,
+    |         CASE WHEN round(value) <= 245 THEN 10 * (event_id % 97)
+    |              ELSE 1000 - (event_id % 97) END
+    |           + CAST(round(value) AS BIGINT) AS y
+    |  FROM events
+    |""".stripMargin
+
+  private def treeLevelCtes(l: Int): String =
+    s"""c$l AS MATERIALIZED (
+       |  SELECT node, fi, v,
+       |    sum(c)  OVER w AS cl,  sum(sy)  OVER w AS syl,  sum(syy) OVER w AS syyl,
+       |    sum(c)  OVER t AS ct,  sum(sy)  OVER t AS syt,  sum(syy) OVER t AS syyt
+       |  FROM (
+       |    SELECT node, 0 AS fi, f1 AS v, count(*) AS c, sum(y) AS sy,
+       |      sum(y*y) AS syy FROM a$l GROUP BY 1, 3
+       |    UNION ALL
+       |    SELECT node, 1 AS fi, f2 AS v, count(*) AS c, sum(y) AS sy,
+       |      sum(y*y) AS syy FROM a$l GROUP BY 1, 3)
+       |  WINDOW w AS (PARTITION BY node, fi ORDER BY v),
+       |         t AS (PARTITION BY node, fi)),
+       |s$l AS MATERIALIZED (
+       |  SELECT node, fi, v, ct, syt, syyt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY node ORDER BY sse, fi, v) AS rk
+       |    FROM (
+       |      SELECT *,
+       |        (syyl - 2*(syl // cl)*syl + (syl // cl)*(syl // cl)*cl)
+       |        + ((syyt - syyl) - 2*((syt - syl) // (ct - cl))*(syt - syl)
+       |           + ((syt - syl) // (ct - cl))*((syt - syl) // (ct - cl))*(ct - cl))
+       |          AS sse
+       |      FROM c$l WHERE ct - cl > 0) x) z WHERE rk = 1),
+       |a${l + 1} AS MATERIALIZED (
+       |  SELECT CASE WHEN s.node IS NULL THEN a.node
+       |    ELSE a.node * 2 + CASE WHEN (s.fi = 0 AND a.f1 <= s.v)
+       |                            OR (s.fi = 1 AND a.f2 <= s.v) THEN 0 ELSE 1 END
+       |    END AS node, a.f1, a.f2, a.y
+       |  FROM a$l a LEFT JOIN s$l s ON s.node = a.node)""".stripMargin
+
+  private def treeChain: String =
+    (Seq(s"base AS MATERIALIZED ($TREE_BASE_SQL)",
+      "a0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS node, f1, f2, y FROM base)") ++
+      (0 until TREE_D).map(treeLevelCtes)).mkString(",\n")
+
+  private def treeSplitSelect(l: Int): String =
+    s"""SELECT node, CAST($l AS BIGINT) AS depth,
+       |  CAST(ct AS BIGINT) AS n, CAST(syt AS BIGINT) AS sum_y,
+       |  CAST(syyt - 2*(syt // ct)*syt + (syt // ct)*(syt // ct)*ct AS BIGINT) AS sse,
+       |  CASE fi WHEN 0 THEN 'f1' ELSE 'f2' END AS feature,
+       |  v AS threshold,
+       |  CAST((syt * 1000000) // ct AS BIGINT) AS pred_micros,
+       |  FALSE AS is_leaf
+       |FROM s$l""".stripMargin
+
+  private def TREE_FIT_SQL: String =
+    s"""WITH $treeChain,
+       |leafstats AS (SELECT node, count(*) AS c, sum(y) AS sy,
+       |    sum(y*y) AS syy FROM a$TREE_D GROUP BY 1)
+       |${(0 until TREE_D).map(treeSplitSelect).mkString("\nUNION ALL\n")}
+       |UNION ALL
+       |SELECT node, CAST(length(bin(node)) - 1 AS BIGINT) AS depth,
+       |  CAST(c AS BIGINT) AS n, CAST(sy AS BIGINT) AS sum_y,
+       |  CAST(syy - 2*(sy // c)*sy + (sy // c)*(sy // c)*c AS BIGINT) AS sse,
+       |  CAST(NULL AS VARCHAR) AS feature, CAST(NULL AS BIGINT) AS threshold,
+       |  CAST((sy * 1000000) // c AS BIGINT) AS pred_micros,
+       |  TRUE AS is_leaf
+       |FROM leafstats""".stripMargin
+
+  private def TREE_PREDICT_SQL: String =
+    s"""WITH $treeChain,
+       |leafpred AS (SELECT node,
+       |    (CAST(sum(y) AS HUGEINT) * 1000000) // count(*) AS pm
+       |  FROM a$TREE_D GROUP BY 1)
+       |SELECT CAST(p.pm AS BIGINT) AS pred_micros, count(*) AS n,
+       |  CAST(sum(a.y) AS BIGINT) AS sum_y
+       |FROM a$TREE_D a JOIN leafpred p USING (node) GROUP BY 1""".stripMargin
+
+  /** The fixture frame both tree queries fit over — integer features
+    * with a designed f1<=245 breakpoint and an f2 interaction, so the
+    * greedy tree recovers real structure (root splits f2, depth-2
+    * nodes split f1 at 245/242 — design_tree.py's census). */
+  private def treeBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      round(col("value")).cast("long").as("f1"),
+      (col("event_id") % 97).cast("long").as("f2"),
+      (when(round(col("value")) <= 245, (col("event_id") % 97) * 10)
+        .otherwise(lit(1000) - col("event_id") % 97)
+        + round(col("value")).cast("long")).cast("long").as("y"))
+
   val defs: Map[String, QueryDef] = Map(
+
+    // The nonlinear trainer leg (r16, r15 verdict #1): Trainer.fitTree's
+    // full fit — every split decision, node stat, and leaf prediction —
+    // hash-compared against the unrolled greedy replay. The distributed
+    // work (one histogram pass per level) and the driver argmin are
+    // both under the gate.
+    "ml_tree_fit" -> QueryDef(TREE_FIT_SQL) { (s, dir) =>
+      graft.consumers.Trainer
+        .fitTree(treeBase(s, dir), Seq("f1", "f2"), "y", maxDepth = TREE_D)
+        .treeFrame(s)
+    },
+
+    // The tree's DISTRIBUTED scorer under the same gate: predictColumn
+    // compiles the fit to ONE nested CASE expression (codegen'd, zero
+    // shuffle), applied over the full corpus and grouped by prediction
+    // — a scorer bug diverges the census even where the fit is right.
+    "ml_tree_predict" -> QueryDef(TREE_PREDICT_SQL) { (s, dir) =>
+      val base = treeBase(s, dir)
+      val model = graft.consumers.Trainer
+        .fitTree(base, Seq("f1", "f2"), "y", maxDepth = TREE_D)
+      base.withColumn("pred_micros", model.predictColumn)
+        .groupBy("pred_micros")
+        .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
+    },
 
     // §3.3 Trainer under the driver's exact compare: the distributed
     // normal-equations pass of the closed-form ridge fit (the

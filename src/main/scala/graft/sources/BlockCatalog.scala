@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * At cluster scale the metadata table would live in a transactional
   * table format; the interface here is the engine-facing contract.
   */
-class BlockCatalog(spark: SparkSession, root: String) {
+class BlockCatalog(val spark: SparkSession, root: String) {
 
   private def dataPath(definition: String, key: String) = s"$root/$definition/$key/data"
   private def metaPath = s"$root/_meta"

@@ -160,4 +160,180 @@ class BacktesterSpec extends AnyFunSuite {
     assert(back.selectExpr("size(features)").distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(2))
   }
+
+  // ---- the exact regression tree (r16: the nonlinear trainer leg) ----
+
+  /** Separable step fixture: y jumps at f1 = 2; f2 constant (no
+    * candidates). Hand-computed greedy expectations in the asserts. */
+  private def stepFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    Seq((1L, 7L, 10L), (2L, 7L, 10L), (3L, 7L, 50L), (4L, 7L, 50L))
+      .toDF("f1", "f2", "y").repartition(4)
+  }
+
+  test("fitTree: exact greedy splits, hand-computed, on the step fixture") {
+    val m = Trainer.fitTree(stepFrame, Seq("f1", "f2"), "y", maxDepth = 1)
+    // root: best candidate is f1<=2 (sse 0+0 beats 1068 / 1067); root's
+    // own integer-mean sse: m=30, 5200 - 7200 + 3600 = 1600
+    val root = m.nodes(1L)
+    assert(root.feature.contains("f1") && root.threshold.contains(2L))
+    assert(root.n == 4 && root.sumY == 120 && root.sse == 1600)
+    assert(root.predMicros == 30000000L)
+    val l = m.nodes(2L)
+    val r = m.nodes(3L)
+    assert(l.isLeaf && l.n == 2 && l.sumY == 20 && l.sse == 0 &&
+      l.predMicros == 10000000L)
+    assert(r.isLeaf && r.n == 2 && r.sumY == 100 && r.sse == 0 &&
+      r.predMicros == 50000000L)
+    // prediction surfaces agree: walk, column, frame
+    assert(m.predictMicros(Array(1.0, 7.0)) == 10000000L)
+    assert(m.predictMicros(Array(3.0, 7.0)) == 50000000L)
+    assert(m.predict(Array(3.0, 7.0)) == 50.0)
+    val scored = stepFrame.withColumn("p", m.predictColumn)
+      .select("f1", "p").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(scored == Map(1L -> 10000000L, 2L -> 10000000L,
+      3L -> 50000000L, 4L -> 50000000L))
+    assert(m.treeFrame(spark).count() == 3)
+  }
+
+  test("fitTree: tie rule is (sse, featureIdx, threshold); early leaf when single-valued") {
+    val spark0 = spark
+    import spark0.implicits._
+    // both features separate perfectly (sse 0 each): f1 must win the tie
+    val tied = Seq((1L, 1L, 10L), (2L, 2L, 20L)).toDF("f1", "f2", "y")
+    val mt = Trainer.fitTree(tied, Seq("f1", "f2"), "y", maxDepth = 2)
+    assert(mt.nodes(1L).feature.contains("f1") &&
+      mt.nodes(1L).threshold.contains(1L))
+    // children are single rows -> no candidates -> early leaves at depth 1
+    assert(mt.nodes(2L).isLeaf && mt.nodes(3L).isLeaf && mt.nodes.size == 3)
+    // all features constant -> root itself is a leaf despite maxDepth
+    val const = Seq((5L, 5L, 10L), (5L, 5L, 30L)).toDF("f1", "f2", "y")
+    val mc = Trainer.fitTree(const, Seq("f1", "f2"), "y", maxDepth = 2)
+    assert(mc.nodes.size == 1 && mc.nodes(1L).isLeaf)
+    assert(mc.nodes(1L).predMicros == 20000000L)
+    // integer-mean sse at the leaf: m=20, 100+900 - 2*20*40 + 400*2 = 0? no:
+    // syy=1000, 1000 - 1600 + 800 = 200
+    assert(mc.nodes(1L).sse == 200)
+  }
+
+  test("fitTree: integer/nonneg contract is asserted, not silently truncated") {
+    val spark0 = spark
+    import spark0.implicits._
+    val frac = Seq((1.5, 1.0, 10.0), (2.0, 2.0, 20.0)).toDF("f1", "f2", "y")
+    intercept[IllegalArgumentException] {
+      Trainer.fitTree(frac, Seq("f1", "f2"), "y", maxDepth = 1)
+    }
+    val negy = Seq((1.0, 1.0, -10.0), (2.0, 2.0, 20.0)).toDF("f1", "f2", "y")
+    intercept[IllegalArgumentException] {
+      Trainer.fitTree(negy, Seq("f1", "f2"), "y", maxDepth = 1)
+    }
+  }
+
+  test("fitTree is partitioning-invariant (the exactness claim)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (0 until 500).map { i =>
+      (i % 23L, i % 7L, (i % 23L) * 10 + (i % 7L) * 3)
+    }
+    val a = Trainer.fitTree(rows.toDF("f1", "f2", "y").repartition(1),
+      Seq("f1", "f2"), "y", maxDepth = 3)
+    val b = Trainer.fitTree(rows.toDF("f1", "f2", "y").repartition(16),
+      Seq("f1", "f2"), "y", maxDepth = 3)
+    assert(a.nodes == b.nodes)
+  }
+
+  test("fitGBT: train MSE monotone in iterations; exact on the separable fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    // separable step target with an f2 wrinkle the depth-2 trees can fit
+    val df = (0 until 300).map { i =>
+      val f1 = (i % 10).toLong
+      val f2 = (i % 4).toLong
+      (f1, f2, if (f1 <= 4) 10.0 + f2 else 50.0 - f2)
+    }.toDF("f1", "f2", "y").repartition(8)
+    val mses = Seq(1, 3, 8).map(it =>
+      Trainer.fitGBT(df, Seq("f1", "f2"), "y", maxIter = it, maxDepth = 3)
+        .trainMse(df, "y"))
+    assert(mses(0) >= mses(1) && mses(1) >= mses(2),
+      s"train MSE must be monotone nonincreasing in iterations: $mses")
+    // stepSize 1.0: the boosted fit reproduces the separable target
+    // exactly within a couple of rounds
+    val exact = Trainer.fitGBT(df, Seq("f1", "f2"), "y", maxIter = 3,
+      maxDepth = 3, stepSize = 1.0)
+    assert(exact.trainMse(df, "y") < 1e-12)
+    // and the single-row Model surface agrees with the frame scorer
+    assert(math.abs(exact.predict(Array(2.0, 1.0)) - 11.0) < 1e-9)
+    assert(math.abs(exact.predict(Array(7.0, 3.0)) - 47.0) < 1e-9)
+  }
+
+  test("tree model drives the backtest loop (nonlinear inference path)") {
+    // the reference quick-start trains a TREE model and backtests it
+    // (trainer_manager.py:128-141 -> inference_loop.py) — graft's
+    // equivalent wiring: fitTree on the integer feature frame,
+    // modelStrategy adapts it row-wise, the loop fills at price
+    import org.apache.spark.sql.functions._
+    val base = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("ts_us"),
+        round(col("value")).cast("double").as("f1"),
+        (col("event_id") % 97).cast("double").as("f2"),
+        (round(col("value")) + (col("event_id") % 97)).cast("double")
+          .as("y"),
+        round(col("value")).as("price"))
+    val model = Trainer.fitTree(base, Seq("f1", "f2"), "y", maxDepth = 2)
+    val strat = Trainer.modelStrategy(model, base.columns.toSeq,
+      Seq("f1", "f2"), "price")
+    val res = Backtester.run(base, "ts_us", "price", strat,
+      initialCash = 1000.0, commissionRate = 0.001)
+    assert(res.nTrades > 0)
+    assert(res.finalEquity == res.finalCash + res.finalPosition * res.lastPrice)
+    // determinism end to end: refit + rerun identical
+    val res2 = Backtester.run(base, "ts_us", "price",
+      Trainer.modelStrategy(
+        Trainer.fitTree(base, Seq("f1", "f2"), "y", maxDepth = 2),
+        base.columns.toSeq, Seq("f1", "f2"), "price"),
+      initialCash = 1000.0, commissionRate = 0.001)
+    assert(res2 == res)
+  }
+
+  test("model registry: register -> loadAsOf(version) -> identical predictions (time travel)") {
+    import graft.consumers.ModelRegistry
+    val root = java.nio.file.Files.createTempDirectory("graft_reg_").toString
+    val cat = new graft.sources.BlockCatalog(spark, root)
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0 until 200).map { i =>
+      (i % 13L, i % 5L, (i % 13L) * 7 + (i % 5L))
+    }.toDF("f1", "f2", "y")
+    val tree1 = Trainer.fitTree(df, Seq("f1", "f2"), "y", maxDepth = 2)
+    val v1 = ModelRegistry.register(cat, "pricer", tree1)
+    // re-registration (a retrained artifact) bumps the version
+    val tree2 = Trainer.fitTree(df, Seq("f1", "f2"), "y", maxDepth = 3)
+    val v2 = ModelRegistry.register(cat, "pricer", tree2)
+    assert(v2 > v1)
+    val probes = Seq(Array(3.0, 2.0), Array(12.0, 4.0), Array(0.0, 0.0))
+    // time travel: v1 loads the DEPTH-2 artifact exactly, despite the
+    // later registration; latest loads the depth-3 one
+    val back1 = ModelRegistry.loadAsOf(cat, "pricer", v1)
+    val backLatest = ModelRegistry.load(cat, "pricer")
+    probes.foreach { p =>
+      assert(back1.predict(p) == tree1.predict(p))
+      assert(backLatest.predict(p) == tree2.predict(p))
+    }
+    back1 match {
+      case t: Trainer.TreeModel =>
+        assert(t.nodes == tree1.nodes && t.featureCols == Seq("f1", "f2"))
+      case other => fail(s"expected a TreeModel back, got $other")
+    }
+    // linear artifacts ride the same registry
+    val lin = Trainer.LinearModel(1.5, Array(2.0, -0.25))
+    val v3 = ModelRegistry.register(cat, "pricer", lin)
+    val back3 = ModelRegistry.loadAsOf(cat, "pricer", v3)
+    probes.foreach(p => assert(back3.predict(p) == lin.predict(p)))
+    // and v1 is STILL the depth-2 tree (append-only history)
+    probes.foreach(p =>
+      assert(ModelRegistry.loadAsOf(cat, "pricer", v1).predict(p)
+        == tree1.predict(p)))
+  }
 }
