@@ -24,10 +24,12 @@ import graft.sources.BlockCatalog
   *
   * Frame shape (one schema for every model kind; unused columns
   * null): `ts_us` = row ordinal (the catalog's required time axis —
-  * meaningless for models), `kind` in ('feature', 'linear', 'tree').
-  * 'feature' rows pin the feature-column ORDER (idx -> name);
-  * 'linear' rows carry (idx, weight) with idx 0 = intercept; 'tree'
-  * rows are [[Trainer.TreeModel.treeFrame]] rows verbatim. */
+  * meaningless for models), `kind` in ('feature', 'linear', 'tree',
+  * 'boost'). 'feature' rows pin the feature-column ORDER (idx ->
+  * name); 'linear' rows carry (idx, weight) with idx 0 = intercept;
+  * 'tree' rows are [[Trainer.TreeModel.treeFrame]] rows verbatim;
+  * 'boost' rows (r16) are the base-mean row (round 0) plus per-round
+  * tree nodes with `contrib` = leafUnit + round offset. */
 object ModelRegistry {
 
   private val Definition = "__model__"
@@ -43,7 +45,8 @@ object ModelRegistry {
       idx: Long, feature: Option[String], weight: Option[Double],
       node: Option[Long], depth: Option[Long], n: Option[Long],
       sum_y: Option[Long], sse: Option[Long],
-      threshold: Option[Long], pred_micros: Option[Long])
+      threshold: Option[Long], pred_micros: Option[Long],
+      round: Option[Long] = None, contrib: Option[Long] = None)
 
   private def featureRows(ver: Long, cols: Seq[String],
       from: Int): Seq[RegRow] =
@@ -77,6 +80,25 @@ object ModelRegistry {
               Some(r.sse), r.threshold, Some(r.predMicros))
         }
         nodes ++ featureRows(ver, tm.featureCols, nodes.size)
+      case bm: Trainer.BoostedModel =>
+        // round 0 = the base-mean row (node 1, contrib = base); rounds
+        // 1..R are tree nodes with contrib = leafUnit + round offset —
+        // the offset is recoverable as contrib - sum_y/n on any row,
+        // so the load path needs no extra column
+        val baseRow = RegRow(0, ver, "boost", 0, None, None, Some(1L),
+          Some(0L), Some(bm.baseN), Some(bm.baseSumY), Some(bm.baseSse),
+          None, None, Some(0L), Some(bm.base))
+        val nodes = bm.rounds.zipWithIndex.flatMap { case ((t, off), g) =>
+          t.nodes.values.toSeq.sortBy(_.node).map { r =>
+            RegRow(0, ver, "boost", 0, r.feature, None, Some(r.node),
+              Some(r.depth.toLong), Some(r.n), Some(r.sumY), Some(r.sse),
+              r.threshold, None, Some(g + 1L), Some(t.leafUnit(r.node) + off))
+          }
+        }
+        val stamped = (baseRow +: nodes).zipWithIndex.map { case (r, i) =>
+          r.copy(ts_us = i.toLong, idx = i.toLong)
+        }
+        stamped ++ featureRows(ver, bm.featureCols, stamped.size)
       case other =>
         throw new IllegalArgumentException(
           s"unregistrable model kind: ${other.getClass.getName}")
@@ -101,7 +123,22 @@ object ModelRegistry {
     val vmax = rows.map(_.getLong(rows.head.fieldIndex("__ver"))).max
     val live = rows.filter(_.getLong(rows.head.fieldIndex("__ver")) == vmax)
     val byKind = live.groupBy(_.getString(rows.head.fieldIndex("kind")))
-    if (byKind.contains("tree")) {
+    def fi(s: String): Int = rows.head.fieldIndex(s)
+    if (byKind.contains("boost")) {
+      val fcols = byKind("feature").sortBy(_.getLong(fi("idx")))
+        .map(_.getString(fi("feature"))).toSeq
+      val byRound = byKind("boost").groupBy(_.getLong(fi("round")))
+      val b = byRound(0L).head
+      val trees = byRound.keys.filter(_ > 0L).toSeq.sorted.map { g =>
+        val rs = byRound(g)
+        val t = Trainer.treeFromRows(fcols, rs.toSeq)
+        val r1 = rs.find(_.getLong(fi("node")) == 1L).get
+        (t, r1.getLong(fi("contrib")) - t.leafUnit(1L))
+      }
+      Trainer.BoostedModel(fcols, b.getLong(fi("contrib")),
+        b.getLong(fi("n")), b.getLong(fi("sum_y")), b.getLong(fi("sse")),
+        trees)
+    } else if (byKind.contains("tree")) {
       val fcols = byKind("feature")
         .sortBy(_.getLong(rows.head.fieldIndex("idx")))
         .map(_.getString(rows.head.fieldIndex("feature"))).toSeq

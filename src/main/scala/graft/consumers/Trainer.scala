@@ -275,6 +275,28 @@ object Trainer {
       expr(1L)
     }
 
+    /** Leaf value in the LABEL'S OWN integer scale — floor mean
+      * `sum_y / n` (both nonneg under the fit contract, so `/` = floor
+      * = DuckDB `//`). The boosting contribution unit ([[fitBoosted]]);
+      * [[predMicros]] is the micro-scaled variant single trees grade
+      * under. */
+    def leafUnit(id: Long): Long = {
+      val r = nodes(id)
+      r.sumY / r.n
+    }
+
+    /** The tree as ONE nested CASE over the input columns, leaves in
+      * unit scale ([[leafUnit]]) — the distributed boosting scorer. */
+    def leafUnitColumn: Column = {
+      def go(id: Long): Column = {
+        val row = nodes(id)
+        if (row.isLeaf) lit(leafUnit(id))
+        else when(col(row.feature.get) <= lit(row.threshold.get),
+          go(id * 2)).otherwise(go(id * 2 + 1))
+      }
+      go(1L)
+    }
+
     /** The fit as a frame — the graded/registry surface: one row per
       * node, all-integer columns (ml_tree_fit's oracle shape). */
     def treeFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -427,6 +449,130 @@ object Trainer {
       depth += 1
     }
     TreeModel(featureCols, nodes)
+  }
+
+  /** The EXACT boosted ensemble — gradient boosting with squared loss
+    * over [[fitTree]], kept bit-replayable end to end (the graded twin
+    * of [[fitGBT]]'s float MLlib fit; designed + cross-checked in
+    * tools/design_boost.py, DuckDB CTE chain == pure-python replay,
+    * BEFORE this implementation existed). `base` is the corpus integer
+    * floor mean; each round g fits the exact tree to the SHIFTED
+    * residual `y - F_{g-1}(x) - off_g` (off_g = corpus min residual —
+    * the shift keeps fitTree's nonneg-label contract, and split
+    * decisions are shift-invariant because integer-floor means shift
+    * exactly by integer offsets), contributing `leafUnit + off_g` at
+    * learning rate 1. Predictions are integers in the label's own
+    * scale. Convergence is to within INTEGER-FLOOR resolution, not to
+    * zero: a leaf whose residuals span {0, 1} has floor mean 0 and
+    * stalls — the exact contract trades the last sub-unit of train fit
+    * for bit-replayability ([[fitGBT]] is the to-zero float leg). */
+  final case class BoostedModel(featureCols: Seq[String], base: Long,
+      baseN: Long, baseSumY: Long, baseSse: Long,
+      rounds: Seq[(TreeModel, Long)]) extends Model {
+
+    private val fIdx: Map[String, Int] = featureCols.zipWithIndex.toMap
+
+    def predictUnits(features: Array[Double]): Long = {
+      var p = base
+      rounds.foreach { case (t, off) =>
+        var id = 1L
+        var row = t.nodes(id)
+        while (!row.isLeaf) {
+          id = if (features(fIdx(row.feature.get)) <= row.threshold.get.toDouble)
+            id * 2 else id * 2 + 1
+          row = t.nodes(id)
+        }
+        p += t.leafUnit(id) + off
+      }
+      p
+    }
+
+    def predict(features: Array[Double]): Double =
+      predictUnits(features).toDouble
+
+    /** The whole ensemble as ONE column — base + one nested CASE per
+      * round (codegen'd, zero shuffle). Integer (LongType), the
+      * label's scale. */
+    def predictColumn: Column =
+      rounds.foldLeft(lit(base): Column) { case (acc, (t, off)) =>
+        acc + t.leafUnitColumn + lit(off)
+      }
+
+    /** Gain-based feature importance — the XGBoost `get_score
+      * (importance_type='gain')` surface, exactly replayable: per
+      * internal node the split's SSE gain is `sse - sse(left) -
+      * sse(right)` (all integer node stats from the fit), summed per
+      * feature across every round. Gains are shift-invariant (each
+      * round's offset cancels in the difference), so the numbers are
+      * comparable across rounds. */
+    def featureImportance: Map[String, Long] = {
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      rounds.foreach { case (t, _) =>
+        t.nodes.values.foreach { r =>
+          if (!r.isLeaf) {
+            val gain = r.sse - t.nodes(r.node * 2).sse -
+              t.nodes(r.node * 2 + 1).sse
+            acc(r.feature.get) += gain
+          }
+        }
+      }
+      acc.toMap
+    }
+
+    /** The fit as a frame — the graded/registry surface (ml_boost_fit's
+      * oracle shape): round 0 is the base-mean row; rounds 1..R are the
+      * per-round tree nodes, `contrib` = leafUnit + round offset. */
+    def boostFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      val baseRow = (0L, 1L, 0L, baseN, baseSumY, baseSse,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long],
+        base, true)
+      val treeRows = rounds.zipWithIndex.flatMap { case ((t, off), i) =>
+        t.nodes.values.toSeq.sortBy(_.node).map { r =>
+          (i + 1L, r.node, r.depth.toLong, r.n, r.sumY, r.sse,
+            r.feature.orNull, r.threshold.map(Long.box).orNull,
+            t.leafUnit(r.node) + off, r.isLeaf)
+        }
+      }
+      (baseRow +: treeRows).toDF("round", "node", "depth", "n", "sum_y",
+        "sse", "feature", "threshold", "contrib", "is_leaf")
+    }
+  }
+
+  /** Fit the exact boosted ensemble — see [[BoostedModel]]. The label
+    * must be nonneg integer-valued (the fitTree contract; asserted).
+    * `rounds` trees of `maxDepth` split levels each; `2 + rounds *
+    * (maxDepth + 1)` corpus aggregation passes total, so the input is
+    * persisted here for the duration of the fit. */
+  def fitBoosted(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      rounds: Int, maxDepth: Int, maxAggRows: Int = 1 << 22): BoostedModel = {
+    require(rounds >= 1, s"fitBoosted needs >= 1 round, got $rounds")
+    val feats = featureCols.map(c => col(c).cast("double").as(c))
+    val base0 = df.select((feats :+ col(labelCol).cast("long").as("__y")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = base0.agg(count(lit(1)).as("n"), sum("__y").as("sy"),
+          sum(col("__y") * col("__y")).as("syy"), min("__y").as("mn"))
+        .collect()(0)
+      require(!a.isNullAt(0) && a.getLong(0) > 0, "fitBoosted over an empty frame")
+      val (n, sy, syy) = (a.getLong(0), a.getLong(1), a.getLong(2))
+      require(a.getLong(3) >= 0,
+        "fitBoosted needs a nonnegative integer label (the exact contract)")
+      val base = sy / n // nonneg: trunc == floor == DuckDB //
+      var fitted = Vector.empty[(TreeModel, Long)]
+      var predCol: Column = lit(base)
+      (1 to rounds).foreach { _ =>
+        val resid = col("__y") - predCol
+        val off = base0.agg(min(resid)).collect()(0).getLong(0)
+        val shifted = base0.withColumn("__b", resid - lit(off))
+        val t = fitTree(shifted, featureCols, "__b", maxDepth, maxAggRows)
+        fitted :+= ((t, off))
+        predCol = predCol + t.leafUnitColumn + lit(off)
+      }
+      BoostedModel(featureCols, base, n, sy, intSse(n, BigInt(sy),
+        BigInt(syy)).toLong, fitted)
+    } finally { base0.unpersist(); () }
   }
 
   /** The full-strength nonlinear leg: MLlib gradient-boosted trees

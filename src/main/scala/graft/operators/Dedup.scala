@@ -1244,6 +1244,61 @@ object Dedup {
       .select(col("doc_id")).distinct()
   }
 
+  /** What [[bandSkewAdvisor]] measured on a stored band index.
+    * `slots` = occupied (cidx, cval) keys (bounded at bands x 2^16);
+    * `meanRowsPerSlot` = rows / slots — the cheap one-pass signal the
+    * SCALE.md r15 rule names (`approx_count_distinct` against the row
+    * count); `topShare` = the fraction of index ROWS held by the top
+    * `topFraction` of slots by row count — the discriminator the 50M
+    * probe actually measured (skew-modeled populations: 88-99.7% of
+    * rows in the slots every batch touches; unbiased sigs: no hot
+    * mass, 763 rows/slot uniformly). `recommendPrefilter` applies the
+    * measured regime rule. */
+  final case class BandSkewReport(slots: Long, rows: Long,
+      meanRowsPerSlot: Double, p99RowsPerSlot: Long, maxRowsPerSlot: Long,
+      topShare: Double, recommendPrefilter: Boolean)
+
+  /** The r15 prefilter decision rule AS CODE (r15 verdict #4): should
+    * [[hashIndexDupIds]]' `indexPrefilter` be on for THIS stored
+    * index? The measured law (SCALE.md r15, 50M-doc probe, both
+    * regimes): value pruning pays iff rows-per-slot is near-uniform —
+    * on skew-modeled hash populations the hot slots hold 88-99.7% of
+    * rows and every batch touches them (<= 12% of the join feed ever
+    * prunable, ON ~2x slower); on unbiased populations no slot is hot
+    * (top 1% of slots hold ~1% of rows) and the broadcast left-semi
+    * prunes ~86% of the index scan (ON wins the alternation at both
+    * probe batch sizes). The rule here: recommend ON iff the top
+    * `topFraction` of slots hold <= `maxTopShare` of rows.
+    *
+    * Cost: one groupBy over the band key space (bounded at bands x
+    * 2^16 slots — metadata-sized by construction) + one top-k pass
+    * over the slot-count frame; run it once per stored index, at
+    * build or compaction time, not per batch. The verdict is advisory
+    * — exactness holds with the prefilter on OR off (BucketingSpec);
+    * only the wall clock is at stake. */
+  def bandSkewAdvisor(indexChunks: DataFrame, topFraction: Double = 0.01,
+      maxTopShare: Double = 0.10): BandSkewReport = {
+    require(topFraction > 0 && topFraction <= 1 && maxTopShare > 0,
+      s"bad advisor knobs ($topFraction, $maxTopShare)")
+    val counts = indexChunks.groupBy("cidx", "cval")
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val s = counts.agg(count(lit(1)).as("slots"), sum("c").as("rows"),
+          max("c").as("mx"),
+          expr("percentile(c, 0.99)").cast("long").as("p99"))
+        .collect()(0)
+      val (slots, rows, mx, p99) =
+        (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+      val topK = math.max(1L, math.ceil(slots * topFraction).toLong)
+      val topRows = counts.orderBy(col("c").desc, col("cidx"), col("cval"))
+        .limit(topK.toInt).agg(sum("c")).collect()(0).getLong(0)
+      val topShare = topRows.toDouble / rows
+      BandSkewReport(slots, rows, rows.toDouble / slots, p99, mx,
+        topShare, recommendPrefilter = topShare <= maxTopShare)
+    } finally { counts.unpersist(); () }
+  }
+
   def incrementalNearDupHashes(batchSigs: DataFrame, indexSigs: DataFrame,
       maxDist: Int, indexChunks: Option[DataFrame] = None,
       universe: Option[DataFrame] = None,

@@ -206,17 +206,219 @@ object StatefulQueries {
        |  CAST(sum(a.y) AS BIGINT) AS sum_y
        |FROM a$TREE_D a JOIN leafpred p USING (node) GROUP BY 1""".stripMargin
 
+  // ----- ml_boost_fit / ml_boost_predict (r16): the exact ensemble -----
+  // Gradient boosting with squared loss over the exact tree
+  // (Trainer.fitBoosted — the graded twin of the MLlib fitGBT leg;
+  // the reference's XGBoost slot, trainer_manager.py:128-141, is a
+  // boosted-TREE trainer, so the exact-replay family now covers the
+  // ensemble semantics, not just one tree). The oracle chains
+  // BOOST_R rounds of the tree-level CTE machinery through per-round
+  // residual/offset CTEs: round g shifts the residual by its corpus
+  // min (split decisions are shift-invariant for integer offsets —
+  // floor means shift exactly), fits the depth-BOOST_D tree on the
+  // shifted label, and folds leaf floor-mean + offset back into the
+  // running prediction. Designed + cross-checked in
+  // tools/design_boost.py (DuckDB chain == pure-python replay, 22
+  // node rows + predict census at sf0.01/sf0.001) BEFORE the Scala
+  // implementation existed.
+
+  private val BOOST_R = 3
+  private val BOOST_D = 2
+
+  // `holdout` = the ml_eval_holdout variant: `base` carries an
+  // is_train flag, every FITTING aggregate (histograms, offset, leaf
+  // stats, base mean) filters to train rows, and the assignment CASE
+  // routes ALL rows — every reachable leaf holds >= 1 train row by
+  // construction (children of a chosen split are nonempty in train),
+  // so held-out rows ride the same frames and the metrics fall out of
+  // a `WHERE NOT is_train`. Designed + cross-checked in
+  // tools/design_eval.py (DuckDB == pure-python replay).
+  private def boostLevelCtes(g: Int, l: Int,
+      holdout: Boolean = false): String = {
+    val p = s"g$g"
+    val tf = if (holdout) " WHERE is_train" else ""
+    val carry = if (holdout) ", a.is_train" else ""
+    s"""${p}c$l AS MATERIALIZED (
+       |  SELECT node, fi, v,
+       |    sum(c)  OVER w AS cl,  sum(sy)  OVER w AS syl,  sum(syy) OVER w AS syyl,
+       |    sum(c)  OVER t AS ct,  sum(sy)  OVER t AS syt,  sum(syy) OVER t AS syyt
+       |  FROM (
+       |    SELECT node, 0 AS fi, f1 AS v, count(*) AS c, sum(yy) AS sy,
+       |      sum(yy*yy) AS syy FROM ${p}a$l$tf GROUP BY 1, 3
+       |    UNION ALL
+       |    SELECT node, 1 AS fi, f2 AS v, count(*) AS c, sum(yy) AS sy,
+       |      sum(yy*yy) AS syy FROM ${p}a$l$tf GROUP BY 1, 3)
+       |  WINDOW w AS (PARTITION BY node, fi ORDER BY v),
+       |         t AS (PARTITION BY node, fi)),
+       |${p}s$l AS MATERIALIZED (
+       |  SELECT node, fi, v, ct, syt, syyt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY node ORDER BY sse, fi, v) AS rk
+       |    FROM (
+       |      SELECT *,
+       |        (syyl - 2*(syl // cl)*syl + (syl // cl)*(syl // cl)*cl)
+       |        + ((syyt - syyl) - 2*((syt - syl) // (ct - cl))*(syt - syl)
+       |           + ((syt - syl) // (ct - cl))*((syt - syl) // (ct - cl))*(ct - cl))
+       |          AS sse
+       |      FROM ${p}c$l WHERE ct - cl > 0) x) z WHERE rk = 1),
+       |${p}a${l + 1} AS MATERIALIZED (
+       |  SELECT CASE WHEN s.node IS NULL THEN a.node
+       |    ELSE a.node * 2 + CASE WHEN (s.fi = 0 AND a.f1 <= s.v)
+       |                            OR (s.fi = 1 AND a.f2 <= s.v) THEN 0 ELSE 1 END
+       |    END AS node, a.f1, a.f2, a.y, a.pred, a.yy$carry
+       |  FROM ${p}a$l a LEFT JOIN ${p}s$l s ON s.node = a.node)""".stripMargin
+  }
+
+  private def boostRoundCtes(g: Int, holdout: Boolean = false): String = {
+    val p = s"g$g"
+    val prev = if (g == 1) "r0" else s"g${g - 1}next"
+    val tf = if (holdout) " WHERE is_train" else ""
+    val carry0 = if (holdout) ", is_train" else ""
+    val carryA = if (holdout) ", a.is_train" else ""
+    (Seq(
+      s"${p}off AS (SELECT min(y - pred) AS o FROM $prev$tf)",
+      s"""${p}a0 AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS node, f1, f2, y, pred,
+         |    y - pred - (SELECT o FROM ${p}off) AS yy$carry0 FROM $prev)""".stripMargin) ++
+      (0 until BOOST_D).map(boostLevelCtes(g, _, holdout)) ++
+      Seq(
+        s"""${p}leaf AS (SELECT node, count(*) AS c, sum(yy) AS sy,
+           |  sum(yy*yy) AS syy FROM ${p}a$BOOST_D$tf GROUP BY 1)""".stripMargin,
+        s"""${p}next AS MATERIALIZED (
+           |  SELECT a.f1, a.f2, a.y,
+           |    a.pred + (l.sy // l.c) + (SELECT o FROM ${p}off) AS pred$carryA
+           |  FROM ${p}a$BOOST_D a JOIN ${p}leaf l USING (node))""".stripMargin))
+      .mkString(",\n")
+  }
+
+  private val EVAL_BASE_SQL =
+    """
+    |  SELECT CAST(round(value) AS BIGINT) AS f1,
+    |         event_id % 97 AS f2,
+    |         CASE WHEN round(value) <= 245 THEN 10 * (event_id % 97)
+    |              ELSE 1000 - (event_id % 97) END
+    |           + CAST(round(value) AS BIGINT) AS y,
+    |         substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+    |  FROM events
+    |""".stripMargin
+
+  private def boostChain(holdout: Boolean = false): String = {
+    val baseSql = if (holdout) EVAL_BASE_SQL else TREE_BASE_SQL
+    val tf = if (holdout) " WHERE is_train" else ""
+    val carry0 = if (holdout) ",\n  is_train" else ""
+    (Seq(s"base AS MATERIALIZED ($baseSql)",
+      s"""r0 AS MATERIALIZED (SELECT f1, f2, y,
+        |  (SELECT sum(y) // count(*) FROM base$tf) AS pred$carry0 FROM base)""".stripMargin) ++
+      (1 to BOOST_R).map(boostRoundCtes(_, holdout))).mkString(",\n")
+  }
+
+  private def boostSplitSelect(g: Int, l: Int): String = {
+    val p = s"g$g"
+    s"""SELECT CAST($g AS BIGINT) AS round, node,
+       |  CAST($l AS BIGINT) AS depth,
+       |  CAST(ct AS BIGINT) AS n, CAST(syt AS BIGINT) AS sum_y,
+       |  CAST(syyt - 2*(syt // ct)*syt + (syt // ct)*(syt // ct)*ct AS BIGINT) AS sse,
+       |  CASE fi WHEN 0 THEN 'f1' ELSE 'f2' END AS feature,
+       |  v AS threshold,
+       |  CAST((syt // ct) + (SELECT o FROM ${p}off) AS BIGINT) AS contrib,
+       |  FALSE AS is_leaf
+       |FROM ${p}s$l""".stripMargin
+  }
+
+  private def boostLeafSelect(g: Int): String = {
+    val p = s"g$g"
+    s"""SELECT CAST($g AS BIGINT) AS round, node,
+       |  CAST(length(bin(node)) - 1 AS BIGINT) AS depth,
+       |  CAST(c AS BIGINT) AS n, CAST(sy AS BIGINT) AS sum_y,
+       |  CAST(syy - 2*(sy // c)*sy + (sy // c)*(sy // c)*c AS BIGINT) AS sse,
+       |  CAST(NULL AS VARCHAR) AS feature, CAST(NULL AS BIGINT) AS threshold,
+       |  CAST((sy // c) + (SELECT o FROM ${p}off) AS BIGINT) AS contrib,
+       |  TRUE AS is_leaf
+       |FROM ${p}leaf""".stripMargin
+  }
+
+  private def boostNodesUnion: String =
+    s"""SELECT CAST(0 AS BIGINT) AS round, CAST(1 AS BIGINT) AS node,
+       |  CAST(0 AS BIGINT) AS depth,
+       |  count(*) AS n, CAST(sum(y) AS BIGINT) AS sum_y,
+       |  CAST(sum(y*y) - 2*(sum(y) // count(*))*sum(y)
+       |    + (sum(y) // count(*))*(sum(y) // count(*))*count(*) AS BIGINT) AS sse,
+       |  CAST(NULL AS VARCHAR) AS feature, CAST(NULL AS BIGINT) AS threshold,
+       |  CAST(sum(y) // count(*) AS BIGINT) AS contrib,
+       |  TRUE AS is_leaf
+       |FROM base
+       |UNION ALL
+       |${(1 to BOOST_R).map(g =>
+           (0 until BOOST_D).map(boostSplitSelect(g, _)).mkString("\nUNION ALL\n")
+             + "\nUNION ALL\n" + boostLeafSelect(g))
+         .mkString("\nUNION ALL\n")}""".stripMargin
+
+  private def BOOST_FIT_SQL: String =
+    s"""WITH ${boostChain()}
+       |$boostNodesUnion""".stripMargin
+
+  // Gain-based importance replayed from the SAME node union: per
+  // internal node, sse - sse(left) - sse(right), summed per feature
+  // (offsets cancel in the difference — gains are shift-invariant).
+  private def BOOST_IMPORTANCE_SQL: String =
+    s"""WITH ${boostChain()},
+       |nodesall AS MATERIALIZED (
+       |$boostNodesUnion)
+       |SELECT p.feature,
+       |  CAST(sum(p.sse - l.sse - r.sse) AS BIGINT) AS gain
+       |FROM nodesall p
+       |JOIN nodesall l ON l.round = p.round AND l.node = p.node * 2
+       |JOIN nodesall r ON r.round = p.round AND r.node = p.node * 2 + 1
+       |WHERE NOT p.is_leaf
+       |GROUP BY 1""".stripMargin
+
+  private def BOOST_PREDICT_SQL: String =
+    s"""WITH ${boostChain()}
+       |SELECT CAST(pred AS BIGINT) AS pred, count(*) AS n,
+       |  CAST(sum(y) AS BIGINT) AS sum_y
+       |FROM g${BOOST_R}next GROUP BY 1""".stripMargin
+
+  private def evalMetricSelect(k: Int): String = {
+    val src = if (k == 0) "r0" else s"g${k}next"
+    s"""SELECT CAST($k AS BIGINT) AS round, count(*) AS n_test,
+       |  CAST(sum((y - pred) * (y - pred)) AS BIGINT) AS sse_test,
+       |  CAST(sum(abs(y - pred)) AS BIGINT) AS sae_test
+       |FROM $src WHERE NOT is_train""".stripMargin
+  }
+
+  private def EVAL_HOLDOUT_SQL: String =
+    s"""WITH ${boostChain(holdout = true)}
+       |${(0 to BOOST_R).map(evalMetricSelect).mkString("\nUNION ALL\n")}""".stripMargin
+
   /** The fixture frame both tree queries fit over — integer features
     * with a designed f1<=245 breakpoint and an f2 interaction, so the
     * greedy tree recovers real structure (root splits f2, depth-2
     * nodes split f1 at 245/242 — design_tree.py's census). */
-  private def treeBase(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.events(s, dir).select(
+  private def treeCols(df: org.apache.spark.sql.DataFrame) =
+    df.select(
       round(col("value")).cast("long").as("f1"),
       (col("event_id") % 97).cast("long").as("f2"),
       (when(round(col("value")) <= 245, (col("event_id") % 97) * 10)
         .otherwise(lit(1000) - col("event_id") % 97)
         + round(col("value")).cast("long")).cast("long").as("y"))
+
+  private def treeBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    treeCols(Tables.events(s, dir))
+
+  /** The fitted ensemble MEMOIZED per (session, dir) — five queries
+    * (fit / predict / predict_stream / importance, + specs) consume
+    * the same fit, and each fit is 2 + R*(D+1) aggregation passes
+    * over events. The model is a plain case class (no Spark refs), so
+    * the memo holds no session resources; Sessions tokens keep dead
+    * sessions' entries sweepable all the same. */
+  private val boostMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), graft.consumers.Trainer.BoostedModel]
+  private def fittedBoost(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.consumers.Trainer.BoostedModel = {
+    graft.core.Sessions.sweepDead(boostMemo)(_._1)
+    boostMemo.computeIfAbsent((graft.core.Sessions.token(s), dir), _ =>
+      graft.consumers.Trainer.fitBoosted(treeBase(s, dir),
+        Seq("f1", "f2"), "y", rounds = BOOST_R, maxDepth = BOOST_D))
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -241,6 +443,90 @@ object StatefulQueries {
         .fitTree(base, Seq("f1", "f2"), "y", maxDepth = TREE_D)
       base.withColumn("pred_micros", model.predictColumn)
         .groupBy("pred_micros")
+        .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
+    },
+
+    // The exact ENSEMBLE (r16): every per-round split decision,
+    // residual offset, and contribution of the boosted fit under the
+    // driver's hash gate — the boosted-tree semantics of the
+    // reference's XGBoost slot, exactly replayable.
+    "ml_boost_fit" -> QueryDef(BOOST_FIT_SQL) { (s, dir) =>
+      fittedBoost(s, dir).boostFrame(s)
+    },
+
+    // The ensemble's DISTRIBUTED scorer under the same gate:
+    // predictColumn compiles base + all rounds to ONE column of
+    // chained CASE expressions (codegen'd, zero shuffle) — a census
+    // over the integer predictions catches a scorer bug anywhere in
+    // the base/tree/offset composition.
+    "ml_boost_predict" -> QueryDef(BOOST_PREDICT_SQL) { (s, dir) =>
+      treeBase(s, dir).withColumn("pred", fittedBoost(s, dir).predictColumn)
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
+    },
+
+    // HONEST HOLDOUT EVALUATION (r16) — the learning curve a real
+    // training run watches, exactly graded: rows split train/test by
+    // the md5(event_id) side rule (75% train), the exact ensemble fits
+    // on TRAIN ONLY, and every round-prefix ensemble 0..R scores the
+    // HELD-OUT rows — integer n/SSE/sum-abs-error per round, one
+    // corpus pass for all rounds (the prefix predictions are chained
+    // CASE columns, codegen'd side by side). Oracle: the holdout
+    // variant of the boost chain (fitting aggregates filter to train,
+    // assignment routes all rows); designed + cross-checked in
+    // tools/design_eval.py.
+    "ml_eval_holdout" -> QueryDef(EVAL_HOLDOUT_SQL) { (s, dir) =>
+      import s.implicits._
+      val frame = Tables.events(s, dir).select(
+        round(col("value")).cast("long").as("f1"),
+        (col("event_id") % 97).cast("long").as("f2"),
+        (when(round(col("value")) <= 245, (col("event_id") % 97) * 10)
+          .otherwise(lit(1000) - col("event_id") % 97)
+          + round(col("value")).cast("long")).cast("long").as("y"),
+        (substring(md5(col("event_id").cast("string")), 1, 1) < "c")
+          .as("is_train"))
+      val model = graft.consumers.Trainer
+        .fitBoosted(frame.filter(col("is_train")), Seq("f1", "f2"), "y",
+          rounds = BOOST_R, maxDepth = BOOST_D)
+      val aggs = (0 to BOOST_R).flatMap { k =>
+        val d = col("y").cast("long") -
+          model.copy(rounds = model.rounds.take(k)).predictColumn
+        Seq(sum(d * d).as(s"sse$k"), sum(abs(d)).as(s"sae$k"))
+      } :+ count(lit(1)).as("n")
+      val r = frame.filter(!col("is_train"))
+        .agg(aggs.head, aggs.tail: _*).collect()(0)
+      (0 to BOOST_R).map { k =>
+        (k.toLong, r.getAs[Long]("n"), r.getAs[Long](s"sse$k"),
+          r.getAs[Long](s"sae$k"))
+      }.toDF("round", "n_test", "sse_test", "sae_test")
+    },
+
+    // Gain-based feature importance (r16) — the XGBoost
+    // get_score(importance_type='gain') surface over the exact
+    // ensemble: per internal node sse - sse(left) - sse(right) (all
+    // integer node stats), summed per feature across rounds; the
+    // driver-side fold must match the oracle's parent-child join over
+    // the replayed node union exactly.
+    "ml_boost_importance" -> QueryDef(BOOST_IMPORTANCE_SQL) { (s, dir) =>
+      import s.implicits._
+      fittedBoost(s, dir).featureImportance.toSeq.sortBy(_._1)
+        .toDF("feature", "gain")
+    },
+
+    // STREAMING MODEL INFERENCE (r16): the reference's
+    // trainer -> inference_loop composition at ingest cadence — fit
+    // the exact ensemble OFFLINE on the batch frame (the
+    // doc_model_quality_stream discipline), then score every ARRIVING
+    // event with the compiled predictColumn: base + one nested CASE
+    // per round, stateless, zero streaming state, append drain. Same
+    // BOOST_PREDICT_SQL oracle — the arrival engine must not change
+    // one prediction (St4 kappa parity extended to model inference).
+    "ml_boost_predict_stream" -> QueryDef(BOOST_PREDICT_SQL) { (s, dir) =>
+      val model = fittedBoost(s, dir)
+      val scored = treeCols(graft.streaming.Streaming.eventsStream(s, dir))
+        .withColumn("pred", model.predictColumn)
+      graft.streaming.Streaming.runAvailableNow(scored, outputMode = "append")
+        .groupBy("pred")
         .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
     },
 

@@ -124,13 +124,45 @@ class BlockCatalog(val spark: SparkSession, root: String) {
       }
     } catch { case _: java.io.IOException => s"unlistable-${System.nanoTime()}" }
 
-  /** One collected log event: (definition, key, hash, op, ver). The
-    * stats columns stay in the DataFrame views; the private helpers
-    * only ever key on these five. */
+  /** One collected log event — the full meta row (r16: the stats ride
+    * along so [[metaAsOf]] can be served from the collected cache with
+    * zero Spark jobs; pre-r16 they stayed in the DataFrame views and
+    * every `meta` call paid a mergeSchema parquet read). */
   private case class LogRow(definition: String, key: String,
-      hash: String, op: String, ver: Long)
+      hash: String, op: String, ver: Long,
+      startTs: Long, endTs: Long, numRows: Long)
 
   private var logCache: Option[(String, Seq[LogRow])] = None
+
+  /** Meta-log READ instrumentation (r16 probe surface): cache-miss
+    * collects of the merged log — (count, nanos). The CatalogMetaProbe
+    * separates this from data read/write wall. */
+  private var metaReadCount = 0L
+  private var metaReadNanos = 0L
+  private[graft] def metaReadStats: (Long, Long) = (metaReadCount, metaReadNanos)
+  private[graft] def resetMetaReadStats(): Unit = {
+    metaReadCount = 0L; metaReadNanos = 0L
+  }
+
+  /** Advance the collected-log cache IN PLACE after one of our own
+    * meta appends (r16): the appended rows are known exactly, so the
+    * next read needs no mergeSchema re-collect — the fingerprint is
+    * re-listed AFTER the append, pairing the new listing with
+    * old rows + ours. Exactly as safe as the version numbers
+    * themselves (single writer per (definition, key), the verCache
+    * contract): a FOREIGN append racing into the gap between our
+    * parquet append and the listing would be fingerprint-absorbed
+    * with its rows missing — the same race the contract already
+    * excludes. Cold cache (None) stays cold: nothing to advance.
+    * `advanceLogCache=false` restores the r15 invalidate-on-append
+    * behavior (the probe's control arm). */
+  private[graft] var advanceLogCache: Boolean = true
+  private def noteAppended(rows: Seq[LogRow]): Unit =
+    logCache = logCache match {
+      case Some((_, old)) if advanceLogCache =>
+        Some((logFingerprint, old ++ rows))
+      case _ => None
+    }
 
   /** The meta log COLLECTED, cached per listing fingerprint. The log
     * is metadata-sized by contract (one row per block event), so a
@@ -145,6 +177,7 @@ class BlockCatalog(val spark: SparkSession, root: String) {
     logCache match {
       case Some((`fp`, rows)) => rows
       case _ =>
+        val t0 = System.nanoTime()
         val log = metaLog
         val rows: Seq[LogRow] =
           if (!log.columns.contains("hash")) Seq.empty
@@ -152,11 +185,15 @@ class BlockCatalog(val spark: SparkSession, root: String) {
             val op = if (log.columns.contains("op")) col("op")
               else lit("add")
             log.select(col("definition"), col("key"), col("hash"),
-                op.as("op"), col("ver"))
+                op.as("op"), col("ver"), col("start_ts"), col("end_ts"),
+                col("num_rows"))
               .collect().toSeq
               .map(r => LogRow(r.getString(0), r.getString(1),
-                r.getString(2), r.getString(3), r.getLong(4)))
+                r.getString(2), r.getString(3), r.getLong(4),
+                r.getLong(5), r.getLong(6), r.getLong(7)))
           }
+        metaReadCount += 1
+        metaReadNanos += System.nanoTime() - t0
         logCache = Some((fp, rows))
         rows
     }
@@ -194,15 +231,25 @@ class BlockCatalog(val spark: SparkSession, root: String) {
     * version, so every snapshot sees either the pre-compaction blocks
     * or the compacted ones, never a mix. */
   def metaAsOf(asOfVer: Long): DataFrame = {
-    val log0 = metaLog
-    if (!log0.columns.contains("hash")) return log0
-    val log = log0.filter(col("ver") <= asOfVer)
-    val adds = log.filter(col("op") === "add")
-      .dropDuplicates("definition", "key", "hash")
-    val drops = log.filter(col("op") === "drop")
-      .select("definition", "key", "hash").distinct()
-    adds.join(drops, Seq("definition", "key", "hash"), "left_anti")
-      .select("definition", "key", "start_ts", "end_ts", "num_rows", "hash")
+    // served from the collected fingerprint-validated log (r16): the
+    // log is metadata-sized by contract, so the view is a local frame
+    // — zero Spark jobs while the log is unchanged (pre-r16 every call
+    // paid a mergeSchema parquet read + join). Add-dedup keeps the
+    // LOWEST version per (definition, key, hash) — first cataloged —
+    // where the DataFrame dropDuplicates kept an arbitrary one.
+    import spark.implicits._
+    val all = logRows
+    if (all.isEmpty) return spark.emptyDataFrame
+    val rs = all.filter(_.ver <= asOfVer)
+    val drops = rs.filter(_.op == "drop")
+      .map(r => (r.definition, r.key, r.hash)).toSet
+    rs.filter(_.op == "add")
+      .groupBy(r => (r.definition, r.key, r.hash))
+      .map { case (_, g) => g.minBy(_.ver) }
+      .filterNot(r => drops((r.definition, r.key, r.hash)))
+      .toSeq.sortBy(r => (r.definition, r.key, r.ver, r.hash))
+      .map(r => (r.definition, r.key, r.startTs, r.endTs, r.numRows, r.hash))
+      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash")
   }
 
   /** True iff the hash was EVER cataloged for (definition, key) — adds
@@ -248,6 +295,8 @@ class BlockCatalog(val spark: SparkSession, root: String) {
       .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op", "ver")
       .write.mode("append").parquet(metaPath)
     noteVersion(definition, key, ver)
+    noteAppended(Seq(LogRow(definition, key, hash, "add", ver,
+      agg.getLong(1), agg.getLong(2), agg.getLong(3))))
     true
   }
 
@@ -427,6 +476,10 @@ class BlockCatalog(val spark: SparkSession, root: String) {
       .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op", "ver")
       .write.mode("append").parquet(metaPath)
     noteVersion(definition, key, ver)
+    noteAppended(
+      toCompact.flatten.toSeq.map(b =>
+        LogRow(definition, key, b._4, "drop", ver, b._1, b._2, b._3)) ++
+      newRows.map(t => LogRow(t._1, t._2, t._6, "add", ver, t._3, t._4, t._5)))
     toCompact.size
   }
 

@@ -336,4 +336,92 @@ class BacktesterSpec extends AnyFunSuite {
       assert(ModelRegistry.loadAsOf(cat, "pricer", v1).predict(p)
         == tree1.predict(p)))
   }
+
+  test("fitBoosted: exact ensemble converges on the separable target; surfaces agree") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the fitGBT fixture, integer-valued: (f1<=4, f2) determines y over
+    // 8 groups. The INTEGER ensemble converges to within floor
+    // resolution, not to zero — a leaf whose residuals span {0, 1} has
+    // floor mean 0 and stalls (the exact contract trades the last
+    // sub-unit of fit for bit-replayability; fitGBT's float leg is the
+    // to-zero fitter). Here: 103290 -> 30 -> 15 -> 15.
+    val df = (0 until 300).map { i =>
+      val f1 = (i % 10).toLong
+      val f2 = (i % 4).toLong
+      (f1, f2, if (f1 <= 4) 10L + f2 else 50L - f2)
+    }.toDF("f1", "f2", "y").repartition(8)
+    val m = Trainer.fitBoosted(df, Seq("f1", "f2"), "y",
+      rounds = 3, maxDepth = 3)
+    // train SSE nonincreasing over round-prefix ensembles; >99.9% of
+    // the base variance explained by round 3
+    import org.apache.spark.sql.functions.{col, sum}
+    def sse(k: Int): Long = {
+      val pm = m.copy(rounds = m.rounds.take(k))
+      df.select((col("y").cast("long") - pm.predictColumn).as("d"))
+        .agg(sum(col("d") * col("d"))).collect()(0).getLong(0)
+    }
+    val sses = (0 to 3).map(sse)
+    assert(sses.sliding(2).forall(w => w(0) >= w(1)),
+      s"round-prefix train SSE must be nonincreasing: $sses")
+    assert(sses.last * 1000 < sses.head,
+      s"ensemble must explain >99.9% of base SSE: $sses")
+    // integer-resolution convergence: every residual within one unit
+    val maxAbs = df.select((col("y").cast("long") - m.predictColumn).as("d"))
+      .collect().map(r => math.abs(r.getLong(0))).max
+    assert(maxAbs <= 1L, s"residuals must be within floor resolution: $maxAbs")
+    // driver walker == distributed column, row for row
+    val scored = df.withColumn("p", m.predictColumn).collect()
+    scored.foreach { r =>
+      assert(m.predictUnits(Array(r.getLong(0).toDouble,
+        r.getLong(1).toDouble)) == r.getLong(3))
+    }
+    // boostFrame shape: one base row + nodes per round, contrib integer
+    val bf = m.boostFrame(spark).collect()
+    assert(bf.count(_.getLong(0) == 0L) == 1)
+    assert(bf.map(_.getLong(0)).max == 3L)
+  }
+
+  test("fitBoosted is partitioning-invariant and asserts the nonneg contract") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (0 until 500).map { i =>
+      (i % 23L, i % 7L, (i % 23L) * 10 + (i % 7L) * 3)
+    }
+    val a = Trainer.fitBoosted(rows.toDF("f1", "f2", "y").repartition(1),
+      Seq("f1", "f2"), "y", rounds = 2, maxDepth = 2)
+    val b = Trainer.fitBoosted(rows.toDF("f1", "f2", "y").repartition(16),
+      Seq("f1", "f2"), "y", rounds = 2, maxDepth = 2)
+    assert(a == b)
+    val negy = Seq((1.0, 1.0, -10.0), (2.0, 2.0, 20.0)).toDF("f1", "f2", "y")
+    intercept[IllegalArgumentException] {
+      Trainer.fitBoosted(negy, Seq("f1", "f2"), "y", rounds = 1, maxDepth = 1)
+    }
+  }
+
+  test("model registry: boosted artifact round-trips with offsets and base intact") {
+    import graft.consumers.ModelRegistry
+    val root = java.nio.file.Files.createTempDirectory("graft_regb_").toString
+    val cat = new graft.sources.BlockCatalog(spark, root)
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0 until 200).map { i =>
+      (i % 13L, i % 5L, (i % 13L) * 7 + (i % 5L))
+    }.toDF("f1", "f2", "y")
+    val bm = Trainer.fitBoosted(df, Seq("f1", "f2"), "y",
+      rounds = 3, maxDepth = 2)
+    val v = ModelRegistry.register(cat, "booster", bm)
+    val back = ModelRegistry.loadAsOf(cat, "booster", v)
+    back match {
+      case b: Trainer.BoostedModel =>
+        assert(b == bm, "boosted artifact must round-trip exactly")
+      case other => fail(s"expected a BoostedModel back, got $other")
+    }
+    val probes = Seq(Array(3.0, 2.0), Array(12.0, 4.0), Array(0.0, 0.0))
+    probes.foreach(p => assert(back.predict(p) == bm.predict(p)))
+    // the backtest loop accepts the ensemble (inference path parity)
+    val strat = Trainer.modelStrategy(bm, Seq("f1", "f2", "px"),
+      Seq("f1", "f2"), "px")
+    assert(strat != null)
+  }
 }

@@ -994,4 +994,34 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  // r15 verdict #4: the measured prefilter decision rule as API. The
+  // two populations model the two SCALE.md r15 probe regimes: a
+  // skew-modeled index (hot signatures — most rows land in a handful
+  // of band slots, the regime where the prefilter measured a ~2x
+  // LOSS) must advise OFF; an unbiased 64-bit population (no hot
+  // mass, the regime where it WON the alternation) must advise ON.
+  test("bandSkewAdvisor: skewed index -> prefilter off, uniform -> on") {
+    import spark.implicits._
+    val n = 20000L
+    // 90% of docs share 8 hot signatures (plus a low-bit wiggle that
+    // keeps doc_ids distinct but band values concentrated)
+    val skewed = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 10 < 8,
+          shiftleft(col("id") % 8, 56).bitwiseOR(col("id") % 4))
+        .otherwise(xxhash64(col("id"))).as("simhash"))
+    val uniform = spark.range(n).select(col("id").as("doc_id"),
+      xxhash64(col("id") + 7).as("simhash"))
+    val rSkew = Dedup.bandSkewAdvisor(Dedup.simhashChunks(skewed, 3))
+    val rUni = Dedup.bandSkewAdvisor(Dedup.simhashChunks(uniform, 3))
+    assert(!rSkew.recommendPrefilter,
+      s"skewed population must advise prefilter OFF: $rSkew")
+    assert(rUni.recommendPrefilter,
+      s"uniform population must advise prefilter ON: $rUni")
+    // the discriminator orders the regimes and the row accounting is
+    // exact: every banded row is counted once
+    assert(rSkew.topShare > 0.5 && rUni.topShare < 0.1,
+      s"topShare must separate the regimes: $rSkew vs $rUni")
+    assert(rSkew.rows == Dedup.simhashChunks(skewed, 3).count())
+  }
 }
