@@ -983,7 +983,20 @@ object Streaming {
     * safe because a MAINTAINING drain is the table's single writer
     * and its own reads re-resolve per trigger; an external reader
     * must not overlap a maintaining drain anyway (appends move its
-    * verdict base). */
+    * verdict base).
+    *
+    * CHOOSE k IN APPENDS, NOT FILES (r16, measured from all three
+    * sides at 15M x 1M x 4 triggers, SCALE.md r16): one streaming
+    * append writes one file per touched bucket PER WRITE TASK
+    * (~35/bucket/trigger there), so a naive k = 10 fires a FULL
+    * index rewrite every trigger — measured ~2x SLOWER than staying
+    * fragmented (310 vs 157 s; the rewrite never amortizes inside
+    * one short drain). The r15 O(10) rule counts APPENDS: set
+    * k ~ filesAddedPerAppend x 10. At the probe's cadence that is
+    * k ~ 350 — the drain then recovered a pre-fragmented (11,264
+    * file) index ONCE in-loop and finished 9% faster than the
+    * fragmented control, ending at 3.1k files instead of 15.4k for
+    * every subsequent reader. */
   def hashDedupMaintStream(ds: Dataset[(Long, Long, Long)],
       maxDist: Int, watermarkDelayMs: Long, indexTable: String,
       maxBucket: Int = graft.operators.Dedup.SimhashHotBucketCap,

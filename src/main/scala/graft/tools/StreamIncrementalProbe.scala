@@ -79,6 +79,30 @@ object StreamIncrementalProbe {
     graft.sources.BucketedStore.write(
       Dedup.simhashChunks(idx, maxDist = 3), "graft_probe_sinc_idx",
       "/tmp/graft_sincprobe_idx", Seq("cidx", "cval"), buckets = 32)
+    // "prefrag" (r16): simulate N prior daily ingests BEFORE the drain
+    // — each append adds one file per touched bucket per write task
+    // (the measured file-count wall, SCALE.md r15), so the drain
+    // starts against a fragmented index; pair with "compact" to
+    // measure the IN-LOOP recovery (compactIfFragmented after each
+    // trigger's append, the hashDedupMaintStream cadence knob).
+    val prefrag = args.find(_.startsWith("prefrag")).map(a =>
+      if (a.contains("=")) a.split("=")(1).toInt else 10).getOrElse(0)
+    if (prefrag > 0) {
+      val t = System.nanoTime()
+      (1 to prefrag).foreach { i =>
+        val day = spark.range(1000000L).as[Long]
+          .map(j => (nIdx + nBatch + i * 10000000L + j,
+            SimhashSkewProbe.biasedSig(nIdx + nBatch + i * 10000000L + j,
+              pQ32)))
+          .toDF("doc_id", "simhash")
+        graft.sources.BucketedStore.append(
+          Dedup.simhashChunks(day, maxDist = 3), "graft_probe_sinc_idx")
+      }
+      println(f"[probe] prefrag: $prefrag appends in " +
+        f"${(System.nanoTime() - t) / 1e9}%.1f s, files = " +
+        graft.sources.BucketedStore.dataFileCount(spark,
+          "graft_probe_sinc_idx"))
+    }
     val stored = graft.sources.BucketedStore.read(spark, "graft_probe_sinc_idx")
 
     // reference: the batch operator against the same stored index
@@ -141,6 +165,24 @@ object StreamIncrementalProbe {
           graft.sources.BucketedStore.append(
             Dedup.simhashChunks(keepers, maxDist = 3),
             "graft_probe_sinc_idx")
+          // "compact[=N]" (r16): the self-compacting cadence in-loop.
+          // N is files-per-bucket; note ONE streaming append adds one
+          // file per touched bucket PER WRITE TASK (~35/bucket here),
+          // so N=10 fires a full rewrite EVERY trigger (measured 2x
+          // SLOWER than staying fragmented at 4 triggers) — the r15
+          // O(10) rule counts APPENDS, so at this cadence the
+          // equivalent threshold is ~350: the drain recovers a
+          // pre-fragmented index ONCE and amortizes over the
+          // following ~10 triggers.
+          val compactAt = args.find(_.startsWith("compact")).map(a =>
+            if (a.contains("=")) a.split("=")(1).toInt else 10)
+          compactAt.foreach { k =>
+            val fired = graft.sources.BucketedStore.compactIfFragmented(
+              spark, "graft_probe_sinc_idx", k)
+            println(s"[probe]   trigger $nTrig compacted=${fired.isDefined} files=" +
+              graft.sources.BucketedStore.dataFileCount(spark,
+                "graft_probe_sinc_idx"))
+          }
         }
         if (doPersist) b.unpersist()
         nTrig += 1
