@@ -575,6 +575,83 @@ object Trainer {
     } finally { base0.unpersist(); () }
   }
 
+  // ------------------------------------------------------------------
+  // Tuner — the reference TrainerManager's hyperparameter-search slice
+  // (svoe trainer_manager.py: TunerConfig / param_space / num_samples /
+  // metric / mode over randint ranges), made exactly replayable:
+  // candidates sample DETERMINISTICALLY from the param space via
+  // md5-prefix integers keyed by the sample index (data-independent,
+  // so the trial list is shared literal metadata with the oracle), fit
+  // on the TRAIN split, score by integer SSE on the VALID split, pick
+  // argmin (metric, trial). Designed + cross-checked in
+  // tools/design_tuner.py.
+  // ------------------------------------------------------------------
+
+  /** md5-prefix integer in [0, 2^32) — the repo's engine-portable
+    * knob-derivation hash (the Dedup.Md5Prefix discipline). */
+  def md5Int(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  /** Inclusive integer range — the `randint: {lower, upper}` shape of
+    * the reference's param_space. */
+  final case class ParamRange(lower: Int, upper: Int) {
+    require(upper >= lower, s"empty range [$lower, $upper]")
+    def span: Int = upper - lower + 1
+  }
+
+  final case class TunerSpec(rounds: ParamRange, maxDepth: ParamRange,
+      numSamples: Int, metric: String = "sse_valid", mode: String = "min")
+
+  final case class Trial(trial: Int, rounds: Int, maxDepth: Int,
+      nValid: Long, sseValid: Long, isBest: Boolean)
+
+  /** The deterministic sample list (trial, rounds, maxDepth) — shared
+    * verbatim by [[tune]] and the oracle generator. */
+  def sampleCandidates(spec: TunerSpec): Seq[(Int, Int, Int)] =
+    (0 until spec.numSamples).map { i =>
+      (i,
+        spec.rounds.lower + (md5Int(s"rounds$i") % spec.rounds.span).toInt,
+        spec.maxDepth.lower + (md5Int(s"depth$i") % spec.maxDepth.span).toInt)
+    }
+
+  /** Run the tuner: fit one exact ensemble per sampled candidate on
+    * the rows where `isTrainCol`, score ALL candidates' integer valid
+    * SSE in ONE pass over the rows where `isValidCol` (each model's
+    * prediction is a sibling CASE column), elect argmin (sse, trial).
+    * Returns (best model, the full trial frame — what the reference's
+    * MLflow callback logs per trial). Only the exact surface is
+    * supported: metric 'sse_valid', mode 'min' (use fitGBT + your own
+    * loop for float metrics). */
+  def tune(df: DataFrame, featureCols: Seq[String], labelCol: String,
+      isTrainCol: String, isValidCol: String,
+      spec: TunerSpec): (BoostedModel, Seq[Trial]) = {
+    require(spec.metric == "sse_valid" && spec.mode == "min",
+      s"exact tuner supports (sse_valid, min) only, got " +
+        s"(${spec.metric}, ${spec.mode})")
+    val train = df.filter(col(isTrainCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val models = sampleCandidates(spec).map { case (i, r, d) =>
+        (i, r, d, fitBoosted(train, featureCols, labelCol, r, d))
+      }
+      val aggs = models.map { case (i, _, _, m) =>
+        val dlt = col(labelCol).cast("long") - m.predictColumn
+        sum(dlt * dlt).as(s"sse$i")
+      } :+ count(lit(1)).as("n")
+      val row = df.filter(col(isValidCol))
+        .agg(aggs.head, aggs.tail: _*).collect()(0)
+      val trials = models.map { case (i, r, d, _) =>
+        Trial(i, r, d, row.getAs[Long]("n"), row.getAs[Long](s"sse$i"),
+          isBest = false)
+      }
+      val best = trials.minBy(t => (t.sseValid, t.trial)).trial
+      (models(best)._4, trials.map(t => t.copy(isBest = t.trial == best)))
+    } finally { train.unpersist(); () }
+  }
+
   /** The full-strength nonlinear leg: MLlib gradient-boosted trees
     * (squared loss) over the same (featureCols, label) surface,
     * wrapped as a [[Model]] — what the reference's XGBoostTrainer

@@ -261,4 +261,65 @@ object ConfigParser {
     }
     Forest.build(Seq(root), sources)(root)
   }
+
+  /** Parsed trainer configuration — the reference `TrainerConfig`
+    * schema (svoe `trainer/trainer_manager.py:21-48`,
+    * `trainer/trainer-config.yaml`): a trainer section
+    * (`xgboost:`/`boost:`) with `num_boost_rounds` and
+    * `train_valid_test_split`, plus an optional `tuner_config` with
+    * `param_space.params` randint ranges, `num_samples`, `metric`,
+    * `mode`. [[tunerSpec]] maps it onto the exact tuner surface:
+    * `num_boost_rounds`/`max_depth` ranges come from the param space
+    * when searched, else pin to the fixed config values. */
+  final case class TrainerConf(numBoostRounds: Int,
+      trainValidTestSplit: Seq[Double],
+      paramSpace: Map[String, graft.consumers.Trainer.ParamRange],
+      numSamples: Int, metric: String, mode: String) {
+    def tunerSpec: graft.consumers.Trainer.TunerSpec =
+      graft.consumers.Trainer.TunerSpec(
+        rounds = paramSpace.getOrElse("num_boost_rounds",
+          graft.consumers.Trainer.ParamRange(numBoostRounds, numBoostRounds)),
+        maxDepth = paramSpace.getOrElse("max_depth",
+          graft.consumers.Trainer.ParamRange(3, 3)),
+        numSamples = numSamples, metric = metric, mode = mode)
+  }
+
+  /** Parse the reference-shaped trainer YAML. Only `randint` ranges
+    * are supported in the param space (the reference's float samplers
+    * — uniform/loguniform/… — parameterize float fitters; the exact
+    * tuner searches integer knobs). Unknown sampler names are loud. */
+  def parseTrainerYaml(yamlText: String): TrainerConf = {
+    val root = new ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()).readTree(yamlText)
+    val trainer = Option(root.get("boost")).orElse(Option(root.get("xgboost")))
+      .getOrElse(throw new IllegalArgumentException(
+        "trainer config needs a boost:/xgboost: section"))
+    val split = Option(trainer.get("train_valid_test_split")).toSeq
+      .flatMap(_.elements().asScala).map(_.asDouble()).toSeq
+    val tuner = Option(root.get("tuner_config"))
+    val space: Map[String, graft.consumers.Trainer.ParamRange] =
+      tuner.flatMap(t => Option(t.get("param_space")))
+        .flatMap(p => Option(p.get("params"))).toSeq
+        .flatMap(_.properties().asScala)
+        .map { e =>
+          val samplers = e.getValue.properties().asScala.toSeq
+          require(samplers.size == 1 && samplers.head.getKey == "randint",
+            s"param ${e.getKey}: only randint is exactly replayable, " +
+              s"got ${samplers.map(_.getKey).mkString(",")}")
+          val r = samplers.head.getValue
+          e.getKey -> graft.consumers.Trainer.ParamRange(
+            r.get("lower").asInt(), r.get("upper").asInt())
+        }.toMap
+    TrainerConf(
+      numBoostRounds = Option(trainer.get("num_boost_rounds"))
+        .map(_.asInt()).getOrElse(3),
+      trainValidTestSplit = split,
+      paramSpace = space,
+      numSamples = tuner.flatMap(t => Option(t.get("num_samples")))
+        .map(_.asInt()).getOrElse(1),
+      metric = tuner.flatMap(t => Option(t.get("metric")))
+        .map(_.asText()).getOrElse("sse_valid"),
+      mode = tuner.flatMap(t => Option(t.get("mode")))
+        .map(_.asText()).getOrElse("min"))
+  }
 }

@@ -225,19 +225,21 @@ object StatefulQueries {
   private val BOOST_R = 3
   private val BOOST_D = 2
 
-  // `holdout` = the ml_eval_holdout variant: `base` carries an
-  // is_train flag, every FITTING aggregate (histograms, offset, leaf
-  // stats, base mean) filters to train rows, and the assignment CASE
-  // routes ALL rows — every reachable leaf holds >= 1 train row by
-  // construction (children of a chosen split are nonempty in train),
-  // so held-out rows ride the same frames and the metrics fall out of
-  // a `WHERE NOT is_train`. Designed + cross-checked in
-  // tools/design_eval.py (DuckDB == pure-python replay).
-  private def boostLevelCtes(g: Int, l: Int,
-      holdout: Boolean = false): String = {
-    val p = s"g$g"
-    val tf = if (holdout) " WHERE is_train" else ""
-    val carry = if (holdout) ", a.is_train" else ""
+  // The chain generators are shared by THREE variants: the plain fit
+  // (ml_boost_fit/predict; carry = Nil), the holdout evaluation
+  // (ml_eval_holdout; carry = is_train — fitting aggregates filter to
+  // train rows, the assignment CASE routes ALL rows; every reachable
+  // leaf holds >= 1 train row by construction since children of a
+  // chosen split are nonempty in train), and the tuner trials
+  // (ml_tuner_best; carry = is_train + is_valid, one prefixed chain
+  // per sampled candidate). Designed + cross-checked in
+  // tools/design_boost.py / design_eval.py / design_tuner.py
+  // (DuckDB == pure-python replay, each).
+  private def boostLevelCtes(pfx: String, g: Int, l: Int,
+      carry: Seq[String]): String = {
+    val p = s"$pfx$g"
+    val tf = if (carry.nonEmpty) " WHERE is_train" else ""
+    val carryA = carry.map(c => s", a.$c").mkString
     s"""${p}c$l AS MATERIALIZED (
        |  SELECT node, fi, v,
        |    sum(c)  OVER w AS cl,  sum(sy)  OVER w AS syl,  sum(syy) OVER w AS syyl,
@@ -264,29 +266,30 @@ object StatefulQueries {
        |  SELECT CASE WHEN s.node IS NULL THEN a.node
        |    ELSE a.node * 2 + CASE WHEN (s.fi = 0 AND a.f1 <= s.v)
        |                            OR (s.fi = 1 AND a.f2 <= s.v) THEN 0 ELSE 1 END
-       |    END AS node, a.f1, a.f2, a.y, a.pred, a.yy$carry
+       |    END AS node, a.f1, a.f2, a.y, a.pred, a.yy$carryA
        |  FROM ${p}a$l a LEFT JOIN ${p}s$l s ON s.node = a.node)""".stripMargin
   }
 
-  private def boostRoundCtes(g: Int, holdout: Boolean = false): String = {
-    val p = s"g$g"
-    val prev = if (g == 1) "r0" else s"g${g - 1}next"
-    val tf = if (holdout) " WHERE is_train" else ""
-    val carry0 = if (holdout) ", is_train" else ""
-    val carryA = if (holdout) ", a.is_train" else ""
+  private def boostRoundCtes(pfx: String, g: Int, depth: Int,
+      carry: Seq[String]): String = {
+    val p = s"$pfx$g"
+    val prev = if (g == 1) "r0" else s"$pfx${g - 1}next"
+    val tf = if (carry.nonEmpty) " WHERE is_train" else ""
+    val carry0 = carry.map(c => s", $c").mkString
+    val carryA = carry.map(c => s", a.$c").mkString
     (Seq(
       s"${p}off AS (SELECT min(y - pred) AS o FROM $prev$tf)",
       s"""${p}a0 AS MATERIALIZED (
          |  SELECT CAST(1 AS BIGINT) AS node, f1, f2, y, pred,
          |    y - pred - (SELECT o FROM ${p}off) AS yy$carry0 FROM $prev)""".stripMargin) ++
-      (0 until BOOST_D).map(boostLevelCtes(g, _, holdout)) ++
+      (0 until depth).map(boostLevelCtes(pfx, g, _, carry)) ++
       Seq(
         s"""${p}leaf AS (SELECT node, count(*) AS c, sum(yy) AS sy,
-           |  sum(yy*yy) AS syy FROM ${p}a$BOOST_D$tf GROUP BY 1)""".stripMargin,
+           |  sum(yy*yy) AS syy FROM ${p}a$depth$tf GROUP BY 1)""".stripMargin,
         s"""${p}next AS MATERIALIZED (
            |  SELECT a.f1, a.f2, a.y,
            |    a.pred + (l.sy // l.c) + (SELECT o FROM ${p}off) AS pred$carryA
-           |  FROM ${p}a$BOOST_D a JOIN ${p}leaf l USING (node))""".stripMargin))
+           |  FROM ${p}a$depth a JOIN ${p}leaf l USING (node))""".stripMargin))
       .mkString(",\n")
   }
 
@@ -305,10 +308,11 @@ object StatefulQueries {
     val baseSql = if (holdout) EVAL_BASE_SQL else TREE_BASE_SQL
     val tf = if (holdout) " WHERE is_train" else ""
     val carry0 = if (holdout) ",\n  is_train" else ""
+    val carry = if (holdout) Seq("is_train") else Nil
     (Seq(s"base AS MATERIALIZED ($baseSql)",
       s"""r0 AS MATERIALIZED (SELECT f1, f2, y,
         |  (SELECT sum(y) // count(*) FROM base$tf) AS pred$carry0 FROM base)""".stripMargin) ++
-      (1 to BOOST_R).map(boostRoundCtes(_, holdout))).mkString(",\n")
+      (1 to BOOST_R).map(boostRoundCtes("g", _, BOOST_D, carry))).mkString(",\n")
   }
 
   private def boostSplitSelect(g: Int, l: Int): String = {
@@ -376,6 +380,78 @@ object StatefulQueries {
        |SELECT CAST(pred AS BIGINT) AS pred, count(*) AS n,
        |  CAST(sum(y) AS BIGINT) AS sum_y
        |FROM g${BOOST_R}next GROUP BY 1""".stripMargin
+
+  // ----- ml_tuner_best (r16): the TrainerManager tuner slice -----
+  // Reference-shaped config (TrainerConfig/TunerConfig,
+  // trainer_manager.py:21-48) parsed by ConfigParser.parseTrainerYaml;
+  // candidates sample deterministically from the randint param space
+  // (Trainer.sampleCandidates — md5-prefix ints keyed by sample
+  // index, data-independent, so the trial list is shared literal
+  // metadata with the oracle); each candidate's exact ensemble fits
+  // on the TRAIN split of a three-way md5 side rule (hex-quantized
+  // ~[0.5, 0.31, 0.19] = the reference's train_valid_test_split),
+  // metric = integer SSE on the VALID split, winner = argmin
+  // (sse, trial). Designed + cross-checked in tools/design_tuner.py.
+
+  private val TRAINER_YAML =
+    """boost:
+      |  num_boost_rounds: 3
+      |  train_valid_test_split: [0.5, 0.31]
+      |tuner_config:
+      |  param_space:
+      |    params:
+      |      num_boost_rounds:
+      |        randint: {lower: 1, upper: 3}
+      |      max_depth:
+      |        randint: {lower: 1, upper: 3}
+      |  num_samples: 3
+      |  metric: sse_valid
+      |  mode: min
+      |""".stripMargin
+
+  private lazy val TUNER_SPEC =
+    graft.core.ConfigParser.parseTrainerYaml(TRAINER_YAML).tunerSpec
+
+  private val TUNER_BASE_SQL =
+    """
+    |  SELECT CAST(round(value) AS BIGINT) AS f1,
+    |         event_id % 97 AS f2,
+    |         CASE WHEN round(value) <= 245 THEN 10 * (event_id % 97)
+    |              ELSE 1000 - (event_id % 97) END
+    |           + CAST(round(value) AS BIGINT) AS y,
+    |         substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS is_train,
+    |         substr(md5(CAST(event_id AS VARCHAR)), 1, 1) >= '8'
+    |           AND substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < 'd' AS is_valid
+    |  FROM events
+    |""".stripMargin
+
+  private def tunerChain: String = {
+    val carry = Seq("is_train", "is_valid")
+    (Seq(s"base AS MATERIALIZED ($TUNER_BASE_SQL)",
+      """r0 AS MATERIALIZED (SELECT f1, f2, y,
+        |  (SELECT sum(y) // count(*) FROM base WHERE is_train) AS pred,
+        |  is_train, is_valid FROM base)""".stripMargin) ++
+      graft.consumers.Trainer.sampleCandidates(TUNER_SPEC)
+        .flatMap { case (t, r, d) =>
+          (1 to r).map(g => boostRoundCtes(s"t${t}g", g, d, carry))
+        }).mkString(",\n")
+  }
+
+  private def tunerTrialSelect(t: Int, r: Int, d: Int): String =
+    s"""SELECT CAST($t AS BIGINT) AS trial, CAST($r AS BIGINT) AS rounds,
+       |  CAST($d AS BIGINT) AS max_depth, count(*) AS n_valid,
+       |  CAST(sum((y - pred) * (y - pred)) AS BIGINT) AS sse_valid
+       |FROM t${t}g${r}next WHERE is_valid""".stripMargin
+
+  private def TUNER_SQL: String =
+    s"""WITH $tunerChain,
+       |trials AS MATERIALIZED (
+       |${graft.consumers.Trainer.sampleCandidates(TUNER_SPEC)
+           .map { case (t, r, d) => tunerTrialSelect(t, r, d) }
+           .mkString("\nUNION ALL\n")})
+       |SELECT trial, rounds, max_depth, n_valid, sse_valid,
+       |  row_number() OVER (ORDER BY sse_valid, trial) = 1 AS is_best
+       |FROM trials""".stripMargin
 
   private def evalMetricSelect(k: Int): String = {
     val src = if (k == 0) "r0" else s"g${k}next"
@@ -463,6 +539,34 @@ object StatefulQueries {
       treeBase(s, dir).withColumn("pred", fittedBoost(s, dir).predictColumn)
         .groupBy("pred")
         .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
+    },
+
+    // THE TUNER SLICE (r16) — the reference TrainerManager's
+    // hyperparameter search exactly graded end to end: a
+    // reference-shaped YAML config (TrainerConfig/TunerConfig) parsed
+    // by ConfigParser.parseTrainerYaml, candidates sampled
+    // deterministically from its randint param space, one exact
+    // ensemble fit per candidate on the train split, ALL candidates'
+    // integer valid-SSE scored in one pass, winner = argmin
+    // (sse, trial). The oracle replays every trial's full boost chain
+    // (prefixed CTE families) + the ranked election.
+    "ml_tuner_best" -> QueryDef(TUNER_SQL) { (s, dir) =>
+      import s.implicits._
+      val c = substring(md5(col("event_id").cast("string")), 1, 1)
+      val frame = Tables.events(s, dir).select(
+        round(col("value")).cast("long").as("f1"),
+        (col("event_id") % 97).cast("long").as("f2"),
+        (when(round(col("value")) <= 245, (col("event_id") % 97) * 10)
+          .otherwise(lit(1000) - col("event_id") % 97)
+          + round(col("value")).cast("long")).cast("long").as("y"),
+        (c < "8").as("is_train"),
+        (c >= "8" && c < "d").as("is_valid"))
+      val (_, trials) = graft.consumers.Trainer.tune(frame,
+        Seq("f1", "f2"), "y", "is_train", "is_valid", TUNER_SPEC)
+      trials.map(t => (t.trial.toLong, t.rounds.toLong, t.maxDepth.toLong,
+          t.nValid, t.sseValid, t.isBest))
+        .toDF("trial", "rounds", "max_depth", "n_valid", "sse_valid",
+          "is_best")
     },
 
     // HONEST HOLDOUT EVALUATION (r16) — the learning curve a real

@@ -301,4 +301,73 @@ class ConfigParserSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("label"))
   }
+
+  test("trainer config: the reference TrainerConfig/TunerConfig yaml parses") {
+    // the svoe trainer-config.yaml shape verbatim (trainer_manager.py
+    // :21-48): xgboost section + tuner_config with randint param space
+    val yaml =
+      """xgboost:
+        |  params:
+        |    tree_method: 'approx'
+        |    objective: 'reg:linear'
+        |  num_boost_rounds: 10
+        |  train_valid_test_split: [0.5, 0.3]
+        |num_workers: 3
+        |tuner_config:
+        |  param_space:
+        |    params:
+        |      max_depth:
+        |        randint: {lower: 2, upper: 8}
+        |  num_samples: 8
+        |  metric: 'train-logloss'
+        |  mode: 'min'
+        |""".stripMargin
+    val conf = ConfigParser.parseTrainerYaml(yaml)
+    assert(conf.numBoostRounds == 10)
+    assert(conf.trainValidTestSplit == Seq(0.5, 0.3))
+    assert(conf.paramSpace("max_depth") ==
+      graft.consumers.Trainer.ParamRange(2, 8))
+    assert(conf.numSamples == 8 && conf.mode == "min")
+    // the spec maps onto the exact tuner: un-searched rounds pin to
+    // the fixed config value, searched max_depth keeps its range
+    val spec = conf.tunerSpec
+    assert(spec.rounds == graft.consumers.Trainer.ParamRange(10, 10))
+    assert(spec.maxDepth == graft.consumers.Trainer.ParamRange(2, 8))
+    // float samplers are rejected loudly, not silently quantized
+    val bad = yaml.replace("randint", "loguniform")
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigParser.parseTrainerYaml(bad)
+    }
+    assert(e2.getMessage.contains("randint"))
+  }
+
+  test("tuner: deterministic candidates, one winner, min (sse, trial) rule") {
+    import graft.consumers.Trainer
+    val spark0 = spark
+    import spark0.implicits._
+    val spec = Trainer.TunerSpec(Trainer.ParamRange(1, 3),
+      Trainer.ParamRange(1, 3), numSamples = 3)
+    // the sampling is the shared metadata contract with the oracle:
+    // pinned so a hash change cannot silently re-run different trials
+    assert(Trainer.sampleCandidates(spec) ==
+      Seq((0, 1, 2), (1, 3, 1), (2, 3, 2)))
+    val rows = (0 until 400).map { i =>
+      (i % 11L, i % 5L, (i % 11L) * 9 + (i % 5L) * 2,
+        i % 4 != 0, i % 4 == 0) // 75% train, 25% valid
+    }.toDF("f1", "f2", "y", "is_train", "is_valid")
+    val (best, trials) = Trainer.tune(rows, Seq("f1", "f2"), "y",
+      "is_train", "is_valid", spec)
+    assert(trials.count(_.isBest) == 1)
+    val winner = trials.find(_.isBest).get
+    assert(trials.forall(t => winner.sseValid < t.sseValid ||
+      (winner.sseValid == t.sseValid && winner.trial <= t.trial)))
+    assert(best.rounds.size == winner.rounds)
+    // deeper/more-rounds candidates can only fit this separable-ish
+    // target better: the winner is the (3, 2) candidate
+    assert(winner.rounds == 3 && winner.maxDepth == 2)
+    intercept[IllegalArgumentException] {
+      Trainer.tune(rows, Seq("f1", "f2"), "y", "is_train", "is_valid",
+        spec.copy(metric = "train-logloss"))
+    }
+  }
 }
