@@ -652,6 +652,85 @@ object Trainer {
     } finally { train.unpersist(); () }
   }
 
+  /** One point of an early-stopping / holdout metric series. */
+  final case class RoundMetric(round: Int, nValid: Long, sseValid: Long,
+      isBest: Boolean)
+
+  /** The XGBoost `early_stopping_rounds` rule as a pure function over
+    * a metric series (round 0 = the base model): returns (stop, best)
+    * where `best` is the FIRST round achieving the running min and
+    * `stop` the first round with `patience` rounds since `best` (or
+    * the last round when the rule never fires). */
+  def earlyStopRound(series: Seq[Long], patience: Int): (Int, Int) = {
+    require(patience >= 1, s"patience must be >= 1, got $patience")
+    var best = 0
+    var r = 0
+    while (r < series.size) {
+      if (series(r) < series(best)) best = r
+      if (r - best >= patience) return (r, best)
+      r += 1
+    }
+    (series.size - 1, best)
+  }
+
+  /** [[fitBoosted]] with XGBoost's early-stopping semantics: fit
+    * round by round on the rows where `isTrainCol`, compute the
+    * integer valid SSE after each round (rows where `isValidCol`),
+    * STOP once `patience` consecutive rounds fail to improve the
+    * running best, and return the BEST round's prefix ensemble plus
+    * the metric series up to the stop (what the reference's per-round
+    * eval callback logs). The decision is inherently sequential — one
+    * valid-split aggregation per fitted round; the series, the stop,
+    * and the kept prefix are all exactly replayable
+    * (tools/design_earlystop.py). */
+  def fitBoostedEarlyStop(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, isTrainCol: String, isValidCol: String,
+      maxRounds: Int, maxDepth: Int, patience: Int = 1,
+      maxAggRows: Int = 1 << 22): (BoostedModel, Seq[RoundMetric]) = {
+    require(maxRounds >= 1, s"need >= 1 round, got $maxRounds")
+    val feats = featureCols.map(c => col(c).cast("double").as(c))
+    val all = df.select((feats :+ col(labelCol).cast("long").as("__y") :+
+        col(isTrainCol).as("__tr") :+ col(isValidCol).as("__va")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val train = all.filter(col("__tr"))
+      val a = train.agg(count(lit(1)).as("n"), sum("__y").as("sy"),
+          sum(col("__y") * col("__y")).as("syy"), min("__y").as("mn"))
+        .collect()(0)
+      require(!a.isNullAt(0) && a.getLong(0) > 0,
+        "fitBoostedEarlyStop over an empty train split")
+      require(a.getLong(3) >= 0,
+        "fitBoostedEarlyStop needs a nonnegative integer label")
+      val (n, sy, syy) = (a.getLong(0), a.getLong(1), a.getLong(2))
+      var model = BoostedModel(featureCols, sy / n, n, sy,
+        intSse(n, BigInt(sy), BigInt(syy)).toLong, Vector.empty)
+      def validSse(m: BoostedModel): (Long, Long) = {
+        val d = col("__y") - m.predictColumn
+        val r = all.filter(col("__va"))
+          .agg(count(lit(1)).as("nv"), sum(d * d).as("sse")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      var series = Vector(validSse(model))
+      var stopped = false
+      var r = 1
+      while (r <= maxRounds && !stopped) {
+        val resid = col("__y") - model.predictColumn
+        val off = train.agg(min(resid)).collect()(0).getLong(0)
+        val t = fitTree(train.withColumn("__b", resid - lit(off)),
+          featureCols, "__b", maxDepth, maxAggRows)
+        model = model.copy(rounds = model.rounds :+ ((t, off)))
+        series :+= validSse(model)
+        val (_, best) = earlyStopRound(series.map(_._2), patience)
+        if (series.size - 1 - best >= patience) stopped = true
+        r += 1
+      }
+      val (stop, best) = earlyStopRound(series.map(_._2), patience)
+      val metrics = (0 to stop).map(k =>
+        RoundMetric(k, series(k)._1, series(k)._2, isBest = k == best))
+      (model.copy(rounds = model.rounds.take(best)), metrics)
+    } finally { all.unpersist(); () }
+  }
+
   /** The full-strength nonlinear leg: MLlib gradient-boosted trees
     * (squared loss) over the same (featureCols, label) surface,
     * wrapped as a [[Model]] — what the reference's XGBoostTrainer

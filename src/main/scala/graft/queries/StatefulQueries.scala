@@ -453,6 +453,60 @@ object StatefulQueries {
        |  row_number() OVER (ORDER BY sse_valid, trial) = 1 AS is_best
        |FROM trials""".stripMargin
 
+  // ----- ml_early_stop (r16): XGBoost early_stopping_rounds -----
+  // Fit round by round on the train split, stop once `patience`
+  // rounds fail to improve the integer valid SSE, keep the best
+  // round's prefix. The fixture is SEPARABLE (8 groups of (f1<=245,
+  // f2)) so the integer ensemble converges exactly in round 1 and the
+  // stop fires deterministically at round 2; the nonmonotone-series
+  // patience rule itself is pinned by BacktesterSpec on crafted
+  // series. Designed + cross-checked in tools/design_earlystop.py.
+
+  private val ES_R = 4
+  private val ES_D = 3
+  private val ES_PATIENCE = 1
+
+  private val ES_BASE_SQL =
+    """
+    |  SELECT CAST(round(value) AS BIGINT) AS f1,
+    |         event_id % 4 AS f2,
+    |         CASE WHEN round(value) <= 245 THEN 10 * (event_id % 4)
+    |              ELSE 1000 - (event_id % 4) END AS y,
+    |         substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+    |  FROM events
+    |""".stripMargin
+
+  private def esMetricSelect(k: Int): String = {
+    val src = if (k == 0) "r0" else s"g${k}next"
+    s"""SELECT CAST($k AS BIGINT) AS round, count(*) AS n_valid,
+       |  CAST(sum((y - pred) * (y - pred)) AS BIGINT) AS sse_valid
+       |FROM $src WHERE NOT is_train""".stripMargin
+  }
+
+  private def ES_SQL: String = {
+    val chain = (Seq(s"base AS MATERIALIZED ($ES_BASE_SQL)",
+      """r0 AS MATERIALIZED (SELECT f1, f2, y,
+        |  (SELECT sum(y) // count(*) FROM base WHERE is_train) AS pred,
+        |  is_train FROM base)""".stripMargin) ++
+      (1 to ES_R).map(boostRoundCtes("g", _, ES_D, Seq("is_train"))))
+      .mkString(",\n")
+    s"""WITH $chain,
+       |series AS MATERIALIZED (
+       |${(0 to ES_R).map(esMetricSelect).mkString("\nUNION ALL\n")}),
+       |besta AS (SELECT s1.round,
+       |    (SELECT min(s2.round) FROM series s2 WHERE s2.round <= s1.round
+       |       AND s2.sse_valid = (SELECT min(s3.sse_valid) FROM series s3
+       |                            WHERE s3.round <= s1.round)) AS best_so_far
+       |  FROM series s1),
+       |stopr AS (SELECT coalesce(
+       |    (SELECT min(round) FROM besta WHERE round - best_so_far >= $ES_PATIENCE),
+       |    $ES_R) AS stop)
+       |SELECT s.round, s.n_valid, s.sse_valid,
+       |  s.round = (SELECT best_so_far FROM besta
+       |             WHERE round = (SELECT stop FROM stopr)) AS is_best
+       |FROM series s WHERE s.round <= (SELECT stop FROM stopr)""".stripMargin
+  }
+
   private def evalMetricSelect(k: Int): String = {
     val src = if (k == 0) "r0" else s"g${k}next"
     s"""SELECT CAST($k AS BIGINT) AS round, count(*) AS n_test,
@@ -539,6 +593,29 @@ object StatefulQueries {
       treeBase(s, dir).withColumn("pred", fittedBoost(s, dir).predictColumn)
         .groupBy("pred")
         .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
+    },
+
+    // EARLY STOPPING (r16) — the XGBoost early_stopping_rounds
+    // semantic over the exact ensemble: the fit stops once `patience`
+    // rounds fail to improve the integer valid SSE, and the graded
+    // output is the metric series UP TO the stop with the kept round
+    // flagged — series, stop round, and election all under the exact
+    // hash gate.
+    "ml_early_stop" -> QueryDef(ES_SQL) { (s, dir) =>
+      import s.implicits._
+      val c = substring(md5(col("event_id").cast("string")), 1, 1)
+      val frame = Tables.events(s, dir).select(
+        round(col("value")).cast("long").as("f1"),
+        (col("event_id") % 4).cast("long").as("f2"),
+        when(round(col("value")) <= 245, (col("event_id") % 4) * 10)
+          .otherwise(lit(1000) - col("event_id") % 4).cast("long").as("y"),
+        (c < "c").as("is_train"),
+        (c >= "c").as("is_valid"))
+      val (_, metrics) = graft.consumers.Trainer.fitBoostedEarlyStop(
+        frame, Seq("f1", "f2"), "y", "is_train", "is_valid",
+        maxRounds = ES_R, maxDepth = ES_D, patience = ES_PATIENCE)
+      metrics.map(m => (m.round.toLong, m.nValid, m.sseValid, m.isBest))
+        .toDF("round", "n_valid", "sse_valid", "is_best")
     },
 
     // THE TUNER SLICE (r16) — the reference TrainerManager's

