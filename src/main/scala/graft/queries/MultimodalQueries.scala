@@ -1836,8 +1836,12 @@ object MultimodalQueries {
     // loop above with compactAtFilesPerBucket = Some(0), so
     // BucketedStore.compactIfFragmented FIRES MID-DRAIN after EVERY
     // trigger's append (threshold 0 = any file fragments it — the
-    // deterministic-firing setting; production uses the measured
-    // O(10) rule) and vacuumBuckets reclaims the superseded dirs at
+    // deterministic-firing setting THAT GRADES NEUTRALITY, chosen so
+    // the oracle provably covers rewrites racing the drain's appends;
+    // it is NOT the production cadence — the 15M triad measured
+    // every-trigger rewrites a 2x LOSS, and the knob's scaladoc +
+    // SCALE.md r16 state the choose-threshold-in-APPENDS rule)
+    // and vacuumBuckets reclaims the superseded dirs at
     // drain end. Graded under the SAME oracle as the uncompacted
     // drain: through the driver's exact hash gate, an in-loop
     // one-file-per-bucket rewrite between triggers must change NO

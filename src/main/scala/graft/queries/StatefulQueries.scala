@@ -711,6 +711,29 @@ object StatefulQueries {
         .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
     },
 
+    // REGISTRY-LOADED INFERENCE (r16): the full production loop —
+    // fit -> ModelRegistry.register (typed frames as versioned
+    // BlockCatalog blocks) -> loadAsOf -> score the STREAM with the
+    // LOADED artifact — under the SAME oracle as the direct scorer:
+    // a single micro-scaled serialization bug anywhere in the
+    // registry round trip diverges the census. The svoe_mlflow_client
+    // reproducibility surface graded end to end, not just spec-pinned.
+    "ml_registry_predict_stream" -> QueryDef(BOOST_PREDICT_SQL) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_regq")
+      graft.streaming.Streaming.sweepOnExit(root)
+      val cat = new graft.sources.BlockCatalog(s, root.toString)
+      val ver = graft.consumers.ModelRegistry.register(cat, "boost_q",
+        fittedBoost(s, dir))
+      val loaded = graft.consumers.ModelRegistry
+        .loadAsOf(cat, "boost_q", ver)
+        .asInstanceOf[graft.consumers.Trainer.BoostedModel]
+      val scored = treeCols(graft.streaming.Streaming.eventsStream(s, dir))
+        .withColumn("pred", loaded.predictColumn)
+      graft.streaming.Streaming.runAvailableNow(scored, outputMode = "append")
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
+    },
+
     // §3.3 Trainer under the driver's exact compare: the distributed
     // normal-equations pass of the closed-form ridge fit (the
     // scale-critical treeAggregate; the driver-side solve is O(d^3)
