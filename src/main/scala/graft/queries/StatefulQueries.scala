@@ -507,6 +507,40 @@ object StatefulQueries {
        |FROM series s WHERE s.round <= (SELECT stop FROM stopr)""".stripMargin
   }
 
+  // ----- ml_doc_quality_tree (r16): the nonlinear quality filter -----
+  // The DCLM shape (doc_model_quality) with the TREE model: fit the
+  // exact depth-3 regression tree on the md5-hash-bounded seed's
+  // (n_words, n_distinct) -> is-english label, score EVERY document
+  // with the compiled nested-CASE column, keep = leaf micro-mean >=
+  // 0.5 — a fastText-style quality classifier whose every split and
+  // verdict sits under the exact hash gate. The oracle reuses the
+  // boost level machinery in its seed-filtered (holdout) variant with
+  // doc_id carried through the assignment frames.
+
+  private val DQT_D = 3
+
+  private def DQT_SQL: String = {
+    val carry = Seq("is_train", "doc_id")
+    val levels = (0 until DQT_D).map(boostLevelCtes("dq", 0, _, carry))
+      .mkString(",\n")
+    s"""WITH f AS (SELECT doc_id,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS f1,
+       |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS f2,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    substr(md5(text), 1, 6) < '${graft.operators.Sampling.hashBound(0.6)}' AS is_train
+       |  FROM documents),
+       |dq0a0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS node, f1, f2,
+       |  y, CAST(0 AS BIGINT) AS pred, y AS yy, is_train, doc_id FROM f),
+       |$levels,
+       |leafpred AS (SELECT node,
+       |    (CAST(sum(yy) AS HUGEINT) * 1000000) // count(*) AS pm
+       |  FROM dq0a$DQT_D WHERE is_train GROUP BY 1)
+       |SELECT a.doc_id, a.f1 AS n_words, a.f2 AS n_distinct, a.y,
+       |  a.is_train AS is_seed, CAST(p.pm AS BIGINT) AS pred_micros,
+       |  CAST(p.pm AS BIGINT) >= 500000 AS keep
+       |FROM dq0a$DQT_D a JOIN leafpred p USING (node)""".stripMargin
+  }
+
   private def evalMetricSelect(k: Int): String = {
     val src = if (k == 0) "r0" else s"g${k}next"
     s"""SELECT CAST($k AS BIGINT) AS round, count(*) AS n_test,
@@ -709,6 +743,25 @@ object StatefulQueries {
       graft.streaming.Streaming.runAvailableNow(scored, outputMode = "append")
         .groupBy("pred")
         .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
+    },
+
+    // THE NONLINEAR QUALITY FILTER (r16) — the trainer family composed
+    // with the LLM-pipeline surface: doc_model_quality's DCLM shape
+    // (hash-bounded seed, corpus-wide scoring) with the exact TREE in
+    // place of the linear probe; every split decision and per-doc
+    // verdict under the gate.
+    "ml_doc_quality_tree" -> QueryDef(DQT_SQL) { (s, dir) =>
+      import graft.operators.{TextAnalysis => TA}
+      val feats = TA.modelFeatures(Tables.documents(s, dir), col("text"),
+        col("doc_id"), (col("lang") === "en").cast("long"),
+        graft.operators.Sampling.hashBound(0.6))
+      val model = graft.consumers.Trainer.fitTree(
+        feats.filter(col("is_seed")), Seq("n_words", "n_distinct"), "y",
+        maxDepth = DQT_D)
+      feats.withColumn("pred_micros", model.predictColumn)
+        .withColumn("keep", col("pred_micros") >= 500000L)
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          col("y"), col("is_seed"), col("pred_micros"), col("keep"))
     },
 
     // REGISTRY-LOADED INFERENCE (r16): the full production loop —
