@@ -972,20 +972,27 @@ object Similarity {
   def pageRankMicros(edges: DataFrame, rounds: Int = 3,
       dampPct: Int = 85): DataFrame = {
     require(rounds >= 1 && dampPct > 0 && dampPct < 100, "bad pagerank knobs")
-    val e = edges.select(col("src_id").cast("long").as("src_id"),
+    val e0 = edges.select(col("src_id").cast("long").as("src_id"),
         col("neighbor_id").cast("long").as("neighbor_id"))
       .distinct()
+    // DEGREE RIDES THE EDGE (r16, guide §2.4): deg is a function of the
+    // edge set alone, so attach it ONCE (a window over the src-keyed
+    // exchange the distinct already paid) and persist edges WITH their
+    // deg — each power-iteration round then plans one join + one
+    // aggregate instead of two joins + a per-round deg recompute.
+    // Same integer arithmetic, same contributions, same scores.
+    val e = e0.withColumn("deg",
+        org.apache.spark.sql.functions.count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src_id").as("vec_id"))
       .union(e.select(col("neighbor_id").as("vec_id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src_id").agg(count(lit(1)).as("deg"))
     val base = 1000000L * (100 - dampPct) / 100
     var pr = nodes.withColumn("pr", lit(1000000L))
     var r = 0
     while (r < rounds) {
       val contrib = e.join(pr, e("src_id") === pr("vec_id"))
-        .join(deg, "src_id")
         .select(col("neighbor_id").as("vec_id"), expr("pr div deg").as("t"))
         .groupBy("vec_id").agg(sum(col("t")).as("in_t"))
       pr = nodes.join(contrib, Seq("vec_id"), "left")

@@ -659,7 +659,8 @@ object DocQueries {
       val owners = Streaming.runAvailableNow(
         Streaming.shingleOwnerStream(Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), 3),
-        rocksdbState = true) // per-distinct-shingle state: corpus-sized
+        rocksdbState = true, // per-distinct-shingle state: corpus-sized
+        noDataBatch = false) // complete snapshot: last data batch is final
       val sh = Dedup.explodeShingles(Tables.documents(s, dir),
           col("text"), col("doc_id"), 3)
         .select(col("doc_id"), xxhash64(col("s")).as("s"))
@@ -838,7 +839,8 @@ object DocQueries {
         Streaming.exactDedupKeepListStream(
           Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), col("n_chars")),
-        rocksdbState = true) // digest-cardinality state: corpus-sized
+        rocksdbState = true, // digest-cardinality state: corpus-sized
+        noDataBatch = false) // complete snapshot: last data batch is final
     },
 
     // JSONL INGEST-TIME dedup on the STREAMING engine: the corpus is
@@ -864,7 +866,8 @@ object DocQueries {
       Streaming.runAvailableNow(
         Streaming.exactDedupKeepListStream(stream,
           col("text"), col("doc_id"), col("n_chars")),
-        rocksdbState = true) // digest-cardinality state: corpus-sized
+        rocksdbState = true, // digest-cardinality state: corpus-sized
+        noDataBatch = false) // complete snapshot: last data batch is final
     },
 
     // Streaming twin of doc_para_dedup's keeper election: documents
@@ -893,7 +896,8 @@ object DocQueries {
         Streaming.paragraphKeepListStream(
           Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), size = 20),
-        rocksdbState = true) // passage-cardinality state: corpus-sized
+        rocksdbState = true, // passage-cardinality state: corpus-sized
+        noDataBatch = false) // complete snapshot: last data batch is final
     },
 
     // Streaming MinHash near-dup dedup, driver-visible: the fMGWS
@@ -923,7 +927,8 @@ object DocQueries {
           baseHash = Dedup.Md5Prefix)
         Streaming.collapseNearDupVerdicts(
             Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
-              rocksdbState = true)) // band-bucket state: corpus-sized
+              rocksdbState = true, // band-bucket state: corpus-sized
+              noDataBatch = false)) // fMGWS timeout only evicts
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
@@ -946,7 +951,8 @@ object DocQueries {
           watermarkDelayMs = 31536000000L, baseHash = Dedup.Md5Prefix)
         Streaming.collapseNearDupVerdicts(
             Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
-              rocksdbState = true)) // band-bucket state: corpus-sized
+              rocksdbState = true, // band-bucket state: corpus-sized
+              noDataBatch = false)) // fMGWS timeout only evicts
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
@@ -1196,7 +1202,8 @@ object DocQueries {
         // vocabulary GROWS with the corpus (heaps-law; the dup-probe's
         // positional markers make it corpus-linear outright) — the
         // corpus-cardinality rule routes it through RocksDB
-        rocksdbState = true)
+        rocksdbState = true,
+        noDataBatch = false) // complete snapshot: last data batch is final
       counts.orderBy(col("cnt").desc, col("word").asc).limit(20)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("cnt").desc, col("word").asc)))
@@ -1871,7 +1878,8 @@ object DocQueries {
               col("n_chars"), col("n_stop")))
         Streaming.unpackTopCap(Streaming.runAvailableNow(
           Streaming.sourceCapStream(scored, col("source"), col("q_dm"),
-            col("doc_id"), cap = 40)))
+            col("doc_id"), cap = 40),
+          noDataBatch = false)) // complete snapshot
     },
 
     // Greedy sequence packing: per language, docs in doc_id order fill
@@ -2416,7 +2424,8 @@ object DocQueries {
             Streaming.documentsStream(s, dir)
               .filter(substring(md5(col("text")), 1, 6) >= bound),
             col("text")),
-          rocksdbState = true) // word state grows with the corpus
+          rocksdbState = true, // word state grows with the corpus
+          noDataBatch = false) // complete snapshot
         .withColumnRenamed("cnt", "c_new")
       TA.driftReport(
         oldCnt.join(newCnt, Seq("word"), "full_outer")
@@ -2449,7 +2458,8 @@ object DocQueries {
       val drained = Streaming.runAvailableNow(
         Streaming.boilerplateDfStream(Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), size = 10, minDf = 3),
-        rocksdbState = true) // state is passage-cardinality: corpus-sized
+        rocksdbState = true, // state is passage-cardinality: corpus-sized
+        noDataBatch = false) // complete snapshot
       Dedup.boilerplateStripAgainst(Tables.documents(s, dir), col("text"),
         col("doc_id"), size = 10,
         drained.filter(col("df_capped") >= 3).select(col("digest")))
@@ -2492,7 +2502,8 @@ object DocQueries {
           TA.modelFeatures(Streaming.documentsStream(s, dir), col("text"),
             col("doc_id"), (col("lang") === "en").cast("long"), bound),
           w, 500000L),
-        outputMode = "append")
+        outputMode = "append",
+        noDataBatch = false) // stateless scoring map
     },
 
     // HTML -> text extraction (trafilatura-lite): each doc is wrapped
@@ -2620,7 +2631,8 @@ object DocQueries {
           Streaming.documentsStream(s, dir).withColumn("__g", lit("all")),
           col("__g"),
           -expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)"),
-          col("doc_id"), cap = 50))
+          col("doc_id"), cap = 50),
+        noDataBatch = false) // complete snapshot
       Streaming.unpackTopCap(drained)
         .select(col("doc_id"), col("rn").cast("long").as("rn"))
         .join(Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),

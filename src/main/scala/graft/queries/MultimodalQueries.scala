@@ -1926,15 +1926,23 @@ object MultimodalQueries {
       (s, dir) =>
         import s.implicits._
         import graft.streaming.Streaming
+        // in-stream spread (the maintStreamBuild r16 discipline): the
+        // file source hands each micro-batch ~one scan partition, so
+        // the REAL-codec decode map ran near-single-threaded; spreading
+        // bare ids inside the batch keeps trigger membership (and every
+        // verdict) identical while the decode takes the session's cores
         val hashes = Streaming.documentsStream(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
           .map(id => (id, (id + 1) * 1000000L,
             perceptualHashOf(id, 128, Multimodal.dhash64)))
         val verdicts = Streaming.hashDedupStream(hashes, maxDist = 3,
           watermarkDelayMs = 31536000000L)
         Streaming.collapseNearDupVerdicts(
             Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
-              rocksdbState = true)) // band-bucket state: corpus-sized
+              rocksdbState = true, // band-bucket state: corpus-sized
+              noDataBatch = false)) // fMGWS timeout only evicts
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
@@ -1982,14 +1990,19 @@ object MultimodalQueries {
       (s, dir) =>
         import s.implicits._
         import graft.streaming.Streaming
+        // in-stream spread — same decode-parallelism rationale as the
+        // phash stream twin above
         val hashes = Streaming.documentsStream(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
           .map(id => (id, (id + 1) * 1000000L, audioFingerprintOf(id)))
         val verdicts = Streaming.hashDedupStream(hashes, maxDist = 3,
           watermarkDelayMs = 31536000000L)
         Streaming.collapseNearDupVerdicts(
             Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
-              rocksdbState = true)) // band-bucket state: corpus-sized
+              rocksdbState = true, // band-bucket state: corpus-sized
+              noDataBatch = false)) // fMGWS timeout only evicts
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
@@ -2122,8 +2135,14 @@ object MultimodalQueries {
       (s, dir) =>
         import s.implicits._
         import graft.streaming.Streaming
+        // in-stream spread — the GIF decode + per-frame dHash is the
+        // dominant cost and ran on the file source's ~one scan
+        // partition; bare ids spread across the session's cores,
+        // verdicts unchanged (band state sorts per bucket)
         val kfs = Streaming.documentsStream(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
           .flatMap { id =>
             videoKeyframeHashes(id).map { case (pid, hsh) =>
               (pid, (id + 1) * 1000000L, hsh)
@@ -2135,7 +2154,8 @@ object MultimodalQueries {
           Streaming.runAvailableNow(
             verdicts.toDF("docId", "tsUs", "bidx", "matched"),
             outputMode = "append",
-            rocksdbState = true)) // band-bucket state: corpus-sized
+            rocksdbState = true, // band-bucket state: corpus-sized
+            noDataBatch = false)) // fMGWS timeout only evicts
     },
 
     // CROSS-MODAL DEDUP VERDICT REPORT (r13): the media family's

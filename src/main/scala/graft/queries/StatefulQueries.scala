@@ -568,21 +568,18 @@ object StatefulQueries {
   private def treeBase(s: org.apache.spark.sql.SparkSession, dir: String) =
     treeCols(Tables.events(s, dir))
 
-  /** The fitted ensemble MEMOIZED per (session, dir) — five queries
-    * (fit / predict / predict_stream / importance, + specs) consume
-    * the same fit, and each fit is 2 + R*(D+1) aggregation passes
-    * over events. The model is a plain case class (no Spark refs), so
-    * the memo holds no session resources; Sessions tokens keep dead
-    * sessions' entries sweepable all the same. */
-  private val boostMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), graft.consumers.Trainer.BoostedModel]
+  /** The shared ensemble fit — computed PER BUILD CALL, deliberately
+    * NOT memoized across queries (r16 optimization round): a
+    * session-scoped model memo let every timed bench run skip the fit
+    * it claims to measure (the warm-up pass paid it once; ml_boost_fit
+    * then "cost" 0.02 s). Every query that consumes the fit pays its
+    * own `1 + R*D` aggregation passes — the honest measurement; the
+    * fit itself was made cheaper instead (fitTreeMin's fused offsets
+    * and derived leaf stats). */
   private def fittedBoost(s: org.apache.spark.sql.SparkSession,
-      dir: String): graft.consumers.Trainer.BoostedModel = {
-    graft.core.Sessions.sweepDead(boostMemo)(_._1)
-    boostMemo.computeIfAbsent((graft.core.Sessions.token(s), dir), _ =>
-      graft.consumers.Trainer.fitBoosted(treeBase(s, dir),
-        Seq("f1", "f2"), "y", rounds = BOOST_R, maxDepth = BOOST_D))
-  }
+      dir: String): graft.consumers.Trainer.BoostedModel =
+    graft.consumers.Trainer.fitBoosted(treeBase(s, dir),
+      Seq("f1", "f2"), "y", rounds = BOOST_R, maxDepth = BOOST_D)
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -740,7 +737,9 @@ object StatefulQueries {
       val model = fittedBoost(s, dir)
       val scored = treeCols(graft.streaming.Streaming.eventsStream(s, dir))
         .withColumn("pred", model.predictColumn)
-      graft.streaming.Streaming.runAvailableNow(scored, outputMode = "append")
+      // noDataBatch off: stateless scoring map — nothing to finalize
+      graft.streaming.Streaming.runAvailableNow(scored,
+          outputMode = "append", noDataBatch = false)
         .groupBy("pred")
         .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
     },
@@ -782,7 +781,9 @@ object StatefulQueries {
         .asInstanceOf[graft.consumers.Trainer.BoostedModel]
       val scored = treeCols(graft.streaming.Streaming.eventsStream(s, dir))
         .withColumn("pred", loaded.predictColumn)
-      graft.streaming.Streaming.runAvailableNow(scored, outputMode = "append")
+      // noDataBatch off: stateless scoring map — nothing to finalize
+      graft.streaming.Streaming.runAvailableNow(scored,
+          outputMode = "append", noDataBatch = false)
         .groupBy("pred")
         .agg(count(lit(1)).as("n"), sum("y").as("sum_y"))
     },
@@ -977,9 +978,13 @@ object StatefulQueries {
           round(col("value")).as("price"),
           (lit(1.0) + col("event_id") % 5).as("size"))
         .as[L2Book.Update]
+      // noDataBatch off: fMGWS emits per arrival; statePartitions =
+      // |instruments| bound (the per-instrument book fold caps usable
+      // parallelism at the instrument count whatever the shard count)
       val sink = graft.streaming.Streaming.runAvailableNow(
         graft.streaming.Streaming.l2BookStream(updates, depth = 5).toDF(),
-        outputMode = "append")
+        outputMode = "append", noDataBatch = false,
+        statePartitions = Some(8))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("instrument"), (col("ts_us") / H).cast("long"))
         .orderBy(col("ts_us").desc)

@@ -199,6 +199,57 @@ class BlockCatalog(val spark: SparkSession, root: String) {
     }
   }
 
+  /** Driver-side meta APPEND (r16 optimization): a meta commit is a
+    * metadata-sized filesystem operation — the Delta-commit shape —
+    * but writing it as a 1-row Spark DataFrame paid a full job
+    * (scheduler + task + commit protocol, ~0.1-0.3 s) PER APPEND; an
+    * ingest loop appends once per block, so the job overhead grew
+    * with block count while the payload stayed bytes. parquet-mr
+    * writes the identical columns Spark wrote pre-r16 (int64 / UTF8
+    * binary; readers match parquet columns by name), into a uniquely
+    * named part file — the append-only contract is unchanged, and
+    * mergeSchema reads mix both writers' files freely. */
+  private def appendMetaRows(rows: Seq[LogRow]): Unit = {
+    import org.apache.parquet.schema.MessageTypeParser
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.example.GroupWriteSupport
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val schema = MessageTypeParser.parseMessageType(
+      """message graft_meta {
+        |  optional binary definition (UTF8);
+        |  optional binary key (UTF8);
+        |  optional int64 start_ts;
+        |  optional int64 end_ts;
+        |  optional int64 num_rows;
+        |  optional binary hash (UTF8);
+        |  optional binary op (UTF8);
+        |  optional int64 ver;
+        |}""".stripMargin)
+    val conf = spark.sparkContext.hadoopConfiguration
+    GroupWriteSupport.setSchema(schema, conf)
+    val file = new org.apache.hadoop.fs.Path(
+      s"$metaPath/part-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+    val writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { r =>
+      val g = gf.newGroup()
+      g.append("definition", r.definition)
+      g.append("key", r.key)
+      g.append("start_ts", r.startTs)
+      g.append("end_ts", r.endTs)
+      g.append("num_rows", r.numRows)
+      g.append("hash", r.hash)
+      g.append("op", r.op)
+      g.append("ver", r.ver)
+      writer.write(g)
+    } finally writer.close()
+  }
+
   /** Write-path version lookup: instance cache, log scan only on the
     * first touch of (definition, key). */
   private def cachedVersion(definition: String, key: String): Long =
@@ -289,14 +340,12 @@ class BlockCatalog(val spark: SparkSession, root: String) {
       date_format(timestamp_micros(col(tsUs)), "yyyy-MM-dd"))
     withDay.write.mode("overwrite").partitionBy("day")
       .parquet(s"${dataPath(definition, key)}/block=$hash")
-    import spark.implicits._
     val ver = cachedVersion(definition, key) + 1L
-    Seq((definition, key, agg.getLong(1), agg.getLong(2), agg.getLong(3), hash, "add", ver))
-      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op", "ver")
-      .write.mode("append").parquet(metaPath)
+    val row = LogRow(definition, key, hash, "add", ver,
+      agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    appendMetaRows(Seq(row)) // driver-side commit — no Spark job
     noteVersion(definition, key, ver)
-    noteAppended(Seq(LogRow(definition, key, hash, "add", ver,
-      agg.getLong(1), agg.getLong(2), agg.getLong(3))))
+    noteAppended(Seq(row))
     true
   }
 
@@ -467,19 +516,14 @@ class BlockCatalog(val spark: SparkSession, root: String) {
     // Superseded data DIRECTORIES stay on disk for snapshot reads
     // ([[scanAsOf]]); [[vacuum]] reclaims them when the
     // reproducibility window has passed.
-    import spark.implicits._
     val ver = cachedVersion(definition, key) + 1L
-    val tombstones = toCompact.flatten.map(b =>
-      (definition, key, b._1, b._2, b._3, b._4, "drop", ver))
-    (tombstones ++ newRows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, "add", ver)))
-      .toSeq
-      .toDF("definition", "key", "start_ts", "end_ts", "num_rows", "hash", "op", "ver")
-      .write.mode("append").parquet(metaPath)
-    noteVersion(definition, key, ver)
-    noteAppended(
+    val appended =
       toCompact.flatten.toSeq.map(b =>
         LogRow(definition, key, b._4, "drop", ver, b._1, b._2, b._3)) ++
-      newRows.map(t => LogRow(t._1, t._2, t._6, "add", ver, t._3, t._4, t._5)))
+      newRows.map(t => LogRow(t._1, t._2, t._6, "add", ver, t._3, t._4, t._5))
+    appendMetaRows(appended) // driver-side commit — no Spark job
+    noteVersion(definition, key, ver)
+    noteAppended(appended)
     toCompact.size
   }
 
