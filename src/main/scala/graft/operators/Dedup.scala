@@ -623,6 +623,28 @@ object Dedup {
     * keeps permutations effectively independent (a purely additive
     * `h1 + i*h2` family correlates minimizers across i — lower-envelope
     * effect — and measurably hurts recall). */
+  /** Repartition iff the frame's planned parallelism cannot fill the
+    * session's cores — the single-row-group trap (r16 optimization):
+    * parquet cannot split a row group, so a table written as one row
+    * group scans as ONE task and every expensive per-row pass over it
+    * (the typed signature maps below) runs single-threaded no matter
+    * the cluster. The spread is DATA-ADAPTIVE, not a constant: a table
+    * that already scans wide (any real multi-row-group table — the
+    * 100 TB case) passes through untouched, so the exchange exists
+    * exactly when the input cannot otherwise use the machine. Hash on
+    * `key` (the docIdsSpread discipline — deterministic placement;
+    * keyless round-robin would pay sortBeforeRepartition). Apply ONLY
+    * in front of heavy NON-CODEGEN per-row work: for codegen'd
+    * passes the exchange costs more than it buys (measured: shingle
+    * explode + count 0.47 s plain vs 0.69 s spread; the minhash typed
+    * map 0.50 s plain vs 0.29 s spread, sf0.1 warm). */
+  private[graft] def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // planned partition count — physical planning only, no job
+    val planned = df.rdd.getNumPartitions
+    if (planned * 2 < target) df.repartition(target, key) else df
+  }
+
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
       perms: Int, shingleN: Int = 3, baseHash: BaseHash = XxHash): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -633,10 +655,15 @@ object Dedup {
     // (DedupSpec pins vs the declarative form; the Python oracle
     // pins end-to-end). Docs with < shingleN words emit nothing,
     // matching the groupBy-over-empty-explode semantics.
+    // spreadIfNarrow (r16): the map is the expensive non-codegen pass
+    // of every minhash consumer; on a one-row-group scan it ran on one
+    // core. Signatures are per-doc, so placement changes nothing.
     val spark = df.sparkSession
     import spark.implicits._
     val (as, bs) = minhashCoefficients(perms)
-    val rows = df.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+    val rows = spreadIfNarrow(
+        df.select(id.cast("long").as("doc_id"), lower(text).as("t")),
+        col("doc_id"))
       .as[(Long, String)]
       .flatMap { case (did, t) =>
         minhashSigOf(t, as, bs, shingleN, baseHash).map(mins =>

@@ -27,8 +27,13 @@ object MultimodalQueries {
     * DIFFERENT real codec per parity — even docs PNG, odd docs BMP —
     * decoded by the REAL decoders, and hashed; every 5th gid perturbs
     * the ODD twin's one sampled cell by +delta mod 256. */
-  private def perceptualHashOf(id: Long, delta: Int,
-      hash: (Int, Int, Array[Byte]) => Long): Long = {
+  /** One doc's synthetic pixels through the REAL codec round trip —
+    * the shared decode of [[perceptualHashOf]] / [[perceptualHashQOf]]
+    * / [[perceptualHashesDual]] (r16: factored out so dual-hash
+    * consumers decode ONCE; the codec pass is the dominant cost and
+    * both hashes read the same pixels). */
+  private def perceptualPixelsOf(id: Long,
+      delta: Int): (Int, Int, Array[Byte]) = {
     val gid = id / 2
     val pcell =
       if (id % 2 == 1 && gid % 5 == 0)
@@ -37,11 +42,17 @@ object MultimodalQueries {
     val px = Multimodal.synthGrayImage(gid, 19, 17, pcell, delta)
     if (id % 2 == 0) {
       val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
-      hash(p.width, p.height, p.pixels)
+      (p.width, p.height, p.pixels)
     } else {
       val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
-      hash(b.width, b.height, b.pixels)
+      (b.width, b.height, b.pixels)
     }
+  }
+
+  private def perceptualHashOf(id: Long, delta: Int,
+      hash: (Int, Int, Array[Byte]) => Long): Long = {
+    val (w, h, pixels) = perceptualPixelsOf(id, delta)
+    hash(w, h, pixels)
   }
 
   /** Document ids SPREAD ACROSS the session's full parallelism —
@@ -66,20 +77,7 @@ object MultimodalQueries {
     * the election, not just the hash. */
   private def perceptualHashQOf(id: Long, delta: Int,
       hash: (Int, Int, Array[Byte]) => Long): (Long, Long) = {
-    val gid = id / 2
-    val pcell =
-      if (id % 2 == 1 && gid % 5 == 0)
-        Some(((gid % 8).toInt, (gid % 9).toInt))
-      else None
-    val px = Multimodal.synthGrayImage(gid, 19, 17, pcell, delta)
-    val (w, h, pixels) =
-      if (id % 2 == 0) {
-        val p = Multimodal.decodePng(Multimodal.encodePng(19, 17, px))
-        (p.width, p.height, p.pixels)
-      } else {
-        val b = Multimodal.decodeBmp(Multimodal.encodeBmp(19, 17, px))
-        (b.width, b.height, b.pixels)
-      }
+    val (w, h, pixels) = perceptualPixelsOf(id, delta)
     var q = 0L
     var k = 0
     while (k < pixels.length) { q += (pixels(k) & 0xFF); k += 1 }
@@ -139,6 +137,25 @@ object MultimodalQueries {
           (id, h, q)
         }
         .toDF("doc_id", "simhash", "q_dm")
+    }
+
+  /** Decode-once-hash-twice for the plain agreement pair (r16 — the
+    * r15 blur-lossy discipline applied to mm_phash_agreement, which
+    * still decoded the SAME corpus twice, once per hash): ONE
+    * persisted decode pass computes BOTH 64-bit hashes per doc; both
+    * miner legs are then InMemoryTableScans over a single codec pass.
+    * Hash values are bit-identical to the two-frame form (same pixels,
+    * same hash functions), so the shared oracle is untouched. */
+  private def perceptualHashesDual(s: org.apache.spark.sql.SparkSession,
+      dir: String, delta: Int) =
+    memoPersisted(s, dir, s"synth_dual:$delta") {
+      import s.implicits._
+      docIdsSpread(s, dir).as[Long]
+        .map { id =>
+          val (w, h, px) = perceptualPixelsOf(id, delta)
+          (id, Multimodal.dhash64(w, h, px), Multimodal.phashDct64(w, h, px))
+        }
+        .toDF("doc_id", "dh", "ch")
     }
 
   /** The per-doc corpus rule of the BLUR agreement query as a pure
@@ -1540,13 +1557,16 @@ object MultimodalQueries {
         |FROM dp d FULL OUTER JOIN cp c
         |  ON d.a_id = c.a_id AND d.b_id = c.b_id""".stripMargin) { (s, dir) =>
       import graft.operators.Dedup
+      // decode-once-hash-twice (r16): both legs read ONE persisted
+      // decode pass — see perceptualHashesDual
+      val dual = perceptualHashesDual(s, dir, 24)
       val dh = Dedup.simhashPairsBucketed(
-          perceptualHashes(s, dir, 24, "dhash"),
+          dual.select(col("doc_id"), col("dh").as("simhash")),
           maxDist = 3, maxBucket = 1024)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("long").as("d_hamming"))
       val ch = Dedup.simhashPairsBucketed(
-          perceptualHashes(s, dir, 24, "dct"),
+          dual.select(col("doc_id"), col("ch").as("simhash")),
           maxDist = 3, maxBucket = 1024)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("long").as("c_hamming"))

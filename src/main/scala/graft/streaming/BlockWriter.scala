@@ -42,7 +42,16 @@ object BlockWriter {
       .trigger(if (availableNow) Trigger.AvailableNow()
         else Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        if (minRowsPerBlock <= 0L) {
+          // flush-per-batch path (r16): no buffering means the
+          // persist + count + isEmpty jobs bought nothing — the
+          // catalog write's own fused hash+stats aggregation is the
+          // one pass the block needs, and it already answers "empty"
+          // (null hash -> skipped). One job per micro-batch, was
+          // three.
+          catalog.write(batch, definition, key, tsUs)
+          ()
+        } else if (!batch.isEmpty) {
           val p = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           buffered += p.count() // materializes the persist
           buf += p
