@@ -507,10 +507,16 @@ object Streaming {
     * drain. Same serialized-drains caveat as withStateStore. */
   private def withDrainConfs[T](spark: SparkSession, noDataBatch: Boolean,
       statePartitions: Option[Int])(body: => T): T = {
+    // statePartitions is the caller's KEY-CARDINALITY bound; never
+    // EXCEED the session's own shuffle-partition setting with it (a
+    // low-core session would otherwise get MORE state shards than its
+    // default — the bound is a ceiling on useful shards, not a floor).
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs =
       (if (noDataBatch) Nil
        else Seq("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) ++
-      statePartitions.map(n => "spark.sql.shuffle.partitions" -> n.toString)
+      statePartitions.map(n =>
+        "spark.sql.shuffle.partitions" -> math.min(n, sessionShuffle).toString)
     if (pairs.isEmpty) body
     else {
       val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
