@@ -118,12 +118,21 @@ object Bench {
     // Persist the complete record (min wall + gc per query) to the repo
     // so every round's full map is diffable; failures never block the
     // stdout contract.
-    // subset runs (SPARK_GRAFT_ONLY) must not clobber the full record
+    // subset runs (SPARK_GRAFT_ONLY) must not clobber the full record.
+    // The record is ALSO written per core count (BENCH_FULL_c${cpus}):
+    // the driver benches the same bytes at 32 and at a lower core
+    // count in one session, and with a single filename the second run
+    // clobbered the first — the r16 driver's 8-core run overwrote the
+    // 32-core per-query map, leaving PERF/scaling reconstruction blind
+    // (r16 verdict item 1). BENCH_FULL.json stays for compatibility
+    // and always holds the LATEST run.
     if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), record + "\n")
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      Seq("BENCH_FULL.json", s"BENCH_FULL_c$cpus.json").foreach { f =>
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f), record + "\n")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $f write failed: ${e.getMessage}")
+        }
       }
     // compact tail summary AFTER the full record: the driver archives
     // only the LAST 2000 chars of output, and at 115+ queries the full

@@ -660,7 +660,11 @@ object DocQueries {
         Streaming.shingleOwnerStream(Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), 3),
         rocksdbState = true, // per-distinct-shingle state: corpus-sized
-        noDataBatch = false) // complete snapshot: last data batch is final
+        noDataBatch = false, // complete snapshot: last data batch is final
+        // shard count derived from input size (corpusStateShards
+        // scaladoc): no-op at scale, 8 shards at bench SF
+        statePartitions = Streaming.corpusStateShards(s,
+          s"$dir/documents.parquet"))
       val sh = Dedup.explodeShingles(Tables.documents(s, dir),
           col("text"), col("doc_id"), 3)
         .select(col("doc_id"), xxhash64(col("s")).as("s"))
@@ -840,7 +844,9 @@ object DocQueries {
           Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), col("n_chars")),
         rocksdbState = true, // digest-cardinality state: corpus-sized
-        noDataBatch = false) // complete snapshot: last data batch is final
+        noDataBatch = false, // complete snapshot: last data batch is final
+        statePartitions = Streaming.corpusStateShards(s,
+          s"$dir/documents.parquet"))
     },
 
     // JSONL INGEST-TIME dedup on the STREAMING engine: the corpus is
@@ -867,7 +873,8 @@ object DocQueries {
         Streaming.exactDedupKeepListStream(stream,
           col("text"), col("doc_id"), col("n_chars")),
         rocksdbState = true, // digest-cardinality state: corpus-sized
-        noDataBatch = false) // complete snapshot: last data batch is final
+        noDataBatch = false, // complete snapshot: last data batch is final
+        statePartitions = Streaming.corpusStateShards(s, s"$tmp/raw"))
     },
 
     // Streaming twin of doc_para_dedup's keeper election: documents
@@ -897,7 +904,9 @@ object DocQueries {
           Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), size = 20),
         rocksdbState = true, // passage-cardinality state: corpus-sized
-        noDataBatch = false) // complete snapshot: last data batch is final
+        noDataBatch = false, // complete snapshot: last data batch is final
+        statePartitions = Streaming.corpusStateShards(s,
+          s"$dir/documents.parquet"))
     },
 
     // Streaming MinHash near-dup dedup, driver-visible: the fMGWS
@@ -928,7 +937,9 @@ object DocQueries {
         Streaming.collapseNearDupVerdicts(
             Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
               rocksdbState = true, // band-bucket state: corpus-sized
-              noDataBatch = false)) // fMGWS timeout only evicts
+              noDataBatch = false, // fMGWS timeout only evicts
+              statePartitions = Streaming.corpusStateShards(s,
+                s"$dir/documents.parquet")))
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
@@ -952,7 +963,9 @@ object DocQueries {
         Streaming.collapseNearDupVerdicts(
             Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
               rocksdbState = true, // band-bucket state: corpus-sized
-              noDataBatch = false)) // fMGWS timeout only evicts
+              noDataBatch = false, // fMGWS timeout only evicts
+              statePartitions = Streaming.corpusStateShards(s,
+                s"$dir/documents.parquet")))
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
@@ -1203,7 +1216,9 @@ object DocQueries {
         // positional markers make it corpus-linear outright) — the
         // corpus-cardinality rule routes it through RocksDB
         rocksdbState = true,
-        noDataBatch = false) // complete snapshot: last data batch is final
+        noDataBatch = false, // complete snapshot: last data batch is final
+        statePartitions = Streaming.corpusStateShards(s,
+          s"$dir/documents.parquet"))
       counts.orderBy(col("cnt").desc, col("word").asc).limit(20)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("cnt").desc, col("word").asc)))
@@ -1879,7 +1894,10 @@ object DocQueries {
         Streaming.unpackTopCap(Streaming.runAvailableNow(
           Streaming.sourceCapStream(scored, col("source"), col("q_dm"),
             col("doc_id"), cap = 40),
-          noDataBatch = false)) // complete snapshot
+          noDataBatch = false, // complete snapshot
+          // state is one packed cap-array per SOURCE (a handful of
+          // domains): metadata-sized, key-bound rule
+          statePartitions = Some(8)))
     },
 
     // Greedy sequence packing: per language, docs in doc_id order fill
@@ -2425,7 +2443,9 @@ object DocQueries {
               .filter(substring(md5(col("text")), 1, 6) >= bound),
             col("text")),
           rocksdbState = true, // word state grows with the corpus
-          noDataBatch = false) // complete snapshot
+          noDataBatch = false, // complete snapshot
+          statePartitions = Streaming.corpusStateShards(s,
+            s"$dir/documents.parquet"))
         .withColumnRenamed("cnt", "c_new")
       TA.driftReport(
         oldCnt.join(newCnt, Seq("word"), "full_outer")
@@ -2459,7 +2479,9 @@ object DocQueries {
         Streaming.boilerplateDfStream(Streaming.documentsStream(s, dir),
           col("text"), col("doc_id"), size = 10, minDf = 3),
         rocksdbState = true, // state is passage-cardinality: corpus-sized
-        noDataBatch = false) // complete snapshot
+        noDataBatch = false, // complete snapshot
+        statePartitions = Streaming.corpusStateShards(s,
+          s"$dir/documents.parquet"))
       Dedup.boilerplateStripAgainst(Tables.documents(s, dir), col("text"),
         col("doc_id"), size = 10,
         drained.filter(col("df_capped") >= 3).select(col("digest")))
@@ -2632,7 +2654,9 @@ object DocQueries {
           col("__g"),
           -expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)"),
           col("doc_id"), cap = 50),
-        noDataBatch = false) // complete snapshot
+        noDataBatch = false, // complete snapshot
+        // ONE group key ("all"): metadata-sized state, key-bound rule
+        statePartitions = Some(8))
       Streaming.unpackTopCap(drained)
         .select(col("doc_id"), col("rn").cast("long").as("rn"))
         .join(Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),

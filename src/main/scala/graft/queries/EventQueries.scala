@@ -180,6 +180,9 @@ object EventQueries {
           .format("graft.sources.EventReplayProvider")
           .option("path", dir)
           .option("rowsPerBatch", perBatch)
+          // field selection (r17): props never reaches the sink; see
+          // ev_replay_source_agg / EventReplayProvider.inferSchema
+          .option("columns", "event_id,ts,user_id,event_type,value")
           .load()
           .select(col("event_id"), expr("ts div 1000").as("ts_us"),
             col("user_id"), col("event_type"), col("value"))
@@ -344,7 +347,11 @@ object EventQueries {
         unix_micros(col("r_ts")).as("c_ts_us"),
         round(col("p_value") * 100).cast("long").as("p_cents"),
         round(col("c_value") * 100).cast("long").as("c_cents")),
-        "append", noDataBatch = false)
+        "append", noDataBatch = false,
+        // user-keyed join state is corpus-cardinality: shard count
+        // derived from input size (corpusStateShards scaladoc)
+        statePartitions = Streaming.corpusStateShards(s,
+          s"$dir/events.parquet"))
     },
 
     // A2 sliding-window population stddev (volatility) per event_type,
@@ -794,7 +801,9 @@ object EventQueries {
         // noDataBatch off: fMGWS emits per arrival (NoTimeout state)
         Streaming.runAvailableNow(
             Streaming.throttleElapsedStream(src, 6 * H).toDF(),
-            outputMode = "append", noDataBatch = false)
+            outputMode = "append", noDataBatch = false,
+            statePartitions = Streaming.corpusStateShards(s,
+              s"$dir/events.parquet"))
           .select(col("key").cast("long").as("user_id"),
             col("tsUs").as("ts_us"), col("seq").as("event_id"), col("value"))
     },
@@ -846,6 +855,11 @@ object EventQueries {
         .format("graft.sources.EventReplayProvider")
         .option("path", dir)
         .option("rowsPerBatch", perBatch)
+        // field selection (r17): the agg reads 3 of 6 feed columns, and
+        // streaming scans get no Catalyst column pruning — unselected
+        // columns would ride the driver buffer AND every trigger's task
+        // closures (EventReplayProvider.inferSchema scaladoc)
+        .option("columns", "event_id,event_type,value")
         .load()
       // noDataBatch off: complete-mode snapshot (no watermark at all).
       // statePartitions from state cardinality: one row per event type.
@@ -885,10 +899,13 @@ object EventQueries {
             col("event_type").as("feature"), col("value"))
           .as[Streaming.FeatureEvent]
         // noDataBatch off: fMGWS emits per arrival (NoTimeout state);
-        // user-keyed state keeps the session's shard default
+        // user-keyed state is corpus-cardinality: shard count derived
+        // from input size (corpusStateShards scaladoc)
         Streaming.runAvailableNow(
             Streaming.combineLatest(src).toDF(), outputMode = "append",
-            noDataBatch = false)
+            noDataBatch = false,
+            statePartitions = Streaming.corpusStateShards(s,
+              s"$dir/events.parquet"))
           .select(col("key").cast("long").as("user_id"),
             col("ts_us").as("event_id"),
             explode(col("values")).as(Seq("feature", "value")))

@@ -919,7 +919,11 @@ object MultimodalQueries {
         perceptualHashOf(id, 128, Multimodal.dhash64)))
     Streaming.hashDedupMaintStream(arrivals, maxDist = 3,
       watermarkDelayMs = 31536000000L, indexTable = table,
-      compactAtFilesPerBucket = compactAt)
+      compactAtFilesPerBucket = compactAt,
+      // shard count derived from input size (corpusStateShards
+      // scaladoc): no-op at scale, 8 shards at bench SF
+      statePartitions = Streaming.corpusStateShards(s,
+        s"$dir/documents.parquet"))
   }
 
   private def MM_PHASH_INCR_SQL: String =
@@ -1742,7 +1746,9 @@ object MultimodalQueries {
       Streaming.hashDedupIncrementalStream(arrivals, maxDist = 3,
         watermarkDelayMs = 31536000000L,
         indexChunks = graft.sources.BucketedStore.read(s, table),
-        rocksdbState = true) // band-bucket state: corpus-sized
+        rocksdbState = true, // band-bucket state: corpus-sized
+        statePartitions = Streaming.corpusStateShards(s,
+          s"$dir/documents.parquet"))
     },
 
     // INDEX MAINTENANCE CYCLE (r14): the full production loop the
@@ -1962,7 +1968,9 @@ object MultimodalQueries {
         Streaming.collapseNearDupVerdicts(
             Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
               rocksdbState = true, // band-bucket state: corpus-sized
-              noDataBatch = false)) // fMGWS timeout only evicts
+              noDataBatch = false, // fMGWS timeout only evicts
+              statePartitions = Streaming.corpusStateShards(s,
+                s"$dir/documents.parquet")))
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
@@ -2022,7 +2030,9 @@ object MultimodalQueries {
         Streaming.collapseNearDupVerdicts(
             Streaming.runAvailableNow(verdicts.toDF(), outputMode = "append",
               rocksdbState = true, // band-bucket state: corpus-sized
-              noDataBatch = false)) // fMGWS timeout only evicts
+              noDataBatch = false, // fMGWS timeout only evicts
+              statePartitions = Streaming.corpusStateShards(s,
+                s"$dir/documents.parquet")))
           .select(col("docId").as("doc_id"), col("dup_of"))
     },
 
@@ -2175,7 +2185,9 @@ object MultimodalQueries {
             verdicts.toDF("docId", "tsUs", "bidx", "matched"),
             outputMode = "append",
             rocksdbState = true, // band-bucket state: corpus-sized
-            noDataBatch = false)) // fMGWS timeout only evicts
+            noDataBatch = false, // fMGWS timeout only evicts
+            statePartitions = Streaming.corpusStateShards(s,
+              s"$dir/documents.parquet")))
     },
 
     // CROSS-MODAL DEDUP VERDICT REPORT (r13): the media family's

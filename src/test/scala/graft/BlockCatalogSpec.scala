@@ -235,4 +235,24 @@ class BlockCatalogSpec extends AnyFunSuite {
     assert(!a.write(df2, "feat", "X", "ts_us"))
     assert(a.scanAll("feat", "X").count() == 40)
   }
+
+  test("meta append is temp+rename: a stranded .tmp never breaks log reads") {
+    // r17 (r16 ADVICE medium): appendMetaRows writes to a dotted .tmp
+    // and renames into place, so a crash mid-write leaves only a
+    // hidden file parquet readers skip. Simulate the crash artifact
+    // and verify every meta read path still works.
+    val root = Files.createTempDirectory("graft_tmpmeta").toString
+    val cat = new BlockCatalog(spark, root)
+    val df1 = (0 until 10).map(i => (day0 + i * 1000000L, i.toDouble))
+      .toDF("ts_us", "v")
+    assert(cat.write(df1, "feat", "T", "ts_us"))
+    // stranded partial write: garbage bytes under a .tmp name
+    Files.write(java.nio.file.Paths.get(root, "_meta", ".part-crash.parquet.tmp"),
+      Array[Byte](1, 2, 3))
+    val fresh = new BlockCatalog(spark, root) // cold caches: must re-read the log
+    assert(fresh.meta.count() == 1)
+    assert(fresh.currentVersion("feat", "T") == 1L)
+    assert(fresh.scanAll("feat", "T").count() == 10)
+    assert(!fresh.write(df1, "feat", "T", "ts_us")) // dedup still sees the row
+  }
 }

@@ -96,6 +96,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom replay source: `columns` narrows the feed schema, values intact") {
+    // r17 field-selection knob: streaming scans get no Catalyst column
+    // pruning, so the source narrows its OWN schema — verify both the
+    // schema and value parity against the full-width feed
+    import org.apache.spark.sql.functions.col
+    val full = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(_.toSeq).toSet
+    val src = spark.readStream
+      .format("graft.sources.EventReplayProvider")
+      .option("path", dir)
+      .option("columns", "event_id,event_type,value")
+      .load()
+    assert(src.schema.fieldNames.toSeq == Seq("event_id", "event_type", "value"))
+    val q = src.writeStream.outputMode("append")
+      .format("memory").queryName("replay_cols_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_cols_out").collect().map(_.toSeq).toSet
+      assert(streamed == full)
+    } finally q.stop()
+    // unknown column names fail loudly, not silently
+    intercept[Exception] {
+      spark.readStream.format("graft.sources.EventReplayProvider")
+        .option("path", dir).option("columns", "event_id,nope").load()
+    }
+  }
+
+  test("corpusStateShards: input-derived, floored, capped at the session setting") {
+    // tiny input -> the floor; huge target-relative input -> clamp to
+    // Int range (withDrainConfs applies the session cap); missing path
+    // -> None (keep the session default)
+    val p = s"$dir/documents.parquet"
+    assert(Streaming.corpusStateShards(spark, p) == Some(8))
+    assert(Streaming.corpusStateShards(spark, p,
+      targetBytesPerShard = 1L, floor = 2).exists(_ > 1000))
+    assert(Streaming.corpusStateShards(spark, "/nonexistent/path").isEmpty)
+  }
+
   test("streaming exact dedup: first writer wins across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
